@@ -1,0 +1,78 @@
+"""Snapshot-versioned table IO (Iceberg-style semantics on plain Parquet).
+
+The sandbox has no Iceberg jars, so this module emulates the subset of
+Iceberg semantics the pipeline depends on, behind an interface that maps
+1:1 onto a real Iceberg catalog (SURVEY.md §7 "Iceberg in sandbox"):
+
+* ``snapshot_id(path)``   — content-addressed id of the current input state
+  (sorted file name+size list, hashed).  Iceberg analog: current snapshot.
+* ``write_partitioned``   — overwrite-by-partition parquet write with a
+  ``pt`` bucket column (salted hash of conv_id).  Iceberg analog:
+  ``overwrite`` of ``bucket(N, conv_id)`` partitions — idempotent replay.
+* manifest json under ``<table>/_manifest/`` recording committed snapshots.
+
+On a real deployment, swap for ``df.writeTo(tbl).overwritePartitions()``
+with a configured Iceberg catalog; interfaces are kept identical.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def snapshot_id(path: str) -> str:
+    """Deterministic id of a parquet dir's current content."""
+    entries = []
+    for root, _dirs, files in os.walk(path):
+        for f in sorted(files):
+            if f.startswith(("_", ".")):
+                continue
+            fp = os.path.join(root, f)
+            entries.append(f"{os.path.relpath(fp, path)}:{os.path.getsize(fp)}")
+    h = hashlib.sha256("\n".join(sorted(entries)).encode()).hexdigest()[:16]
+    return h
+
+
+def salted_bucket(conv_col, n_buckets: int = 64, salt: str = "idp"):
+    """Salted-hash partition id: pmod(xxhash64(salt, conv_id), n_buckets).
+
+    The salt decorrelates bucket assignment from any upstream hash
+    partitioning of conv_id, so hot conversations spread independently of
+    their original layout (north_rule skew requirement).
+    """
+    return F.pmod(F.xxhash64(F.lit(salt), conv_col), F.lit(n_buckets)).cast("int")
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_col: str = "pt",
+    mode: str = "overwrite",
+) -> None:
+    """Partitioned parquet write; dynamic partition overwrite so re-running
+    a subset of buckets replaces only those buckets (idempotent resume)."""
+    (
+        df.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(partition_col)
+        .parquet(path)
+    )
+
+
+def record_snapshot(table_path: str, snap_id: str, meta: Optional[dict] = None) -> None:
+    mdir = os.path.join(table_path, "_manifest")
+    os.makedirs(mdir, exist_ok=True)
+    rec = {"snapshot_id": snap_id, "committed_at": time.time(), **(meta or {})}
+    with open(os.path.join(mdir, f"snap-{snap_id}.json"), "w") as fh:
+        json.dump(rec, fh)
+
+
+def read_table(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)

@@ -1,0 +1,184 @@
+"""Evaluation comparators: EXACT / NUMERIC_EXACT / FUZZY / HUNGARIAN.
+
+Deterministic subset of the reference's comparator suite
+(``lib/idp_common_pkg/idp_common/evaluation/comparator.py``):
+
+* EXACT (:44-51): punctuation-insensitive, whitespace-collapsed, lowercased
+  string equality.
+* NUMERIC_EXACT (:104-126): strip ``$ , ( )`` (parens = negative), cast to
+  float, exact compare.
+* FUZZY (:290-336): Levenshtein ratio >= threshold (default 0.8,
+  ``evaluation/models.py:33``).
+* HUNGARIAN (:226-287): optimal bipartite assignment between expected and
+  actual value lists over a pairwise-similarity matrix; scipy is not
+  available in this environment so the O(n^3) Jonker-style Hungarian
+  algorithm is implemented directly in numpy (public algorithm).
+
+SEMANTIC / LLM methods (comparator.py:406+) are out of scope (remote
+models).  Pure kernels; Spark dispatch in ``operators/evaluate.py``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .normalize import normalize_for_compare
+
+DEFAULT_FUZZY_THRESHOLD = 0.8
+
+_NUM_STRIP = re.compile(r"[$,\s]")
+
+
+def compare_exact(expected: str, actual: str) -> bool:
+    return normalize_for_compare(expected or "") == normalize_for_compare(actual or "")
+
+
+def parse_numeric(value) -> Optional[float]:
+    if value is None:
+        return None
+    if isinstance(value, (int, float)):
+        return float(value)
+    s = _NUM_STRIP.sub("", str(value))
+    neg = s.startswith("(") and s.endswith(")")
+    if neg:
+        s = s[1:-1]
+    try:
+        f = float(s)
+    except ValueError:
+        return None
+    return -f if neg else f
+
+
+def compare_numeric(expected, actual) -> bool:
+    e, a = parse_numeric(expected), parse_numeric(actual)
+    return e is not None and a is not None and e == a
+
+
+def levenshtein(a: str, b: str) -> int:
+    if a == b:
+        return 0
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, cb in enumerate(b, 1):
+            cur[j] = min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+        prev = cur
+    return prev[-1]
+
+
+def fuzzy_score(expected: str, actual: str) -> float:
+    e = normalize_for_compare(expected or "")
+    a = normalize_for_compare(actual or "")
+    if not e and not a:
+        return 1.0
+    denom = max(len(e), len(a))
+    return 1.0 - levenshtein(e, a) / denom if denom else 1.0
+
+
+def compare_fuzzy(expected, actual, threshold: float = DEFAULT_FUZZY_THRESHOLD) -> bool:
+    return fuzzy_score(expected, actual) >= threshold
+
+
+def hungarian_min(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Solve the rectangular assignment problem (minimize total cost).
+
+    Classic Hungarian algorithm with potentials (O(n^2 m)); returns
+    (row_indices, col_indices) like scipy.optimize.linear_sum_assignment.
+    """
+    cost = np.asarray(cost, dtype=float)
+    transposed = cost.shape[0] > cost.shape[1]
+    if transposed:
+        cost = cost.T
+    n, m = cost.shape  # n <= m
+    INF = float("inf")
+    u = np.zeros(n + 1)
+    v = np.zeros(m + 1)
+    p = np.zeros(m + 1, dtype=int)  # p[j] = row matched to col j (1-based)
+    way = np.zeros(m + 1, dtype=int)
+    for i in range(1, n + 1):
+        p[0] = i
+        j0 = 0
+        minv = np.full(m + 1, INF)
+        used = np.zeros(m + 1, dtype=bool)
+        while True:
+            used[j0] = True
+            i0 = p[j0]
+            delta = INF
+            j1 = -1
+            for j in range(1, m + 1):
+                if used[j]:
+                    continue
+                cur = cost[i0 - 1, j - 1] - u[i0] - v[j]
+                if cur < minv[j]:
+                    minv[j] = cur
+                    way[j] = j0
+                if minv[j] < delta:
+                    delta = minv[j]
+                    j1 = j
+            for j in range(m + 1):
+                if used[j]:
+                    u[p[j]] += delta
+                    v[j] -= delta
+                else:
+                    minv[j] -= delta
+            j0 = j1
+            if p[j0] == 0:
+                break
+        while j0 != 0:
+            j1 = way[j0]
+            p[j0] = p[j1]
+            j0 = j1
+    rows, cols = [], []
+    for j in range(1, m + 1):
+        if p[j] != 0:
+            rows.append(p[j] - 1)
+            cols.append(j - 1)
+    rows = np.array(rows)
+    cols = np.array(cols)
+    order = np.argsort(rows)
+    rows, cols = rows[order], cols[order]
+    if transposed:
+        return cols, rows
+    return rows, cols
+
+
+def hungarian_match(
+    expected: List[str],
+    actual: List[str],
+    threshold: float = DEFAULT_FUZZY_THRESHOLD,
+) -> Tuple[int, int, int, float]:
+    """Optimal list matching (comparator.py:226-287 semantics).
+
+    Returns (tp, fp, fn, mean_matched_score): pairs are assigned to maximize
+    total fuzzy similarity; an assigned pair counts as a match iff its score
+    >= threshold.  Unmatched actual values are false positives, unmatched
+    expected values false negatives.
+    """
+    if not expected and not actual:
+        return 0, 0, 0, 1.0
+    if not expected:
+        return 0, len(actual), 0, 0.0
+    if not actual:
+        return 0, 0, len(expected), 0.0
+    sim = np.zeros((len(expected), len(actual)))
+    for i, e in enumerate(expected):
+        for j, a in enumerate(actual):
+            sim[i, j] = fuzzy_score(e, a)
+    rows, cols = hungarian_min(1.0 - sim)
+    tp = 0
+    scores = []
+    for r, c in zip(rows, cols):
+        scores.append(sim[r, c])
+        if sim[r, c] >= threshold:
+            tp += 1
+    fp = len(actual) - tp
+    fn = len(expected) - tp
+    mean = float(np.mean(scores)) if scores else 0.0
+    return tp, fp, fn, mean

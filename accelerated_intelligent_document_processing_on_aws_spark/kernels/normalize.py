@@ -1,0 +1,75 @@
+"""OCR-text normalization kernels.
+
+Semantics modeled on the reference pipeline's Textract-parse fallback ladder
+(reference: ``lib/idp_common_pkg/idp_common/ocr/service.py:1558-1630``
+``_parse_textract_response`` — LINE-block join with ``"\\n"``) and the
+evaluation comparator's whitespace/punctuation normalization
+(``lib/idp_common_pkg/idp_common/evaluation/comparator.py:86-101``).
+
+These are PURE functions over Python strings / pandas Series — no Spark
+imports.  They are wired into Spark via Arrow-batched pandas UDFs in
+``operators/extract.py`` and as pure-Catalyst expression twins in
+``functions/text.py`` (the Catalyst twin is used whenever the semantics fit a
+built-in expression so the hot path stays inside whole-stage codegen).
+
+Span contract (stricter than the reference, which re-serializes text and
+keeps no offsets — ``ocr/service.py:1630``): every emitted span carries
+``(span_id, kind, start, end, text)`` where ``start:end`` index into the
+ORIGINAL ``text`` value of the turn and ``text == original[start:end]``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import List, Tuple
+
+# A span is (span_id, kind, start, end, text).
+Span = Tuple[int, str, int, int, str]
+
+_WS_RUN = re.compile(r"\s+")
+_PUNCT = re.compile(r"[^\w\s]", re.UNICODE)
+
+
+def collapse_ws(s: str) -> str:
+    """Whitespace-collapse + strip (comparator.py:97-100 semantics)."""
+    return _WS_RUN.sub(" ", s).strip()
+
+
+def normalize_for_compare(s: str) -> str:
+    """EXACT-comparator canonical form: strip punctuation, collapse
+    whitespace, lowercase (comparator.py:86-101)."""
+    return collapse_ws(_PUNCT.sub("", s)).lower()
+
+
+def normalize_plain(text: str, base: int = 0) -> Tuple[str, List[Span]]:
+    """Normalize a plain-text payload.
+
+    Reference semantics: the final fallback of ``_parse_textract_response``
+    joins LINE texts with ``"\\n"``; for raw text the synthetic-block path
+    (``ocr/service.py:1760-1793``) keeps non-empty lines.  So: split into
+    lines, strip each line, drop empty lines, join with ``"\\n"``.
+
+    Offsets point at the *stripped* line inside the original string.
+    """
+    spans: List[Span] = []
+    out_lines: List[str] = []
+    pos = 0
+    n = len(text)
+    sid = 0
+    while pos <= n:
+        nl = text.find("\n", pos)
+        end = nl if nl != -1 else n
+        raw = text[pos:end]
+        # strip, tracking offsets
+        lstrip = len(raw) - len(raw.lstrip())
+        stripped = raw.strip()
+        if stripped:
+            s0 = base + pos + lstrip
+            s1 = s0 + len(stripped)
+            spans.append((sid, "ocr_line", s0, s1, stripped))
+            out_lines.append(stripped)
+            sid += 1
+        if nl == -1:
+            break
+        pos = nl + 1
+    return "\n".join(out_lines), spans

@@ -1,0 +1,271 @@
+"""Deduplication operators for large-scale corpus hygiene.
+
+Not present in the reference (its unit of work is one document); these are
+the standard training-data pipeline dedup family, Spark-first:
+
+* exact          — hash-groupBy on a normalized-text fingerprint.
+* ngram_jaccard  — shingle-overlap candidate join + exact Jaccard filter.
+* minhash_lsh    — MinHash signatures + banded LSH bucket join (Broder '97);
+  deterministic universal hashing, all JVM-side except the signature UDF.
+* simhash        — Charikar '02 64-bit fingerprint + hamming-ball pairing
+  via 4-band exact-match blocking.
+* embedding near-dup — cosine >= threshold over LSH-free all-pairs within
+  buckets (see similarity.py for ANN).
+
+Scale notes: every variant avoids the naive O(n²) cross join — candidates
+come from an equi-join on (band/bucket/shingle) keys, so Spark plans a
+shuffle-hash/sort-merge join on the blocking key; AQE handles hot shingles.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import List
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import fingerprint, normalized_for_compare
+
+MERSENNE = (1 << 61) - 1
+
+
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Groups of byte-identical (normalized) docs: one row per dup group."""
+    return (
+        df.select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.min(id_col).alias("keeper_id"),
+            F.sort_array(F.collect_list(id_col)).alias("doc_ids"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def shingles(c, k: int = 3):
+    """Word k-shingles of the normalized text as an array column."""
+    words = F.split(normalized_for_compare(c), " ")
+    n = F.size(words)
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    return F.when(n >= k, F.array_distinct(
+        F.transform(idx, lambda i: F.array_join(F.slice(words, i + 1, k), " "))
+    )).otherwise(F.array(F.array_join(words, " ")))
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.8
+) -> DataFrame:
+    """Near-dup pairs by exact word-k-gram Jaccard >= threshold.
+
+    Candidate generation by shared-shingle equi-join (no cross join), then
+    |A∩B| counted per pair and Jaccard from per-doc shingle counts.
+    """
+    sh = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
+    ).withColumn("n_sh", F.size("sh"))
+    exploded = sh.select("id", "n_sh", F.explode("sh").alias("g"))
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_common")
+    ).cast("double")
+    return inter.select(
+        "id_a", "id_b", F.round(jac, 4).alias("jaccard")
+    ).filter(F.col("jaccard") >= F.lit(threshold))
+
+
+def _minhash_params(num_hashes: int, seed: int = 42):
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, MERSENNE, size=num_hashes, dtype=np.int64)
+    b = rng.randint(0, MERSENNE, size=num_hashes, dtype=np.int64)
+    return a, b
+
+
+def minhash_signature_udf(num_hashes: int = 64, seed: int = 42):
+    a_par, b_par = _minhash_params(num_hashes, seed)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def sig(shingle_arrays: pd.Series) -> pd.Series:
+        out: List[List[int]] = []
+        for arr in shingle_arrays:
+            if arr is None or len(arr) == 0:
+                out.append([0] * num_hashes)
+                continue
+            hs = np.array(
+                [
+                    int.from_bytes(
+                        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(),
+                        "big",
+                    )
+                    & ((1 << 61) - 1)
+                    for s in arr
+                ],
+                dtype=np.int64,
+            )
+            # (a*h + b) mod p, minimum per hash function — vectorized
+            m = (
+                (hs[None, :].astype(object) * a_par[:, None] + b_par[:, None])
+                % MERSENNE
+            )
+            out.append([int(x) for x in np.min(m, axis=1)])
+        return pd.Series(out)
+
+    return sig
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    num_hashes: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash+LSH near-dup candidate pairs with estimated Jaccard.
+
+    rows-per-band = num_hashes // bands; two docs collide if any band's row
+    slice matches exactly.  Estimated Jaccard = fraction of matching
+    minhash components.
+    """
+    rows_per_band = num_hashes // bands
+    sig = minhash_signature_udf(num_hashes, seed)
+    with_sig = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("sh")
+    ).select("id", sig(F.col("sh")).alias("sig"))
+
+    band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
+    banded = with_sig.select(
+        "id",
+        "sig",
+        band_idx,
+    ).withColumn(
+        "band_key",
+        F.xxhash64(
+            F.col("band"),
+            F.array_join(
+                F.transform(
+                    F.slice(F.col("sig"), F.col("band") * rows_per_band + 1, rows_per_band),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ),
+        ),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.size(
+            F.filter(
+                F.zip_with(F.col("sig_a"), F.col("sig_b"), lambda x, y: (x == y).cast("int")),
+                lambda v: v == F.lit(1),
+            )
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return cand.select(
+        "id_a", "id_b", F.round(est, 4).alias("est_jaccard")
+    ).filter(F.col("est_jaccard") >= F.lit(threshold))
+
+
+def simhash_udf(seed: int = 42):
+    @F.pandas_udf(T.LongType())
+    def sh(shingle_arrays: pd.Series) -> pd.Series:
+        out = []
+        for arr in shingle_arrays:
+            if arr is None or len(arr) == 0:
+                out.append(0)
+                continue
+            acc = np.zeros(64, dtype=np.int64)
+            for s in arr:
+                h = int.from_bytes(
+                    hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big"
+                )
+                bits = (h >> np.arange(64)) & 1
+                acc += np.where(bits == 1, 1, -1)
+            v = 0
+            for i in range(64):
+                if acc[i] > 0:
+                    v |= 1 << i
+            # to signed 64
+            if v >= 1 << 63:
+                v -= 1 << 64
+            out.append(v)
+        return pd.Series(out, dtype="int64")
+
+    return sh
+
+
+def simhash_pairs(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3, max_hamming: int = 3
+) -> DataFrame:
+    """SimHash near-dup pairs: 4-band blocking guarantees recall for
+    hamming distance <= 3 (pigeonhole over 16-bit quarters)."""
+    sh = simhash_udf()
+    sigs = df.select(
+        F.col(id_col).alias("id"), shingles(F.col(text_col), k).alias("shg")
+    ).select("id", sh(F.col("shg")).alias("sim"))
+    mask = F.lit((1 << 16) - 1)
+    banded = sigs.select(
+        "id",
+        "sim",
+        F.explode(F.sequence(F.lit(0), F.lit(3))).alias("band"),
+    ).withColumn(
+        "band_val",
+        F.when(F.col("band") == 0, F.col("sim").bitwiseAND(mask))
+        .when(F.col("band") == 1, F.shiftrightunsigned("sim", 16).bitwiseAND(mask))
+        .when(F.col("band") == 2, F.shiftrightunsigned("sim", 32).bitwiseAND(mask))
+        .otherwise(F.shiftrightunsigned("sim", 48).bitwiseAND(mask)),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+    return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
+        F.col("hamming") <= F.lit(max_hamming)
+    )

@@ -1,0 +1,103 @@
+"""Evaluation harness: golden join + comparator dispatch + metric rollups.
+
+Reference lifecycle (``evaluation/service.py:897`` → ``:514`` →
+``comparator.py`` → ``metrics.py:13-145``): load baseline, pair
+expected/actual per attribute, dispatch per-attribute comparator, roll up
+tp/fp/fn into precision/recall/F1/accuracy.
+
+Spark shape: equi-join on (conv_id, turn_idx) [J1], per-method comparison —
+EXACT and NUMERIC are pure Catalyst; FUZZY/HUNGARIAN go through an
+Arrow-batched pandas UDF over the paired values; metrics are one
+groupBy().sum() (G9).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..functions.text import normalized_for_compare, numeric_normalize
+from ..kernels.compare import fuzzy_score as _fuzzy_score_py
+
+
+@F.pandas_udf(T.DoubleType())
+def fuzzy_score_udf(expected: pd.Series, actual: pd.Series) -> pd.Series:
+    return pd.Series(
+        [_fuzzy_score_py(e, a) for e, a in zip(expected, actual)], dtype="float64"
+    )
+
+
+def evaluate_turns(
+    actual: DataFrame,
+    golden: DataFrame,
+    value_col: str = "extracted_text",
+    golden_col: str = "extracted_text",
+    method: str = "EXACT",
+    fuzzy_threshold: float = 0.8,
+) -> DataFrame:
+    """Per-turn evaluation rows: (conv_id, turn_idx, matched, score).
+
+    NOTE: for the north_rule per-turn text-equality invariant we use BYTE
+    equality (method='BYTE'), stricter than the reference EXACT comparator —
+    normalization is the operator under test, not the comparator
+    (SURVEY.md §5).
+    """
+    a = actual.select("conv_id", "turn_idx", F.col(value_col).alias("_actual"))
+    g = golden.select("conv_id", "turn_idx", F.col(golden_col).alias("_expected"))
+    j = a.join(g, ["conv_id", "turn_idx"], "full_outer")
+    e, x = F.col("_expected"), F.col("_actual")
+    if method == "BYTE":
+        matched = e.eqNullSafe(x)
+        score = matched.cast("double")
+    elif method == "EXACT":
+        matched = normalized_for_compare(e).eqNullSafe(normalized_for_compare(x))
+        score = matched.cast("double")
+    elif method == "NUMERIC_EXACT":
+        matched = numeric_normalize(e).eqNullSafe(numeric_normalize(x))
+        score = matched.cast("double")
+    elif method == "FUZZY":
+        score = fuzzy_score_udf(e, x)
+        matched = score >= F.lit(fuzzy_threshold)
+    else:
+        raise ValueError(f"unknown method {method}")
+    return j.select(
+        "conv_id",
+        "turn_idx",
+        matched.alias("matched"),
+        F.round(score, 4).alias("score"),
+    )
+
+
+def metrics_rollup(evaluated: DataFrame) -> DataFrame:
+    """tp/fp/fn → precision/recall/F1/accuracy (metrics.py:13-145).
+
+    A row with matched=true is a tp; matched=false with actual present is a
+    fp; golden present without match contributes fn — for per-turn text
+    equality fp==fn (one attr per turn), matching the reference's
+    symmetric accounting for single-valued attributes.
+    """
+    agg = evaluated.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("matched").cast("long")).alias("tp"),
+        F.sum((~F.col("matched")).cast("long")).alias("fp"),
+        F.sum((~F.col("matched")).cast("long")).alias("fn"),
+        F.round(F.avg("score"), 4).alias("mean_score"),
+    )
+    precision = F.col("tp") / F.greatest(F.col("tp") + F.col("fp"), F.lit(1))
+    recall = F.col("tp") / F.greatest(F.col("tp") + F.col("fn"), F.lit(1))
+    f1 = F.when(
+        (precision + recall) > 0, 2 * precision * recall / (precision + recall)
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "n",
+        "tp",
+        "fp",
+        "fn",
+        "mean_score",
+        F.round(precision, 4).alias("precision"),
+        F.round(recall, 4).alias("recall"),
+        F.round(f1, 4).alias("f1"),
+        F.round(F.col("tp") / F.greatest(F.col("n"), F.lit(1)), 4).alias("accuracy"),
+    )

@@ -1,0 +1,96 @@
+"""End-to-end extraction pipeline: the Spark replacement for the reference's
+Step Functions workflow (``patterns/pattern-2/statemachine/workflow.asl.json``).
+
+Stages (each a DataFrame → DataFrame function, composable like the
+reference's service objects, ``idp_common/__init__.py:11-72``):
+
+    load → salt → extract (pandas UDF) → classify (rlike cascade)
+         → sectionize (one conv_id window) → write buckets + lineage
+
+Plan shape at scale (deliberate, §4 of SURVEY.md):
+
+* Extraction runs on SALTED partitions (``repartition(pt)`` where
+  ``pt = pmod(xxhash64(salt, conv_id), n_buckets)``) — embarrassingly
+  parallel, no conv locality needed, so a mega-conversation spreads across
+  buckets' tasks evenly. The write then reuses ``pt`` as the partition
+  column: extraction shuffle and write layout share one exchange.
+* Sectionization is the ONLY conv_id-keyed exchange (window over
+  (conv_id, turn_idx)); AQE handles residual skew.
+* Resume: buckets already COMMITTED for this input snapshot are
+  anti-joined away before any work happens (partition-pruned scan on
+  re-run; no recomputation — verified by tests/test_resume.py).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .functions.text import turn_class_col
+from .io.checkpoint import CheckpointStore, lineage_from_output, new_run_id
+from .io.tables import record_snapshot, salted_bucket, snapshot_id, write_partitioned
+from .operators.extract import with_extraction
+from .operators.sectionize import sectionize
+
+
+@dataclass
+class PipelineConfig:
+    n_buckets: int = 64
+    salt: str = "idp"
+    with_sections: bool = True
+
+
+def extract_stage(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
+    """Salt → extract → classify → (optionally) sectionize."""
+    df = df.withColumn("pt", salted_bucket(F.col("conv_id"), cfg.n_buckets, cfg.salt))
+    df = df.repartition("pt")
+    df = with_extraction(df)
+    df = df.withColumn("turn_class", turn_class_col(F.col("extracted_text")))
+    if cfg.with_sections:
+        df = sectionize(df)
+    return df
+
+
+def run_pipeline(
+    spark: SparkSession,
+    input_path: str,
+    output_path: str,
+    checkpoint_path: str,
+    cfg: PipelineConfig = PipelineConfig(),
+    run_id: Optional[str] = None,
+) -> dict:
+    """Full run with lineage + resume. Returns a summary dict."""
+    run_id = run_id or new_run_id()
+    snap = snapshot_id(input_path)
+    store = CheckpointStore(spark, checkpoint_path)
+    done = store.committed_partitions(snap)
+
+    df = spark.read.parquet(input_path)
+    out = extract_stage(df, cfg)
+    if done:
+        out = out.filter(~F.col("pt").isin(done))
+
+    pending = [r.pt for r in out.select("pt").distinct().collect()]
+    if not pending:
+        return {
+            "run_id": run_id,
+            "snapshot_id": snap,
+            "partitions_written": 0,
+            "resumed": True,
+        }
+
+    write_partitioned(out, output_path, "pt")
+    # lineage from the committed files (exactly what was durably written)
+    written = spark.read.parquet(output_path).filter(F.col("pt").isin(pending))
+    lineage = lineage_from_output(written, run_id, snap)
+    store.append(lineage)
+    record_snapshot(output_path, snap, {"run_id": run_id})
+    return {
+        "run_id": run_id,
+        "snapshot_id": snap,
+        "partitions_written": len(pending),
+        "resumed": bool(done),
+    }
