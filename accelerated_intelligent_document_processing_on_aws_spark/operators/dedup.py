@@ -209,10 +209,13 @@ def simhash_udf(seed: int = 42):
                 continue
             acc = np.zeros(64, dtype=np.int64)
             for s in arr:
-                h = int.from_bytes(
-                    hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(), "big"
+                h = np.uint64(
+                    int.from_bytes(
+                        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(),
+                        "big",
+                    )
                 )
-                bits = (h >> np.arange(64)) & 1
+                bits = (h >> np.arange(64, dtype=np.uint64)) & np.uint64(1)
                 acc += np.where(bits == 1, 1, -1)
             v = 0
             for i in range(64):
