@@ -1,0 +1,160 @@
+"""Benchmark harness (driver contract).
+
+Runs every ``queries()`` entry from ``__spark_entry__`` at
+``$SPARK_GRAFT_SF_DIR`` (default ``/root/testdata/sf0.1``) on
+``local[$SPARK_GRAFT_CPUS]`` (default 32), plus the flagship transcript
+extraction pipeline (the north_rule metric: extracted turns/sec), and
+prints ONE JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": ..., "turns_per_sec": ...,
+     "scaling": {"tps_n": ..., "tps_4n": ..., "efficiency": ...}}
+
+Scaling evidence (north_rule: >=0.8 efficiency from N to 4N executors;
+sandbox proxy = local[8] vs local[32] on identical input) is measured in
+subprocesses so each level gets a fresh JVM, unless SPARK_GRAFT_NO_SCALING
+is set.
+
+Each query is forced end-to-end with a ``noop``-format write so projection
+pruning cannot skip the measured work.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+# flagship extraction input: deterministic synthetic transcripts (seed=42),
+# sized so the run takes O(30s) at 32 cores but still dominates per-task
+# overhead. ~2k convs * ~24 mean turns + skew tail ~= 60k turns.
+FLAGSHIP_GEN = dict(n_convs=2000, mean_turns=24, skew_convs=4, skew_factor=40)
+FLAGSHIP_PARQUET = "/tmp/bench_transcripts_v1.parquet"
+
+
+def _get_spark(cpus: int):
+    from accelerated_intelligent_document_processing_on_aws_spark import get_spark
+
+    return get_spark(master=f"local[{cpus}]", shuffle_partitions=max(cpus, 8))
+
+
+def _force(df) -> int:
+    """Materialize every column (noop sink), return row count."""
+    df = df.cache()
+    n = df.count()
+    df.write.format("noop").mode("overwrite").save()
+    df.unpersist()
+    return n
+
+
+def _ensure_flagship_input(spark) -> str:
+    if not os.path.isdir(FLAGSHIP_PARQUET):
+        from accelerated_intelligent_document_processing_on_aws_spark.datagen.transcripts import (
+            write_transcripts,
+        )
+
+        write_transcripts(spark, FLAGSHIP_PARQUET, **FLAGSHIP_GEN)
+    return FLAGSHIP_PARQUET
+
+
+def _run_flagship(spark) -> tuple[float, int]:
+    """Extraction pipeline over the flagship transcripts; returns (sec, turns)."""
+    from accelerated_intelligent_document_processing_on_aws_spark import extract_stage
+
+    path = _ensure_flagship_input(spark)
+    df = spark.read.parquet(path)
+    t0 = time.time()
+    out = extract_stage(df)
+    n = out.count()
+    out.write.format("noop").mode("overwrite").save()
+    return time.time() - t0, n
+
+
+def flagship_only(cpus: int) -> None:
+    """Subprocess mode: measure flagship turns/sec at one parallelism level."""
+    spark = _get_spark(cpus)
+    _run_flagship(spark)  # warm (JVM/codegen/Arrow init excluded from timing)
+    sec, n = _run_flagship(spark)
+    print(json.dumps({"cpus": cpus, "sec": round(sec, 3), "turns": n}))
+    spark.stop()
+
+
+def _scaling() -> dict:
+    """Run flagship at local[8] and local[32] in fresh JVMs; efficiency =
+    (tps_32 / tps_8) / 4 (north_rule two-cluster-size proxy)."""
+    res = {}
+    for cpus in (8, 32):
+        p = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--flagship-only", str(cpus)],
+            capture_output=True, text=True, timeout=1200,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        )
+        line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
+        res[cpus] = json.loads(line)
+    tps8 = res[8]["turns"] / res[8]["sec"]
+    tps32 = res[32]["turns"] / res[32]["sec"]
+    return {
+        "tps_n": round(tps8, 1),
+        "tps_4n": round(tps32, 1),
+        "n_cores": 8,
+        "4n_cores": 32,
+        "efficiency": round((tps32 / tps8) / 4.0, 3),
+    }
+
+
+def main() -> None:
+    import __spark_entry__ as entrymod
+
+    spark = _get_spark(CPUS)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # flagship first (warm once so JVM startup is not attributed to it)
+    _run_flagship(spark)
+    fsec, fturns = _run_flagship(spark)
+    timings["q_flagship_extract"] = round(fsec, 3)
+    turns_per_sec = round(fturns / fsec, 1)
+
+    for name, fn in entrymod.queries().items():
+        df = fn(spark, SF_DIR)
+        _force(df)  # warm: parquet footer reads, codegen
+        t0 = time.time()
+        df2 = fn(spark, SF_DIR)
+        _force(df2)
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "extracted turns/sec + headline query suite sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "turns_per_sec": turns_per_sec,
+        "flagship_turns": fturns,
+    }
+    spark.stop()
+
+    if not os.environ.get("SPARK_GRAFT_NO_SCALING"):
+        try:
+            result["scaling"] = _scaling()
+        except Exception as e:  # never fail the bench on scaling probe
+            result["scaling_error"] = str(e)[:200]
+
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    if len(sys.argv) > 2 and sys.argv[1] == "--flagship-only":
+        flagship_only(int(sys.argv[2]))
+    else:
+        main()
