@@ -551,6 +551,382 @@ FROM documents
 """
 
 
+def _norm_sql_of(expr: str) -> str:
+    """DuckDB twin of functions.text.normalized_for_compare over any expr."""
+    return (
+        f"lower(trim(regexp_replace(regexp_replace(coalesce({expr},''),"
+        " '[^a-zA-Z0-9_ \\t\\n\\r]', '', 'g'), '[ \\t\\n\\r]+', ' ', 'g')))"
+    )
+
+
+def q_ocr_conf_table(spark, sf_dir):
+    """P2 text-confidence markdown table (ocr/service.py:1516-1556):
+    per-line `| text | conf |` rows, pipe-escaped, conf 1dp — pure Catalyst
+    higher-order functions; synthetic per-line confidence (55 + len%45)."""
+    d = _t(spark, sf_dir, "documents")
+    lines = F.filter(
+        F.transform(F.split(F.coalesce(F.col("text"), F.lit("")), "\n"), F.trim),
+        lambda x: x != F.lit(""),
+    )
+    row = lambda x: F.format_string(  # noqa: E731
+        "| %s | %.1f |",
+        F.replace(x, F.lit("|"), F.lit("\\|")),
+        (F.lit(55) + F.length(x) % 45).cast("double"),
+    )
+    table = F.concat(
+        F.lit("| Text | Confidence |\n| --- | --- |\n"),
+        F.array_join(F.transform(lines, row), "\n"),
+    )
+    return d.select("doc_id", table.alias("conf_table"))
+
+
+Q_OCR_CONF_TABLE_SQL = r"""
+SELECT doc_id,
+  '| Text | Confidence |' || chr(10) || '| --- | --- |' || chr(10) ||
+  array_to_string(
+    list_transform(
+      list_filter(list_transform(str_split(coalesce(text,''), chr(10)), x -> trim(x)),
+                  x -> x <> ''),
+      x -> printf('| %s | %.1f |', replace(x, '|', '\|'),
+                  CAST(55 + length(x) % 45 AS DOUBLE))),
+    chr(10)) AS conf_table
+FROM documents
+"""
+
+
+def q_events_concat(spark, sf_dir):
+    """G3 deterministic ordered concat (extraction/service.py:773-788):
+    sort_array(collect_list(struct)) — never bare collect_list."""
+    e = _t(spark, sf_dir, "events")
+    trip = F.struct("ts", "event_id", "event_type")
+    return (
+        e.groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(trip)), lambda s: s["event_type"]
+                ),
+                ",",
+            ).alias("path"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+Q_EVENTS_CONCAT_SQL = """
+SELECT user_id,
+       string_agg(event_type, ',' ORDER BY ts, event_id) AS path,
+       COUNT(*) AS n_events
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_first_event_label(spark, sf_dir):
+    """O2 first-k classify-then-propagate (classification/service.py:212-324):
+    label each user by their FIRST event, propagate to all rows."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first_rows = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("first_label"))
+    )
+    return (
+        e.join(F.broadcast(first_rows), "user_id")
+        .groupBy("user_id", "first_label")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+Q_FIRST_EVENT_LABEL_SQL = """
+WITH ranked AS (
+  SELECT user_id, event_type,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+  FROM events
+),
+labels AS (SELECT user_id, event_type AS first_label FROM ranked WHERE rn = 1)
+SELECT e.user_id, l.first_label, COUNT(*) AS n_events
+FROM events e JOIN labels l ON e.user_id = l.user_id
+GROUP BY e.user_id, l.first_label ORDER BY e.user_id
+"""
+
+
+def q_top_events_per_user(spark, sf_dir):
+    """Top-3 events per user by value (ranked-window top-k, O-class)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return (
+        e.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("user_id", "event_id", "value", "rank")
+        .orderBy("user_id", "rank")
+    )
+
+
+Q_TOP_EVENTS_PER_USER_SQL = """
+SELECT user_id, event_id, value, rank FROM (
+  SELECT user_id, event_id, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rank
+  FROM events
+) WHERE rank <= 3 ORDER BY user_id, rank
+"""
+
+PRICING = [
+    ("click", 0.002),
+    ("view", 0.001),
+    ("purchase", 0.01),
+    ("error", 0.0),
+    ("signup", 0.005),
+]
+
+
+def q_metering_cost(spark, sf_dir):
+    """G10 cost computation (save_reporting_data.py:754-962): metering
+    counts x broadcast pricing dim."""
+    e = _t(spark, sf_dir, "events")
+    pricing = spark.createDataFrame(PRICING, ["event_type", "rate"])
+    return (
+        e.groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_units"))
+        .join(F.broadcast(pricing), "event_type")
+        .select(
+            "event_type",
+            "n_units",
+            F.round(F.col("n_units") * F.col("rate"), 4).alias("cost"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_METERING_COST_SQL = (
+    "WITH pricing(event_type, rate) AS (VALUES "
+    + ", ".join(f"('{t}', {r})" for t, r in PRICING)
+    + """)
+SELECT e.event_type, COUNT(*) AS n_units,
+       ROUND(COUNT(*) * ANY_VALUE(p.rate), 4) AS cost
+FROM events e JOIN pricing p ON e.event_type = p.event_type
+GROUP BY e.event_type ORDER BY e.event_type
+"""
+)
+
+
+def q_payload_kind(spark, sf_dir):
+    """S2 file-type detection (ocr/service.py:1632-1678): magic-pattern
+    sniffing as a when/rlike cascade."""
+    d = _t(spark, sf_dir, "documents")
+    t = F.coalesce(F.col("text"), F.lit(""))
+    kind = (
+        F.when(
+            t.startswith("{") & t.contains('"Blocks"'), F.lit("ocr_json")
+        )
+        .when(t.rlike("<(html|p|div|nav)[ >]"), F.lit("html"))
+        .when(t.rlike("(?m)^\\[(H1|H2|P|TR|PB)\\]"), F.lit("pdfish"))
+        .when(F.trim(t) == F.lit(""), F.lit("empty"))
+        .otherwise(F.lit("plain"))
+    )
+    return d.select("doc_id", kind.alias("payload_kind"))
+
+
+Q_PAYLOAD_KIND_SQL = """
+SELECT doc_id,
+  CASE WHEN starts_with(coalesce(text,''), '{') AND contains(coalesce(text,''), '"Blocks"')
+         THEN 'ocr_json'
+       WHEN regexp_matches(coalesce(text,''), '<(html|p|div|nav)[ >]') THEN 'html'
+       WHEN regexp_matches(coalesce(text,''), '(?m)^\\[(H1|H2|P|TR|PB)\\]') THEN 'pdfish'
+       WHEN trim(coalesce(text,'')) = '' THEN 'empty'
+       ELSE 'plain' END AS payload_kind
+FROM documents
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Word-3-gram Jaccard near-dup pairs (inverted-index candidate join,
+    no cross join) — exact-dedup family with a full SQL oracle."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5).orderBy(
+        "id_a", "id_b"
+    )
+
+
+Q_NGRAM_JACCARD_SQL = f"""
+WITH nm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+w AS (SELECT doc_id, str_split(t, ' ') AS w FROM nm),
+g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+      FROM w, UNNEST(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)),
+c AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+i AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS nc
+      FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+j AS (SELECT ia, ib, ROUND(CAST(nc AS DOUBLE) / (ca.n + cb.n - nc), 4) AS jaccard
+      FROM i JOIN c ca ON ia = ca.doc_id JOIN c cb ON ib = cb.doc_id)
+SELECT ia AS id_a, ib AS id_b, jaccard FROM j WHERE jaccard >= 0.5
+ORDER BY id_a, id_b
+"""
+
+
+def q_embed_neardup(spark, sf_dir):
+    """Embedding-cosine near-dup pairs, exact all-pairs baseline (JVM-side
+    zip_with/aggregate math; LSH-bucketed scale path is q_lsh_topk)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        cosine_sim,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("sim", F.round(cosine_sim(F.col("va"), F.col("vb")), 6))
+        .filter(F.col("sim") >= 0.38)
+        .select("id_a", "id_b", "sim")
+        .orderBy("id_a", "id_b")
+    )
+
+
+Q_EMBED_NEARDUP_SQL = """
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_inner_product(a.v, b.v)
+             / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))),
+             6) AS sim
+FROM e a JOIN e b ON a.vec_id < b.vec_id
+WHERE ROUND(list_inner_product(a.v, b.v)
+            / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))),
+            6) >= 0.38
+ORDER BY id_a, id_b
+"""
+
+
+def q_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k neighbors (scale path; rows-only by
+    design — recall < 1 vs the exact baseline)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        lsh_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return lsh_topk(e, q, "vec_id", "embedding", k=5, n_planes=6, dim=64)
+
+
+def q_evaluate_fuzzy(spark, sf_dir):
+    """FUZZY comparator (comparator.py:290-336 Levenshtein ratio) via the
+    Arrow-batched kernel, oracled against DuckDB's levenshtein()."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.evaluate import (
+        evaluate_turns,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("text", F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 120))
+        .select(F.col("doc_id").cast("string").alias("conv_id"), F.lit(0).alias("turn_idx"), "text")
+    )
+    actual = d.select("conv_id", "turn_idx", F.col("text").alias("extracted_text"))
+    golden = d.select(
+        "conv_id",
+        "turn_idx",
+        F.replace(F.col("text"), F.lit("a"), F.lit("x")).alias("extracted_text"),
+    )
+    return (
+        evaluate_turns(actual, golden, method="FUZZY")
+        .select(F.col("conv_id").cast("bigint").alias("doc_id"), "matched", "score")
+        .orderBy("doc_id")
+    )
+
+
+def _evaluate_fuzzy_sql():
+    sub = "substr(coalesce(text,''), 1, 120)"
+    ne = _norm_sql_of(f"replace({sub}, 'a', 'x')")
+    na = _norm_sql_of(sub)
+    score = (
+        f"CASE WHEN length({ne}) = 0 AND length({na}) = 0 THEN 1.0 "
+        f"ELSE 1.0 - CAST(levenshtein({ne}, {na}) AS DOUBLE)"
+        f" / greatest(length({ne}), length({na})) END"
+    )
+    return f"""
+SELECT doc_id, ({score}) >= 0.8 AS matched, ROUND({score}, 4) AS score
+FROM documents ORDER BY doc_id
+"""
+
+
+def q_evaluate_hungarian(spark, sf_dir):
+    """J2 HUNGARIAN list matching: optimal bipartite assignment per group
+    via applyInPandas + numpy Hungarian kernel (rows-only: no SQL analog)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.evaluate import (
+        evaluate_lists,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40)
+    )
+    grouped = (
+        d.withColumn("group_id", (F.col("doc_id") % 50).cast("string"))
+        .groupBy("group_id")
+        .agg(F.sort_array(F.collect_list("text")).alias("expected"))
+        .withColumn(
+            "actual",
+            F.transform(
+                F.col("expected"), lambda x: F.replace(x, F.lit("e"), F.lit("3"))
+            ),
+        )
+    )
+    return evaluate_lists(grouped, "group_id", "expected", "actual").orderBy(
+        F.col("group_id").cast("int")
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    """Multimodal binary-column plumbing: binary payload + metadata →
+    mapInPandas feature extraction (deterministic stub decode; rows-only)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.multimodal import (
+        decode_features,
+        media_from_documents,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = media_from_documents(d)
+    return (
+        decode_features(media)
+        .select(
+            "media_id",
+            "kind",
+            "width",
+            "height",
+            "n_frames",
+            F.round(F.element_at("features", 1), 4).alias("f0"),
+        )
+        .orderBy(F.col("media_id").cast("bigint"))
+    )
+
+
+def q_sections_rollup(spark, sf_dir):
+    """G5 fan-in: one row per (conv_id, section_id) with ordered text concat
+    + turn lists, over synthetic transcripts (rows-only)."""
+    from accelerated_intelligent_document_processing_on_aws_spark import extract_stage
+    from accelerated_intelligent_document_processing_on_aws_spark.datagen.transcripts import (
+        gen_transcripts_df,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.sectionize import (
+        section_table,
+    )
+
+    df = gen_transcripts_df(spark, n_convs=40, mean_turns=8, skew_convs=2, skew_factor=10)
+    out = extract_stage(df)
+    return section_table(out).select(
+        "conv_id",
+        "section_id",
+        "classification",
+        "n_turns",
+        F.size("turn_idxs").alias("n_idxs"),
+        F.length("section_text").alias("n_chars"),
+    ).orderBy("conv_id", "section_id")
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -608,6 +984,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_transcript_extract": q_transcript_extract,
         "q_minhash_lsh": q_minhash_lsh,
         "q_simhash": q_simhash,
+        "q_ocr_conf_table": q_ocr_conf_table,
+        "q_events_concat": q_events_concat,
+        "q_first_event_label": q_first_event_label,
+        "q_top_events_per_user": q_top_events_per_user,
+        "q_metering_cost": q_metering_cost,
+        "q_payload_kind": q_payload_kind,
+        "q_ngram_jaccard": q_ngram_jaccard,
+        "q_embed_neardup": q_embed_neardup,
+        "q_lsh_topk": q_lsh_topk,
+        "q_evaluate_fuzzy": q_evaluate_fuzzy,
+        "q_evaluate_hungarian": q_evaluate_hungarian,
+        "q_multimodal_features": q_multimodal_features,
+        "q_sections_rollup": q_sections_rollup,
     }
 
 
@@ -629,6 +1018,16 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_exact": Q_DEDUP_EXACT_SQL,
         "q_knn_cosine": Q_KNN_COSINE_SQL,
         "q_evaluate_exact": Q_EVALUATE_EXACT_SQL,
-        # q_transcript_extract / q_minhash_lsh / q_simhash: non-SQL ops,
-        # rows-only driver check by design.
+        "q_ocr_conf_table": Q_OCR_CONF_TABLE_SQL,
+        "q_events_concat": Q_EVENTS_CONCAT_SQL,
+        "q_first_event_label": Q_FIRST_EVENT_LABEL_SQL,
+        "q_top_events_per_user": Q_TOP_EVENTS_PER_USER_SQL,
+        "q_metering_cost": Q_METERING_COST_SQL,
+        "q_payload_kind": Q_PAYLOAD_KIND_SQL,
+        "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
+        "q_embed_neardup": Q_EMBED_NEARDUP_SQL,
+        "q_evaluate_fuzzy": _evaluate_fuzzy_sql(),
+        # Non-SQL ops (rows-only driver check by design):
+        # q_transcript_extract, q_minhash_lsh, q_simhash, q_lsh_topk,
+        # q_evaluate_hungarian, q_multimodal_features, q_sections_rollup.
     }

@@ -70,6 +70,57 @@ def evaluate_turns(
     )
 
 
+LIST_EVAL_SCHEMA = T.StructType(
+    [
+        T.StructField("group_id", T.StringType()),
+        T.StructField("tp", T.LongType()),
+        T.StructField("fp", T.LongType()),
+        T.StructField("fn", T.LongType()),
+        T.StructField("mean_score", T.DoubleType()),
+    ]
+)
+
+
+def evaluate_lists(
+    pairs: DataFrame,
+    group_col: str = "group_id",
+    expected_col: str = "expected",
+    actual_col: str = "actual",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """HUNGARIAN list matching (comparator.py:226-287 semantics, J2).
+
+    ``pairs`` has one row per group with two array<string> columns; each
+    group runs the optimal bipartite assignment (numpy Hungarian kernel —
+    scipy is unavailable here) inside ``applyInPandas``.  This is the one
+    theta-join-in-a-group operator Spark has no native primitive for
+    (SURVEY.md §2.4 J2); groups are independent so it scales by group
+    cardinality, and the per-group matrix is bounded by list length.
+    """
+    from ..kernels.compare import hungarian_match
+
+    def _solve(pdf: pd.DataFrame) -> pd.DataFrame:
+        out = []
+        for _, row in pdf.iterrows():
+            exp = [] if row[expected_col] is None else list(row[expected_col])
+            act = [] if row[actual_col] is None else list(row[actual_col])
+            tp, fp, fn, mean = hungarian_match(exp, act, threshold)
+            out.append((row[group_col], tp, fp, fn, round(mean, 4)))
+        return pd.DataFrame(
+            out, columns=["group_id", "tp", "fp", "fn", "mean_score"]
+        )
+
+    return (
+        pairs.select(
+            F.col(group_col).cast("string").alias(group_col),
+            expected_col,
+            actual_col,
+        )
+        .groupBy(group_col)
+        .applyInPandas(_solve, LIST_EVAL_SCHEMA)
+    )
+
+
 def metrics_rollup(evaluated: DataFrame) -> DataFrame:
     """tp/fp/fn → precision/recall/F1/accuracy (metrics.py:13-145).
 

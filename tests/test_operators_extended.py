@@ -1,0 +1,114 @@
+"""Tests for the second operator batch: Hungarian list evaluation,
+multimodal binary plumbing, section rollup determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from accelerated_intelligent_document_processing_on_aws_spark.kernels.compare import (
+    hungarian_match,
+    hungarian_min,
+)
+from accelerated_intelligent_document_processing_on_aws_spark.operators.evaluate import (
+    evaluate_lists,
+)
+from accelerated_intelligent_document_processing_on_aws_spark.operators.multimodal import (
+    N_FEATURES,
+    decode_features,
+    media_from_documents,
+)
+
+
+class TestHungarianKernel:
+    def test_identity_square(self):
+        import numpy as np
+
+        cost = np.array([[1, 2, 3], [2, 1, 3], [3, 2, 1]], dtype=float)
+        r, c = hungarian_min(cost)
+        assert list(r) == [0, 1, 2] and list(c) == [0, 1, 2]
+
+    def test_rectangular(self):
+        import numpy as np
+
+        # 2 rows, 3 cols: best picks col of min cost per row w/o conflict
+        cost = np.array([[10.0, 1.0, 9.0], [1.0, 10.0, 9.0]])
+        r, c = hungarian_min(cost)
+        assignment = dict(zip(r.tolist(), c.tolist()))
+        assert assignment == {0: 1, 1: 0}
+
+    def test_match_counts(self):
+        tp, fp, fn, mean = hungarian_match(
+            ["alpha beta", "gamma delta"], ["gamma delta", "alpha beta"]
+        )
+        assert (tp, fp, fn) == (2, 0, 0) and mean == 1.0
+
+    def test_unbalanced(self):
+        tp, fp, fn, _ = hungarian_match(["a b c"], ["a b c", "zzz qqq xxx"])
+        assert (tp, fp, fn) == (1, 1, 0)
+
+    def test_empty_sides(self):
+        assert hungarian_match([], []) == (0, 0, 0, 1.0)
+        assert hungarian_match([], ["x"])[:3] == (0, 1, 0)
+        assert hungarian_match(["x"], [])[:3] == (0, 0, 1)
+
+
+class TestEvaluateLists:
+    def test_perfect_and_perturbed(self, spark):
+        rows = [
+            ("g1", ["one two three", "four five six"], ["four five six", "one two three"]),
+            ("g2", ["hello world"], ["totally different text"]),
+            ("g3", [], []),
+        ]
+        df = spark.createDataFrame(rows, ["group_id", "expected", "actual"])
+        got = {r.group_id: r for r in evaluate_lists(df).collect()}
+        assert got["g1"].tp == 2 and got["g1"].fp == 0 and got["g1"].fn == 0
+        assert got["g2"].tp == 0 and got["g2"].fp == 1 and got["g2"].fn == 1
+        assert got["g3"].tp == 0 and got["g3"].mean_score == 1.0
+
+
+class TestMultimodal:
+    def test_decode_features_shape(self, spark):
+        docs = spark.createDataFrame(
+            [(1, "hello"), (2, "world"), (3, None)], ["doc_id", "text"]
+        )
+        media = media_from_documents(docs)
+        assert media.schema["payload"].dataType.typeName() == "binary"
+        out = decode_features(media).collect()
+        assert len(out) == 3
+        for r in out:
+            assert 64 <= r.width < 256 and 64 <= r.height < 256
+            assert len(r.features) == N_FEATURES
+            assert r.kind in ("image", "audio", "video")
+            if r.kind == "image":
+                assert r.n_frames == 1
+            else:
+                assert 1 <= r.n_frames <= 32
+
+    def test_decode_deterministic(self, spark):
+        docs = spark.createDataFrame([(1, "same text")], ["doc_id", "text"])
+        a = decode_features(media_from_documents(docs)).collect()[0]
+        b = decode_features(media_from_documents(docs)).collect()[0]
+        assert a == b
+
+
+class TestSectionRollupDeterminism:
+    def test_order_stable_under_shuffled_input(self, spark):
+        """G3: sort_array(collect_list(struct)) must make concat order
+        independent of on-disk row order."""
+        from accelerated_intelligent_document_processing_on_aws_spark import extract_stage
+        from accelerated_intelligent_document_processing_on_aws_spark.datagen.transcripts import (
+            gen_transcripts_df,
+        )
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.sectionize import (
+            section_table,
+        )
+
+        df = gen_transcripts_df(spark, n_convs=12, mean_turns=6)
+        out = extract_stage(df)
+        t1 = section_table(out).orderBy("conv_id", "section_id").collect()
+        # re-run over a differently-partitioned copy of the same rows
+        out2 = extract_stage(df.repartition(7, "turn_idx"))
+        t2 = section_table(out2).orderBy("conv_id", "section_id").collect()
+        assert [
+            (r.conv_id, r.section_id, r.section_text) for r in t1
+        ] == [(r.conv_id, r.section_id, r.section_text) for r in t2]
