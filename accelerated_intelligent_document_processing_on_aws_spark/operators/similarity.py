@@ -19,6 +19,8 @@ import numpy as np
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from .common import ensure_min_partitions
+
 
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
@@ -42,6 +44,13 @@ def cosine_sim(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def unit_vector(v: Column) -> Column:
+    """v / ||v|| as double array — normalize once per row so pairwise
+    cosine becomes a single dot product (projection pushed before joins)."""
+    n = _norm(v)
+    return F.transform(v, lambda x: x.cast("double") / n)
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -57,7 +66,7 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    c = corpus.select(
+    c = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     )
     # queries are the small side — broadcast them so the corpus never shuffles
@@ -106,7 +115,7 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
-    c = corpus.select(
+    c = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
     scored = (
@@ -135,7 +144,9 @@ def embedding_near_dups(
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold within LSH buckets."""
     planes = random_hyperplanes(dim, n_planes, seed)
-    side = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v")).withColumn(
+    side = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"), F.col(vec_col).alias("v")
+    ).withColumn(
         "bucket", lsh_bucket(F.col("v"), planes)
     )
     a, b = side.alias("a"), side.alias("b")

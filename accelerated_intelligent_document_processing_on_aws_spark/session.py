@@ -35,6 +35,15 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.driver.memory", os.environ.get("IDP_DRIVER_MEM", "8g"))
+        # Many distinct codegen'd queries in one session overflow the JVM's
+        # default 240 MB JIT code cache -> compiler disables itself and every
+        # subsequent stage runs interpreted (observed 10-40x slowdowns late
+        # in a bench run).  Large cache + flushing keeps codegen compiled.
+        .config(
+            "spark.driver.extraJavaOptions",
+            "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing"
+            " -XX:MaxMetaspaceSize=2g",
+        )
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
