@@ -949,6 +949,201 @@ def q_sections_rollup(spark, sf_dir):
     ).orderBy("conv_id", "section_id")
 
 
+def q_bool_normalize(spark, sf_dir):
+    """P11 boolean normalization (utils/__init__.py:238-257), pure Catalyst."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.transforms import (
+        bool_normalize,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    raw = F.element_at(
+        F.array(
+            F.lit("TRUE"), F.lit("no"), F.lit(" 1 "), F.lit("off"), F.lit("maybe")
+        ),
+        (F.col("doc_id") % 5 + 1).cast("int"),
+    )
+    return d.select(
+        "doc_id",
+        raw.alias("raw"),
+        F.coalesce(bool_normalize(raw).cast("string"), F.lit("null")).alias("b"),
+    )
+
+
+Q_BOOL_NORMALIZE_SQL = """
+SELECT doc_id, raw,
+  coalesce(CAST(
+    CASE WHEN lower(trim(raw)) IN ('true','1','yes','on','y','t') THEN TRUE
+         WHEN lower(trim(raw)) IN ('false','0','no','off','n','f') THEN FALSE
+         ELSE NULL END AS VARCHAR), 'null') AS b
+FROM (SELECT doc_id,
+        (['TRUE','no',' 1 ','off','maybe'])[CAST(doc_id % 5 + 1 AS INT)] AS raw
+      FROM documents)
+"""
+
+
+def q_json_sniff(spark, sf_dir):
+    """P10 LLM-output JSON extraction (utils/__init__.py:98-235): 4-strategy
+    brace-matching sniffer over JSON embedded in prose."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.transforms import (
+        json_sniff_udf,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    wrapped = F.concat(F.lit("The result was: "), F.col("props"), F.lit(" -- end."))
+    return (
+        e.select(
+            "event_id", json_sniff_udf(wrapped).alias("s")
+        )
+        .select("event_id", F.col("s.json").alias("json"), F.col("s.format").alias("format"))
+        .orderBy("event_id")
+    )
+
+
+Q_JSON_SNIFF_SQL = """
+SELECT event_id, to_json(json(props)) AS json, 'json' AS format
+FROM events ORDER BY event_id
+"""
+
+
+def q_csv_markdown(spark, sf_dir):
+    """P5 CSV → markdown table (document_converter.py:113-162): per-user
+    CSV assembled from events, rendered by the Arrow-batched kernel."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.transforms import (
+        csv_markdown_udf,
+    )
+
+    e = _t(spark, sf_dir, "events").withColumn("val", F.round("value", 2).cast("string"))
+    line = F.struct("event_id", F.concat_ws(",", "event_type", "val").alias("line"))
+    per_user = e.groupBy("user_id").agg(
+        F.concat(
+            F.lit("type,value\n"),
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list(line)), lambda s: s["line"]),
+                "\n",
+            ),
+        ).alias("csv_text")
+    )
+    return per_user.select(
+        "user_id", csv_markdown_udf(F.col("csv_text")).alias("md")
+    ).orderBy("user_id")
+
+
+Q_CSV_MARKDOWN_SQL = """
+SELECT user_id,
+       '| type | value |' || chr(10) || '| --- | --- |' || chr(10) ||
+       string_agg('| ' || event_type || ' | ' || CAST(ROUND(value, 2) AS VARCHAR) || ' |',
+                  chr(10) ORDER BY event_id) AS md
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_text_paginate(spark, sf_dir):
+    """P4 monospace wrap + pagination (document_converter.py:38-111):
+    page explode with stable page ordinals (rows-only: word-aware wrap
+    has no SQL analog)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.transforms import (
+        explode_pages,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    ).select("doc_id", "text")
+    return explode_pages(d, "text", width=40, lines_per_page=4).select(
+        "doc_id", "page_idx", F.length("page_text").alias("n_chars")
+    ).orderBy("doc_id", "page_idx")
+
+
+def q_ocr_alerts(spark, sf_dir):
+    """P17 confidence-threshold alerting (processresults_function/index.py:
+    118-171): explode per-line items, keep those under threshold."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.transforms import (
+        confidence_alerts,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    lines = F.filter(
+        F.transform(F.split(F.coalesce(F.col("text"), F.lit("")), "\n"), F.trim),
+        lambda x: x != F.lit(""),
+    )
+    items = F.transform(
+        lines,
+        lambda x: F.struct(
+            x.alias("line"), (F.lit(55) + F.length(x) % 45).cast("double").alias("conf")
+        ),
+    )
+    base = d.select("doc_id", items.alias("items"))
+    return (
+        confidence_alerts(base, ["doc_id"], "items", default_threshold=60.0)
+        .select("doc_id", "item_idx", F.col("item.line").alias("line"), "conf")
+        .orderBy("doc_id", "item_idx")
+    )
+
+
+Q_OCR_ALERTS_SQL = """
+WITH lines AS (
+  SELECT doc_id,
+         list_filter(list_transform(str_split(coalesce(text,''), chr(10)), x -> trim(x)),
+                     x -> x <> '') AS l
+  FROM documents
+)
+SELECT doc_id, i - 1 AS item_idx, l[i] AS line,
+       CAST(55 + length(l[i]) % 45 AS DOUBLE) AS conf
+FROM lines, UNNEST(range(1, len(l) + 1)) AS t(i)
+WHERE 55 + length(l[i]) % 45 < 60
+ORDER BY doc_id, item_idx
+"""
+
+
+def q_props_flatten(spark, sf_dir):
+    """P15/P16 nested access + flatten: JSON path get, struct build, dot-path
+    projection, star-expansion back to flat columns."""
+    e = _t(spark, sf_dir, "events")
+    nested = e.select(
+        "event_id",
+        F.struct(
+            F.col("event_type").alias("type"),
+            F.struct(
+                F.col("user_id").alias("uid"),
+                F.get_json_object("props", "$.k").cast("long").alias("k"),
+            ).alias("inner"),
+        ).alias("n"),
+    )
+    return nested.select(
+        "event_id",
+        F.col("n.type").alias("type"),
+        F.col("n.inner.uid").alias("uid"),
+        F.col("n.inner.k").alias("k"),
+    ).orderBy("event_id")
+
+
+Q_PROPS_FLATTEN_SQL = """
+SELECT event_id, event_type AS type, user_id AS uid,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+FROM events ORDER BY event_id
+"""
+
+
+def q_conv_summaries(spark, sf_dir):
+    """G8 map-reduce summarization analog: per-section extractive summaries
+    fanned in to a per-conversation markdown TOC (rows-only)."""
+    from accelerated_intelligent_document_processing_on_aws_spark import extract_stage
+    from accelerated_intelligent_document_processing_on_aws_spark.datagen.transcripts import (
+        gen_transcripts_df,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.summarize import (
+        document_summary,
+        section_summaries,
+    )
+
+    df = gen_transcripts_df(spark, n_convs=30, mean_turns=8, skew_convs=1, skew_factor=10)
+    out = extract_stage(df)
+    return (
+        document_summary(section_summaries(out))
+        .select("conv_id", "n_sections", F.length("summary_md").alias("n_chars"))
+        .orderBy("conv_id")
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1019,6 +1214,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_evaluate_hungarian": q_evaluate_hungarian,
         "q_multimodal_features": q_multimodal_features,
         "q_sections_rollup": q_sections_rollup,
+        "q_bool_normalize": q_bool_normalize,
+        "q_json_sniff": q_json_sniff,
+        "q_csv_markdown": q_csv_markdown,
+        "q_text_paginate": q_text_paginate,
+        "q_ocr_alerts": q_ocr_alerts,
+        "q_props_flatten": q_props_flatten,
+        "q_conv_summaries": q_conv_summaries,
     }
 
 
@@ -1049,7 +1251,13 @@ def oracle_sql() -> dict[str, str]:
         "q_ngram_jaccard": Q_NGRAM_JACCARD_SQL,
         "q_embed_neardup": Q_EMBED_NEARDUP_SQL,
         "q_evaluate_fuzzy": _evaluate_fuzzy_sql(),
+        "q_bool_normalize": Q_BOOL_NORMALIZE_SQL,
+        "q_json_sniff": Q_JSON_SNIFF_SQL,
+        "q_csv_markdown": Q_CSV_MARKDOWN_SQL,
+        "q_ocr_alerts": Q_OCR_ALERTS_SQL,
+        "q_props_flatten": Q_PROPS_FLATTEN_SQL,
         # Non-SQL ops (rows-only driver check by design):
         # q_transcript_extract, q_minhash_lsh, q_simhash, q_lsh_topk,
-        # q_evaluate_hungarian, q_multimodal_features, q_sections_rollup.
+        # q_evaluate_hungarian, q_multimodal_features, q_sections_rollup,
+        # q_text_paginate (word-aware wrap), q_conv_summaries.
     }

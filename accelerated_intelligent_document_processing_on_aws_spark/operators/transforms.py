@@ -1,0 +1,103 @@
+"""Arrow-batched Spark wiring for the scalar transform kernels
+(json sniffing P10, wrap/pagination P4, CSV→markdown P5) plus the
+pure-Catalyst P11 boolean normalization and P17 confidence alerting.
+
+All pandas UDFs here are cheap-per-row string kernels: they run on
+whatever partitioning the input already has (no repartition — unlike the
+O(n^2) evaluation kernels these are linear and shuffle-free).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..kernels.csv_table import csv_to_markdown
+from ..kernels.json_sniff import detect_format, extract_json_from_text
+from ..kernels.wrap import paginate
+
+_SNIFF_TYPE = T.StructType(
+    [
+        T.StructField("json", T.StringType()),
+        T.StructField("format", T.StringType()),
+    ]
+)
+
+
+@F.pandas_udf(_SNIFF_TYPE)
+def json_sniff_udf(texts: pd.Series) -> pd.DataFrame:
+    """extract_json_from_text + detect_format (utils/__init__.py:98-235,
+    405-490)."""
+    js, fmts = [], []
+    for t in texts:
+        js.append(extract_json_from_text(t))
+        fmts.append(detect_format(t))
+    return pd.DataFrame({"json": js, "format": fmts})
+
+
+def paginate_udf(width: int = 80, lines_per_page: int = 50):
+    @F.pandas_udf(T.ArrayType(T.StringType()))
+    def pg(texts: pd.Series) -> pd.Series:
+        return pd.Series([paginate(t or "", width, lines_per_page) for t in texts])
+
+    return pg
+
+
+@F.pandas_udf(T.StringType())
+def csv_markdown_udf(texts: pd.Series) -> pd.Series:
+    """CSV payload → markdown table (document_converter.py:113-162)."""
+    return pd.Series([csv_to_markdown(t or "") for t in texts])
+
+
+def explode_pages(df: DataFrame, text_col: str = "text",
+                  width: int = 80, lines_per_page: int = 50) -> DataFrame:
+    """S3/S4 page explode: one row per wrapped page with its ordinal
+    (posexplode keeps the stable page ordering invariant G1)."""
+    pages = paginate_udf(width, lines_per_page)(F.col(text_col))
+    return df.select(
+        "*", F.posexplode(pages).alias("page_idx", "page_text")
+    ).drop(text_col)
+
+
+_TRUE_SET = ["true", "1", "yes", "on", "y", "t"]
+_FALSE_SET = ["false", "0", "no", "off", "n", "f"]
+
+
+def bool_normalize(c: Column) -> Column:
+    """'true/1/yes/on' → true, 'false/0/no/off' → false, else null
+    (utils/__init__.py:238-257) — pure Catalyst."""
+    lc = F.lower(F.trim(c))
+    return (
+        F.when(lc.isin(_TRUE_SET), F.lit(True))
+        .when(lc.isin(_FALSE_SET), F.lit(False))
+        .otherwise(F.lit(None).cast("boolean"))
+    )
+
+
+def confidence_alerts(
+    df: DataFrame,
+    id_cols: list,
+    items_col: str,
+    conf_field: str = "conf",
+    threshold_col: Column | None = None,
+    default_threshold: float = 60.0,
+) -> DataFrame:
+    """P17 threshold alerting (processresults_function/index.py:118-171,
+    230-348): explode item structs, keep those below the per-row (or
+    default) threshold.  Output: id_cols + (item_idx, item, conf,
+    threshold)."""
+    thr = threshold_col if threshold_col is not None else F.lit(default_threshold)
+    ex = df.select(
+        *id_cols,
+        thr.alias("threshold"),
+        F.posexplode(items_col).alias("item_idx", "item"),
+    )
+    return ex.filter(F.col("item")[conf_field] < F.col("threshold")).select(
+        *id_cols,
+        "item_idx",
+        F.col("item"),
+        F.col("item")[conf_field].alias("conf"),
+        "threshold",
+    )

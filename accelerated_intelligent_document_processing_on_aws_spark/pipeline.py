@@ -46,7 +46,12 @@ class PipelineConfig:
 def extract_stage(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
     """Salt → extract → classify → (optionally) sectionize."""
     df = df.withColumn("pt", salted_bucket(F.col("conv_id"), cfg.n_buckets, cfg.salt))
-    df = df.repartition("pt")
+    # explicit partition count: a bare repartition("pt") exchange is
+    # AQE-coalescible by BYTES, which starves the CPU-heavy extraction UDF
+    # of parallelism (observed 8 tasks on 32 cores); one partition per
+    # bucket keeps the shuffle, the UDF stage, and the partitionBy("pt")
+    # write layout aligned
+    df = df.repartition(cfg.n_buckets, "pt")
     df = with_extraction(df)
     df = df.withColumn("turn_class", turn_class_col(F.col("extracted_text")))
     if cfg.with_sections:
