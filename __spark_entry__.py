@@ -1144,6 +1144,44 @@ def q_conv_summaries(spark, sf_dir):
     )
 
 
+def q_assess_confidence(spark, sf_dir):
+    """X7/P17 analog: deterministic confidence assessment + HITL review
+    flag over extracted transcripts (rows-only; depends on UDF outputs)."""
+    from accelerated_intelligent_document_processing_on_aws_spark import extract_stage
+    from accelerated_intelligent_document_processing_on_aws_spark.datagen.transcripts import (
+        gen_transcripts_df,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.assess import (
+        assess,
+    )
+
+    df = gen_transcripts_df(spark, n_convs=40, mean_turns=8, skew_convs=2, skew_factor=10)
+    return (
+        assess(extract_stage(df))
+        .select("conv_id", "turn_idx", "confidence", "coverage", "needs_review")
+        .orderBy("conv_id", "turn_idx")
+    )
+
+
+def q_sections_report(spark, sf_dir):
+    """S7 reporting rows: per-type, date-stamped section table (rows-only;
+    the write itself is exercised in tests/test_reporting_assess.py)."""
+    from accelerated_intelligent_document_processing_on_aws_spark import extract_stage
+    from accelerated_intelligent_document_processing_on_aws_spark.datagen.transcripts import (
+        gen_transcripts_df,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.io.reporting import (
+        sections_reporting,
+    )
+
+    df = gen_transcripts_df(spark, n_convs=30, mean_turns=8)
+    return (
+        sections_reporting(extract_stage(df))
+        .select("conv_id", "section_id", "classification", "date", "n_turns")
+        .orderBy("conv_id", "section_id")
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1221,6 +1259,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ocr_alerts": q_ocr_alerts,
         "q_props_flatten": q_props_flatten,
         "q_conv_summaries": q_conv_summaries,
+        "q_assess_confidence": q_assess_confidence,
+        "q_sections_report": q_sections_report,
     }
 
 

@@ -1,0 +1,77 @@
+"""Analytics reporting sink (S7/S8).
+
+Reference semantics (``reporting/save_reporting_data.py``): PyArrow →
+snappy Parquet under Hive-style ``date=YYYY-MM-DD`` partitions
+(:1251-1256), one table per section type (``save_document_sections``
+:1094-1304), plus a metering table (:971) — Glue DDL (:358-479) so Athena
+can query it.
+
+Spark-native shape: ONE partitioned write per table —
+``partitionBy("classification", "date")`` yields the same
+``classification=X/date=Y`` Hive layout the reference builds by hand with
+per-type key prefixes; the catalog DDL disappears (any Hive/Iceberg
+catalog reads the layout natively).  No driver-side loops, no per-document
+PUTs: the 3xN-object write pattern of the reference collapses into a
+distributed columnar write.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from ..operators.sectionize import section_table
+
+
+def sections_reporting(turns: DataFrame) -> DataFrame:
+    """Section-level reporting rows with a date partition column (min turn
+    ts per section — the reference stamps document completion date,
+    save_reporting_data.py:1114-1131)."""
+    st = section_table(turns)
+    # min ts per section for the date partition value; both aggregations
+    # hash-partition on conv_id so the join adds no third exchange
+    ts_per_sec = turns.groupBy("conv_id", "section_id").agg(
+        F.min("ts").alias("section_ts")
+    )
+    return st.join(ts_per_sec, ["conv_id", "section_id"]).withColumn(
+        "date", F.date_format("section_ts", "yyyy-MM-dd")
+    )
+
+
+def save_sections(turns: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Write the per-type, date-partitioned sections table."""
+    (
+        sections_reporting(turns)
+        .write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("classification", "date")
+        .parquet(path)
+    )
+
+
+def metering_reporting(turns: DataFrame) -> DataFrame:
+    """Usage counters per (date, payload kind): the metering-merge G6
+    nested-dict sum (utils/__init__.py:73-96) as one explode + groupBy."""
+    return (
+        turns.select(
+            F.date_format("ts", "yyyy-MM-dd").alias("date"),
+            F.explode_outer("payload_kinds").alias("service_api"),
+            F.size("spans").alias("n_spans"),
+        )
+        .fillna({"service_api": "none"})
+        .groupBy("date", "service_api")
+        .agg(
+            F.count(F.lit(1)).alias("n_turns"),
+            F.sum("n_spans").cast("long").alias("n_spans"),
+        )
+    )
+
+
+def save_metering(turns: DataFrame, path: str, mode: str = "overwrite") -> None:
+    (
+        metering_reporting(turns)
+        .write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("date")
+        .parquet(path)
+    )

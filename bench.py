@@ -229,6 +229,9 @@ def main() -> None:
     spark.stop()
 
     if not os.environ.get("SPARK_GRAFT_NO_SCALING"):
+        # partial record first: if the scaling probe is cut off by an outer
+        # timeout, the suite numbers still reach stdout as a valid line
+        print(json.dumps(result), flush=True)
         try:
             result["scaling"] = _scaling()
         except Exception as e:  # never fail the bench on scaling probe

@@ -1,0 +1,110 @@
+"""Physical-plan shape assertions (.explain-driven, SURVEY.md §4).
+
+These pin the scale-critical plan properties so a regression (lost
+broadcast, extra shuffle, filter not pushed, Python sneaking into a
+Catalyst-only path) fails CI rather than silently costing 10x at scale."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from accelerated_intelligent_document_processing_on_aws_spark import (
+    PipelineConfig,
+    extract_stage,
+)
+from accelerated_intelligent_document_processing_on_aws_spark.datagen.transcripts import (
+    gen_transcripts_df,
+)
+
+
+import re
+
+
+def plan_of(df) -> str:
+    return df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def n_ops(plan: str, op: str) -> int:
+    """Count physical operators in a formatted explain (the detail section
+    lists each node once as '(<id>) <Op>')."""
+    return len(re.findall(rf"^\(\d+\) {op}\b", plan, re.MULTILINE))
+
+
+@pytest.fixture(scope="module")
+def turns(spark):
+    return gen_transcripts_df(spark, n_convs=10, mean_turns=5)
+
+
+def test_extract_stage_exchange_budget(spark, turns):
+    """Exactly two exchanges end-to-end: the salted bucket repartition and
+    the conv_id window — nothing else may shuffle."""
+    full = extract_stage(turns)
+    assert n_ops(plan_of(full), "Exchange") == 2
+    nosect = extract_stage(turns, PipelineConfig(with_sections=False))
+    assert n_ops(plan_of(nosect), "Exchange") == 1
+
+
+def test_extraction_udf_is_arrow_batched(spark, turns):
+    """The kernel runs as ArrowEvalPython (vectorized), never as row-wise
+    BatchEvalPython."""
+    p = plan_of(extract_stage(turns, PipelineConfig(with_sections=False)))
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
+
+
+def test_dim_join_broadcasts(spark):
+    """Small-dim joins must plan BroadcastHashJoin, not sort-merge."""
+    import __spark_entry__ as em
+
+    p = plan_of(em.q_customer_revenue(spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in p
+    assert "SortMergeJoin" not in p
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """A column filter must appear as PushedFilters in the parquet scan."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = d.filter(F.col("doc_id") > 100).select("doc_id", "lang")
+    p = plan_of(q)
+    assert "PushedFilters: [IsNotNull(doc_id), GreaterThan(doc_id,100)]" in p
+    # column pruning: text column must NOT be read for this projection
+    assert "ReadSchema" in p and "text" not in p.split("ReadSchema")[1].split("\n")[0]
+
+
+def test_exact_eval_is_pure_catalyst(spark):
+    """EXACT/NUMERIC comparators must not invoke Python at all."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.evaluate import (
+        evaluate_turns,
+    )
+
+    a = spark.createDataFrame([("c", 0, "x")], ["conv_id", "turn_idx", "extracted_text"])
+    g = spark.createDataFrame([("c", 0, "x")], ["conv_id", "turn_idx", "extracted_text"])
+    p = plan_of(evaluate_turns(a, g, method="EXACT"))
+    # no UDF evaluation nodes (the createDataFrame scan itself mentions
+    # "PythonRDD" — that's the test fixture, not the operator)
+    assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    p2 = plan_of(evaluate_turns(a, g, method="FUZZY"))
+    assert "ArrowEvalPython" in p2  # the Levenshtein kernel IS vectorized
+
+
+def test_whole_stage_codegen_covers_text_functions(spark):
+    """functions/text.py expressions stay inside WholeStageCodegen spans."""
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        fingerprint,
+        quality_score,
+        token_count,
+    )
+
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = d.select(
+        token_count(F.col("text")).alias("t"),
+        quality_score(F.col("text")).alias("q"),
+        fingerprint(F.col("text")).alias("f"),
+    )
+    p = plan_of(q)
+    # formatted mode marks codegen'd operators with "[codegen id : N]";
+    # the Project computing all three expressions must carry one
+    assert "[codegen id :" in p.split("(3) Project")[1][:40]

@@ -1,0 +1,64 @@
+"""Reporting sink (S7 date-partitioned layout) + assessment/HITL flagging."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from accelerated_intelligent_document_processing_on_aws_spark import extract_stage
+from accelerated_intelligent_document_processing_on_aws_spark.datagen.transcripts import (
+    gen_transcripts_df,
+)
+from accelerated_intelligent_document_processing_on_aws_spark.io.reporting import (
+    metering_reporting,
+    save_metering,
+    save_sections,
+)
+from accelerated_intelligent_document_processing_on_aws_spark.operators.assess import (
+    assess,
+    review_queue,
+)
+
+
+def test_sections_layout_and_roundtrip(spark, tmp_path):
+    out = extract_stage(gen_transcripts_df(spark, n_convs=10, mean_turns=6))
+    path = str(tmp_path / "sections")
+    save_sections(out, path)
+    # Hive layout: classification=<type>/date=<yyyy-mm-dd>/
+    classes = [d for d in os.listdir(path) if d.startswith("classification=")]
+    assert classes
+    dates = os.listdir(os.path.join(path, classes[0]))
+    assert all(d.startswith("date=") or d.startswith(("_", ".")) for d in dates)
+    back = spark.read.parquet(path)
+    n_sections = out.select("conv_id", "section_id").distinct().count()
+    assert back.count() == n_sections
+    assert {"classification", "date", "section_text", "turn_idxs"} <= set(back.columns)
+
+
+def test_metering_counts(spark, tmp_path):
+    out = extract_stage(gen_transcripts_df(spark, n_convs=8, mean_turns=5))
+    m = metering_reporting(out)
+    rows = m.collect()
+    assert sum(r.n_turns for r in rows) >= out.count()  # explode >= 1 kind/turn
+    path = str(tmp_path / "metering")
+    save_metering(out, path)
+    assert spark.read.parquet(path).count() == len(rows)
+
+
+def test_assess_flags_low_confidence(spark):
+    out = extract_stage(gen_transcripts_df(spark, n_convs=15, mean_turns=6))
+    a = assess(out)
+    rows = a.select("confidence", "coverage", "span_trust", "needs_review").collect()
+    assert all(0.0 <= r.confidence <= 1.0 for r in rows)
+    assert all(r.needs_review == (r.confidence < 0.70) for r in rows)
+    # both flagged and unflagged turns exist in a mixed corpus
+    flags = {r.needs_review for r in rows}
+    assert flags == {True, False}
+
+
+def test_review_queue_orders_doubtful_first(spark):
+    out = extract_stage(gen_transcripts_df(spark, n_convs=15, mean_turns=6))
+    q = review_queue(assess(out)).collect()
+    assert q == sorted(q, key=lambda r: (r.confidence, r.conv_id, r.turn_idx))
+    assert all(r.confidence < 0.70 for r in q)
