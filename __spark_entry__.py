@@ -1144,6 +1144,87 @@ def q_conv_summaries(spark, sf_dir):
     )
 
 
+def q_doc_bpe_tokens(spark, sf_dir):
+    """BPE-ish subword token count (token-budgeting op from the brief;
+    utils/__init__.py:606-635 len/4 estimate replaced by a pre-tokenizer)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        bpe_ish_token_count,
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
+    return d.select(
+        "doc_id",
+        token_count(F.col("text")).alias("ws_tokens"),
+        bpe_ish_token_count(F.col("text")).alias("bpe_tokens"),
+    )
+
+
+Q_DOC_BPE_TOKENS_SQL = f"""
+SELECT doc_id, {_TOK_SQL} AS ws_tokens,
+       len(regexp_extract_all(coalesce(text,''),
+           '[a-zA-Z]+(?:''[a-z]+)?|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r]')) AS bpe_tokens
+FROM documents
+"""
+
+
+def q_doc_rolling_hash(spark, sf_dir):
+    """Rabin-Karp rolling-hash fingerprint of the first 64 chars —
+    JVM-side aggregate fold (content-defined-chunking primitive)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        rolling_hash,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
+    return d.select("doc_id", rolling_hash(F.col("text"), 64).alias("rhash"))
+
+
+Q_DOC_ROLLING_HASH_SQL = """
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(
+        list_filter(str_split(substr(coalesce(text,''), 1, 64), ''), c -> c <> ''),
+        c -> CAST(unicode(c) AS BIGINT))),
+    (acc, code) -> (acc * 131 + code) % 1000000007) AS rhash
+FROM documents
+"""
+
+
+def q_template_fill(spark, sf_dir):
+    """P12 prompt-template substitution (extraction/service.py:122-311):
+    {PLACEHOLDER} splice as a replace chain, pure Catalyst."""
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        template_fill,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    tmpl = F.lit("Event {TYPE} by user {USER} valued {VALUE}.")
+    filled = template_fill(
+        tmpl,
+        {
+            "TYPE": F.col("event_type"),
+            "USER": F.col("user_id").cast("string"),
+            "VALUE": F.round("value", 2).cast("string"),
+        },
+    )
+    return e.select("event_id", filled.alias("prompt")).orderBy("event_id")
+
+
+Q_TEMPLATE_FILL_SQL = """
+SELECT event_id,
+       replace(replace(replace('Event {TYPE} by user {USER} valued {VALUE}.',
+               '{TYPE}', event_type),
+               '{USER}', CAST(user_id AS VARCHAR)),
+               '{VALUE}', CAST(ROUND(value, 2) AS VARCHAR)) AS prompt
+FROM events ORDER BY event_id
+"""
+
+
 def q_assess_confidence(spark, sf_dir):
     """X7/P17 analog: deterministic confidence assessment + HITL review
     flag over extracted transcripts (rows-only; depends on UDF outputs)."""
@@ -1261,6 +1342,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_conv_summaries": q_conv_summaries,
         "q_assess_confidence": q_assess_confidence,
         "q_sections_report": q_sections_report,
+        "q_doc_bpe_tokens": q_doc_bpe_tokens,
+        "q_doc_rolling_hash": q_doc_rolling_hash,
+        "q_template_fill": q_template_fill,
     }
 
 
@@ -1296,6 +1380,9 @@ def oracle_sql() -> dict[str, str]:
         "q_csv_markdown": Q_CSV_MARKDOWN_SQL,
         "q_ocr_alerts": Q_OCR_ALERTS_SQL,
         "q_props_flatten": Q_PROPS_FLATTEN_SQL,
+        "q_doc_bpe_tokens": Q_DOC_BPE_TOKENS_SQL,
+        "q_doc_rolling_hash": Q_DOC_ROLLING_HASH_SQL,
+        "q_template_fill": Q_TEMPLATE_FILL_SQL,
         # Non-SQL ops (rows-only driver check by design):
         # q_transcript_extract, q_minhash_lsh, q_simhash, q_lsh_topk,
         # q_evaluate_hungarian, q_multimodal_features, q_sections_rollup,

@@ -155,6 +155,48 @@ def fingerprint(c: Column) -> Column:
     return F.md5(normalized_for_compare(c))
 
 
+# BPE-ish pre-tokenizer: letter runs (with optional apostrophe suffix),
+# digit runs, or single punctuation marks — the GPT-2-style pre-split that
+# upper-bounds subword token counts far better than whitespace splitting.
+BPE_ISH_RE = "[a-zA-Z]+(?:'[a-z]+)?|[0-9]+|[^a-zA-Z0-9 \\t\\n\\r]"
+
+
+def bpe_ish_token_count(c: Column) -> Column:
+    """Subword-ish token count (training-data budgeting; the reference's
+    len/4 estimate, utils/__init__.py:606-635, replaced by a real
+    pre-tokenizer count)."""
+    return F.regexp_count(c, F.lit(BPE_ISH_RE))
+
+
+ROLL_BASE = 131
+ROLL_MOD = 1_000_000_007
+
+
+def rolling_hash(c: Column, length: int = 64) -> Column:
+    """Polynomial rolling hash (Rabin-Karp) of the first ``length`` chars:
+    acc = (acc*B + code) mod M, folded left-to-right JVM-side with
+    ``aggregate`` over the exploded char array — the document-fingerprint
+    primitive behind content-defined chunking."""
+    chars = F.split(F.substring(c, 1, length), "")
+    return F.aggregate(
+        F.filter(chars, lambda ch: ch != F.lit("")),
+        F.lit(0).cast("long"),
+        lambda acc, ch: F.pmod(
+            acc * F.lit(ROLL_BASE) + F.ascii(ch).cast("long"), F.lit(ROLL_MOD)
+        ),
+    )
+
+
+def template_fill(template: Column, values: dict) -> Column:
+    """{PLACEHOLDER} substitution (P12, extraction/service.py:122-311):
+    a chain of literal replaces generated from the mapping — pure Catalyst,
+    no format engine needed for the reference's brace-token contract."""
+    out = template
+    for key, val in values.items():
+        out = F.replace(out, F.lit("{" + key + "}"), val)
+    return out
+
+
 def turn_class_col(
     c: Column, classes: Optional[List[Tuple[str, Optional[str]]]] = None
 ) -> Column:

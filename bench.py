@@ -145,12 +145,15 @@ def _host_ceiling(n: int, n4: int) -> float:
 
     def _tput(procs: int) -> float:
         work = 8_000_000
+        best = 0.0
         with mp.Pool(procs) as p:
-            t0 = time.time()
-            p.map(_burn, [work] * procs)
-            return procs * work / (time.time() - t0)
+            p.map(_burn, [1000] * procs)  # warm the pool
+            for _ in range(3):  # best-of-3, same noise discipline as probes
+                t0 = time.time()
+                p.map(_burn, [work] * procs)
+                best = max(best, procs * work / (time.time() - t0))
+        return best
 
-    _tput(n)  # warm pool path
     return _tput(n4) / _tput(n)
 
 
