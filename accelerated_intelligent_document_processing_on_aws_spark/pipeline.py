@@ -41,17 +41,25 @@ class PipelineConfig:
     n_buckets: int = 64
     salt: str = "idp"
     with_sections: bool = True
+    # turn-level spread for the extraction shuffle: a bucket keyed on
+    # conv_id alone would serialize a mega-conversation through ONE task
+    # (10^8 turns = 10^8-row partition).  Per-turn extraction needs no conv
+    # locality, so the exchange also hashes pmod(turn_idx, turn_spread) —
+    # a hot conversation fans out over up to ``turn_spread`` tasks while
+    # ``pt`` still drives the write layout.  The conv-keyed window later
+    # re-groups; that exchange is the one AQE skew handling addresses.
+    turn_spread: int = 16
 
 
 def extract_stage(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
     """Salt → extract → classify → (optionally) sectionize."""
     df = df.withColumn("pt", salted_bucket(F.col("conv_id"), cfg.n_buckets, cfg.salt))
-    # explicit partition count: a bare repartition("pt") exchange is
+    # explicit partition count: a bare repartition(cols) exchange is
     # AQE-coalescible by BYTES, which starves the CPU-heavy extraction UDF
-    # of parallelism (observed 8 tasks on 32 cores); one partition per
-    # bucket keeps the shuffle, the UDF stage, and the partitionBy("pt")
-    # write layout aligned
-    df = df.repartition(cfg.n_buckets, "pt")
+    # of parallelism (observed 8 tasks on 32 cores)
+    df = df.repartition(
+        cfg.n_buckets, F.col("pt"), F.pmod(F.col("turn_idx"), F.lit(cfg.turn_spread))
+    )
     df = with_extraction(df)
     df = df.withColumn("turn_class", turn_class_col(F.col("extracted_text")))
     if cfg.with_sections:
