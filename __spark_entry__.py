@@ -1263,6 +1263,84 @@ def q_sections_report(spark, sf_dir):
     )
 
 
+def q_dedup_corpus(spark, sf_dir):
+    """Exact-dedup corpus filter: keeper row (min id) per fingerprint.
+    Input = documents UNION a shifted copy of the first 20 docs, so real
+    duplicate groups exist and exactly the copies are dropped."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+        dedup_corpus,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("text")
+    )
+    dup = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"), "text"
+    )
+    corpus = d.unionByName(dup)
+    return (
+        dedup_corpus(corpus, "doc_id", "text")
+        .select("doc_id", "fp")
+        .orderBy("doc_id")
+    )
+
+
+Q_DEDUP_CORPUS_SQL = f"""
+WITH corpus AS (
+  SELECT doc_id, coalesce(text,'') AS text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, coalesce(text,'') FROM documents WHERE doc_id < 20
+),
+fps AS (SELECT doc_id, md5({_NORM_SQL}) AS fp,
+               row_number() OVER (PARTITION BY md5({_NORM_SQL}) ORDER BY doc_id) AS rn
+        FROM corpus)
+SELECT doc_id, fp FROM fps WHERE rn = 1 ORDER BY doc_id
+"""
+
+
+def q_sample_hash(spark, sf_dir):
+    """Deterministic engine-portable sampling: md5(seed||id) mod 100 < pct —
+    reproducible across runs/partitionings (resumable pipeline sampling)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+        hash_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return hash_sample(d, "doc_id", 20).select("doc_id").orderBy("doc_id")
+
+
+Q_SAMPLE_HASH_SQL = """
+SELECT doc_id FROM documents
+WHERE CAST(('0x' || substr(md5('s42' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 20
+ORDER BY doc_id
+"""
+
+
+def q_sectionize_chunked(spark, sf_dir):
+    """Two-phase chunked sectionization (mega-conversation window skew
+    defused); rows-only — equivalence vs single-window proven in
+    tests/test_sectionize_chunked.py."""
+    from accelerated_intelligent_document_processing_on_aws_spark import extract_stage
+    from accelerated_intelligent_document_processing_on_aws_spark.datagen.transcripts import (
+        gen_transcripts_df,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.sectionize import (
+        sectionize_chunked,
+    )
+
+    df = gen_transcripts_df(spark, n_convs=30, mean_turns=10, skew_convs=2, skew_factor=20)
+    staged = extract_stage(df).drop("section_id")
+    return (
+        sectionize_chunked(staged, chunk_size=16)
+        .groupBy("conv_id")
+        .agg(
+            (F.max("section_id") + 1).alias("n_sections"),
+            F.count(F.lit(1)).alias("n_turns"),
+        )
+        .orderBy("conv_id")
+    )
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1345,6 +1423,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_bpe_tokens": q_doc_bpe_tokens,
         "q_doc_rolling_hash": q_doc_rolling_hash,
         "q_template_fill": q_template_fill,
+        "q_dedup_corpus": q_dedup_corpus,
+        "q_sample_hash": q_sample_hash,
+        "q_sectionize_chunked": q_sectionize_chunked,
     }
 
 
@@ -1383,6 +1464,8 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_bpe_tokens": Q_DOC_BPE_TOKENS_SQL,
         "q_doc_rolling_hash": Q_DOC_ROLLING_HASH_SQL,
         "q_template_fill": Q_TEMPLATE_FILL_SQL,
+        "q_dedup_corpus": Q_DEDUP_CORPUS_SQL,
+        "q_sample_hash": Q_SAMPLE_HASH_SQL,
         # Non-SQL ops (rows-only driver check by design):
         # q_transcript_extract, q_minhash_lsh, q_simhash, q_lsh_topk,
         # q_evaluate_hungarian, q_multimodal_features, q_sections_rollup,

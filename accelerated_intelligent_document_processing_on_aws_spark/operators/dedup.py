@@ -24,7 +24,7 @@ from typing import List
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -46,6 +46,32 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         )
         .filter(F.col("n_docs") > 1)
     )
+
+
+def dedup_corpus(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Corpus after exact dedup: one keeper row (min id) per normalized-text
+    fingerprint.  row_number over the fp window — one shuffle, no join back
+    to the dup-group table."""
+    w = Window.partitionBy("fp").orderBy(id_col)
+    return (
+        df.withColumn("fp", fingerprint(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def hash_sample(df: DataFrame, id_col: str, pct: int, seed: str = "s42") -> DataFrame:
+    """Deterministic, engine-portable stratum-free sampling: keep rows where
+    md5(seed||id) mod 100 < pct.  Unlike rng-based sample(), the selection
+    is a pure function of the key — reproducible across runs, partitionings
+    and engines (training-data pipelines need resumable sampling)."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long") % 100
+    return df.filter(bucket < F.lit(pct))
 
 
 def shingles(c, k: int = 3):
