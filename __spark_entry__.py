@@ -1341,6 +1341,42 @@ def q_sectionize_chunked(spark, sf_dir):
     )
 
 
+def q_asof_join(spark, sf_dir):
+    """As-of join (union+window composition): each purchase event matched
+    to the user's most recent click at-or-before it."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.asof import (
+        asof_join,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    out = asof_join(purchases, clicks, on=["user_id"], ts_col="ts")
+    return out.select(
+        "user_id",
+        "purchase_id",
+        F.coalesce(F.col("click_id_asof"), F.lit(-1)).alias("last_click_id"),
+    ).orderBy("user_id", "purchase_id")
+
+
+Q_ASOF_JOIN_SQL = """
+WITH purchases AS (
+  SELECT user_id, ts, event_id AS purchase_id FROM events WHERE event_type = 'purchase'
+),
+clicks AS (
+  SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'
+)
+SELECT p.user_id, p.purchase_id, coalesce(c.click_id, -1) AS last_click_id
+FROM purchases p ASOF LEFT JOIN clicks c
+  ON p.user_id = c.user_id AND p.ts >= c.ts
+ORDER BY p.user_id, p.purchase_id
+"""
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1426,6 +1462,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_corpus": q_dedup_corpus,
         "q_sample_hash": q_sample_hash,
         "q_sectionize_chunked": q_sectionize_chunked,
+        "q_asof_join": q_asof_join,
     }
 
 
@@ -1466,6 +1503,7 @@ def oracle_sql() -> dict[str, str]:
         "q_template_fill": Q_TEMPLATE_FILL_SQL,
         "q_dedup_corpus": Q_DEDUP_CORPUS_SQL,
         "q_sample_hash": Q_SAMPLE_HASH_SQL,
+        "q_asof_join": Q_ASOF_JOIN_SQL,
         # Non-SQL ops (rows-only driver check by design):
         # q_transcript_extract, q_minhash_lsh, q_simhash, q_lsh_topk,
         # q_evaluate_hungarian, q_multimodal_features, q_sections_rollup,

@@ -1,0 +1,71 @@
+"""As-of join: for each left row, the latest right row with
+``right.ts <= left.ts`` per key — the canonical time-series lookup Spark
+has no native operator for (brief §custom operators).
+
+Spark-first composition (no per-row Python, no theta join):
+
+    union(left+tag, right+tag)
+      → window last_value(right payload, ignoreNulls) over
+        (key ORDER BY ts, tag ROWS UNBOUNDED PRECEDING..CURRENT)
+      → filter tag = left
+
+One shuffle on the key, linear scan per partition — versus the naive
+``left JOIN right ON key AND r.ts <= l.ts`` + max() which explodes to
+O(|L|x|R|) pairs per key.  Ties (equal ts) resolve to the right row
+(tag orders right rows before left at the same instant), matching DuckDB
+ASOF JOIN (>=) semantics used as the oracle.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: List[str],
+    ts_col: str = "ts",
+    right_cols: Optional[List[str]] = None,
+    suffix: str = "_asof",
+) -> DataFrame:
+    """Left as-of join: every left row + the most recent right values.
+
+    ``right_cols`` defaults to all non-key, non-ts right columns; matched
+    values arrive as ``<col><suffix>`` (null when no right row precedes).
+    """
+    right_cols = right_cols or [
+        c for c in right.columns if c not in on and c != ts_col
+    ]
+    l_tagged = left.select(
+        *on,
+        F.col(ts_col),
+        F.lit(1).alias("_side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+    )
+    r_tagged = right.select(
+        *on,
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(l_tagged.schema["_lrow"].dataType).alias("_lrow"),
+        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    )
+    merged = l_tagged.unionByName(r_tagged)
+    w = (
+        Window.partitionBy(*on)
+        .orderBy(ts_col, "_side")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in right_cols:
+        merged = merged.withColumn(
+            f"_r_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w)
+        )
+    out = merged.filter(F.col("_side") == 1)
+    return out.select(
+        F.col("_lrow.*"),
+        *[F.col(f"_r_{c}").alias(f"{c}{suffix}") for c in right_cols],
+    )

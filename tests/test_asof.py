@@ -1,0 +1,52 @@
+"""As-of join semantics: latest right row at-or-before each left row."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from accelerated_intelligent_document_processing_on_aws_spark.operators.asof import (
+    asof_join,
+)
+
+
+def _ts(s):
+    return datetime.fromisoformat(s)
+
+
+def test_basic_asof(spark):
+    left = spark.createDataFrame(
+        [("u1", _ts("2025-01-01T10:00"), "p1"), ("u1", _ts("2025-01-01T12:00"), "p2"),
+         ("u2", _ts("2025-01-01T09:00"), "p3")],
+        ["user_id", "ts", "pid"],
+    )
+    right = spark.createDataFrame(
+        [("u1", _ts("2025-01-01T09:30"), "c1"), ("u1", _ts("2025-01-01T11:00"), "c2"),
+         ("u2", _ts("2025-01-01T09:30"), "c3")],
+        ["user_id", "ts", "cid"],
+    )
+    got = {
+        r.pid: r.cid_asof
+        for r in asof_join(left, right, on=["user_id"]).collect()
+    }
+    assert got == {"p1": "c1", "p2": "c2", "p3": None}
+
+
+def test_equal_timestamp_matches(spark):
+    left = spark.createDataFrame(
+        [("u", _ts("2025-01-01T10:00"), "p")], ["user_id", "ts", "pid"]
+    )
+    right = spark.createDataFrame(
+        [("u", _ts("2025-01-01T10:00"), "c")], ["user_id", "ts", "cid"]
+    )
+    r = asof_join(left, right, on=["user_id"]).collect()[0]
+    assert r.cid_asof == "c"  # ts >= semantics: same-instant right row counts
+
+
+def test_left_row_count_preserved(spark):
+    left = spark.createDataFrame(
+        [("u", _ts("2025-01-01T10:00"), f"p{i}") for i in range(5)],
+        ["user_id", "ts", "pid"],
+    )
+    right = spark.createDataFrame([], "user_id string, ts timestamp, cid string")
+    out = asof_join(left, right, on=["user_id"]).collect()
+    assert len(out) == 5 and all(r.cid_asof is None for r in out)
