@@ -128,7 +128,7 @@ def flagship_only(cpus: int) -> None:
     # warm pass: codegen + python worker startup excluded from timing
     extract_stage(df.limit(20000)).write.format("noop").mode("overwrite").save()
     sec = float("inf")
-    for _ in range(3):  # best-of-3: the host's CPU availability is noisy
+    for _ in range(2):  # best-of-2 here; _scaling interleaves 2 rounds
         t0 = time.time()
         extract_stage(df).write.format("noop").mode("overwrite").save()
         sec = min(sec, time.time() - t0)
@@ -136,25 +136,23 @@ def flagship_only(cpus: int) -> None:
     spark.stop()
 
 
-def _host_ceiling(n: int, n4: int) -> float:
-    """Achievable N->4N CPU-throughput ratio on THIS host (vCPUs are
-    overcommitted: /proc claims 32 cores but measured parallel speedup tops
-    out well below — a pure-python burn calibrates the ceiling the Spark
-    job could at best reach)."""
+def _host_tput(procs: int) -> float:
+    """Peak pure-CPU throughput at ``procs`` parallel workers right now.
+    The host's vCPUs are overcommitted (/proc claims 32 cores but parallel
+    speedup tops out well below 32x and fluctuates), so this burn, sampled
+    adjacent to each Spark probe, calibrates the ceiling the Spark job
+    could at best reach at that parallelism."""
     import multiprocessing as mp
 
-    def _tput(procs: int) -> float:
-        work = 8_000_000
-        best = 0.0
-        with mp.Pool(procs) as p:
-            p.map(_burn, [1000] * procs)  # warm the pool
-            for _ in range(3):  # best-of-3, same noise discipline as probes
-                t0 = time.time()
-                p.map(_burn, [work] * procs)
-                best = max(best, procs * work / (time.time() - t0))
-        return best
-
-    return _tput(n4) / _tput(n)
+    work = 8_000_000
+    best = 0.0
+    with mp.Pool(procs) as p:
+        p.map(_burn, [1000] * procs)  # warm the pool
+        for _ in range(2):
+            t0 = time.time()
+            p.map(_burn, [work] * procs)
+            best = max(best, procs * work / (time.time() - t0))
+    return best
 
 
 def _burn(n: int) -> int:
@@ -173,19 +171,29 @@ def _scaling() -> dict:
     ceiling and the host-normalized efficiency = spark_ratio /
     host_ratio — the engine's own scaling with the hardware cap factored
     out."""
-    res = {}
-    for cpus in (SCALING_N, SCALING_N * 4):
-        p = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--flagship-only", str(cpus)],
-            capture_output=True, text=True, timeout=1200,
-            cwd=os.path.dirname(os.path.abspath(__file__)),
-        )
-        line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
-        res[cpus] = json.loads(line)
-    tps_n = res[SCALING_N]["turns"] / res[SCALING_N]["sec"]
-    tps_4n = res[SCALING_N * 4]["turns"] / res[SCALING_N * 4]["sec"]
+    # INTERLEAVED rounds (N, 4N, N, 4N): host weather shifts on the scale
+    # of a subprocess lifetime, so consecutive per-level sampling can hand
+    # one level a degraded window and wreck the ratio.  Best tput per level
+    # across rounds; host ceiling sampled alongside, same discipline.
+    best_sec = {SCALING_N: float("inf"), SCALING_N * 4: float("inf")}
+    turns = {}
+    host_tput = {SCALING_N: 0.0, SCALING_N * 4: 0.0}
+    for _round in range(2):
+        for cpus in (SCALING_N, SCALING_N * 4):
+            p = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--flagship-only", str(cpus)],
+                capture_output=True, text=True, timeout=1200,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+            )
+            line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
+            r = json.loads(line)
+            best_sec[cpus] = min(best_sec[cpus], r["sec"])
+            turns[cpus] = r["turns"]
+            host_tput[cpus] = max(host_tput[cpus], _host_tput(cpus))
+    tps_n = turns[SCALING_N] / best_sec[SCALING_N]
+    tps_4n = turns[SCALING_N * 4] / best_sec[SCALING_N * 4]
     spark_ratio = tps_4n / tps_n
-    host_ratio = _host_ceiling(SCALING_N, SCALING_N * 4)
+    host_ratio = host_tput[SCALING_N * 4] / host_tput[SCALING_N]
     return {
         "tps_n": round(tps_n, 1),
         "tps_4n": round(tps_4n, 1),
