@@ -1341,6 +1341,36 @@ def q_sectionize_chunked(spark, sf_dir):
     )
 
 
+def q_evaluate_semantic(spark, sf_dir):
+    """Deterministic SEMANTIC comparator (X8): hashing-vectorizer cosine —
+    word-order-invariant match (rows-only; hashing kernel is not SQL)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.evaluate import (
+        evaluate_turns,
+    )
+
+    d = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("text", F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 200))
+        .select(
+            F.col("doc_id").cast("string").alias("conv_id"),
+            F.lit(0).alias("turn_idx"),
+            "text",
+        )
+    )
+    actual = d.select("conv_id", "turn_idx", F.col("text").alias("extracted_text"))
+    # golden = same words reversed: SEMANTIC must match (order-invariant)
+    golden = d.select(
+        "conv_id",
+        "turn_idx",
+        F.array_join(F.reverse(F.split("text", " ")), " ").alias("extracted_text"),
+    )
+    return (
+        evaluate_turns(actual, golden, method="SEMANTIC")
+        .select(F.col("conv_id").cast("bigint").alias("doc_id"), "matched", "score")
+        .orderBy("doc_id")
+    )
+
+
 def q_asof_join(spark, sf_dir):
     """As-of join (union+window composition): each purchase event matched
     to the user's most recent click at-or-before it."""
@@ -1463,6 +1493,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sample_hash": q_sample_hash,
         "q_sectionize_chunked": q_sectionize_chunked,
         "q_asof_join": q_asof_join,
+        "q_evaluate_semantic": q_evaluate_semantic,
     }
 
 

@@ -86,6 +86,38 @@ def compare_fuzzy(expected, actual, threshold: float = DEFAULT_FUZZY_THRESHOLD) 
     return fuzzy_score(expected, actual) >= threshold
 
 
+HASH_DIM = 256
+
+
+def hashing_vector(text: str, dim: int = HASH_DIM) -> np.ndarray:
+    """Deterministic hashing vectorizer (the feature-hashing trick):
+    token → md5-derived bucket, counts, l2-normalized.  Engine-portable
+    replacement for the reference's embedding-based SEMANTIC comparator
+    (comparator.py:372-403 cosine over Bedrock embeddings, X8) — same
+    interface, no remote model."""
+    import hashlib as _h
+
+    v = np.zeros(dim, dtype=np.float64)
+    for tok in normalize_for_compare(text or "").split():
+        b = int.from_bytes(_h.md5(tok.encode("utf-8")).digest()[:4], "big") % dim
+        v[b] += 1.0
+    n = np.linalg.norm(v)
+    return v / n if n > 0 else v
+
+
+def semantic_score(expected: str, actual: str, dim: int = HASH_DIM) -> float:
+    """Cosine similarity of hashing vectors in [0, 1]."""
+    e = hashing_vector(expected, dim)
+    a = hashing_vector(actual, dim)
+    if not e.any() and not a.any():
+        return 1.0
+    return float(np.dot(e, a))
+
+
+def compare_semantic(expected, actual, threshold: float = 0.8) -> bool:
+    return semantic_score(expected, actual) >= threshold
+
+
 def hungarian_min(cost: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
     """Solve the rectangular assignment problem (minimize total cost).
 

@@ -29,6 +29,17 @@ def fuzzy_score_udf(expected: pd.Series, actual: pd.Series) -> pd.Series:
     )
 
 
+@F.pandas_udf(T.DoubleType())
+def semantic_score_udf(expected: pd.Series, actual: pd.Series) -> pd.Series:
+    """Deterministic SEMANTIC comparator (X8): hashing-vectorizer cosine
+    instead of remote embeddings; vectorized per Arrow batch."""
+    from ..kernels.compare import semantic_score as _sem
+
+    return pd.Series(
+        [_sem(e, a) for e, a in zip(expected, actual)], dtype="float64"
+    )
+
+
 def evaluate_turns(
     actual: DataFrame,
     golden: DataFrame,
@@ -63,6 +74,10 @@ def evaluate_turns(
         # explicit-count repartition is exempt from AQE coalescing
         j = j.repartition(j.sparkSession.sparkContext.defaultParallelism)
         score = fuzzy_score_udf(e, x)
+        matched = score >= F.lit(fuzzy_threshold)
+    elif method == "SEMANTIC":
+        j = j.repartition(j.sparkSession.sparkContext.defaultParallelism)
+        score = semantic_score_udf(e, x)
         matched = score >= F.lit(fuzzy_threshold)
     else:
         raise ValueError(f"unknown method {method}")
