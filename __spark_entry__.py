@@ -191,9 +191,13 @@ sess AS (
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
   FROM (SELECT f.user_id, f.event_id, f.new_sess FROM flagged f)
 )
-SELECT user_id, MAX(session_id) AS n_sessions, COUNT(*) AS n_events
+SELECT user_id, CAST(MAX(session_id) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
 FROM sess GROUP BY user_id ORDER BY user_id
 """
+# ^ CAST: DuckDB windowed SUM over INTEGER yields HUGEINT, which lands in
+# pandas as float64 and breaks the driver's dtype-sensitive value hash
+# (Spark returns int64; values are identical).  Same cast in the other
+# windowed-sum oracles below.
 
 
 def q_events_islands(spark, sf_dir):
@@ -233,7 +237,7 @@ isl AS (
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
   FROM flagged
 )
-SELECT user_id, MAX(island) AS n_islands, COUNT(*) AS n_events
+SELECT user_id, CAST(MAX(island) AS BIGINT) AS n_islands, COUNT(*) AS n_events
 FROM isl GROUP BY user_id ORDER BY user_id
 """
 
@@ -256,7 +260,7 @@ def q_events_metering(spark, sf_dir):
 
 Q_EVENTS_METERING_SQL = """
 SELECT event_type,
-       SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS total_k,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS total_k,
        COUNT(*) AS n
 FROM events GROUP BY event_type ORDER BY event_type
 """
@@ -837,15 +841,16 @@ def q_lsh_topk(spark, sf_dir):
 
 
 def q_evaluate_fuzzy(spark, sf_dir):
-    """FUZZY comparator (comparator.py:290-336 Levenshtein ratio) via the
-    Arrow-batched kernel, oracled against DuckDB's levenshtein()."""
+    """FUZZY comparator (comparator.py:290-336 Levenshtein ratio) as pure
+    Catalyst ``F.levenshtein`` at FULL text width, oracled against DuckDB's
+    native levenshtein()."""
     from accelerated_intelligent_document_processing_on_aws_spark.operators.evaluate import (
         evaluate_turns,
     )
 
     d = (
         _t(spark, sf_dir, "documents")
-        .withColumn("text", F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 120))
+        .withColumn("text", F.coalesce(F.col("text"), F.lit("")))
         .select(F.col("doc_id").cast("string").alias("conv_id"), F.lit(0).alias("turn_idx"), "text")
     )
     actual = d.select("conv_id", "turn_idx", F.col("text").alias("extracted_text"))
@@ -862,7 +867,7 @@ def q_evaluate_fuzzy(spark, sf_dir):
 
 
 def _evaluate_fuzzy_sql():
-    sub = "substr(coalesce(text,''), 1, 120)"
+    sub = "coalesce(text,'')"
     ne = _norm_sql_of(f"replace({sub}, 'a', 'x')")
     na = _norm_sql_of(sub)
     score = (
@@ -1342,33 +1347,78 @@ def q_sectionize_chunked(spark, sf_dir):
 
 
 def q_evaluate_semantic(spark, sf_dir):
-    """Deterministic SEMANTIC comparator (X8): hashing-vectorizer cosine —
-    word-order-invariant match (rows-only; hashing kernel is not SQL)."""
+    """Deterministic SEMANTIC comparator (X8): hashing-vectorizer cosine.
+    Even doc_ids get word-reversed golden text (order-invariance ⇒ score
+    exactly 1.0); odd doc_ids get character-mutated golden ('e'→'3' ⇒
+    varied scores) — oracled in DuckDB via md5 token buckets + exact
+    integer dot/norm cosine."""
     from accelerated_intelligent_document_processing_on_aws_spark.operators.evaluate import (
         evaluate_turns,
     )
 
     d = (
         _t(spark, sf_dir, "documents")
-        .withColumn("text", F.substring(F.coalesce(F.col("text"), F.lit("")), 1, 200))
+        .withColumn("text", F.coalesce(F.col("text"), F.lit("")))
         .select(
             F.col("doc_id").cast("string").alias("conv_id"),
             F.lit(0).alias("turn_idx"),
             "text",
+            (F.col("doc_id") % 2 == 0).alias("_even"),
         )
     )
     actual = d.select("conv_id", "turn_idx", F.col("text").alias("extracted_text"))
-    # golden = same words reversed: SEMANTIC must match (order-invariant)
     golden = d.select(
         "conv_id",
         "turn_idx",
-        F.array_join(F.reverse(F.split("text", " ")), " ").alias("extracted_text"),
+        F.when(
+            F.col("_even"), F.array_join(F.reverse(F.split("text", " ")), " ")
+        )
+        .otherwise(F.replace(F.col("text"), F.lit("e"), F.lit("3")))
+        .alias("extracted_text"),
     )
     return (
         evaluate_turns(actual, golden, method="SEMANTIC")
         .select(F.col("conv_id").cast("bigint").alias("doc_id"), "matched", "score")
         .orderBy("doc_id")
     )
+
+
+def _evaluate_semantic_sql(dim: int = 256):
+    # md5 bucket per token == kernels.compare.semantic_scores_batch: first
+    # 4 md5 bytes big-endian mod dim; cosine from EXACT integer counts so
+    # the one multiply/sqrt/divide matches the kernel's IEEE op sequence.
+    golden_raw = (
+        "CASE WHEN doc_id % 2 = 0"
+        " THEN array_to_string(list_reverse(str_split(coalesce(text,''), ' ')), ' ')"
+        " ELSE replace(coalesce(text,''), 'e', '3') END"
+    )
+    na, ne = _norm_sql_of("coalesce(text,'')"), _norm_sql_of(golden_raw)
+    toks = lambda x: f"list_filter(str_split({x}, ' '), x -> x <> '')"  # noqa: E731
+    bucket = f"CAST(('0x' || substr(md5(tok), 1, 8)) AS BIGINT) % {dim}"
+    return f"""
+WITH base AS (SELECT doc_id, {na} AS na, {ne} AS ne FROM documents),
+ca AS (SELECT doc_id, {bucket} AS bucket, COUNT(*) AS c
+       FROM (SELECT doc_id, unnest({toks('na')}) AS tok FROM base) GROUP BY 1, 2),
+ce AS (SELECT doc_id, {bucket} AS bucket, COUNT(*) AS c
+       FROM (SELECT doc_id, unnest({toks('ne')}) AS tok FROM base) GROUP BY 1, 2),
+sa AS (SELECT doc_id, SUM(c * c) AS s FROM ca GROUP BY 1),
+se AS (SELECT doc_id, SUM(c * c) AS s FROM ce GROUP BY 1),
+dt AS (SELECT ca.doc_id, SUM(ca.c * ce.c) AS d
+       FROM ca JOIN ce ON ca.doc_id = ce.doc_id AND ca.bucket = ce.bucket GROUP BY 1),
+sc AS (
+  SELECT b.doc_id,
+    CASE WHEN sa.s IS NULL AND se.s IS NULL THEN 1.0
+         WHEN sa.s IS NULL OR se.s IS NULL THEN 0.0
+         ELSE CAST(coalesce(dt.d, 0) AS DOUBLE)
+              / sqrt(CAST(se.s * sa.s AS DOUBLE)) END AS score
+  FROM base b
+  LEFT JOIN sa ON b.doc_id = sa.doc_id
+  LEFT JOIN se ON b.doc_id = se.doc_id
+  LEFT JOIN dt ON b.doc_id = dt.doc_id
+)
+SELECT doc_id, score >= 0.8 AS matched, ROUND(score, 4) AS score
+FROM sc ORDER BY doc_id
+"""
 
 
 def q_asof_join(spark, sf_dir):
@@ -1535,8 +1585,9 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_corpus": Q_DEDUP_CORPUS_SQL,
         "q_sample_hash": Q_SAMPLE_HASH_SQL,
         "q_asof_join": Q_ASOF_JOIN_SQL,
+        "q_evaluate_semantic": _evaluate_semantic_sql(),
         # Non-SQL ops (rows-only driver check by design):
-        # q_transcript_extract, q_minhash_lsh, q_simhash, q_lsh_topk,
-        # q_evaluate_hungarian, q_multimodal_features, q_sections_rollup,
-        # q_text_paginate (word-aware wrap), q_conv_summaries.
+        # q_transcript_extract (pandas-UDF extraction kernels),
+        # q_minhash_lsh, q_simhash, q_lsh_topk (approximate, hash-seeded),
+        # q_evaluate_hungarian (O(n^3) assignment).
     }

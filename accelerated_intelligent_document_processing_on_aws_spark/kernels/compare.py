@@ -114,6 +114,48 @@ def semantic_score(expected: str, actual: str, dim: int = HASH_DIM) -> float:
     return float(np.dot(e, a))
 
 
+def semantic_scores_batch(expected, actual, dim: int = HASH_DIM) -> np.ndarray:
+    """Vectorized SEMANTIC scoring for one Arrow batch: each unique token is
+    md5-hashed ONCE per batch (cached bucket map) and per-row count vectors
+    are built with ``np.bincount`` (C speed) instead of a Python
+    accumulation loop.
+
+    Cross-engine FP determinism: the cosine is computed as
+    ``int_dot / sqrt(int_norm_e * int_norm_a)`` over EXACT integer counts
+    (one multiply, one sqrt, one divide — the same IEEE op sequence a SQL
+    oracle performs), so the score hashes identically against DuckDB;
+    mathematically equal to ``semantic_score``'s normalized-vector dot."""
+    import hashlib as _h
+    import math as _m
+
+    bucket_of: dict = {}
+
+    def _vec(text):
+        toks = normalize_for_compare(text or "").split()
+        if not toks:
+            return None
+        idx = np.empty(len(toks), dtype=np.int64)
+        for i, tok in enumerate(toks):
+            b = bucket_of.get(tok)
+            if b is None:
+                b = int.from_bytes(_h.md5(tok.encode("utf-8")).digest()[:4], "big") % dim
+                bucket_of[tok] = b
+            idx[i] = b
+        return np.bincount(idx, minlength=dim)
+
+    out = np.empty(len(expected), dtype=np.float64)
+    for i, (e, a) in enumerate(zip(expected, actual)):
+        ve, va = _vec(e), _vec(a)
+        if ve is None and va is None:
+            out[i] = 1.0
+        elif ve is None or va is None:
+            out[i] = 0.0
+        else:
+            dot = int(ve @ va)
+            out[i] = dot / _m.sqrt(float(int(ve @ ve) * int(va @ va)))
+    return out
+
+
 def compare_semantic(expected, actual, threshold: float = 0.8) -> bool:
     return semantic_score(expected, actual) >= threshold
 

@@ -19,24 +19,30 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..functions.text import normalized_for_compare, numeric_normalize
-from ..kernels.compare import fuzzy_score as _fuzzy_score_py
 
 
-@F.pandas_udf(T.DoubleType())
-def fuzzy_score_udf(expected: pd.Series, actual: pd.Series) -> pd.Series:
-    return pd.Series(
-        [_fuzzy_score_py(e, a) for e, a in zip(expected, actual)], dtype="float64"
+def fuzzy_score_col(e, a):
+    """FUZZY comparator (comparator.py:290-336) as pure Catalyst:
+    1 - levenshtein(norm(e), norm(a)) / max(len) via the built-in
+    ``F.levenshtein`` (SURVEY.md §2.6) — no Python in the hot path; the
+    DuckDB oracle twin uses its native ``levenshtein()``."""
+    ne = normalized_for_compare(F.coalesce(e, F.lit("")))
+    na = normalized_for_compare(F.coalesce(a, F.lit("")))
+    denom = F.greatest(F.length(ne), F.length(na))
+    return F.when(denom == 0, F.lit(1.0)).otherwise(
+        F.lit(1.0) - F.levenshtein(ne, na).cast("double") / denom.cast("double")
     )
 
 
 @F.pandas_udf(T.DoubleType())
 def semantic_score_udf(expected: pd.Series, actual: pd.Series) -> pd.Series:
     """Deterministic SEMANTIC comparator (X8): hashing-vectorizer cosine
-    instead of remote embeddings; vectorized per Arrow batch."""
-    from ..kernels.compare import semantic_score as _sem
+    instead of remote embeddings; fully vectorized per Arrow batch (unique
+    tokens hashed once per batch, bincount vectors)."""
+    from ..kernels.compare import semantic_scores_batch
 
     return pd.Series(
-        [_sem(e, a) for e, a in zip(expected, actual)], dtype="float64"
+        semantic_scores_batch(expected.tolist(), actual.tolist()), dtype="float64"
     )
 
 
@@ -69,11 +75,7 @@ def evaluate_turns(
         matched = numeric_normalize(e).eqNullSafe(numeric_normalize(x))
         score = matched.cast("double")
     elif method == "FUZZY":
-        # the O(len^2) Levenshtein UDF must not run on AQE-coalesced
-        # partitions (tiny bytes, huge CPU): spread it explicitly — an
-        # explicit-count repartition is exempt from AQE coalescing
-        j = j.repartition(j.sparkSession.sparkContext.defaultParallelism)
-        score = fuzzy_score_udf(e, x)
+        score = fuzzy_score_col(e, x)
         matched = score >= F.lit(fuzzy_threshold)
     elif method == "SEMANTIC":
         j = j.repartition(j.sparkSession.sparkContext.defaultParallelism)
@@ -86,6 +88,91 @@ def evaluate_turns(
         "turn_idx",
         matched.alias("matched"),
         F.round(score, 4).alias("score"),
+    )
+
+
+def _method_score(method: str, e, a):
+    """Score column for one comparator method over (expected, actual)."""
+    if method == "BYTE":
+        return e.eqNullSafe(a).cast("double")
+    if method == "EXACT":
+        return normalized_for_compare(e).eqNullSafe(normalized_for_compare(a)).cast(
+            "double"
+        )
+    if method == "NUMERIC_EXACT":
+        return numeric_normalize(e).eqNullSafe(numeric_normalize(a)).cast("double")
+    if method == "FUZZY":
+        return fuzzy_score_col(e, a)
+    if method == "SEMANTIC":
+        return semantic_score_udf(e, a)
+    raise ValueError(f"unknown method {method}")
+
+
+def evaluate_attributes(
+    pairs: DataFrame,
+    config: dict,
+    attr_col: str = "attr",
+    expected_col: str = "expected",
+    actual_col: str = "actual",
+    default_method: str = "EXACT",
+    fuzzy_threshold: float = 0.8,
+) -> DataFrame:
+    """Per-attribute config-driven comparator dispatch
+    (``evaluation/service.py:116-193``: each attribute's YAML config picks
+    EXACT/NUMERIC_EXACT/FUZZY/SEMANTIC/...).
+
+    ONE pass over the attribute rows: the ``{attr: method}`` mapping is
+    compiled into a chained ``when`` on the attr name, so every method's
+    score is a branch of a single Catalyst projection — no per-method job,
+    no shuffle.  Appends (method, score, matched).
+    """
+    e, a = F.col(expected_col), F.col(actual_col)
+    methods = sorted({default_method, *config.values()})
+    scores = {m: _method_score(m, e, a) for m in methods}
+
+    method_col = None
+    for attr, method in config.items():
+        cond = F.col(attr_col) == F.lit(attr)
+        method_col = (
+            F.when(cond, F.lit(method))
+            if method_col is None
+            else method_col.when(cond, F.lit(method))
+        )
+    method_col = (
+        method_col.otherwise(F.lit(default_method))
+        if method_col is not None
+        else F.lit(default_method)
+    )
+
+    score = None
+    for m in methods:
+        cond = F.col("method") == F.lit(m)
+        score = F.when(cond, scores[m]) if score is None else score.when(cond, scores[m])
+
+    out = pairs.withColumn("method", method_col).withColumn(
+        "score", F.round(score, 4)
+    )
+    # equality methods match at 1.0 exactly; similarity methods at threshold
+    matched = F.when(
+        F.col("method").isin("BYTE", "EXACT", "NUMERIC_EXACT"),
+        F.col("score") >= F.lit(1.0),
+    ).otherwise(F.col("score") >= F.lit(fuzzy_threshold))
+    return out.withColumn("matched", matched)
+
+
+def attribute_rollup(evaluated: DataFrame, attr_col: str = "attr") -> DataFrame:
+    """Per-attribute metric rollup (G9 over the per-attr result rows)."""
+    return (
+        evaluated.groupBy(attr_col)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("matched").cast("long")).alias("n_matched"),
+            F.round(F.avg("score"), 4).alias("mean_score"),
+        )
+        .withColumn(
+            "match_rate",
+            F.round(F.col("n_matched") / F.greatest(F.col("n"), F.lit(1)), 4),
+        )
     )
 
 

@@ -72,6 +72,12 @@ def main(sf_dir: str, only: list[str]):
         mismatch = None
         for c in g.columns:
             a, b = g[c], w[c]
+            # the driver's value hash is dtype-sensitive (int64 vs float64
+            # differ even when values match — e.g. DuckDB HUGEINT sums):
+            # fail on numeric-kind mismatch before any coerced comparison
+            if a.dtype.kind != b.dtype.kind:
+                mismatch = f"col {c} dtype {a.dtype} vs {b.dtype} (driver hash would differ)"
+                break
             if pd.api.types.is_float_dtype(a) or pd.api.types.is_float_dtype(b):
                 af = pd.to_numeric(a, errors="coerce")
                 bf = pd.to_numeric(b, errors="coerce")
