@@ -909,7 +909,10 @@ def q_evaluate_hungarian(spark, sf_dir):
 
 def q_multimodal_features(spark, sf_dir):
     """Multimodal binary-column plumbing: binary payload + metadata →
-    mapInPandas feature extraction (deterministic stub decode; rows-only)."""
+    mapInPandas feature extraction.  The stub decode is md5-derived so the
+    DuckDB oracle reproduces width/height/frames/features from the same
+    payload bytes (hash-certified plumbing; swap in PIL/ffmpeg for real
+    codecs)."""
     from accelerated_intelligent_document_processing_on_aws_spark.operators.multimodal import (
         decode_features,
         media_from_documents,
@@ -931,20 +934,84 @@ def q_multimodal_features(spark, sf_dir):
     )
 
 
-def q_sections_rollup(spark, sf_dir):
-    """G5 fan-in: one row per (conv_id, section_id) with ordered text concat
-    + turn lists, over synthetic transcripts (rows-only)."""
-    from accelerated_intelligent_document_processing_on_aws_spark import extract_stage
-    from accelerated_intelligent_document_processing_on_aws_spark.datagen.transcripts import (
-        gen_transcripts_df,
-    )
-    from accelerated_intelligent_document_processing_on_aws_spark.operators.sectionize import (
-        section_table,
+Q_MULTIMODAL_FEATURES_SQL = """
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         (['image','audio','video'])[
+           CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % 3 + 1
+         ] AS kind,
+         md5(coalesce(text,'')) AS hx
+  FROM documents
+),
+b AS (
+  SELECT media_id, kind,
+         CAST(('0x' || substr(hx, 1, 2)) AS INT) AS b0,
+         CAST(('0x' || substr(hx, 3, 2)) AS INT) AS b1,
+         CAST(('0x' || substr(hx, 5, 2)) AS INT) AS b2
+  FROM m
+)
+SELECT media_id, kind, 64 + b0 % 192 AS width, 64 + b1 % 192 AS height,
+       CASE WHEN kind = 'image' THEN 1 ELSE 1 + b2 % 32 END AS n_frames,
+       ROUND(b0 / 255.0, 4) AS f0
+FROM b ORDER BY CAST(media_id AS BIGINT)
+"""
+
+
+def _event_turns(spark, sf_dir):
+    """Transcript-shaped frame derived RELATIONALLY from the events table
+    (conv=user, order=event time, class=event type), so the sectionize /
+    summarize / reporting operators get DuckDB-expressible inputs and their
+    driver queries are hash-certified; the pandas-UDF extraction path stays
+    covered by q_transcript_extract + the pytest golden suite."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        (F.row_number().over(w) - 1).cast("int").alias("turn_idx"),
+        F.col("event_type").alias("turn_class"),
+        F.lit(False).alias("is_boundary"),
+        F.concat_ws(":", F.col("event_type"), F.col("event_id").cast("string")).alias(
+            "extracted_text"
+        ),
+        "ts",
     )
 
-    df = gen_transcripts_df(spark, n_convs=40, mean_turns=8, skew_convs=2, skew_factor=10)
-    out = extract_stage(df)
-    return section_table(out).select(
+
+# DuckDB twin of _event_turns + sectionize (gaps-and-islands) as CTEs
+_TURNS_SECT_CTE = """
+turns AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS turn_idx,
+         event_type AS turn_class,
+         event_type || ':' || CAST(event_id AS VARCHAR) AS extracted_text,
+         ts
+  FROM events
+),
+sect AS (
+  SELECT *, CAST(SUM(chg) OVER (PARTITION BY conv_id ORDER BY turn_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - 1 AS BIGINT) AS section_id
+  FROM (
+    SELECT *, CASE WHEN lag(turn_class) OVER w IS NULL
+                     OR turn_class <> lag(turn_class) OVER w
+              THEN 1 ELSE 0 END AS chg
+    FROM turns
+    WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+  )
+)
+"""
+
+
+def q_sections_rollup(spark, sf_dir):
+    """G5 fan-in: one row per (conv_id, section_id) with ordered text concat
+    + turn lists — sectionize + section_table over the events-derived turns
+    frame (oracle-backed)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.sectionize import (
+        section_table,
+        sectionize,
+    )
+
+    sect = sectionize(_event_turns(spark, sf_dir))
+    return section_table(sect).select(
         "conv_id",
         "section_id",
         "classification",
@@ -952,6 +1019,15 @@ def q_sections_rollup(spark, sf_dir):
         F.size("turn_idxs").alias("n_idxs"),
         F.length("section_text").alias("n_chars"),
     ).orderBy("conv_id", "section_id")
+
+
+Q_SECTIONS_ROLLUP_SQL = f"""
+WITH {_TURNS_SECT_CTE}
+SELECT conv_id, section_id, ANY_VALUE(turn_class) AS classification,
+       COUNT(*) AS n_turns, COUNT(*) AS n_idxs,
+       CAST(SUM(length(extracted_text)) + COUNT(*) - 1 AS BIGINT) AS n_chars
+FROM sect GROUP BY conv_id, section_id ORDER BY conv_id, section_id
+"""
 
 
 def q_bool_normalize(spark, sf_dir):
@@ -1130,23 +1206,52 @@ FROM events ORDER BY event_id
 
 def q_conv_summaries(spark, sf_dir):
     """G8 map-reduce summarization analog: per-section extractive summaries
-    fanned in to a per-conversation markdown TOC (rows-only)."""
-    from accelerated_intelligent_document_processing_on_aws_spark import extract_stage
-    from accelerated_intelligent_document_processing_on_aws_spark.datagen.transcripts import (
-        gen_transcripts_df,
+    fanned in to a per-conversation markdown TOC, over the events-derived
+    turns frame (oracle-backed: the full summary_md string is length-checked
+    and the TOC/body format mirrored in SQL)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.sectionize import (
+        sectionize,
     )
     from accelerated_intelligent_document_processing_on_aws_spark.operators.summarize import (
         document_summary,
         section_summaries,
     )
 
-    df = gen_transcripts_df(spark, n_convs=30, mean_turns=8, skew_convs=1, skew_factor=10)
-    out = extract_stage(df)
+    turns = sectionize(_event_turns(spark, sf_dir))
     return (
-        document_summary(section_summaries(out))
+        document_summary(section_summaries(turns))
         .select("conv_id", "n_sections", F.length("summary_md").alias("n_chars"))
         .orderBy("conv_id")
     )
+
+
+Q_CONV_SUMMARIES_SQL = f"""
+WITH {_TURNS_SECT_CTE},
+secs AS (
+  SELECT conv_id, section_id, ANY_VALUE(turn_class) AS classification,
+         string_agg(extracted_text, chr(10) ORDER BY turn_idx) AS section_text
+  FROM sect GROUP BY conv_id, section_id
+),
+summ AS (
+  SELECT conv_id, section_id, classification,
+         CASE WHEN length(section_text) <= 160 THEN section_text
+              ELSE regexp_replace(substr(section_text, 1, 160), ' [^ ]*$', '') END AS summary
+  FROM secs
+),
+docs AS (
+  SELECT conv_id, COUNT(*) AS n_sections,
+         '# Contents' || chr(10)
+         || string_agg(printf('%d. %s', section_id + 1, classification),
+                       chr(10) ORDER BY section_id)
+         || chr(10) || chr(10)
+         || string_agg(printf('## %d. %s', section_id + 1, classification)
+                       || chr(10) || summary,
+                       chr(10) || chr(10) ORDER BY section_id) AS summary_md
+  FROM summ GROUP BY conv_id
+)
+SELECT conv_id, n_sections, length(summary_md) AS n_chars
+FROM docs ORDER BY conv_id
+"""
 
 
 def q_doc_bpe_tokens(spark, sf_dir):
@@ -1232,40 +1337,80 @@ FROM events ORDER BY event_id
 
 def q_assess_confidence(spark, sf_dir):
     """X7/P17 analog: deterministic confidence assessment + HITL review
-    flag over extracted transcripts (rows-only; depends on UDF outputs)."""
-    from accelerated_intelligent_document_processing_on_aws_spark import extract_stage
-    from accelerated_intelligent_document_processing_on_aws_spark.datagen.transcripts import (
-        gen_transcripts_df,
-    )
+    flag (operators/assess.py) over a relationally-built extraction frame —
+    coverage/span-trust/class-trust arithmetic is oracle-expressible; the
+    pandas-UDF pipeline variant stays covered by q_transcript_extract."""
     from accelerated_intelligent_document_processing_on_aws_spark.operators.assess import (
         assess,
     )
 
-    df = gen_transcripts_df(spark, n_convs=40, mean_turns=8, skew_convs=2, skew_factor=10)
+    e = _t(spark, sf_dir, "events")
+    frame = e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.col("props").alias("text"),
+        F.col("event_type").alias("extracted_text"),
+        # 'view' maps to the fallback class so class_trust varies
+        F.when(F.col("event_type") == "view", F.lit("chat"))
+        .otherwise(F.col("event_type"))
+        .alias("turn_class"),
+        # span 0 always resolved; span 1 zero-width unless event_id % 3 == 0
+        F.array(
+            F.struct(F.lit(0).alias("start"), F.length("event_type").alias("end")),
+            F.struct(
+                F.lit(0).alias("start"),
+                (F.col("event_id") % 3 == 0).cast("int").alias("end"),
+            ),
+        ).alias("spans"),
+    )
     return (
-        assess(extract_stage(df))
+        assess(frame)
         .select("conv_id", "turn_idx", "confidence", "coverage", "needs_review")
         .orderBy("conv_id", "turn_idx")
     )
 
 
+Q_ASSESS_CONFIDENCE_SQL = """
+WITH scored AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id, CAST(event_id AS INT) AS turn_idx,
+         least(CAST(length(event_type) AS DOUBLE) / length(props), 1.0) AS cov,
+         CAST(1 + CASE WHEN event_id % 3 = 0 THEN 1 ELSE 0 END AS DOUBLE) / 2 AS span_trust,
+         CASE WHEN event_type = 'view' THEN 0.5 ELSE 1.0 END AS class_trust
+  FROM events
+)
+SELECT conv_id, turn_idx,
+       ROUND(0.5 * cov + 0.3 * span_trust + 0.2 * class_trust, 4) AS confidence,
+       ROUND(cov, 4) AS coverage,
+       ROUND(0.5 * cov + 0.3 * span_trust + 0.2 * class_trust, 4) < 0.70 AS needs_review
+FROM scored ORDER BY conv_id, turn_idx
+"""
+
+
 def q_sections_report(spark, sf_dir):
-    """S7 reporting rows: per-type, date-stamped section table (rows-only;
-    the write itself is exercised in tests/test_reporting_assess.py)."""
-    from accelerated_intelligent_document_processing_on_aws_spark import extract_stage
-    from accelerated_intelligent_document_processing_on_aws_spark.datagen.transcripts import (
-        gen_transcripts_df,
-    )
+    """S7 reporting rows: per-type, date-stamped section table over the
+    events-derived turns frame (oracle-backed; the partitioned write itself
+    is exercised in tests/test_reporting_assess.py)."""
     from accelerated_intelligent_document_processing_on_aws_spark.io.reporting import (
         sections_reporting,
     )
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.sectionize import (
+        sectionize,
+    )
 
-    df = gen_transcripts_df(spark, n_convs=30, mean_turns=8)
+    turns = sectionize(_event_turns(spark, sf_dir))
     return (
-        sections_reporting(extract_stage(df))
+        sections_reporting(turns)
         .select("conv_id", "section_id", "classification", "date", "n_turns")
         .orderBy("conv_id", "section_id")
     )
+
+
+Q_SECTIONS_REPORT_SQL = f"""
+WITH {_TURNS_SECT_CTE}
+SELECT conv_id, section_id, ANY_VALUE(turn_class) AS classification,
+       strftime(MIN(ts), '%Y-%m-%d') AS date, COUNT(*) AS n_turns
+FROM sect GROUP BY conv_id, section_id ORDER BY conv_id, section_id
+"""
 
 
 def q_dedup_corpus(spark, sf_dir):
@@ -1323,20 +1468,17 @@ ORDER BY doc_id
 
 def q_sectionize_chunked(spark, sf_dir):
     """Two-phase chunked sectionization (mega-conversation window skew
-    defused); rows-only — equivalence vs single-window proven in
-    tests/test_sectionize_chunked.py."""
-    from accelerated_intelligent_document_processing_on_aws_spark import extract_stage
-    from accelerated_intelligent_document_processing_on_aws_spark.datagen.transcripts import (
-        gen_transcripts_df,
-    )
+    defused) over the events-derived turns frame.  Its output is DEFINED to
+    equal plain gaps-and-islands sectionize, so the oracle is the plain
+    islands SQL; per-row equivalence vs the single-window operator is also
+    proven in tests/test_sectionize_chunked.py."""
     from accelerated_intelligent_document_processing_on_aws_spark.operators.sectionize import (
         sectionize_chunked,
     )
 
-    df = gen_transcripts_df(spark, n_convs=30, mean_turns=10, skew_convs=2, skew_factor=20)
-    staged = extract_stage(df).drop("section_id")
+    turns = _event_turns(spark, sf_dir)
     return (
-        sectionize_chunked(staged, chunk_size=16)
+        sectionize_chunked(turns, chunk_size=16)
         .groupBy("conv_id")
         .agg(
             (F.max("section_id") + 1).alias("n_sections"),
@@ -1344,6 +1486,14 @@ def q_sectionize_chunked(spark, sf_dir):
         )
         .orderBy("conv_id")
     )
+
+
+Q_SECTIONIZE_CHUNKED_SQL = f"""
+WITH {_TURNS_SECT_CTE}
+SELECT conv_id, CAST(MAX(section_id) + 1 AS BIGINT) AS n_sections,
+       COUNT(*) AS n_turns
+FROM sect GROUP BY conv_id ORDER BY conv_id
+"""
 
 
 def q_evaluate_semantic(spark, sf_dir):
@@ -1586,6 +1736,12 @@ def oracle_sql() -> dict[str, str]:
         "q_sample_hash": Q_SAMPLE_HASH_SQL,
         "q_asof_join": Q_ASOF_JOIN_SQL,
         "q_evaluate_semantic": _evaluate_semantic_sql(),
+        "q_sections_rollup": Q_SECTIONS_ROLLUP_SQL,
+        "q_sections_report": Q_SECTIONS_REPORT_SQL,
+        "q_conv_summaries": Q_CONV_SUMMARIES_SQL,
+        "q_assess_confidence": Q_ASSESS_CONFIDENCE_SQL,
+        "q_sectionize_chunked": Q_SECTIONIZE_CHUNKED_SQL,
+        "q_multimodal_features": Q_MULTIMODAL_FEATURES_SQL,
         # Non-SQL ops (rows-only driver check by design):
         # q_transcript_extract (pandas-UDF extraction kernels),
         # q_minhash_lsh, q_simhash, q_lsh_topk (approximate, hash-seeded),

@@ -53,22 +53,23 @@ FEATURES_SCHEMA = T.StructType(
         T.StructField("width", T.IntegerType()),
         T.StructField("height", T.IntegerType()),
         T.StructField("n_frames", T.IntegerType()),
-        T.StructField("features", T.ArrayType(T.FloatType())),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
     ]
 )
 
 
 def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, int, list[float]]:
     """Deterministic pseudo-decode (STUB for PIL/ffmpeg: same signature,
-    stable output per payload).  Raises on None like a real codec would."""
+    stable output per payload).  Raises on None like a real codec would.
+    md5-derived (not blake2b) so a SQL oracle can reproduce every output
+    byte-for-byte from the payload."""
     if payload is None:
         raise ValueError("cannot decode null payload")
-    h = hashlib.blake2b(payload, digest_size=16).digest()
+    h = hashlib.md5(payload).digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
     n_frames = 1 if kind == "image" else 1 + h[2] % 32
-    rng = np.frombuffer(h, dtype=np.uint8).astype(np.float32)
-    feats = np.resize(rng / 255.0, N_FEATURES)
+    feats = np.frombuffer(h, dtype=np.uint8)[:N_FEATURES].astype(np.float64) / 255.0
     return width, height, n_frames, [float(x) for x in feats]
 
 
@@ -102,11 +103,16 @@ def decode_features(df: DataFrame) -> DataFrame:
 def media_from_documents(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Adapter: synthesize a media table from a text corpus (deterministic;
     used by tests/bench since the sandbox ships no binary fixtures)."""
+    # kind keyed on the first md5 byte of the id (engine-portable: the
+    # DuckDB oracle reproduces it; crc32 exists only on the Spark side)
+    kind_byte = F.conv(
+        F.substring(F.md5(F.col(id_col).cast("string")), 1, 2), 16, 10
+    ).cast("int")
     return df.select(
         F.col(id_col).cast("string").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
-            (F.crc32(F.col(id_col).cast("string")) % 3 + 1).cast("int"),
+            (kind_byte % 3 + 1).cast("int"),
         ).alias("kind"),
         F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8").alias("payload"),
     ).withColumn(

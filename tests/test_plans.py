@@ -86,8 +86,13 @@ def test_exact_eval_is_pure_catalyst(spark):
     # no UDF evaluation nodes (the createDataFrame scan itself mentions
     # "PythonRDD" — that's the test fixture, not the operator)
     assert "ArrowEvalPython" not in p and "BatchEvalPython" not in p
+    # FUZZY is pure Catalyst too since the F.levenshtein rewrite
     p2 = plan_of(evaluate_turns(a, g, method="FUZZY"))
-    assert "ArrowEvalPython" in p2  # the Levenshtein kernel IS vectorized
+    assert "ArrowEvalPython" not in p2 and "BatchEvalPython" not in p2
+    assert "levenshtein" in p2
+    # SEMANTIC is the one comparator that goes through an Arrow batch UDF
+    p3 = plan_of(evaluate_turns(a, g, method="SEMANTIC"))
+    assert "ArrowEvalPython" in p3
 
 
 def test_whole_stage_codegen_covers_text_functions(spark):
