@@ -758,29 +758,75 @@ FROM documents
 
 def q_ngram_jaccard(spark, sf_dir):
     """Word-3-gram Jaccard near-dup pairs (inverted-index candidate join,
-    no cross join) — exact-dedup family with a full SQL oracle."""
+    no cross join, hot-shingle df-cap mirrored in the oracle) —
+    exact-dedup family with a full SQL oracle."""
     from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
         ngram_jaccard_pairs,
     )
 
     d = _t(spark, sf_dir, "documents")
-    return ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5).orderBy(
-        "id_a", "id_b"
-    )
+    return ngram_jaccard_pairs(
+        d, "doc_id", "text", k=3, threshold=0.5, df_cap=64
+    ).orderBy("id_a", "id_b")
 
 
-Q_NGRAM_JACCARD_SQL = f"""
-WITH nm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+def _ngram_pairs_cte(threshold: float = 0.5, df_cap: int = 64) -> str:
+    """DuckDB twin of dedup.ngram_jaccard_pairs as a CTE chain ending in
+    ``pairs(id_a, id_b, jaccard)`` — shared by q_ngram_jaccard and the
+    connected-components oracle.  The df-cap anti-join mirrors the Spark
+    hot-shingle defense exactly (denominator counts stay uncapped)."""
+    return f"""
+nm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
 w AS (SELECT doc_id, str_split(t, ' ') AS w FROM nm),
 g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
       FROM w, UNNEST(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)),
+hot AS (SELECT g FROM g GROUP BY g HAVING COUNT(*) > {df_cap}),
+gc AS (SELECT g.* FROM g ANTI JOIN hot USING (g)),
 c AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
 i AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS nc
-      FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      FROM gc a JOIN gc b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
 j AS (SELECT ia, ib, ROUND(CAST(nc AS DOUBLE) / (ca.n + cb.n - nc), 4) AS jaccard
-      FROM i JOIN c ca ON ia = ca.doc_id JOIN c cb ON ib = cb.doc_id)
-SELECT ia AS id_a, ib AS id_b, jaccard FROM j WHERE jaccard >= 0.5
-ORDER BY id_a, id_b
+      FROM i JOIN c ca ON ia = ca.doc_id JOIN c cb ON ib = cb.doc_id),
+pairs AS (SELECT ia AS id_a, ib AS id_b, jaccard FROM j WHERE jaccard >= {threshold})
+"""
+
+
+Q_NGRAM_JACCARD_SQL = f"""
+WITH {_ngram_pairs_cte()}
+SELECT id_a, id_b, jaccard FROM pairs ORDER BY id_a, id_b
+"""
+
+
+def q_neardup_clusters(spark, sf_dir):
+    """Near-dup cluster consolidation: connected components over the
+    n-gram-Jaccard pair table (iterated hash-min equi-joins, bounded
+    rounds) → (doc_id, cluster_id = min reachable id); oracled with a
+    DuckDB recursive CTE computing the same transitive closure."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+        connected_components,
+        ngram_jaccard_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = ngram_jaccard_pairs(d, "doc_id", "text", k=3, threshold=0.5, df_cap=64)
+    return (
+        connected_components(pairs)
+        .select(F.col("node").alias("doc_id"), "cluster_id")
+        .orderBy("doc_id")
+    )
+
+
+Q_NEARDUP_CLUSTERS_SQL = f"""
+WITH RECURSIVE {_ngram_pairs_cte()},
+edges AS (SELECT id_a AS a, id_b AS b FROM pairs
+          UNION SELECT id_b, id_a FROM pairs),
+nodes AS (SELECT DISTINCT a AS n FROM edges),
+reach AS (
+  SELECT n, n AS r FROM nodes
+  UNION
+  SELECT e.b AS n, reach.r FROM reach JOIN edges e ON e.a = reach.n
+)
+SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n ORDER BY doc_id
 """
 
 
@@ -1086,6 +1132,33 @@ FROM events ORDER BY event_id
 """
 
 
+def q_yaml_sniff(spark, sf_dir):
+    """P10 YAML twin (utils/__init__.py:260-402): fenced YAML embedded in
+    prose → parsed and re-serialized as compact canonical JSON."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.transforms import (
+        yaml_sniff_udf,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    wrapped = F.concat(
+        F.lit("Result:\n```yaml\nkind: "),
+        F.col("event_type"),
+        F.lit("\nnum: "),
+        F.col("event_id").cast("string"),
+        F.lit("\n```\nDone."),
+    )
+    return e.select("event_id", yaml_sniff_udf(wrapped).alias("yjson")).orderBy(
+        "event_id"
+    )
+
+
+Q_YAML_SNIFF_SQL = """
+SELECT event_id,
+       printf('{"kind":"%s","num":%d}', event_type, event_id) AS yjson
+FROM events ORDER BY event_id
+"""
+
+
 def q_csv_markdown(spark, sf_dir):
     """P5 CSV → markdown table (document_converter.py:113-162): per-user
     CSV assembled from events, rendered by the Arrow-batched kernel."""
@@ -1120,8 +1193,10 @@ FROM events GROUP BY user_id ORDER BY user_id
 
 def q_text_paginate(spark, sf_dir):
     """P4 monospace wrap + pagination (document_converter.py:38-111):
-    page explode with stable page ordinals (rows-only: word-aware wrap
-    has no SQL analog)."""
+    page explode with stable page ordinals.  Oracle-backed: the greedy
+    word-aware wrap is a fold over word lengths, expressed in DuckDB as a
+    ``list_reduce`` whose accumulator carries completed-line lengths plus
+    the current line length (hard-splits included)."""
     from accelerated_intelligent_document_processing_on_aws_spark.operators.transforms import (
         explode_pages,
     )
@@ -1132,6 +1207,41 @@ def q_text_paginate(spark, sf_dir):
     return explode_pages(d, "text", width=40, lines_per_page=4).select(
         "doc_id", "page_idx", F.length("page_text").alias("n_chars")
     ).orderBy("doc_id", "page_idx")
+
+
+def _text_paginate_sql(width: int = 40, lpp: int = 4) -> str:
+    """DuckDB twin of kernels.wrap.paginate: greedy word wrap simulated on
+    LINE LENGTHS with a list_reduce fold (acc = completed line lengths ++
+    [current line length]); pages chunk the flattened line list."""
+    w = width
+    wrap_expr = f"""
+list_reduce(
+  list_prepend(CAST([0] AS BIGINT[]),
+    list_transform(str_split(ln, ' '), wd -> CAST([length(wd)] AS BIGINT[]))),
+  (acc, x) -> CASE
+    WHEN x[1] > {w} THEN
+      acc[1:len(acc)-1]
+      || (CASE WHEN acc[len(acc)] > 0 THEN [acc[len(acc)]] ELSE CAST([] AS BIGINT[]) END)
+      || list_transform(range((x[1] - CASE WHEN x[1] % {w} = 0 THEN {w} ELSE x[1] % {w} END) // {w}),
+                        i -> CAST({w} AS BIGINT))
+      || [CASE WHEN x[1] % {w} = 0 THEN {w} ELSE x[1] % {w} END]
+    WHEN acc[len(acc)] = 0 THEN acc[1:len(acc)-1] || [x[1]]
+    WHEN acc[len(acc)] + 1 + x[1] <= {w} THEN acc[1:len(acc)-1] || [acc[len(acc)] + 1 + x[1]]
+    ELSE acc || [x[1]]
+  END)
+"""
+    return f"""
+WITH lines AS (
+  SELECT doc_id,
+    flatten(list_transform(str_split(coalesce(text,''), chr(10)), ln -> {wrap_expr})) AS lens
+  FROM documents
+)
+SELECT doc_id, i AS page_idx,
+  CAST(list_sum(lens[{lpp}*i+1 : {lpp}*(i+1)])
+       + len(lens[{lpp}*i+1 : {lpp}*(i+1)]) - 1 AS BIGINT) AS n_chars
+FROM lines, UNNEST(range(CAST(ceil(len(lens) / {lpp}.0) AS BIGINT))) AS t(i)
+ORDER BY doc_id, page_idx
+"""
 
 
 def q_ocr_alerts(spark, sf_dir):
@@ -1607,6 +1717,93 @@ ORDER BY p.user_id, p.purchase_id
 """
 
 
+def q_evaluate_config(spark, sf_dir):
+    """Per-attribute config-driven evaluation dispatch (J1 + comparator
+    dispatch, evaluation/service.py:116-193): one pass over the attribute
+    rows with {attr: method} compiled into a single Catalyst projection —
+    EXACT, NUMERIC_EXACT and FUZZY mixed in one job, certified per row."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.evaluate import (
+        evaluate_attributes,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
+    attrs = d.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("title").alias("attr"),
+                    F.upper(F.substring("text", 1, 40)).alias("expected"),
+                    F.substring("text", 1, 40).alias("actual"),
+                ),
+                F.struct(
+                    F.lit("amount").alias("attr"),
+                    F.format_string("$%d,500.00", F.col("doc_id") % 90).alias(
+                        "expected"
+                    ),
+                    F.when(F.col("doc_id") % 10 == 0, F.lit("wrong"))
+                    .otherwise(F.format_string("%d500.00", F.col("doc_id") % 90))
+                    .alias("actual"),
+                ),
+                F.struct(
+                    F.lit("body").alias("attr"),
+                    F.col("text").alias("expected"),
+                    F.replace(F.col("text"), F.lit("a"), F.lit("x")).alias("actual"),
+                ),
+            )
+        ).alias("kv"),
+    ).select("doc_id", "kv.attr", "kv.expected", "kv.actual")
+    cfg = {"title": "EXACT", "amount": "NUMERIC_EXACT", "body": "FUZZY"}
+    return (
+        evaluate_attributes(attrs, cfg)
+        .select("doc_id", "attr", "method", "matched", "score")
+        .orderBy("doc_id", "attr")
+    )
+
+
+def _evaluate_config_sql():
+    ne, na = _norm_sql_of("expected"), _norm_sql_of("actual")
+    fz = (
+        f"CASE WHEN length({ne}) = 0 AND length({na}) = 0 THEN 1.0 "
+        f"ELSE 1.0 - CAST(levenshtein({ne}, {na}) AS DOUBLE)"
+        f" / greatest(length({ne}), length({na})) END"
+    )
+    pe = "TRY_CAST(regexp_replace(expected, '[$, ]', '', 'g') AS DOUBLE)"
+    pa = "TRY_CAST(regexp_replace(actual, '[$, ]', '', 'g') AS DOUBLE)"
+    score = (
+        "CASE method"
+        f" WHEN 'EXACT' THEN CAST({ne} = {na} AS DOUBLE)"
+        " WHEN 'NUMERIC_EXACT' THEN CAST(COALESCE("
+        f"   ({pe} IS NULL AND {pa} IS NULL) OR {pe} = {pa}, FALSE) AS DOUBLE)"
+        f" ELSE ROUND({fz}, 4) END"
+    )
+    return f"""
+WITH attrs AS (
+  SELECT doc_id, 'title' AS attr, 'EXACT' AS method,
+         upper(substr(coalesce(text,''), 1, 40)) AS expected,
+         substr(coalesce(text,''), 1, 40) AS actual
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'amount', 'NUMERIC_EXACT',
+         printf('$%d,500.00', doc_id % 90),
+         CASE WHEN doc_id % 10 = 0 THEN 'wrong'
+              ELSE printf('%d500.00', doc_id % 90) END
+  FROM documents
+  UNION ALL
+  SELECT doc_id, 'body', 'FUZZY',
+         coalesce(text,''), replace(coalesce(text,''), 'a', 'x')
+  FROM documents
+),
+scored AS (SELECT doc_id, attr, method, ({score}) AS score FROM attrs)
+SELECT doc_id, attr, method,
+       CASE WHEN method = 'FUZZY' THEN score >= 0.8 ELSE score >= 1.0 END AS matched,
+       score
+FROM scored ORDER BY doc_id, attr
+"""
+
+
 # ---------------------------------------------------------------- contract
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -1694,6 +1891,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_sectionize_chunked": q_sectionize_chunked,
         "q_asof_join": q_asof_join,
         "q_evaluate_semantic": q_evaluate_semantic,
+        "q_neardup_clusters": q_neardup_clusters,
+        "q_evaluate_config": q_evaluate_config,
+        "q_yaml_sniff": q_yaml_sniff,
     }
 
 
@@ -1742,6 +1942,10 @@ def oracle_sql() -> dict[str, str]:
         "q_assess_confidence": Q_ASSESS_CONFIDENCE_SQL,
         "q_sectionize_chunked": Q_SECTIONIZE_CHUNKED_SQL,
         "q_multimodal_features": Q_MULTIMODAL_FEATURES_SQL,
+        "q_text_paginate": _text_paginate_sql(),
+        "q_neardup_clusters": Q_NEARDUP_CLUSTERS_SQL,
+        "q_evaluate_config": _evaluate_config_sql(),
+        "q_yaml_sniff": Q_YAML_SNIFF_SQL,
         # Non-SQL ops (rows-only driver check by design):
         # q_transcript_extract (pandas-UDF extraction kernels),
         # q_minhash_lsh, q_simhash, q_lsh_topk (approximate, hash-seeded),

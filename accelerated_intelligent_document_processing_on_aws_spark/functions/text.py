@@ -91,11 +91,13 @@ def ocr_lines_from_json(c: Column) -> Column:
 
 
 def numeric_normalize(c: Column) -> Column:
-    """Strip $ , and spaces; (x) → -x; cast double (comparator.py:104-126)."""
+    """Strip $ , and spaces; (x) → -x; cast double (comparator.py:104-126).
+    try_cast so unparseable values become NULL (reference returns None)
+    instead of raising under ANSI mode."""
     s = F.regexp_replace(c, "[$, ]", "")
     neg = s.rlike("^\\(.*\\)$")
     inner = F.substring(s, 2, F.length(s) - F.lit(2))
-    return F.when(neg, -inner.cast("double")).otherwise(s.cast("double"))
+    return F.when(neg, -inner.try_cast("double")).otherwise(s.try_cast("double"))
 
 
 def token_count(c: Column) -> Column:

@@ -9,9 +9,11 @@ Reference semantics (``lib/idp_common_pkg/idp_common/utils/__init__.py:98-235``
    escape-aware)
 4. the whole text if it parses
 
-plus format detection (``:405-490``): 'json' / 'yaml' / 'text'.  YAML
-parsing (the reference's yaml twin, ``:260-402``) is out of scope (no yaml
-dependency guaranteed); detection still labels yaml-ish text.
+plus format detection (``:405-490``): 'json' / 'yaml' / 'text', and the
+YAML twin (``extract_yaml_from_text``, reference ``:260-402``) — fenced
+``yaml`` block first, then any fenced block, then the whole text; parsed
+values are re-serialized to the same compact canonical JSON the JSON
+sniffer emits (guarded import: degrades to None if pyyaml is absent).
 
 Pure-Python kernel; Spark wiring in ``operators/transforms.py``.
 """
@@ -93,6 +95,46 @@ def extract_json_from_text(text: Optional[str]) -> Optional[str]:
     if parsed is not None:
         return parsed
     return _try_parse(text)
+
+
+_FENCE_YAML = re.compile(r"```ya?ml\s*\n(.*?)```", re.DOTALL | re.IGNORECASE)
+
+
+def _try_parse_yaml(s: str) -> Optional[str]:
+    """Canonical compact JSON if s parses as a YAML mapping/sequence."""
+    try:
+        import yaml
+    except ImportError:  # pragma: no cover - pyyaml present in this env
+        return None
+    s = s.strip()
+    if not s:
+        return None
+    try:
+        obj = yaml.safe_load(s)
+    except yaml.YAMLError:
+        return None
+    if isinstance(obj, (dict, list)):
+        return json.dumps(obj, separators=(",", ":"), ensure_ascii=False, default=str)
+    return None
+
+
+def extract_yaml_from_text(text: Optional[str]) -> Optional[str]:
+    """YAML twin of the 4-strategy sniffer (utils/__init__.py:260-402):
+    ```yaml fenced block → any fenced block → whole text; returns compact
+    canonical JSON of the parsed document (comparable with the JSON path)
+    or None."""
+    if not text:
+        return None
+    m = _FENCE_YAML.search(text)
+    if m:
+        parsed = _try_parse_yaml(m.group(1))
+        if parsed is not None:
+            return parsed
+    for m in _FENCE_ANY.finditer(text):
+        parsed = _try_parse_yaml(m.group(1))
+        if parsed is not None:
+            return parsed
+    return _try_parse_yaml(text)
 
 
 def detect_format(text: Optional[str]) -> str:

@@ -124,17 +124,40 @@ def shingles_udf(k: int = 3):
 
 
 def ngram_jaccard_pairs(
-    df: DataFrame, id_col: str, text_col: str, k: int = 3, threshold: float = 0.8
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    threshold: float = 0.8,
+    df_cap: int | None = 64,
 ) -> DataFrame:
     """Near-dup pairs by exact word-k-gram Jaccard >= threshold.
 
     Candidate generation by shared-shingle equi-join (no cross join), then
     |A∩B| counted per pair and Jaccard from per-doc shingle counts.
+
+    Hot-shingle defense (``df_cap``): a shingle shared by d documents emits
+    O(d²) candidate rows before the ratio prune runs — one ubiquitous
+    stop-gram across 10⁶ docs would be 10¹² rows.  Shingles with document
+    frequency > df_cap are dropped from the inverted index (broadcast
+    anti-join; the hot set is tiny by definition).  Lossy ONLY for pairs
+    whose *every* shared shingle is ubiquitous — standard LSH-family
+    practice; the per-doc counts in the Jaccard denominator stay uncapped
+    and the SQL oracle applies the identical cap, so results stay
+    hash-deterministic.
     """
     sh = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"), shingles_udf(k)(F.col(text_col)).alias("sh")
     ).withColumn("n_sh", F.size("sh"))
     exploded = sh.select("id", "n_sh", F.explode("sh").alias("g"))
+    if df_cap is not None:
+        hot = (
+            exploded.groupBy("g")
+            .agg(F.count(F.lit(1)).alias("_df"))
+            .filter(F.col("_df") > df_cap)
+            .select("g")
+        )
+        exploded = exploded.join(F.broadcast(hot), "g", "left_anti")
     a = exploded.alias("a")
     b = exploded.alias("b")
     # lossless size-ratio prune: J >= t implies min(n)/max(n) >= t, so pairs
@@ -348,4 +371,64 @@ def simhash_pairs(
     hamming = F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
     return cand.select("id_a", "id_b", hamming.alias("hamming")).filter(
         F.col("hamming") <= F.lit(max_hamming)
+    )
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Near-dup CLUSTER consolidation: (node, cluster_id) where cluster_id
+    is the minimum id reachable through the pair graph — the operator users
+    actually run over the pairwise tables (pick one keeper per cluster).
+
+    Hash-min label propagation: each round every node takes the min of its
+    own label and its neighbors' labels (equi-join on the edge key + one
+    groupBy min — no cross joins).  Converges in O(component diameter)
+    rounds, ≤ max_iter; near-dup components are short chains in practice.
+    Each round materializes via localCheckpoint so the iterative plan does
+    not re-execute from the scan (lineage truncation — the standard Spark
+    iterative-algorithm discipline)."""
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        msgs = (
+            edges.join(labels, edges.src == labels.node)
+            .select(F.col("dst").alias("node"), "label")
+        )
+        new_labels = (
+            labels.unionByName(msgs)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("node"), F.col("label").alias("cluster_id"))
+
+
+def neardup_keepers(components: DataFrame) -> DataFrame:
+    """One keeper (min id) per near-dup cluster + member count."""
+    return components.groupBy("cluster_id").agg(
+        F.min("node").alias("keeper_id"),
+        F.count(F.lit(1)).alias("n_docs"),
     )

@@ -15,7 +15,11 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..kernels.csv_table import csv_to_markdown
-from ..kernels.json_sniff import detect_format, extract_json_from_text
+from ..kernels.json_sniff import (
+    detect_format,
+    extract_json_from_text,
+    extract_yaml_from_text,
+)
 from ..kernels.wrap import paginate
 
 _SNIFF_TYPE = T.StructType(
@@ -35,6 +39,13 @@ def json_sniff_udf(texts: pd.Series) -> pd.DataFrame:
         js.append(extract_json_from_text(t))
         fmts.append(detect_format(t))
     return pd.DataFrame({"json": js, "format": fmts})
+
+
+@F.pandas_udf(T.StringType())
+def yaml_sniff_udf(texts: pd.Series) -> pd.Series:
+    """extract_yaml_from_text (utils/__init__.py:260-402): YAML payload in
+    free text → compact canonical JSON (None if nothing parses)."""
+    return pd.Series([extract_yaml_from_text(t) for t in texts])
 
 
 def paginate_udf(width: int = 80, lines_per_page: int = 50):

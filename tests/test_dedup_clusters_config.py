@@ -1,0 +1,165 @@
+"""Round-2 operators: hot-shingle df-cap, connected components, YAML
+sniffing, per-attribute config-driven evaluation."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from accelerated_intelligent_document_processing_on_aws_spark import get_spark
+
+    s = get_spark(master="local[4]", shuffle_partitions=8)
+    yield s
+
+
+class TestHotShingleCap:
+    def _corpus(self, spark):
+        # 60 docs that share ONLY a ubiquitous 3-gram ("alpha beta gamma"),
+        # plus one true near-dup pair (9000/9001) sharing many rare grams
+        rows = [(i, f"alpha beta gamma unique{i} tail{i}") for i in range(60)]
+        dup = "rare words that repeat across exactly these two documents only"
+        rows += [(9000, dup + " one"), (9001, dup + " two")]
+        return spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def test_cap_bounds_candidate_pairs(self, spark):
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        df = self._corpus(spark)
+        # threshold ~0 makes every candidate pair survive to the output, so
+        # the row count IS the candidate count
+        uncapped = ngram_jaccard_pairs(
+            df, "doc_id", "text", k=3, threshold=0.01, df_cap=None
+        ).count()
+        capped = ngram_jaccard_pairs(
+            df, "doc_id", "text", k=3, threshold=0.01, df_cap=8
+        ).count()
+        assert uncapped >= 60 * 59 / 2  # hot shingle explodes quadratically
+        assert capped == 1  # only the true near-dup pair's rare grams remain
+
+    def test_cap_keeps_true_near_dups(self, spark):
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+            ngram_jaccard_pairs,
+        )
+
+        out = ngram_jaccard_pairs(
+            self._corpus(spark), "doc_id", "text", k=3, threshold=0.5, df_cap=8
+        ).collect()
+        assert [(r.id_a, r.id_b) for r in out] == [(9000, 9001)]
+
+
+class TestConnectedComponents:
+    def test_hash_min_matches_transitive_closure(self, spark):
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+            connected_components,
+            neardup_keepers,
+        )
+
+        pairs = spark.createDataFrame(
+            [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 20)],
+            ["id_a", "id_b"],
+        )
+        cc = {
+            r.node: r.cluster_id for r in connected_components(pairs).collect()
+        }
+        assert cc == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 20: 20, 21: 20}
+        keepers = {
+            r.cluster_id: (r.keeper_id, r.n_docs)
+            for r in neardup_keepers(connected_components(pairs)).collect()
+        }
+        assert keepers == {1: (1, 4), 10: (10, 2), 20: (20, 2)}
+
+    def test_long_chain_converges(self, spark):
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+            connected_components,
+        )
+
+        # path graph 0-1-...-12: worst case for hash-min (diameter rounds)
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(12)], ["id_a", "id_b"]
+        )
+        cc = connected_components(pairs).collect()
+        assert {r.cluster_id for r in cc} == {0}
+        assert len(cc) == 13
+
+
+class TestYamlSniff:
+    def test_fenced_yaml(self):
+        from accelerated_intelligent_document_processing_on_aws_spark.kernels.json_sniff import (
+            extract_yaml_from_text,
+        )
+
+        t = "prose\n```yaml\nkind: click\nnum: 5\n```\nmore"
+        assert extract_yaml_from_text(t) == '{"kind":"click","num":5}'
+
+    def test_any_fence_and_whole_text(self):
+        from accelerated_intelligent_document_processing_on_aws_spark.kernels.json_sniff import (
+            extract_yaml_from_text,
+        )
+
+        assert (
+            extract_yaml_from_text("```\na: 1\nb: two\n```")
+            == '{"a":1,"b":"two"}'
+        )
+        assert extract_yaml_from_text("x: 1\ny: [2, 3]") == '{"x":1,"y":[2,3]}'
+        assert extract_yaml_from_text("just plain prose") is None
+        assert extract_yaml_from_text(None) is None
+
+    def test_json_is_valid_yaml(self):
+        from accelerated_intelligent_document_processing_on_aws_spark.kernels.json_sniff import (
+            extract_yaml_from_text,
+        )
+
+        assert extract_yaml_from_text('{"a": 1}') == '{"a":1}'
+
+
+class TestEvaluateAttributes:
+    def test_mixed_methods_one_pass(self, spark):
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.evaluate import (
+            attribute_rollup,
+            evaluate_attributes,
+        )
+
+        rows = [
+            ("c1", "name", "ACME Corp.", "acme corp"),  # EXACT: normalized ==
+            ("c1", "total", "$1,500.00", "1500"),  # NUMERIC: 1500.0 == 1500.0
+            ("c1", "notes", "hello world", "hallo world"),  # FUZZY ~0.9
+            ("c2", "name", "ACME", "Other Inc"),  # EXACT miss
+            ("c2", "total", "$5", "six"),  # NUMERIC miss (unparseable)
+            ("c2", "notes", "abc", "xyz"),  # FUZZY miss
+        ]
+        df = spark.createDataFrame(rows, ["conv_id", "attr", "expected", "actual"])
+        cfg = {"name": "EXACT", "total": "NUMERIC_EXACT", "notes": "FUZZY"}
+        out = {
+            (r.conv_id, r.attr): (r.method, r.matched)
+            for r in evaluate_attributes(df, cfg).collect()
+        }
+        assert out[("c1", "name")] == ("EXACT", True)
+        assert out[("c1", "total")] == ("NUMERIC_EXACT", True)
+        assert out[("c1", "notes")] == ("FUZZY", True)
+        assert out[("c2", "name")] == ("EXACT", False)
+        assert out[("c2", "total")] == ("NUMERIC_EXACT", False)
+        assert out[("c2", "notes")] == ("FUZZY", False)
+
+        roll = {
+            r.attr: (r.n, r.n_matched)
+            for r in attribute_rollup(evaluate_attributes(df, cfg)).collect()
+        }
+        assert roll == {"name": (2, 1), "total": (2, 1), "notes": (2, 1)}
+
+    def test_plan_is_single_projection_no_python(self, spark):
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.evaluate import (
+            evaluate_attributes,
+        )
+
+        df = spark.createDataFrame(
+            [("c", "name", "x", "x")], ["conv_id", "attr", "expected", "actual"]
+        )
+        plan = evaluate_attributes(
+            df, {"name": "EXACT", "amt": "NUMERIC_EXACT", "txt": "FUZZY"}
+        )._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
