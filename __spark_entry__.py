@@ -876,14 +876,15 @@ ORDER BY id_a, id_b
 
 def q_lsh_topk(spark, sf_dir):
     """LSH-bucketed approximate top-k neighbors (scale path; rows-only by
-    design — recall < 1 vs the exact baseline)."""
+    design — recall < 1 vs the exact baseline, amplified by the multi-band
+    OR over independent hyperplane groups)."""
     from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
         lsh_topk,
     )
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    return lsh_topk(e, q, "vec_id", "embedding", k=5, n_planes=6, dim=64)
+    return lsh_topk(e, q, "vec_id", "embedding", k=5, bands=8, rows_per_band=4, dim=64)
 
 
 def q_evaluate_fuzzy(spark, sf_dir):

@@ -40,32 +40,41 @@ def asof_join(
     right_cols = right_cols or [
         c for c in right.columns if c not in on and c != ts_col
     ]
+    # The matched right row travels as ONE struct (like _lrow), so
+    # last(ignorenulls) picks a whole row atomically: a legitimately-NULL
+    # field in the matched row stays NULL instead of being back-filled from
+    # an older right row, and all matched columns come from the same row —
+    # matching DuckDB ASOF (>=) semantics used as the oracle.
+    r_tagged = right.select(
+        *on,
+        F.col(ts_col),
+        F.lit(0).alias("_side"),
+        F.struct(*[F.col(c) for c in right_cols]).alias("_rrow"),
+    )
     l_tagged = left.select(
         *on,
         F.col(ts_col),
         F.lit(1).alias("_side"),
         F.struct(*[F.col(c) for c in left.columns]).alias("_lrow"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"_r_{c}") for c in right_cols],
+        F.lit(None).cast(r_tagged.schema["_rrow"].dataType).alias("_rrow"),
     )
-    r_tagged = right.select(
-        *on,
-        F.col(ts_col),
-        F.lit(0).alias("_side"),
-        F.lit(None).cast(l_tagged.schema["_lrow"].dataType).alias("_lrow"),
-        *[F.col(c).alias(f"_r_{c}") for c in right_cols],
+    r_tagged = r_tagged.withColumn(
+        "_lrow", F.lit(None).cast(l_tagged.schema["_lrow"].dataType)
     )
     merged = l_tagged.unionByName(r_tagged)
+    # orderBy includes _rrow itself as a deterministic tiebreak: multiple
+    # right rows sharing (key, ts) resolve to the lexicographically-greatest
+    # payload struct regardless of partition order (right (key, ts) need not
+    # be unique for runs to be reproducible).
     w = (
         Window.partitionBy(*on)
-        .orderBy(ts_col, "_side")
+        .orderBy(ts_col, "_side", "_rrow")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    for c in right_cols:
-        merged = merged.withColumn(
-            f"_r_{c}", F.last(f"_r_{c}", ignorenulls=True).over(w)
-        )
-    out = merged.filter(F.col("_side") == 1)
+    out = merged.withColumn(
+        "_r", F.last("_rrow", ignorenulls=True).over(w)
+    ).filter(F.col("_side") == 1)
     return out.select(
         F.col("_lrow.*"),
-        *[F.col(f"_r_{c}").alias(f"{c}{suffix}") for c in right_cols],
+        *[F.col("_r")[c].alias(f"{c}{suffix}") for c in right_cols],
     )

@@ -76,7 +76,9 @@ def hash_sample(df: DataFrame, id_col: str, pct: int, seed: str = "s42") -> Data
 
 def shingles(c, k: int = 3):
     """Word k-shingles of the normalized text as an array column
-    (pure-Catalyst variant).
+    (pure-Catalyst variant).  SET semantics: ``array_distinct`` keeps the
+    FIRST occurrence of each gram, matching both ``shingles_udf`` and the
+    DISTINCT-based SQL oracle (pinned by tests/test_dedup_clusters_config).
 
     NOTE: Catalyst does no common-subexpression elimination inside
     higher-order-function lambdas, so the ``words`` split is re-evaluated
@@ -99,11 +101,12 @@ _WS_PY = __import__("re").compile(r"[ \t\n\r]+")
 def shingles_udf(k: int = 3):
     """Word k-shingles as an Arrow-batched pandas UDF.
 
-    Byte-identical output to ``shingles()`` (same ASCII normalization as
-    functions.text.normalized_for_compare, first-occurrence dedup order);
-    ~10x faster because the normalize+split runs once per row in C-backed
-    Python string ops instead of once per gram in re-evaluated Catalyst
-    expressions.
+    Byte-identical output to ``shingles()``: same ASCII normalization as
+    functions.text.normalized_for_compare, and the same SET semantics —
+    ``dict.fromkeys`` first-occurrence dedup here mirrors ``array_distinct``
+    there (equality pinned by a test).  ~10x faster because the
+    normalize+split runs once per row in C-backed Python string ops instead
+    of once per gram in re-evaluated Catalyst expressions.
     """
 
     @F.pandas_udf(T.ArrayType(T.StringType()))

@@ -9,8 +9,11 @@ Scale notes: brute force is a broadcast join of the (small) query set
 against the corpus — O(Q×N) scored rows but no shuffle of the corpus;
 top-k per query via window row_number (partial top-k pushed map-side by
 AQE's partial aggregate is the eventual optimization; row_number keeps
-semantics exact).  The LSH variant buckets both sides by sign-pattern so
-the join is an equi-join on bucket id.
+semantics exact).  The LSH variants bucket both sides by MULTI-BAND
+sign patterns (independent hyperplane groups, OR-amplified like
+MinHash-LSH banding) so the join is an equi-join on (band, bucket):
+recall amplifies with band count and no single skewed bucket owns the
+candidate set.
 """
 
 from __future__ import annotations
@@ -88,6 +91,17 @@ def random_hyperplanes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarr
     return rng.normal(size=(n_planes, dim))
 
 
+def banded_hyperplanes(
+    dim: int, bands: int = 8, rows_per_band: int = 4, seed: int = 42
+) -> np.ndarray:
+    """Independent hyperplane groups for OR-amplified LSH (shape
+    ``(bands, rows_per_band, dim)``): two vectors are candidates if ANY
+    band's full sign pattern matches — same banding scheme MinHash-LSH
+    uses, applied to random-hyperplane cosine sketches."""
+    rng = np.random.RandomState(seed)
+    return rng.normal(size=(bands, rows_per_band, dim))
+
+
 def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
     """Sign-pattern bucket id from fixed random hyperplanes (literal array —
     pure Catalyst, no UDF)."""
@@ -99,30 +113,46 @@ def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
+def lsh_band_buckets(vec: Column, planes: np.ndarray) -> Column:
+    """Array of per-band sign-pattern bucket ids (planes shaped
+    (bands, rows, dim)); posexplode downstream yields the (band, bucket)
+    equi-join key.  Multi-band = OR-amplification: recall rises with band
+    count while each band's bucket stays selective, and a single skewed
+    bucket no longer owns the whole candidate set."""
+    return F.array(*[lsh_bucket(vec, planes[b]) for b in range(planes.shape[0])])
+
+
 def lsh_topk(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 5,
-    n_planes: int = 8,
+    bands: int = 8,
+    rows_per_band: int = 4,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Approximate top-k: candidates share an LSH bucket; same output shape
-    as brute_force_topk (recall < 1 by construction)."""
-    planes = random_hyperplanes(dim, n_planes, seed)
+    """Approximate top-k: candidates share any band's bucket; same output
+    shape as brute_force_topk (recall < 1 by construction, amplified by
+    the band OR)."""
+    planes = banded_hyperplanes(dim, bands, rows_per_band, seed)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
-    ).withColumn("bucket", lsh_bucket(F.col("qv"), planes))
+    ).select(
+        "query_id", "qv", F.posexplode(lsh_band_buckets(F.col("qv"), planes)).alias("band", "bucket")
+    )
     c = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
-    ).withColumn("bucket", lsh_bucket(F.col("cv"), planes))
-    scored = (
-        q.join(c, ["bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .withColumn("sim", F.round(cosine_sim(F.col("qv"), F.col("cv")), 6))
+    ).select(
+        "neighbor_id", "cv", F.posexplode(lsh_band_buckets(F.col("cv"), planes)).alias("band", "bucket")
     )
+    cand = (
+        q.join(c, ["band", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+    )
+    scored = cand.withColumn("sim", F.round(cosine_sim(F.col("qv"), F.col("cv")), 6))
     w = Window.partitionBy("query_id").orderBy(
         F.col("sim").desc(), F.col("neighbor_id").asc()
     )
@@ -138,21 +168,36 @@ def embedding_near_dups(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.95,
-    n_planes: int = 8,
+    bands: int = 8,
+    rows_per_band: int = 4,
     dim: int = 64,
     seed: int = 42,
 ) -> DataFrame:
-    """Near-duplicate pairs by cosine >= threshold within LSH buckets."""
-    planes = random_hyperplanes(dim, n_planes, seed)
+    """Near-duplicate pairs by cosine >= threshold within OR-amplified LSH
+    band buckets (exact cosine re-check keeps precision exact; bands bound
+    per-bucket skew and amplify recall vs a single sign pattern)."""
+    planes = banded_hyperplanes(dim, bands, rows_per_band, seed)
     side = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
-    ).withColumn(
-        "bucket", lsh_bucket(F.col("v"), planes)
+    ).select(
+        "id", "v", F.posexplode(lsh_band_buckets(F.col("v"), planes)).alias("band", "bucket")
     )
     a, b = side.alias("a"), side.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"),
+            F.col("a.v").alias("va"), F.col("b.v").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
     return (
-        a.join(b, (F.col("a.bucket") == F.col("b.bucket")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn("sim", F.round(cosine_sim(F.col("a.v"), F.col("b.v")), 6))
+        cand.withColumn("sim", F.round(cosine_sim(F.col("va"), F.col("vb")), 6))
         .filter(F.col("sim") >= F.lit(threshold))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), "sim")
+        .select("id_a", "id_b", "sim")
     )

@@ -54,10 +54,12 @@ def run_stream_extraction(
     (run_pipeline) — per-turn extraction + classification are
     batch-invariant and safe here.
     """
+    import dataclasses
+
     stream = read_transcripts_stream(spark, input_dir, max_files_per_trigger)
-    per_batch_cfg = PipelineConfig(
-        n_buckets=cfg.n_buckets, salt=cfg.salt, with_sections=False
-    )
+    # carry EVERY caller-supplied config field (turn_spread included) —
+    # only sectionization is overridden for the per-batch stage
+    per_batch_cfg = dataclasses.replace(cfg, with_sections=False)
     out = extract_stage(stream, per_batch_cfg)
     q = (
         out.writeStream.format("parquet")

@@ -35,10 +35,10 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # flagship extraction input: deterministic synthetic transcripts (seed=42).
-# The base table (~51k turns) is generated in pandas, then replicated 40x
-# Spark-side with distinct conv_ids (~2M turns): big enough that extraction
-# CPU dominates fixed per-job overhead, so the N-vs-4N scaling ratio
-# reflects the operator, not job setup.
+# The base table (~51k turns) is generated in pandas, then replicated
+# FLAGSHIP_REPLICAS(=10)x Spark-side with distinct conv_ids (~510k turns):
+# big enough that extraction CPU dominates fixed per-job overhead, so the
+# N-vs-4N scaling ratio reflects the operator, not job setup.
 FLAGSHIP_GEN = dict(n_convs=2000, mean_turns=24, skew_convs=4, skew_factor=40)
 FLAGSHIP_REPLICAS = 10
 FLAGSHIP_PARQUET = "/tmp/bench_transcripts_v2_r10.parquet"

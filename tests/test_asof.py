@@ -42,6 +42,37 @@ def test_equal_timestamp_matches(spark):
     assert r.cid_asof == "c"  # ts >= semantics: same-instant right row counts
 
 
+def test_matched_row_wins_atomically_null_fields_preserved(spark):
+    """A legitimately-NULL field in the matched right row must stay NULL —
+    not be back-filled from an older right row — and all matched columns
+    must come from the SAME right row."""
+    left = spark.createDataFrame(
+        [("u", _ts("2025-01-01T12:00"), "p")], ["user_id", "ts", "pid"]
+    )
+    right = spark.createDataFrame(
+        [("u", _ts("2025-01-01T10:00"), "old", 5),
+         ("u", _ts("2025-01-01T11:00"), None, None)],
+        "user_id string, ts timestamp, label string, v int",
+    )
+    r = asof_join(left, right, on=["user_id"]).collect()[0]
+    assert r.label_asof is None and r.v_asof is None
+
+
+def test_equal_ts_right_rows_deterministic_tiebreak(spark):
+    """Multiple right rows at the same (key, ts): the greatest payload
+    struct wins, independent of partition order."""
+    left = spark.createDataFrame(
+        [("u", _ts("2025-01-01T10:00"), "p")], ["user_id", "ts", "pid"]
+    )
+    right = spark.createDataFrame(
+        [("u", _ts("2025-01-01T10:00"), "a"), ("u", _ts("2025-01-01T10:00"), "b")],
+        ["user_id", "ts", "cid"],
+    )
+    for _ in range(3):
+        r = asof_join(left, right.repartition(4), on=["user_id"]).collect()[0]
+        assert r.cid_asof == "b"
+
+
 def test_left_row_count_preserved(spark):
     left = spark.createDataFrame(
         [("u", _ts("2025-01-01T10:00"), f"p{i}") for i in range(5)],

@@ -52,6 +52,21 @@ class TestHotShingleCap:
         assert [(r.id_a, r.id_b) for r in out] == [(9000, 9001)]
 
 
+def test_shingles_catalyst_and_udf_identical(spark):
+    """Both shingle paths use first-occurrence SET semantics — pinned so the
+    DISTINCT-based SQL oracle stays valid for either."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+        shingles,
+        shingles_udf,
+    )
+
+    texts = ["a b c a b c a b c", "x y", "", "One, two. three two. three!", "a a a a"]
+    df = spark.createDataFrame([(t,) for t in texts], ["text"])
+    a = [r.s for r in df.select(shingles(F.col("text")).alias("s")).collect()]
+    b = [r.s for r in df.select(shingles_udf(3)(F.col("text")).alias("s")).collect()]
+    assert a == b
+
+
 class TestConnectedComponents:
     def test_hash_min_matches_transitive_closure(self, spark):
         from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
