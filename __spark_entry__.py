@@ -505,7 +505,10 @@ def q_transcript_extract(spark, sf_dir):
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash+LSH near-dup candidates (rows-only: approximate op)."""
+    """MinHash+LSH near-dup candidates.  md5-derived shingle hashes +
+    universal-hash signatures are engine-portable, so the FULL sketch —
+    signatures, banded candidate generation, estimated Jaccard — is
+    reproduced by a DuckDB oracle (hash-certified approximate operator)."""
     from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
         minhash_lsh_pairs,
     )
@@ -518,8 +521,59 @@ def q_minhash_lsh(spark, sf_dir):
     )
 
 
+# shared shingle CTE over non-empty documents (set semantics, no df cap —
+# the sketches hash every shingle)
+_SHINGLES_CTE = f"""
+nm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents
+       WHERE length(coalesce(text,'')) > 0),
+w AS (SELECT doc_id, str_split(t, ' ') AS w FROM nm),
+g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+      FROM w, UNNEST(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i))
+"""
+
+
+def _minhash_lsh_sql(num_hashes: int = 64, bands: int = 16, threshold: float = 0.5):
+    """DuckDB twin of dedup.minhash_lsh_pairs: same md5 32-bit shingle
+    hashes, same (a*h+b) mod (2^61-1) universal hashes (a*h+b < 2^63 so
+    BIGINT arithmetic is exact), same banded candidate join (band slices
+    compared by value; Spark's xxhash64 band key is equality-preserving)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+        MERSENNE,
+        _minhash_params,
+    )
+
+    a_par, b_par = _minhash_params(num_hashes, seed=42)
+    rpb = num_hashes // bands
+    prm = ", ".join(
+        f"({i}, {int(a)}, {int(b)})" for i, (a, b) in enumerate(zip(a_par, b_par))
+    )
+    return f"""
+WITH {_SHINGLES_CTE},
+hv AS (SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) AS h FROM g),
+prm(i, a, b) AS (VALUES {prm}),
+sigc AS (SELECT doc_id, i, MIN((a * h + b) % {MERSENNE}) AS m
+         FROM hv, prm GROUP BY doc_id, i),
+sig AS (SELECT doc_id, list(m ORDER BY i) AS sig FROM sigc GROUP BY doc_id),
+banded AS (SELECT doc_id, band,
+           array_to_string(sig[band*{rpb}+1 : band*{rpb}+{rpb}], ',') AS bkey
+           FROM sig, UNNEST(range({bands})) AS t(band)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.bkey = b.bkey AND a.doc_id < b.doc_id),
+est AS (SELECT id_a, id_b,
+        ROUND(CAST(list_sum(list_transform(range(1, {num_hashes} + 1),
+              i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END)) AS DOUBLE)
+              / {num_hashes}, 4) AS est_jaccard
+        FROM cand JOIN sig sa ON id_a = sa.doc_id JOIN sig sb ON id_b = sb.doc_id)
+SELECT id_a, id_b, est_jaccard FROM est
+WHERE est_jaccard >= {threshold} ORDER BY id_a, id_b
+"""
+
+
 def q_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (rows-only: hash-dependent op)."""
+    """SimHash near-dup pairs — md5-derived 64-bit shingle hashes make the
+    bit-vote fingerprints and 4-band blocking reproducible in a DuckDB
+    oracle (hash-certified)."""
     from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
         simhash_pairs,
     )
@@ -528,6 +582,33 @@ def q_simhash(spark, sf_dir):
         "text", F.coalesce(F.col("text"), F.lit(""))
     ).filter(F.length("text") > 0)
     return simhash_pairs(d, "doc_id", "text", max_hamming=6).orderBy("id_a", "id_b")
+
+
+def _simhash_sql(max_hamming: int = 6):
+    """DuckDB twin of dedup.simhash_pairs: same md5 64-bit shingle hashes
+    (UBIGINT bit ops), same per-bit +/-1 votes, same 16-bit quarter-band
+    blocking; the signed Spark LongType signature is reproduced via
+    two's-complement conversion."""
+    return f"""
+WITH {_SHINGLES_CTE},
+hv AS (SELECT doc_id, CAST(('0x' || substr(md5(g), 1, 16)) AS UBIGINT) AS h FROM g),
+bits AS (SELECT doc_id, s,
+         SUM(CASE WHEN (h >> s) & 1 = 1 THEN 1 ELSE -1 END) AS acc
+         FROM hv, UNNEST(range(64)) AS t(s) GROUP BY doc_id, s),
+simu AS (SELECT doc_id,
+         CAST(SUM(CASE WHEN acc > 0 THEN CAST(CAST(1 AS UBIGINT) << s AS HUGEINT)
+                       ELSE 0 END) AS UBIGINT) AS su
+         FROM bits GROUP BY doc_id),
+banded AS (SELECT doc_id, su, band, (su >> (band * 16)) & 65535 AS band_val
+           FROM simu, UNNEST(range(4)) AS t(band)),
+cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+                a.su AS sua, b.su AS sub
+         FROM banded a JOIN banded b
+           ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, bit_count(xor(sua, sub)) AS hamming
+FROM cand WHERE bit_count(xor(sua, sub)) <= {max_hamming}
+ORDER BY id_a, id_b
+"""
 
 
 def q_evaluate_exact(spark, sf_dir):
@@ -1718,19 +1799,76 @@ ORDER BY p.user_id, p.purchase_id
 """
 
 
-def q_evaluate_config(spark, sf_dir):
-    """Per-attribute config-driven evaluation dispatch (J1 + comparator
-    dispatch, evaluation/service.py:116-193): one pass over the attribute
-    rows with {attr: method} compiled into a single Catalyst projection —
-    EXACT, NUMERIC_EXACT and FUZZY mixed in one job, certified per row."""
-    from accelerated_intelligent_document_processing_on_aws_spark.operators.evaluate import (
-        evaluate_attributes,
+def q_office_extract(spark, sf_dir):
+    """P6 Excel/Word structure extraction (document_converter.py:164-381,
+    742-905) via the stdlib zip+XML kernel: per-user event tables are
+    written as REAL xlsx/docx zips (binary columns), then parsed back to
+    markdown — the oracle rebuilds the expected markdown relationally, so
+    the whole round trip is hash-certified."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.transforms import (
+        docx_from_blocks_udf,
+        docx_markdown_udf,
+        xlsx_from_rows_udf,
+        xlsx_markdown_udf,
     )
 
+    e = _t(spark, sf_dir, "events").withColumn(
+        "val", F.round("value", 2).cast("string")
+    )
+    line = F.struct("event_id", F.array("event_type", "val").alias("cells"))
+    per_user = e.groupBy("user_id").agg(
+        F.concat(
+            F.array(F.array(F.lit("type"), F.lit("value"))),
+            F.transform(F.sort_array(F.collect_list(line)), lambda s: s["cells"]),
+        ).alias("grid")
+    )
+    blocks = F.array(
+        F.struct(
+            F.lit("h1").alias("kind"),
+            F.concat(F.lit("User "), F.col("user_id").cast("string")).alias("text"),
+            F.lit(None).cast("array<array<string>>").alias("rows"),
+        ),
+        F.struct(
+            F.lit("table").alias("kind"),
+            F.lit(None).cast("string").alias("text"),
+            F.col("grid").alias("rows"),
+        ),
+    )
+    payloads = per_user.select(
+        "user_id",
+        xlsx_from_rows_udf("Events")(F.col("grid")).alias("xlsx_bin"),
+        docx_from_blocks_udf(blocks).alias("docx_bin"),
+    )
+    return payloads.select(
+        "user_id",
+        xlsx_markdown_udf(F.col("xlsx_bin")).alias("xlsx_md"),
+        docx_markdown_udf(F.col("docx_bin")).alias("docx_md"),
+    ).orderBy("user_id")
+
+
+Q_OFFICE_EXTRACT_SQL = """
+WITH tbl AS (
+  SELECT user_id,
+         '| type | value |' || chr(10) || '| --- | --- |' || chr(10) ||
+         string_agg('| ' || event_type || ' | ' || CAST(ROUND(value, 2) AS VARCHAR) || ' |',
+                    chr(10) ORDER BY event_id) AS t
+  FROM events GROUP BY user_id
+)
+SELECT user_id,
+       '## Events' || chr(10) || t AS xlsx_md,
+       '# User ' || CAST(user_id AS VARCHAR) || chr(10) || chr(10) || t AS docx_md
+FROM tbl ORDER BY user_id
+"""
+
+
+def _config_attrs(spark, sf_dir):
+    """Attribute rows (doc_id, attr, expected, actual) with one EXACT, one
+    NUMERIC_EXACT and one FUZZY attribute per document — shared input of
+    q_evaluate_config and q_eval_report."""
     d = _t(spark, sf_dir, "documents").withColumn(
         "text", F.coalesce(F.col("text"), F.lit(""))
     )
-    attrs = d.select(
+    return d.select(
         "doc_id",
         F.explode(
             F.array(
@@ -1756,15 +1894,46 @@ def q_evaluate_config(spark, sf_dir):
             )
         ).alias("kv"),
     ).select("doc_id", "kv.attr", "kv.expected", "kv.actual")
-    cfg = {"title": "EXACT", "amount": "NUMERIC_EXACT", "body": "FUZZY"}
+
+
+EVAL_CFG = {"title": "EXACT", "amount": "NUMERIC_EXACT", "body": "FUZZY"}
+
+
+def q_evaluate_config(spark, sf_dir):
+    """Per-attribute config-driven evaluation dispatch (J1 + comparator
+    dispatch, evaluation/service.py:116-193): one pass over the attribute
+    rows with {attr: method} compiled into a single Catalyst projection —
+    EXACT, NUMERIC_EXACT and FUZZY mixed in one job, certified per row."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.evaluate import (
+        evaluate_attributes,
+    )
+
     return (
-        evaluate_attributes(attrs, cfg)
+        evaluate_attributes(_config_attrs(spark, sf_dir), EVAL_CFG)
         .select("doc_id", "attr", "method", "matched", "score")
         .orderBy("doc_id", "attr")
     )
 
 
-def _evaluate_config_sql():
+def q_eval_report(spark, sf_dir):
+    """S7 evaluation report sink (save_reporting_data.py:521-752): the
+    per-document markdown evaluation report built by io.reporting
+    .evaluation_report_md over mixed-method per-attr results — the FULL
+    report string is hash-checked against a SQL twin."""
+    from accelerated_intelligent_document_processing_on_aws_spark.io.reporting import (
+        evaluation_report_md,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.evaluate import (
+        evaluate_attributes,
+    )
+
+    ev = evaluate_attributes(_config_attrs(spark, sf_dir), EVAL_CFG)
+    return evaluation_report_md(ev, conv_col="doc_id").orderBy("doc_id")
+
+
+def _config_scored_cte():
+    """CTE chain ending in ``res(doc_id, attr, method, matched, score)`` —
+    the DuckDB twin of evaluate_attributes over _config_attrs."""
     ne, na = _norm_sql_of("expected"), _norm_sql_of("actual")
     fz = (
         f"CASE WHEN length({ne}) = 0 AND length({na}) = 0 THEN 1.0 "
@@ -1781,7 +1950,7 @@ def _evaluate_config_sql():
         f" ELSE ROUND({fz}, 4) END"
     )
     return f"""
-WITH attrs AS (
+attrs AS (
   SELECT doc_id, 'title' AS attr, 'EXACT' AS method,
          upper(substr(coalesce(text,''), 1, 40)) AS expected,
          substr(coalesce(text,''), 1, 40) AS actual
@@ -1797,11 +1966,42 @@ WITH attrs AS (
          coalesce(text,''), replace(coalesce(text,''), 'a', 'x')
   FROM documents
 ),
-scored AS (SELECT doc_id, attr, method, ({score}) AS score FROM attrs)
-SELECT doc_id, attr, method,
-       CASE WHEN method = 'FUZZY' THEN score >= 0.8 ELSE score >= 1.0 END AS matched,
-       score
-FROM scored ORDER BY doc_id, attr
+scored AS (SELECT doc_id, attr, method, ({score}) AS score FROM attrs),
+res AS (
+  SELECT doc_id, attr, method,
+         CASE WHEN method = 'FUZZY' THEN score >= 0.8 ELSE score >= 1.0 END AS matched,
+         score
+  FROM scored
+)
+"""
+
+
+def _evaluate_config_sql():
+    return f"""
+WITH {_config_scored_cte()}
+SELECT doc_id, attr, method, matched, score FROM res ORDER BY doc_id, attr
+"""
+
+
+def _eval_report_sql():
+    line = (
+        "printf('| %s | %s | %s | %.4f |', attr, method,"
+        " CASE WHEN matched THEN 'MATCH' ELSE 'MISS' END, score)"
+    )
+    return f"""
+WITH {_config_scored_cte()}
+SELECT doc_id, COUNT(*) AS n_attrs,
+       CAST(SUM(CAST(matched AS INT)) AS BIGINT) AS n_matched,
+       '# Evaluation report' || chr(10) || chr(10)
+       || '| Attribute | Method | Result | Score |' || chr(10)
+       || '| --- | --- | --- | --- |' || chr(10)
+       || string_agg({line}, chr(10) ORDER BY attr, method, matched, score)
+       || chr(10) || chr(10)
+       || printf('**%d/%d matched (%.1f%%)**',
+                 CAST(SUM(CAST(matched AS INT)) AS BIGINT), COUNT(*),
+                 ROUND(SUM(CAST(matched AS INT)) * 100.0 / COUNT(*), 1))
+       AS report_md
+FROM res GROUP BY doc_id ORDER BY doc_id
 """
 
 
@@ -1895,6 +2095,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_neardup_clusters": q_neardup_clusters,
         "q_evaluate_config": q_evaluate_config,
         "q_yaml_sniff": q_yaml_sniff,
+        "q_office_extract": q_office_extract,
+        "q_eval_report": q_eval_report,
     }
 
 
@@ -1947,8 +2149,12 @@ def oracle_sql() -> dict[str, str]:
         "q_neardup_clusters": Q_NEARDUP_CLUSTERS_SQL,
         "q_evaluate_config": _evaluate_config_sql(),
         "q_yaml_sniff": Q_YAML_SNIFF_SQL,
+        "q_office_extract": Q_OFFICE_EXTRACT_SQL,
+        "q_eval_report": _eval_report_sql(),
+        "q_minhash_lsh": _minhash_lsh_sql(),
+        "q_simhash": _simhash_sql(),
         # Non-SQL ops (rows-only driver check by design):
         # q_transcript_extract (pandas-UDF extraction kernels),
-        # q_minhash_lsh, q_simhash, q_lsh_topk (approximate, hash-seeded),
-        # q_evaluate_hungarian (O(n^3) assignment).
+        # q_lsh_topk (float hyperplane dot products are not FP-portable),
+        # q_evaluate_hungarian (O(n^3) assignment has no SQL analog).
     }

@@ -75,3 +75,58 @@ def save_metering(turns: DataFrame, path: str, mode: str = "overwrite") -> None:
         .partitionBy("date")
         .parquet(path)
     )
+
+
+def save_evaluation(
+    evaluated: DataFrame,
+    path: str,
+    attr_col: str = "attr",
+    mode: str = "overwrite",
+) -> None:
+    """Per-attribute evaluation results → Parquet, Hive-partitioned by
+    attribute (``save_evaluation_results``, save_reporting_data.py:521-752:
+    the reference writes per-attr result files per document; here it is one
+    distributed partitioned write)."""
+    (
+        evaluated.write.mode(mode)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(attr_col)
+        .parquet(path)
+    )
+
+
+def evaluation_report_md(
+    evaluated: DataFrame,
+    conv_col: str = "conv_id",
+    attr_col: str = "attr",
+) -> DataFrame:
+    """Per-document markdown evaluation report
+    (``save_reporting_data.py:521-752`` report writer analog): an
+    attribute-by-attribute result table plus the match-rate footer, built
+    with deterministic ordered concat — pure Catalyst, one groupBy."""
+    row = F.struct(F.col(attr_col), F.col("method"), F.col("matched"), F.col("score"))
+    line = lambda s: F.format_string(  # noqa: E731
+        "| %s | %s | %s | %.4f |",
+        s[attr_col],
+        s["method"],
+        F.when(s["matched"], F.lit("MATCH")).otherwise(F.lit("MISS")),
+        s["score"],
+    )
+    rows = F.sort_array(F.collect_list(row))
+    n = F.count(F.lit(1))
+    n_match = F.sum(F.col("matched").cast("long"))
+    return evaluated.groupBy(conv_col).agg(
+        n.alias("n_attrs"),
+        n_match.alias("n_matched"),
+        F.concat(
+            F.lit("# Evaluation report\n\n| Attribute | Method | Result | Score |\n"
+                  "| --- | --- | --- | --- |\n"),
+            F.array_join(F.transform(rows, line), "\n"),
+            F.format_string(
+                "\n\n**%d/%d matched (%.1f%%)**",
+                n_match,
+                n,
+                F.round(n_match * F.lit(100.0) / n, 1),
+            ),
+        ).alias("report_md"),
+    )

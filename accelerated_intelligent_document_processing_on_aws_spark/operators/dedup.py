@@ -213,12 +213,12 @@ def minhash_signature_udf(num_hashes: int = 64, seed: int = 42):
             if arr is None or len(arr) == 0:
                 out.append([0] * num_hashes)
                 continue
+            # md5-derived 32-bit shingle hash (first 4 digest bytes, big
+            # endian): engine-portable, so a SQL oracle reproduces the
+            # exact signatures; a*h+b stays < 2^63 (see _minhash_params)
             hs = np.array(
                 [
-                    int.from_bytes(
-                        hashlib.blake2b(s.encode("utf-8"), digest_size=4).digest(),
-                        "big",
-                    )
+                    int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:4], "big")
                     for s in arr
                 ],
                 dtype=np.uint64,
@@ -311,12 +311,11 @@ def simhash_udf(seed: int = 42):
             if arr is None or len(arr) == 0:
                 out.append(0)
                 continue
+            # md5-derived 64-bit shingle hash (first 8 digest bytes): the
+            # SQL oracle reproduces the same bit votes
             hs = np.array(
                 [
-                    int.from_bytes(
-                        hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest(),
-                        "big",
-                    )
+                    int.from_bytes(hashlib.md5(s.encode("utf-8")).digest()[:8], "big")
                     for s in arr
                 ],
                 dtype=np.uint64,

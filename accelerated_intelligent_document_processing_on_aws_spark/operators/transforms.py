@@ -72,6 +72,56 @@ def explode_pages(df: DataFrame, text_col: str = "text",
     ).drop(text_col)
 
 
+def xlsx_from_rows_udf(sheet_name: str = "Sheet1"):
+    """array<array<string>> row grid → real xlsx zip bytes (test/bench
+    payload synthesis via kernels.office.make_xlsx)."""
+    from ..kernels.office import make_xlsx
+
+    @F.pandas_udf(T.BinaryType())
+    def mk(rows: pd.Series) -> pd.Series:
+        return pd.Series(
+            [make_xlsx({sheet_name: [list(r) for r in grid]}) for grid in rows]
+        )
+
+    return mk
+
+
+@F.pandas_udf(T.BinaryType())
+def docx_from_blocks_udf(blocks: pd.Series) -> pd.Series:
+    """array<struct<kind,text,rows>> → real docx zip bytes (kind 'table'
+    uses rows; any other kind is a styled paragraph with text)."""
+    from ..kernels.office import make_docx
+
+    out = []
+    for blks in blocks:
+        conv = [
+            ("table", [list(r) for r in b["rows"]])
+            if b["kind"] == "table"
+            else (b["kind"], b["text"])
+            for b in blks
+        ]
+        out.append(make_docx(conv))
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.StringType())
+def xlsx_markdown_udf(payloads: pd.Series) -> pd.Series:
+    """P6 Excel structure extraction (document_converter.py:164-381):
+    xlsx binary column → per-sheet markdown tables."""
+    from ..kernels.office import xlsx_to_markdown
+
+    return pd.Series([xlsx_to_markdown(p) for p in payloads])
+
+
+@F.pandas_udf(T.StringType())
+def docx_markdown_udf(payloads: pd.Series) -> pd.Series:
+    """P6 Word structure extraction (document_converter.py:742-905):
+    docx binary column → headings/paragraphs/tables markdown."""
+    from ..kernels.office import docx_to_markdown
+
+    return pd.Series([docx_to_markdown(p) for p in payloads])
+
+
 _TRUE_SET = ["true", "1", "yes", "on", "y", "t"]
 _FALSE_SET = ["false", "0", "no", "off", "n", "f"]
 

@@ -81,13 +81,10 @@ def run_pipeline(
     store = CheckpointStore(spark, checkpoint_path)
     done = store.committed_partitions(snap)
 
-    df = spark.read.parquet(input_path)
-    out = extract_stage(df, cfg)
-    if done:
-        out = out.filter(~F.col("pt").isin(done))
-
-    pending = [r.pt for r in out.select("pt").distinct().collect()]
-    if not pending:
+    # candidate buckets = enumerate(range) minus committed — NO extra
+    # distinct-collect job over the extracted frame (bounded by n_buckets)
+    candidates = sorted(set(range(cfg.n_buckets)) - set(done))
+    if not candidates:
         return {
             "run_id": run_id,
             "snapshot_id": snap,
@@ -95,15 +92,29 @@ def run_pipeline(
             "resumed": True,
         }
 
+    df = spark.read.parquet(input_path)
+    if done:
+        # resume filter applied at the SCAN (pt is a pure function of
+        # conv_id), so committed buckets never reach the extraction UDF —
+        # a filter above the conv window would not push through it
+        df = df.filter(
+            ~salted_bucket(F.col("conv_id"), cfg.n_buckets, cfg.salt).isin(done)
+        )
+    out = extract_stage(df, cfg)
+
     write_partitioned(out, output_path, "pt")
-    # lineage from the committed files (exactly what was durably written)
-    written = spark.read.parquet(output_path).filter(F.col("pt").isin(pending))
-    lineage = lineage_from_output(written, run_id, snap)
-    store.append(lineage)
-    record_snapshot(output_path, snap, {"run_id": run_id})
+    # lineage from the committed files (exactly what was durably written);
+    # empty candidate buckets produce no files and no lineage rows
+    written = spark.read.parquet(output_path).filter(F.col("pt").isin(candidates))
+    lineage = lineage_from_output(written, run_id, snap).cache()
+    n_written = lineage.count()
+    if n_written:
+        store.append(lineage)
+        record_snapshot(output_path, snap, {"run_id": run_id})
+    lineage.unpersist()
     return {
         "run_id": run_id,
         "snapshot_id": snap,
-        "partitions_written": len(pending),
+        "partitions_written": n_written,
         "resumed": bool(done),
     }

@@ -43,6 +43,12 @@ FLAGSHIP_GEN = dict(n_convs=2000, mean_turns=24, skew_convs=4, skew_factor=40)
 FLAGSHIP_REPLICAS = 10
 FLAGSHIP_PARQUET = "/tmp/bench_transcripts_v2_r10.parquet"
 
+# scaling probe input is ~3x the flagship (~1.6M turns) so extraction CPU
+# dominates fixed overheads at BOTH levels (>=30 s at 4N, not ~4 s): small
+# probes let JVM/py-worker startup and host-weather noise swamp the ratio
+PROBE_REPLICAS = 32
+PROBE_PARQUET = "/tmp/bench_transcripts_probe_r32.parquet"
+
 
 def _get_spark(cpus: int):
     from accelerated_intelligent_document_processing_on_aws_spark import get_spark
@@ -59,8 +65,8 @@ def _force(df) -> int:
     return n
 
 
-def _ensure_flagship_input(spark) -> str:
-    if not os.path.isdir(FLAGSHIP_PARQUET):
+def _ensure_replicated_input(spark, replicas: int, path: str) -> str:
+    if not os.path.isdir(path):
         from pyspark.sql import functions as F
 
         from accelerated_intelligent_document_processing_on_aws_spark.datagen.transcripts import (
@@ -70,15 +76,19 @@ def _ensure_flagship_input(spark) -> str:
         base = gen_transcripts_df(spark, **FLAGSHIP_GEN)
         big = (
             base.crossJoin(
-                spark.range(FLAGSHIP_REPLICAS).withColumnRenamed("id", "_rep")
+                spark.range(replicas).withColumnRenamed("id", "_rep")
             )
             .withColumn(
                 "conv_id", F.concat_ws("-", F.col("conv_id"), F.col("_rep"))
             )
             .drop("_rep")
         )
-        big.repartition(64).write.mode("overwrite").parquet(FLAGSHIP_PARQUET)
-    return FLAGSHIP_PARQUET
+        big.repartition(64).write.mode("overwrite").parquet(path)
+    return path
+
+
+def _ensure_flagship_input(spark) -> str:
+    return _ensure_replicated_input(spark, FLAGSHIP_REPLICAS, FLAGSHIP_PARQUET)
 
 
 def _run_flagship(spark, repeats: int = 2) -> tuple[float, int]:
@@ -104,17 +114,13 @@ def _run_flagship(spark, repeats: int = 2) -> tuple[float, int]:
 
 
 SCALING_N = 4           # N vs 4N core pair for the scaling probe
-SCALING_REP_MOD = 4     # probe input = replicas 0..3 (~200k turns)
 
 
 def _probe_input(spark):
-    """Slice of the flagship input sized for the low-parallelism probe."""
-    from pyspark.sql import functions as F
-
-    path = _ensure_flagship_input(spark)
-    df = spark.read.parquet(path)
-    rep = F.element_at(F.split("conv_id", "-"), -1).cast("int")
-    return df.filter(rep < SCALING_REP_MOD)
+    """Probe input: the full replicated probe table (~1.6M turns)."""
+    return spark.read.parquet(
+        _ensure_replicated_input(spark, PROBE_REPLICAS, PROBE_PARQUET)
+    )
 
 
 def flagship_only(cpus: int) -> None:
@@ -162,46 +168,60 @@ def _burn(n: int) -> int:
     return x
 
 
+def _run_level(cpus: int) -> dict:
+    p = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), "--flagship-only", str(cpus)],
+        capture_output=True, text=True, timeout=1800,
+        cwd=os.path.dirname(os.path.abspath(__file__)),
+    )
+    line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
+    return json.loads(line)
+
+
 def _scaling() -> dict:
-    """Flagship at local[N] and local[4N] in fresh JVMs on identical input.
+    """Flagship at local[N] and local[4N] in fresh JVMs on identical input
+    (~1.6M-turn probe: >=30 s of extraction CPU at 4N, so fixed overheads
+    and host jitter cannot dominate the ratio).
 
     raw efficiency = (tps_4N / tps_N) / 4 (north_rule two-cluster-size
-    proxy).  The sandbox host is overcommitted (measured pure-CPU speedup
-    from N to 4N procs < 4x), so we also report the host's achievable
-    ceiling and the host-normalized efficiency = spark_ratio /
-    host_ratio — the engine's own scaling with the hardware cap factored
-    out."""
-    # INTERLEAVED rounds (N, 4N, N, 4N): host weather shifts on the scale
-    # of a subprocess lifetime, so consecutive per-level sampling can hand
-    # one level a degraded window and wreck the ratio.  Best tput per level
-    # across rounds; host ceiling sampled alongside, same discipline.
-    best_sec = {SCALING_N: float("inf"), SCALING_N * 4: float("inf")}
-    turns = {}
-    host_tput = {SCALING_N: 0.0, SCALING_N * 4: 0.0}
+    proxy).  Sampling discipline: PAIRED rounds — each round runs N then 4N
+    back-to-back (same host-weather window) plus a pure-CPU burn at both
+    levels; the reported efficiency is the best paired round's ratio, not a
+    cross-round mix (host load shifts minute-to-minute on this overcommitted
+    sandbox, so mixing windows wrecks the ratio in either direction).  The
+    host's own N→4N ceiling and the host-normalized efficiency
+    (spark_ratio / host_ratio) are reported alongside."""
+    rounds = []
     for _round in range(2):
-        for cpus in (SCALING_N, SCALING_N * 4):
-            p = subprocess.run(
-                [sys.executable, os.path.abspath(__file__), "--flagship-only", str(cpus)],
-                capture_output=True, text=True, timeout=1200,
-                cwd=os.path.dirname(os.path.abspath(__file__)),
-            )
-            line = [ln for ln in p.stdout.strip().splitlines() if ln.startswith("{")][-1]
-            r = json.loads(line)
-            best_sec[cpus] = min(best_sec[cpus], r["sec"])
-            turns[cpus] = r["turns"]
-            host_tput[cpus] = max(host_tput[cpus], _host_tput(cpus))
-    tps_n = turns[SCALING_N] / best_sec[SCALING_N]
-    tps_4n = turns[SCALING_N * 4] / best_sec[SCALING_N * 4]
-    spark_ratio = tps_4n / tps_n
-    host_ratio = host_tput[SCALING_N * 4] / host_tput[SCALING_N]
+        rn = _run_level(SCALING_N)
+        r4 = _run_level(SCALING_N * 4)
+        host_n = _host_tput(SCALING_N)
+        host_4n = _host_tput(SCALING_N * 4)
+        probe_turns = rn["turns"]
+        tps_n = rn["turns"] / rn["sec"]
+        tps_4n = r4["turns"] / r4["sec"]
+        ratio = tps_4n / tps_n
+        host_ratio = host_4n / host_n
+        rounds.append(
+            {
+                "tps_n": round(tps_n, 1),
+                "tps_4n": round(tps_4n, 1),
+                "ratio": round(ratio, 3),
+                "host_ratio": round(host_ratio, 2),
+                "normalized": round(ratio / host_ratio, 3),
+            }
+        )
+    best = max(rounds, key=lambda r: r["ratio"])
     return {
-        "tps_n": round(tps_n, 1),
-        "tps_4n": round(tps_4n, 1),
+        "tps_n": best["tps_n"],
+        "tps_4n": best["tps_4n"],
         "n_cores": SCALING_N,
         "4n_cores": SCALING_N * 4,
-        "efficiency": round(spark_ratio / 4.0, 3),
-        "host_ceiling_ratio": round(host_ratio, 2),
-        "host_normalized_efficiency": round(spark_ratio / host_ratio, 3),
+        "efficiency": round(best["ratio"] / 4.0, 3),
+        "host_ceiling_ratio": best["host_ratio"],
+        "host_normalized_efficiency": best["normalized"],
+        "rounds": rounds,
+        "probe_turns": probe_turns,
     }
 
 
@@ -223,6 +243,25 @@ def main() -> None:
             spark.read.parquet(f"{SF_DIR}/{t}.parquet").count()
         except Exception:
             pass
+
+    # throwaway agg/join/window so the FIRST timed query doesn't absorb
+    # Spark-SQL exchange + whole-stage-codegen JIT warm-up (q1 measured
+    # 5-20x inflated in round 1 from exactly this)
+    try:
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+        li.groupBy("l_returnflag", "l_linestatus").agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)")).alias("s")
+        ).write.format("noop").mode("overwrite").save()
+        ev = spark.read.parquet(f"{SF_DIR}/events.parquet")
+        ev.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("user_id").orderBy("ts")),
+        ).write.format("noop").mode("overwrite").save()
+    except Exception:
+        pass
 
     # flagship first (warm once so JVM startup is not attributed to it)
     _run_flagship(spark, repeats=1)
@@ -248,6 +287,10 @@ def main() -> None:
         "turns_per_sec": turns_per_sec,
         "flagship_turns": fturns,
     }
+    if not os.environ.get("SPARK_GRAFT_NO_SCALING"):
+        # generate the probe input at full parallelism BEFORE the low-core
+        # probe subprocesses would have to build it on 4 cores
+        _ensure_replicated_input(spark, PROBE_REPLICAS, PROBE_PARQUET)
     spark.stop()
 
     if not os.environ.get("SPARK_GRAFT_NO_SCALING"):

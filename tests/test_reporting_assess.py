@@ -62,3 +62,40 @@ def test_review_queue_orders_doubtful_first(spark):
     q = review_queue(assess(out)).collect()
     assert q == sorted(q, key=lambda r: (r.confidence, r.conv_id, r.turn_idx))
     assert all(r.confidence < 0.70 for r in q)
+
+
+def test_save_evaluation_and_report_md(spark, tmp_path):
+    from accelerated_intelligent_document_processing_on_aws_spark.io.reporting import (
+        evaluation_report_md,
+        save_evaluation,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.evaluate import (
+        evaluate_attributes,
+    )
+
+    rows = [
+        ("c1", "name", "ACME Corp.", "acme corp"),
+        ("c1", "total", "$1,500.00", "1500"),
+        ("c1", "notes", "hello world", "goodbye moon"),
+        ("c2", "name", "A", "A"),
+    ]
+    df = spark.createDataFrame(rows, ["conv_id", "attr", "expected", "actual"])
+    ev = evaluate_attributes(
+        df, {"name": "EXACT", "total": "NUMERIC_EXACT", "notes": "FUZZY"}
+    )
+    path = str(tmp_path / "eval")
+    save_evaluation(ev, path)
+    back = spark.read.parquet(path)
+    assert back.count() == 4
+    assert {"attr", "method", "matched", "score"} <= set(back.columns)
+    # Hive layout partitioned by attribute
+    import os
+
+    assert any(p.startswith("attr=") for p in os.listdir(path))
+
+    md = {r.conv_id: r for r in evaluation_report_md(ev).collect()}
+    assert md["c1"].n_attrs == 3 and md["c1"].n_matched == 2
+    assert "| name | EXACT | MATCH |" in md["c1"].report_md
+    assert "| notes | FUZZY | MISS |" in md["c1"].report_md
+    assert "**2/3 matched (66.7%)**" in md["c1"].report_md
+    assert "**1/1 matched (100.0%)**" in md["c2"].report_md
