@@ -77,6 +77,31 @@ def save_metering(turns: DataFrame, path: str, mode: str = "overwrite") -> None:
     )
 
 
+_DDL_TYPES = {
+    "string": "STRING", "long": "BIGINT", "integer": "INT", "int": "INT",
+    "double": "DOUBLE", "float": "FLOAT", "boolean": "BOOLEAN",
+    "timestamp": "TIMESTAMP", "date": "DATE", "binary": "BINARY",
+}
+
+
+def table_ddl(df: DataFrame, table_name: str, partition_cols: list[str] | None = None) -> str:
+    """Hive/Athena-compatible ``CREATE EXTERNAL TABLE`` DDL for a reporting
+    DataFrame (S8 analog of the reference's Glue table creation,
+    ``save_reporting_data.py:358-479`` / ``_convert_schema_to_glue_columns``
+    ``:321-356``) — on Iceberg the catalog handles this; for plain
+    Hive-layout parquet this DDL registers the same table shape."""
+    partition_cols = partition_cols or []
+    cols, parts = [], []
+    for f in df.schema.fields:
+        t = _DDL_TYPES.get(f.dataType.typeName(), f.dataType.simpleString().upper())
+        (parts if f.name in partition_cols else cols).append(f"  `{f.name}` {t}")
+    ddl = f"CREATE EXTERNAL TABLE IF NOT EXISTS `{table_name}` (\n" + ",\n".join(cols) + "\n)"
+    if parts:
+        ddl += "\nPARTITIONED BY (\n" + ",\n".join(parts) + "\n)"
+    ddl += "\nSTORED AS PARQUET"
+    return ddl
+
+
 def save_evaluation(
     evaluated: DataFrame,
     path: str,

@@ -154,13 +154,17 @@ def ngram_jaccard_pairs(
     ).withColumn("n_sh", F.size("sh"))
     exploded = sh.select("id", "n_sh", F.explode("sh").alias("g"))
     if df_cap is not None:
-        hot = (
-            exploded.groupBy("g")
-            .agg(F.count(F.lit(1)).alias("_df"))
-            .filter(F.col("_df") > df_cap)
-            .select("g")
+        # df per shingle via a window over g, NOT a separate agg+anti-join:
+        # the window's exchange hash-partitions by g — exactly what the
+        # a.g == b.g self-join needs — so Catalyst plans ONE shuffle and a
+        # ReusedExchange for the second join side instead of recomputing
+        # the shingle UDF subtree for a broadcast hot-set
+        wg = Window.partitionBy("g")
+        exploded = (
+            exploded.withColumn("_df", F.count(F.lit(1)).over(wg))
+            .filter(F.col("_df") <= df_cap)
+            .drop("_df")
         )
-        exploded = exploded.join(F.broadcast(hot), "g", "left_anti")
     a = exploded.alias("a")
     b = exploded.alias("b")
     # lossless size-ratio prune: J >= t implies min(n)/max(n) >= t, so pairs

@@ -75,6 +75,10 @@ def evaluate_turns(
         matched = numeric_normalize(e).eqNullSafe(numeric_normalize(x))
         score = matched.cast("double")
     elif method == "FUZZY":
+        # Catalyst levenshtein is still O(len^2) CPU on tiny bytes: after
+        # the join AQE coalesces to one partition (it only sees bytes), so
+        # spread explicitly — an explicit-count repartition is exempt
+        j = j.repartition(j.sparkSession.sparkContext.defaultParallelism)
         score = fuzzy_score_col(e, x)
         matched = score >= F.lit(fuzzy_threshold)
     elif method == "SEMANTIC":
@@ -158,6 +162,32 @@ def evaluate_attributes(
         F.col("score") >= F.lit(1.0),
     ).otherwise(F.col("score") >= F.lit(fuzzy_threshold))
     return out.withColumn("matched", matched)
+
+
+def evaluate_document_attributes(
+    actual: DataFrame,
+    golden: DataFrame,
+    config: dict,
+    keys: tuple = ("conv_id", "attr"),
+    value_col: str = "value",
+    default_method: str = "EXACT",
+    fuzzy_threshold: float = 0.8,
+) -> DataFrame:
+    """Golden-vs-actual per-attribute evaluation in one pass: full-outer
+    join on (conv_id, attr) [J1] + config-driven comparator dispatch
+    (``evaluation/service.py:514-700`` pairing + ``:116-193`` method
+    lookup).  Missing sides arrive as NULL, so equality methods count them
+    as mismatches (fn/fp) exactly like the reference's unmatched keys."""
+    a = actual.select(*keys, F.col(value_col).alias("actual"))
+    g = golden.select(*keys, F.col(value_col).alias("expected"))
+    pairs = g.join(a, list(keys), "full_outer")
+    return evaluate_attributes(
+        pairs,
+        config,
+        attr_col=keys[1],
+        default_method=default_method,
+        fuzzy_threshold=fuzzy_threshold,
+    )
 
 
 def attribute_rollup(evaluated: DataFrame, attr_col: str = "attr") -> DataFrame:

@@ -99,3 +99,49 @@ def test_save_evaluation_and_report_md(spark, tmp_path):
     assert "| notes | FUZZY | MISS |" in md["c1"].report_md
     assert "**2/3 matched (66.7%)**" in md["c1"].report_md
     assert "**1/1 matched (100.0%)**" in md["c2"].report_md
+
+
+def test_table_ddl_matches_schema(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.io.reporting import (
+        sections_reporting,
+        table_ddl,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.sectionize import (
+        sectionize,
+    )
+
+    turns = extract_stage(gen_transcripts_df(spark, n_convs=5, mean_turns=4))
+    df = sections_reporting(turns)
+    ddl = table_ddl(df, "doc_sections", ["classification", "date"])
+    assert ddl.startswith("CREATE EXTERNAL TABLE IF NOT EXISTS `doc_sections`")
+    assert "`conv_id` STRING" in ddl
+    assert "`n_turns` BIGINT" in ddl
+    assert "PARTITIONED BY" in ddl and "`date` STRING" in ddl
+    # partition cols must not appear in the main column list
+    main = ddl.split("PARTITIONED BY")[0]
+    assert "`classification`" not in main and "`date`" not in main
+    assert ddl.endswith("STORED AS PARQUET")
+
+
+def test_evaluate_document_attributes_full_outer(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.evaluate import (
+        evaluate_document_attributes,
+    )
+
+    golden = spark.createDataFrame(
+        [("c1", "name", "ACME"), ("c1", "total", "$5"), ("c1", "extra", "x")],
+        ["conv_id", "attr", "value"],
+    )
+    actual = spark.createDataFrame(
+        [("c1", "name", "acme"), ("c1", "total", "5.0"), ("c1", "spurious", "y")],
+        ["conv_id", "attr", "value"],
+    )
+    out = {
+        r.attr: r.matched
+        for r in evaluate_document_attributes(
+            actual, golden, {"name": "EXACT", "total": "NUMERIC_EXACT"}
+        ).collect()
+    }
+    assert out["name"] is True and out["total"] is True
+    # golden-only attr (fn) and actual-only attr (fp) both present, unmatched
+    assert out["extra"] is False and out["spurious"] is False
