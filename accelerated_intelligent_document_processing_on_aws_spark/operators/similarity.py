@@ -19,8 +19,10 @@ candidate set.
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .common import ensure_min_partitions
 
@@ -113,6 +115,28 @@ def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
     return bucket
 
 
+def lsh_band_buckets_udf(planes: np.ndarray):
+    """Banded bucket ids via ONE numpy matmul per Arrow batch:
+    ``(batch, dim) @ (dim, bands*rows)`` then sign-weighted sums — the
+    vectorized fast path for many planes (Catalyst higher-order functions
+    interpret each of the bands*rows dot products per element, measured
+    ~10x slower at 8x4 planes).  Bucket ids only feed an equi-join, so the
+    rare sign flip from a different FP summation order just moves a
+    borderline candidate between (equally valid) buckets."""
+    flat = planes.reshape(-1, planes.shape[-1]).T.copy()  # (dim, bands*rows)
+    bands, rows = planes.shape[0], planes.shape[1]
+    weights = (1 << np.arange(rows)).astype(np.int64)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def bk(vecs: pd.Series) -> pd.Series:
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        signs = (m @ flat) >= 0
+        buckets = (signs.reshape(len(m), bands, rows) * weights).sum(axis=2)
+        return pd.Series(list(buckets.astype(np.int32)))
+
+    return bk
+
+
 def lsh_band_buckets(vec: Column, planes: np.ndarray) -> Column:
     """Array of per-band sign-pattern bucket ids (planes shaped
     (bands, rows, dim)); posexplode downstream yields the (band, bucket)
@@ -137,15 +161,16 @@ def lsh_topk(
     shape as brute_force_topk (recall < 1 by construction, amplified by
     the band OR)."""
     planes = banded_hyperplanes(dim, bands, rows_per_band, seed)
+    bk = lsh_band_buckets_udf(planes)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     ).select(
-        "query_id", "qv", F.posexplode(lsh_band_buckets(F.col("qv"), planes)).alias("band", "bucket")
+        "query_id", "qv", F.posexplode(bk(F.col("qv"))).alias("band", "bucket")
     )
     c = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     ).select(
-        "neighbor_id", "cv", F.posexplode(lsh_band_buckets(F.col("cv"), planes)).alias("band", "bucket")
+        "neighbor_id", "cv", F.posexplode(bk(F.col("cv"))).alias("band", "bucket")
     )
     cand = (
         q.join(c, ["band", "bucket"])
@@ -180,7 +205,8 @@ def embedding_near_dups(
     side = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).select(
-        "id", "v", F.posexplode(lsh_band_buckets(F.col("v"), planes)).alias("band", "bucket")
+        "id", "v",
+        F.posexplode(lsh_band_buckets_udf(planes)(F.col("v"))).alias("band", "bucket"),
     )
     a, b = side.alias("a"), side.alias("b")
     cand = (
