@@ -210,11 +210,16 @@ def _scaling() -> dict:
     host's own N→4N ceiling and the host-normalized efficiency
     (spark_ratio / host_ratio) are reported alongside."""
     rounds = []
+    t_start = time.time()
     for _round in range(3):
         # adaptive sampling: stop as soon as one clean-weather round has
         # demonstrated >=0.85 efficiency — extra rounds only buy insurance
-        # against a degraded window
-        if rounds and max(r["ratio"] for r in rounds) >= 3.4:
+        # against a degraded window; a wall-clock budget guards the outer
+        # bench timeout when every round lands in bad weather
+        if rounds and (
+            max(r["ratio"] for r in rounds) >= 3.4
+            or time.time() - t_start > 720
+        ):
             break
         rn = _run_level(SCALING_N)
         r4 = _run_level(SCALING_N * 4)
