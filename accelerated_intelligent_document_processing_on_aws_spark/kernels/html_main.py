@@ -37,7 +37,9 @@ BLOCK_TAGS = (
 STRUCTURAL_BOILER = {"nav", "header", "footer", "aside", "script", "style", "head", "title"}
 
 _TAG = re.compile(r"<(/?)([a-zA-Z][a-zA-Z0-9]*)((?:\s[^<>]*)?)(/?)>")
-_BLOCK_TAG = re.compile(rf"^(?:{BLOCK_TAGS})$", re.IGNORECASE)
+# set membership beats a regex match in the per-tag hot loop (tag names are
+# already lowercased before the check)
+_BLOCK_TAG_SET = frozenset(BLOCK_TAGS.split("|"))
 _WORD = re.compile(r"\S+")
 
 DEFAULT_MAX_LINK_DENSITY = 0.33
@@ -73,8 +75,11 @@ def segment_blocks(html: str):
 
     def flush():
         # append the finished block; caller recreates `cur` AFTER adjusting
-        # boiler_depth so the next block sees the post-tag structural depth
-        if cur.text():
+        # boiler_depth so the next block sees the post-tag structural depth.
+        # `start >= 0` ⟺ some visible (non-whitespace) run was added ⟺
+        # text() would be non-empty — an O(1) test instead of collapsing
+        # whitespace at every tag boundary (most inter-tag blocks are empty)
+        if cur.start >= 0:
             blocks.append(cur)
 
     for m in _TAG.finditer(html):
@@ -92,14 +97,15 @@ def segment_blocks(html: str):
             if anchor_depth > 0:
                 cur.link_chars += len(collapse_ws(vis))
         pos = m.end()
-        closing, name, _attrs, selfclose = m.group(1), m.group(2).lower(), m.group(3), m.group(4)
+        closing, name, _attrs, selfclose = m.groups()
+        name = name.lower()
         if name == "a":
             if closing:
                 anchor_depth = max(0, anchor_depth - 1)
             elif not selfclose:
                 anchor_depth += 1
             continue
-        if _BLOCK_TAG.match(name):
+        if name in _BLOCK_TAG_SET:
             flush()
             if name in STRUCTURAL_BOILER:
                 if closing:
