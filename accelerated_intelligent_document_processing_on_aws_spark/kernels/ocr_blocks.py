@@ -55,8 +55,12 @@ def extract_lines(payload: str, base: int = 0) -> Tuple[str, List[Span]]:
         if idx >= 0:
             spans.append((sid, "ocr_line", base + idx, base + idx + len(t), t))
             cursor = idx + len(t)
-        else:  # not literally findable (escapes) — span covers nothing
-            spans.append((sid, "ocr_line", base, base, t))
+        else:
+            # not literally findable (JSON escapes) — zero-width span with
+            # empty text, upholding the span contract
+            # ``text == original[start:end]`` (the line text still reaches
+            # the output through the extracted_text join)
+            spans.append((sid, "ocr_line", base, base, ""))
         sid += 1
     return "\n".join(texts), spans
 

@@ -24,6 +24,23 @@ from pyspark.sql import types as T
 
 from ..kernels.extract import extract_turn
 
+# Spans travel OFFSET-ONLY through the engine: the span contract
+# (kernels/normalize.py) guarantees ``text == original[start:end]``, so the
+# text field is redundant payload — it roughly doubles the Arrow transfer
+# out of the UDF and the bytes through the conv-keyed window shuffle.  It
+# is reconstructed JVM-side (``respan_with_text``: one substring per span)
+# AFTER the shuffles, restoring the public 5-field schema byte-for-byte.
+SPAN_CORE_TYPE = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("span_id", T.IntegerType()),
+            T.StructField("kind", T.StringType()),
+            T.StructField("start", T.IntegerType()),
+            T.StructField("end", T.IntegerType()),
+        ]
+    )
+)
+
 SPAN_TYPE = T.ArrayType(
     T.StructType(
         [
@@ -39,7 +56,7 @@ SPAN_TYPE = T.ArrayType(
 EXTRACT_RESULT_TYPE = T.StructType(
     [
         T.StructField("extracted_text", T.StringType()),
-        T.StructField("spans", SPAN_TYPE),
+        T.StructField("spans", SPAN_CORE_TYPE),
         T.StructField("payload_kinds", T.ArrayType(T.StringType())),
         T.StructField("is_boundary", T.BooleanType()),
     ]
@@ -52,7 +69,7 @@ def extract_udf(texts: pd.Series) -> pd.DataFrame:
     for t in texts:
         et, spans, kinds, boundary = extract_turn(t)
         out_text.append(et)
-        out_spans.append(spans)
+        out_spans.append([s[:4] for s in spans])
         out_kinds.append(kinds)
         out_bound.append(boundary)
     return pd.DataFrame(
@@ -65,8 +82,28 @@ def extract_udf(texts: pd.Series) -> pd.DataFrame:
     )
 
 
+def respan_with_text(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Rehydrate the span ``text`` field from offsets into the original
+    text column (pure Catalyst, one substring per span) — applied after
+    the shuffles so span text never rides an exchange."""
+    t = F.col(text_col)
+    return df.withColumn(
+        "spans",
+        F.transform(
+            F.col("spans"),
+            lambda s: F.struct(
+                s["span_id"].alias("span_id"),
+                s["kind"].alias("kind"),
+                s["start"].alias("start"),
+                s["end"].alias("end"),
+                F.substring(t, s["start"] + 1, s["end"] - s["start"]).alias("text"),
+            ),
+        ),
+    )
+
+
 def with_extraction(df: DataFrame, text_col: str = "text") -> DataFrame:
-    """Append extraction columns to a transcripts DataFrame."""
+    """Append extraction columns (spans offset-only; see respan_with_text)."""
     r = extract_udf(F.col(text_col)).alias("_x")
     return (
         df.withColumn("_x", r)

@@ -32,7 +32,7 @@ from pyspark.sql import functions as F
 from .functions.text import turn_class_col
 from .io.checkpoint import CheckpointStore, lineage_from_output, new_run_id
 from .io.tables import record_snapshot, salted_bucket, snapshot_id, write_partitioned
-from .operators.extract import with_extraction
+from .operators.extract import respan_with_text, with_extraction
 from .operators.sectionize import sectionize
 
 
@@ -54,17 +54,37 @@ class PipelineConfig:
 def extract_stage(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
     """Salt → extract → classify → (optionally) sectionize."""
     df = df.withColumn("pt", salted_bucket(F.col("conv_id"), cfg.n_buckets, cfg.salt))
-    # explicit partition count: a bare repartition(cols) exchange is
-    # AQE-coalescible by BYTES, which starves the CPU-heavy extraction UDF
-    # of parallelism (observed 8 tasks on 32 cores)
-    df = df.repartition(
-        cfg.n_buckets, F.col("pt"), F.pmod(F.col("turn_idx"), F.lit(cfg.turn_spread))
-    )
+    # The spread exchange exists for inputs that arrive UNBALANCED or
+    # UNDER-SPLIT (createDataFrame frames slice by driver-side layout —
+    # often conv-clustered; tiny tables; streaming micro-batches) — without
+    # it the CPU-heavy extraction UDF starves (and a bare repartition(cols)
+    # would be AQE-coalesced by BYTES, blind to CPU, hence the explicit
+    # count).  A FILE-BACKED scan with enough splits skips the exchange
+    # entirely: parquet splits are even by bytes and the UDF is per-row, so
+    # conversation-size skew cannot unbalance it — at 100 TB the scan is
+    # naturally split and this branch saves a full-table shuffle.
+    needs_spread = True
+    if not df.isStreaming:
+        sc = df.sparkSession.sparkContext
+        try:
+            needs_spread = not (
+                len(df.inputFiles()) > 0
+                and df.rdd.getNumPartitions() >= sc.defaultParallelism
+            )
+        except Exception:
+            needs_spread = True
+    if needs_spread:
+        df = df.repartition(
+            cfg.n_buckets, F.col("pt"), F.pmod(F.col("turn_idx"), F.lit(cfg.turn_spread))
+        )
     df = with_extraction(df)
     df = df.withColumn("turn_class", turn_class_col(F.col("extracted_text")))
     if cfg.with_sections:
         df = sectionize(df)
-    return df
+    # span text rehydrated LAST: offsets-only spans ride the Arrow transfer
+    # and the conv window shuffle; the public 5-field schema is restored
+    # here byte-for-byte (substring of the original text column)
+    return respan_with_text(df)
 
 
 def run_pipeline(

@@ -113,3 +113,20 @@ def test_whole_stage_codegen_covers_text_functions(spark):
     # formatted mode marks codegen'd operators with "[codegen id : N]";
     # the Project computing all three expressions must carry one
     assert "[codegen id :" in p.split("(3) Project")[1][:40]
+
+
+def test_well_split_scan_skips_spread_exchange(spark, tmp_path):
+    """A file-backed scan with >= parallelism splits needs no pre-extraction
+    shuffle: parquet byte-splits are even and the UDF is per-row, so the
+    only exchange left is the conv-keyed sectionization window."""
+    from accelerated_intelligent_document_processing_on_aws_spark import extract_stage
+    from accelerated_intelligent_document_processing_on_aws_spark.datagen.transcripts import (
+        gen_transcripts_df,
+    )
+
+    path = str(tmp_path / "wide")
+    gen_transcripts_df(spark, n_convs=30, mean_turns=5).repartition(16).write.parquet(path)
+    df = spark.read.parquet(path)
+    assert df.rdd.getNumPartitions() >= spark.sparkContext.defaultParallelism
+    p = plan_of(extract_stage(df))
+    assert n_ops(p, "Exchange") == 1
