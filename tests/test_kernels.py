@@ -214,3 +214,45 @@ class TestComparators:
     def test_hungarian_empty(self):
         assert compare.hungarian_match([], []) == (0, 0, 0, 1.0)
         assert compare.hungarian_match(["x"], [])[:3] == (0, 0, 1)
+
+
+class TestVectorizedComparators:
+    def test_fuzzy_matrix_equals_scalar(self):
+        import random
+        import string
+
+        from accelerated_intelligent_document_processing_on_aws_spark.kernels import compare
+
+        rng = random.Random(7)
+        rs = lambda n: "".join(  # noqa: E731
+            rng.choice(string.ascii_letters + "  .,'") for _ in range(n)
+        )
+        exp = ["", "abc", rs(10), rs(25), "Hello, World!", "héllo wörld"]
+        act = ["", "abd", rs(9), rs(25), "hello world", rs(40)]
+        m = compare.fuzzy_matrix(exp, act)
+        for i, e in enumerate(exp):
+            for j, a in enumerate(act):
+                assert abs(m[i, j] - compare.fuzzy_score(e, a)) < 1e-12, (e, a)
+
+    def test_hungarian_min_optimal_vs_bruteforce(self):
+        """Vectorized assignment must stay optimal: checked against
+        exhaustive enumeration on random rectangular matrices."""
+        import itertools
+
+        import numpy as np
+
+        from accelerated_intelligent_document_processing_on_aws_spark.kernels import compare
+
+        rng = np.random.RandomState(3)
+        for _ in range(200):
+            n, m = rng.randint(1, 6), rng.randint(1, 6)
+            c = rng.rand(n, m)
+            rows, cols = compare.hungarian_min(c)
+            got = c[rows, cols].sum()
+            k = min(n, m)
+            best = min(
+                sum(c[r, p[i]] for i, r in enumerate(rs))
+                for rs in itertools.combinations(range(n), k)
+                for p in itertools.permutations(range(m), k)
+            )
+            assert abs(got - best) < 1e-9
