@@ -1396,6 +1396,55 @@ FROM events ORDER BY event_id
 """
 
 
+ATTR_CONFIG = {
+    "first_id": "^[a-z]+:([0-9]+)",
+    "first_click": "click:([0-9]+)",
+    "first_purchase": "purchase:([0-9]+)",
+}
+
+
+def q_section_attributes(spark, sf_dir):
+    """X6 deterministic attribute extraction (extraction/service.py:712-1161
+    per-section {attr: value}, config at :72-120): config-driven regex
+    capture compiled into ONE Catalyst projection over the section table —
+    oracle-backed (DuckDB regexp_extract mirrors group-1 capture and the
+    empty-string no-match convention)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.attributes import (
+        extract_section_attributes,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.sectionize import (
+        section_table,
+        sectionize,
+    )
+
+    secs = section_table(sectionize(_event_turns(spark, sf_dir)))
+    out = extract_section_attributes(secs, ATTR_CONFIG)
+    return out.select(
+        "conv_id",
+        "section_id",
+        "attr",
+        F.coalesce(F.col("value"), F.lit("")).alias("value"),
+    ).orderBy("conv_id", "section_id", "attr")
+
+
+def _section_attributes_sql():
+    arms = "\nUNION ALL\n".join(
+        f"SELECT conv_id, section_id, '{name}' AS attr,"
+        f" regexp_extract(section_text, '{rx}', 1) AS value FROM secs"
+        for name, rx in ATTR_CONFIG.items()
+    )
+    return f"""
+WITH {_TURNS_SECT_CTE},
+secs AS (
+  SELECT conv_id, section_id,
+         string_agg(extracted_text, chr(10) ORDER BY turn_idx) AS section_text
+  FROM sect GROUP BY conv_id, section_id
+)
+{arms}
+ORDER BY conv_id, section_id, attr
+"""
+
+
 def q_conv_summaries(spark, sf_dir):
     """G8 map-reduce summarization analog: per-section extractive summaries
     fanned in to a per-conversation markdown TOC, over the events-derived
@@ -2097,6 +2146,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_yaml_sniff": q_yaml_sniff,
         "q_office_extract": q_office_extract,
         "q_eval_report": q_eval_report,
+        "q_section_attributes": q_section_attributes,
     }
 
 
@@ -2153,6 +2203,7 @@ def oracle_sql() -> dict[str, str]:
         "q_eval_report": _eval_report_sql(),
         "q_minhash_lsh": _minhash_lsh_sql(),
         "q_simhash": _simhash_sql(),
+        "q_section_attributes": _section_attributes_sql(),
         # Non-SQL ops (rows-only driver check by design):
         # q_transcript_extract (pandas-UDF extraction kernels),
         # q_lsh_topk (float hyperplane dot products are not FP-portable),

@@ -112,3 +112,50 @@ class TestSectionRollupDeterminism:
         assert [
             (r.conv_id, r.section_id, r.section_text) for r in t1
         ] == [(r.conv_id, r.section_id, r.section_text) for r in t2]
+
+
+class TestSectionAttributes:
+    def test_regex_capture_and_pivot(self, spark):
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.attributes import (
+            attributes_wide,
+            extract_section_attributes,
+        )
+
+        secs = spark.createDataFrame(
+            [
+                ("c1", 0, "invoice: INV-42\ntotal: $1,500.00"),
+                ("c1", 1, "no structured fields here"),
+            ],
+            ["conv_id", "section_id", "section_text"],
+        )
+        cfg = {"invoice": "invoice: (\\S+)", "total": "total: (\\S+)"}
+        rows = {
+            (r.conv_id, r.section_id, r.attr): r.value
+            for r in extract_section_attributes(secs, cfg).collect()
+        }
+        assert rows[("c1", 0, "invoice")] == "INV-42"
+        assert rows[("c1", 0, "total")] == "$1,500.00"
+        assert rows[("c1", 1, "invoice")] is None and rows[("c1", 1, "total")] is None
+
+        wide = {
+            (r.conv_id, r.section_id): (r.invoice, r.total)
+            for r in attributes_wide(
+                extract_section_attributes(secs, cfg), cfg
+            ).collect()
+        }
+        assert wide[("c1", 0)] == ("INV-42", "$1,500.00")
+        assert wide[("c1", 1)] == (None, None)
+
+    def test_no_python_in_plan(self, spark):
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.attributes import (
+            extract_section_attributes,
+        )
+
+        secs = spark.createDataFrame(
+            [("c", 0, "x: 1")], ["conv_id", "section_id", "section_text"]
+        )
+        plan = (
+            extract_section_attributes(secs, {"x": "x: ([0-9]+)"})
+            ._jdf.queryExecution().executedPlan().toString()
+        )
+        assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
