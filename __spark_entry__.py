@@ -1689,6 +1689,42 @@ SELECT doc_id, fp FROM fps WHERE rn = 1 ORDER BY doc_id
 """
 
 
+def q_token_packing(spark, sf_dir):
+    """Token-budget batch packing (training-data sharding): deterministic
+    md5 shard + exclusive-cumsum-div-budget batch assignment per shard —
+    one window, partition-invariant, oracle-exact."""
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        token_count,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.packing import (
+        pack_token_budget,
+        with_shard,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.coalesce(F.col("text"), F.lit(""))).alias("toks")
+    )
+    packed = pack_token_budget(
+        with_shard(d, "doc_id", n_shards=8), "doc_id", "toks", budget=500
+    )
+    return packed.select("doc_id", "shard", "batch_id").orderBy("doc_id")
+
+
+Q_TOKEN_PACKING_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+    CAST(('0x' || substr(md5('shard' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 8 AS shard,
+    {_TOK_SQL} AS toks
+  FROM documents
+)
+SELECT doc_id, shard,
+  CAST(FLOOR(CAST(SUM(toks) OVER (PARTITION BY shard ORDER BY doc_id
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - toks AS DOUBLE) / 500)
+       AS BIGINT) AS batch_id
+FROM t ORDER BY doc_id
+"""
+
+
 def q_sample_hash(spark, sf_dir):
     """Deterministic engine-portable sampling: md5(seed||id) mod 100 < pct —
     reproducible across runs/partitionings (resumable pipeline sampling)."""
@@ -2147,6 +2183,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_office_extract": q_office_extract,
         "q_eval_report": q_eval_report,
         "q_section_attributes": q_section_attributes,
+        "q_token_packing": q_token_packing,
     }
 
 
@@ -2204,6 +2241,7 @@ def oracle_sql() -> dict[str, str]:
         "q_minhash_lsh": _minhash_lsh_sql(),
         "q_simhash": _simhash_sql(),
         "q_section_attributes": _section_attributes_sql(),
+        "q_token_packing": Q_TOKEN_PACKING_SQL,
         # Non-SQL ops (rows-only driver check by design):
         # q_transcript_extract (pandas-UDF extraction kernels),
         # q_lsh_topk (float hyperplane dot products are not FP-portable),

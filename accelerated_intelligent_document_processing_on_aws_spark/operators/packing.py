@@ -1,0 +1,98 @@
+"""Token-budget batch packing for training-data pipelines.
+
+Not in the reference (its unit of work is one document); this is the
+standard sharded sequence-packing step a 100 TB corpus pipeline runs
+before tokenized training: assign documents to batches so each batch
+holds ~``budget`` tokens, deterministically and partition-invariantly.
+
+Two variants:
+
+* ``pack_token_budget`` — cumulative-sum packing:
+  ``batch_id = floor(exclusive_cumsum(tokens) / budget)`` per shard.  A
+  document beginning before a budget boundary may spill past it (standard
+  "pack then split at token boundaries" semantics); the assignment is a
+  pure function of (shard, order, tokens) so it is reproducible across
+  runs and engines — one window per shard, fully SQL-expressible.
+* ``pack_token_budget_greedy`` — exact greedy bin-close (a batch never
+  exceeds the budget unless a single document alone does).  The running
+  state is inherently sequential, so it runs as ``applyInPandas`` per
+  shard (shards are independent; parallelism = shard count).
+
+Scale: shard by a hash of the id (``n_shards`` >> executor count) so no
+single packing window serializes the corpus; the window/fold is linear
+per shard.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+
+def with_shard(df: DataFrame, id_col: str, n_shards: int = 64) -> DataFrame:
+    """Deterministic shard id (engine-portable md5 hash, like hash_sample)."""
+    shard = F.conv(
+        F.substring(F.md5(F.concat(F.lit("shard"), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long") % n_shards
+    return df.withColumn("shard", shard)
+
+
+def pack_token_budget(
+    df: DataFrame,
+    order_col: str,
+    token_col: str,
+    budget: int,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Append ``batch_id`` via exclusive-cumsum div budget per shard."""
+    w = (
+        Window.partitionBy(shard_col)
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum_excl = F.sum(F.col(token_col)).over(w) - F.col(token_col)
+    return df.withColumn(
+        "batch_id", F.floor(cum_excl / F.lit(budget)).cast("long")
+    )
+
+
+_GREEDY_SCHEMA_SUFFIX = [T.StructField("batch_id", T.LongType())]
+
+
+def pack_token_budget_greedy(
+    df: DataFrame,
+    order_col: str,
+    token_col: str,
+    budget: int,
+    shard_col: str = "shard",
+) -> DataFrame:
+    """Exact greedy packing: close the batch when the next document would
+    overflow the budget (oversized single documents get their own batch)."""
+    schema = T.StructType(list(df.schema.fields) + _GREEDY_SCHEMA_SUFFIX)
+
+    def pack(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort").reset_index(drop=True)
+        batch, acc, out = 0, 0, []
+        for tok in pdf[token_col]:
+            t = int(tok)
+            if acc > 0 and acc + t > budget:
+                batch += 1
+                acc = 0
+            out.append(batch)
+            acc += t
+        pdf["batch_id"] = pd.Series(out, dtype="int64")
+        return pdf
+
+    return df.groupBy(shard_col).applyInPandas(pack, schema)
+
+
+def batch_stats(packed: DataFrame, token_col: str, shard_col: str = "shard") -> DataFrame:
+    """Per-batch rollup: document count + token total."""
+    return packed.groupBy(shard_col, "batch_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.col(token_col)).cast("long").alias("n_tokens"),
+    )

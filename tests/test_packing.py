@@ -1,0 +1,84 @@
+"""Token-budget batch packing: determinism, greedy bound, rollups."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from accelerated_intelligent_document_processing_on_aws_spark import get_spark
+
+    yield get_spark(master="local[4]", shuffle_partitions=8)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [(i, 50 + (i * 37) % 400) for i in range(200)]
+    return spark.createDataFrame(rows, ["doc_id", "toks"]).cache()
+
+
+def test_cumsum_packing_partition_invariant(spark, docs):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.packing import (
+        pack_token_budget,
+        with_shard,
+    )
+
+    def run(df):
+        return sorted(
+            (r.doc_id, r.shard, r.batch_id)
+            for r in pack_token_budget(
+                with_shard(df, "doc_id", 4), "doc_id", "toks", 1000
+            ).collect()
+        )
+
+    assert run(docs) == run(docs.repartition(7))
+
+
+def test_greedy_never_overflows_budget(spark, docs):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.packing import (
+        batch_stats,
+        pack_token_budget_greedy,
+        with_shard,
+    )
+
+    budget = 1000
+    packed = pack_token_budget_greedy(
+        with_shard(docs, "doc_id", 4), "doc_id", "toks", budget
+    )
+    stats = batch_stats(packed, "toks").collect()
+    # every doc <= budget here, so no batch may exceed it
+    assert all(r.n_tokens <= budget for r in stats)
+    assert sum(r.n_docs for r in stats) == 200
+    # batches are reasonably full (greedy closes only on overflow)
+    non_last = [r for r in stats if r.n_docs > 1]
+    assert non_last
+
+
+def test_greedy_oversized_doc_gets_own_batch(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.packing import (
+        pack_token_budget_greedy,
+    )
+
+    df = spark.createDataFrame(
+        [(0, 10, 0), (1, 5000, 0), (2, 10, 0)], ["doc_id", "toks", "shard"]
+    )
+    rows = {
+        r.doc_id: r.batch_id
+        for r in pack_token_budget_greedy(df, "doc_id", "toks", 100).collect()
+    }
+    assert rows[0] == 0 and rows[1] == 1 and rows[2] == 2
+
+
+def test_cumsum_batches_are_budget_sized_on_average(spark, docs):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.packing import (
+        batch_stats,
+        pack_token_budget,
+        with_shard,
+    )
+
+    packed = pack_token_budget(with_shard(docs, "doc_id", 4), "doc_id", "toks", 1000)
+    stats = batch_stats(packed, "toks").collect()
+    full = [r for r in stats if r.n_tokens >= 600]  # all but shard tails
+    assert len(full) >= len(stats) // 2
