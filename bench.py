@@ -209,15 +209,21 @@ def _scaling() -> dict:
     sandbox, so mixing windows wrecks the ratio in either direction).  The
     host's own N→4N ceiling and the host-normalized efficiency
     (spark_ratio / host_ratio) are reported alongside."""
+    # a CREDIBLE round has 3.4 <= ratio <= 4.4: ratios far above 4 mean the
+    # long N-level runs hit a degraded host window while a short 4N rep
+    # caught a clean one — that round proves nothing and must not stop the
+    # sampling (nor become the headline)
+    def _credible(r):
+        return 3.4 <= r["ratio"] <= 4.4
+
     rounds = []
     t_start = time.time()
     for _round in range(3):
-        # adaptive sampling: stop as soon as one clean-weather round has
-        # demonstrated >=0.85 efficiency — extra rounds only buy insurance
-        # against a degraded window; a wall-clock budget guards the outer
-        # bench timeout when every round lands in bad weather
+        # adaptive sampling: stop once one credible clean-weather round has
+        # demonstrated >=0.85 efficiency; a wall-clock budget guards the
+        # outer bench timeout when every round lands in bad weather
         if rounds and (
-            max(r["ratio"] for r in rounds) >= 3.4
+            any(_credible(r) for r in rounds)
             or time.time() - t_start > 720
         ):
             break
@@ -246,13 +252,19 @@ def _scaling() -> dict:
                 "secs_4n": r4.get("secs"),
             }
         )
-    best = max(rounds, key=lambda r: r["ratio"])
+    credible_rounds = [r for r in rounds if r["ratio"] <= 4.4]
+    best = max(credible_rounds or rounds, key=lambda r: r["ratio"])
+    # headline efficiency is capped at 1.0: a >4x ratio is a sampling
+    # artifact of an asymmetric window, not superlinear scaling — the raw
+    # per-round ratios and every rep's wall time are published alongside
     return {
         "tps_n": best["tps_n"],
         "tps_4n": best["tps_4n"],
         "n_cores": SCALING_N,
         "4n_cores": SCALING_N * 4,
-        "efficiency": round(best["ratio"] / 4.0, 3),
+        "efficiency": round(min(best["ratio"], 4.0) / 4.0, 3),
+        "ratio_uncapped": best["ratio"],
+        "n_level_degraded": not credible_rounds and best["ratio"] > 4.4,
         "host_ceiling_ratio": best["host_ratio"],
         "host_normalized_efficiency": best["normalized"],
         "rounds": rounds,
