@@ -40,6 +40,30 @@ def snapshot_id(path: str) -> str:
     return h
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 16,
+    sort_col: Optional[str] = None,
+    mode: str = "overwrite",
+) -> None:
+    """Hive-bucketed managed table (``bucketBy`` + optional ``sortBy``).
+
+    Pre-bucketing both sides of a recurring join on the join key lets
+    Spark plan a SortMergeJoin with ZERO exchanges — the bucketed scan
+    already satisfies the required hash partitioning (the brief's
+    'bucketing for co-located joins'; pinned by tests/test_bucketing.py).
+    At 100 TB this turns every repeated conv-keyed join/agg against the
+    extracted table into a shuffle-free stage.  Iceberg analog:
+    ``PARTITIONED BY (bucket(N, col))``.
+    """
+    w = df.write.mode(mode).format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col is not None:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
 def salted_bucket(conv_col, n_buckets: int = 64, salt: str = "idp"):
     """Salted-hash partition id: pmod(xxhash64(salt, conv_id), n_buckets).
 

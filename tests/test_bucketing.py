@@ -1,0 +1,60 @@
+"""Bucketed-table co-located joins: zero-exchange plans (brief §partitioning)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def spark(tmp_path_factory):
+    from accelerated_intelligent_document_processing_on_aws_spark import get_spark
+
+    s = get_spark(master="local[4]", shuffle_partitions=8)
+    db_dir = tmp_path_factory.mktemp("warehouse")
+    s.sql(f"CREATE DATABASE IF NOT EXISTS bkt LOCATION '{db_dir}'")
+    yield s
+    s.sql("DROP DATABASE IF EXISTS bkt CASCADE")
+
+
+def _n_exchanges(df) -> int:
+    import re
+
+    plan = df._jdf.queryExecution().explainString(
+        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    return len(re.findall(r"^\(\d+\) Exchange", plan, re.MULTILINE))
+
+
+def test_bucketed_join_plans_zero_exchanges(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.io.tables import (
+        write_bucketed,
+    )
+
+    turns = spark.range(2000).select(
+        (F.col("id") % 200).alias("conv_id"), F.col("id").alias("turn_idx")
+    )
+    meta = spark.range(200).select(
+        F.col("id").alias("conv_id"), (F.col("id") * 2).alias("priority")
+    )
+    write_bucketed(turns, "bkt.turns", "conv_id", n_buckets=8, sort_col="conv_id")
+    write_bucketed(meta, "bkt.meta", "conv_id", n_buckets=8, sort_col="conv_id")
+
+    a = spark.table("bkt.turns")
+    b = spark.table("bkt.meta").hint("merge")
+    joined = a.join(b, "conv_id")
+    assert _n_exchanges(joined) == 0, "bucketed join must not shuffle"
+    assert joined.count() == 2000
+
+    # groupBy on the bucket key also rides the bucketing — no exchange
+    agg = spark.table("bkt.turns").groupBy("conv_id").agg(F.count("*").alias("n"))
+    assert _n_exchanges(agg) == 0
+    assert agg.count() == 200
+
+
+def test_unbucketed_baseline_does_shuffle(spark):
+    """Sanity: the same join without bucketing plans exchanges (so the
+    zero-exchange assertion above is meaningful)."""
+    a = spark.range(2000).select((F.col("id") % 200).alias("conv_id"))
+    b = spark.range(200).select(F.col("id").alias("conv_id")).hint("merge")
+    assert _n_exchanges(a.join(b, "conv_id")) >= 1
