@@ -74,38 +74,88 @@ class CheckpointStore:
         lineage_df.write.mode("append").parquet(self.path)
 
 
-def lineage_from_output(
-    out_df: DataFrame,
-    run_id: str,
-    input_snapshot_id: str,
-    partition_col: str = "pt",
-) -> DataFrame:
-    """Aggregate per-bucket lineage from the extracted output DataFrame.
+# payload-kind vocabulary of the extraction dispatcher
+# (kernels/extract.py detect_kind) — per-kind counts mirror the reference's
+# per-service_api metering map (utils/__init__.py:73-96).
+PAYLOAD_KINDS = ("ocr_blocks", "html", "pdfish", "plain")
 
-    metrics: per-payload-kind span counts + boundary count (metering-merge
-    analog, ``utils/__init__.py:73-96`` → groupBy().sum()).
+
+def lineage_observe_exprs(candidates: List[int], partition_col: str = "pt"):
+    """Per-bucket lineage aggregates as flat conditional sums for
+    ``DataFrame.observe`` — computed DURING the write job itself, so the
+    pipeline needs exactly one scan of the input and zero scans of the
+    output (SURVEY §4 names ``observe`` for this).
+
+    Expression count is 8 × len(candidates) (bounded by n_buckets, a
+    config constant — 64 default → 512 scalar sums, trivial for codegen).
+    At very large bucket counts, chunk candidates across several runs or
+    fall back to a post-write metadata-only aggregate.
     """
-    per_pt = out_df.groupBy(F.col(partition_col).alias("partition_id")).agg(
-        F.count(F.lit(1)).alias("row_count"),
-        F.sum(F.size("spans")).cast("long").alias("span_count"),
-        F.map_from_arrays(
-            F.array(F.lit("boundaries"), F.lit("empty_turns")),
-            F.array(
-                F.sum(F.col("is_boundary").cast("long")),
-                F.sum((F.length("extracted_text") == 0).cast("long")),
-            ),
-        ).alias("metrics"),
-    )
-    return per_pt.select(
-        F.lit(run_id).alias("run_id"),
-        F.lit(input_snapshot_id).alias("input_snapshot_id"),
-        F.col("partition_id").cast("int"),
-        F.col("row_count").cast("long"),
-        F.col("span_count").cast("long"),
-        "metrics",
-        F.lit("COMMITTED").alias("status"),
-        F.current_timestamp().alias("committed_at"),
-    )
+    exprs = []
+    for p in candidates:
+        c = F.col(partition_col) == p
+        exprs.append(F.sum(c.cast("long")).alias(f"rows_{p}"))
+        exprs.append(
+            F.sum(F.when(c, F.size("spans")).otherwise(0)).cast("long").alias(f"spans_{p}")
+        )
+        exprs.append(
+            F.sum(F.when(c, F.col("is_boundary").cast("long")).otherwise(0))
+            .cast("long")
+            .alias(f"bounds_{p}")
+        )
+        exprs.append(
+            F.sum(F.when(c & (F.length("extracted_text") == 0), 1).otherwise(0))
+            .cast("long")
+            .alias(f"empty_{p}")
+        )
+        for k in PAYLOAD_KINDS:
+            exprs.append(
+                F.sum(
+                    F.when(
+                        c,
+                        F.size(F.filter("payload_kinds", lambda x: x == F.lit(k))),
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias(f"kind_{k}_{p}")
+            )
+    return exprs
+
+
+def lineage_rows_from_metrics(
+    observed: dict, candidates: List[int], run_id: str, input_snapshot_id: str
+) -> List[dict]:
+    """Turn the observed write-job metrics into one lineage row per
+    candidate bucket.  Every candidate commits — INCLUDING hash-empty
+    buckets (row_count 0) — so a completed run's resume early-returns
+    instead of re-executing the scan forever.  Lineage derives only from
+    rows the current run actually wrote: stale files from an older input
+    snapshot sharing the output dir can never be certified."""
+    import datetime as _dt
+
+    now = _dt.datetime.now()
+    rows = []
+    for p in candidates:
+        g = lambda key: int(observed.get(key) or 0)  # noqa: E731  (sum over 0 rows → None)
+        metrics = {
+            "boundaries": g(f"bounds_{p}"),
+            "empty_turns": g(f"empty_{p}"),
+        }
+        for k in PAYLOAD_KINDS:
+            metrics[f"kind_{k}"] = g(f"kind_{k}_{p}")
+        rows.append(
+            {
+                "run_id": run_id,
+                "input_snapshot_id": input_snapshot_id,
+                "partition_id": int(p),
+                "row_count": g(f"rows_{p}"),
+                "span_count": g(f"spans_{p}"),
+                "metrics": metrics,
+                "status": "COMMITTED",
+                "committed_at": now,
+            }
+        )
+    return rows
 
 
 def new_run_id() -> str:

@@ -30,7 +30,13 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .functions.text import turn_class_col
-from .io.checkpoint import CheckpointStore, lineage_from_output, new_run_id
+from .io.checkpoint import (
+    CHECKPOINT_SCHEMA,
+    CheckpointStore,
+    lineage_observe_exprs,
+    lineage_rows_from_metrics,
+    new_run_id,
+)
 from .io.tables import record_snapshot, salted_bucket, snapshot_id, write_partitioned
 from .operators.extract import respan_with_text, with_extraction
 from .operators.sectionize import sectionize
@@ -109,6 +115,7 @@ def run_pipeline(
             "run_id": run_id,
             "snapshot_id": snap,
             "partitions_written": 0,
+            "partitions_committed": 0,
             "resumed": True,
         }
 
@@ -122,19 +129,24 @@ def run_pipeline(
         )
     out = extract_stage(df, cfg)
 
+    # lineage rides the WRITE job via df.observe: per-candidate-bucket
+    # conditional sums are computed during the single scan+write pass — no
+    # re-read of the output table (at 100 TB a read-back is a second full
+    # scan purely for counts).  Every candidate bucket commits, including
+    # hash-empty ones, so a completed run's rerun early-returns above.
+    from pyspark.sql import Observation
+
+    obs = Observation(f"lineage_{run_id}")
+    out = out.observe(obs, *lineage_observe_exprs(candidates))
     write_partitioned(out, output_path, "pt")
-    # lineage from the committed files (exactly what was durably written);
-    # empty candidate buckets produce no files and no lineage rows
-    written = spark.read.parquet(output_path).filter(F.col("pt").isin(candidates))
-    lineage = lineage_from_output(written, run_id, snap).cache()
-    n_written = lineage.count()
-    if n_written:
-        store.append(lineage)
-        record_snapshot(output_path, snap, {"run_id": run_id})
-    lineage.unpersist()
+    lineage_rows = lineage_rows_from_metrics(obs.get, candidates, run_id, snap)
+    store.append(spark.createDataFrame(lineage_rows, CHECKPOINT_SCHEMA))
+    record_snapshot(output_path, snap, {"run_id": run_id})
+    n_written = sum(1 for r in lineage_rows if r["row_count"] > 0)
     return {
         "run_id": run_id,
         "snapshot_id": snap,
         "partitions_written": n_written,
+        "partitions_committed": len(candidates),
         "resumed": bool(done),
     }

@@ -112,7 +112,8 @@ def test_resume_after_kill(spark, paths):
 
     assert _rows(spark, out) == golden
 
-    # lineage now covers every bucket for this snapshot
+    # lineage now covers EVERY bucket for this snapshot — including
+    # hash-empty ones (they commit with row_count 0 so reruns early-return)
     cp_rows = (
         spark.read.parquet(cp)
         .filter(F.col("status") == "COMMITTED")
@@ -120,4 +121,51 @@ def test_resume_after_kill(spark, paths):
         .distinct()
         .collect()
     )
-    assert sorted(x.partition_id for x in cp_rows) == all_pts
+    assert sorted(x.partition_id for x in cp_rows) == list(range(CFG.n_buckets))
+
+
+def test_lineage_metrics_map(spark, paths):
+    """Checkpoint metrics carry the per-payload-kind metering map (G6)."""
+    root, inp = paths
+    out, cp = str(root / "out_m"), str(root / "cp_m")
+    run_pipeline(spark, inp, out, cp, CFG)
+    row = (
+        spark.read.parquet(cp)
+        .selectExpr(
+            "sum(metrics['boundaries']) b",
+            "sum(metrics['kind_html'] + metrics['kind_pdfish'] "
+            "+ metrics['kind_ocr_blocks'] + metrics['kind_plain']) k",
+            "sum(row_count) rc",
+        )
+        .collect()[0]
+    )
+    assert row.rc > 0 and row.k >= row.rc  # every turn has >=1 payload kind
+    got = spark.read.parquet(out)
+    assert row.b == got.filter(F.col("is_boundary")).count()
+
+
+def test_empty_input_and_single_scan(spark, tmp_path):
+    """A run over an empty input must not crash, must commit every bucket
+    (so the rerun early-returns), and the whole pipeline must launch only
+    the write job over the input — zero scans of the output table."""
+    inp, out, cp = str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "cp")
+    schema = (
+        "conv_id string, turn_idx int, role string, text string, "
+        "tool string, ts timestamp"
+    )
+    spark.createDataFrame([], schema).write.parquet(inp)
+
+    sc = spark.sparkContext
+    sc.setJobGroup("pl_first", "first run")
+    r1 = run_pipeline(spark, inp, out, cp, CFG)
+    jobs = sc.statusTracker().getJobIdsForGroup("pl_first")
+    sc.setJobGroup(None, None)
+    # one scan+write (AQE splits it into up to 3 sub-jobs) + 1 footer
+    # inference + 1 tiny lineage append = <=6; the old output read-back
+    # added its own inference+scan jobs on top — pinned out by this bound
+    assert len(jobs) <= 6, f"pipeline ran {len(jobs)} jobs: {jobs}"
+    assert r1["partitions_written"] == 0 and not r1["resumed"]
+    assert r1["partitions_committed"] == CFG.n_buckets
+
+    r2 = run_pipeline(spark, inp, out, cp, CFG)
+    assert r2["resumed"] and r2["partitions_written"] == 0
