@@ -912,60 +912,112 @@ SELECT n AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY n ORDER BY doc_id
 
 
 def q_embed_neardup(spark, sf_dir):
-    """Embedding-cosine near-dup pairs, exact all-pairs baseline (JVM-side
-    zip_with/aggregate math; LSH-bucketed scale path is q_lsh_topk)."""
+    """Embedding-cosine near-dup pairs via the SCALE path: OR-amplified
+    banded hyperplane LSH candidates (EQUI-join on (band, bucket) — never
+    a BroadcastNestedLoopJoin; pinned by tests/test_plans.py) + exact
+    cosine re-check.  Integer-quantized vectors × integer planes make the
+    candidate set FP-portable, so the DuckDB oracle reproduces the exact
+    output by filtering all pairs to the same bucket matches (reference
+    semantics: near-dup detection over embedding columns)."""
     from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
-        unit_vector,
+        embedding_near_dups,
     )
 
-    # pre-normalize ONCE per row (projection before the O(n^2) join) so each
-    # pair costs a single dot product instead of dot + two norms
-    e = _t(spark, sf_dir, "embeddings").select(
-        "vec_id", unit_vector(F.col("embedding")).alias("uv")
-    )
-    a = e.select(F.col("vec_id").alias("id_a"), F.col("uv").alias("ua"))
-    b = e.select(F.col("vec_id").alias("id_b"), F.col("uv").alias("ub"))
-    dot = F.aggregate(
-        F.zip_with(F.col("ua"), F.col("ub"), lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    return (
-        a.join(b, F.col("id_a") < F.col("id_b"))
-        .withColumn("sim", F.round(dot, 6))
-        .filter(F.col("sim") >= 0.38)
-        .select("id_a", "id_b", "sim")
-        .orderBy("id_a", "id_b")
-    )
+    e = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dups(
+        e, "vec_id", "embedding", threshold=0.38,
+        bands=8, rows_per_band=4, dim=64, quantize_bits=20,
+    ).orderBy("id_a", "id_b")
 
 
-Q_EMBED_NEARDUP_SQL = """
+def _lsh_bucket_sql_ctes() -> str:
+    """Shared DuckDB CTEs reproducing the banded-LSH bucket ids bit-for-bit
+    (same integer planes as operators/similarity.integer_planes(64, 8, 4,
+    seed=42); quantized dot products stay < 2^53 so float64 is exact)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        integer_planes,
+    )
+
+    planes = integer_planes(64, 8, 4, 42)  # (bands=8, rows=4, dim=64)
+    bucket_cols = []
+    for b in range(planes.shape[0]):
+        terms = []
+        for r in range(planes.shape[1]):
+            lit = "[" + ",".join(str(int(x)) for x in planes[b, r]) + "]"
+            terms.append(
+                f"(CASE WHEN list_inner_product(q, CAST({lit} AS DOUBLE[])) >= 0 "
+                f"THEN {1 << r} ELSE 0 END)"
+            )
+        bucket_cols.append("(" + " + ".join(terms) + f") AS bk{b}")
+    return """
 WITH e AS (
-  SELECT vec_id,
-         list_transform(CAST(embedding AS DOUBLE[]),
-                        x -> x / sqrt(list_inner_product(CAST(embedding AS DOUBLE[]),
-                                                         CAST(embedding AS DOUBLE[])))) AS uv
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1048576.0)) AS q
   FROM embeddings
-)
-SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       ROUND(list_inner_product(a.uv, b.uv), 6) AS sim
-FROM e a JOIN e b ON a.vec_id < b.vec_id
-WHERE ROUND(list_inner_product(a.uv, b.uv), 6) >= 0.38
+),
+bk AS (
+  SELECT vec_id, v,
+         """ + ",\n         ".join(bucket_cols) + """
+  FROM e
+)"""
+
+
+_LSH_BAND_MATCH = " OR ".join(f"a.bk{b} = c.bk{b}" for b in range(8))
+
+Q_EMBED_NEARDUP_SQL = _lsh_bucket_sql_ctes() + f"""
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       ROUND(list_inner_product(a.v, c.v)
+             / (sqrt(list_inner_product(a.v, a.v))
+                * sqrt(list_inner_product(c.v, c.v))), 6) AS sim
+FROM bk a JOIN bk c ON a.vec_id < c.vec_id AND ({_LSH_BAND_MATCH})
+WHERE ROUND(list_inner_product(a.v, c.v)
+            / (sqrt(list_inner_product(a.v, a.v))
+               * sqrt(list_inner_product(c.v, c.v))), 6) >= 0.38
 ORDER BY id_a, id_b
 """
 
 
 def q_lsh_topk(spark, sf_dir):
-    """LSH-bucketed approximate top-k neighbors (scale path; rows-only by
-    design — recall < 1 vs the exact baseline, amplified by the multi-band
-    OR over independent hyperplane groups)."""
+    """LSH-bucketed approximate top-k neighbors (scale path).  Bucketing on
+    integer-quantized vectors (quantize_bits=20) makes the candidate set
+    FP-portable, upgrading this query from rows-only to a full DuckDB
+    oracle: the oracle filters query×corpus pairs to the same band-bucket
+    matches, then ranks by the identical rounded cosine."""
     from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
         lsh_topk,
     )
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    return lsh_topk(e, q, "vec_id", "embedding", k=5, bands=8, rows_per_band=4, dim=64)
+    return lsh_topk(
+        e, q, "vec_id", "embedding", k=5,
+        bands=8, rows_per_band=4, dim=64, quantize_bits=20,
+    ).orderBy("query_id", "rank")
+
+
+Q_LSH_TOPK_SQL = _lsh_bucket_sql_ctes() + f""",
+cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  a.v AS qv, c.v AS cv
+  FROM bk a JOIN bk c ON a.vec_id < 10 AND a.vec_id <> c.vec_id
+                      AND ({_LSH_BAND_MATCH})
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_inner_product(qv, cv)
+               / (sqrt(list_inner_product(qv, qv))
+                  * sqrt(list_inner_product(cv, cv))), 6) AS sim
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
 
 
 def q_evaluate_fuzzy(spark, sf_dir):
@@ -2242,8 +2294,8 @@ def oracle_sql() -> dict[str, str]:
         "q_simhash": _simhash_sql(),
         "q_section_attributes": _section_attributes_sql(),
         "q_token_packing": Q_TOKEN_PACKING_SQL,
+        "q_lsh_topk": Q_LSH_TOPK_SQL,
         # Non-SQL ops (rows-only driver check by design):
         # q_transcript_extract (pandas-UDF extraction kernels),
-        # q_lsh_topk (float hyperplane dot products are not FP-portable),
         # q_evaluate_hungarian (O(n^3) assignment has no SQL analog).
     }

@@ -104,6 +104,27 @@ def banded_hyperplanes(
     return rng.normal(size=(bands, rows_per_band, dim))
 
 
+def integer_planes(
+    dim: int, bands: int = 8, rows_per_band: int = 4, seed: int = 42, scale: float = 1000.0
+) -> np.ndarray:
+    """Banded hyperplanes rounded to integer coordinates (stored as exact
+    float64).  Paired with ``quantized_vec``, every plane dot product is a
+    sum of integer products bounded far below 2^53, so float64 arithmetic
+    is EXACT under any summation order — bucket ids become FP-portable and
+    an external SQL oracle (DuckDB) reproduces them bit-for-bit.  Rounding
+    the planes only perturbs the (already random) hash family; LSH recall
+    guarantees are unchanged."""
+    return np.rint(banded_hyperplanes(dim, bands, rows_per_band, seed) * scale)
+
+
+def quantized_vec(vec: Column, bits: int = 20) -> Column:
+    """floor(x * 2^bits) per element as double — an exact integer value
+    (|x| ~ 1, dim 64, plane coords ≤ ~5e3 → |dot| ≤ ~1e12 < 2^53).  floor
+    (not round) avoids half-to-even vs half-away divergence across engines."""
+    s = float(1 << bits)
+    return F.transform(vec, lambda x: F.floor(x.cast("double") * F.lit(s)).cast("double"))
+
+
 def lsh_bucket(vec: Column, planes: np.ndarray) -> Column:
     """Sign-pattern bucket id from fixed random hyperplanes (literal array —
     pure Catalyst, no UDF)."""
@@ -156,21 +177,30 @@ def lsh_topk(
     rows_per_band: int = 4,
     dim: int = 64,
     seed: int = 42,
+    quantize_bits: int | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share any band's bucket; same output
     shape as brute_force_topk (recall < 1 by construction, amplified by
-    the band OR)."""
-    planes = banded_hyperplanes(dim, bands, rows_per_band, seed)
+    the band OR).  With ``quantize_bits`` set, bucketing runs on integer-
+    quantized vectors against integer planes (see ``integer_planes``) so
+    the candidate set is FP-portable / oracle-reproducible; similarity is
+    still scored on the ORIGINAL vectors."""
+    if quantize_bits is None:
+        planes = banded_hyperplanes(dim, bands, rows_per_band, seed)
+        bvec = lambda c: F.col(c)  # noqa: E731
+    else:
+        planes = integer_planes(dim, bands, rows_per_band, seed)
+        bvec = lambda c: quantized_vec(F.col(c), quantize_bits)  # noqa: E731
     bk = lsh_band_buckets_udf(planes)
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     ).select(
-        "query_id", "qv", F.posexplode(bk(F.col("qv"))).alias("band", "bucket")
+        "query_id", "qv", F.posexplode(bk(bvec("qv"))).alias("band", "bucket")
     )
     c = ensure_min_partitions(corpus).select(
         F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
     ).select(
-        "neighbor_id", "cv", F.posexplode(bk(F.col("cv"))).alias("band", "bucket")
+        "neighbor_id", "cv", F.posexplode(bk(bvec("cv"))).alias("band", "bucket")
     )
     cand = (
         q.join(c, ["band", "bucket"])
@@ -197,16 +227,28 @@ def embedding_near_dups(
     rows_per_band: int = 4,
     dim: int = 64,
     seed: int = 42,
+    quantize_bits: int | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold within OR-amplified LSH
     band buckets (exact cosine re-check keeps precision exact; bands bound
-    per-bucket skew and amplify recall vs a single sign pattern)."""
-    planes = banded_hyperplanes(dim, bands, rows_per_band, seed)
+    per-bucket skew and amplify recall vs a single sign pattern).
+
+    The join is an EQUI-join on (band, bucket) — never a broadcast
+    nested loop over all pairs (pinned by tests/test_plans.py).  With
+    ``quantize_bits`` set, buckets come from integer-quantized vectors ×
+    integer planes, making the candidate set FP-portable so a DuckDB
+    oracle can reproduce the exact output (q_embed_neardup)."""
+    if quantize_bits is None:
+        planes = banded_hyperplanes(dim, bands, rows_per_band, seed)
+        bucket_vec = F.col("v")
+    else:
+        planes = integer_planes(dim, bands, rows_per_band, seed)
+        bucket_vec = quantized_vec(F.col("v"), quantize_bits)
     side = ensure_min_partitions(df).select(
         F.col(id_col).alias("id"), F.col(vec_col).alias("v")
     ).select(
         "id", "v",
-        F.posexplode(lsh_band_buckets_udf(planes)(F.col("v"))).alias("band", "bucket"),
+        F.posexplode(lsh_band_buckets_udf(planes)(bucket_vec)).alias("band", "bucket"),
     )
     a, b = side.alias("a"), side.alias("b")
     cand = (
