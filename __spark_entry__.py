@@ -1088,18 +1088,25 @@ def q_evaluate_hungarian(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal binary-column plumbing: binary payload + metadata →
-    mapInPandas feature extraction.  The stub decode is md5-derived so the
-    DuckDB oracle reproduces width/height/frames/features from the same
-    payload bytes (hash-certified plumbing; swap in PIL/ffmpeg for real
-    codecs)."""
+    """Multimodal binary columns with REAL image decode (round-3 S5
+    upgrade): image-kind rows carry actual encoded BMP/PPM row-gradient
+    rasters (container format, dims, and channel offsets derived from
+    md5(media_id)), which ``decode_features`` parses with the stdlib
+    codec (``kernels/image.py``), resizes aspect-preserving into a 32x32
+    box (reference ``idp_common/image/__init__.py:13`` semantics) and
+    reduces to integer-sum features.  The DuckDB oracle computes the
+    SAME features in closed form from the gradient construction — so a
+    header-parse, padding, sampling or resize bug breaks the hash.
+    Audio/video rows keep the documented md5 stub (no codecs in the
+    sandbox)."""
     from accelerated_intelligent_document_processing_on_aws_spark.operators.multimodal import (
         decode_features,
         media_from_documents,
+        with_image_payloads,
     )
 
     d = _t(spark, sf_dir, "documents")
-    media = media_from_documents(d)
+    media = with_image_payloads(media_from_documents(d))
     return (
         decode_features(media)
         .select(
@@ -1108,7 +1115,12 @@ def q_multimodal_features(spark, sf_dir):
             "width",
             "height",
             "n_frames",
-            F.round(F.element_at("features", 1), 4).alias("f0"),
+            F.round(F.element_at("features", 1), 4).alias("f_r"),
+            F.round(F.element_at("features", 4), 4).alias("f_luma"),
+            F.round(F.element_at("features", 5), 4).alias("l_min"),
+            F.round(F.element_at("features", 6), 4).alias("l_max"),
+            F.round(F.element_at("features", 7), 4).alias("rw"),
+            F.round(F.element_at("features", 8), 4).alias("rh"),
         )
         .orderBy(F.col("media_id").cast("bigint"))
     )
@@ -1120,20 +1132,74 @@ WITH m AS (
          (['image','audio','video'])[
            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % 3 + 1
          ] AS kind,
-         md5(coalesce(text,'')) AS hx
+         md5(CAST(doc_id AS VARCHAR)) AS ihx,
+         md5(coalesce(text,'')) AS phx
   FROM documents
 ),
 b AS (
   SELECT media_id, kind,
-         CAST(('0x' || substr(hx, 1, 2)) AS INT) AS b0,
-         CAST(('0x' || substr(hx, 3, 2)) AS INT) AS b1,
-         CAST(('0x' || substr(hx, 5, 2)) AS INT) AS b2
+         CAST(('0x' || substr(ihx, 1, 2)) AS INT) AS i0,
+         CAST(('0x' || substr(ihx, 3, 2)) AS INT) AS i1,
+         CAST(('0x' || substr(ihx, 5, 2)) AS INT) AS i2,
+         CAST(('0x' || substr(ihx, 7, 2)) AS INT) AS i3,
+         CAST(('0x' || substr(ihx, 9, 2)) AS INT) AS i4,
+         CAST(('0x' || substr(phx, 1, 2)) AS INT) AS p0,
+         CAST(('0x' || substr(phx, 3, 2)) AS INT) AS p1,
+         CAST(('0x' || substr(phx, 5, 2)) AS INT) AS p2,
+         CAST(('0x' || substr(phx, 7, 2)) AS INT) AS p3,
+         CAST(('0x' || substr(phx, 9, 2)) AS INT) AS p4,
+         CAST(('0x' || substr(phx, 11, 2)) AS INT) AS p5,
+         CAST(('0x' || substr(phx, 13, 2)) AS INT) AS p6,
+         CAST(('0x' || substr(phx, 15, 2)) AS INT) AS p7
   FROM m
+),
+dims AS (
+  SELECT media_id, kind, 16 + i0 % 48 AS w, 16 + i1 % 48 AS h, i2, i3, i4,
+         CASE WHEN 16 + i0 % 48 <= 32 AND 16 + i1 % 48 <= 32 THEN 16 + i0 % 48
+              ELSE GREATEST(1, CAST(FLOOR((16 + i0 % 48)
+                   * LEAST(32.0 / (16 + i0 % 48), 32.0 / (16 + i1 % 48))) AS INT)) END AS nw,
+         CASE WHEN 16 + i0 % 48 <= 32 AND 16 + i1 % 48 <= 32 THEN 16 + i1 % 48
+              ELSE GREATEST(1, CAST(FLOOR((16 + i1 % 48)
+                   * LEAST(32.0 / (16 + i0 % 48), 32.0 / (16 + i1 % 48))) AS INT)) END AS nh
+  FROM b WHERE kind = 'image'
+),
+img AS (
+  SELECT media_id, kind, w, h, nw, nh,
+    list_sum(list_transform(range(nh), y -> (i2 + (y * h) // nh) % 256)) AS sr,
+    list_sum(list_transform(range(nh), y ->
+        299 * ((i2 + (y * h) // nh) % 256)
+      + 587 * ((i3 + (y * h) // nh) % 256)
+      + 114 * ((i4 + (y * h) // nh) % 256))) AS sl,
+    list_aggregate(list_transform(range(nh), y ->
+        299 * ((i2 + (y * h) // nh) % 256)
+      + 587 * ((i3 + (y * h) // nh) % 256)
+      + 114 * ((i4 + (y * h) // nh) % 256)), 'min') AS lmin,
+    list_aggregate(list_transform(range(nh), y ->
+        299 * ((i2 + (y * h) // nh) % 256)
+      + 587 * ((i3 + (y * h) // nh) % 256)
+      + 114 * ((i4 + (y * h) // nh) % 256)), 'max') AS lmax
+  FROM dims
 )
-SELECT media_id, kind, 64 + b0 % 192 AS width, 64 + b1 % 192 AS height,
-       CASE WHEN kind = 'image' THEN 1 ELSE 1 + b2 % 32 END AS n_frames,
-       ROUND(b0 / 255.0, 4) AS f0
-FROM b ORDER BY CAST(media_id AS BIGINT)
+SELECT * FROM (
+SELECT media_id, kind, w AS width, h AS height, 1 AS n_frames,
+       ROUND(sr / (255.0 * nh), 4) AS f_r,
+       ROUND(sl / (255000.0 * nh), 4) AS f_luma,
+       ROUND(lmin / 255000.0, 4) AS l_min,
+       ROUND(lmax / 255000.0, 4) AS l_max,
+       ROUND(CAST(nw AS DOUBLE), 4) AS rw,
+       ROUND(CAST(nh AS DOUBLE), 4) AS rh
+FROM img
+UNION ALL
+SELECT media_id, kind, 64 + p0 % 192 AS width, 64 + p1 % 192 AS height,
+       1 + p2 % 32 AS n_frames,
+       ROUND(p0 / 255.0, 4) AS f_r,
+       ROUND(p3 / 255.0, 4) AS f_luma,
+       ROUND(p4 / 255.0, 4) AS l_min,
+       ROUND(p5 / 255.0, 4) AS l_max,
+       ROUND(p6 / 255.0, 4) AS rw,
+       ROUND(p7 / 255.0, 4) AS rh
+FROM b WHERE kind <> 'image'
+) ORDER BY CAST(media_id AS BIGINT)
 """
 
 

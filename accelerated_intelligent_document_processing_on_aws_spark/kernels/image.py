@@ -1,0 +1,153 @@
+"""Stdlib+numpy image codecs for the multimodal stage (S5, real decode).
+
+The sandbox ships no PIL/ffmpeg, so decode covers the two uncompressed
+raster formats fully expressible with ``struct`` + numpy: 24-bit
+uncompressed BMP (BITMAPINFOHEADER, bottom-up or top-down, 4-byte row
+padding) and binary PPM (P6, maxval 255).  That makes the decode stage
+REAL — header parsing, pixel-array reconstruction, padding arithmetic —
+not a hash stub; swap ``decode_image`` for PIL in production for the
+compressed formats.
+
+Reference parity: ``resize_nearest`` mirrors the reference's
+``resize_image`` (``idp_common/image/__init__.py:13``): fit within the
+target box by the MIN of the width/height ratios (pure proportional
+scaling, no padding, no distortion), never upscale unless asked, floored
+integer output dims.  Nearest-neighbor sampling uses pure integer index
+arithmetic ``src = (dst * size) // new_size`` so an external SQL oracle
+can reproduce sampled pixels exactly.
+
+``image_features`` accumulates INTEGER channel/luma sums (exact in any
+engine/order — values far below 2^53) and divides once, so features are
+FP-portable and hash-certifiable after a single ROUND.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import numpy as np
+
+# integer luma weights (BT.601 x1000): portable, no FP per pixel
+_LUMA_R, _LUMA_G, _LUMA_B = 299, 587, 114
+
+
+def encode_bmp(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> 24-bit uncompressed BMP bytes (bottom-up,
+    rows padded to 4 bytes)."""
+    h, w, _ = arr.shape
+    row_size = (3 * w + 3) // 4 * 4
+    img_size = row_size * h
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, img_size, 2835, 2835, 0, 0)
+    rows = np.zeros((h, row_size), dtype=np.uint8)
+    bgr = arr[::-1, :, ::-1]  # bottom-up, BGR
+    rows[:, : 3 * w] = bgr.reshape(h, 3 * w)
+    return header + info + rows.tobytes()
+
+
+def decode_bmp(data: bytes) -> np.ndarray:
+    """24-bit uncompressed BMP bytes -> (H, W, 3) uint8 RGB.  Handles
+    bottom-up (height > 0) and top-down (height < 0) layouts."""
+    if data[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    (_, _, _, _, offset) = struct.unpack_from("<2sIHHI", data, 0)
+    (hdr_size, w, h_signed, _planes, bpp, comp) = struct.unpack_from(
+        "<IiiHHI", data, 14
+    )
+    if bpp != 24 or comp != 0:
+        raise ValueError(f"unsupported BMP: bpp={bpp} compression={comp}")
+    h = abs(h_signed)
+    row_size = (3 * w + 3) // 4 * 4
+    raw = np.frombuffer(data, dtype=np.uint8, count=row_size * h, offset=offset)
+    rows = raw.reshape(h, row_size)[:, : 3 * w].reshape(h, w, 3)
+    rgb = rows[:, :, ::-1]
+    if h_signed > 0:  # bottom-up
+        rgb = rgb[::-1]
+    return np.ascontiguousarray(rgb)
+
+
+def encode_ppm(arr: np.ndarray) -> bytes:
+    """(H, W, 3) uint8 RGB -> binary PPM (P6, maxval 255)."""
+    h, w, _ = arr.shape
+    return f"P6\n{w} {h}\n255\n".encode("ascii") + arr.tobytes()
+
+
+def decode_ppm(data: bytes) -> np.ndarray:
+    """Binary PPM (P6) bytes -> (H, W, 3) uint8 RGB.  Supports comment
+    lines and arbitrary whitespace in the header, per the spec."""
+    if data[:2] != b"P6":
+        raise ValueError("not a P6 PPM payload")
+    # header = magic + 3 whitespace-separated ints (w, h, maxval), with
+    # '#' comments allowed between tokens; one whitespace byte ends it
+    pos, tokens = 2, []
+    while len(tokens) < 3:
+        while pos < len(data) and data[pos : pos + 1].isspace():
+            pos += 1
+        if data[pos : pos + 1] == b"#":
+            while pos < len(data) and data[pos] != 0x0A:
+                pos += 1
+            continue
+        start = pos
+        while pos < len(data) and not data[pos : pos + 1].isspace():
+            pos += 1
+        tokens.append(int(data[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = tokens
+    if maxval != 255:
+        raise ValueError(f"unsupported PPM maxval {maxval}")
+    raw = np.frombuffer(data, dtype=np.uint8, count=3 * w * h, offset=pos)
+    return np.ascontiguousarray(raw.reshape(h, w, 3))
+
+
+def decode_image(data: bytes) -> np.ndarray:
+    """Sniff magic bytes and decode (BMP or PPM)."""
+    if data is None:
+        raise ValueError("cannot decode null payload")
+    head = bytes(data[:2])
+    if head == b"BM":
+        return decode_bmp(bytes(data))
+    if head == b"P6":
+        return decode_ppm(bytes(data))
+    raise ValueError(f"unknown image magic {head!r}")
+
+
+def resize_nearest(
+    arr: np.ndarray, target_w: int, target_h: int, allow_upscale: bool = False
+) -> np.ndarray:
+    """Aspect-preserving nearest-neighbor resize into (target_w, target_h).
+
+    Scale = min(target_w/w, target_h/h); no resize when scale >= 1 unless
+    ``allow_upscale`` (reference ``resize_image`` semantics: fit within
+    bounds, floored output dims, never distort)."""
+    h, w = arr.shape[:2]
+    scale = min(target_w / w, target_h / h)
+    if scale >= 1.0 and not allow_upscale:
+        return arr
+    new_w = max(1, int(w * scale))
+    new_h = max(1, int(h * scale))
+    ys = (np.arange(new_h, dtype=np.int64) * h) // new_h
+    xs = (np.arange(new_w, dtype=np.int64) * w) // new_w
+    return arr[np.ix_(ys, xs)]
+
+
+def image_features(arr: np.ndarray) -> list[float]:
+    """8 engine-portable features from an RGB array: per-channel means,
+    weighted-luma mean/min/max (integer sums, single divide — exact in
+    float64), plus the array dims.  Unrounded; callers round once."""
+    h, w = arr.shape[:2]
+    n = h * w
+    px = arr.astype(np.int64)
+    sum_r = int(px[:, :, 0].sum())
+    sum_g = int(px[:, :, 1].sum())
+    sum_b = int(px[:, :, 2].sum())
+    luma = _LUMA_R * px[:, :, 0] + _LUMA_G * px[:, :, 1] + _LUMA_B * px[:, :, 2]
+    return [
+        sum_r / (255.0 * n),
+        sum_g / (255.0 * n),
+        sum_b / (255.0 * n),
+        int(luma.sum()) / (255000.0 * n),
+        int(luma.min()) / 255000.0,
+        int(luma.max()) / 255000.0,
+        float(w),
+        float(h),
+    ]

@@ -5,15 +5,16 @@ decoded/feature-extracted in Arrow-batched ``mapInPandas`` — the pattern a
 100 TB training-data pipeline needs (decode never touches the driver, batch
 shape bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``).
 
-The sandbox has no image/audio codecs, so ``decode`` is STUBBED with a
-deterministic fake (blake2b-seeded pseudo-decode) behind the same
-signature; the Spark-side plumbing — schema, partition parallelism, UDF
-batch iteration, column pruning before the heavy stage — is real and
-tested.  Swap ``_fake_decode`` for a PIL/ffmpeg call in production.
+IMAGE decode is REAL: ``kernels/image.py`` parses 24-bit BMP and binary
+PPM payloads with stdlib struct + numpy (header, padding, pixel-array
+reconstruction), applies the reference's aspect-preserving never-upscale
+resize (``idp_common/image/__init__.py:13`` resize semantics), and
+extracts integer-sum features that a SQL oracle reproduces exactly.
+Audio/video stay a documented deterministic STUB (``_fake_decode`` — the
+sandbox ships no audio/video codecs); swap for ffmpeg in production.
 
 Reference analog: page-image render/resize (``ocr/service.py:1144-1252``,
-``idp_common/image/__init__.py:13``) — out of the rebuild's core path per
-SURVEY.md S5, modeled here as the binary-column stage.
+``idp_common/image/__init__.py:13``).
 """
 
 from __future__ import annotations
@@ -26,6 +27,8 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+from ..kernels.image import decode_image, image_features, resize_nearest
 
 N_FEATURES = 8
 
@@ -59,10 +62,10 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, int, list[float]]:
-    """Deterministic pseudo-decode (STUB for PIL/ffmpeg: same signature,
-    stable output per payload).  Raises on None like a real codec would.
-    md5-derived (not blake2b) so a SQL oracle can reproduce every output
-    byte-for-byte from the payload."""
+    """Deterministic pseudo-decode for AUDIO/VIDEO only (the sandbox ships
+    no audio/video codecs — documented stub; swap for ffmpeg in
+    production).  Raises on None like a real codec would.  md5-derived so
+    a SQL oracle can reproduce every output byte-for-byte."""
     if payload is None:
         raise ValueError("cannot decode null payload")
     h = hashlib.md5(payload).digest()
@@ -73,7 +76,22 @@ def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, int, list[float]]
     return width, height, n_frames, [float(x) for x in feats]
 
 
-def decode_features(df: DataFrame) -> DataFrame:
+def _decode_one(
+    payload: bytes, kind: str, box: tuple[int, int]
+) -> tuple[int, int, int, list[float]]:
+    """REAL decode for images (BMP/PPM parse → aspect-preserving NN resize
+    into ``box`` → integer-sum features; width/height report the ORIGINAL
+    decoded dims, features[6:8] the resized dims so the resize itself is
+    certified).  Audio/video fall back to the documented stub."""
+    if kind == "image":
+        arr = decode_image(payload)
+        h, w = arr.shape[:2]
+        resized = resize_nearest(arr, box[0], box[1])
+        return w, h, 1, image_features(resized)
+    return _fake_decode(payload, kind)
+
+
+def decode_features(df: DataFrame, box: tuple[int, int] = (32, 32)) -> DataFrame:
     """binary media → fixed-width feature rows via mapInPandas.
 
     Column-prunes to exactly the needed inputs BEFORE the heavy stage so
@@ -87,7 +105,7 @@ def decode_features(df: DataFrame) -> DataFrame:
             for mid, kind, payload in zip(
                 pdf["media_id"], pdf["kind"], pdf["payload"]
             ):
-                w, h, nf, feats = _fake_decode(payload, kind)
+                w, h, nf, feats = _decode_one(payload, kind, box)
                 rows.append((mid, kind, w, h, nf, feats))
             yield pd.DataFrame(
                 rows,
@@ -98,6 +116,46 @@ def decode_features(df: DataFrame) -> DataFrame:
 
     pruned = df.select("media_id", "kind", "payload")
     return pruned.mapInPandas(_decode, FEATURES_SCHEMA)
+
+
+def synth_image_payload(media_id: str) -> bytes:
+    """Deterministic REAL image payload for tests/queries: a row-gradient
+    RGB raster whose dims, channel offsets, and container format (BMP vs
+    PPM) derive from md5(media_id) — so a SQL oracle can compute the
+    expected decoded features in closed form while the Spark side round-
+    trips actual encoded bytes through the actual decoder."""
+    hb = hashlib.md5(media_id.encode("utf-8")).digest()
+    w, h = 16 + hb[0] % 48, 16 + hb[1] % 48
+    y = np.arange(h, dtype=np.int64)[:, None]
+    chans = [np.broadcast_to((hb[2 + c] + y) % 256, (h, w)) for c in range(3)]
+    arr = np.stack(chans, axis=2).astype(np.uint8)
+    from ..kernels.image import encode_bmp, encode_ppm
+
+    return encode_bmp(arr) if hb[5] % 2 == 0 else encode_ppm(arr)
+
+
+def with_image_payloads(media: DataFrame) -> DataFrame:
+    """Replace image-kind payloads with real encoded rasters
+    (``synth_image_payload``); other kinds keep their bytes."""
+
+    @F.pandas_udf(T.BinaryType())
+    def img(media_ids: pd.Series) -> pd.Series:
+        return media_ids.map(synth_image_payload)
+
+    return media.withColumn(
+        "payload",
+        F.when(F.col("kind") == "image", img(F.col("media_id"))).otherwise(
+            F.col("payload")
+        ),
+    ).withColumn(
+        "meta",
+        F.struct(
+            F.when(F.col("kind") == "image", F.lit("image/x-raster"))
+            .otherwise(F.col("meta.mime"))
+            .alias("mime"),
+            F.length("payload").cast("long").alias("n_bytes"),
+        ),
+    )
 
 
 def media_from_documents(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
