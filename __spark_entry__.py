@@ -15,6 +15,7 @@ Cross-engine parity rules used throughout:
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -424,6 +425,97 @@ def _classify_sql():
         "SELECT doc_id, CASE "
         + " ".join(whens)
         + f" ELSE '{fallback}' END AS doc_class FROM documents"
+    )
+
+
+_CONFIG_FIXTURE = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "config_library", "transcript-sample", "config.yaml",
+)
+
+
+def q_config_extract(spark, sf_dir):
+    """Config-INGESTION-driven classify + attribute extraction (round-3
+    §2.8 closure): classes and per-class attribute regexes load from the
+    committed YAML fixture (``config_library/transcript-sample/
+    config.yaml`` — the reference's config_library shape, parsed like
+    ``extraction/service.py:72-120``), drive the first-match rlike class
+    cascade, then each class's attributes extract over that class's docs.
+    The oracle generates its SQL from the SAME file, so query and oracle
+    stay in lockstep with the fixture."""
+    from accelerated_intelligent_document_processing_on_aws_spark.config import (
+        attributes_config,
+        classes_config,
+        load_config,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        turn_class_col,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.attributes import (
+        extract_section_attributes,
+    )
+
+    cfg = load_config(_CONFIG_FIXTURE)
+    classes = classes_config(cfg)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .withColumn("text", F.coalesce(F.col("text"), F.lit("")))
+        .withColumn("doc_class", turn_class_col(F.col("text"), classes))
+    )
+    parts = []
+    for cname, _rx in classes:
+        ac = attributes_config(cfg, cname)
+        if not ac:
+            continue
+        rows = extract_section_attributes(
+            d.filter(F.col("doc_class") == cname),
+            ac,
+            text_col="text",
+            key_cols=["doc_id", "doc_class"],
+        )
+        parts.append(rows)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "doc_id",
+        "doc_class",
+        "attr",
+        F.coalesce(F.col("value"), F.lit("")).alias("value"),
+    ).orderBy("doc_id", "attr")
+
+
+def _config_extract_sql():
+    from accelerated_intelligent_document_processing_on_aws_spark.config import (
+        attributes_config,
+        classes_config,
+        load_config,
+    )
+
+    cfg = load_config(_CONFIG_FIXTURE)
+    classes = classes_config(cfg)
+    whens, fallback = [], "unknown"
+    for name, rx in classes:
+        if rx is None:
+            fallback = name
+            continue
+        whens.append(f"WHEN regexp_matches(coalesce(text,''), '{rx}') THEN '{name}'")
+    class_case = "CASE " + " ".join(whens) + f" ELSE '{fallback}' END"
+    selects = []
+    for cname, _rx in classes:
+        for attr, rx in attributes_config(cfg, cname).items():
+            rxsql = rx.replace("'", "''")
+            selects.append(
+                f"SELECT doc_id, doc_class, '{attr}' AS attr, "
+                f"regexp_extract(text, '{rxsql}', 1) AS value "
+                f"FROM d WHERE doc_class = '{cname}'"
+            )
+    return (
+        "WITH d AS (SELECT doc_id, coalesce(text,'') AS text, "
+        + class_case
+        + " AS doc_class FROM documents) "
+        + " UNION ALL ".join(selects)
+        + " ORDER BY doc_id, attr"
     )
 
 
@@ -2260,6 +2352,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_doc_fingerprint": q_doc_fingerprint,
         "q_doc_classify": q_doc_classify,
         "q_dedup_exact": q_dedup_exact,
+        "q_config_extract": q_config_extract,
         "q_knn_cosine": q_knn_cosine,
         "q_evaluate_exact": q_evaluate_exact,
         "q_transcript_extract": q_transcript_extract,
@@ -2361,6 +2454,7 @@ def oracle_sql() -> dict[str, str]:
         "q_section_attributes": _section_attributes_sql(),
         "q_token_packing": Q_TOKEN_PACKING_SQL,
         "q_lsh_topk": Q_LSH_TOPK_SQL,
+        "q_config_extract": _config_extract_sql(),
         # Non-SQL ops (rows-only driver check by design):
         # q_transcript_extract (pandas-UDF extraction kernels),
         # q_evaluate_hungarian (O(n^3) assignment has no SQL analog).
