@@ -33,6 +33,7 @@ from xml.etree import ElementTree as ET
 
 NS_X = "{http://schemas.openxmlformats.org/spreadsheetml/2006/main}"
 NS_W = "{http://schemas.openxmlformats.org/wordprocessingml/2006/main}"
+NS_R = "{http://schemas.openxmlformats.org/officeDocument/2006/relationships}"
 
 _COL_RE = re.compile(r"^([A-Z]+)[0-9]+$")
 
@@ -92,15 +93,35 @@ def xlsx_to_markdown(payload: bytes) -> str:
         for si in root.findall(f"{NS_X}si"):
             shared.append("".join(el.text or "" for el in si.iter(f"{NS_X}t")))
 
-    sheet_names: List[str] = []
+    # sheet order comes from workbook.xml, but each sheet's WORKSHEET PART
+    # is resolved through its r:id in xl/_rels/workbook.xml.rels — real
+    # workbooks with reordered/deleted sheets do not follow the positional
+    # sheet{i}.xml convention (round-2 ADVICE); position is only the
+    # fallback when rels are absent.
+    rels: Dict[str, str] = {}
+    if "xl/_rels/workbook.xml.rels" in names:
+        rroot = ET.fromstring(zf.read("xl/_rels/workbook.xml.rels"))
+        for rel in rroot.iter():
+            if rel.tag.endswith("}Relationship") or rel.tag == "Relationship":
+                rels[rel.get("Id", "")] = rel.get("Target", "")
+
+    sheets: List[tuple] = []  # (name, r:id or None)
     if "xl/workbook.xml" in names:
         wb = ET.fromstring(zf.read("xl/workbook.xml"))
         for sh in wb.iter(f"{NS_X}sheet"):
-            sheet_names.append(sh.get("name", f"Sheet{len(sheet_names) + 1}"))
+            sheets.append(
+                (sh.get("name", f"Sheet{len(sheets) + 1}"), sh.get(f"{NS_R}id"))
+            )
 
     out: List[str] = []
-    for i, sheet_name in enumerate(sheet_names or ["Sheet1"]):
-        path = f"xl/worksheets/sheet{i + 1}.xml"
+    for i, (sheet_name, rid) in enumerate(sheets or [("Sheet1", None)]):
+        target = rels.get(rid) if rid else None
+        if target:
+            # targets are relative to xl/ ("worksheets/sheet2.xml") or
+            # package-absolute ("/xl/worksheets/sheet2.xml")
+            path = target.lstrip("/") if target.startswith("/") else "xl/" + target
+        else:
+            path = f"xl/worksheets/sheet{i + 1}.xml"
         if path not in names:
             continue
         root = ET.fromstring(zf.read(path))

@@ -132,7 +132,6 @@ def evaluate_attributes(
     """
     e, a = F.col(expected_col), F.col(actual_col)
     methods = sorted({default_method, *config.values()})
-    scores = {m: _method_score(m, e, a) for m in methods}
 
     method_col = None
     for attr, method in config.items():
@@ -151,7 +150,15 @@ def evaluate_attributes(
     score = None
     for m in methods:
         cond = F.col("method") == F.lit(m)
-        score = F.when(cond, scores[m]) if score is None else score.when(cond, scores[m])
+        if m == "SEMANTIC":
+            # Spark extracts Python/Arrow UDFs and runs them over EVERY row
+            # before the conditional projection — null-gate the inputs so
+            # non-SEMANTIC rows hit the kernel's empty-token fast path
+            # instead of paying the hashing-cosine cost (round-2 ADVICE)
+            s = _method_score(m, F.when(cond, e), F.when(cond, a))
+        else:
+            s = _method_score(m, e, a)
+        score = F.when(cond, s) if score is None else score.when(cond, s)
 
     out = pairs.withColumn("method", method_col).withColumn(
         "score", F.round(score, 4)

@@ -81,3 +81,33 @@ def test_left_row_count_preserved(spark):
     right = spark.createDataFrame([], "user_id string, ts timestamp, cid string")
     out = asof_join(left, right, on=["user_id"]).collect()
     assert len(out) == 5 and all(r.cid_asof is None for r in out)
+
+
+def test_asof_unorderable_payload_and_explicit_tiebreak(spark):
+    """Map-typed right payload must not break the window ordering (round-2
+    ADVICE: ordering by the whole payload struct raised AnalysisException
+    for unorderable columns), and an explicit tiebreak column decides
+    duplicate-(key, ts) winners."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.asof import (
+        asof_join,
+    )
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame([("k", 10)], "k string, ts int")
+    right = (
+        spark.createDataFrame(
+            [("k", 5, "b", 2), ("k", 5, "a", 1)], "k string, ts int, v string, pr int"
+        )
+        .withColumn("m", F.create_map(F.lit("x"), F.col("pr")))
+    )
+    # unorderable map column in the payload: falls back to orderable fields
+    got = asof_join(left, right, ["k"], "ts").collect()[0]
+    assert got.v_asof == "b"  # greatest orderable tuple (v='b') wins
+    assert got.m_asof == {"x": 2}
+    # explicit tiebreak overrides: highest pr wins regardless of field order
+    got2 = asof_join(left, right, ["k"], "ts", tiebreak="pr").collect()[0]
+    assert got2.pr_asof == 2 and got2.v_asof == "b"
+    got3 = asof_join(
+        left, right.withColumn("pr", -F.col("pr")), ["k"], "ts", tiebreak="pr"
+    ).collect()[0]
+    assert got3.pr_asof == -1 and got3.v_asof == "a"

@@ -84,3 +84,47 @@ def test_docx_headings_paragraphs_tables():
 def test_docx_empty_body():
     payload = make_docx([])
     assert docx_to_markdown(payload) == ""
+
+
+def test_xlsx_sheets_resolved_via_rels_not_position():
+    """Workbooks whose sheet parts do not follow the positional
+    sheet{i}.xml convention (reordered/deleted sheets) must attach sheet
+    NAMES to the right GRIDS via r:id -> workbook.xml.rels (round-2
+    ADVICE finding)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.kernels.office import (
+        _zip_bytes,
+        xlsx_to_markdown,
+    )
+
+    ws = (
+        '<?xml version="1.0"?><worksheet '
+        'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main">'
+        '<sheetData><row r="1"><c r="A1" t="inlineStr"><is><t>{}</t></is></c>'
+        "</row></sheetData></worksheet>"
+    )
+    payload = _zip_bytes(
+        {
+            "[Content_Types].xml": '<?xml version="1.0"?><Types xmlns="http://schemas.openxmlformats.org/package/2006/content-types"><Default Extension="xml" ContentType="application/xml"/></Types>',
+            "xl/workbook.xml": (
+                '<?xml version="1.0"?><workbook '
+                'xmlns="http://schemas.openxmlformats.org/spreadsheetml/2006/main" '
+                'xmlns:r="http://schemas.openxmlformats.org/officeDocument/2006/relationships">'
+                '<sheets><sheet name="First" sheetId="1" r:id="rA"/>'
+                '<sheet name="Second" sheetId="2" r:id="rB"/></sheets></workbook>'
+            ),
+            # deliberately CROSSED targets: First -> sheet9.xml, Second -> sheet1.xml
+            "xl/_rels/workbook.xml.rels": (
+                '<?xml version="1.0"?><Relationships '
+                'xmlns="http://schemas.openxmlformats.org/package/2006/relationships">'
+                '<Relationship Id="rA" Type="t" Target="worksheets/sheet9.xml"/>'
+                '<Relationship Id="rB" Type="t" Target="/xl/worksheets/sheet1.xml"/>'
+                "</Relationships>"
+            ),
+            "xl/worksheets/sheet9.xml": ws.format("alpha"),
+            "xl/worksheets/sheet1.xml": ws.format("beta"),
+        }
+    )
+    md = xlsx_to_markdown(payload)
+    first = md.split("## Second")[0]
+    assert "## First" in first and "alpha" in first and "beta" not in first
+    assert "beta" in md.split("## Second")[1]
