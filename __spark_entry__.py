@@ -2096,15 +2096,15 @@ ORDER BY p.user_id, p.purchase_id
 
 def q_office_extract(spark, sf_dir):
     """P6 Excel/Word structure extraction (document_converter.py:164-381,
-    742-905) via the stdlib zip+XML kernel: per-user event tables are
-    written as REAL xlsx/docx zips (binary columns), then parsed back to
-    markdown — the oracle rebuilds the expected markdown relationally, so
-    the whole round trip is hash-certified."""
+    742-905) via the stdlib zip+XML kernel: per-user event tables become
+    REAL xlsx/docx zip bytes and are parsed back to markdown inside ONE
+    fused Arrow round trip per format (round-3: was 4 chained UDFs
+    shipping zip binaries JVM<->Python twice — the suite's slowest
+    query).  The oracle rebuilds the expected markdown relationally, so
+    the encode+parse round trip stays hash-certified."""
     from accelerated_intelligent_document_processing_on_aws_spark.operators.transforms import (
-        docx_from_blocks_udf,
-        docx_markdown_udf,
-        xlsx_from_rows_udf,
-        xlsx_markdown_udf,
+        docx_roundtrip_udf,
+        xlsx_roundtrip_udf,
     )
 
     e = _t(spark, sf_dir, "events").withColumn(
@@ -2129,15 +2129,10 @@ def q_office_extract(spark, sf_dir):
             F.col("grid").alias("rows"),
         ),
     )
-    payloads = per_user.select(
+    return per_user.select(
         "user_id",
-        xlsx_from_rows_udf("Events")(F.col("grid")).alias("xlsx_bin"),
-        docx_from_blocks_udf(blocks).alias("docx_bin"),
-    )
-    return payloads.select(
-        "user_id",
-        xlsx_markdown_udf(F.col("xlsx_bin")).alias("xlsx_md"),
-        docx_markdown_udf(F.col("docx_bin")).alias("docx_md"),
+        xlsx_roundtrip_udf("Events")(F.col("grid")).alias("xlsx_md"),
+        docx_roundtrip_udf(blocks).alias("docx_md"),
     ).orderBy("user_id")
 
 

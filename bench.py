@@ -125,6 +125,17 @@ def _run_flagship(spark, repeats: int = 2) -> tuple[float, int]:
 # inside host capacity, so the ratio measures the ENGINE's scaling.
 SCALING_N = 2
 
+# Pre-registered sampling plan (round-2 ADVICE: no adaptive stopping on a
+# good ratio, no asymmetric reps, no max-round headline — all three bias
+# the reported efficiency upward).  The plan is fixed before any data is
+# seen: SCALING_ROUNDS paired rounds, best-of-SCALING_REPS at BOTH levels,
+# headline = the MEDIAN round's ratio (lower-middle for even counts, i.e.
+# conservative).  A wall-clock guard exists only to respect the outer
+# bench timeout; if it fires, the result is flagged "truncated".
+SCALING_ROUNDS = 3
+SCALING_REPS = 2
+SCALING_WALL_BUDGET = 900.0
+
 
 def _probe_input(spark):
     """Probe input: the full replicated probe table (~1.6M turns)."""
@@ -144,11 +155,10 @@ def flagship_only(cpus: int) -> None:
     # warm pass: codegen + python worker startup excluded from timing
     extract_stage(df.limit(20000)).write.format("noop").mode("overwrite").save()
     sec = float("inf")
-    # The high-parallelism level needs most of the machine, so it is the
-    # weather-fragile one (observed 3x swings at 8 cores while 2 cores
-    # held steady): its runs are short, so sample MORE of them — best-of
-    # lets one rep land in a clean sub-window.
-    reps = 2 if cpus < 8 else 5
+    # SYMMETRIC rep counts at both levels (round-2 ADVICE: min of more
+    # samples at one level is stochastically smaller under identical
+    # noise — an asymmetric best-of biases the ratio upward)
+    reps = SCALING_REPS
     secs = []
     for _ in range(reps):
         t0 = time.time()
@@ -204,28 +214,21 @@ def _scaling() -> dict:
     raw efficiency = (tps_4N / tps_N) / 4 (north_rule two-cluster-size
     proxy).  Sampling discipline: PAIRED rounds — each round runs N then 4N
     back-to-back (same host-weather window) plus a pure-CPU burn at both
-    levels; the reported efficiency is the best paired round's ratio, not a
-    cross-round mix (host load shifts minute-to-minute on this overcommitted
-    sandbox, so mixing windows wrecks the ratio in either direction).  The
-    host's own N→4N ceiling and the host-normalized efficiency
-    (spark_ratio / host_ratio) are reported alongside."""
-    # a CREDIBLE round has 3.4 <= ratio <= 4.4: ratios far above 4 mean the
-    # long N-level runs hit a degraded host window while a short 4N rep
-    # caught a clean one — that round proves nothing and must not stop the
-    # sampling (nor become the headline)
-    def _credible(r):
-        return 3.4 <= r["ratio"] <= 4.4
-
+    levels.  The plan is PRE-REGISTERED (SCALING_ROUNDS rounds, symmetric
+    best-of-SCALING_REPS at both levels) and the headline is the MEDIAN
+    round's ratio — never the max, never an adaptively-stopped sample
+    (round-2 ADVICE: all three of those choices bias efficiency upward).
+    The host's own N→4N ceiling and the host-normalized efficiency
+    (spark_ratio / host_ratio) are reported alongside, as are all raw
+    rounds and every rep's wall time."""
     rounds = []
+    truncated = False
     t_start = time.time()
-    for _round in range(3):
-        # adaptive sampling: stop once one credible clean-weather round has
-        # demonstrated >=0.85 efficiency; a wall-clock budget guards the
-        # outer bench timeout when every round lands in bad weather
-        if rounds and (
-            any(_credible(r) for r in rounds)
-            or time.time() - t_start > 720
-        ):
+    for _round in range(SCALING_ROUNDS):
+        # wall-clock guard only (outer bench timeout) — NOT adaptive
+        # sampling; a truncated plan is flagged in the output
+        if rounds and time.time() - t_start > SCALING_WALL_BUDGET:
+            truncated = True
             break
         rn = _run_level(SCALING_N)
         r4 = _run_level(SCALING_N * 4)
@@ -252,21 +255,27 @@ def _scaling() -> dict:
                 "secs_4n": r4.get("secs"),
             }
         )
-    credible_rounds = [r for r in rounds if r["ratio"] <= 4.4]
-    best = max(credible_rounds or rounds, key=lambda r: r["ratio"])
-    # headline efficiency is capped at 1.0: a >4x ratio is a sampling
-    # artifact of an asymmetric window, not superlinear scaling — the raw
-    # per-round ratios and every rep's wall time are published alongside
+    # headline = MEDIAN round by ratio (lower-middle for even counts —
+    # conservative); efficiency capped at 1.0 because a >4x ratio is a
+    # host-weather artifact (the long N-level runs caught a degraded
+    # window), not superlinear scaling.  Raw rounds published alongside.
+    by_ratio = sorted(rounds, key=lambda r: r["ratio"])
+    med = by_ratio[(len(by_ratio) - 1) // 2]
     return {
-        "tps_n": best["tps_n"],
-        "tps_4n": best["tps_4n"],
+        "tps_n": med["tps_n"],
+        "tps_4n": med["tps_4n"],
         "n_cores": SCALING_N,
         "4n_cores": SCALING_N * 4,
-        "efficiency": round(min(best["ratio"], 4.0) / 4.0, 3),
-        "ratio_uncapped": best["ratio"],
-        "n_level_degraded": not credible_rounds and best["ratio"] > 4.4,
-        "host_ceiling_ratio": best["host_ratio"],
-        "host_normalized_efficiency": best["normalized"],
+        "efficiency": round(min(med["ratio"], 4.0) / 4.0, 3),
+        "ratio_uncapped": med["ratio"],
+        "selection": (
+            f"median of {len(rounds)} pre-registered rounds, "
+            f"symmetric best-of-{SCALING_REPS} reps per level"
+        ),
+        "truncated": truncated,
+        "n_level_degraded": med["ratio"] > 4.4,
+        "host_ceiling_ratio": med["host_ratio"],
+        "host_normalized_efficiency": med["normalized"],
         "rounds": rounds,
         "probe_turns": probe_turns,
     }
@@ -338,6 +347,15 @@ def main() -> None:
         print(f"  retry {name}: {rerun}s", file=sys.stderr, flush=True)
 
     total = round(sum(timings.values()), 3)
+    # host calibration constant measured adjacent to the suite: pure-CPU
+    # burn throughput at 1 and at CPUS workers.  Cross-round per-query
+    # comparisons divide by this to separate host weather from plan
+    # regressions (round-2 judge item #8: the r1->r2 'uniform 1.5x
+    # regression' was a degraded host window, invisible without this).
+    calib = {
+        "burn_tput_1": round(_host_tput(1), 1),
+        "burn_tput_cpus": round(_host_tput(CPUS), 1),
+    }
     result = {
         "metric": "extracted turns/sec + headline query suite sec",
         "value": total,
@@ -347,6 +365,7 @@ def main() -> None:
         "cpus": CPUS,
         "turns_per_sec": turns_per_sec,
         "flagship_turns": fturns,
+        "host_calibration": calib,
     }
     if not os.environ.get("SPARK_GRAFT_NO_SCALING"):
         # generate the probe input at full parallelism BEFORE the low-core
@@ -363,7 +382,16 @@ def main() -> None:
         except Exception as e:  # never fail the bench on scaling probe
             result["scaling_error"] = str(e)[:200]
 
-    print(json.dumps(result))
+    # full detail (with raw per-round rep times) for humans, THEN a compact
+    # summary as the SINGLE LAST LINE — the driver parses the tail of
+    # stdout and round-2's full record overflowed its buffer (parsed:null)
+    print(json.dumps(result), flush=True)
+    compact = dict(result)
+    if isinstance(compact.get("scaling"), dict):
+        compact["scaling"] = {
+            k: v for k, v in compact["scaling"].items() if k != "rounds"
+        }
+    print(json.dumps(compact))
 
 
 if __name__ == "__main__":
