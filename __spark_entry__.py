@@ -451,9 +451,6 @@ def q_config_extract(spark, sf_dir):
     from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
         turn_class_col,
     )
-    from accelerated_intelligent_document_processing_on_aws_spark.operators.attributes import (
-        extract_section_attributes,
-    )
 
     cfg = load_config(_CONFIG_FIXTURE)
     classes = classes_config(cfg)
@@ -462,27 +459,37 @@ def q_config_extract(spark, sf_dir):
         .withColumn("text", F.coalesce(F.col("text"), F.lit("")))
         .withColumn("doc_class", turn_class_col(F.col("text"), classes))
     )
-    parts = []
+    # ONE scan: per-class attribute arrays dispatch on doc_class in a
+    # single CASE projection + explode (a per-class filter+union would
+    # re-scan the table once per class — 3 full scans at 100 TB)
+    arr = None
     for cname, _rx in classes:
         ac = attributes_config(cfg, cname)
         if not ac:
             continue
-        rows = extract_section_attributes(
-            d.filter(F.col("doc_class") == cname),
-            ac,
-            text_col="text",
-            key_cols=["doc_id", "doc_class"],
+        a_expr = F.array(
+            *[
+                F.struct(
+                    F.lit(n).alias("attr"),
+                    F.regexp_extract(F.col("text"), rx, 1).alias("value"),
+                )
+                for n, rx in ac.items()
+            ]
         )
-        parts.append(rows)
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out.select(
-        "doc_id",
-        "doc_class",
-        "attr",
-        F.coalesce(F.col("value"), F.lit("")).alias("value"),
-    ).orderBy("doc_id", "attr")
+        cond = F.col("doc_class") == cname
+        arr = F.when(cond, a_expr) if arr is None else arr.when(cond, a_expr)
+    empty = F.array().cast("array<struct<attr:string,value:string>>")
+    kv = F.explode(arr.otherwise(empty)).alias("kv")
+    return (
+        d.select("doc_id", "doc_class", kv)
+        .select(
+            "doc_id",
+            "doc_class",
+            F.col("kv.attr").alias("attr"),
+            F.col("kv.value").alias("value"),
+        )
+        .orderBy("doc_id", "attr")
+    )
 
 
 def _config_extract_sql():

@@ -136,15 +136,21 @@ def synth_image_payload(media_id: str) -> bytes:
 
 def with_image_payloads(media: DataFrame) -> DataFrame:
     """Replace image-kind payloads with real encoded rasters
-    (``synth_image_payload``); other kinds keep their bytes."""
+    (``synth_image_payload``); other kinds keep their bytes.  The UDF
+    input is null-gated on kind: Spark extracts Arrow UDFs and runs them
+    over every row BEFORE the conditional projection, so without the gate
+    non-image rows would pay the raster encode too."""
 
     @F.pandas_udf(T.BinaryType())
     def img(media_ids: pd.Series) -> pd.Series:
-        return media_ids.map(synth_image_payload)
+        return media_ids.map(
+            lambda m: None if m is None else synth_image_payload(m)
+        )
 
+    is_img = F.col("kind") == "image"
     return media.withColumn(
         "payload",
-        F.when(F.col("kind") == "image", img(F.col("media_id"))).otherwise(
+        F.when(is_img, img(F.when(is_img, F.col("media_id")))).otherwise(
             F.col("payload")
         ),
     ).withColumn(
