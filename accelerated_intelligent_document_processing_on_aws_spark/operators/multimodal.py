@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..kernels.image import decode_image, image_features, resize_nearest
+from .common import ensure_min_partitions
 
 N_FEATURES = 8
 
@@ -114,7 +115,11 @@ def decode_features(df: DataFrame, box: tuple[int, int] = (32, 32)) -> DataFrame
                 ],
             )
 
-    pruned = df.select("media_id", "kind", "payload")
+    # CPU-heavy-per-row, tiny-bytes stage: a single-file scan arrives as
+    # ONE split and would serialize every decode through one task (and AQE
+    # cannot help — it only sees bytes).  ensure_min_partitions spreads it
+    # and leaves well-split 100 TB scans untouched.
+    pruned = ensure_min_partitions(df.select("media_id", "kind", "payload"))
     return pruned.mapInPandas(_decode, FEATURES_SCHEMA)
 
 
@@ -148,6 +153,10 @@ def with_image_payloads(media: DataFrame) -> DataFrame:
         )
 
     is_img = F.col("kind") == "image"
+    # raster encode is the same CPU-heavy-tiny-bytes shape as decode —
+    # spread BEFORE the UDF so a single-split scan doesn't serialize it
+    # (decode_features downstream then inherits this partitioning)
+    media = ensure_min_partitions(media)
     return media.withColumn(
         "payload",
         F.when(is_img, img(F.when(is_img, F.col("media_id")))).otherwise(

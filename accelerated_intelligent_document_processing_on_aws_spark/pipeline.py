@@ -24,7 +24,7 @@ Plan shape at scale (deliberate, §4 of SURVEY.md):
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import Optional
+from typing import Callable, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -55,6 +55,14 @@ class PipelineConfig:
     # ``pt`` still drives the write layout.  The conv-keyed window later
     # re-groups; that exchange is the one AQE skew handling addresses.
     turn_spread: int = 16
+    # user plug-in point (SURVEY §2.8): the reference's post-processing
+    # Lambda hook rewrites extraction results per document
+    # (extraction/service.py:643-711; docs/post-processing-lambda-hook.md);
+    # the Spark analog is a DataFrame→DataFrame stage applied after the
+    # extraction columns exist, before sectionization.  Must be a
+    # narrow/per-row transformation to keep the pipeline's two-exchange
+    # plan budget (pinned by tests/test_plans.py with a hook installed).
+    post_extract_hook: Optional[Callable] = None
 
 
 def extract_stage(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> DataFrame:
@@ -85,6 +93,8 @@ def extract_stage(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> Data
         )
     df = with_extraction(df)
     df = df.withColumn("turn_class", turn_class_col(F.col("extracted_text")))
+    if cfg.post_extract_hook is not None:
+        df = cfg.post_extract_hook(df)
     if cfg.with_sections:
         df = sectionize(df)
     # span text rehydrated LAST: offsets-only spans ride the Arrow transfer
