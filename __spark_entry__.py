@@ -1119,6 +1119,90 @@ ORDER BY query_id, rank
 """
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF-flat approximate top-k neighbors (second ANN scale path next to
+    LSH): corpus rows live in their nearest cell of a fixed 16-cell integer
+    codebook, queries probe their 4 nearest cells, candidates meet on an
+    equi-join on cell (BroadcastHashJoin — the corpus never shuffles), exact
+    cosine re-scores.  Integer-quantized vectors x integer centroids make
+    cell assignment FP-portable, so the DuckDB oracle reproduces the exact
+    candidate set and ranking."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return ivf_topk(
+        e, q, "vec_id", "embedding", k=5, n_cells=16, n_probe=4, dim=64, seed=7
+    ).orderBy("query_id", "rank")
+
+
+def _ivf_sql_ctes() -> str:
+    """DuckDB CTEs reproducing the IVF cell assignment bit-for-bit (same
+    integer codebook as operators/similarity.ivf_centroids(64, 16, seed=7);
+    floor-quantized vectors make every centroid dot an exact integer in
+    float64, so first-max/argsort tie-breaks agree across engines)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        ivf_centroids,
+    )
+
+    cents = ivf_centroids(64, 16, 7)
+    dot_exprs = []
+    for c in cents:
+        lit = "[" + ",".join(str(int(x)) for x in c) + "]"
+        dot_exprs.append(f"list_inner_product(q, CAST({lit} AS DOUBLE[]))")
+    return """
+WITH e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * 1048576.0)) AS q
+  FROM embeddings
+),
+dots AS (
+  SELECT vec_id, v,
+         [""" + ",\n          ".join(dot_exprs) + """] AS d
+  FROM e
+),
+cell1 AS (
+  SELECT vec_id, v, CAST(list_position(d, list_max(d)) - 1 AS INT) AS cell
+  FROM dots
+),
+probes AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT dt.vec_id, dt.v, CAST(r.range AS INT) AS cell,
+           ROW_NUMBER() OVER (PARTITION BY dt.vec_id
+                              ORDER BY dt.d[CAST(r.range AS INT) + 1] DESC,
+                                       r.range ASC) AS pr
+    FROM dots dt CROSS JOIN range(16) r
+    WHERE dt.vec_id < 10
+  ) WHERE pr <= 4
+)"""
+
+
+Q_IVF_TOPK_SQL = _ivf_sql_ctes() + """,
+cand AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id, p.v AS qv, c.v AS cv
+  FROM probes p JOIN cell1 c USING (cell)
+  WHERE p.vec_id <> c.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id,
+         ROUND(list_inner_product(qv, cv)
+               / (sqrt(list_inner_product(qv, qv))
+                  * sqrt(list_inner_product(cv, cv))), 6) AS sim
+  FROM cand
+),
+ranked AS (
+  SELECT query_id, neighbor_id, sim,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY sim DESC, neighbor_id) AS INT) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, sim FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
 def q_evaluate_fuzzy(spark, sf_dir):
     """FUZZY comparator (comparator.py:290-336 Levenshtein ratio) as pure
     Catalyst ``F.levenshtein`` at FULL text width, oracled against DuckDB's
@@ -2355,6 +2439,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_section_attributes": q_section_attributes,
         "q_token_packing": q_token_packing,
         "q_config_extract": q_config_extract,
+        "q_ivf_topk": q_ivf_topk,
         # --- certified r2; paths changed in r3 (re-certify early) ---
         "q_embed_neardup": q_embed_neardup,
         "q_lsh_topk": q_lsh_topk,
@@ -2466,6 +2551,7 @@ def oracle_sql() -> dict[str, str]:
         "q_section_attributes": _section_attributes_sql(),
         "q_token_packing": Q_TOKEN_PACKING_SQL,
         "q_lsh_topk": Q_LSH_TOPK_SQL,
+        "q_ivf_topk": Q_IVF_TOPK_SQL,
         "q_config_extract": _config_extract_sql(),
         # Non-SQL ops (rows-only driver check by design):
         # q_transcript_extract (pandas-UDF extraction kernels),

@@ -218,6 +218,127 @@ def lsh_topk(
     )
 
 
+def ivf_centroids(
+    dim: int = 64, n_cells: int = 16, seed: int = 7, scale: float = 1000.0
+) -> np.ndarray:
+    """Fixed spherical codebook for IVF: ``n_cells`` random directions with
+    integer-rounded coordinates (stored as exact float64).  Paired with
+    ``quantized_vec``-style integer vectors, every centroid dot product is
+    an exact integer in float64 (|dot| <= 64 * 2^20 * ~5e3 << 2^53), so the
+    argmax cell assignment is FP-portable: numpy, Catalyst, and an external
+    SQL oracle all pick the same cell bit-for-bit.  A data-independent
+    codebook is a coarse quantizer of the sphere — recall tuning at scale
+    comes from ``train_ivf_centroids`` (sampled k-means) instead."""
+    rng = np.random.RandomState(seed)
+    return np.rint(rng.normal(size=(n_cells, dim)) * scale)
+
+
+def train_ivf_centroids(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    sample_rows: int = 100_000,
+    seed: int = 7,
+    iters: int = 10,
+    scale: float = 1000.0,
+) -> np.ndarray:
+    """Data-adapted IVF codebook: spherical k-means on a BOUNDED driver-side
+    sample (the standard IVF training recipe — at 100 TB the sample is a
+    ``limit``-ed scan of ~1e5 rows, never a full collect), then integer
+    rounding for FP-portable assignment.  Deterministic given (df order,
+    seed): the sample is taken by ascending hash so partitioning does not
+    change it."""
+    sample = (
+        df.select(F.col(vec_col).alias("v"))
+        .withColumn("_h", F.xxhash64(F.col("v").cast("array<double>").cast("string")))
+        .orderBy("_h")
+        .limit(sample_rows)
+        .collect()
+    )
+    m = np.array([r.v for r in sample], dtype=np.float64)
+    m /= np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    rng = np.random.RandomState(seed)
+    cents = m[rng.choice(len(m), size=min(n_cells, len(m)), replace=False)]
+    for _ in range(iters):
+        assign = np.argmax(m @ cents.T, axis=1)
+        for c in range(len(cents)):
+            mask = assign == c
+            if mask.any():
+                v = m[mask].mean(axis=0)
+                cents[c] = v / max(np.linalg.norm(v), 1e-12)
+    return np.rint(cents * scale)
+
+
+def ivf_cells_udf(centroids: np.ndarray, n_probe: int, quantize_bits: int = 20):
+    """Top-``n_probe`` nearest IVF cells per vector via ONE matmul per Arrow
+    batch.  Vectors are floor-quantized to integers (exact in float64) so
+    the centroid dots are exact integers — the stable argsort tie-breaks
+    equal dots by ascending cell id, reproducibly across engines."""
+    ct = centroids.T.copy()  # (dim, n_cells)
+    s = float(1 << quantize_bits)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def cells(vecs: pd.Series) -> pd.Series:
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        dots = np.floor(m * s) @ ct  # exact integer-valued f64
+        order = np.argsort(-dots, axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(order.astype(np.int32)))
+
+    return cells
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    dim: int = 64,
+    seed: int = 7,
+    centroids: np.ndarray | None = None,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """IVF-flat approximate top-k (the second ANN scale path, alongside
+    ``lsh_topk``): corpus vectors live in their single nearest cell, each
+    query probes its ``n_probe`` nearest cells, candidates meet on an
+    EQUI-join on ``cell`` — never an all-pairs join — then exact cosine
+    re-scores and a per-query window keeps the top k.
+
+    Scale shape: with ``broadcast_queries`` (small query set) the corpus
+    NEVER shuffles — a BroadcastHashJoin on ``cell`` prunes each corpus row
+    against only same-cell queries, scoring ~``n_probe/n_cells`` of the
+    brute-force pairs.  For large query sets, disable the broadcast and
+    both sides shuffle once on ``cell`` (AQE handles hot cells).  Recall is
+    tuned by ``n_probe`` (and a data-adapted codebook from
+    ``train_ivf_centroids``); precision is exact by construction."""
+    if centroids is None:
+        centroids = ivf_centroids(dim, n_cells, seed)
+    assign = ivf_cells_udf(centroids, 1)
+    probe = ivf_cells_udf(centroids, n_probe)
+    c = (
+        ensure_min_partitions(corpus)
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        .withColumn("cell", assign(F.col("cv")).getItem(0))
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).select("query_id", "qv", F.explode(probe(F.col("qv"))).alias("cell"))
+    if broadcast_queries:
+        q = F.broadcast(q)
+    cand = c.join(q, "cell").filter(F.col("query_id") != F.col("neighbor_id"))
+    scored = cand.withColumn("sim", F.round(cosine_sim(F.col("qv"), F.col("cv")), 6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
 def embedding_near_dups(
     df: DataFrame,
     id_col: str = "vec_id",

@@ -146,3 +146,16 @@ def test_embed_neardup_is_equi_join(spark):
     p2 = plan_of(em.queries()["q_lsh_topk"](spark, "/root/testdata/sf0.001"))
     assert "BroadcastNestedLoopJoin" not in p2
     assert "CartesianProduct" not in p2
+
+
+def test_ivf_topk_is_broadcast_equi_join(spark):
+    """IVF candidates must meet on an equi-join on cell with the (small)
+    probe side broadcast — the corpus never shuffles and there is no
+    all-pairs nested-loop fallback."""
+    import __spark_entry__ as em
+
+    df = em.queries()["q_ivf_topk"](spark, "/root/testdata/sf0.001")
+    p = plan_of(df)
+    assert "BroadcastNestedLoopJoin" not in p
+    assert "CartesianProduct" not in p
+    assert "BroadcastHashJoin" in p

@@ -113,3 +113,91 @@ def test_near_dups_precision_exact(spark, emb):
     assert approx <= exact
     if exact:
         assert len(approx) / len(exact) >= 0.4  # OR-amplified recall floor
+
+
+def test_ivf_topk_candidates_and_precision(spark, emb):
+    """IVF results must (a) come only from probed cells, (b) rank by exact
+    cosine — every returned (query, neighbor, sim) must agree with the
+    brute-force sim for that pair, and ranks must be dense from 1."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 5)
+    ivf = ivf_topk(emb, q, k=5, n_cells=16, n_probe=4).collect()
+    assert ivf, "IVF returned no rows"
+    exact_sims = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in brute_force_topk(emb, q, k=10**9).collect()
+    }
+    by_q = {}
+    for r in ivf:
+        assert abs(exact_sims[(r.query_id, r.neighbor_id)] - r.sim) < 1e-9
+        by_q.setdefault(r.query_id, []).append(r.rank)
+    for ranks in by_q.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+
+
+def test_ivf_recall_rises_with_probes(spark, emb):
+    """Probing more cells must not lose neighbors, and n_probe=n_cells is
+    exhaustive (recall 1.0 vs brute force)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in brute_force_topk(emb, q, k=5).collect()
+    }
+
+    def recall(n_probe):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in ivf_topk(emb, q, k=5, n_cells=16, n_probe=n_probe).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    r2, r16 = recall(2), recall(16)
+    assert r16 >= r2
+    assert r16 == 1.0, f"full-probe IVF must be exhaustive, got {r16}"
+
+
+def test_ivf_deterministic_under_repartition(spark, emb):
+    """Cell assignment is a pure function of the vector: shuffling the
+    corpus must not change a single output row."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        ivf_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 5)
+    a = sorted(map(tuple, ivf_topk(emb, q, k=5).collect()))
+    b = sorted(map(tuple, ivf_topk(emb.repartition(13), q, k=5).collect()))
+    assert a == b
+
+
+def test_trained_centroids_improve_or_match_recall(spark, emb):
+    """Sampled k-means training returns an integer codebook of the right
+    shape whose cells actually partition the corpus (no empty-everything
+    degenerate), and IVF accepts it."""
+    import numpy as np
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        ivf_cells_udf,
+        ivf_topk,
+        train_ivf_centroids,
+    )
+
+    cents = train_ivf_centroids(emb, n_cells=8, sample_rows=400, iters=5)
+    assert cents.shape == (8, 64)
+    assert np.allclose(cents, np.rint(cents))  # integer-rounded
+    cells = (
+        emb.select(ivf_cells_udf(cents, 1)(F.col("embedding"))[0].alias("c"))
+        .distinct()
+        .count()
+    )
+    assert cells >= 4  # corpus spreads over multiple cells
+    q = emb.filter(F.col("vec_id") < 5)
+    assert ivf_topk(emb, q, k=5, centroids=cents, n_cells=8).count() > 0
