@@ -2422,6 +2422,96 @@ def entry(spark: SparkSession) -> DataFrame:
     )
 
 
+def q_range_join(spark, sf_dir):
+    """Bucketized point-in-interval range join (operators/rangejoin.py):
+    clicks attributed to the same user's purchase windows [ts, ts+2h] via
+    an equi-join on (user_id, time-bin) + exact re-check — never a
+    NestedLoopJoin (pinned by tests/test_rangejoin.py).  Oracle: the plain
+    non-equi join DuckDB plans natively."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.rangejoin import (
+        range_join,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", F.col("event_id").alias("click_id")
+    )
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 2 HOURS")).alias("w_end"),
+        F.col("event_id").alias("purchase_id"),
+    )
+    out = range_join(
+        clicks,
+        purchases,
+        on=["user_id"],
+        point_col="ts",
+        start_col="w_start",
+        end_col="w_end",
+        bin_width=3600.0,
+    )
+    return out.select("user_id", "purchase_id", "click_id").orderBy(
+        "user_id", "purchase_id", "click_id"
+    )
+
+
+Q_RANGE_JOIN_SQL = """
+WITH clicks AS (
+  SELECT user_id, ts, event_id AS click_id FROM events WHERE event_type = 'click'
+),
+windows AS (
+  SELECT user_id, ts AS w_start, ts + INTERVAL 2 HOUR AS w_end,
+         event_id AS purchase_id
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT c.user_id, w.purchase_id, c.click_id
+FROM clicks c JOIN windows w
+  ON c.user_id = w.user_id AND c.ts >= w.w_start AND c.ts <= w.w_end
+ORDER BY c.user_id, w.purchase_id, c.click_id
+"""
+
+
+def q_interval_overlap(spark, sf_dir):
+    """Bucketized interval-overlap self-join (operators/rangejoin.py):
+    purchase windows [ts, ts+4h] of the same user that overlap, each
+    unordered pair exactly once via attribution-bin filtering (no dedup
+    exchange, no NestedLoopJoin)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.rangejoin import (
+        interval_overlap_join,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    windows = e.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("event_id").alias("pid"),
+        F.col("ts").alias("w_start"),
+        (F.col("ts") + F.expr("INTERVAL 4 HOURS")).alias("w_end"),
+    )
+    out = interval_overlap_join(
+        windows, on=["user_id"], start_col="w_start", end_col="w_end",
+        bin_width=7200.0,
+    )
+    return out.select(
+        "user_id",
+        F.col("pid_a").alias("pid_a"),
+        F.col("pid_b").alias("pid_b"),
+    ).orderBy("user_id", "pid_a", "pid_b")
+
+
+Q_INTERVAL_OVERLAP_SQL = """
+WITH w AS (
+  SELECT user_id, event_id AS pid, ts AS w_start, ts + INTERVAL 4 HOUR AS w_end
+  FROM events WHERE event_type = 'purchase'
+)
+SELECT a.user_id, a.pid AS pid_a, b.pid AS pid_b
+FROM w a JOIN w b
+  ON a.user_id = b.user_id AND a.pid < b.pid
+ AND a.w_start <= b.w_end AND b.w_start <= a.w_end
+ORDER BY a.user_id, pid_a, pid_b
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for certification: CORRECTNESS_r02 recorded exactly 50
     # rows for a 56-query registry with the 6 newest (registry tail) absent
@@ -2440,6 +2530,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_packing": q_token_packing,
         "q_config_extract": q_config_extract,
         "q_ivf_topk": q_ivf_topk,
+        "q_range_join": q_range_join,
+        "q_interval_overlap": q_interval_overlap,
         # --- certified r2; paths changed in r3 (re-certify early) ---
         "q_embed_neardup": q_embed_neardup,
         "q_lsh_topk": q_lsh_topk,
@@ -2553,6 +2645,8 @@ def oracle_sql() -> dict[str, str]:
         "q_lsh_topk": Q_LSH_TOPK_SQL,
         "q_ivf_topk": Q_IVF_TOPK_SQL,
         "q_config_extract": _config_extract_sql(),
+        "q_range_join": Q_RANGE_JOIN_SQL,
+        "q_interval_overlap": Q_INTERVAL_OVERLAP_SQL,
         # Non-SQL ops (rows-only driver check by design):
         # q_transcript_extract (pandas-UDF extraction kernels),
         # q_evaluate_hungarian (O(n^3) assignment has no SQL analog).
