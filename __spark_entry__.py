@@ -2512,6 +2512,66 @@ ORDER BY a.user_id, pid_a, pid_b
 """
 
 
+def q_session_window(spark, sf_dir):
+    """Native session_window rollup (operators/sessions.py): per-user
+    30-min-gap sessions merged inside ONE aggregation operator (map-side
+    partial merge; streaming-ready with a watermark) — vs the two-window
+    lag+cumsum islands the oracle runs.  Boundary semantics pinned
+    empirically: a gap of exactly 30min still merges (windows touch), so
+    the islands rule is diff > gap.  Session timestamps surface via
+    tz-independent NTZ wall-time formatting; the value sum accumulates as
+    DECIMAL so FP order can't flip the hash."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.sessions import (
+        session_rollup,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    out = session_rollup(
+        e,
+        ["user_id"],
+        "ts",
+        "30 minutes",
+        aggs=[
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
+            ).alias("sum_value")
+        ],
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id",
+        F.date_format("session_start", fmt).alias("session_start"),
+        F.date_format("session_end", fmt).alias("session_end"),
+        "n_events",
+        "sum_value",
+    ).orderBy("user_id", "session_start")
+
+
+Q_SESSION_WINDOW_SQL = """
+WITH t AS (
+  SELECT user_id, ts, value,
+         CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch(ts) - epoch(lag(ts) OVER w) > 1800 THEN 1 ELSE 0 END AS new_s
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, value)
+),
+s AS (
+  SELECT user_id, ts, value,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, value
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM t
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+       strftime(MAX(ts) + INTERVAL 1800 SECOND, '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+FROM s
+GROUP BY user_id, sid
+ORDER BY user_id, session_start
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for certification: CORRECTNESS_r02 recorded exactly 50
     # rows for a 56-query registry with the 6 newest (registry tail) absent
@@ -2532,6 +2592,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_ivf_topk": q_ivf_topk,
         "q_range_join": q_range_join,
         "q_interval_overlap": q_interval_overlap,
+        "q_session_window": q_session_window,
         # --- certified r2; paths changed in r3 (re-certify early) ---
         "q_embed_neardup": q_embed_neardup,
         "q_lsh_topk": q_lsh_topk,
@@ -2647,6 +2708,7 @@ def oracle_sql() -> dict[str, str]:
         "q_config_extract": _config_extract_sql(),
         "q_range_join": Q_RANGE_JOIN_SQL,
         "q_interval_overlap": Q_INTERVAL_OVERLAP_SQL,
+        "q_session_window": Q_SESSION_WINDOW_SQL,
         # Non-SQL ops (rows-only driver check by design):
         # q_transcript_extract (pandas-UDF extraction kernels),
         # q_evaluate_hungarian (O(n^3) assignment has no SQL analog).

@@ -1,0 +1,50 @@
+"""Session-window rollup via Spark's NATIVE ``session_window``.
+
+The gaps-and-islands sectionizer (``operators/sectionize.py``, reference
+semantics `classification/service.py` holistic page runs) labels each row
+with its island id through a lag+cumsum window — two passes over every
+row.  When only PER-SESSION aggregates are needed, Spark's built-in
+``session_window`` grouping does the merge inside one aggregation
+operator (map-side partial merge included) and works unchanged in
+Structured Streaming with a watermark — the dynamic-gap session primitive
+the brief's streaming bullet names.
+
+Semantics (pinned by the DuckDB islands oracle in q_session_window): an
+event extends its session while ``ts - prev_ts < gap``; a difference of
+EXACTLY ``gap`` starts a new session (the event's [ts, ts+gap) window no
+longer overlaps the previous one).  ``session_start = min(ts)``,
+``session_end = max(ts) + gap``.
+"""
+
+from __future__ import annotations
+
+from typing import List, Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def session_rollup(
+    df: DataFrame,
+    keys: Sequence[str],
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    aggs: Optional[List[Column]] = None,
+) -> DataFrame:
+    """One row per (keys..., merged session): ``session_start``,
+    ``session_end`` (last event + gap) plus ``n_events`` and any extra
+    ``aggs``.  Works on batch frames and, with an upstream
+    ``withWatermark``, on streams (append mode emits a session once the
+    watermark passes its end)."""
+    aggs = aggs or []
+    w = F.session_window(F.col(ts_col), gap)
+    out = df.groupBy(*keys, w.alias("w")).agg(
+        F.count(F.lit(1)).alias("n_events"), *aggs
+    )
+    rest = [c for c in out.columns if c != "w" and c not in keys]
+    return out.select(
+        *keys,
+        F.col("w.start").alias("session_start"),
+        F.col("w.end").alias("session_end"),
+        *rest,
+    )
