@@ -2572,6 +2572,107 @@ ORDER BY user_id, session_start
 """
 
 
+def q_value_quantiles(spark, sf_dir):
+    """Exact quantiles per group: Spark's `percentile` (exact linear
+    interpolation — the correctness twin of approx_percentile, which is
+    the sketch-based scale path for when a full sort-per-group is too
+    expensive) vs DuckDB quantile_cont.  Both interpolate identically;
+    round(6) absorbs FP summation differences."""
+    e = _t(spark, sf_dir, "events")
+    return (
+        e.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_VALUE_QUANTILES_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.25), 6) AS p25,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       CAST(COUNT(*) AS BIGINT) AS n
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+_EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def q_events_pivot(spark, sf_dir):
+    """Wide per-user activity matrix via groupBy().pivot() with an
+    EXPLICIT value list (no extra distinct-scan job to discover pivot
+    columns — the scale rule for pivots); oracle = FILTER aggregates."""
+    e = _t(spark, sf_dir, "events")
+    out = (
+        e.groupBy("user_id")
+        .pivot("event_type", _EVENT_TYPES)
+        .agg(F.count(F.lit(1)))
+        .orderBy("user_id")
+    )
+    # pivot yields nulls for absent combos: zero-fill (parity rule: no
+    # NULLs in compared output)
+    return out.select(
+        "user_id",
+        *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in _EVENT_TYPES],
+    )
+
+
+Q_EVENTS_PIVOT_SQL = """
+SELECT user_id,
+       """ + ",\n       ".join(
+    f"CAST(COUNT(*) FILTER (WHERE event_type = '{t}') AS BIGINT) AS n_{t}"
+    for t in _EVENT_TYPES
+) + """
+FROM events GROUP BY user_id ORDER BY user_id
+"""
+
+
+def q_events_rollup(spark, sf_dir):
+    """Hierarchical totals in one pass: GROUP BY ROLLUP(event_type, day)
+    — Catalyst expands grouping sets inside a single aggregate (partial
+    map-side combine per set), no self-union of per-level scans.  Null
+    grouping keys coalesce to 'ALL' (parity rule: no NULLs in output);
+    sums accumulate as DECIMAL so FP order can't flip the hash."""
+    e = _t(spark, sf_dir, "events")
+    day = F.date_format("ts", "yyyy-MM-dd")
+    return (
+        e.select(
+            F.col("event_type").alias("etype"),
+            day.alias("day"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .rollup("etype", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("v").cast("double"), 4).alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("etype"), F.lit("ALL")).alias("etype"),
+            F.coalesce(F.col("day"), F.lit("ALL")).alias("day"),
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("etype", "day")
+    )
+
+
+Q_EVENTS_ROLLUP_SQL = """
+SELECT coalesce(event_type, 'ALL') AS etype,
+       coalesce(strftime(ts, '%Y-%m-%d'), 'ALL') AS day,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS sum_value
+FROM events
+GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
+ORDER BY etype, day
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for certification: CORRECTNESS_r02 recorded exactly 50
     # rows for a 56-query registry with the 6 newest (registry tail) absent
@@ -2593,6 +2694,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_range_join": q_range_join,
         "q_interval_overlap": q_interval_overlap,
         "q_session_window": q_session_window,
+        "q_value_quantiles": q_value_quantiles,
+        "q_events_pivot": q_events_pivot,
+        "q_events_rollup": q_events_rollup,
         # --- certified r2; paths changed in r3 (re-certify early) ---
         "q_embed_neardup": q_embed_neardup,
         "q_lsh_topk": q_lsh_topk,
@@ -2709,6 +2813,9 @@ def oracle_sql() -> dict[str, str]:
         "q_range_join": Q_RANGE_JOIN_SQL,
         "q_interval_overlap": Q_INTERVAL_OVERLAP_SQL,
         "q_session_window": Q_SESSION_WINDOW_SQL,
+        "q_value_quantiles": Q_VALUE_QUANTILES_SQL,
+        "q_events_pivot": Q_EVENTS_PIVOT_SQL,
+        "q_events_rollup": Q_EVENTS_ROLLUP_SQL,
         # Non-SQL ops (rows-only driver check by design):
         # q_transcript_extract (pandas-UDF extraction kernels),
         # q_evaluate_hungarian (O(n^3) assignment has no SQL analog).
