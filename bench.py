@@ -132,7 +132,7 @@ SCALING_N = 2
 # headline = the MEDIAN round's ratio (lower-middle for even counts, i.e.
 # conservative).  A wall-clock guard exists only to respect the outer
 # bench timeout; if it fires, the result is flagged "truncated".
-SCALING_ROUNDS = 3
+SCALING_ROUNDS = 5
 SCALING_REPS = 2
 SCALING_WALL_BUDGET = 900.0
 
@@ -230,8 +230,15 @@ def _scaling() -> dict:
         if rounds and time.time() - t_start > SCALING_WALL_BUDGET:
             truncated = True
             break
-        rn = _run_level(SCALING_N)
-        r4 = _run_level(SCALING_N * 4)
+        # alternate level order per round: systematic drift inside a round
+        # (the second level always running in a slightly different weather
+        # window) cancels across rounds instead of biasing one level
+        if _round % 2 == 0:
+            rn = _run_level(SCALING_N)
+            r4 = _run_level(SCALING_N * 4)
+        else:
+            r4 = _run_level(SCALING_N * 4)
+            rn = _run_level(SCALING_N)
         # thread-equivalent host ceiling: a local[K] job with Arrow Python
         # UDFs keeps ~2K contexts busy (K JVM task threads + K python
         # workers pipelining), so the burn samples 2N and 8N processes —
@@ -261,6 +268,26 @@ def _scaling() -> dict:
     # window), not superlinear scaling.  Raw rounds published alongside.
     by_ratio = sorted(rounds, key=lambda r: r["ratio"])
     med = by_ratio[(len(by_ratio) - 1) // 2]
+    # pooled-min companion estimate: host contention only ever ADDS wall
+    # time, so the minimum over all reps is the least-biased estimate of
+    # each level's true compute time (the standard timeit discipline).
+    # Rep counts are SYMMETRIC at both levels, so the pooling favors
+    # neither side; it differs from the median-round headline only in how
+    # it treats weather — median asks "a typical window", pooled-min asks
+    # "the least-contended window observed".  Both are published; the
+    # conservative median stays the headline `efficiency`.
+    all_n = [s for r in rounds for s in (r["secs_n"] or [])]
+    all_4n = [s for r in rounds for s in (r["secs_4n"] or [])]
+    pooled = None
+    if all_n and all_4n:
+        pooled_ratio = min(all_n) / min(all_4n)
+        pooled = {
+            "sec_n_min": min(all_n),
+            "sec_4n_min": min(all_4n),
+            "ratio": round(pooled_ratio, 3),
+            "efficiency": round(min(pooled_ratio, 4.0) / 4.0, 3),
+            "reps_per_level": len(all_n),
+        }
     return {
         "tps_n": med["tps_n"],
         "tps_4n": med["tps_4n"],
@@ -276,6 +303,7 @@ def _scaling() -> dict:
         "n_level_degraded": med["ratio"] > 4.4,
         "host_ceiling_ratio": med["host_ratio"],
         "host_normalized_efficiency": med["normalized"],
+        "pooled": pooled,
         "rounds": rounds,
         "probe_turns": probe_turns,
     }
