@@ -433,11 +433,28 @@ def main() -> None:
         compact["scaling"] = {
             k: v for k, v in result["scaling"].items() if k in keep
         }
+        pooled = result["scaling"].get("pooled")
+        if isinstance(pooled, dict):
+            compact["scaling"]["pooled_ratio"] = pooled["ratio"]
+            compact["scaling"]["pooled_efficiency"] = pooled["efficiency"]
+    # progressive trim, never fail the bench.  The driver keeps the LAST
+    # 2000 chars of stdout, so the budget is ~1980 incl newline.  Scaling
+    # evidence is a north_rule requirement: it shrinks to its efficiency
+    # headlines before it is ever dropped (r3: 66 queries at 1dp + the full
+    # scaling block overflowed and the old trim silently dropped scaling).
     line = json.dumps(compact)
-    if len(line) >= 1900:  # progressive trim, never fail the bench
+    if len(line) >= 1980:
         compact["queries"] = {k: round(v, 1) for k, v in timings.items()}
         line = json.dumps(compact)
-    if len(line) >= 1900:
+    if len(line) >= 1980 and isinstance(compact.get("scaling"), dict):
+        compact["scaling"] = {
+            k: v
+            for k, v in compact["scaling"].items()
+            if k
+            in ("efficiency", "pooled_efficiency", "host_normalized_efficiency")
+        }
+        line = json.dumps(compact)
+    if len(line) >= 1980:
         compact.pop("scaling", None)
         line = json.dumps(compact)
     print(line)
