@@ -2673,6 +2673,159 @@ ORDER BY etype, day
 """
 
 
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental anti-join dedup (operators/dedup.py dedup_against):
+    the 'new batch' (doc_id % 10 >= 7) survives only where its normalized
+    fingerprint is absent from the accumulated corpus (doc_id % 10 < 7) —
+    LEFT ANTI on the fingerprint with the corpus reduced to distinct
+    fingerprints before the join."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+        dedup_against,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.filter(F.col("doc_id") % 10 < 7)
+    new = d.filter(F.col("doc_id") % 10 >= 7)
+    return (
+        dedup_against(new, corpus, "doc_id", "text")
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    )
+
+
+Q_DEDUP_INCREMENTAL_SQL = f"""
+WITH fp AS (SELECT doc_id, {_NORM_SQL} AS nt, lang, source FROM documents),
+corpus AS (SELECT DISTINCT md5(nt) AS f FROM fp WHERE doc_id % 10 < 7),
+newb AS (SELECT doc_id, md5(nt) AS f, lang, source FROM fp WHERE doc_id % 10 >= 7)
+SELECT doc_id, lang, source FROM newb n
+WHERE NOT EXISTS (SELECT 1 FROM corpus c WHERE c.f = n.f)
+ORDER BY doc_id
+"""
+
+
+_STRATA_PCT = {"click": 25, "view": 10, "purchase": 100, "error": 50}
+
+
+def q_sample_stratified(spark, sf_dir):
+    """Per-stratum deterministic hash sampling (operators/dedup.py
+    stratified_hash_sample): event types keep 25/10/100/50 pct (signup
+    falls to the 5 pct default), selection a pure function of
+    md5(seed||event_id) — reproducible across runs/partitionings/engines.
+    Output: per-stratum kept counts (row-stable certification of the
+    whole sample)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+        stratified_hash_sample,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    kept = stratified_hash_sample(
+        e, "event_id", "event_type", _STRATA_PCT, default_pct=5
+    )
+    return (
+        kept.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_kept"),
+            F.min("event_id").alias("first_id"),
+            F.max("event_id").alias("last_id"),
+            F.sum("event_id").alias("id_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+Q_SAMPLE_STRATIFIED_SQL = """
+WITH b AS (
+  SELECT event_type, event_id,
+         CAST(('0x' || substr(md5('s42' || CAST(event_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 AS bucket,
+         CASE event_type WHEN 'click' THEN 25 WHEN 'view' THEN 10
+              WHEN 'purchase' THEN 100 WHEN 'error' THEN 50 ELSE 5 END AS rate
+  FROM events
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_kept,
+       MIN(event_id) AS first_id,
+       MAX(event_id) AS last_id,
+       CAST(SUM(event_id) AS BIGINT) AS id_sum
+FROM b WHERE bucket < rate
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_tfidf_terms(spark, sf_dir):
+    """Top-3 tf-idf terms per document over the normalized corpus: the
+    inverted-index pattern (explode -> per-(doc,term) tf -> per-term df
+    joined back) with idf = ln((N+1)/(df+1)).  Every shuffle is an
+    equi-join/groupBy on the term or doc key — the exact shape the
+    ngram-Jaccard candidate index uses, repurposed for relevance."""
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        normalized_for_compare,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    n_docs = d.count()  # tiny scalar (one count job), literal in the plan
+    toks = (
+        d.select(
+            "doc_id",
+            F.explode(
+                F.filter(
+                    F.split(
+                        normalized_for_compare(
+                            F.coalesce(F.col("text"), F.lit(""))
+                        ),
+                        " ",
+                    ),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("term"),
+        )
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    scored = tf.join(dfreq, "term").select(
+        "doc_id",
+        "term",
+        F.round(
+            F.col("tf")
+            * F.log((F.lit(float(n_docs + 1))) / (F.col("df") + F.lit(1.0))),
+            6,
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "rank", "term", "score")
+        .orderBy("doc_id", "rank")
+    )
+
+
+Q_TFIDF_TERMS_SQL = f"""
+WITH nm AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+toks AS (
+  SELECT doc_id, t.term FROM nm,
+         unnest(str_split(nt, ' ')) AS t(term)
+  WHERE t.term <> ''
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term,
+         ROUND(tf.tf * ln((n.n_docs + 1.0) / (dfreq.df + 1.0)), 6) AS score
+  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+),
+ranked AS (
+  SELECT doc_id, term, score,
+         ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, score
+FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for certification: CORRECTNESS_r02 recorded exactly 50
     # rows for a 56-query registry with the 6 newest (registry tail) absent
@@ -2697,6 +2850,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_value_quantiles": q_value_quantiles,
         "q_events_pivot": q_events_pivot,
         "q_events_rollup": q_events_rollup,
+        "q_dedup_incremental": q_dedup_incremental,
+        "q_sample_stratified": q_sample_stratified,
+        "q_tfidf_terms": q_tfidf_terms,
         # --- certified r2; paths changed in r3 (re-certify early) ---
         "q_embed_neardup": q_embed_neardup,
         "q_lsh_topk": q_lsh_topk,
@@ -2816,6 +2972,9 @@ def oracle_sql() -> dict[str, str]:
         "q_value_quantiles": Q_VALUE_QUANTILES_SQL,
         "q_events_pivot": Q_EVENTS_PIVOT_SQL,
         "q_events_rollup": Q_EVENTS_ROLLUP_SQL,
+        "q_dedup_incremental": Q_DEDUP_INCREMENTAL_SQL,
+        "q_sample_stratified": Q_SAMPLE_STRATIFIED_SQL,
+        "q_tfidf_terms": Q_TFIDF_TERMS_SQL,
         # Non-SQL ops (rows-only driver check by design):
         # q_transcript_extract (pandas-UDF extraction kernels),
         # q_evaluate_hungarian (O(n^3) assignment has no SQL analog).

@@ -73,6 +73,58 @@ def hash_sample(df: DataFrame, id_col: str, pct: int, seed: str = "s42") -> Data
     return df.filter(bucket < F.lit(pct))
 
 
+def stratified_hash_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    rates_pct: dict,
+    default_pct: int = 0,
+    seed: str = "s42",
+) -> DataFrame:
+    """Per-stratum deterministic sampling: keep a row iff
+    ``md5(seed||id) mod 100 < rates_pct[stratum]`` — the training-data
+    curation move (downsample boilerplate-heavy strata, keep all of rare
+    ones) with ``hash_sample``'s reproducibility guarantees (selection is
+    a pure function of the key: stable across runs, partitionings and
+    engines).  The rate map is a literal CASE expression — no dim-table
+    join, no extra scan; strata absent from the map fall back to
+    ``default_pct``."""
+    bucket = F.conv(
+        F.substring(F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long") % 100
+    rate = F.lit(int(default_pct))
+    for stratum, pct in sorted(rates_pct.items()):
+        rate = F.when(F.col(strata_col) == F.lit(stratum), F.lit(int(pct))).otherwise(
+            rate
+        )
+    return df.filter(bucket < rate)
+
+
+def dedup_against(
+    new: DataFrame, corpus: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Incremental exact dedup: rows of ``new`` whose normalized-text
+    fingerprint does NOT already appear in ``corpus`` — the every-batch
+    operation of an accumulating training corpus (dedup the increment
+    against everything ingested so far, without re-deduping the corpus).
+
+    Shape: LEFT ANTI join on the 32-byte fingerprint — the corpus side
+    reduces to distinct fingerprints BEFORE the join (one value per dup
+    group), so the shuffle moves fingerprints, not documents.  At 100 TB
+    the corpus fingerprint set is the thing to bucket/persist between
+    batches (same equi-join key every run)."""
+    fps = corpus.select(
+        fingerprint(F.col(text_col)).alias("fp")
+    ).distinct()
+    return (
+        new.withColumn("fp", fingerprint(F.col(text_col)))
+        .join(fps, "fp", "left_anti")
+        .drop("fp")
+    )
+
+
 def shingles(c, k: int = 3):
     """Word k-shingles of the normalized text as an array column
     (pure-Catalyst variant).  SET semantics: ``array_distinct`` keeps the

@@ -159,3 +159,58 @@ class TestSectionAttributes:
             ._jdf.queryExecution().executedPlan().toString()
         )
         assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+
+
+class TestIncrementalDedupAndStratifiedSample:
+    def test_dedup_against_drops_known_fingerprints(self, spark):
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+            dedup_against,
+        )
+
+        corpus = spark.createDataFrame(
+            [(1, "Hello,   World!"), (2, "unique old doc")], ["doc_id", "text"]
+        )
+        new = spark.createDataFrame(
+            [
+                (10, "hello world"),       # dup of 1 after normalization
+                (11, "brand new doc"),     # survives
+                (12, "brand new doc"),     # intra-batch dup of 11: BOTH kept
+                (13, "unique old doc"),    # dup of 2
+            ],
+            ["doc_id", "text"],
+        )
+        got = sorted(r.doc_id for r in dedup_against(new, corpus, "doc_id", "text").collect())
+        # anti-join dedups against the CORPUS only — intra-batch dedup is
+        # dedup_corpus's job (documented division of labor)
+        assert got == [11, 12]
+
+    def test_stratified_sample_is_deterministic_and_respects_rates(self, spark):
+        from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+            hash_sample,
+            stratified_hash_sample,
+        )
+
+        rows = [(i, "a" if i % 2 == 0 else "b") for i in range(2000)]
+        df = spark.createDataFrame(rows, ["id", "stratum"])
+        kept = stratified_hash_sample(
+            df, "id", "stratum", {"a": 100, "b": 0}, default_pct=50
+        )
+        ids = sorted(r.id for r in kept.collect())
+        assert ids == [i for i in range(2000) if i % 2 == 0]  # all a, no b
+
+        # per-stratum selection == global hash_sample at that stratum's
+        # rate restricted to the stratum (same md5 bucket function)
+        kept25 = stratified_hash_sample(df, "id", "stratum", {"a": 25}, default_pct=25)
+        glob25 = hash_sample(df, "id", 25)
+        assert sorted(r.id for r in kept25.collect()) == sorted(
+            r.id for r in glob25.collect()
+        )
+
+        # repartitioning cannot change the sample (pure function of key)
+        re = sorted(
+            r.id
+            for r in stratified_hash_sample(
+                df.repartition(13, "stratum"), "id", "stratum", {"a": 25}, 25
+            ).collect()
+        )
+        assert re == sorted(r.id for r in kept25.collect())
