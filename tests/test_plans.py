@@ -159,3 +159,45 @@ def test_ivf_topk_is_broadcast_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     assert "BroadcastHashJoin" in p
+
+
+def test_range_joins_are_equi_joins(spark):
+    """Bucketized range joins must never fall back to the nested-loop plan
+    Spark gives a raw range predicate."""
+    import __spark_entry__ as em
+
+    for q in ("q_range_join", "q_interval_overlap"):
+        p = plan_of(em.queries()[q](spark, "/root/testdata/sf0.001"))
+        assert "BroadcastNestedLoopJoin" not in p, q
+        assert "CartesianProduct" not in p, q
+
+
+def test_new_catalyst_queries_have_no_python(spark):
+    """Session windows, quantiles, pivot, rollup, stratified sampling,
+    incremental dedup and tf-idf are pure-Catalyst paths — no Arrow or
+    row-wise Python may appear in their plans."""
+    import __spark_entry__ as em
+
+    for q in (
+        "q_session_window",
+        "q_value_quantiles",
+        "q_events_pivot",
+        "q_events_rollup",
+        "q_sample_stratified",
+        "q_dedup_incremental",
+        "q_tfidf_terms",
+    ):
+        p = plan_of(em.queries()[q](spark, "/root/testdata/sf0.001"))
+        assert "ArrowEvalPython" not in p, q
+        assert "BatchEvalPython" not in p, q
+
+
+def test_incremental_dedup_is_anti_join_on_fingerprints(spark):
+    """dedup_against must plan a LeftAnti hash join keyed on the md5
+    fingerprint, with the corpus side reduced by an aggregate (distinct)
+    below the join."""
+    import __spark_entry__ as em
+
+    p = plan_of(em.queries()["q_dedup_incremental"](spark, "/root/testdata/sf0.001"))
+    assert "LeftAnti" in p
+    assert "BroadcastNestedLoopJoin" not in p
