@@ -2826,6 +2826,235 @@ FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
 """
 
 
+def q_chunk_dedup(spark, sf_dir):
+    """CCNet-style chunk-level exact dedup with reassembly
+    (operators/curation.py chunk_dedup): 10-word chunks survive only at
+    their first global occurrence; docs reassembled from survivors in
+    order.  Window on md5(chunk) (balanced key) + one ordered-concat
+    groupBy — no join back to the corpus."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        chunk_dedup,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return chunk_dedup(d, "doc_id", "text", size=10).orderBy("doc_id")
+
+
+Q_CHUNK_DEDUP_SQL = """
+WITH w AS (SELECT doc_id, str_split(coalesce(text,''), ' ') AS w FROM documents),
+ch AS (SELECT doc_id, CAST(i AS INT) AS chunk_idx,
+              array_to_string(w[i*10+1 : i*10+10], ' ') AS chunk
+       FROM w, UNNEST(range(0, greatest(CAST(ceil(len(w) / 10.0) AS BIGINT), 1))) AS t(i)),
+k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+                                   ORDER BY doc_id, chunk_idx) AS rn FROM ch)
+SELECT doc_id,
+       CAST(COUNT(*) AS BIGINT) AS total_chunks,
+       CAST(COUNT(*) FILTER (WHERE rn = 1) AS BIGINT) AS kept_chunks,
+       coalesce(string_agg(chunk, ' ' ORDER BY chunk_idx) FILTER (WHERE rn = 1), '')
+         AS dedup_text
+FROM k GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination (operators/curation.py decontaminate):
+    eval split = doc_id % 37 == 0; train docs flagged when they share any
+    word 4-gram with the eval set.  The (small) eval shingle set is
+    broadcast, so the train side never shuffles for the check."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        decontaminate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 37 == 0)
+    tr = d.filter(F.col("doc_id") % 37 != 0)
+    return decontaminate(tr, ev, "doc_id", "text", k=4).orderBy("doc_id")
+
+
+Q_DECONTAMINATE_SQL = """
+WITH w AS (SELECT doc_id, str_split(coalesce(text,''), ' ') AS w FROM documents),
+g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+3], ' ') AS gram
+      FROM w, UNNEST(range(1, greatest(len(w) - 3, 1) + 1)) AS t(i)),
+ev AS (SELECT DISTINCT gram FROM g WHERE doc_id % 37 = 0),
+hits AS (SELECT g.doc_id, COUNT(*) AS n_hits
+         FROM g JOIN ev USING (gram) WHERE g.doc_id % 37 <> 0 GROUP BY g.doc_id)
+SELECT d.doc_id,
+       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+       CAST(CASE WHEN coalesce(h.n_hits, 0) > 0 THEN 1 ELSE 0 END AS INT)
+         AS contaminated
+FROM (SELECT doc_id FROM documents WHERE doc_id % 37 <> 0) d
+LEFT JOIN hits h USING (doc_id) ORDER BY doc_id
+"""
+
+
+def q_quality_repetition(spark, sf_dir):
+    """Gopher-style repetition quality gate (operators/curation.py
+    repetition_stats): distinct-word ratio, top-word and top-bigram
+    fractions, keep flag — two-level aggregates with map-side combine."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        repetition_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return repetition_stats(d, "doc_id", "text").orderBy("doc_id")
+
+
+Q_QUALITY_REPETITION_SQL = """
+WITH w AS (SELECT doc_id, str_split(coalesce(text,''), ' ') AS w FROM documents),
+toks AS (SELECT doc_id, t.tok FROM w, UNNEST(w.w) AS t(tok)),
+wc AS (SELECT doc_id, tok, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+ws AS (SELECT doc_id, SUM(c) AS n_words, COUNT(*) AS n_distinct, MAX(c) AS topw
+       FROM wc GROUP BY 1),
+big AS (SELECT doc_id, array_to_string(w[i:i+1], ' ') AS b
+        FROM w, UNNEST(range(1, greatest(len(w) - 1, 1) + 1)) AS t(i)),
+bc AS (SELECT doc_id, b, COUNT(*) AS c FROM big GROUP BY 1, 2),
+bs AS (SELECT doc_id, SUM(c) AS n_bigrams, MAX(c) AS topb FROM bc GROUP BY 1)
+SELECT ws.doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       ROUND(n_distinct * 1.0 / n_words, 6) AS distinct_ratio,
+       ROUND(topw * 1.0 / n_words, 6) AS top_word_frac,
+       ROUND(topb * 1.0 / n_bigrams, 6) AS top_bigram_frac,
+       CAST(CASE WHEN n_words >= 40 AND n_distinct * 1.0 / n_words >= 0.35
+                  AND topw * 1.0 / n_words <= 0.10
+                  AND topb * 1.0 / n_bigrams <= 0.06
+            THEN 1 ELSE 0 END AS INT) AS keep_doc
+FROM ws JOIN bs USING (doc_id) ORDER BY ws.doc_id
+"""
+
+
+def q_pii_redact(spark, sf_dir):
+    """PII redaction (operators/curation.py redact_pii/pii_counts):
+    deterministic synthetic emails/phones are injected per doc_id (the
+    corpus itself is PII-free), then counted and replaced with typed tags
+    — pure Catalyst regexp ops, dialect-compatible with the RE2 oracle."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        pii_counts,
+        redact_pii,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    email_part = F.when(
+        did % 3 != 0,
+        F.concat(
+            F.lit(" contact user"),
+            did.cast("string"),
+            F.lit("@mail"),
+            (did % 5).cast("string"),
+            F.lit(".example.com"),
+        ),
+    ).otherwise(F.lit(""))
+    phone_part = F.when(
+        did % 2 == 0,
+        F.concat(
+            F.lit(" or call 555-"),
+            F.lpad((did % 1000).cast("string"), 3, "0"),
+            F.lit("-"),
+            F.lpad((did % 10000).cast("string"), 4, "0"),
+        ),
+    ).otherwise(F.lit(""))
+    t = F.concat(F.coalesce(F.col("text"), F.lit("")), email_part, phone_part)
+    d = d.select("doc_id", t.alias("t"))
+    n_emails, n_phones = pii_counts(F.col("t"))
+    return d.select(
+        "doc_id",
+        n_emails.cast("long").alias("n_emails"),
+        n_phones.cast("long").alias("n_phones"),
+        F.md5(redact_pii(F.col("t"))).alias("redacted_fp"),
+    ).orderBy("doc_id")
+
+
+_PII_INJECT_SQL = """
+coalesce(text,'')
+|| CASE WHEN doc_id % 3 <> 0
+        THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@mail'
+             || CAST(doc_id % 5 AS VARCHAR) || '.example.com'
+        ELSE '' END
+|| CASE WHEN doc_id % 2 = 0
+        THEN ' or call 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+             || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+        ELSE '' END
+"""
+_EMAIL_SQL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+_PHONE_SQL_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+
+Q_PII_REDACT_SQL = f"""
+WITH p AS (SELECT doc_id, {_PII_INJECT_SQL} AS t FROM documents)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_SQL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '{_PHONE_SQL_RE}')) AS BIGINT) AS n_phones,
+       md5(regexp_replace(regexp_replace(t, '{_EMAIL_SQL_RE}', '<EMAIL>', 'g'),
+                          '{_PHONE_SQL_RE}', '<PHONE>', 'g')) AS redacted_fp
+FROM p ORDER BY doc_id
+"""
+
+
+def q_text_chunks(spark, sf_dir):
+    """Sliding-window chunking with offsets (operators/curation.py
+    sliding_chunks): 20-word windows, stride 10 — offsets + fingerprint
+    only, the chunk text itself never rides a shuffle."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        sliding_chunks,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return sliding_chunks(d, "doc_id", "text", size=20, stride=10).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+Q_TEXT_CHUNKS_SQL = """
+WITH w AS (SELECT doc_id, str_split(coalesce(text,''), ' ') AS w FROM documents),
+s AS (SELECT doc_id, CAST(i AS INT) AS start_word, w
+      FROM w, UNNEST(range(0, greatest(len(w), 1), 10)) AS t(i))
+SELECT doc_id,
+       CAST(start_word / 10 AS INT) AS chunk_id,
+       start_word,
+       CAST(len(w[start_word+1 : start_word+20]) AS INT) AS n_chunk_words,
+       md5(array_to_string(w[start_word+1 : start_word+20], ' ')) AS chunk_fp
+FROM s ORDER BY doc_id, chunk_id
+"""
+
+
+def q_domain_stats(spark, sf_dir):
+    """Per-domain URL stats (operators/curation.py url_domain_stats):
+    deterministic synthetic URLs injected per doc_id, hosts pulled with a
+    capture-group regexp_extract_all, one hash groupBy on the domain."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        url_domain_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.concat(
+        F.lit("see https://www.site"),
+        (did % 7).cast("string"),
+        F.lit(".example.com/p/"),
+        did.cast("string"),
+        F.lit(" and http://cdn"),
+        (did % 3).cast("string"),
+        F.lit(".example.org/x "),
+        F.coalesce(F.col("text"), F.lit("")),
+    )
+    d = d.select("doc_id", t.alias("t"))
+    return url_domain_stats(d, "doc_id", "t").orderBy("domain")
+
+
+Q_DOMAIN_STATS_SQL = """
+WITH p AS (SELECT doc_id,
+  'see https://www.site' || CAST(doc_id % 7 AS VARCHAR) || '.example.com/p/'
+  || CAST(doc_id AS VARCHAR) || ' and http://cdn' || CAST(doc_id % 3 AS VARCHAR)
+  || '.example.org/x ' || coalesce(text,'') AS t
+  FROM documents),
+u AS (SELECT doc_id, h.host
+      FROM p, UNNEST(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1)) AS h(host))
+SELECT host AS domain,
+       CAST(COUNT(*) AS BIGINT) AS n_urls,
+       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+FROM u GROUP BY host ORDER BY domain
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for certification: CORRECTNESS_r02 recorded exactly 50
     # rows for a 56-query registry with the 6 newest (registry tail) absent
@@ -2853,6 +3082,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_dedup_incremental": q_dedup_incremental,
         "q_sample_stratified": q_sample_stratified,
         "q_tfidf_terms": q_tfidf_terms,
+        "q_chunk_dedup": q_chunk_dedup,
+        "q_decontaminate": q_decontaminate,
+        "q_quality_repetition": q_quality_repetition,
+        "q_pii_redact": q_pii_redact,
+        "q_text_chunks": q_text_chunks,
+        "q_domain_stats": q_domain_stats,
         # --- certified r2; paths changed in r3 (re-certify early) ---
         "q_embed_neardup": q_embed_neardup,
         "q_lsh_topk": q_lsh_topk,
@@ -2975,6 +3210,12 @@ def oracle_sql() -> dict[str, str]:
         "q_dedup_incremental": Q_DEDUP_INCREMENTAL_SQL,
         "q_sample_stratified": Q_SAMPLE_STRATIFIED_SQL,
         "q_tfidf_terms": Q_TFIDF_TERMS_SQL,
+        "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
+        "q_decontaminate": Q_DECONTAMINATE_SQL,
+        "q_quality_repetition": Q_QUALITY_REPETITION_SQL,
+        "q_pii_redact": Q_PII_REDACT_SQL,
+        "q_text_chunks": Q_TEXT_CHUNKS_SQL,
+        "q_domain_stats": Q_DOMAIN_STATS_SQL,
         # Non-SQL ops (rows-only driver check by design):
         # q_transcript_extract (pandas-UDF extraction kernels),
         # q_evaluate_hungarian (O(n^3) assignment has no SQL analog).

@@ -1,0 +1,286 @@
+"""Training-corpus curation operators: chunk-level dedup, benchmark
+decontamination, repetition-quality gates, PII redaction, sliding-window
+chunking, URL/domain stats.
+
+These extend the reference's document operators (SURVEY.md §2.6) with the
+ops a large-scale training-data pipeline needs.  The reference has no
+equivalents (its dedup surface stops at whole-document compare,
+``lib/idp_common_pkg/idp_common/evaluation/comparator.py``); the designs
+here follow the public corpus-curation literature (CCNet-style paragraph
+dedup, n-gram benchmark decontamination, Gopher repetition rules) and the
+same Catalyst-first discipline as ``operators/dedup.py``.
+
+Scale notes (100 TB):
+
+* Everything is pure Catalyst — split/slice/transform HOFs for chunking,
+  md5 for hashing, hash-partitioned window/groupBy exchanges.  No Python
+  in any path, so whole-stage codegen covers every stage.
+* ``chunk_dedup`` shuffles by chunk *hash* (balanced by construction —
+  md5 keys cannot skew), then by doc id to reassemble: two exchanges,
+  both equi-hash, no joins back to the corpus.
+* ``decontaminate`` broadcasts the *eval-set* shingles: benchmark
+  suites are tiny by definition (thousands of docs), so the 100-TB train
+  side never shuffles — the contamination join is map-side.
+* ``repetition_stats`` is the two-level aggregate shape (partial
+  map-side combine on (doc, token) then (doc)): the token explosion never
+  leaves its executor un-combined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# ASCII-only regexes, identical semantics under Java regex and RE2 (the
+# DuckDB oracle) — same dialect-parity rule as __spark_entry__.
+EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
+PHONE_RE = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+URL_HOST_RE = "https?://([A-Za-z0-9.-]+)"
+
+
+def _words(text_col: str) -> Column:
+    return F.split(F.coalesce(F.col(text_col), F.lit("")), " ")
+
+
+def word_chunks(
+    df: DataFrame, id_col: str, text_col: str, size: int
+) -> DataFrame:
+    """Fixed word-window chunking: one row per ``size``-word chunk.
+
+    Output: (id_col, chunk_idx int, chunk string).  A doc with fewer than
+    ``size`` words yields one (short) chunk; empty text yields one empty
+    chunk — the convention the SQL oracles mirror.
+    """
+    words = _words(text_col)
+    n_chunks = F.ceil(F.size(words) / F.lit(float(size))).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_chunks - F.lit(1), F.lit(0))),
+        lambda i: F.array_join(F.slice(words, i * size + 1, size), " "),
+    )
+    return df.select(
+        F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
+    )
+
+
+def chunk_dedup(
+    df: DataFrame, id_col: str, text_col: str, size: int = 10
+) -> DataFrame:
+    """CCNet-style chunk-level exact dedup with document reassembly.
+
+    Each doc is split into ``size``-word chunks; a chunk survives only at
+    its first global occurrence (ordered by (id, chunk_idx) — fully
+    deterministic).  Docs are then reassembled from surviving chunks in
+    original order.
+
+    Output: (id_col, total_chunks, kept_chunks, dedup_text).
+
+    Plan: window partitioned by md5(chunk) (first-occurrence pick — the
+    hash key is balanced by construction), then one groupBy(id) with
+    sort_array(collect_list(struct)) reassembly (the G3 ordered-concat
+    pattern — never a bare collect_list).
+    """
+    ch = word_chunks(df, id_col, text_col, size)
+    w = Window.partitionBy(F.md5(F.col("chunk"))).orderBy(
+        F.col(id_col), F.col("chunk_idx")
+    )
+    ch = ch.withColumn("_keep", F.row_number().over(w) == F.lit(1))
+    kept_struct = F.when(
+        F.col("_keep"), F.struct(F.col("chunk_idx"), F.col("chunk"))
+    )
+    return ch.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("total_chunks"),
+        F.sum(F.col("_keep").cast("long")).alias("kept_chunks"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(kept_struct)),
+                lambda s: s["chunk"],
+            ),
+            " ",
+        ).alias("dedup_text"),
+    )
+
+
+def word_shingles(
+    df: DataFrame, id_col: str, text_col: str, k: int
+) -> DataFrame:
+    """Distinct word k-gram shingles per document: (id_col, gram).
+
+    Docs shorter than ``k`` words contribute their whole text as the one
+    shingle (the ``greatest(..., 1)`` convention shared with
+    ``dedup.ngram_jaccard_pairs`` and its oracle).
+    """
+    words = _words(text_col)
+    n = F.size(words)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(words, i, k), " "),
+    )
+    return df.select(
+        F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 4,
+) -> DataFrame:
+    """Benchmark decontamination: flag train docs sharing any word
+    ``k``-gram with the eval set.
+
+    Output: one row per train doc — (id_col, n_hits = distinct shared
+    shingles, contaminated int 0/1).
+
+    Plan: the eval shingle set is broadcast (benchmarks are small by
+    definition), so the train side joins map-side and never shuffles for
+    the contamination check; the only exchanges are the per-doc hit count
+    and the left join back onto train ids.
+    """
+    ev = word_shingles(eval_df, id_col, text_col, k).select("gram").distinct()
+    tg = word_shingles(train, id_col, text_col, k)
+    hits = (
+        tg.join(F.broadcast(ev), "gram")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        train.select(id_col)
+        .join(hits, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) > 0)
+            .cast("int")
+            .alias("contaminated"),
+        )
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_words: int = 40,
+    min_distinct_ratio: float = 0.35,
+    max_top_word_frac: float = 0.10,
+    max_top_bigram_frac: float = 0.06,
+) -> DataFrame:
+    """Gopher-style repetition quality gate.
+
+    Per doc: word count, distinct-word ratio, most-frequent-word
+    fraction, most-frequent-bigram fraction, and a keep flag under the
+    given thresholds (defaults follow the published Gopher rules adapted
+    to this corpus' scale).
+
+    Output: (id_col, n_words, distinct_ratio, top_word_frac,
+    top_bigram_frac, keep_doc int).
+
+    Plan: two-level aggregates — groupBy(doc, token) with map-side
+    partial combine, then groupBy(doc) — for words and bigrams, joined on
+    the doc key.  The token explosion is combined before it ever crosses
+    the wire.
+    """
+    words = _words(text_col)
+    n = F.size(words)
+
+    toks = df.select(F.col(id_col), F.explode(words).alias("_tok"))
+    wc = toks.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("c"))
+    wstats = wc.groupBy(id_col).agg(
+        F.sum("c").alias("n_words"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("c").alias("top_word"),
+    )
+
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(1), F.lit(1))),
+        lambda i: F.array_join(F.slice(words, i, 2), " "),
+    )
+    bt = df.select(F.col(id_col), F.explode(bigrams).alias("_big"))
+    bc = bt.groupBy(id_col, "_big").agg(F.count(F.lit(1)).alias("c"))
+    bstats = bc.groupBy(id_col).agg(
+        F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram")
+    )
+
+    joined = wstats.join(bstats, id_col)
+    distinct_ratio = F.col("n_distinct") / F.col("n_words")
+    top_word_frac = F.col("top_word") / F.col("n_words")
+    top_bigram_frac = F.col("top_bigram") / F.col("n_bigrams")
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (distinct_ratio >= min_distinct_ratio)
+        & (top_word_frac <= max_top_word_frac)
+        & (top_bigram_frac <= max_top_bigram_frac)
+    )
+    return joined.select(
+        F.col(id_col),
+        F.col("n_words").cast("long").alias("n_words"),
+        F.round(distinct_ratio, 6).alias("distinct_ratio"),
+        F.round(top_word_frac, 6).alias("top_word_frac"),
+        F.round(top_bigram_frac, 6).alias("top_bigram_frac"),
+        keep.cast("int").alias("keep_doc"),
+    )
+
+
+def redact_pii(c: Column) -> Column:
+    """Replace emails then phone numbers with typed placeholder tags.
+    Pure Catalyst regexp_replace (replaces ALL occurrences)."""
+    out = F.regexp_replace(c, EMAIL_RE, "<EMAIL>")
+    return F.regexp_replace(out, PHONE_RE, "<PHONE>")
+
+
+def pii_counts(c: Column) -> tuple[Column, Column]:
+    """(n_emails, n_phones) match counts for a text column."""
+    n_emails = F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0)))
+    n_phones = F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0)))
+    return n_emails, n_phones
+
+
+def sliding_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    size: int = 20,
+    stride: int = 10,
+) -> DataFrame:
+    """Overlapping sliding-window chunking (RAG-style) with offsets.
+
+    Output: (id_col, chunk_id, start_word, n_chunk_words, chunk_fp) —
+    offsets-only plus a fingerprint, so the full chunk text never rides a
+    shuffle (the same offsets-over-text rule the extraction pipeline uses
+    for spans, ``operators/extract.py``).
+    """
+    words = _words(text_col)
+    n = F.size(words)
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - F.lit(1), F.lit(0)), F.lit(stride)
+    )
+    ex = df.select(
+        F.col(id_col),
+        words.alias("_w"),
+        F.explode(starts).alias("start_word"),
+    )
+    piece = F.slice(F.col("_w"), F.col("start_word") + 1, size)
+    return ex.select(
+        F.col(id_col),
+        (F.col("start_word") / stride).cast("int").alias("chunk_id"),
+        F.col("start_word").cast("int").alias("start_word"),
+        F.size(piece).cast("int").alias("n_chunk_words"),
+        F.md5(F.array_join(piece, " ")).alias("chunk_fp"),
+    )
+
+
+def url_domain_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Per-domain URL stats: (domain, n_urls, n_docs) over URLs found in
+    the text column.  regexp_extract_all with a capture group pulls hosts
+    directly — one pass, no UDF; the aggregate is a plain hash groupBy on
+    the domain key."""
+    hosts = F.regexp_extract_all(
+        F.coalesce(F.col(text_col), F.lit("")), F.lit(URL_HOST_RE), F.lit(1)
+    )
+    u = df.select(F.col(id_col), F.explode(hosts).alias("domain"))
+    return u.groupBy("domain").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct(F.col(id_col)).alias("n_docs"),
+    )

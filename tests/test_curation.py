@@ -1,0 +1,104 @@
+"""Unit tests for operators/curation.py (chunk dedup, decontamination,
+repetition gate, PII redaction, sliding chunks, domain stats)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+    chunk_dedup,
+    decontaminate,
+    redact_pii,
+    repetition_stats,
+    sliding_chunks,
+    url_domain_stats,
+    word_chunks,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+def test_word_chunks_short_and_empty(spark):
+    d = _docs(spark, ["a b c", ""])
+    rows = word_chunks(d, "doc_id", "text", 10).collect()
+    got = {(r.doc_id, r.chunk_idx): r.chunk for r in rows}
+    assert got == {(0, 0): "a b c", (1, 0): ""}
+
+
+def test_chunk_dedup_keeps_first_occurrence_and_reassembles(spark):
+    shared = " ".join(f"a{i}" for i in range(10))
+    uniq1 = " ".join(f"b{i}" for i in range(10))
+    uniq2 = " ".join(f"c{i}" for i in range(10))
+    d = _docs(spark, [f"{shared} {uniq1}", f"{shared} {uniq2}"])
+    out = {r.doc_id: r for r in chunk_dedup(d, "doc_id", "text", 10).collect()}
+    assert out[0].total_chunks == 2 and out[0].kept_chunks == 2
+    assert out[0].dedup_text == f"{shared} {uniq1}"
+    # doc 1 loses the shared chunk (doc 0 saw it first) but keeps order
+    assert out[1].total_chunks == 2 and out[1].kept_chunks == 1
+    assert out[1].dedup_text == uniq2
+
+
+def test_chunk_dedup_within_doc_duplicates(spark):
+    blk = " ".join(f"x{i}" for i in range(10))
+    d = _docs(spark, [f"{blk} {blk}"])
+    r = chunk_dedup(d, "doc_id", "text", 10).collect()[0]
+    assert r.total_chunks == 2 and r.kept_chunks == 1
+    assert r.dedup_text == blk
+
+
+def test_decontaminate_flags_shared_4gram(spark):
+    ev = _docs(spark, ["secret eval answer phrase here"])
+    tr = spark.createDataFrame(
+        [
+            Row(doc_id=10, text="intro secret eval answer phrase outro"),
+            Row(doc_id=11, text="totally clean text with no overlap at all"),
+        ]
+    )
+    out = {r.doc_id: r for r in decontaminate(tr, ev, "doc_id", "text", k=4).collect()}
+    assert out[10].contaminated == 1 and out[10].n_hits >= 1
+    assert out[11].contaminated == 0 and out[11].n_hits == 0
+
+
+def test_repetition_stats_gates_degenerate_docs(spark):
+    diverse = " ".join(f"w{i}" for i in range(60))
+    loop = "spam " * 60
+    d = _docs(spark, [diverse, loop.strip()])
+    out = {r.doc_id: r for r in repetition_stats(d, "doc_id", "text").collect()}
+    assert out[0].keep_doc == 1
+    assert out[0].distinct_ratio == 1.0 and out[0].n_words == 60
+    assert out[1].keep_doc == 0
+    assert out[1].top_word_frac == 1.0 and out[1].top_bigram_frac == 1.0
+
+
+def test_redact_pii_replaces_all_occurrences(spark):
+    d = _docs(
+        spark,
+        ["mail a.user@x.example.com or b@y.example.org call 555-123-4567 now"],
+    )
+    r = d.select(redact_pii(F.col("text")).alias("t")).collect()[0]
+    assert r.t == "mail <EMAIL> or <EMAIL> call <PHONE> now"
+
+
+def test_sliding_chunks_offsets_and_tail(spark):
+    d = _docs(spark, [" ".join(f"t{i}" for i in range(25))])
+    rows = sliding_chunks(d, "doc_id", "text", size=20, stride=10).collect()
+    got = {(r.chunk_id): (r.start_word, r.n_chunk_words) for r in rows}
+    assert got == {0: (0, 20), 1: (10, 15), 2: (20, 5)}
+
+
+def test_url_domain_stats_counts_urls_and_docs(spark):
+    d = _docs(
+        spark,
+        [
+            "see https://a.example.com/x and https://a.example.com/y",
+            "also http://b.example.org/z plain words",
+        ],
+    )
+    out = {r.domain: r for r in url_domain_stats(d, "doc_id", "text").collect()}
+    assert out["a.example.com"].n_urls == 2 and out["a.example.com"].n_docs == 1
+    assert out["b.example.org"].n_urls == 1 and out["b.example.org"].n_docs == 1

@@ -192,6 +192,37 @@ def test_new_catalyst_queries_have_no_python(spark):
         assert "BatchEvalPython" not in p, q
 
 
+def test_curation_queries_pure_catalyst_no_nested_loop(spark):
+    """The corpus-curation ops (chunk dedup, decontamination, repetition
+    gate, PII redaction, sliding chunks, domain stats) are pure Catalyst:
+    no Python eval anywhere, and no nested-loop/cartesian join may appear
+    (every join is an equi-join on a hash key)."""
+    import __spark_entry__ as em
+
+    for q in (
+        "q_chunk_dedup",
+        "q_decontaminate",
+        "q_quality_repetition",
+        "q_pii_redact",
+        "q_text_chunks",
+        "q_domain_stats",
+    ):
+        p = plan_of(em.queries()[q](spark, "/root/testdata/sf0.001"))
+        assert "ArrowEvalPython" not in p, q
+        assert "BatchEvalPython" not in p, q
+        assert "BroadcastNestedLoopJoin" not in p, q
+        assert "CartesianProduct" not in p, q
+
+
+def test_decontaminate_broadcasts_eval_shingles(spark):
+    """The contamination join must broadcast the (small) eval shingle set
+    so the train side never shuffles for the check."""
+    import __spark_entry__ as em
+
+    p = plan_of(em.queries()["q_decontaminate"](spark, "/root/testdata/sf0.001"))
+    assert "BroadcastHashJoin" in p
+
+
 def test_incremental_dedup_is_anti_join_on_fingerprints(spark):
     """dedup_against must plan a LeftAnti hash join keyed on the md5
     fingerprint, with the corpus side reduced by an aggregate (distinct)
