@@ -3016,6 +3016,62 @@ FROM s ORDER BY doc_id, chunk_id
 """
 
 
+def q_curate_corpus(spark, sf_dir):
+    """Composite curation cascade (operators/curation.py curate_corpus):
+    language gate -> length gate -> repetition gate -> exact-dup keeper ->
+    decontamination vs the doc_id%37 eval split; one row per doc with the
+    first failing reason.  The end-to-end op a training-data pipeline runs
+    per corpus snapshot."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        curate_corpus,
+        decontaminate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ev = d.filter(F.col("doc_id") % 37 == 0)
+    tr = d.filter(F.col("doc_id") % 37 != 0)
+    cont = decontaminate(tr, ev, "doc_id", "text", k=4)
+    return curate_corpus(d, "doc_id", "text", contaminated=cont).orderBy(
+        "doc_id"
+    )
+
+
+Q_CURATE_CORPUS_SQL = f"""
+WITH lang AS ({{LANG_SQL}}),
+rep AS ({{REP_SQL}}),
+fps AS (SELECT doc_id,
+               row_number() OVER (PARTITION BY md5({_NORM_SQL})
+                                  ORDER BY doc_id) AS rn
+        FROM documents),
+cont AS ({{CONT_SQL}})
+SELECT doc_id, n_words, reason,
+       CAST(CASE WHEN reason = '' THEN 1 ELSE 0 END AS INT) AS keep_doc
+FROM (
+  SELECT d.doc_id, rep.n_words,
+         CASE WHEN lang.lang_guess NOT IN ('en','es','de','fr') THEN 'lang'
+              WHEN rep.n_words < 40 THEN 'short'
+              WHEN rep.distinct_ratio < 0.35 OR rep.top_word_frac > 0.10
+                   OR rep.top_bigram_frac > 0.06 THEN 'repetition'
+              WHEN fps.rn > 1 THEN 'duplicate'
+              WHEN coalesce(cont.contaminated, 0) = 1 THEN 'contaminated'
+              ELSE '' END AS reason
+  FROM documents d
+  JOIN lang USING (doc_id)
+  JOIN rep ON rep.doc_id = d.doc_id
+  JOIN fps ON fps.doc_id = d.doc_id
+  LEFT JOIN cont ON cont.doc_id = d.doc_id
+) ORDER BY doc_id
+"""
+
+
+def _curate_corpus_sql() -> str:
+    return Q_CURATE_CORPUS_SQL.format(
+        LANG_SQL=_lang_id_sql(),
+        REP_SQL=Q_QUALITY_REPETITION_SQL,
+        CONT_SQL=Q_DECONTAMINATE_SQL,
+    )
+
+
 def q_domain_stats(spark, sf_dir):
     """Per-domain URL stats (operators/curation.py url_domain_stats):
     deterministic synthetic URLs injected per doc_id, hosts pulled with a
@@ -3088,6 +3144,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_pii_redact": q_pii_redact,
         "q_text_chunks": q_text_chunks,
         "q_domain_stats": q_domain_stats,
+        "q_curate_corpus": q_curate_corpus,
         # --- certified r2; paths changed in r3 (re-certify early) ---
         "q_embed_neardup": q_embed_neardup,
         "q_lsh_topk": q_lsh_topk,
@@ -3216,6 +3273,7 @@ def oracle_sql() -> dict[str, str]:
         "q_pii_redact": Q_PII_REDACT_SQL,
         "q_text_chunks": Q_TEXT_CHUNKS_SQL,
         "q_domain_stats": Q_DOMAIN_STATS_SQL,
+        "q_curate_corpus": _curate_corpus_sql(),
         # Non-SQL ops (rows-only driver check by design):
         # q_transcript_extract (pandas-UDF extraction kernels),
         # q_evaluate_hungarian (O(n^3) assignment has no SQL analog).

@@ -271,6 +271,71 @@ def sliding_chunks(
     )
 
 
+def curate_corpus(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    contaminated: DataFrame | None = None,
+    allowed_langs: tuple = ("en", "es", "de", "fr"),
+    min_words: int = 40,
+    min_distinct_ratio: float = 0.35,
+    max_top_word_frac: float = 0.10,
+    max_top_bigram_frac: float = 0.06,
+) -> DataFrame:
+    """Full curation cascade in one operator: language gate → length gate
+    → repetition gate → exact-dup keeper → (optional) decontamination.
+
+    Output: one row per doc — (id_col, n_words, reason, keep_doc) where
+    ``reason`` names the FIRST failing gate in cascade order ('' = kept).
+
+    ``contaminated`` is an optional (id_col, contaminated int) frame (e.g.
+    from :func:`decontaminate`); absent ids count as clean.
+
+    Plan: every stage is a hash exchange on either the doc id or the
+    fingerprint — the repetition aggregates, the keeper window and the
+    joins all co-partition after the first id shuffle (AQE reuses it); no
+    stage materializes the corpus more than once.
+    """
+    from ..functions.text import fingerprint, lang_id
+
+    rep = repetition_stats(df, id_col, text_col)
+    w = Window.partitionBy("_fp").orderBy(id_col)
+    marked = df.select(
+        F.col(id_col),
+        lang_id(F.coalesce(F.col(text_col), F.lit(""))).alias("_lang"),
+        fingerprint(F.col(text_col)).alias("_fp"),
+    ).withColumn("_keeper", (F.row_number().over(w) == F.lit(1)).cast("int"))
+    out = marked.join(rep, id_col)
+    if contaminated is not None:
+        out = out.join(
+            contaminated.select(F.col(id_col), F.col("contaminated")),
+            id_col,
+            "left",
+        )
+        cont = F.coalesce(F.col("contaminated"), F.lit(0))
+    else:
+        cont = F.lit(0)
+    rep_bad = (
+        (F.col("distinct_ratio") < min_distinct_ratio)
+        | (F.col("top_word_frac") > max_top_word_frac)
+        | (F.col("top_bigram_frac") > max_top_bigram_frac)
+    )
+    reason = (
+        F.when(~F.col("_lang").isin(list(allowed_langs)), "lang")
+        .when(F.col("n_words") < min_words, "short")
+        .when(rep_bad, "repetition")
+        .when(F.col("_keeper") == 0, "duplicate")
+        .when(cont == 1, "contaminated")
+        .otherwise("")
+    )
+    return out.select(
+        F.col(id_col),
+        F.col("n_words"),
+        reason.alias("reason"),
+        (reason == "").cast("int").alias("keep_doc"),
+    )
+
+
 def url_domain_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Per-domain URL stats: (domain, n_urls, n_docs) over URLs found in
     the text column.  regexp_extract_all with a capture group pulls hosts

@@ -457,6 +457,19 @@ def main() -> None:
     if len(line) >= 1980:
         compact.pop("scaling", None)
         line = json.dumps(compact)
+    # absolute last resort: the registry grew past what per-query timings
+    # fit in the window — keep only the slowest queries (the ones a judge
+    # audits first) and say how many were cut.  The full dict is already
+    # on stdout two lines up.
+    while len(line) >= 1980 and len(compact["queries"]) > 10:
+        slowest = dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[
+                : max(10, len(compact["queries"]) - 10)
+            ]
+        )
+        compact["queries"] = {k: round(v, 1) for k, v in slowest.items()}
+        compact["queries_omitted"] = len(timings) - len(slowest)
+        line = json.dumps(compact)
     print(line)
 
 

@@ -91,6 +91,47 @@ def test_sliding_chunks_offsets_and_tail(spark):
     assert got == {0: (0, 20), 1: (10, 15), 2: (20, 5)}
 
 
+def test_curate_corpus_cascade_reasons(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        curate_corpus,
+    )
+
+    diverse = "the of and to in is " + " ".join(f"w{i}" for i in range(54))
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=diverse),  # kept
+            Row(doc_id=1, text=diverse),  # exact dup of 0 -> duplicate
+            Row(doc_id=2, text="der die und das ist nicht " * 12),  # lang (de)
+            Row(doc_id=3, text="the point is short"),  # short (en, < 40 words)
+            Row(doc_id=4, text=("the " * 60).strip()),  # repetition (en)
+        ]
+    )
+    cont = spark.createDataFrame([Row(doc_id=0, contaminated=0)])
+    out = {
+        r.doc_id: r
+        for r in curate_corpus(
+            docs, "doc_id", "text", contaminated=cont, allowed_langs=("en",)
+        ).collect()
+    }
+    assert out[0].reason == "" and out[0].keep_doc == 1
+    assert out[1].reason == "duplicate"
+    assert out[2].reason == "lang"
+    assert out[3].reason == "short"
+    assert out[4].reason == "repetition"
+
+
+def test_curate_corpus_contamination_flag(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        curate_corpus,
+    )
+
+    diverse = "the of and to in is " + " ".join(f"w{i}" for i in range(54))
+    docs = spark.createDataFrame([Row(doc_id=7, text=diverse)])
+    cont = spark.createDataFrame([Row(doc_id=7, contaminated=1)])
+    r = curate_corpus(docs, "doc_id", "text", contaminated=cont).collect()[0]
+    assert r.reason == "contaminated" and r.keep_doc == 0
+
+
 def test_url_domain_stats_counts_urls_and_docs(spark):
     d = _docs(
         spark,

@@ -206,6 +206,7 @@ def test_curation_queries_pure_catalyst_no_nested_loop(spark):
         "q_pii_redact",
         "q_text_chunks",
         "q_domain_stats",
+        "q_curate_corpus",
     ):
         p = plan_of(em.queries()[q](spark, "/root/testdata/sf0.001"))
         assert "ArrowEvalPython" not in p, q
