@@ -51,13 +51,16 @@ def word_chunks(
     ``size`` words yields one (short) chunk; empty text yields one empty
     chunk — the convention the SQL oracles mirror.
     """
-    words = _words(text_col)
-    n_chunks = F.ceil(F.size(words) / F.lit(float(size))).cast("int")
+    # words materialized BEFORE the chunk lambda: Catalyst re-evaluates
+    # expressions closed over by HOF lambdas per element, but an attribute
+    # reference is free (same discipline as dedup.shingle_rows)
+    w = df.select(F.col(id_col), _words(text_col).alias("_w"))
+    n_chunks = F.ceil(F.size(F.col("_w")) / F.lit(float(size))).cast("int")
     chunks = F.transform(
         F.sequence(F.lit(0), F.greatest(n_chunks - F.lit(1), F.lit(0))),
-        lambda i: F.array_join(F.slice(words, i * size + 1, size), " "),
+        lambda i: F.array_join(F.slice(F.col("_w"), i * size + 1, size), " "),
     )
-    return df.select(
+    return w.select(
         F.col(id_col), F.posexplode(chunks).alias("chunk_idx", "chunk")
     )
 
@@ -109,13 +112,13 @@ def word_shingles(
     shingle (the ``greatest(..., 1)`` convention shared with
     ``dedup.ngram_jaccard_pairs`` and its oracle).
     """
-    words = _words(text_col)
-    n = F.size(words)
+    w = df.select(F.col(id_col), _words(text_col).alias("_w"))
+    n = F.size(F.col("_w"))
     grams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
-        lambda i: F.array_join(F.slice(words, i, k), " "),
+        lambda i: F.array_join(F.slice(F.col("_w"), i, k), " "),
     )
-    return df.select(
+    return w.select(
         F.col(id_col), F.explode(F.array_distinct(grams)).alias("gram")
     )
 
@@ -182,10 +185,10 @@ def repetition_stats(
     the doc key.  The token explosion is combined before it ever crosses
     the wire.
     """
-    words = _words(text_col)
-    n = F.size(words)
+    w = df.select(F.col(id_col), _words(text_col).alias("_w"))
+    n = F.size(F.col("_w"))
 
-    toks = df.select(F.col(id_col), F.explode(words).alias("_tok"))
+    toks = w.select(F.col(id_col), F.explode(F.col("_w")).alias("_tok"))
     wc = toks.groupBy(id_col, "_tok").agg(F.count(F.lit(1)).alias("c"))
     wstats = wc.groupBy(id_col).agg(
         F.sum("c").alias("n_words"),
@@ -195,9 +198,9 @@ def repetition_stats(
 
     bigrams = F.transform(
         F.sequence(F.lit(1), F.greatest(n - F.lit(1), F.lit(1))),
-        lambda i: F.array_join(F.slice(words, i, 2), " "),
+        lambda i: F.array_join(F.slice(F.col("_w"), i, 2), " "),
     )
-    bt = df.select(F.col(id_col), F.explode(bigrams).alias("_big"))
+    bt = w.select(F.col(id_col), F.explode(bigrams).alias("_big"))
     bc = bt.groupBy(id_col, "_big").agg(F.count(F.lit(1)).alias("c"))
     bstats = bc.groupBy(id_col).agg(
         F.sum("c").alias("n_bigrams"), F.max("c").alias("top_bigram")
@@ -251,14 +254,14 @@ def sliding_chunks(
     shuffle (the same offsets-over-text rule the extraction pipeline uses
     for spans, ``operators/extract.py``).
     """
-    words = _words(text_col)
-    n = F.size(words)
+    w = df.select(F.col(id_col), _words(text_col).alias("_w"))
+    n = F.size(F.col("_w"))
     starts = F.sequence(
         F.lit(0), F.greatest(n - F.lit(1), F.lit(0)), F.lit(stride)
     )
-    ex = df.select(
+    ex = w.select(
         F.col(id_col),
-        words.alias("_w"),
+        F.col("_w"),
         F.explode(starts).alias("start_word"),
     )
     piece = F.slice(F.col("_w"), F.col("start_word") + 1, size)

@@ -132,10 +132,12 @@ def shingles(c, k: int = 3):
     DISTINCT-based SQL oracle (pinned by tests/test_dedup_clusters_config).
 
     NOTE: Catalyst does no common-subexpression elimination inside
-    higher-order-function lambdas, so the ``words`` split is re-evaluated
-    per gram index — measured 6-18x slower than the Arrow-batched UDF
-    below on identical input.  Kept for reference/SQL-parity; the dedup
-    operators use ``shingles_udf``.
+    higher-order-function lambdas, so the ``words`` split closed over by
+    the lambda here is re-evaluated per gram index — measured ~11x slower
+    than the same expressions with the words array MATERIALIZED as a
+    column first (``shingle_rows`` below, the form the dedup operators
+    use: 0.84 s vs 9.2 s vs 1.32 s for the Arrow UDF on sf0.1).  Kept for
+    reference/SQL-parity in column position.
     """
     words = F.split(normalized_for_compare(c), " ")
     n = F.size(words)
@@ -177,6 +179,51 @@ def shingles_udf(k: int = 3):
     return sh
 
 
+def shingle_rows(df: DataFrame, id_col: str, text_col: str, k: int = 3) -> DataFrame:
+    """Exploded distinct word-k-shingles, 100% JVM: (id, n_sh, g).
+
+    Same set semantics and byte-identical grams as ``shingles()`` /
+    ``shingles_udf`` — but the normalized words array is materialized as a
+    column BEFORE the gram lambda, so the split evaluates once per row
+    (Catalyst re-evaluates expressions *closed over* by HOF lambdas per
+    element; an attribute reference is free).  Faster than the Arrow UDF
+    (0.84 s vs 1.32 s on sf0.1 documents) with zero Python workers — the
+    shingle stage participates in whole-stage codegen and leaves the
+    Python worker pool to the extraction UDF.
+
+    TRAP (measured, do not "simplify"): the gram array must feed
+    ``explode`` as an EXPRESSION in the same select, never via an
+    intermediate aliased column.  ``explode(<attribute>)`` triggers the
+    ``InferFiltersFromGenerate`` optimizer rule, whose inferred
+    ``size(col) > 0`` filter is then predicate-pushed below the
+    projections — re-inlining the whole gram expression (split included)
+    into a per-row Filter and restoring the O(n²) lambda re-eval this
+    function exists to avoid (10.3 s vs 0.3 s on sf0.1).  ``n_sh`` rides
+    THROUGH the generator via arrays_zip so it is computed once per doc,
+    not re-derived per exploded row.
+    """
+    w = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"),
+        F.split(normalized_for_compare(F.col(text_col)), " ").alias("_w"),
+    )
+    n = F.size(F.col("_w"))
+    idx = F.sequence(F.lit(0), F.greatest(n - F.lit(k), F.lit(0)))
+    grams = F.when(
+        n >= k,
+        F.array_distinct(
+            F.transform(
+                idx, lambda i: F.array_join(F.slice(F.col("_w"), i + 1, k), " ")
+            )
+        ),
+    ).otherwise(F.array(F.array_join(F.col("_w"), " ")))
+    z = F.arrays_zip(grams, F.array_repeat(F.size(grams), F.size(grams)))
+    return w.select("id", F.explode(z).alias("_z")).select(
+        "id",
+        F.col("_z")["1"].cast("long").alias("n_sh"),
+        F.col("_z")["0"].alias("g"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str,
@@ -200,10 +247,7 @@ def ngram_jaccard_pairs(
     and the SQL oracle applies the identical cap, so results stay
     hash-deterministic.
     """
-    sh = ensure_min_partitions(df).select(
-        F.col(id_col).alias("id"), shingles_udf(k)(F.col(text_col)).alias("sh")
-    ).withColumn("n_sh", F.size("sh"))
-    exploded = sh.select("id", "n_sh", F.explode("sh").alias("g"))
+    exploded = shingle_rows(df, id_col, text_col, k)
     if df_cap is not None:
         # df per shingle via a window over g, NOT a separate agg+anti-join:
         # the window's exchange hash-partitions by g — exactly what the
@@ -281,9 +325,7 @@ def minhash_signatures(
     signature per doc, not per shingle.  Replaces the round-2 per-shingle
     ``hashlib.md5`` Python loop (judge finding)."""
     a_par, b_par = _minhash_params(num_hashes, seed)
-    ex = ensure_min_partitions(df).select(
-        F.col(id_col).alias("id"), shingles_udf(k)(F.col(text_col)).alias("sh")
-    ).select("id", F.explode("sh").alias("g")).select(
+    ex = shingle_rows(df, id_col, text_col, k).select(
         "id", shingle_hash32(F.col("g")).alias("h")
     )
     aggs = [
@@ -316,7 +358,15 @@ def minhash_lsh_pairs(
     minhash components.
     """
     rows_per_band = num_hashes // bands
-    with_sig = minhash_signatures(df, id_col, text_col, k, num_hashes, seed)
+    # one signature row per doc — materialize ONCE before the banded
+    # self-join: AQE plans the join as broadcast, whose sides are
+    # structurally different, so exchange reuse never fires and the whole
+    # shingle+signature subtree would otherwise execute twice (measured
+    # 2x the query's cost).  The checkpoint is the compacted sketch
+    # (~num_hashes longs per doc), tiny at any corpus scale.
+    with_sig = minhash_signatures(
+        df, id_col, text_col, k, num_hashes, seed
+    ).localCheckpoint(eager=False)
 
     band_idx = F.explode(F.sequence(F.lit(0), F.lit(bands - 1))).alias("band")
     banded = with_sig.select(
@@ -379,9 +429,7 @@ def simhash_signatures(
     reconstructs bit 63 by two's complement — bit-identical to the former
     numpy UDF and to the SQL oracle's UBIGINT vote arithmetic."""
     md5c = F.md5(F.col("g"))
-    ex = ensure_min_partitions(df).select(
-        F.col(id_col).alias("id"), shingles_udf(k)(F.col(text_col)).alias("sh")
-    ).select("id", F.explode("sh").alias("g")).select(
+    ex = shingle_rows(df, id_col, text_col, k).select(
         "id",
         F.conv(F.substring(md5c, 1, 8), 16, 10).cast("long").alias("hi"),
         F.conv(F.substring(md5c, 9, 8), 16, 10).cast("long").alias("lo"),
@@ -403,8 +451,13 @@ def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, k: int = 3, max_hamming: int = 3
 ) -> DataFrame:
     """SimHash near-dup pairs: 4-band blocking guarantees recall for
-    hamming distance <= 3 (pigeonhole over 16-bit quarters)."""
-    sigs = simhash_signatures(df, id_col, text_col, k)
+    hamming distance <= 3 (pigeonhole over 16-bit quarters).
+
+    Signatures materialize once (localCheckpoint) before the banded
+    self-join — same double-compute defense as ``minhash_lsh_pairs``."""
+    sigs = simhash_signatures(df, id_col, text_col, k).localCheckpoint(
+        eager=False
+    )
     mask = F.lit((1 << 16) - 1)
     banded = sigs.select(
         "id",
