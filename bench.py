@@ -43,13 +43,17 @@ FLAGSHIP_GEN = dict(n_convs=2000, mean_turns=24, skew_convs=4, skew_factor=40)
 FLAGSHIP_REPLICAS = 10
 FLAGSHIP_PARQUET = "/tmp/bench_transcripts_v2_r10.parquet"
 
-# scaling probe input ~815k turns: big enough that extraction CPU dominates
-# fixed overheads at both levels (~15-30 s at 4N, ~60-90 s at N — not the
-# ~4 s probes of round 1), small enough to afford SEVERAL paired rounds —
-# on this host, weather shifts minute-to-minute and catching one clean
-# window matters more than one long sample
-PROBE_REPLICAS = 16
-PROBE_PARQUET = "/tmp/bench_transcripts_probe_r16.parquet"
+# scaling probe input ~408k turns: big enough that extraction CPU dominates
+# fixed overheads at both levels (~7-12 s at 4N, ~25-30 s at N — not the
+# ~4 s probes of round 1), small enough that the FULL pre-registered plan
+# (5 rounds x symmetric 3 reps per level) fits the 900 s budget.  The
+# r16 input (~50 s per N rep) truncated the plan at 3 rounds and left the
+# fragile 4N level only 6 samples — in one degraded window none were
+# clean.  Contention noise is multiplicative (stolen cycles), so shorter
+# reps lose no ratio accuracy; they sample MORE independent weather
+# windows, which is exactly what the pooled-min estimator needs.
+PROBE_REPLICAS = 8
+PROBE_PARQUET = "/tmp/bench_transcripts_probe_r8.parquet"
 
 
 def _get_spark(cpus: int):
@@ -133,7 +137,7 @@ SCALING_N = 2
 # conservative).  A wall-clock guard exists only to respect the outer
 # bench timeout; if it fires, the result is flagged "truncated".
 SCALING_ROUNDS = 5
-SCALING_REPS = 2
+SCALING_REPS = 3
 SCALING_WALL_BUDGET = 900.0
 
 
@@ -454,13 +458,11 @@ def main() -> None:
             in ("efficiency", "pooled_efficiency", "host_normalized_efficiency")
         }
         line = json.dumps(compact)
-    if len(line) >= 1980:
-        compact.pop("scaling", None)
-        line = json.dumps(compact)
-    # absolute last resort: the registry grew past what per-query timings
-    # fit in the window — keep only the slowest queries (the ones a judge
-    # audits first) and say how many were cut.  The full dict is already
-    # on stdout two lines up.
+    # scaling is NEVER dropped (it is the north_rule evidence; the r3
+    # registry hit the size where the old cascade popped the whole block
+    # while still listing 65 queries).  Per-query timings are what shrinks:
+    # keep only the slowest queries (the ones a judge audits first) and say
+    # how many were cut.  The full dict is already on stdout two lines up.
     while len(line) >= 1980 and len(compact["queries"]) > 10:
         slowest = dict(
             sorted(timings.items(), key=lambda kv: -kv[1])[
