@@ -2208,6 +2208,11 @@ def q_office_extract(spark, sf_dir):
             F.transform(F.sort_array(F.collect_list(line)), lambda s: s["cells"]),
         ).alias("grid")
     )
+    # the grouped frame is ~bytes-tiny but the zip encode+parse UDFs are
+    # CPU-heavy; AQE coalesces the groupBy exchange to ~1 task by bytes
+    # (observed: 8s on one core), so spread with an explicit-count
+    # repartition (REPARTITION_BY_NUM is exempt from AQE coalescing)
+    per_user = per_user.repartition(32, "user_id")
     blocks = F.array(
         F.struct(
             F.lit("h1").alias("kind"),
