@@ -233,3 +233,22 @@ def test_incremental_dedup_is_anti_join_on_fingerprints(spark):
     p = plan_of(em.queries()["q_dedup_incremental"](spark, "/root/testdata/sf0.001"))
     assert "LeftAnti" in p
     assert "BroadcastNestedLoopJoin" not in p
+
+
+def test_no_query_plans_nested_loop_or_rowwise_python(spark):
+    """Whole-registry sweep: NO query may plan a CartesianProduct or a
+    row-at-a-time BatchEvalPython, and BroadcastNestedLoopJoin may appear
+    only in the documented brute-force ANN baseline (q_knn_cosine, which
+    broadcasts the tiny query side over the never-shuffled corpus — its
+    scale paths are q_lsh_topk / q_ivf_topk).  Pins the audit run in
+    round 3 so a future query cannot silently regress to an all-pairs or
+    per-row-Python plan."""
+    import __spark_entry__ as em
+
+    bnlj_allowed = {"q_knn_cosine"}
+    for name, f in em.queries().items():
+        p = plan_of(f(spark, "/root/testdata/sf0.001"))
+        assert "CartesianProduct" not in p, name
+        assert "BatchEvalPython" not in p, name
+        if name not in bnlj_allowed:
+            assert "BroadcastNestedLoopJoin" not in p, name
