@@ -169,3 +169,49 @@ def test_empty_input_and_single_scan(spark, tmp_path):
 
     r2 = run_pipeline(spark, inp, out, cp, CFG)
     assert r2["resumed"] and r2["partitions_written"] == 0
+
+
+def test_snapshot_change_recertifies(spark, paths, tmp_path):
+    """Reusing output_path across INPUT SNAPSHOTS (round-2 ADVICE): when
+    the input grows, the new snapshot id makes every bucket a candidate
+    again — nothing is 'resumed' from the old snapshot's lineage, stale
+    buckets cannot be certified COMMITTED for the new snapshot, and the
+    final table equals a from-scratch run over the new input."""
+    root, inp = paths
+    import glob as _glob
+
+    # grown input = copy of inp + extra convs appended as a second file
+    inp2 = str(tmp_path / "in2")
+    shutil.copytree(inp, inp2)
+    from accelerated_intelligent_document_processing_on_aws_spark.datagen.transcripts import (
+        gen_transcripts_df,
+    )
+
+    extra = gen_transcripts_df(spark, n_convs=10, mean_turns=4, seed=7).withColumn(
+        "conv_id", F.concat(F.lit("grown-"), F.col("conv_id"))
+    )
+    extra.coalesce(1).write.parquet(str(tmp_path / "extra"))
+    for i, f in enumerate(_glob.glob(str(tmp_path / "extra") + "/*.parquet")):
+        shutil.copy(f, os.path.join(inp2, f"extra-{i}.parquet"))
+
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    r1 = run_pipeline(spark, inp, out, cp, CFG)          # snapshot A
+    shutil.rmtree(os.path.join(inp2, "_manifest"), ignore_errors=True)
+    r2 = run_pipeline(spark, inp2, out, cp, CFG)         # snapshot B (grown)
+    assert r2["snapshot_id"] != r1["snapshot_id"]
+    assert r2["resumed"] is False                         # nothing carried over
+    assert r2["partitions_committed"] == CFG.n_buckets
+
+    fresh_out, fresh_cp = str(tmp_path / "fresh_out"), str(tmp_path / "fresh_cp")
+    run_pipeline(spark, inp2, fresh_out, fresh_cp, CFG)
+    assert _rows(spark, out) == _rows(spark, fresh_out)
+
+    # lineage keeps the two snapshots' certifications separate
+    snaps = {
+        (r.input_snapshot_id, r.status)
+        for r in spark.read.parquet(cp)
+        .select("input_snapshot_id", "status")
+        .collect()
+    }
+    assert (r1["snapshot_id"], "COMMITTED") in snaps
+    assert (r2["snapshot_id"], "COMMITTED") in snaps
