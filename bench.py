@@ -43,18 +43,18 @@ FLAGSHIP_GEN = dict(n_convs=2000, mean_turns=24, skew_convs=4, skew_factor=40)
 FLAGSHIP_REPLICAS = 10
 FLAGSHIP_PARQUET = "/tmp/bench_transcripts_v2_r10.parquet"
 
-# scaling probe input ~306k turns: big enough that extraction CPU dominates
-# fixed overheads at both levels (~8-9 s at 4N=local[4], ~28-32 s at
-# N=local[1] — not the ~4 s probes of round 1), small enough that the FULL
-# pre-registered plan (5 rounds x symmetric 3 reps per level) fits the
-# 900 s budget.  The r16 input (~50 s per N rep) truncated the plan at 3
-# rounds and left the fragile wide level only 6 samples — in one degraded
-# window none were clean.  Contention noise is multiplicative (stolen
-# cycles), so shorter reps lose no ratio accuracy; they sample MORE
-# independent weather windows, which is exactly what the pooled-min
-# estimator needs.
-PROBE_REPLICAS = 6
-PROBE_PARQUET = "/tmp/bench_transcripts_probe_r6.parquet"
+# scaling probe input ~255k turns: big enough that extraction CPU dominates
+# fixed per-job overhead at both levels (~7 s at 4N=local[4], ~23 s at
+# N=local[1]; measured overhead ~0.85 s/run costs the clean-window ratio
+# ~0.2 — a conservative bias), small enough that the FULL pre-registered
+# plan (5 rounds x symmetric 3 reps per level) fits the 900 s budget even
+# with weather margin — foul windows stretch reps 3-10x (observed 4N reps
+# 8→94 s), and a truncated plan loses the median-of-5 robustness exactly
+# when it is needed.  Contention noise is multiplicative (stolen cycles),
+# so shorter reps lose no ratio accuracy; they sample MORE independent
+# weather windows, which is what the pooled-min estimator needs.
+PROBE_REPLICAS = 5
+PROBE_PARQUET = "/tmp/bench_transcripts_probe_r5.parquet"
 
 
 def _get_spark(cpus: int):
@@ -149,7 +149,7 @@ SCALING_WALL_BUDGET = 900.0
 
 
 def _probe_input(spark):
-    """Probe input: the full replicated probe table (~306k turns)."""
+    """Probe input: the full replicated probe table (~255k turns)."""
     return spark.read.parquet(
         _ensure_replicated_input(spark, PROBE_REPLICAS, PROBE_PARQUET)
     )
@@ -219,7 +219,7 @@ def _run_level(cpus: int) -> dict:
 
 def _scaling() -> dict:
     """Flagship at local[N] and local[4N] in fresh JVMs on identical input
-    (~306k-turn probe: >=8 s of wall at 4N, >=28 s at N, so fixed overheads
+    (~255k-turn probe: >=7 s of wall at 4N, >=23 s at N, so fixed overheads
     and host jitter cannot dominate the ratio).
 
     raw efficiency = (tps_4N / tps_N) / 4 (north_rule two-cluster-size
