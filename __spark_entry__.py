@@ -51,6 +51,16 @@ def _ordered(df: DataFrame, *cols) -> DataFrame:
     return df.repartition(1).sortWithinPartitions(*cols)
 
 
+def _by(*cols):
+    """Chainable form of ``_ordered`` for ``df.transform(_by(...))`` —
+    used as the terminal presentational sort of every certification
+    query (the driver's compare is row-order-insensitive; see
+    ``_ordered`` for why a global orderBy costs a subtree re-execution).
+    Top-k queries keep a real ``orderBy().limit()`` so Catalyst plans
+    TakeOrderedAndProject."""
+    return lambda df: _ordered(df, *cols)
+
+
 def _dec_sum(c, scale=4):
     return F.sum(F.col(c).cast(f"decimal(18,{scale})"))
 
@@ -187,7 +197,7 @@ def q_events_sessionize(spark, sf_dir):
             F.max("session_id").alias("n_sessions"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .orderBy("user_id")
+        .transform(_by("user_id"))
     )
     return out
 
@@ -233,7 +243,7 @@ def q_events_islands(spark, sf_dir):
             F.max("island").alias("n_islands"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .orderBy("user_id")
+        .transform(_by("user_id"))
     )
     return out
 
@@ -268,7 +278,7 @@ def q_events_metering(spark, sf_dir):
             F.sum("k").alias("total_k"),
             F.count(F.lit(1)).alias("n"),
         )
-        .orderBy("event_type")
+        .transform(_by("event_type"))
     )
     return out
 
@@ -502,7 +512,7 @@ def q_config_extract(spark, sf_dir):
             F.col("kv.attr").alias("attr"),
             F.col("kv.value").alias("value"),
         )
-        .orderBy("doc_id", "attr")
+        .transform(_by("doc_id", "attr"))
     )
 
 
@@ -632,9 +642,9 @@ def q_minhash_lsh(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").withColumn(
         "text", F.coalesce(F.col("text"), F.lit(""))
     ).filter(F.length("text") > 0)
-    return minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5).orderBy(
+    return minhash_lsh_pairs(d, "doc_id", "text", threshold=0.5).transform(_by(
         "id_a", "id_b"
-    )
+    ))
 
 
 # shared shingle CTE over non-empty documents (set semantics, no df cap —
@@ -697,7 +707,7 @@ def q_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents").withColumn(
         "text", F.coalesce(F.col("text"), F.lit(""))
     ).filter(F.length("text") > 0)
-    return simhash_pairs(d, "doc_id", "text", max_hamming=6).orderBy("id_a", "id_b")
+    return simhash_pairs(d, "doc_id", "text", max_hamming=6).transform(_by("id_a", "id_b"))
 
 
 def _simhash_sql(max_hamming: int = 6):
@@ -819,7 +829,7 @@ def q_events_concat(spark, sf_dir):
             ).alias("path"),
             F.count(F.lit(1)).alias("n_events"),
         )
-        .orderBy("user_id")
+        .transform(_by("user_id"))
     )
 
 
@@ -845,7 +855,7 @@ def q_first_event_label(spark, sf_dir):
         e.join(F.broadcast(first_rows), "user_id")
         .groupBy("user_id", "first_label")
         .agg(F.count(F.lit(1)).alias("n_events"))
-        .orderBy("user_id")
+        .transform(_by("user_id"))
     )
 
 
@@ -870,7 +880,7 @@ def q_top_events_per_user(spark, sf_dir):
         e.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("user_id", "event_id", "value", "rank")
-        .orderBy("user_id", "rank")
+        .transform(_by("user_id", "rank"))
     )
 
 
@@ -908,7 +918,7 @@ def q_metering_cost(spark, sf_dir):
             "n_units",
             F.round(F.col("n_units") * F.col("rate"), 4).alias("cost"),
         )
-        .orderBy("event_type")
+        .transform(_by("event_type"))
     )
 
 
@@ -964,7 +974,7 @@ def q_ngram_jaccard(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return ngram_jaccard_pairs(
         d, "doc_id", "text", k=3, threshold=0.5, df_cap=64
-    ).orderBy("id_a", "id_b")
+    ).transform(_by("id_a", "id_b"))
 
 
 def _ngram_pairs_cte(threshold: float = 0.5, df_cap: int = 64) -> str:
@@ -1009,7 +1019,7 @@ def q_neardup_clusters(spark, sf_dir):
     return (
         connected_components(pairs)
         .select(F.col("node").alias("doc_id"), "cluster_id")
-        .orderBy("doc_id")
+        .transform(_by("doc_id"))
     )
 
 
@@ -1251,7 +1261,7 @@ def q_evaluate_fuzzy(spark, sf_dir):
     return (
         evaluate_turns(actual, golden, method="FUZZY")
         .select(F.col("conv_id").cast("bigint").alias("doc_id"), "matched", "score")
-        .orderBy("doc_id")
+        .transform(_by("doc_id"))
     )
 
 
@@ -1291,9 +1301,9 @@ def q_evaluate_hungarian(spark, sf_dir):
             ),
         )
     )
-    return evaluate_lists(grouped, "group_id", "expected", "actual").orderBy(
+    return evaluate_lists(grouped, "group_id", "expected", "actual").transform(_by(
         F.col("group_id").cast("int")
-    )
+    ))
 
 
 def q_multimodal_features(spark, sf_dir):
@@ -1473,7 +1483,7 @@ def q_sections_rollup(spark, sf_dir):
         "n_turns",
         F.size("turn_idxs").alias("n_idxs"),
         F.length("section_text").alias("n_chars"),
-    ).orderBy("conv_id", "section_id")
+    ).transform(_by("conv_id", "section_id"))
 
 
 Q_SECTIONS_ROLLUP_SQL = f"""
@@ -1682,7 +1692,7 @@ def q_ocr_alerts(spark, sf_dir):
     return (
         confidence_alerts(base, ["doc_id"], "items", default_threshold=60.0)
         .select("doc_id", "item_idx", F.col("item.line").alias("line"), "conf")
-        .orderBy("doc_id", "item_idx")
+        .transform(_by("doc_id", "item_idx"))
     )
 
 
@@ -1720,7 +1730,7 @@ def q_props_flatten(spark, sf_dir):
         F.col("n.type").alias("type"),
         F.col("n.inner.uid").alias("uid"),
         F.col("n.inner.k").alias("k"),
-    ).orderBy("event_id")
+    ).transform(_by("event_id"))
 
 
 Q_PROPS_FLATTEN_SQL = """
@@ -1758,7 +1768,7 @@ def q_section_attributes(spark, sf_dir):
         "section_id",
         "attr",
         F.coalesce(F.col("value"), F.lit("")).alias("value"),
-    ).orderBy("conv_id", "section_id", "attr")
+    ).transform(_by("conv_id", "section_id", "attr"))
 
 
 def _section_attributes_sql():
@@ -1796,7 +1806,7 @@ def q_conv_summaries(spark, sf_dir):
     return (
         document_summary(section_summaries(turns))
         .select("conv_id", "n_sections", F.length("summary_md").alias("n_chars"))
-        .orderBy("conv_id")
+        .transform(_by("conv_id"))
     )
 
 
@@ -1897,7 +1907,7 @@ def q_template_fill(spark, sf_dir):
             "VALUE": F.round("value", 2).cast("string"),
         },
     )
-    return e.select("event_id", filled.alias("prompt")).orderBy("event_id")
+    return e.select("event_id", filled.alias("prompt")).transform(_by("event_id"))
 
 
 Q_TEMPLATE_FILL_SQL = """
@@ -1941,7 +1951,7 @@ def q_assess_confidence(spark, sf_dir):
     return (
         assess(frame)
         .select("conv_id", "turn_idx", "confidence", "coverage", "needs_review")
-        .orderBy("conv_id", "turn_idx")
+        .transform(_by("conv_id", "turn_idx"))
     )
 
 
@@ -1976,7 +1986,7 @@ def q_sections_report(spark, sf_dir):
     return (
         sections_reporting(turns)
         .select("conv_id", "section_id", "classification", "date", "n_turns")
-        .orderBy("conv_id", "section_id")
+        .transform(_by("conv_id", "section_id"))
     )
 
 
@@ -2006,7 +2016,7 @@ def q_dedup_corpus(spark, sf_dir):
     return (
         dedup_corpus(corpus, "doc_id", "text")
         .select("doc_id", "fp")
-        .orderBy("doc_id")
+        .transform(_by("doc_id"))
     )
 
 
@@ -2041,7 +2051,7 @@ def q_token_packing(spark, sf_dir):
     packed = pack_token_budget(
         with_shard(d, "doc_id", n_shards=8), "doc_id", "toks", budget=500
     )
-    return packed.select("doc_id", "shard", "batch_id").orderBy("doc_id")
+    return packed.select("doc_id", "shard", "batch_id").transform(_by("doc_id"))
 
 
 Q_TOKEN_PACKING_SQL = f"""
@@ -2067,7 +2077,7 @@ def q_sample_hash(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    return hash_sample(d, "doc_id", 20).select("doc_id").orderBy("doc_id")
+    return hash_sample(d, "doc_id", 20).select("doc_id").transform(_by("doc_id"))
 
 
 Q_SAMPLE_HASH_SQL = """
@@ -2095,7 +2105,7 @@ def q_sectionize_chunked(spark, sf_dir):
             (F.max("section_id") + 1).alias("n_sections"),
             F.count(F.lit(1)).alias("n_turns"),
         )
-        .orderBy("conv_id")
+        .transform(_by("conv_id"))
     )
 
 
@@ -2202,7 +2212,7 @@ def q_asof_join(spark, sf_dir):
         "user_id",
         "purchase_id",
         F.coalesce(F.col("click_id_asof"), F.lit(-1)).alias("last_click_id"),
-    ).orderBy("user_id", "purchase_id")
+    ).transform(_by("user_id", "purchase_id"))
 
 
 Q_ASOF_JOIN_SQL = """
@@ -2336,7 +2346,7 @@ def q_evaluate_config(spark, sf_dir):
     return (
         evaluate_attributes(_config_attrs(spark, sf_dir), EVAL_CFG)
         .select("doc_id", "attr", "method", "matched", "score")
-        .orderBy("doc_id", "attr")
+        .transform(_by("doc_id", "attr"))
     )
 
 
@@ -2353,7 +2363,7 @@ def q_eval_report(spark, sf_dir):
     )
 
     ev = evaluate_attributes(_config_attrs(spark, sf_dir), EVAL_CFG)
-    return evaluation_report_md(ev, conv_col="doc_id").orderBy("doc_id")
+    return evaluation_report_md(ev, conv_col="doc_id").transform(_by("doc_id"))
 
 
 def _config_scored_cte():
@@ -2462,7 +2472,7 @@ def entry(spark: SparkSession) -> DataFrame:
             F.round(F.avg("quality"), 4).alias("avg_quality"),
             F.countDistinct("fp").alias("n_unique"),
         )
-        .orderBy("lang", "doc_class")
+        .transform(_by("lang", "doc_class"))
     )
 
 
@@ -2495,9 +2505,9 @@ def q_range_join(spark, sf_dir):
         end_col="w_end",
         bin_width=3600.0,
     )
-    return out.select("user_id", "purchase_id", "click_id").orderBy(
+    return out.select("user_id", "purchase_id", "click_id").transform(_by(
         "user_id", "purchase_id", "click_id"
-    )
+    ))
 
 
 Q_RANGE_JOIN_SQL = """
@@ -2540,7 +2550,7 @@ def q_interval_overlap(spark, sf_dir):
         "user_id",
         F.col("pid_a").alias("pid_a"),
         F.col("pid_b").alias("pid_b"),
-    ).orderBy("user_id", "pid_a", "pid_b")
+    ).transform(_by("user_id", "pid_a", "pid_b"))
 
 
 Q_INTERVAL_OVERLAP_SQL = """
@@ -2588,7 +2598,7 @@ def q_session_window(spark, sf_dir):
         F.date_format("session_end", fmt).alias("session_end"),
         "n_events",
         "sum_value",
-    ).orderBy("user_id", "session_start")
+    ).transform(_by("user_id", "session_start"))
 
 
 Q_SESSION_WINDOW_SQL = """
@@ -2631,7 +2641,7 @@ def q_value_quantiles(spark, sf_dir):
             F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
             F.count(F.lit(1)).alias("n"),
         )
-        .orderBy("event_type")
+        .transform(_by("event_type"))
     )
 
 
@@ -2657,7 +2667,7 @@ def q_events_pivot(spark, sf_dir):
         e.groupBy("user_id")
         .pivot("event_type", _EVENT_TYPES)
         .agg(F.count(F.lit(1)))
-        .orderBy("user_id")
+        .transform(_by("user_id"))
     )
     # pivot yields nulls for absent combos: zero-fill (parity rule: no
     # NULLs in compared output)
@@ -2702,7 +2712,7 @@ def q_events_rollup(spark, sf_dir):
             "n_events",
             "sum_value",
         )
-        .orderBy("etype", "day")
+        .transform(_by("etype", "day"))
     )
 
 
@@ -2733,7 +2743,7 @@ def q_dedup_incremental(spark, sf_dir):
     return (
         dedup_against(new, corpus, "doc_id", "text")
         .select("doc_id", "lang", "source")
-        .orderBy("doc_id")
+        .transform(_by("doc_id"))
     )
 
 
@@ -2773,7 +2783,7 @@ def q_sample_stratified(spark, sf_dir):
             F.max("event_id").alias("last_id"),
             F.sum("event_id").alias("id_sum"),
         )
-        .orderBy("event_type")
+        .transform(_by("event_type"))
     )
 
 
@@ -2841,7 +2851,7 @@ def q_tfidf_terms(spark, sf_dir):
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 3)
         .select("doc_id", "rank", "term", "score")
-        .orderBy("doc_id", "rank")
+        .transform(_by("doc_id", "rank"))
     )
 
 
@@ -2881,7 +2891,7 @@ def q_chunk_dedup(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    return chunk_dedup(d, "doc_id", "text", size=10).orderBy("doc_id")
+    return chunk_dedup(d, "doc_id", "text", size=10).transform(_by("doc_id"))
 
 
 Q_CHUNK_DEDUP_SQL = """
@@ -2912,7 +2922,7 @@ def q_decontaminate(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     ev = d.filter(F.col("doc_id") % 37 == 0)
     tr = d.filter(F.col("doc_id") % 37 != 0)
-    return decontaminate(tr, ev, "doc_id", "text", k=4).orderBy("doc_id")
+    return decontaminate(tr, ev, "doc_id", "text", k=4).transform(_by("doc_id"))
 
 
 Q_DECONTAMINATE_SQL = """
@@ -2940,7 +2950,7 @@ def q_quality_repetition(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    return repetition_stats(d, "doc_id", "text").orderBy("doc_id")
+    return repetition_stats(d, "doc_id", "text").transform(_by("doc_id"))
 
 
 Q_QUALITY_REPETITION_SQL = """
@@ -3005,7 +3015,7 @@ def q_pii_redact(spark, sf_dir):
         n_emails.cast("long").alias("n_emails"),
         n_phones.cast("long").alias("n_phones"),
         F.md5(redact_pii(F.col("t"))).alias("redacted_fp"),
-    ).orderBy("doc_id")
+    ).transform(_by("doc_id"))
 
 
 _PII_INJECT_SQL = """
@@ -3042,9 +3052,9 @@ def q_text_chunks(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    return sliding_chunks(d, "doc_id", "text", size=20, stride=10).orderBy(
+    return sliding_chunks(d, "doc_id", "text", size=20, stride=10).transform(_by(
         "doc_id", "chunk_id"
-    )
+    ))
 
 
 Q_TEXT_CHUNKS_SQL = """
@@ -3075,9 +3085,9 @@ def q_curate_corpus(spark, sf_dir):
     ev = d.filter(F.col("doc_id") % 37 == 0)
     tr = d.filter(F.col("doc_id") % 37 != 0)
     cont = decontaminate(tr, ev, "doc_id", "text", k=4)
-    return curate_corpus(d, "doc_id", "text", contaminated=cont).orderBy(
+    return curate_corpus(d, "doc_id", "text", contaminated=cont).transform(_by(
         "doc_id"
-    )
+    ))
 
 
 Q_CURATE_CORPUS_SQL = f"""
@@ -3137,7 +3147,7 @@ def q_domain_stats(spark, sf_dir):
         F.coalesce(F.col("text"), F.lit("")),
     )
     d = d.select("doc_id", t.alias("t"))
-    return url_domain_stats(d, "doc_id", "t").orderBy("domain")
+    return url_domain_stats(d, "doc_id", "t").transform(_by("domain"))
 
 
 Q_DOMAIN_STATS_SQL = """
