@@ -1307,25 +1307,29 @@ def q_evaluate_hungarian(spark, sf_dir):
 
 
 def q_multimodal_features(spark, sf_dir):
-    """Multimodal binary columns with REAL image decode (round-3 S5
-    upgrade): image-kind rows carry actual encoded BMP/PPM row-gradient
-    rasters (container format, dims, and channel offsets derived from
-    md5(media_id)), which ``decode_features`` parses with the stdlib
-    codec (``kernels/image.py``), resizes aspect-preserving into a 32x32
-    box (reference ``idp_common/image/__init__.py:13`` semantics) and
-    reduces to integer-sum features.  The DuckDB oracle computes the
-    SAME features in closed form from the gradient construction — so a
-    header-parse, padding, sampling or resize bug breaks the hash.
-    Audio/video rows keep the documented md5 stub (no codecs in the
-    sandbox)."""
+    """Multimodal binary columns with REAL decode for ALL THREE kinds
+    (S5 complete): image rows carry actual encoded BMP/PPM row-gradient
+    rasters, audio rows actual RIFF/WAVE 16-bit PCM sawtooths, video
+    rows actual RV01 raw-frame containers of 2-7 BMP/PPM frames — every
+    parameter derived from md5(media_id), so the DuckDB oracle computes
+    the decoded features in closed form while Spark round-trips real
+    encoded bytes through the real stdlib codecs (``kernels/image.py``,
+    ``kernels/audio.py`` RIFF chunk walk, ``kernels/video.py`` frame
+    sampling: at most 4 evenly spaced frames DECODED, ``(j*n)//k``).
+    Images/video frames resize aspect-preserving into a 32x32 box
+    (reference ``idp_common/image/__init__.py:13`` semantics).  A
+    header-parse, padding, chunk-walk, frame-sample or resize bug breaks
+    the hash.  Feature slots are kind-specific: for audio the selected
+    elements are mean / mean-abs amplitude, zero-crossing rate,
+    duration, sample rate, sample count."""
     from accelerated_intelligent_document_processing_on_aws_spark.operators.multimodal import (
         decode_features,
         media_from_documents,
-        with_image_payloads,
+        with_media_payloads,
     )
 
     d = _t(spark, sf_dir, "documents")
-    media = with_image_payloads(media_from_documents(d))
+    media = with_media_payloads(media_from_documents(d))
     return (
         decode_features(media)
         .select(
@@ -1351,8 +1355,7 @@ WITH m AS (
          (['image','audio','video'])[
            CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % 3 + 1
          ] AS kind,
-         md5(CAST(doc_id AS VARCHAR)) AS ihx,
-         md5(coalesce(text,'')) AS phx
+         md5(CAST(doc_id AS VARCHAR)) AS ihx
   FROM documents
 ),
 b AS (
@@ -1362,14 +1365,7 @@ b AS (
          CAST(('0x' || substr(ihx, 5, 2)) AS INT) AS i2,
          CAST(('0x' || substr(ihx, 7, 2)) AS INT) AS i3,
          CAST(('0x' || substr(ihx, 9, 2)) AS INT) AS i4,
-         CAST(('0x' || substr(phx, 1, 2)) AS INT) AS p0,
-         CAST(('0x' || substr(phx, 3, 2)) AS INT) AS p1,
-         CAST(('0x' || substr(phx, 5, 2)) AS INT) AS p2,
-         CAST(('0x' || substr(phx, 7, 2)) AS INT) AS p3,
-         CAST(('0x' || substr(phx, 9, 2)) AS INT) AS p4,
-         CAST(('0x' || substr(phx, 11, 2)) AS INT) AS p5,
-         CAST(('0x' || substr(phx, 13, 2)) AS INT) AS p6,
-         CAST(('0x' || substr(phx, 15, 2)) AS INT) AS p7
+         CAST(('0x' || substr(ihx, 11, 2)) AS INT) AS i5
   FROM m
 ),
 dims AS (
@@ -1398,6 +1394,61 @@ img AS (
       + 587 * ((i3 + (y * h) // nh) % 256)
       + 114 * ((i4 + (y * h) // nh) % 256)), 'max') AS lmax
   FROM dims
+),
+aud AS (
+  SELECT media_id, kind,
+         512 + (i0 % 8) * 256 AS n,
+         i1 AS a, 1 + i2 % 7 AS bstep,
+         8000 * (1 + i3 % 3) AS sr
+  FROM b WHERE kind = 'audio'
+),
+audf AS (
+  SELECT media_id, kind, n, sr,
+    list_sum(list_transform(range(n), i -> (a + i * bstep) % 256)) AS sv,
+    list_sum(list_transform(range(n), i -> abs((a + i * bstep) % 256 - 128))) AS sa,
+    list_sum(list_transform(range(1, n), i ->
+      CASE WHEN ((a + i * bstep) % 256 >= 128) <> ((a + (i - 1) * bstep) % 256 >= 128)
+           THEN 1 ELSE 0 END)) AS cx
+  FROM aud
+),
+vid0 AS (
+  SELECT media_id, kind,
+         2 + i0 % 6 AS nf,
+         16 + i1 % 48 AS w, 16 + i2 % 48 AS h,
+         i3, i4, i5,
+         LEAST(4, 2 + i0 % 6) AS k
+  FROM b WHERE kind = 'video'
+),
+vid AS (
+  SELECT media_id, kind, nf, w, h, i3, i4, i5, k,
+         CASE WHEN w <= 32 AND h <= 32 THEN w
+              ELSE GREATEST(1, CAST(FLOOR(w * LEAST(32.0 / w, 32.0 / h)) AS INT)) END AS nw,
+         CASE WHEN w <= 32 AND h <= 32 THEN h
+              ELSE GREATEST(1, CAST(FLOOR(h * LEAST(32.0 / w, 32.0 / h)) AS INT)) END AS nh
+  FROM vid0
+),
+vidf AS (
+  SELECT media_id, kind, nf, w, h, nw, nh, k,
+    list_sum(list_transform(range(k), j ->
+      list_sum(list_transform(range(nh), y ->
+        (i3 + (j * nf) // k + (y * h) // nh) % 256)))) AS s_r,
+    list_sum(list_transform(range(k), j ->
+      list_sum(list_transform(range(nh), y ->
+          299 * ((i3 + (j * nf) // k + (y * h) // nh) % 256)
+        + 587 * ((i4 + (j * nf) // k + (y * h) // nh) % 256)
+        + 114 * ((i5 + (j * nf) // k + (y * h) // nh) % 256))))) AS s_l,
+    list_aggregate(flatten(list_transform(range(k), j ->
+      list_transform(range(nh), y ->
+          299 * ((i3 + (j * nf) // k + (y * h) // nh) % 256)
+        + 587 * ((i4 + (j * nf) // k + (y * h) // nh) % 256)
+        + 114 * ((i5 + (j * nf) // k + (y * h) // nh) % 256)))), 'min') AS lmn
+    ,
+    list_aggregate(flatten(list_transform(range(k), j ->
+      list_transform(range(nh), y ->
+          299 * ((i3 + (j * nf) // k + (y * h) // nh) % 256)
+        + 587 * ((i4 + (j * nf) // k + (y * h) // nh) % 256)
+        + 114 * ((i5 + (j * nf) // k + (y * h) // nh) % 256)))), 'max') AS lmx
+  FROM vid
 )
 SELECT * FROM (
 SELECT media_id, kind, w AS width, h AS height, 1 AS n_frames,
@@ -1409,15 +1460,23 @@ SELECT media_id, kind, w AS width, h AS height, 1 AS n_frames,
        ROUND(CAST(nh AS DOUBLE), 4) AS rh
 FROM img
 UNION ALL
-SELECT media_id, kind, 64 + p0 % 192 AS width, 64 + p1 % 192 AS height,
-       1 + p2 % 32 AS n_frames,
-       ROUND(p0 / 255.0, 4) AS f_r,
-       ROUND(p3 / 255.0, 4) AS f_luma,
-       ROUND(p4 / 255.0, 4) AS l_min,
-       ROUND(p5 / 255.0, 4) AS l_max,
-       ROUND(p6 / 255.0, 4) AS rw,
-       ROUND(p7 / 255.0, 4) AS rh
-FROM b WHERE kind <> 'image'
+SELECT media_id, kind, sr AS width, 1 AS height, n AS n_frames,
+       ROUND((sv - 128 * n) * 256 / (32768.0 * n), 4) AS f_r,
+       ROUND(sa * 256 / (32768.0 * n), 4) AS f_luma,
+       ROUND(cx / (n - 1.0), 4) AS l_min,
+       ROUND(n / CAST(sr AS DOUBLE), 4) AS l_max,
+       ROUND(CAST(sr AS DOUBLE), 4) AS rw,
+       ROUND(CAST(n AS DOUBLE), 4) AS rh
+FROM audf
+UNION ALL
+SELECT media_id, kind, w AS width, h AS height, nf AS n_frames,
+       ROUND(s_r / (255.0 * k * nh), 4) AS f_r,
+       ROUND(s_l / (255000.0 * k * nh), 4) AS f_luma,
+       ROUND(lmn / 255000.0, 4) AS l_min,
+       ROUND(lmx / 255000.0, 4) AS l_max,
+       ROUND(CAST(nw AS DOUBLE), 4) AS rw,
+       ROUND(CAST(nh AS DOUBLE), 4) AS rh
+FROM vidf
 ) ORDER BY CAST(media_id AS BIGINT)
 """
 

@@ -130,6 +130,25 @@ def resize_nearest(
     return arr[np.ix_(ys, xs)]
 
 
+def image_sums(arr: np.ndarray) -> tuple[int, int, int, int, int, int, int]:
+    """Raw integer accumulators for an RGB array: (sum_r, sum_g, sum_b,
+    luma_sum, luma_min, luma_max, n_pixels).  Exact in any engine/order;
+    callers divide once (``image_features``) or merge across frames first
+    (``kernels/video.py`` consumers)."""
+    h, w = arr.shape[:2]
+    px = arr.astype(np.int64)
+    luma = _LUMA_R * px[:, :, 0] + _LUMA_G * px[:, :, 1] + _LUMA_B * px[:, :, 2]
+    return (
+        int(px[:, :, 0].sum()),
+        int(px[:, :, 1].sum()),
+        int(px[:, :, 2].sum()),
+        int(luma.sum()),
+        int(luma.min()),
+        int(luma.max()),
+        h * w,
+    )
+
+
 def image_features(arr: np.ndarray) -> list[float]:
     """8 engine-portable features from an RGB array: per-channel means,
     weighted-luma mean/min/max (integer sums, single divide — exact in

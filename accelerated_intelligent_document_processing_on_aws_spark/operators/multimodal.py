@@ -5,13 +5,25 @@ decoded/feature-extracted in Arrow-batched ``mapInPandas`` — the pattern a
 100 TB training-data pipeline needs (decode never touches the driver, batch
 shape bounded by ``spark.sql.execution.arrow.maxRecordsPerBatch``).
 
-IMAGE decode is REAL: ``kernels/image.py`` parses 24-bit BMP and binary
-PPM payloads with stdlib struct + numpy (header, padding, pixel-array
-reconstruction), applies the reference's aspect-preserving never-upscale
-resize (``idp_common/image/__init__.py:13`` resize semantics), and
-extracts integer-sum features that a SQL oracle reproduces exactly.
-Audio/video stay a documented deterministic STUB (``_fake_decode`` — the
-sandbox ships no audio/video codecs); swap for ffmpeg in production.
+Decode is REAL for all three kinds:
+
+* IMAGE — ``kernels/image.py`` parses 24-bit BMP and binary PPM with
+  stdlib struct + numpy (header, padding, pixel-array reconstruction),
+  applies the reference's aspect-preserving never-upscale resize
+  (``idp_common/image/__init__.py:13`` resize semantics), and extracts
+  integer-sum features a SQL oracle reproduces exactly.
+* AUDIO — ``kernels/audio.py`` walks RIFF/WAVE chunk lists and decodes
+  16-bit PCM; features = amplitude stats + zero-crossing rate +
+  duration, integer-sum exact.
+* VIDEO — ``kernels/video.py`` parses the RV01 raw-frame container
+  (length-prefixed BMP/PPM frames, the MJPEG shape), SAMPLES at most
+  ``FRAME_SAMPLE_K`` evenly spaced frames *before* decoding (at scale
+  decode cost is the budget), and merges per-frame integer raster sums.
+
+``_fake_decode`` remains only as the documented md5 fallback for
+payloads in none of those containers (e.g. raw-text media synthesized by
+``media_from_documents`` without ``with_media_payloads``); swap the
+kernels for PIL/ffmpeg in production for compressed codecs.
 
 Reference analog: page-image render/resize (``ocr/service.py:1144-1252``,
 ``idp_common/image/__init__.py:13``).
@@ -28,10 +40,13 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from ..kernels.image import decode_image, image_features, resize_nearest
+from ..kernels.audio import audio_features, decode_wav, encode_wav
+from ..kernels.image import decode_image, image_features, image_sums, resize_nearest
+from ..kernels.video import decode_rawvideo, encode_rawvideo
 from .common import ensure_min_partitions
 
 N_FEATURES = 8
+FRAME_SAMPLE_K = 4
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -63,10 +78,10 @@ FEATURES_SCHEMA = T.StructType(
 
 
 def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, int, list[float]]:
-    """Deterministic pseudo-decode for AUDIO/VIDEO only (the sandbox ships
-    no audio/video codecs — documented stub; swap for ffmpeg in
-    production).  Raises on None like a real codec would.  md5-derived so
-    a SQL oracle can reproduce every output byte-for-byte."""
+    """Deterministic pseudo-decode FALLBACK for payloads in no supported
+    container (real codecs cover BMP/PPM, RIFF/WAVE PCM, RV01 raw-frame
+    video).  Raises on None like a real codec would.  md5-derived so a
+    SQL oracle can reproduce every output byte-for-byte."""
     if payload is None:
         raise ValueError("cannot decode null payload")
     h = hashlib.md5(payload).digest()
@@ -80,15 +95,55 @@ def _fake_decode(payload: bytes, kind: str) -> tuple[int, int, int, list[float]]
 def _decode_one(
     payload: bytes, kind: str, box: tuple[int, int]
 ) -> tuple[int, int, int, list[float]]:
-    """REAL decode for images (BMP/PPM parse → aspect-preserving NN resize
-    into ``box`` → integer-sum features; width/height report the ORIGINAL
-    decoded dims, features[6:8] the resized dims so the resize itself is
-    certified).  Audio/video fall back to the documented stub."""
+    """REAL decode per kind, dispatched on container magic:
+
+    * image (``BM``/``P6``): raster parse → aspect-preserving NN resize
+      into ``box`` → integer-sum features.  width/height report the
+      ORIGINAL decoded dims, features[6:8] the resized dims so the
+      resize itself is certified.
+    * audio (``RIFF``): WAV chunk walk → PCM amplitude/zero-crossing/
+      duration features.  width = sample rate, height = channel count,
+      n_frames = PCM frame count.
+    * video (``RV01``): container walk → evenly-sampled frame decode
+      (``FRAME_SAMPLE_K``) → per-frame resize → merged integer raster
+      sums (min/max luma across sampled frames).  n_frames = container
+      total, NOT the sampled count — the walk read it without decoding.
+
+    Unrecognized containers fall back to the documented md5 stub."""
+    head = b"" if payload is None else bytes(payload[:4])
     if kind == "image":
         arr = decode_image(payload)
         h, w = arr.shape[:2]
         resized = resize_nearest(arr, box[0], box[1])
         return w, h, 1, image_features(resized)
+    if kind == "audio" and head == b"RIFF":
+        sr, n_ch, samples = decode_wav(payload)
+        feats = audio_features(samples, sr, n_ch)
+        return sr, n_ch, samples.size // max(n_ch, 1), feats
+    if kind == "video" and head == b"RV01":
+        n_total, frames = decode_rawvideo(payload, sample_k=FRAME_SAMPLE_K)
+        h, w = frames[0].shape[:2]
+        sr_ = sg_ = sb_ = sl_ = npx = 0
+        lmin, lmax = None, None
+        rh_, rw_ = 0, 0
+        for arr in frames:
+            rz = resize_nearest(arr, box[0], box[1])
+            rh_, rw_ = rz.shape[:2]
+            r, g, b, ls, lo, hi, n = image_sums(rz)
+            sr_, sg_, sb_, sl_, npx = sr_ + r, sg_ + g, sb_ + b, sl_ + ls, npx + n
+            lmin = lo if lmin is None else min(lmin, lo)
+            lmax = hi if lmax is None else max(lmax, hi)
+        feats = [
+            sr_ / (255.0 * npx),
+            sg_ / (255.0 * npx),
+            sb_ / (255.0 * npx),
+            sl_ / (255000.0 * npx),
+            lmin / 255000.0,
+            lmax / 255000.0,
+            float(rw_),
+            float(rh_),
+        ]
+        return w, h, n_total, feats
     return _fake_decode(payload, kind)
 
 
@@ -139,38 +194,92 @@ def synth_image_payload(media_id: str) -> bytes:
     return encode_bmp(arr) if hb[5] % 2 == 0 else encode_ppm(arr)
 
 
-def with_image_payloads(media: DataFrame) -> DataFrame:
-    """Replace image-kind payloads with real encoded rasters
-    (``synth_image_payload``); other kinds keep their bytes.  The UDF
-    input is null-gated on kind: Spark extracts Arrow UDFs and runs them
-    over every row BEFORE the conditional projection, so without the gate
-    non-image rows would pay the raster encode too."""
+def synth_audio_payload(media_id: str) -> bytes:
+    """Deterministic REAL 16-bit PCM WAV payload: a mod-256 sawtooth
+    whose length, phase, step, and sample rate derive from
+    md5(media_id) — closed-form, so a SQL oracle recomputes the decoded
+    amplitude/zero-crossing features exactly while the Spark side
+    round-trips actual RIFF bytes through the actual chunk walker."""
+    hb = hashlib.md5(media_id.encode("utf-8")).digest()
+    n = 512 + (hb[0] % 8) * 256
+    a, b = hb[1], 1 + hb[2] % 7
+    sr = 8000 * (1 + hb[3] % 3)
+    v = (a + np.arange(n, dtype=np.int64) * b) % 256
+    samples = ((v - 128) * 256).astype(np.int16)
+    return encode_wav(samples, sr, 1)
+
+
+def synth_video_payload(media_id: str) -> bytes:
+    """Deterministic REAL RV01 payload: 2-7 row-gradient BMP/PPM frames
+    whose dims and per-frame channel offsets derive from md5(media_id)
+    (frame f shifts every channel by +f), so the sampled-frame features
+    have a closed form the oracle reproduces."""
+    hb = hashlib.md5(media_id.encode("utf-8")).digest()
+    nf = 2 + hb[0] % 6
+    w, h = 16 + hb[1] % 48, 16 + hb[2] % 48
+    from ..kernels.image import encode_bmp, encode_ppm
+
+    enc = encode_bmp if hb[6] % 2 == 0 else encode_ppm
+    y = np.arange(h, dtype=np.int64)[:, None]
+    frames = []
+    for f in range(nf):
+        chans = [
+            np.broadcast_to((hb[3 + c] + f + y) % 256, (h, w)) for c in range(3)
+        ]
+        frames.append(enc(np.stack(chans, axis=2).astype(np.uint8)))
+    return encode_rawvideo(frames)
+
+
+_SYNTH = {
+    "image": (synth_image_payload, "image/x-raster"),
+    "audio": (synth_audio_payload, "audio/wav"),
+    "video": (synth_video_payload, "video/x-rawframes"),
+}
+
+
+def with_media_payloads(media: DataFrame, kinds: tuple = ("image", "audio", "video")) -> DataFrame:
+    """Replace payloads of the given kinds with real encoded containers
+    (``_SYNTH`` per kind); other kinds keep their bytes.  One Arrow UDF
+    over (media_id, kind) — encode is the same CPU-heavy-tiny-bytes
+    shape as decode, so spread BEFORE the UDF (a single-split scan would
+    serialize it; ``decode_features`` downstream inherits this
+    partitioning)."""
+    kinds = tuple(kinds)
 
     @F.pandas_udf(T.BinaryType())
-    def img(media_ids: pd.Series) -> pd.Series:
-        return media_ids.map(
-            lambda m: None if m is None else synth_image_payload(m)
+    def synth(media_ids: pd.Series, kind_s: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if m is None else _SYNTH[k][0](m)
+                for m, k in zip(media_ids, kind_s)
+            ],
+            dtype=object,
         )
 
-    is_img = F.col("kind") == "image"
-    # raster encode is the same CPU-heavy-tiny-bytes shape as decode —
-    # spread BEFORE the UDF so a single-split scan doesn't serialize it
-    # (decode_features downstream then inherits this partitioning)
     media = ensure_min_partitions(media)
+    in_kinds = F.col("kind").isin(*kinds)
+    # null-gate the UDF inputs: Spark extracts Arrow UDFs and runs them
+    # over every row BEFORE the conditional projection, so without the
+    # gate out-of-scope kinds would pay the encode too
+    gated = F.when(in_kinds, F.col("media_id"))
+    mime_map = F.create_map(
+        *[x for k in kinds for x in (F.lit(k), F.lit(_SYNTH[k][1]))]
+    )
     return media.withColumn(
         "payload",
-        F.when(is_img, img(F.when(is_img, F.col("media_id")))).otherwise(
-            F.col("payload")
-        ),
+        F.when(in_kinds, synth(gated, F.col("kind"))).otherwise(F.col("payload")),
     ).withColumn(
         "meta",
         F.struct(
-            F.when(F.col("kind") == "image", F.lit("image/x-raster"))
-            .otherwise(F.col("meta.mime"))
-            .alias("mime"),
+            F.coalesce(mime_map[F.col("kind")], F.col("meta.mime")).alias("mime"),
             F.length("payload").cast("long").alias("n_bytes"),
         ),
     )
+
+
+def with_image_payloads(media: DataFrame) -> DataFrame:
+    """Back-compat wrapper: real payloads for image-kind rows only."""
+    return with_media_payloads(media, kinds=("image",))
 
 
 def media_from_documents(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
