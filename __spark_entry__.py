@@ -3224,6 +3224,58 @@ FROM u GROUP BY host ORDER BY domain
 """
 
 
+def q_ingest_envelope(spark, sf_dir):
+    """Ingestion-envelope parsing with corrupt-record routing
+    (``sources/ingest.py``): documents become JSON envelopes via
+    ``to_json``; a deterministic md5-keyed subset is truncated
+    mid-string (malformed) and ``parse_json_envelope`` must route
+    exactly those rows to ``parse_ok = false`` with NULL payload fields
+    — the Spark analog of the reference's SQS dead-letter path
+    (``src/lambda/queue_processor/index.py``).  Pure Catalyst
+    (to_json/from_json with an in-schema corrupt field), no Python;
+    partial Jackson results on corrupt rows are gated off."""
+    from pyspark.sql import types as T
+
+    from accelerated_intelligent_document_processing_on_aws_spark.sources import (
+        parse_json_envelope,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    payload = F.to_json(
+        F.struct(F.col("lang"), F.length("text").cast("int").alias("n"))
+    )
+    corrupt = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
+    ).isin("0", "1", "2")
+    env = d.select("doc_id", payload.alias("payload"), corrupt.alias("_c")).select(
+        "doc_id",
+        F.when(F.col("_c"), F.expr("substring(payload, 1, length(payload) - 2)"))
+        .otherwise(F.col("payload"))
+        .alias("payload"),
+    )
+    sch = T.StructType(
+        [T.StructField("lang", T.StringType()), T.StructField("n", T.IntegerType())]
+    )
+    out = parse_json_envelope(env, "payload", sch)
+    return _ordered(
+        out.select("doc_id", "parse_ok", "p_lang", "p_n"), "doc_id"
+    )
+
+
+Q_INGEST_ENVELOPE_SQL = """
+WITH e AS (
+  SELECT doc_id, lang, CAST(length(text) AS INT) AS n,
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2') AS corrupt
+  FROM documents
+)
+SELECT doc_id,
+       NOT corrupt AS parse_ok,
+       CASE WHEN corrupt THEN NULL ELSE lang END AS p_lang,
+       CASE WHEN corrupt THEN NULL ELSE n END AS p_n
+FROM e ORDER BY doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for certification: CORRECTNESS_r02 recorded exactly 50
     # rows for a 56-query registry with the 6 newest (registry tail) absent
@@ -3241,6 +3293,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_section_attributes": q_section_attributes,
         "q_token_packing": q_token_packing,
         "q_config_extract": q_config_extract,
+        "q_ingest_envelope": q_ingest_envelope,
         "q_ivf_topk": q_ivf_topk,
         "q_range_join": q_range_join,
         "q_interval_overlap": q_interval_overlap,
@@ -3328,6 +3381,7 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_quality": _quality_sql(),
         "q_doc_fingerprint": Q_DOC_FINGERPRINT_SQL,
         "q_doc_classify": _classify_sql(),
+        "q_ingest_envelope": Q_INGEST_ENVELOPE_SQL,
         "q_dedup_exact": Q_DEDUP_EXACT_SQL,
         "q_knn_cosine": Q_KNN_COSINE_SQL,
         "q_evaluate_exact": Q_EVALUATE_EXACT_SQL,

@@ -18,19 +18,12 @@ from accelerated_intelligent_document_processing_on_aws_spark.datagen.transcript
 )
 
 
-import re
-
-
-def plan_of(df) -> str:
-    return df._jdf.queryExecution().explainString(
-        df._sc._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
-    )
-
-
-def n_ops(plan: str, op: str) -> int:
-    """Count physical operators in a formatted explain (the detail section
-    lists each node once as '(<id>) <Op>')."""
-    return len(re.findall(rf"^\(\d+\) {op}\b", plan, re.MULTILINE))
+from accelerated_intelligent_document_processing_on_aws_spark.plans import (
+    assert_scale_safe,
+    n_ops,
+    plan_of,
+    plan_report,
+)
 
 
 @pytest.fixture(scope="module")
@@ -252,3 +245,27 @@ def test_no_query_plans_nested_loop_or_rowwise_python(spark):
         assert "BatchEvalPython" not in p, name
         if name not in bnlj_allowed:
             assert "BroadcastNestedLoopJoin" not in p, name
+
+
+def test_plan_report_and_scale_gate(spark):
+    """plans.plan_report surfaces the audit facts (pushdown, pruning,
+    python-eval kinds, join strategies) and assert_scale_safe enforces the
+    registry-wide gate programmatically."""
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    q = d.filter(F.col("doc_id") < 10).select("doc_id", "text")
+    rep = assert_scale_safe(q, max_exchanges=0)
+    assert rep["pushed_filters"], "filter must reach the scan"
+    assert any("doc_id" in s and "text" in s for s in rep["read_schemas"])
+    assert rep["python_eval"] == {}
+
+    # an all-pairs theta join must be rejected
+    a = d.select(F.col("doc_id").alias("ia"))
+    b = d.select(F.col("doc_id").alias("ib"))
+    theta = a.join(b, F.col("ia") < F.col("ib"))
+    with pytest.raises(AssertionError, match="scale-unsafe"):
+        assert_scale_safe(theta)
+
+    # the extraction pipeline itself passes the gate within its budget
+    full = extract_stage(gen_transcripts_df(spark, n_convs=6, mean_turns=4))
+    rep2 = assert_scale_safe(full, max_exchanges=2)
+    assert "ArrowEvalPython" in rep2["python_eval"]

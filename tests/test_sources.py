@@ -1,0 +1,129 @@
+"""Ingestion sources: schema-enforced readers, corrupt-record routing
+(the Spark analog of the reference's SQS dead-letter path,
+``src/lambda/queue_processor/index.py``), envelope parsing, one-job
+validation."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from accelerated_intelligent_document_processing_on_aws_spark.datagen.transcripts import (
+    gen_transcripts_df,
+)
+from accelerated_intelligent_document_processing_on_aws_spark.sources import (
+    TRANSCRIPTS_SCHEMA,
+    parse_json_envelope,
+    read_transcripts,
+    split_corrupt,
+    validate_transcripts,
+)
+
+
+def _write_jsonl(path: str, rows, garbage=()):
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "part-0.json"), "w") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+        for g in garbage:
+            f.write(g + "\n")
+
+
+def test_jsonl_read_routes_corrupt_rows(spark, tmp_path):
+    rows = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user", "text": "hi",
+         "tool": None, "ts": "2026-01-01T00:00:00"},
+        {"conv_id": "c1", "turn_idx": 1, "role": "assistant", "text": "yo",
+         "tool": "search", "ts": "2026-01-01T00:00:05"},
+    ]
+    garbage = ['{"conv_id": "c2", "turn_idx": ', "not json at all"]
+    p = str(tmp_path / "in")
+    _write_jsonl(p, rows, garbage)
+    df = read_transcripts(spark, p, fmt="jsonl")
+    good, bad = split_corrupt(df)
+    assert good.count() == 2
+    assert bad.count() == 2
+    assert good.columns == [f.name for f in TRANSCRIPTS_SCHEMA.fields]
+    # dead-letter keeps the raw record for replay
+    raws = {r["_corrupt_record"] for r in bad.collect()}
+    assert "not json at all" in raws
+    # types enforced by the supplied schema (no inference pass)
+    assert dict(good.dtypes)["turn_idx"] == "int"
+    assert dict(good.dtypes)["ts"] == "timestamp"
+
+
+def test_csv_read_routes_corrupt_rows(spark, tmp_path):
+    p = str(tmp_path / "csv")
+    os.makedirs(p)
+    with open(os.path.join(p, "part-0.csv"), "w") as f:
+        f.write("conv_id,turn_idx,role,text,tool,ts\n")
+        f.write("c1,0,user,hello,,2026-01-01T00:00:00\n")
+        f.write("c1,notanint,user,bad row,,2026-01-01T00:00:01\n")
+    good, bad = split_corrupt(read_transcripts(spark, p, fmt="csv"))
+    assert good.count() == 1
+    assert bad.count() == 1
+
+
+def test_parquet_read_casts_to_canonical(spark, tmp_path):
+    p = str(tmp_path / "pq")
+    # ts as string and turn_idx as long: reader must cast, not fail
+    gen_transcripts_df(spark, n_convs=3, mean_turns=4).withColumn(
+        "turn_idx", F.col("turn_idx").cast("long")
+    ).withColumn("ts", F.col("ts").cast("string")).write.parquet(p)
+    df = read_transcripts(spark, p, fmt="parquet")
+    assert [f.name for f in df.schema.fields] == [
+        f.name for f in TRANSCRIPTS_SCHEMA.fields
+    ]
+    assert dict(df.dtypes)["turn_idx"] == "int"
+    assert dict(df.dtypes)["ts"] == "timestamp"
+
+
+def test_parse_json_envelope_ok_and_corrupt(spark):
+    sch = T.StructType(
+        [T.StructField("lang", T.StringType()), T.StructField("n", T.IntegerType())]
+    )
+    df = spark.createDataFrame(
+        [("a", '{"lang":"en","n":3}'), ("b", '{"lang":"fr","n":'), ("c", "junk")],
+        ["id", "payload"],
+    )
+    out = parse_json_envelope(df, "payload", sch).orderBy("id").collect()
+    assert [r["parse_ok"] for r in out] == [True, False, False]
+    assert out[0]["p_lang"] == "en" and out[0]["p_n"] == 3
+    assert out[1]["p_lang"] is None and out[2]["p_n"] is None
+
+
+def test_validate_transcripts_one_job(spark):
+    base = gen_transcripts_df(spark, n_convs=4, mean_turns=5)
+    # inject a duplicate key and a null text
+    dup = base.limit(1)
+    df = base.unionByName(dup).withColumn(
+        "text", F.when(F.col("turn_idx") == 0, F.lit(None)).otherwise(F.col("text"))
+    )
+    rep = validate_transcripts(df).collect()[0].asDict()
+    assert rep["rows"] == base.count() + 1
+    assert rep["dup_turn_keys"] == 1
+    assert rep["null_text"] >= 1
+    assert rep["null_conv_id"] == 0
+
+
+def test_clean_jsonl_flows_into_pipeline(spark, tmp_path):
+    """End-to-end: a JSONL feed with garbage rows ingests, routes, and the
+    clean side runs the full extraction pipeline unchanged."""
+    import accelerated_intelligent_document_processing_on_aws_spark as pkg
+
+    rows = [
+        {"conv_id": f"c{i}", "turn_idx": j, "role": "user",
+         "text": f"turn {j} of c{i}", "tool": None,
+         "ts": f"2026-01-01T00:00:{j:02d}"}
+        for i in range(3)
+        for j in range(4)
+    ]
+    p = str(tmp_path / "feed")
+    _write_jsonl(p, rows, garbage=["{{{{", ""])
+    good, bad = split_corrupt(read_transcripts(spark, p, fmt="jsonl"))
+    out = pkg.extract_stage(good)
+    assert out.count() == len(rows)
+    assert "extracted_text" in out.columns
