@@ -1329,7 +1329,9 @@ def q_multimodal_features(spark, sf_dir):
     )
 
     d = _t(spark, sf_dir, "documents")
-    media = with_media_payloads(media_from_documents(d))
+    # every payload is replaced by the synthesizer, so don't read/shuffle
+    # the text column at all (ReadSchema drops to doc_id alone)
+    media = with_media_payloads(media_from_documents(d, payload_from_text=False))
     return (
         decode_features(media)
         .select(

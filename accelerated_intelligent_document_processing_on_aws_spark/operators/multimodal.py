@@ -282,21 +282,37 @@ def with_image_payloads(media: DataFrame) -> DataFrame:
     return with_media_payloads(media, kinds=("image",))
 
 
-def media_from_documents(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+def media_from_documents(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    payload_from_text: bool = True,
+) -> DataFrame:
     """Adapter: synthesize a media table from a text corpus (deterministic;
-    used by tests/bench since the sandbox ships no binary fixtures)."""
+    used by tests/bench since the sandbox ships no binary fixtures).
+
+    ``payload_from_text=False`` emits NULL payloads — for callers that
+    immediately replace every payload (``with_media_payloads`` over all
+    kinds) it keeps the text column out of the scan and out of the
+    spread exchange entirely (downscale at source: at 100 TB the text
+    bytes are the table)."""
     # kind keyed on the first md5 byte of the id (engine-portable: the
     # DuckDB oracle reproduces it; crc32 exists only on the Spark side)
     kind_byte = F.conv(
         F.substring(F.md5(F.col(id_col).cast("string")), 1, 2), 16, 10
     ).cast("int")
+    payload = (
+        F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8")
+        if payload_from_text
+        else F.lit(None).cast("binary")
+    )
     return df.select(
         F.col(id_col).cast("string").alias("media_id"),
         F.element_at(
             F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
             (kind_byte % 3 + 1).cast("int"),
         ).alias("kind"),
-        F.encode(F.coalesce(F.col(text_col), F.lit("")), "UTF-8").alias("payload"),
+        payload.alias("payload"),
     ).withColumn(
         "meta",
         F.struct(

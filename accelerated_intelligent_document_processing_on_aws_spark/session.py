@@ -44,6 +44,12 @@ def get_spark(
             "-XX:ReservedCodeCacheSize=1g -XX:+UseCodeCacheFlushing"
             " -XX:MaxMetaspaceSize=2g",
         )
+        # Long sessions running many DISTINCT Python-UDF queries (the bench
+        # suite, notebooks) accumulate idle pyspark.daemon workers — one
+        # pool per UDF shape — observed 60+ idle pythons after 15 queries,
+        # degrading every later Arrow stage (fork cost + memory pressure).
+        # Cap the idle pool; LRU eviction keeps the hot shapes warm.
+        .config("spark.python.factory.idleWorkerMaxPoolSize", "64")
         .config("spark.ui.enabled", "false")
     )
     for k, v in (extra_conf or {}).items():
