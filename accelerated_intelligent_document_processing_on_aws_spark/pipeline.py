@@ -38,6 +38,7 @@ from .io.checkpoint import (
     new_run_id,
 )
 from .io.tables import record_snapshot, salted_bucket, snapshot_id, write_partitioned
+from .operators.common import num_partitions
 from .operators.extract import respan_with_text, with_extraction
 from .operators.sectionize import sectionize
 
@@ -83,7 +84,7 @@ def extract_stage(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> Data
         try:
             needs_spread = not (
                 len(df.inputFiles()) > 0
-                and df.rdd.getNumPartitions() >= sc.defaultParallelism
+                and num_partitions(df) >= sc.defaultParallelism
             )
         except Exception:
             needs_spread = True
@@ -110,8 +111,19 @@ def run_pipeline(
     checkpoint_path: str,
     cfg: PipelineConfig = PipelineConfig(),
     run_id: Optional[str] = None,
+    input_format: str = "parquet",
+    dead_letter_path: Optional[str] = None,
 ) -> dict:
-    """Full run with lineage + resume. Returns a summary dict."""
+    """Full run with lineage + resume. Returns a summary dict.
+
+    ``input_format``: ``parquet`` (default), ``jsonl`` or ``csv`` — the
+    semi-structured formats parse through ``sources.read_transcripts``
+    with PERMISSIVE corrupt-record routing: malformed records go to
+    ``dead_letter_path`` (when given) instead of failing the run — the
+    Spark analog of the reference's SQS dead-letter queue.  The DLQ
+    write is its own cheap pass over the feed (raw text scan, no
+    extraction); the clean side flows into the pipeline unchanged.
+    """
     run_id = run_id or new_run_id()
     snap = snapshot_id(input_path)
     store = CheckpointStore(spark, checkpoint_path)
@@ -129,7 +141,21 @@ def run_pipeline(
             "resumed": True,
         }
 
-    df = spark.read.parquet(input_path)
+    n_dead = 0
+    if input_format == "parquet":
+        df = spark.read.parquet(input_path)
+    else:
+        from .sources import split_corrupt
+        from .sources import read_transcripts as _read
+
+        df, bad = split_corrupt(_read(spark, input_path, fmt=input_format))
+        if dead_letter_path is not None:
+            from pyspark.sql import Observation
+
+            dlq_obs = Observation(f"dlq_{run_id}")
+            bad = bad.observe(dlq_obs, F.count(F.lit(1)).alias("n"))
+            bad.write.mode("append").parquet(dead_letter_path)
+            n_dead = int(dlq_obs.get["n"])
     if done:
         # resume filter applied at the SCAN (pt is a pure function of
         # conv_id), so committed buckets never reach the extraction UDF —
@@ -153,10 +179,13 @@ def run_pipeline(
     store.append(spark.createDataFrame(lineage_rows, CHECKPOINT_SCHEMA))
     record_snapshot(output_path, snap, {"run_id": run_id})
     n_written = sum(1 for r in lineage_rows if r["row_count"] > 0)
-    return {
+    summary = {
         "run_id": run_id,
         "snapshot_id": snap,
         "partitions_written": n_written,
         "partitions_committed": len(candidates),
         "resumed": bool(done),
     }
+    if input_format != "parquet" and dead_letter_path is not None:
+        summary["dead_letter_rows"] = n_dead
+    return summary

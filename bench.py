@@ -355,6 +355,22 @@ def main() -> None:
             "rn",
             F.row_number().over(Window.partitionBy("user_id").orderBy("ts")),
         ).write.format("noop").mode("overwrite").save()
+        # spawn the Python/Arrow worker fleet once: the first pandas-UDF
+        # query otherwise absorbs ~32 worker forks + Arrow init (~5-6 s
+        # measured), misattributing session setup to whichever UDF query
+        # happens to run first
+        import pandas as _pd
+
+        @F.pandas_udf("double")
+        def _warm(x: _pd.Series) -> _pd.Series:
+            return x * 1.0
+
+        spark.range(0, 10000, 1, CPUS).select(
+            _warm(F.col("id").cast("double"))
+        ).write.format("noop").mode("overwrite").save()
+        spark.range(0, 10000, 1, CPUS).mapInPandas(
+            lambda it: it, "id long"
+        ).write.format("noop").mode("overwrite").save()
     except Exception:
         pass
 

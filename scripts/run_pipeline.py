@@ -35,6 +35,17 @@ def main() -> None:
     ap.add_argument("--salt", default="idp")
     ap.add_argument("--no-sections", action="store_true")
     ap.add_argument("--turn-spread", type=int, default=16)
+    ap.add_argument(
+        "--format",
+        default="parquet",
+        choices=("parquet", "jsonl", "csv"),
+        help="input feed format; jsonl/csv parse with corrupt-record routing",
+    )
+    ap.add_argument(
+        "--dead-letter",
+        default=None,
+        help="parquet dir for malformed jsonl/csv records (replayable DLQ)",
+    )
     args = ap.parse_args()
 
     # the session comes from spark-submit conf; enable the plan-shaping
@@ -58,7 +69,15 @@ def main() -> None:
         with_sections=not args.no_sections,
         turn_spread=args.turn_spread,
     )
-    summary = run_pipeline(spark, args.input, args.output, args.checkpoint, cfg)
+    summary = run_pipeline(
+        spark,
+        args.input,
+        args.output,
+        args.checkpoint,
+        cfg,
+        input_format=args.format,
+        dead_letter_path=args.dead_letter,
+    )
     print(json.dumps(summary))
     spark.stop()
 

@@ -127,3 +127,35 @@ def test_clean_jsonl_flows_into_pipeline(spark, tmp_path):
     out = pkg.extract_stage(good)
     assert out.count() == len(rows)
     assert "extracted_text" in out.columns
+
+
+def test_run_pipeline_jsonl_with_dead_letter(spark, tmp_path):
+    """Full run_pipeline over a jsonl feed: malformed records land in the
+    DLQ parquet, clean rows produce the extracted table, resume still
+    early-returns."""
+    import accelerated_intelligent_document_processing_on_aws_spark as pkg
+
+    rows = [
+        {"conv_id": f"c{i}", "turn_idx": j, "role": "user",
+         "text": f"turn {j} of c{i}", "tool": None,
+         "ts": f"2026-01-01T00:00:{j:02d}"}
+        for i in range(4)
+        for j in range(3)
+    ]
+    inp = str(tmp_path / "feed")
+    _write_jsonl(inp, rows, garbage=['{"conv_id": broken', "plain garbage"])
+    outp, ckpt, dlq = (
+        str(tmp_path / "out"), str(tmp_path / "ckpt"), str(tmp_path / "dlq")
+    )
+    s1 = pkg.run_pipeline(
+        spark, inp, outp, ckpt, input_format="jsonl", dead_letter_path=dlq
+    )
+    assert s1["dead_letter_rows"] == 2
+    assert spark.read.parquet(outp).count() == len(rows)
+    assert spark.read.parquet(dlq).count() == 2
+    s2 = pkg.run_pipeline(
+        spark, inp, outp, ckpt, input_format="jsonl", dead_letter_path=dlq
+    )
+    assert s2["resumed"] and s2["partitions_written"] == 0
+    # the resumed run never re-read the feed, so the DLQ did not grow
+    assert spark.read.parquet(dlq).count() == 2
