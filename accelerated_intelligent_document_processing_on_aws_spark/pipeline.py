@@ -40,7 +40,7 @@ from .io.checkpoint import (
 from .io.tables import record_snapshot, salted_bucket, snapshot_id, write_partitioned
 from .operators.common import num_partitions
 from .operators.extract import respan_with_text, with_extraction
-from .operators.sectionize import sectionize
+from .operators.sectionize import sectionize, sectionize_chunked
 
 
 @dataclass
@@ -56,6 +56,16 @@ class PipelineConfig:
     # ``pt`` still drives the write layout.  The conv-keyed window later
     # re-groups; that exchange is the one AQE skew handling addresses.
     turn_spread: int = 16
+    # mega-conversation defense for sectionization: a window partition
+    # CANNOT be split by AQE — a 10^8-turn conversation serializes its
+    # section numbering through ONE task under the plain conv window.
+    # With section_chunk_size set, sectionization runs the two-phase
+    # chunked algorithm (operators/sectionize.py sectionize_chunked):
+    # heavy windows keyed on (conv, turn_idx div chunk) fan the mega-conv
+    # across tasks, and only a tiny per-chunk metadata table sees a
+    # conv-level window.  Output is IDENTICAL to the plain window
+    # (equivalence pinned by tests/test_sectionize_chunked.py).
+    section_chunk_size: Optional[int] = None
     # user plug-in point (SURVEY §2.8): the reference's post-processing
     # Lambda hook rewrites extraction results per document
     # (extraction/service.py:643-711; docs/post-processing-lambda-hook.md);
@@ -97,7 +107,10 @@ def extract_stage(df: DataFrame, cfg: PipelineConfig = PipelineConfig()) -> Data
     if cfg.post_extract_hook is not None:
         df = cfg.post_extract_hook(df)
     if cfg.with_sections:
-        df = sectionize(df)
+        if cfg.section_chunk_size:
+            df = sectionize_chunked(df, chunk_size=cfg.section_chunk_size)
+        else:
+            df = sectionize(df)
     # span text rehydrated LAST: offsets-only spans ride the Arrow transfer
     # and the conv window shuffle; the public 5-field schema is restored
     # here byte-for-byte (substring of the original text column)

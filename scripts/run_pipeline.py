@@ -36,6 +36,13 @@ def main() -> None:
     ap.add_argument("--no-sections", action="store_true")
     ap.add_argument("--turn-spread", type=int, default=16)
     ap.add_argument(
+        "--section-chunk-size",
+        type=int,
+        default=None,
+        help="two-phase chunked sectionization (mega-conversation defense): "
+        "windows run per (conv, turn_idx div SIZE) instead of per conv",
+    )
+    ap.add_argument(
         "--format",
         default="parquet",
         choices=("parquet", "jsonl", "csv"),
@@ -68,6 +75,7 @@ def main() -> None:
         salt=args.salt,
         with_sections=not args.no_sections,
         turn_spread=args.turn_spread,
+        section_chunk_size=args.section_chunk_size,
     )
     summary = run_pipeline(
         spark,

@@ -52,3 +52,22 @@ def test_spread_does_not_change_results(spark):
         .collect()
     )
     assert a == b
+
+
+def test_chunked_sectionize_pipeline_equivalence(spark):
+    """PipelineConfig(section_chunk_size=...) must produce byte-identical
+    results to the plain conv window — the mega-conversation defense
+    changes the PLAN (windows keyed per (conv, chunk)), never the output."""
+    df = gen_transcripts_df(
+        spark, n_convs=12, mean_turns=8, skew_convs=1, skew_factor=40
+    )
+    cols = ["conv_id", "turn_idx", "extracted_text", "turn_class", "section_id"]
+    plain = (
+        extract_stage(df, PipelineConfig())
+        .select(cols).orderBy("conv_id", "turn_idx").collect()
+    )
+    chunked = (
+        extract_stage(df, PipelineConfig(section_chunk_size=7))
+        .select(cols).orderBy("conv_id", "turn_idx").collect()
+    )
+    assert plain == chunked
