@@ -73,6 +73,37 @@ class CheckpointStore:
     def append(self, lineage_df: DataFrame) -> None:
         lineage_df.write.mode("append").parquet(self.path)
 
+    def expire_snapshots(self, keep_last: int = 3) -> int:
+        """Drop lineage rows of all but the ``keep_last`` most recent input
+        snapshots (Iceberg analog: ``expire_snapshots``).
+
+        The store is append-only — one row per (run, snapshot, bucket) —
+        so a long-lived pipeline accumulates lineage for inputs that no
+        longer exist; every resume scans it.  Recency is the max
+        ``committed_at`` per snapshot.  The surviving rows are rewritten
+        compacted (the table is metadata-sized: runs x buckets — it is
+        materialized driver-side before the overwrite, since Spark cannot
+        overwrite a path it is lazily reading).  Returns rows dropped.
+        """
+        df = self.read()
+        if df is None:
+            return 0
+        keep = [
+            r.input_snapshot_id
+            for r in df.groupBy("input_snapshot_id")
+            .agg(F.max("committed_at").alias("ts"))
+            .orderBy(F.col("ts").desc())
+            .limit(keep_last)
+            .collect()
+        ]
+        pdf = df.toPandas()
+        survivors = pdf[pdf["input_snapshot_id"].isin(keep)]
+        dropped = len(pdf) - len(survivors)
+        if dropped:
+            out = self.spark.createDataFrame(survivors, CHECKPOINT_SCHEMA)
+            out.write.mode("overwrite").parquet(self.path)
+        return int(dropped)
+
 
 # payload-kind vocabulary of the extraction dispatcher
 # (kernels/extract.py detect_kind) — per-kind counts mirror the reference's

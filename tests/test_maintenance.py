@@ -1,0 +1,81 @@
+"""Table-maintenance ops a long-lived pipeline needs (Iceberg analogs:
+rewrite_data_files / expire_snapshots): output compaction and lineage
+expiration — both must preserve data/resume semantics exactly."""
+
+from __future__ import annotations
+
+import os
+
+import accelerated_intelligent_document_processing_on_aws_spark as pkg
+from accelerated_intelligent_document_processing_on_aws_spark.datagen.transcripts import (
+    write_transcripts,
+)
+from accelerated_intelligent_document_processing_on_aws_spark.io.checkpoint import (
+    CheckpointStore,
+)
+from accelerated_intelligent_document_processing_on_aws_spark.io.tables import (
+    compact_partitions,
+)
+
+
+def _bucket_files(path):
+    out = {}
+    for e in os.listdir(path):
+        if e.startswith("pt="):
+            out[e] = sorted(
+                f for f in os.listdir(os.path.join(path, e)) if f.endswith(".parquet")
+            )
+    return out
+
+
+def test_compaction_preserves_data_and_reduces_files(spark, tmp_path):
+    inp, outp, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    write_transcripts(spark, inp, n_convs=30, mean_turns=6, skew_convs=1, skew_factor=15)
+    pkg.run_pipeline(spark, inp, outp, ckpt, pkg.PipelineConfig(n_buckets=8))
+    # fragment the table in place (several files per bucket), as repeated
+    # appends/task-parallel writes would; localCheckpoint materializes the
+    # frame so the overwrite does not read the path it replaces
+    frag = spark.read.parquet(outp).localCheckpoint(eager=True)
+    frag.repartition(6).write.mode("overwrite").partitionBy("pt").parquet(outp)
+    before = _bucket_files(outp)
+    assert any(len(v) > 1 for v in before.values()), "need fragmented buckets"
+    rows_before = spark.read.parquet(outp).orderBy("conv_id", "turn_idx").collect()
+
+    done = compact_partitions(spark, outp, target_files=1)
+    assert done, "at least one bucket compacted"
+    after = _bucket_files(outp)
+    for b, files in after.items():
+        assert len(files) == 1 or b not in done
+    assert not [e for e in os.listdir(outp) if e.startswith("_compact_tmp")]
+    rows_after = spark.read.parquet(outp).orderBy("conv_id", "turn_idx").collect()
+    assert rows_before == rows_after
+
+    # resume still early-returns on the compacted table
+    s = pkg.run_pipeline(spark, inp, outp, ckpt, pkg.PipelineConfig(n_buckets=8))
+    assert s["resumed"] and s["partitions_written"] == 0
+
+
+def test_expire_snapshots_keeps_recent_resume(spark, tmp_path):
+    inp, outp, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    cfg = pkg.PipelineConfig(n_buckets=4)
+    # three input snapshots: grow the feed between runs
+    snaps = []
+    for i in range(3):
+        write_transcripts(
+            spark, inp, n_convs=6 + 2 * i, mean_turns=4, seed=7 + i
+        )
+        s = pkg.run_pipeline(spark, inp, outp, ckpt, cfg)
+        snaps.append(s["snapshot_id"])
+    store = CheckpointStore(spark, ckpt)
+    all_rows = store.read().count()
+    dropped = store.expire_snapshots(keep_last=2)
+    assert dropped == all_rows - store.read().count() > 0
+    # oldest snapshot gone, newest two resumable
+    assert store.committed_partitions(snaps[0]) == []
+    assert store.committed_partitions(snaps[2]) == list(range(4))
+    s = pkg.run_pipeline(spark, inp, outp, ckpt, cfg)
+    assert s["resumed"] and s["partitions_written"] == 0
