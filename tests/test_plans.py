@@ -269,3 +269,23 @@ def test_plan_report_and_scale_gate(spark):
     full = extract_stage(gen_transcripts_df(spark, n_convs=6, mean_turns=4))
     rep2 = assert_scale_safe(full, max_exchanges=2)
     assert "ArrowEvalPython" in rep2["python_eval"]
+
+
+def test_chunked_sectionize_single_big_exchange(spark):
+    """The mega-conversation path must move the BIG frame through exactly
+    one exchange (hash by (conv, chunk) for the local window); the chunk
+    metadata aggregates shuffle only a tiny table and the join-back must
+    broadcast — never shuffle the corpus a second time."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.sectionize import (
+        sectionize_chunked,
+    )
+
+    df = (
+        gen_transcripts_df(spark, n_convs=10, mean_turns=6)
+        .withColumn("turn_class", F.lit("a"))
+        .withColumn("is_boundary", F.lit(False))
+    )
+    p = plan_of(sectionize_chunked(df, chunk_size=4))
+    assert n_ops(p, "Exchange") <= 3  # big window + two tiny meta shuffles
+    assert n_ops(p, "BroadcastHashJoin") == 1
+    assert n_ops(p, "SortMergeJoin") == 0
