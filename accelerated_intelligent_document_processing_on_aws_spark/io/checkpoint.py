@@ -71,7 +71,12 @@ class CheckpointStore:
         return sorted(r.partition_id for r in rows)
 
     def append(self, lineage_df: DataFrame) -> None:
-        lineage_df.write.mode("append").parquet(self.path)
+        # lineage is metadata-sized (one row per bucket): without the
+        # coalesce, createDataFrame parallelizes it over the default
+        # parallelism and the append runs a 32-task job committing 32
+        # two-row parquet files PER RUN (measured 6 s of pure job/commit
+        # overhead) and fragments the store run over run
+        lineage_df.coalesce(1).write.mode("append").parquet(self.path)
 
     def expire_snapshots(self, keep_last: int = 3) -> int:
         """Drop lineage rows of all but the ``keep_last`` most recent input
