@@ -79,3 +79,17 @@ def test_expire_snapshots_keeps_recent_resume(spark, tmp_path):
     assert store.committed_partitions(snaps[2]) == list(range(4))
     s = pkg.run_pipeline(spark, inp, outp, ckpt, cfg)
     assert s["resumed"] and s["partitions_written"] == 0
+
+
+def test_write_fanin_one_file_per_nonempty_bucket(spark, tmp_path):
+    """The pre-write pt exchange must bound output files to one per
+    non-empty bucket per run — never tasks x buckets (the 2,000-file
+    pathology the round-3 write alignment removed)."""
+    inp, outp, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    write_transcripts(spark, inp, n_convs=25, mean_turns=5)
+    s = pkg.run_pipeline(spark, inp, outp, ckpt, pkg.PipelineConfig(n_buckets=16))
+    files = _bucket_files(outp)
+    assert sum(len(v) for v in files.values()) == s["partitions_written"]
+    assert all(len(v) == 1 for v in files.values())
