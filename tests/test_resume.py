@@ -215,3 +215,23 @@ def test_snapshot_change_recertifies(spark, paths, tmp_path):
     }
     assert (r1["snapshot_id"], "COMMITTED") in snaps
     assert (r2["snapshot_id"], "COMMITTED") in snaps
+
+
+def test_pipeline_empty_input_commits_and_resumes(spark, tmp_path):
+    """A valid-but-empty input (zero rows) must complete, commit every
+    bucket with row_count 0, and early-return on rerun — not crash and
+    not re-execute forever (round-2 ADVICE regression guard)."""
+    import accelerated_intelligent_document_processing_on_aws_spark as pkg
+    from accelerated_intelligent_document_processing_on_aws_spark.datagen.transcripts import (
+        gen_transcripts_df,
+    )
+
+    inp, outp, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    gen_transcripts_df(spark, n_convs=3, mean_turns=2).limit(0).write.parquet(inp)
+    cfg = pkg.PipelineConfig(n_buckets=8)
+    s1 = pkg.run_pipeline(spark, inp, outp, ckpt, cfg)
+    assert s1["partitions_written"] == 0 and s1["partitions_committed"] == 8
+    s2 = pkg.run_pipeline(spark, inp, outp, ckpt, cfg)
+    assert s2["resumed"] and s2["partitions_committed"] == 0
