@@ -180,3 +180,73 @@ class TestOfficeRoundTrip:
         md = docx_to_markdown(make_docx(blocks))
         for p in paras:
             assert p.strip() in md
+
+
+class TestComparatorProperties:
+    @given(printable, printable)
+    @settings(max_examples=150, deadline=None)
+    def test_fuzzy_score_bounded_symmetric_reflexive(self, a, b):
+        from accelerated_intelligent_document_processing_on_aws_spark.kernels import (
+            compare,
+        )
+
+        s = compare.fuzzy_score(a, b)
+        assert 0.0 <= s <= 1.0
+        assert compare.fuzzy_score(a, b) == compare.fuzzy_score(b, a)
+        assert compare.fuzzy_score(a, a) == 1.0
+
+    @given(printable, printable)
+    @settings(max_examples=100, deadline=None)
+    def test_semantic_score_bounded_symmetric_reflexive(self, a, b):
+        from accelerated_intelligent_document_processing_on_aws_spark.kernels import (
+            compare,
+        )
+
+        s = compare.semantic_score(a, b)
+        assert -1e-9 <= s <= 1.0 + 1e-9
+        assert compare.semantic_score(a, b) == compare.semantic_score(b, a)
+        if a.split():
+            assert abs(compare.semantic_score(a, a) - 1.0) < 1e-9
+
+    @given(st.integers(-10**9, 10**9))
+    def test_numeric_formats_agree(self, n):
+        from accelerated_intelligent_document_processing_on_aws_spark.kernels import (
+            compare,
+        )
+
+        # $-prefixed, comma-grouped, and accounting-negative forms all
+        # normalize to the same number
+        assert compare.compare_numeric(f"{n:,}", str(n))
+        assert compare.compare_numeric(f"${abs(n):,}", str(abs(n)))
+        if n < 0:
+            assert compare.compare_numeric(f"({abs(n)})", str(n))
+
+
+class TestJsonSniffProperties:
+    @given(
+        st.dictionaries(
+            st.text(st.characters(codec="ascii", exclude_characters='"\\'),
+                    min_size=1, max_size=8),
+            st.one_of(st.integers(-1000, 1000), st.booleans(),
+                      st.text(st.characters(codec="ascii",
+                              exclude_characters='"\\'), max_size=10)),
+            min_size=1, max_size=5,
+        ),
+        printable,
+        printable,
+    )
+    @settings(max_examples=80, deadline=None)
+    def test_embedded_json_object_recovered(self, obj, pre, post):
+        import json as _json
+
+        from accelerated_intelligent_document_processing_on_aws_spark.kernels.json_sniff import (
+            extract_json_from_text,
+        )
+
+        payload = _json.dumps(obj)
+        # surround with prose that contains no braces of its own
+        pre = pre.replace("{", "(").replace("}", ")")
+        post = post.replace("{", "(").replace("}", ")")
+        got = extract_json_from_text(f"{pre} {payload} {post}")
+        assert got is not None
+        assert _json.loads(got) == obj
