@@ -3292,6 +3292,60 @@ FROM e ORDER BY doc_id
 """
 
 
+def q_validate_feed(spark, sf_dir):
+    """One-job data-quality validation (``sources.validate_transcripts``)
+    over a transcripts-shaped feed synthesized from events with
+    deterministic md5-keyed defects: a null-text subset and a duplicated
+    (conv_id, turn_idx) subset.  Certifies the validation aggregate —
+    row count, per-column null counts, duplicate-key count via
+    count - count_distinct (a real distinct aggregate, never
+    collect_set), ts bounds — hash-exactly against DuckDB."""
+    from accelerated_intelligent_document_processing_on_aws_spark.sources import (
+        validate_transcripts,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    hx = F.substring(F.md5(F.col("event_id").cast("string").cast("binary")), 1, 1)
+    t = e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.col("event_id").cast("int").alias("turn_idx"),
+        F.lit("user").alias("role"),
+        F.when(hx.isin("0", "1"), F.lit(None).cast("string"))
+        .otherwise(F.col("event_type"))
+        .alias("text"),
+        F.lit(None).cast("string").alias("tool"),
+        F.col("ts"),
+    )
+    feed = t.unionByName(t.filter(hx.isin("2", "3")))
+    return validate_transcripts(feed)
+
+
+Q_VALIDATE_FEED_SQL = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         CAST(event_id AS INT) AS turn_idx,
+         CASE WHEN substr(md5(CAST(event_id AS VARCHAR)), 1, 1) IN ('0','1')
+              THEN NULL ELSE event_type END AS text,
+         ts,
+         substr(md5(CAST(event_id AS VARCHAR)), 1, 1) AS hx
+  FROM events
+),
+feed AS (
+  SELECT conv_id, turn_idx, text, ts FROM t
+  UNION ALL
+  SELECT conv_id, turn_idx, text, ts FROM t WHERE hx IN ('2','3')
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS rows,
+       CAST(SUM(CASE WHEN conv_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_conv_id,
+       CAST(SUM(CASE WHEN turn_idx IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_turn_idx,
+       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_text,
+       CAST(COUNT(*) - COUNT(DISTINCT (conv_id, turn_idx)) AS BIGINT) AS dup_turn_keys,
+       MIN(ts) AS ts_min,
+       MAX(ts) AS ts_max
+FROM feed
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # ORDER MATTERS for certification: CORRECTNESS_r02 recorded exactly 50
     # rows for a 56-query registry with the 6 newest (registry tail) absent
@@ -3310,6 +3364,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_token_packing": q_token_packing,
         "q_config_extract": q_config_extract,
         "q_ingest_envelope": q_ingest_envelope,
+        "q_validate_feed": q_validate_feed,
         "q_ivf_topk": q_ivf_topk,
         "q_range_join": q_range_join,
         "q_interval_overlap": q_interval_overlap,
@@ -3398,6 +3453,7 @@ def oracle_sql() -> dict[str, str]:
         "q_doc_fingerprint": Q_DOC_FINGERPRINT_SQL,
         "q_doc_classify": _classify_sql(),
         "q_ingest_envelope": Q_INGEST_ENVELOPE_SQL,
+        "q_validate_feed": Q_VALIDATE_FEED_SQL,
         "q_dedup_exact": Q_DEDUP_EXACT_SQL,
         "q_knn_cosine": Q_KNN_COSINE_SQL,
         "q_evaluate_exact": Q_EVALUATE_EXACT_SQL,
