@@ -4,7 +4,6 @@ row-count + column names + order-insensitive values (rounded)."""
 
 from __future__ import annotations
 
-import math
 import sys
 
 import duckdb

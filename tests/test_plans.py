@@ -22,7 +22,6 @@ from accelerated_intelligent_document_processing_on_aws_spark.plans import (
     assert_scale_safe,
     n_ops,
     plan_of,
-    plan_report,
 )
 
 
