@@ -42,8 +42,16 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         ensure_min_partitions,
     )
 
-    key = (id(spark), sf_dir, name)
+    # keyed on the session's applicationId — stable for the session's
+    # lifetime and never reused the way id(spark) can be after a stop/
+    # restart (a new SparkSession at the same address would hand back
+    # DataFrames bound to the dead session).  Entries of other app ids
+    # are evicted so stopped sessions don't accumulate.
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir, name)
     if key not in _T_CACHE:
+        for k in [k for k in _T_CACHE if k[0] != app_id]:
+            del _T_CACHE[k]
         _T_CACHE[key] = ensure_min_partitions(
             spark.read.parquet(f"{sf_dir}/{name}.parquet")
         )
@@ -3260,12 +3268,18 @@ def q_ingest_envelope(spark, sf_dir):
     payload = F.to_json(
         F.struct(F.col("lang"), F.length("text").cast("int").alias("n"))
     )
-    corrupt = F.substring(
-        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
-    ).isin("0", "1", "2")
-    env = d.select("doc_id", payload.alias("payload"), corrupt.alias("_c")).select(
+    hx = F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1)
+    # three defect classes, all md5-keyed: truncated JSON (corrupt-field
+    # hit), NULL payload and whitespace-only payload (both parse to a NULL
+    # struct with NO corrupt-field hit — the round-4 parse_ok gate)
+    env = d.select(
+        "doc_id", payload.alias("payload"), hx.alias("_h")
+    ).select(
         "doc_id",
-        F.when(F.col("_c"), F.expr("substring(payload, 1, length(payload) - 2)"))
+        F.when(F.col("_h").isin("0", "1", "2"),
+               F.expr("substring(payload, 1, length(payload) - 2)"))
+        .when(F.col("_h") == "3", F.lit(None).cast("string"))
+        .when(F.col("_h") == "4", F.lit("   "))
         .otherwise(F.col("payload"))
         .alias("payload"),
     )
@@ -3281,13 +3295,13 @@ def q_ingest_envelope(spark, sf_dir):
 Q_INGEST_ENVELOPE_SQL = """
 WITH e AS (
   SELECT doc_id, lang, CAST(length(text) AS INT) AS n,
-         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2') AS corrupt
+         substr(md5(CAST(doc_id AS VARCHAR)), 1, 1) IN ('0','1','2','3','4') AS bad
   FROM documents
 )
 SELECT doc_id,
-       NOT corrupt AS parse_ok,
-       CASE WHEN corrupt THEN NULL ELSE lang END AS p_lang,
-       CASE WHEN corrupt THEN NULL ELSE n END AS p_n
+       NOT bad AS parse_ok,
+       CASE WHEN bad THEN NULL ELSE lang END AS p_lang,
+       CASE WHEN bad THEN NULL ELSE n END AS p_n
 FROM e ORDER BY doc_id
 """
 

@@ -82,13 +82,17 @@ class CheckpointStore:
         """Drop lineage rows of all but the ``keep_last`` most recent input
         snapshots (Iceberg analog: ``expire_snapshots``).
 
-        The store is append-only — one row per (run, snapshot, bucket) —
-        so a long-lived pipeline accumulates lineage for inputs that no
-        longer exist; every resume scans it.  Recency is the max
-        ``committed_at`` per snapshot.  The surviving rows are rewritten
-        compacted (the table is metadata-sized: runs x buckets — it is
-        materialized driver-side before the overwrite, since Spark cannot
-        overwrite a path it is lazily reading).  Returns rows dropped.
+        The store is append-only — one row per (run, snapshot, bucket),
+        one FILE per run (``append`` commits a new file; existing files
+        are never rewritten) — so expiry is file-level garbage collection,
+        not a rewrite: a file is deleted iff EVERY row in it belongs to an
+        expired snapshot.  Surviving data is never touched, so a crash at
+        any point leaves a valid store (at worst some expired files
+        remain — the next expire pass removes them).  The previous
+        implementation rewrote the whole store with a non-atomic
+        ``mode('overwrite')``; a crash between Spark's delete of the old
+        files and the commit of the new ones destroyed ALL lineage.
+        Returns rows dropped.
         """
         df = self.read()
         if df is None:
@@ -101,13 +105,31 @@ class CheckpointStore:
             .limit(keep_last)
             .collect()
         ]
-        pdf = df.toPandas()
-        survivors = pdf[pdf["input_snapshot_id"].isin(keep)]
-        dropped = len(pdf) - len(survivors)
-        if dropped:
-            out = self.spark.createDataFrame(survivors, CHECKPOINT_SCHEMA)
-            out.write.mode("overwrite").parquet(self.path)
-        return int(dropped)
+        # one aggregate job over the (metadata-sized) store: per file, row
+        # count + whether any row's snapshot survives.  Mixed files (never
+        # produced by append(), but defended against) are kept whole.
+        per_file = (
+            df.withColumn("_f", F.input_file_name())
+            .groupBy("_f")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.max(
+                    F.col("input_snapshot_id").isin(keep).cast("int")
+                ).alias("any_kept"),
+            )
+            .collect()
+        )
+        from urllib.parse import unquote, urlparse
+
+        dropped = 0
+        for r in per_file:
+            if r.any_kept:
+                continue
+            p = unquote(urlparse(r._f).path)
+            if os.path.isfile(p):
+                os.remove(p)
+                dropped += int(r.n)
+        return dropped
 
 
 # payload-kind vocabulary of the extraction dispatcher

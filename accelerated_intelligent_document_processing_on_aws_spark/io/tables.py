@@ -115,10 +115,17 @@ def compact_partitions(
     Every pipeline run writes one file per task per bucket, so a
     long-lived output table accumulates small files and every later scan
     pays their open/footer cost.  Compaction rewrites ONLY buckets that
-    exceed ``min_files`` fragments, one bucket at a time: read the bucket
-    dir, coalesce to ``target_files``, write to a temp dir, then swap —
-    so a crash mid-compaction loses at most the temp dir of one bucket,
-    never committed data (the swap is two renames within the bucket).
+    exceed ``min_files`` fragments, one bucket at a time: the bucket is
+    rewritten to an underscore-prefixed temp dir (reader-ignored), then
+    swapped in via two directory renames (``pt=X`` → backup, temp →
+    ``pt=X``); the backup is deleted LAST.  Committed data therefore
+    exists in a live or backup dir at every instant — a crash can at
+    worst leave the bucket momentarily missing between the two renames
+    (microseconds, no job in between), and the recovery preamble on the
+    next invocation renames the backup straight back.  (The previous
+    ordering deleted the originals BEFORE moving the compacted files in:
+    a crash in that window left the data only in a reader-ignored temp
+    dir — the bucket read as empty while the checkpoint said COMMITTED.)
     Returns {bucket_value: files_before} for the compacted buckets.
 
     The driver loop is bounded by the bucket count (a config constant,
@@ -126,6 +133,18 @@ def compact_partitions(
     job.  On Iceberg, replace with the catalog's rewrite procedure.
     """
     import shutil
+
+    # recovery preamble: heal any bucket a previous crash left swapped out
+    for entry in sorted(os.listdir(path)):
+        if entry.startswith("_compact_bak_"):
+            orig = os.path.join(path, entry[len("_compact_bak_"):])
+            bak = os.path.join(path, entry)
+            if os.path.isdir(orig):
+                shutil.rmtree(bak)  # swap completed; backup is garbage
+            else:
+                os.rename(bak, orig)  # crash between the two renames
+        elif entry.startswith("_compact_tmp_"):
+            shutil.rmtree(os.path.join(path, entry))  # never swapped in
 
     done: dict = {}
     for entry in sorted(os.listdir(path)):
@@ -136,21 +155,14 @@ def compact_partitions(
         if len(files) < min_files:
             continue
         tmp = os.path.join(path, f"_compact_tmp_{entry}")
+        bak = os.path.join(path, f"_compact_bak_{entry}")
         # eager materialization before touching the source dir: Spark
         # cannot overwrite a path it is lazily reading
         spark.read.parquet(bdir).coalesce(target_files).write.mode(
             "overwrite"
         ).parquet(tmp)
-        for f in files:
-            os.remove(os.path.join(bdir, f))
-        moved = 0
-        for f in sorted(os.listdir(tmp)):
-            if f.endswith(".parquet"):
-                os.rename(
-                    os.path.join(tmp, f),
-                    os.path.join(bdir, f"compact-{moved:05d}.parquet"),
-                )
-                moved += 1
-        shutil.rmtree(tmp)
+        os.rename(bdir, bak)
+        os.rename(tmp, bdir)
+        shutil.rmtree(bak)
         done[entry.split("=", 1)[1]] = len(files)
     return done

@@ -23,6 +23,7 @@ Plan shape at scale (deliberate, §4 of SURVEY.md):
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Callable, Optional
 
@@ -135,7 +136,10 @@ def run_pipeline(
     ``dead_letter_path`` (when given) instead of failing the run — the
     Spark analog of the reference's SQS dead-letter queue.  The DLQ
     write is its own cheap pass over the feed (raw text scan, no
-    extraction); the clean side flows into the pipeline unchanged.
+    extraction), landing in ``dead_letter_path/snap=<snapshot>`` with
+    overwrite so retries of a crashed run replace rather than duplicate
+    the snapshot's bad rows; the clean side flows into the pipeline
+    unchanged.
     """
     run_id = run_id or new_run_id()
     snap = snapshot_id(input_path)
@@ -167,7 +171,13 @@ def run_pipeline(
 
             dlq_obs = Observation(f"dlq_{run_id}")
             bad = bad.observe(dlq_obs, F.count(F.lit(1)).alias("n"))
-            bad.write.mode("append").parquet(dead_letter_path)
+            # idempotent per input snapshot: the DLQ re-derives from the
+            # WHOLE feed on every (partial-resume) retry, so an append
+            # would duplicate every bad row per retry of a crashed run —
+            # overwrite of the snapshot's own subdir replaces instead
+            bad.write.mode("overwrite").parquet(
+                os.path.join(dead_letter_path, f"snap={snap}")
+            )
             n_dead = int(dlq_obs.get["n"])
     if done:
         # resume filter applied at the SCAN (pt is a pure function of

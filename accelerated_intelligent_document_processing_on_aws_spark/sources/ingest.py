@@ -146,14 +146,24 @@ def parse_json_envelope(
     """
     # PERMISSIVE from_json returns a Row of NULLs (not a NULL struct) for
     # malformed input since Spark 3.0, so detect corruption the supported
-    # way: a corrupt-record field inside the parse schema
+    # way: a corrupt-record field inside the parse schema.  Two more
+    # corruption shapes never reach that field and must be gated
+    # explicitly: a NULL/empty/whitespace payload makes from_json return a
+    # NULL struct (no corrupt-field hit at all — read_transcripts handles
+    # the same case for line feeds), so parse_ok additionally requires the
+    # payload to be non-null and the parsed struct itself to be non-null.
     parsed = F.from_json(
         F.col(payload_col),
         _with_corrupt(schema),
         {"mode": "PERMISSIVE", "columnNameOfCorruptRecord": CORRUPT_COL},
     )
     out = df.withColumn("_parsed", parsed)
-    out = out.withColumn("parse_ok", F.col("_parsed")[CORRUPT_COL].isNull())
+    out = out.withColumn(
+        "parse_ok",
+        F.col(payload_col).isNotNull()
+        & F.col("_parsed").isNotNull()
+        & F.col("_parsed")[CORRUPT_COL].isNull(),
+    )
     for f in schema.fields:
         out = out.withColumn(
             prefix + f.name,

@@ -81,6 +81,60 @@ def test_expire_snapshots_keeps_recent_resume(spark, tmp_path):
     assert s["resumed"] and s["partitions_written"] == 0
 
 
+def test_compaction_crash_recovery(spark, tmp_path):
+    """A crash between the two swap renames leaves the bucket's data in
+    the backup dir; the recovery preamble of the next invocation must
+    rename it straight back — the bucket never reads empty."""
+    inp, outp, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    write_transcripts(spark, inp, n_convs=20, mean_turns=5)
+    pkg.run_pipeline(spark, inp, outp, ckpt, pkg.PipelineConfig(n_buckets=4))
+    rows = spark.read.parquet(outp).count()
+    # simulate the worst crash point: bucket swapped out, replacement not in
+    bucket = sorted(e for e in os.listdir(outp) if e.startswith("pt="))[0]
+    os.rename(
+        os.path.join(outp, bucket), os.path.join(outp, f"_compact_bak_{bucket}")
+    )
+    # plus a stale tmp dir from an interrupted rewrite
+    os.makedirs(os.path.join(outp, f"_compact_tmp_{bucket}"), exist_ok=True)
+    compact_partitions(spark, outp, target_files=1, min_files=99)  # heal only
+    assert spark.read.parquet(outp).count() == rows
+    assert not [e for e in os.listdir(outp) if e.startswith("_compact_")]
+
+
+def test_expire_never_rewrites_surviving_files(spark, tmp_path):
+    """Expiry is file-level GC: surviving lineage files are byte-identical
+    afterwards (mtime+size unchanged), so a crash mid-expiry can never
+    destroy live lineage (the round-3 implementation rewrote the whole
+    store non-atomically)."""
+    inp, outp, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    cfg = pkg.PipelineConfig(n_buckets=4)
+    for i in range(3):
+        write_transcripts(spark, inp, n_convs=5 + 2 * i, mean_turns=4, seed=3 + i)
+        pkg.run_pipeline(spark, inp, outp, ckpt, cfg)
+    before = {
+        f: os.stat(os.path.join(ckpt, f))
+        for f in os.listdir(ckpt)
+        if f.endswith(".parquet")
+    }
+    store = CheckpointStore(spark, ckpt)
+    dropped = store.expire_snapshots(keep_last=2)
+    assert dropped > 0
+    after = {
+        f for f in os.listdir(ckpt) if f.endswith(".parquet")
+    }
+    assert after < set(before), "expiry deletes whole files, adds none"
+    for f in after:
+        st = os.stat(os.path.join(ckpt, f))
+        assert (st.st_mtime_ns, st.st_size) == (
+            before[f].st_mtime_ns,
+            before[f].st_size,
+        ), "surviving lineage file was rewritten"
+
+
 def test_write_fanin_one_file_per_nonempty_bucket(spark, tmp_path):
     """The pre-write pt exchange must bound output files to one per
     non-empty bucket per run — never tasks x buckets (the 2,000-file

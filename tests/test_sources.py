@@ -86,13 +86,23 @@ def test_parse_json_envelope_ok_and_corrupt(spark):
         [T.StructField("lang", T.StringType()), T.StructField("n", T.IntegerType())]
     )
     df = spark.createDataFrame(
-        [("a", '{"lang":"en","n":3}'), ("b", '{"lang":"fr","n":'), ("c", "junk")],
+        [
+            ("a", '{"lang":"en","n":3}'),
+            ("b", '{"lang":"fr","n":'),
+            ("c", "junk"),
+            # NULL / empty / whitespace payloads: from_json returns a NULL
+            # struct with NO corrupt-field hit for these — they must still
+            # dead-letter (round-4 fix; previously parse_ok=true, all-null)
+            ("d", None),
+            ("e", ""),
+            ("f", "   "),
+        ],
         ["id", "payload"],
     )
     out = parse_json_envelope(df, "payload", sch).orderBy("id").collect()
-    assert [r["parse_ok"] for r in out] == [True, False, False]
+    assert [r["parse_ok"] for r in out] == [True] + [False] * 5
     assert out[0]["p_lang"] == "en" and out[0]["p_n"] == 3
-    assert out[1]["p_lang"] is None and out[2]["p_n"] is None
+    assert all(r["p_lang"] is None and r["p_n"] is None for r in out[1:])
 
 
 def test_validate_transcripts_one_job(spark):
@@ -159,3 +169,49 @@ def test_run_pipeline_jsonl_with_dead_letter(spark, tmp_path):
     assert s2["resumed"] and s2["partitions_written"] == 0
     # the resumed run never re-read the feed, so the DLQ did not grow
     assert spark.read.parquet(dlq).count() == 2
+
+
+def test_dead_letter_idempotent_on_partial_resume(spark, tmp_path):
+    """A PARTIALLY-resumed retry (some buckets committed, candidates
+    remain) re-derives the DLQ from the whole feed; the per-snapshot
+    overwrite must replace — not duplicate — the bad rows on every
+    retry of a crashed run."""
+    import accelerated_intelligent_document_processing_on_aws_spark as pkg
+    from accelerated_intelligent_document_processing_on_aws_spark.io.checkpoint import (
+        CheckpointStore,
+    )
+
+    rows = [
+        {"conv_id": f"c{i}", "turn_idx": j, "role": "user",
+         "text": f"turn {j} of c{i}", "tool": None,
+         "ts": f"2026-01-01T00:00:{j:02d}"}
+        for i in range(6)
+        for j in range(3)
+    ]
+    inp = str(tmp_path / "feed")
+    _write_jsonl(inp, rows, garbage=['{"conv_id": broken', "plain garbage"])
+    outp, ckpt, dlq = (
+        str(tmp_path / "out"), str(tmp_path / "ckpt"), str(tmp_path / "dlq")
+    )
+    s1 = pkg.run_pipeline(
+        spark, inp, outp, ckpt, input_format="jsonl", dead_letter_path=dlq
+    )
+    assert s1["dead_letter_rows"] == 2
+
+    # simulate a crashed run that committed only HALF the buckets: a fresh
+    # checkpoint store seeded with a strict subset of the lineage rows
+    full = spark.read.parquet(ckpt)
+    some = sorted(r.partition_id for r in full.select("partition_id").collect())
+    half = some[: len(some) // 2]
+    ckpt2 = str(tmp_path / "ckpt2")
+    CheckpointStore(spark, ckpt2).append(
+        full.filter(F.col("partition_id").isin(half))
+    )
+    for _ in range(2):  # two partial-resume retries
+        s = pkg.run_pipeline(
+            spark, inp, outp, ckpt2, input_format="jsonl",
+            dead_letter_path=dlq,
+        )
+        assert s["resumed"]
+        # the retry re-ran the DLQ pass, but overwrite kept it exact
+        assert spark.read.parquet(dlq).count() == 2
