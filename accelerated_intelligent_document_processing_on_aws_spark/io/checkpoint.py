@@ -138,6 +138,17 @@ class CheckpointStore:
 PAYLOAD_KINDS = ("ocr_blocks", "html", "pdfish", "plain")
 
 
+# above this many candidate buckets the pipeline switches from
+# df.observe (8 scalar sums PER bucket riding the write job — trivial at
+# the 64-bucket default, codegen/driver blowup at cluster-scale bucket
+# counts like 4096 → 32k expressions) to a cached pre-write groupBy(pt)
+# aggregate: the write materializes the persisted frame, the aggregate
+# reads it back from the cache — still ONE scan of the input and ZERO
+# scans of the output table (pinned by tests/test_resume.py and
+# test_lineage_groupby_path).
+LINEAGE_OBSERVE_MAX = 256
+
+
 def lineage_observe_exprs(candidates: List[int], partition_col: str = "pt"):
     """Per-bucket lineage aggregates as flat conditional sums for
     ``DataFrame.observe`` — computed DURING the write job itself, so the
@@ -146,8 +157,9 @@ def lineage_observe_exprs(candidates: List[int], partition_col: str = "pt"):
 
     Expression count is 8 × len(candidates) (bounded by n_buckets, a
     config constant — 64 default → 512 scalar sums, trivial for codegen).
-    At very large bucket counts, chunk candidates across several runs or
-    fall back to a post-write metadata-only aggregate.
+    Above ``LINEAGE_OBSERVE_MAX`` candidates the pipeline uses
+    :func:`lineage_agg_rows` instead (groupBy over the cached write
+    frame) — same numbers, no expression blowup.
     """
     exprs = []
     for p in candidates:
@@ -178,6 +190,54 @@ def lineage_observe_exprs(candidates: List[int], partition_col: str = "pt"):
                 .alias(f"kind_{k}_{p}")
             )
     return exprs
+
+
+def lineage_agg_rows(
+    written: DataFrame,
+    candidates: List[int],
+    run_id: str,
+    input_snapshot_id: str,
+    partition_col: str = "pt",
+) -> List[dict]:
+    """Large-bucket-count twin of observe-lineage: ONE hash aggregate
+    (8 fixed expressions, independent of bucket count) grouped by the
+    partition column over the just-written frame.  Callers persist the
+    frame before the write so this aggregate reads the cache — never the
+    input a second time, never the output table.  Hash-empty candidate
+    buckets still commit with zero counts (same early-return guarantee
+    as the observe path)."""
+    # NB: the kind is bound through a closure-returning helper — a
+    # two-parameter lambda (even with a defaulted second arg) would be
+    # treated by F.filter as the (element, index) form
+    def _kind_count(kname: str):
+        return F.sum(
+            F.size(F.filter("payload_kinds", lambda x: x == F.lit(kname)))
+        ).alias(f"kind_{kname}")
+
+    kind_sums = [_kind_count(k) for k in PAYLOAD_KINDS]
+    agg = (
+        written.groupBy(F.col(partition_col).alias("_pt"))
+        .agg(
+            F.count(F.lit(1)).alias("rows"),
+            F.sum(F.size("spans")).cast("long").alias("spans"),
+            F.sum(F.col("is_boundary").cast("long")).alias("bounds"),
+            F.sum((F.length("extracted_text") == 0).cast("long")).alias("empty"),
+            *kind_sums,
+        )
+        .collect()
+    )
+    observed: dict = {}
+    for r in agg:
+        p = int(r["_pt"])
+        observed[f"rows_{p}"] = r["rows"]
+        observed[f"spans_{p}"] = r["spans"]
+        observed[f"bounds_{p}"] = r["bounds"]
+        observed[f"empty_{p}"] = r["empty"]
+        for k in PAYLOAD_KINDS:
+            observed[f"kind_{k}_{p}"] = r[f"kind_{k}"]
+    return lineage_rows_from_metrics(
+        observed, candidates, run_id, input_snapshot_id
+    )
 
 
 def lineage_rows_from_metrics(

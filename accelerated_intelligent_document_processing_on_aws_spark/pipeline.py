@@ -33,7 +33,9 @@ from pyspark.sql import functions as F
 from .functions.text import turn_class_col
 from .io.checkpoint import (
     CHECKPOINT_SCHEMA,
+    LINEAGE_OBSERVE_MAX,
     CheckpointStore,
+    lineage_agg_rows,
     lineage_observe_exprs,
     lineage_rows_from_metrics,
     new_run_id,
@@ -67,6 +69,13 @@ class PipelineConfig:
     # conv-level window.  Output is IDENTICAL to the plain window
     # (equivalence pinned by tests/test_sectionize_chunked.py).
     section_chunk_size: Optional[int] = None
+    # write parallelism decoupled from resume granularity: the fan-in
+    # exchange before the write targets n_buckets * files_per_bucket
+    # tasks keyed on (pt, sub-split), so a 1000-executor cluster is not
+    # capped at n_buckets write tasks while lineage/resume stays keyed on
+    # pt alone.  Each bucket lands in at most files_per_bucket files per
+    # run (one per sub-split task).  1 = the round-3 behavior.
+    files_per_bucket: int = 1
     # user plug-in point (SURVEY §2.8): the reference's post-processing
     # Lambda hook rewrites extraction results per document
     # (extraction/service.py:643-711; docs/post-processing-lambda-hook.md);
@@ -196,20 +205,50 @@ def run_pipeline(
     # n_buckets is also the resume granularity, so both are sized to the
     # cluster together (64 fits local; thousands on a real cluster).
     # REPARTITION_BY_NUM is exempt from AQE coalescing, so the fan-in is
-    # exact.
-    out = out.repartition(cfg.n_buckets, F.col("pt"))
+    # exact.  files_per_bucket > 1 widens it: the exchange keys on
+    # (pt, sub-split of the turn hash) over n_buckets * k partitions, so
+    # write parallelism scales past the bucket count while each bucket
+    # still lands in at most k files (the writer splits a task's rows by
+    # pt dir, and each task holds ~one (pt, sub) slice).
+    k = max(int(cfg.files_per_bucket), 1)
+    if k == 1:
+        out = out.repartition(cfg.n_buckets, F.col("pt"))
+    else:
+        out = out.repartition(
+            cfg.n_buckets * k,
+            F.col("pt"),
+            F.pmod(F.xxhash64(F.col("conv_id"), F.col("turn_idx")), F.lit(k)),
+        )
 
-    # lineage rides the WRITE job via df.observe: per-candidate-bucket
-    # conditional sums are computed during the single scan+write pass — no
-    # re-read of the output table (at 100 TB a read-back is a second full
-    # scan purely for counts).  Every candidate bucket commits, including
-    # hash-empty ones, so a completed run's rerun early-returns above.
-    from pyspark.sql import Observation
+    if len(candidates) <= LINEAGE_OBSERVE_MAX:
+        # lineage rides the WRITE job via df.observe: per-candidate-bucket
+        # conditional sums are computed during the single scan+write pass —
+        # no re-read of the output table (at 100 TB a read-back is a second
+        # full scan purely for counts).  Every candidate bucket commits,
+        # including hash-empty ones, so a completed run's rerun
+        # early-returns above.
+        from pyspark.sql import Observation
 
-    obs = Observation(f"lineage_{run_id}")
-    out = out.observe(obs, *lineage_observe_exprs(candidates))
-    write_partitioned(out, output_path, "pt")
-    lineage_rows = lineage_rows_from_metrics(obs.get, candidates, run_id, snap)
+        obs = Observation(f"lineage_{run_id}")
+        out = out.observe(obs, *lineage_observe_exprs(candidates))
+        write_partitioned(out, output_path, "pt")
+        lineage_rows = lineage_rows_from_metrics(
+            obs.get, candidates, run_id, snap
+        )
+    else:
+        # cluster-scale bucket counts: 8 x candidates observe expressions
+        # would blow up codegen/driver analysis, so persist the write frame
+        # and run ONE fixed-width groupBy(pt) aggregate against the cache —
+        # still one scan of the input (the write materializes the cache)
+        # and zero scans of the output table.
+        from pyspark import StorageLevel
+
+        out = out.persist(StorageLevel.MEMORY_AND_DISK)
+        try:
+            write_partitioned(out, output_path, "pt")
+            lineage_rows = lineage_agg_rows(out, candidates, run_id, snap)
+        finally:
+            out.unpersist()
     store.append(spark.createDataFrame(lineage_rows, CHECKPOINT_SCHEMA))
     record_snapshot(output_path, snap, {"run_id": run_id})
     n_written = sum(1 for r in lineage_rows if r["row_count"] > 0)

@@ -390,6 +390,9 @@ def main() -> None:
         import tempfile as _tf
 
         from accelerated_intelligent_document_processing_on_aws_spark import (
+            PipelineConfig as _PC,
+        )
+        from accelerated_intelligent_document_processing_on_aws_spark import (
             run_pipeline as _rp,
         )
 
@@ -397,10 +400,13 @@ def main() -> None:
         pn = spark.read.parquet(ppath).count()
         pd_dir = _tf.mkdtemp(prefix="bench_pipe_")
         best = float("inf")
+        # files_per_bucket=4 widens the write fan-in past the 64-bucket
+        # cap (the round-4 write-parallelism decoupling): 256 write tasks
+        # at local[32] instead of 64
         for i in range(2):
             outp, ckpt = f"{pd_dir}/out{i}", f"{pd_dir}/ckpt{i}"
             t0 = time.time()
-            _rp(spark, ppath, outp, ckpt)
+            _rp(spark, ppath, outp, ckpt, _PC(files_per_bucket=4))
             best = min(best, time.time() - t0)
         pipe_tps = round(pn / best, 1)
         _sh.rmtree(pd_dir, ignore_errors=True)

@@ -235,3 +235,84 @@ def test_pipeline_empty_input_commits_and_resumes(spark, tmp_path):
     assert s1["partitions_written"] == 0 and s1["partitions_committed"] == 8
     s2 = pkg.run_pipeline(spark, inp, outp, ckpt, cfg)
     assert s2["resumed"] and s2["partitions_committed"] == 0
+
+
+def test_lineage_groupby_path_large_bucket_count(spark, tmp_path):
+    """Above LINEAGE_OBSERVE_MAX candidate buckets the pipeline swaps
+    observe-lineage (8 expressions PER bucket — codegen blowup at
+    cluster-scale counts) for one fixed-width groupBy(pt) aggregate over
+    the persisted write frame.  Same lineage numbers, same resume
+    semantics, no output-table read-back (job-count bound)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.io.checkpoint import (
+        LINEAGE_OBSERVE_MAX,
+    )
+
+    inp, outp, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    write_transcripts(spark, inp, n_convs=40, mean_turns=5)
+    cfg = PipelineConfig(n_buckets=1024)
+    assert cfg.n_buckets > LINEAGE_OBSERVE_MAX
+
+    sc = spark.sparkContext
+    sc.setJobGroup("pl_big", "groupBy-lineage run")
+    s1 = run_pipeline(spark, inp, outp, ckpt, cfg)
+    jobs = sc.statusTracker().getJobIdsForGroup("pl_big")
+    sc.setJobGroup(None, None)
+    # scan+write (<=3 AQE sub-jobs) + cached groupBy aggregate (<=2) +
+    # footer inference + lineage append: a read-back of the output table
+    # would add its own inference + scan jobs past this bound
+    assert len(jobs) <= 8, f"pipeline ran {len(jobs)} jobs: {jobs}"
+
+    assert s1["partitions_committed"] == 1024
+    lin = spark.read.parquet(ckpt)
+    got = spark.read.parquet(outp)
+    assert lin.count() == 1024  # hash-empty buckets committed too
+    row = lin.selectExpr(
+        "sum(row_count) rc", "sum(span_count) sp",
+        "sum(metrics['boundaries']) b",
+    ).collect()[0]
+    assert row.rc == got.count()
+    assert row.sp == got.selectExpr("sum(size(spans))").collect()[0][0]
+    assert row.b == got.filter(F.col("is_boundary")).count()
+
+    s2 = run_pipeline(spark, inp, outp, ckpt, cfg)
+    assert s2["resumed"] and s2["partitions_committed"] == 0
+
+
+def test_files_per_bucket_widens_write_parallelism(spark, tmp_path):
+    """files_per_bucket=k decouples write parallelism from the bucket
+    count: each bucket lands in at most k files (more than 1 for busy
+    buckets), the table equals the k=1 run exactly, and resume still
+    early-returns on pt-bucket granularity."""
+    inp = str(tmp_path / "in")
+    write_transcripts(
+        spark, inp, n_convs=60, mean_turns=8, skew_convs=2, skew_factor=20
+    )
+    out1, cp1 = str(tmp_path / "out1"), str(tmp_path / "cp1")
+    outk, cpk = str(tmp_path / "outk"), str(tmp_path / "cpk")
+    run_pipeline(spark, inp, out1, cp1, PipelineConfig(n_buckets=8))
+    sk = run_pipeline(
+        spark, inp, outk, cpk, PipelineConfig(n_buckets=8, files_per_bucket=4)
+    )
+
+    per_bucket = {}
+    for e in os.listdir(outk):
+        if e.startswith("pt="):
+            per_bucket[e] = [
+                f for f in os.listdir(os.path.join(outk, e))
+                if f.endswith(".parquet")
+            ]
+    assert all(1 <= len(v) <= 4 for v in per_bucket.values())
+    total_files = sum(len(v) for v in per_bucket.values())
+    assert total_files > len(per_bucket), "write parallelism did not widen"
+
+    key = ["conv_id", "turn_idx"]
+    a = spark.read.parquet(out1).orderBy(*key).drop("pt").collect()
+    b = spark.read.parquet(outk).orderBy(*key).drop("pt").collect()
+    assert a == b
+
+    s2 = run_pipeline(
+        spark, inp, outk, cpk, PipelineConfig(n_buckets=8, files_per_bucket=4)
+    )
+    assert s2["resumed"] and s2["partitions_written"] == 0
