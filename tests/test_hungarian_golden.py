@@ -1,15 +1,18 @@
-"""Hungarian list-matching certification (J2, round-3 item #7).
+"""Hungarian list-matching certification (J2, round-3 item #7; oracle
+added round 4 per VERDICT #5).
 
-Two layers of evidence for the rows-only driver query
-``q_evaluate_hungarian`` (no SQL analog exists for optimal assignment):
+Three layers of evidence for ``q_evaluate_hungarian``:
 
 1. DIFFERENTIAL optimality: the numpy Hungarian kernel must equal the
    brute-force permutation optimum (reference semantics
    ``evaluation/comparator.py:226-287``) on seeded random cases + edges.
 2. COMMITTED GOLDEN: the driver query's full sf0.01 output is pinned in
    ``tests/golden/hungarian_sf001.json`` (testdata is seed-42
-   deterministic), so the driver's rows-only row is backed by byte-exact
-   evidence the same way q_transcript_extract is.
+   deterministic) — byte-exact evidence independent of the driver.
+3. DRIVER ORACLE: since round 4 the query uses fixed-size groups
+   (doc_id div 5, n <= 5) so a DuckDB recursive-CTE permutation
+   brute-force is feasible — ``_evaluate_hungarian_sql`` hash-matches
+   the kernel at sf0.01 and sf0.1 (the former rows-only gap is closed).
 """
 
 from __future__ import annotations
