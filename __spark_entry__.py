@@ -3236,14 +3236,28 @@ def q_curate_corpus(spark, sf_dir):
     first failing reason.  The end-to-end op a training-data pipeline runs
     per corpus snapshot."""
     from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        contamination_hits,
         curate_corpus,
-        decontaminate,
     )
 
-    d = _t(spark, sf_dir, "documents")
+    # ONE materialization of the (doc_id, text) projection shared by all
+    # five cascade stages (VERDICT #7): without it each stage re-scans the
+    # source with its own spread exchange — 5 scans / 5 exchanges of pure
+    # recompute (the same lazy-localCheckpoint discipline as the dedup
+    # sketches; materialized once by the query's first action)
+    d = (
+        _t(spark, sf_dir, "documents")
+        .select("doc_id", "text")
+        .localCheckpoint(eager=False)
+    )
     ev = d.filter(F.col("doc_id") % 37 == 0)
     tr = d.filter(F.col("doc_id") % 37 != 0)
-    cont = decontaminate(tr, ev, "doc_id", "text", k=4)
+    # hits-only contamination frame (absent ids count clean inside
+    # curate_corpus) — skips decontaminate's left-join fan back over all
+    # train ids, one exchange fewer in the cascade (VERDICT #7)
+    cont = contamination_hits(tr, ev, "doc_id", "text", k=4).select(
+        "doc_id", (F.col("n_hits") > 0).cast("int").alias("contaminated")
+    )
     return curate_corpus(d, "doc_id", "text", contaminated=cont).transform(_by(
         "doc_id"
     ))
