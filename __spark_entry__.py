@@ -1773,6 +1773,79 @@ FROM events GROUP BY user_id ORDER BY user_id
 """
 
 
+def q_image_binarize(spark, sf_dir):
+    """Adaptive binarization over image media (reference OCR preprocessing
+    ``idp_common/image/__init__.py:125``, ADAPTIVE_THRESH_MEAN_C block 15
+    C 10 — the last piece of the reference's image surface, VERDICT #6).
+    Spark decodes REAL encoded BMP/PPM bytes and binarizes with an exact
+    integral-image local mean (``kernels/image.py binarize_adaptive``);
+    the oracle computes white-pixel counts in closed form — the synthetic
+    rasters are row-gradients, so the edge-clipped 2-D window comparison
+    collapses to a per-ROW one (the column count factors out of
+    ``gray*cnt > winsum - C*cnt``).  Any header-parse, integral-image,
+    edge-clip or threshold bug breaks the hash."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.multimodal import (
+        binarize_stats,
+        media_from_documents,
+        with_media_payloads,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    media = media_from_documents(d, payload_from_text=False).filter(
+        F.col("kind") == "image"
+    )
+    media = with_media_payloads(media, kinds=("image",))
+    return binarize_stats(media).transform(
+        lambda x: _ordered(x, F.col("media_id").cast("bigint"))
+    )
+
+
+# closed-form white-count per synthetic row-gradient image: channel c of
+# row y is (i_{2+c} + y) % 256, so gray and the clipped window sums depend
+# on y alone and the per-pixel threshold test is per-row (see
+# q_image_binarize docstring)
+_BIN_GRAY = (
+    "(299 * ((i2 + {y}) % 256) + 587 * ((i3 + {y}) % 256)"
+    " + 114 * ((i4 + {y}) % 256)) // 1000"
+)
+Q_IMAGE_BINARIZE_SQL = f"""
+WITH m AS (
+  SELECT CAST(doc_id AS VARCHAR) AS media_id,
+         md5(CAST(doc_id AS VARCHAR)) AS ihx
+  FROM documents
+  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)) AS INT) % 3 = 0
+),
+b AS (
+  SELECT media_id,
+         16 + CAST(('0x' || substr(ihx, 1, 2)) AS INT) % 48 AS w,
+         16 + CAST(('0x' || substr(ihx, 3, 2)) AS INT) % 48 AS h,
+         CAST(('0x' || substr(ihx, 5, 2)) AS INT) AS i2,
+         CAST(('0x' || substr(ihx, 7, 2)) AS INT) AS i3,
+         CAST(('0x' || substr(ihx, 9, 2)) AS INT) AS i4
+  FROM m
+),
+rows_white AS (
+  SELECT media_id, w, h,
+    list_sum(list_transform(range(h), y ->
+      CASE WHEN ({_BIN_GRAY.format(y='y')})
+                 * (least(h - 1, y + 7) - greatest(0, y - 7) + 1)
+             > list_sum(list_transform(
+                   range(greatest(0, y - 7), least(h - 1, y + 7) + 1),
+                   yy -> {_BIN_GRAY.format(y='yy')}))
+               - 10 * (least(h - 1, y + 7) - greatest(0, y - 7) + 1)
+      THEN 1 ELSE 0 END)) AS white_rows
+  FROM b
+)
+SELECT media_id,
+       CAST(w AS INT) AS width,
+       CAST(h AS INT) AS height,
+       CAST(w * white_rows AS BIGINT) AS n_white,
+       CAST(w * h AS BIGINT) AS n_pixels
+FROM rows_white
+ORDER BY CAST(media_id AS BIGINT)
+"""
+
+
 def q_text_paginate(spark, sf_dir):
     """P4 monospace wrap + pagination (document_converter.py:38-111):
     page explode with stable page ordinals.  Oracle-backed: the greedy
@@ -3486,6 +3559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_text_chunks": q_text_chunks,
         "q_domain_stats": q_domain_stats,
         "q_curate_corpus": q_curate_corpus,
+        "q_image_binarize": q_image_binarize,
         # --- certified r2; paths changed in r3 (re-certify early) ---
         "q_embed_neardup": q_embed_neardup,
         "q_lsh_topk": q_lsh_topk,
@@ -3617,6 +3691,7 @@ def oracle_sql() -> dict[str, str]:
         "q_text_chunks": Q_TEXT_CHUNKS_SQL,
         "q_domain_stats": Q_DOMAIN_STATS_SQL,
         "q_curate_corpus": _curate_corpus_sql(),
+        "q_image_binarize": Q_IMAGE_BINARIZE_SQL,
         "q_evaluate_hungarian": _evaluate_hungarian_sql(),
         # Non-SQL op (rows-only driver check by design):
         # q_transcript_extract (pandas-UDF extraction kernels).

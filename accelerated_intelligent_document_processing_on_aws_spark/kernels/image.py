@@ -130,6 +130,44 @@ def resize_nearest(
     return arr[np.ix_(ys, xs)]
 
 
+def binarize_adaptive(arr: np.ndarray, block: int = 15, c: int = 10) -> np.ndarray:
+    """Adaptive mean thresholding — the reference's OCR-preprocessing step
+    ``apply_adaptive_binarization`` (``idp_common/image/__init__.py:125``:
+    ADAPTIVE_THRESH_MEAN_C semantics, block_size=15, C=10; pixel is white
+    iff it exceeds its local mean minus C).
+
+    Engine-portable integer variant: grayscale by floored integer luma
+    ``(299R + 587G + 114B) // 1000``; EXACT edge-clipped block means via
+    an integral image (the reference approximates the local mean with a
+    PIL BoxBlur); white iff ``gray * cnt > winsum - C * cnt`` — the
+    division-free form of ``gray > mean - C``, all-integer, so a SQL
+    oracle reproduces every pixel bit-exactly.  O(HW) per image
+    regardless of block size (the integral image is why this scales to
+    page-size rasters; a naive window sum is O(HW·block²)).
+
+    Input (H, W, 3) uint8 RGB or (H, W) uint8 gray; returns (H, W) uint8
+    with values in {0, 255}.
+    """
+    if block < 1 or block % 2 == 0:
+        raise ValueError(f"block must be odd and positive, got {block}")
+    if arr.ndim == 3:
+        px = arr.astype(np.int64)
+        g = (_LUMA_R * px[:, :, 0] + _LUMA_G * px[:, :, 1] + _LUMA_B * px[:, :, 2]) // 1000
+    else:
+        g = arr.astype(np.int64)
+    h, w = g.shape
+    r = block // 2
+    ii = np.zeros((h + 1, w + 1), dtype=np.int64)
+    np.cumsum(np.cumsum(g, axis=0), axis=1, out=ii[1:, 1:])
+    y0 = np.clip(np.arange(h) - r, 0, None)
+    y1 = np.minimum(np.arange(h) + r, h - 1) + 1
+    x0 = np.clip(np.arange(w) - r, 0, None)
+    x1 = np.minimum(np.arange(w) + r, w - 1) + 1
+    winsum = ii[y1][:, x1] - ii[y0][:, x1] - ii[y1][:, x0] + ii[y0][:, x0]
+    cnt = (y1 - y0)[:, None] * (x1 - x0)[None, :]
+    return np.where(g * cnt > winsum - c * cnt, 255, 0).astype(np.uint8)
+
+
 def image_sums(arr: np.ndarray) -> tuple[int, int, int, int, int, int, int]:
     """Raw integer accumulators for an RGB array: (sum_r, sum_g, sum_b,
     luma_sum, luma_min, luma_max, n_pixels).  Exact in any engine/order;

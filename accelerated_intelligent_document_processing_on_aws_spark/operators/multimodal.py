@@ -41,7 +41,13 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from ..kernels.audio import audio_features, decode_wav, encode_wav
-from ..kernels.image import decode_image, image_features, image_sums, resize_nearest
+from ..kernels.image import (
+    binarize_adaptive,
+    decode_image,
+    image_features,
+    image_sums,
+    resize_nearest,
+)
 from ..kernels.video import decode_rawvideo, encode_rawvideo
 from .common import ensure_min_partitions
 
@@ -176,6 +182,43 @@ def decode_features(df: DataFrame, box: tuple[int, int] = (32, 32)) -> DataFrame
     # and leaves well-split 100 TB scans untouched.
     pruned = ensure_min_partitions(df.select("media_id", "kind", "payload"))
     return pruned.mapInPandas(_decode, FEATURES_SCHEMA)
+
+
+BINARIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_white", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+    ]
+)
+
+
+def binarize_stats(df: DataFrame, block: int = 15, c: int = 10) -> DataFrame:
+    """Adaptive-binarization stage over image-kind media rows (reference
+    OCR preprocessing, ``idp_common/image/__init__.py:125``): decode →
+    ``kernels.image.binarize_adaptive`` → white/total pixel counts per
+    image.  Same Arrow-batched mapInPandas shape as ``decode_features``
+    (CPU-heavy per row, tiny bytes — spread before the UDF)."""
+
+    def _run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                arr = decode_image(payload)
+                h, w = arr.shape[:2]
+                binary = binarize_adaptive(arr, block=block, c=c)
+                rows.append(
+                    (mid, w, h, int((binary == 255).sum()), h * w)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["media_id", "width", "height", "n_white", "n_pixels"],
+            )
+
+    pruned = ensure_min_partitions(df.select("media_id", "payload"))
+    return pruned.mapInPandas(_run, BINARIZE_SCHEMA)
 
 
 def synth_image_payload(media_id: str) -> bytes:

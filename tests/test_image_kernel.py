@@ -95,3 +95,47 @@ def test_synth_payload_real_roundtrip():
         scale = min(32 / w, 32 / h, 1.0)
         assert feats[6] == float(max(1, int(w * scale)))
         assert feats[7] == float(max(1, int(h * scale)))
+
+
+def test_binarize_adaptive_matches_bruteforce():
+    """The integral-image binarizer must equal the per-pixel definition
+    (edge-clipped local mean window, gray*cnt > winsum - C*cnt) on seeded
+    random images, including non-default block/C."""
+    from accelerated_intelligent_document_processing_on_aws_spark.kernels.image import (
+        binarize_adaptive,
+    )
+
+    rng = np.random.RandomState(7)
+    for h, w, block, c in ((9, 13, 15, 10), (20, 6, 5, 3), (3, 3, 15, 10)):
+        arr = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        got = binarize_adaptive(arr, block=block, c=c)
+        px = arr.astype(np.int64)
+        g = (299 * px[:, :, 0] + 587 * px[:, :, 1] + 114 * px[:, :, 2]) // 1000
+        r = block // 2
+        for y in range(h):
+            for x in range(w):
+                win = g[max(0, y - r): y + r + 1, max(0, x - r): x + r + 1]
+                want = 255 if g[y, x] * win.size > win.sum() - c * win.size else 0
+                assert got[y, x] == want, (y, x)
+
+
+def test_binarize_adaptive_properties():
+    from accelerated_intelligent_document_processing_on_aws_spark.kernels.image import (
+        binarize_adaptive,
+    )
+
+    # uniform image: every pixel equals its local mean, so gray > mean - C
+    # holds everywhere -> all white (reference ADAPTIVE_THRESH_MEAN_C
+    # behavior for flat regions)
+    flat = np.full((10, 10, 3), 77, dtype=np.uint8)
+    assert (binarize_adaptive(flat) == 255).all()
+    # output domain is {0, 255}; grayscale input accepted
+    rng = np.random.RandomState(3)
+    gray = rng.randint(0, 256, size=(12, 8), dtype=np.uint8)
+    out = binarize_adaptive(gray)
+    assert set(np.unique(out)) <= {0, 255}
+    # even block size rejected
+    import pytest
+
+    with pytest.raises(ValueError):
+        binarize_adaptive(flat, block=4)
