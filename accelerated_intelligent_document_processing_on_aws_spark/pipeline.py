@@ -40,7 +40,13 @@ from .io.checkpoint import (
     lineage_rows_from_metrics,
     new_run_id,
 )
-from .io.tables import record_snapshot, salted_bucket, snapshot_id, write_partitioned
+from .io.tables import (
+    record_snapshot,
+    salted_bucket,
+    snapshot_id,
+    write_partitioned,
+    write_partitioned_bucketed,
+)
 from .operators.common import num_partitions
 from .operators.extract import respan_with_text, with_extraction
 from .operators.sectionize import sectionize, sectionize_chunked
@@ -76,6 +82,19 @@ class PipelineConfig:
     # pt alone.  Each bucket lands in at most files_per_bucket files per
     # run (one per sub-split task).  1 = the round-3 behavior.
     files_per_bucket: int = 1
+    # bucketed publish (VERDICT #8): when set, the output is written as a
+    # managed table partitioned by pt AND bucketed by conv_id
+    # (io/tables.py write_partitioned_bucketed) instead of plain
+    # partitioned parquet at output_path — downstream conv-keyed joins /
+    # aggs (sectionize re-runs, evaluation joins) then plan ZERO
+    # exchanges.  Resume semantics are identical: dynamic partition
+    # overwrite replaces only the buckets this run writes.  The pre-write
+    # fan-in keys on (pt, pmod(hash(conv_id), conv_buckets)) — F.hash is
+    # the same Murmur3 the bucket spec uses, so each write task holds
+    # whole table-buckets and the file count stays n_buckets x
+    # conv_buckets per run, never tasks x buckets.
+    bucketed_table: Optional[str] = None
+    conv_buckets: int = 16
     # user plug-in point (SURVEY §2.8): the reference's post-processing
     # Lambda hook rewrites extraction results per document
     # (extraction/service.py:643-711; docs/post-processing-lambda-hook.md);
@@ -211,7 +230,16 @@ def run_pipeline(
     # still lands in at most k files (the writer splits a task's rows by
     # pt dir, and each task holds ~one (pt, sub) slice).
     k = max(int(cfg.files_per_bucket), 1)
-    if k == 1:
+    if cfg.bucketed_table is not None:
+        # align the fan-in with the TABLE buckets (same Murmur3 as the
+        # bucket spec) so the bucketed write emits one file per
+        # (pt, conv-bucket) instead of tasks x buckets
+        out = out.repartition(
+            cfg.n_buckets * max(int(cfg.conv_buckets), 1),
+            F.col("pt"),
+            F.pmod(F.hash(F.col("conv_id")), F.lit(cfg.conv_buckets)),
+        )
+    elif k == 1:
         out = out.repartition(cfg.n_buckets, F.col("pt"))
     else:
         out = out.repartition(
@@ -219,6 +247,20 @@ def run_pipeline(
             F.col("pt"),
             F.pmod(F.xxhash64(F.col("conv_id"), F.col("turn_idx")), F.lit(k)),
         )
+
+    def _sink(frame) -> str:
+        """Write to the configured sink; returns the manifest location."""
+        if cfg.bucketed_table is not None:
+            return write_partitioned_bucketed(
+                frame,
+                cfg.bucketed_table,
+                partition_col="pt",
+                bucket_col="conv_id",
+                sort_cols=("conv_id", "turn_idx"),
+                n_buckets=cfg.conv_buckets,
+            )
+        write_partitioned(frame, output_path, "pt")
+        return output_path
 
     if len(candidates) <= LINEAGE_OBSERVE_MAX:
         # lineage rides the WRITE job via df.observe: per-candidate-bucket
@@ -231,7 +273,7 @@ def run_pipeline(
 
         obs = Observation(f"lineage_{run_id}")
         out = out.observe(obs, *lineage_observe_exprs(candidates))
-        write_partitioned(out, output_path, "pt")
+        manifest_loc = _sink(out)
         lineage_rows = lineage_rows_from_metrics(
             obs.get, candidates, run_id, snap
         )
@@ -245,12 +287,13 @@ def run_pipeline(
 
         out = out.persist(StorageLevel.MEMORY_AND_DISK)
         try:
-            write_partitioned(out, output_path, "pt")
+            manifest_loc = _sink(out)
             lineage_rows = lineage_agg_rows(out, candidates, run_id, snap)
         finally:
             out.unpersist()
     store.append(spark.createDataFrame(lineage_rows, CHECKPOINT_SCHEMA))
-    record_snapshot(output_path, snap, {"run_id": run_id})
+    if manifest_loc:
+        record_snapshot(manifest_loc, snap, {"run_id": run_id})
     n_written = sum(1 for r in lineage_rows if r["row_count"] > 0)
     summary = {
         "run_id": run_id,

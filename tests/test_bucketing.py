@@ -58,3 +58,59 @@ def test_unbucketed_baseline_does_shuffle(spark):
     a = spark.range(2000).select((F.col("id") % 200).alias("conv_id"))
     b = spark.range(200).select(F.col("id").alias("conv_id")).hint("merge")
     assert _n_exchanges(a.join(b, "conv_id")) >= 1
+
+
+def test_pipeline_bucketed_output_zero_exchange_joins(spark, tmp_path_factory):
+    """run_pipeline with bucketed_table set publishes the extracted table
+    partitioned by pt AND bucketed by conv_id: downstream conv-keyed
+    aggregates and joins plan zero exchanges, rows equal the plain
+    path-based run, and resume still early-returns (VERDICT #8)."""
+    import accelerated_intelligent_document_processing_on_aws_spark as pkg
+    from accelerated_intelligent_document_processing_on_aws_spark.datagen.transcripts import (
+        write_transcripts,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.io.tables import (
+        write_bucketed,
+    )
+
+    root = tmp_path_factory.mktemp("pipe_bkt")
+    inp = str(root / "in")
+    write_transcripts(spark, inp, n_convs=40, mean_turns=6)
+
+    cfg = pkg.PipelineConfig(
+        n_buckets=8, bucketed_table="bkt.pipe_out", conv_buckets=8
+    )
+    s1 = pkg.run_pipeline(
+        spark, inp, str(root / "unused_out"), str(root / "ckpt"), cfg
+    )
+    assert s1["partitions_committed"] == 8
+
+    got = spark.table("bkt.pipe_out")
+
+    # conv-keyed aggregate: zero exchanges (bucketed scan satisfies it)
+    agg = got.groupBy("conv_id").agg(F.count("*").alias("n_turns"))
+    assert _n_exchanges(agg) == 0
+
+    # conv-keyed join against a same-bucketed dimension: zero exchanges
+    meta = got.select("conv_id").distinct().withColumn("flag", F.lit(1))
+    write_bucketed(meta, "bkt.pipe_meta", "conv_id", n_buckets=8,
+                   sort_col="conv_id")
+    joined = got.join(spark.table("bkt.pipe_meta").hint("merge"), "conv_id")
+    assert _n_exchanges(joined) == 0
+    assert joined.count() == got.count()
+
+    # same rows as the plain path-based pipeline
+    plain_out, plain_cp = str(root / "plain_out"), str(root / "plain_cp")
+    pkg.run_pipeline(spark, inp, plain_out, plain_cp,
+                     pkg.PipelineConfig(n_buckets=8))
+    key = ["conv_id", "turn_idx"]
+    a = spark.read.parquet(plain_out).orderBy(*key).collect()
+    b = got.orderBy(*key).select(*spark.read.parquet(plain_out).columns).collect()
+    assert a == b
+
+    # resume: second run early-returns, table untouched
+    s2 = pkg.run_pipeline(
+        spark, inp, str(root / "unused_out"), str(root / "ckpt"), cfg
+    )
+    assert s2["resumed"] and s2["partitions_written"] == 0
+    assert spark.table("bkt.pipe_out").count() == got.count()
