@@ -46,11 +46,14 @@ dims = st.tuples(st.integers(1, 40), st.integers(1, 40))
 
 @st.composite
 def rasters(draw):
+    # one fixed-size binary draw instead of h*w*3 integer draws: a 40x40
+    # raster costs 4800 entropy-buffer entries as a list (6 of them in the
+    # video test overran hypothesis's example-size budget -> flaky
+    # FailedHealthCheck data_too_large), but a single bytes draw is compact
+    # and uniform over uint8 all the same
     h, w = draw(dims)
-    flat = draw(
-        st.lists(rgb, min_size=h * w * 3, max_size=h * w * 3)
-    )
-    return np.array(flat, dtype=np.uint8).reshape(h, w, 3)
+    flat = draw(st.binary(min_size=h * w * 3, max_size=h * w * 3))
+    return np.frombuffer(flat, dtype=np.uint8).reshape(h, w, 3).copy()
 
 
 class TestImageCodecs:
