@@ -3112,6 +3112,60 @@ FROM ranked WHERE rank <= 3 ORDER BY doc_id, rank
 """
 
 
+def q_dup_spans(spark, sf_dir):
+    """Exact-substring duplicate-span stats (operators/dedup.py
+    duplicate_spans; Lee et al. 2022 arXiv:2107.06499 reformulated as
+    stride-1 positional 8-gram fingerprints): per doc, the number of
+    maximal word ranges covered by a k-gram occurring >= 2 times in the
+    corpus, the duplicated word count, and the first duplicated offset.
+    Plan: one gram explode -> groupBy(fp) frequency (map-side combine) ->
+    equi-join back (AQE-skew-splittable, never a hot-fp window) ->
+    per-doc gaps-and-islands merge."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+        duplicate_span_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return duplicate_span_stats(d, "doc_id", "text", k=8).transform(_by("id"))
+
+
+Q_DUP_SPANS_SQL = """
+WITH w AS (SELECT doc_id, str_split(coalesce(text,''), ' ') AS w FROM documents),
+pos AS (
+  SELECT doc_id, CAST(i AS INT) AS start_word,
+         md5(array_to_string(w[i : i+7], ' ')) AS fp
+  FROM w, LATERAL (SELECT unnest(generate_series(1, len(w) - 7)) AS i)
+  WHERE len(w) >= 8
+),
+dup AS (SELECT fp FROM pos GROUP BY fp HAVING count(*) >= 2),
+dpos AS (
+  SELECT p.doc_id, p.start_word, CAST(p.start_word + 8 AS INT) AS end_word
+  FROM pos p JOIN dup USING (fp)
+),
+brk AS (
+  SELECT doc_id, start_word, end_word,
+         CASE WHEN start_word > coalesce(max(end_word) OVER (
+                PARTITION BY doc_id ORDER BY start_word
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), -1)
+              THEN 1 ELSE 0 END AS b
+  FROM dpos
+),
+isl AS (
+  SELECT *, sum(b) OVER (PARTITION BY doc_id ORDER BY start_word
+                         ROWS UNBOUNDED PRECEDING) AS g
+  FROM brk
+),
+spans AS (
+  SELECT doc_id, g, min(start_word) AS s, max(end_word) AS e
+  FROM isl GROUP BY doc_id, g
+)
+SELECT doc_id AS id, count(*) AS n_dup_spans,
+       CAST(sum(e - s) AS BIGINT) AS dup_words,
+       min(s) AS first_dup_start
+FROM spans GROUP BY doc_id ORDER BY id
+"""
+
+
 def q_chunk_dedup(spark, sf_dir):
     """CCNet-style chunk-level exact dedup with reassembly
     (operators/curation.py chunk_dedup): 10-word chunks survive only at
@@ -3586,6 +3640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q_events_rollup": q_events_rollup,
         "q_dedup_incremental": q_dedup_incremental,
         "q_sample_stratified": q_sample_stratified,
+        "q_dup_spans": q_dup_spans,
         "q_multimodal_features": q_multimodal_features,
         # --- past position 50: r3-green, untouched this round ---
         "q1_pricing_summary": q1_pricing_summary,
@@ -3686,6 +3741,7 @@ def oracle_sql() -> dict[str, str]:
         "q_events_rollup": Q_EVENTS_ROLLUP_SQL,
         "q_dedup_incremental": Q_DEDUP_INCREMENTAL_SQL,
         "q_sample_stratified": Q_SAMPLE_STRATIFIED_SQL,
+        "q_dup_spans": Q_DUP_SPANS_SQL,
         "q_tfidf_terms": Q_TFIDF_TERMS_SQL,
         "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
         "q_decontaminate": Q_DECONTAMINATE_SQL,

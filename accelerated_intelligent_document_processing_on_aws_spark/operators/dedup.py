@@ -556,3 +556,100 @@ def neardup_keepers(components: DataFrame) -> DataFrame:
         F.min("node").alias("keeper_id"),
         F.count(F.lit(1)).alias("n_docs"),
     )
+
+
+def duplicate_spans(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Exact-substring duplicate spans (Lee et al. 2022, arXiv:2107.06499):
+    maximal word ranges covered by at least one ``k``-gram that occurs >= 2
+    times anywhere in the corpus (cross-doc AND intra-doc repeats both
+    count, as in the paper's suffix-array formulation).
+
+    Output: one row per maximal span — (id, span_start, span_end), 1-based
+    word offsets, end exclusive.  Docs shorter than ``k`` words contribute
+    nothing (no whole-text fallback here: a substring shorter than the
+    match length is not an exact-substring duplicate).
+
+    Spark-first reformulation: the paper builds one giant suffix array; the
+    distributed equivalent is stride-1 positional k-gram fingerprints — an
+    equi-joinable key that needs no global ordered structure:
+
+      1. (id, start, fp=md5(gram)) for every window — offsets + 32-byte
+         fingerprint only, the gram text never rides a shuffle.
+      2. global frequency per fp via groupBy-count (map-side partial agg
+         absorbs hot boilerplate grams; the filtered dup-fp set joins back
+         as a plain equi-join, which AQE skew-splits if a fp is hot —
+         deliberately NOT a count-over-Window, whose hot-fp partition
+         cannot be split).
+      3. per-doc gaps-and-islands merge of overlapping/adjacent duplicated
+         windows (the repo's G2 pattern): running max(end) window, break
+         when start > max(prev ends).
+
+    The per-doc islands window is bounded by document length (docs, unlike
+    conversations, are size-capped upstream), so no chunked variant is
+    needed.  Two passes over the gram explode (count + join-back) is the
+    scale-correct trade: a single collect_list-per-fp pass would buffer a
+    hot fingerprint's every occurrence in one task.
+    """
+    w = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"),
+        F.split(F.coalesce(F.col(text_col), F.lit("")), " ").alias("_w"),
+    )
+    n = F.size(F.col("_w"))
+    idx = F.sequence(F.lit(1), n - F.lit(k - 1))
+    # NULL for short docs: explode(NULL) emits no rows.  Same HOF trap as
+    # shingle_rows: the gram expression feeds posexplode directly, in the
+    # same select that materialized _w.
+    fps = F.when(
+        n >= k,
+        F.transform(
+            idx, lambda i: F.md5(F.array_join(F.slice(F.col("_w"), i, k), " "))
+        ),
+    )
+    pos = w.select("id", F.posexplode(fps).alias("_off", "fp")).select(
+        "id", (F.col("_off") + 1).cast("int").alias("start_word"), "fp"
+    )
+    dup_fps = (
+        pos.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") >= 2)
+        .select("fp")
+    )
+    dpos = pos.join(dup_fps, "fp").select(
+        "id",
+        "start_word",
+        (F.col("start_word") + F.lit(k)).cast("int").alias("end_word"),
+    )
+    ws = Window.partitionBy("id").orderBy("start_word")
+    prev_end = F.max("end_word").over(
+        ws.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = dpos.withColumn(
+        "_brk",
+        F.when(F.col("start_word") > F.coalesce(prev_end, F.lit(-1)), 1).otherwise(0),
+    ).withColumn(
+        "_g", F.sum("_brk").over(ws.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    return marked.groupBy("id", "_g").agg(
+        F.min("start_word").alias("span_start"),
+        F.max("end_word").alias("span_end"),
+    ).select("id", "span_start", "span_end")
+
+
+def duplicate_span_stats(
+    df: DataFrame, id_col: str, text_col: str, k: int = 8
+) -> DataFrame:
+    """Per-doc rollup of :func:`duplicate_spans`: (id, n_dup_spans,
+    dup_words, first_dup_start) — the mark/filter signal a curation
+    cascade consumes (drop or trim docs whose dup_words fraction is high).
+    Only docs with at least one duplicated span appear."""
+    return (
+        duplicate_spans(df, id_col, text_col, k)
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).alias("n_dup_spans"),
+            F.sum(F.col("span_end") - F.col("span_start")).cast("bigint").alias("dup_words"),
+            F.min("span_start").alias("first_dup_start"),
+        )
+    )

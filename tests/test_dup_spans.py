@@ -1,0 +1,92 @@
+"""Exact-substring duplicate-span detection (operators/dedup.py
+duplicate_spans — Lee et al. 2022 arXiv:2107.06499 reformulated as
+positional k-gram fingerprints + gaps-and-islands merge).
+
+Hand-built corpus with KNOWN duplicated substrings so every assertion is
+a closed-form expectation, not a re-implementation of the operator."""
+
+from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+    duplicate_span_stats,
+    duplicate_spans,
+)
+
+K = 4
+
+# words 1..12 of A and B share a 12-word prefix; C is unique; D repeats
+# its own 4-gram twice (intra-doc dup); E is shorter than K words.
+SHARED = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu"
+DOCS = [
+    (1, SHARED + " one uniqueword1 tailA tailB"),
+    (2, SHARED + " two uniqueword2 tailC tailD"),
+    (3, "completely different words nothing shared here at all ever"),
+    (4, "x1 rep1 rep2 rep3 rep4 x2 x3 rep1 rep2 rep3 rep4 x4"),
+    (5, "too short"),
+]
+
+
+def _df(spark):
+    return spark.createDataFrame(DOCS, "doc_id int, text string")
+
+
+def test_shared_prefix_merges_to_one_maximal_span(spark):
+    spans = {
+        r.id: (r.span_start, r.span_end)
+        for r in duplicate_spans(_df(spark), "doc_id", "text", k=K)
+        .filter("id in (1, 2)")
+        .collect()
+    }
+    # stride-1 windows 1..9 are all duplicated (shared 12-word prefix),
+    # windows merge into ONE maximal span covering words 1..12
+    assert spans == {1: (1, 13), 2: (1, 13)}
+
+
+def test_unique_and_short_docs_emit_nothing(spark):
+    got = duplicate_spans(_df(spark), "doc_id", "text", k=K).filter(
+        "id in (3, 5)"
+    )
+    assert got.count() == 0
+
+
+def test_intra_doc_repeat_counts_as_duplicate(spark):
+    rows = (
+        duplicate_spans(_df(spark), "doc_id", "text", k=K)
+        .filter("id = 4")
+        .orderBy("span_start")
+        .collect()
+    )
+    # "rep1 rep2 rep3 rep4" occurs at words 2..5 and 8..11: two maximal
+    # spans (gap of x2 x3 between them keeps them separate)
+    assert [(r.span_start, r.span_end) for r in rows] == [(2, 6), (8, 12)]
+
+
+def test_stats_rollup(spark):
+    stats = {
+        r.id: (r.n_dup_spans, r.dup_words, r.first_dup_start)
+        for r in duplicate_span_stats(_df(spark), "doc_id", "text", k=K).collect()
+    }
+    assert stats == {
+        1: (1, 12, 1),
+        2: (1, 12, 1),
+        4: (2, 8, 2),
+    }
+
+
+def test_adjacent_windows_merge_not_just_overlapping(spark):
+    # doc 10 carries "a1..a4" and "b1..b4" back-to-back; doc 11 carries the
+    # same two 4-grams separated by filler.  In doc 10 the duplicated
+    # windows are [1,5) and [5,9) — ADJACENT, zero overlap — and must merge
+    # (start == prev_end is not a gap); in doc 11 they are [2,6) and [7,11)
+    # with a real gap, so they stay two spans.  The bridging windows
+    # ("a3 a4 b1 b2" vs "a4 q b1 b2") differ between docs, so only the two
+    # 4-grams themselves are duplicated.
+    docs = [
+        (10, "a1 a2 a3 a4 b1 b2 b3 b4"),
+        (11, "z0 a1 a2 a3 a4 q0 b1 b2 b3 b4"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id int, text string")
+    rows = duplicate_spans(df, "doc_id", "text", k=K).collect()
+    assert {(r.id, r.span_start, r.span_end) for r in rows} == {
+        (10, 1, 9),
+        (11, 2, 6),
+        (11, 7, 11),
+    }
