@@ -146,7 +146,18 @@ PAYLOAD_KINDS = ("ocr_blocks", "html", "pdfish", "plain")
 # reads it back from the cache — still ONE scan of the input and ZERO
 # scans of the output table (pinned by tests/test_resume.py and
 # test_lineage_groupby_path).
-LINEAGE_OBSERVE_MAX = 256
+# Crossover between the two lineage strategies, MEASURED on the 408k-turn
+# probe write (local[32], 256 write tasks): observe's conditional sums are
+# evaluated per row by an interpreted AggregatingAccumulator — NOT
+# whole-stage codegen — so they tax the whole write stage linearly in the
+# expression count: 64 exprs (8 buckets) free, 128 exprs +38% wall,
+# 512 exprs (64 buckets) ~3x the write (5.2 s -> 15.0 s best-case).  The
+# persist+groupBy(pt) twin costs ~nothing here because the pre-write
+# fan-in already hash-partitions by (pt, sub) — the aggregate plans ZERO
+# exchange and reads the cache, never the input or output again.  Observe
+# stays for small candidate sets (the common resume tail: a few crashed
+# buckets) where it needs no cache memory at all.
+LINEAGE_OBSERVE_MAX = 8
 
 
 def lineage_observe_exprs(candidates: List[int], partition_col: str = "pt"):
@@ -155,11 +166,12 @@ def lineage_observe_exprs(candidates: List[int], partition_col: str = "pt"):
     pipeline needs exactly one scan of the input and zero scans of the
     output (SURVEY §4 names ``observe`` for this).
 
-    Expression count is 8 × len(candidates) (bounded by n_buckets, a
-    config constant — 64 default → 512 scalar sums, trivial for codegen).
-    Above ``LINEAGE_OBSERVE_MAX`` candidates the pipeline uses
-    :func:`lineage_agg_rows` instead (groupBy over the cached write
-    frame) — same numbers, no expression blowup.
+    Expression count is 8 × len(candidates).  Observe aggregates run in an
+    interpreted per-row accumulator (not codegen), so the cost is linear in
+    the expression count and NOT trivial — measured 3x the whole write's
+    wall at 64 candidates (see LINEAGE_OBSERVE_MAX).  Above that threshold
+    the pipeline uses :func:`lineage_agg_rows` instead (groupBy over the
+    cached write frame) — same numbers, near-zero overhead.
     """
     exprs = []
     for p in candidates:

@@ -263,11 +263,10 @@ def run_pipeline(
         return output_path
 
     if len(candidates) <= LINEAGE_OBSERVE_MAX:
-        # lineage rides the WRITE job via df.observe: per-candidate-bucket
-        # conditional sums are computed during the single scan+write pass —
-        # no re-read of the output table (at 100 TB a read-back is a second
-        # full scan purely for counts).  Every candidate bucket commits,
-        # including hash-empty ones, so a completed run's rerun
+        # small candidate sets (the common resume tail — a few crashed
+        # buckets): lineage rides the WRITE job via df.observe, zero cache
+        # memory, no re-read of the output table.  Every candidate bucket
+        # commits, including hash-empty ones, so a completed run's rerun
         # early-returns above.
         from pyspark.sql import Observation
 
@@ -278,11 +277,14 @@ def run_pipeline(
             obs.get, candidates, run_id, snap
         )
     else:
-        # cluster-scale bucket counts: 8 x candidates observe expressions
-        # would blow up codegen/driver analysis, so persist the write frame
-        # and run ONE fixed-width groupBy(pt) aggregate against the cache —
-        # still one scan of the input (the write materializes the cache)
-        # and zero scans of the output table.
+        # full runs / large candidate sets: observe's interpreted per-row
+        # conditional sums tax the whole write stage linearly in the
+        # expression count (measured 3x write wall at 64 buckets — see
+        # LINEAGE_OBSERVE_MAX), so persist the write frame and run ONE
+        # fixed-width groupBy(pt) aggregate against the cache.  The
+        # pre-write fan-in already hash-partitions by (pt, ...), so the
+        # aggregate plans ZERO exchange; still one scan of the input (the
+        # write materializes the cache) and zero scans of the output.
         from pyspark import StorageLevel
 
         out = out.persist(StorageLevel.MEMORY_AND_DISK)
@@ -291,7 +293,15 @@ def run_pipeline(
             lineage_rows = lineage_agg_rows(out, candidates, run_id, snap)
         finally:
             out.unpersist()
-    store.append(spark.createDataFrame(lineage_rows, CHECKPOINT_SCHEMA))
+    # Arrow local relation, NOT createDataFrame(list): the pickled-rows
+    # path evaluates through spawned Python workers and costs a flat
+    # ~4.5-7.5 s PER ACTION on this host for even 64 rows; the pandas
+    # conversion plans a JVM-side LocalTableScan (measured 0.2 s).
+    import pandas as _pd
+
+    store.append(
+        spark.createDataFrame(_pd.DataFrame(lineage_rows), CHECKPOINT_SCHEMA)
+    )
     if manifest_loc:
         record_snapshot(manifest_loc, snap, {"run_id": run_id})
     n_written = sum(1 for r in lineage_rows if r["row_count"] > 0)

@@ -161,8 +161,9 @@ def test_empty_input_and_single_scan(spark, tmp_path):
     jobs = sc.statusTracker().getJobIdsForGroup("pl_first")
     sc.setJobGroup(None, None)
     # one scan+write (AQE splits it into up to 3 sub-jobs) + 1 footer
-    # inference + 1 tiny lineage append = <=6; the old output read-back
-    # added its own inference+scan jobs on top — pinned out by this bound
+    # inference + 1 tiny lineage append = <=6 (CFG's 8 buckets stay on
+    # the observe path); the old output read-back added its own
+    # inference+scan jobs on top — pinned out by this bound
     assert len(jobs) <= 6, f"pipeline ran {len(jobs)} jobs: {jobs}"
     assert r1["partitions_written"] == 0 and not r1["resumed"]
     assert r1["partitions_committed"] == CFG.n_buckets
