@@ -3577,100 +3577,128 @@ FROM feed
 """
 
 
+# ORDER MATTERS for certification: the driver records CORRECTNESS rows
+# for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
+# registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
+# queries whose only driver row predates the round-3 terminal-sort
+# refactor run first, then every query whose plan changed or is new this
+# round, then r3-certified fillers up to the window; everything past the
+# window must be green in a prior round AND untouched since.  queries()
+# asserts the section arithmetic so a new entry appended to the wrong
+# section fails loudly instead of silently falling outside the window.
+# The whole registry is additionally swept green against DuckDB at
+# sf0.01 + sf0.1 by scripts/check_oracle.py each round.
+CERT_WINDOW = 50
+
+_QUERIES_STALE_DRIVER_ROW = [
+    # newest driver row is r2 (pre-refactor)
+    "q_transcript_extract",
+    "q_ocr_conf_table",
+    "q_events_concat",
+    "q_first_event_label",
+    "q_metering_cost",
+    "q_ngram_jaccard",
+    "q_evaluate_fuzzy",
+    "q_sections_rollup",
+    "q_json_sniff",
+    "q_csv_markdown",
+    "q_text_paginate",
+    "q_ocr_alerts",
+    "q_props_flatten",
+    "q_conv_summaries",
+    "q_assess_confidence",
+    "q_sections_report",
+    "q_dedup_corpus",
+    "q_sectionize_chunked",
+    "q_asof_join",
+    "q_top_events_per_user",
+    "q_payload_kind",
+    "q_bool_normalize",
+    "q_doc_bpe_tokens",
+    "q_doc_rolling_hash",
+    "q_template_fill",
+    "q_sample_hash",
+]
+
+_QUERIES_CHANGED_THIS_ROUND = [
+    # changed or new this round (need a fresh driver row)
+    "q_ingest_envelope",
+    "q_evaluate_hungarian",
+    "q_image_binarize",
+    "q_curate_corpus",
+    "q_quality_repetition",
+    "q_decontaminate",
+    "q_dup_spans",
+    "q_multimodal_features",
+]
+
+_QUERIES_FILLERS = [
+    # r3-certified fillers (refresh; fill the window up to CERT_WINDOW)
+    "q_evaluate_config",
+    "q_yaml_sniff",
+    "q_office_extract",
+    "q_eval_report",
+    "q_section_attributes",
+    "q_token_packing",
+    "q_config_extract",
+    "q_validate_feed",
+    "q_ivf_topk",
+    "q_range_join",
+    "q_interval_overlap",
+    "q_session_window",
+    "q_value_quantiles",
+    "q_events_pivot",
+    "q_events_rollup",
+    "q_dedup_incremental",
+]
+
+_QUERIES_PAST_WINDOW = [
+    # past the window: green in a prior round, untouched since
+    "q_sample_stratified",
+    "q1_pricing_summary",
+    "q_tfidf_terms",
+    "q_chunk_dedup",
+    "q_pii_redact",
+    "q_text_chunks",
+    "q_domain_stats",
+    "q_embed_neardup",
+    "q_lsh_topk",
+    "q_minhash_lsh",
+    "q_simhash",
+    "q_doc_classify",
+    "q_evaluate_semantic",
+    "q_neardup_clusters",
+    "q_customer_revenue",
+    "q_region_revenue",
+    "q_events_sessionize",
+    "q_events_islands",
+    "q_events_metering",
+    "q_doc_normalize",
+    "q_doc_line_join",
+    "q_doc_token_stats",
+    "q_doc_lang_id",
+    "q_doc_quality",
+    "q_doc_fingerprint",
+    "q_dedup_exact",
+    "q_knn_cosine",
+    "q_evaluate_exact",
+]
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    # ORDER MATTERS for certification: the driver records CORRECTNESS rows
-    # for exactly the FIRST 50 registry entries (r3 sampled registry
-    # positions 1-50 verbatim).  Round-4 ordering rule (VERDICT #1): every
-    # query whose ONLY driver row predates the round-3 terminal-sort
-    # refactor runs first, then every query whose plan changed this round,
-    # then r3-certified fillers; the 27 entries past position 50 are all
-    # r3-green AND untouched this round, so their existing rows stay
-    # valid.  The whole registry is additionally swept green against
-    # DuckDB at sf0.01 + sf0.1 by scripts/check_oracle.py each round.
-    return {
-        # --- 26 stale: newest driver row is r2 (pre-refactor) ---
-        "q_transcript_extract": q_transcript_extract,
-        "q_ocr_conf_table": q_ocr_conf_table,
-        "q_events_concat": q_events_concat,
-        "q_first_event_label": q_first_event_label,
-        "q_metering_cost": q_metering_cost,
-        "q_ngram_jaccard": q_ngram_jaccard,
-        "q_evaluate_fuzzy": q_evaluate_fuzzy,
-        "q_sections_rollup": q_sections_rollup,
-        "q_json_sniff": q_json_sniff,
-        "q_csv_markdown": q_csv_markdown,
-        "q_text_paginate": q_text_paginate,
-        "q_ocr_alerts": q_ocr_alerts,
-        "q_props_flatten": q_props_flatten,
-        "q_conv_summaries": q_conv_summaries,
-        "q_assess_confidence": q_assess_confidence,
-        "q_sections_report": q_sections_report,
-        "q_dedup_corpus": q_dedup_corpus,
-        "q_sectionize_chunked": q_sectionize_chunked,
-        "q_asof_join": q_asof_join,
-        "q_top_events_per_user": q_top_events_per_user,
-        "q_payload_kind": q_payload_kind,
-        "q_bool_normalize": q_bool_normalize,
-        "q_doc_bpe_tokens": q_doc_bpe_tokens,
-        "q_doc_rolling_hash": q_doc_rolling_hash,
-        "q_template_fill": q_template_fill,
-        "q_sample_hash": q_sample_hash,
-        # --- changed or new in round 4 (need a fresh driver row) ---
-        "q_ingest_envelope": q_ingest_envelope,
-        "q_evaluate_hungarian": q_evaluate_hungarian,
-        "q_image_binarize": q_image_binarize,
-        "q_curate_corpus": q_curate_corpus,
-        "q_quality_repetition": q_quality_repetition,
-        "q_decontaminate": q_decontaminate,
-        # --- r3-certified fillers (refresh; positions 33-50) ---
-        "q_evaluate_config": q_evaluate_config,
-        "q_yaml_sniff": q_yaml_sniff,
-        "q_office_extract": q_office_extract,
-        "q_eval_report": q_eval_report,
-        "q_section_attributes": q_section_attributes,
-        "q_token_packing": q_token_packing,
-        "q_config_extract": q_config_extract,
-        "q_validate_feed": q_validate_feed,
-        "q_ivf_topk": q_ivf_topk,
-        "q_range_join": q_range_join,
-        "q_interval_overlap": q_interval_overlap,
-        "q_session_window": q_session_window,
-        "q_value_quantiles": q_value_quantiles,
-        "q_events_pivot": q_events_pivot,
-        "q_events_rollup": q_events_rollup,
-        "q_dedup_incremental": q_dedup_incremental,
-        "q_sample_stratified": q_sample_stratified,
-        "q_dup_spans": q_dup_spans,
-        "q_multimodal_features": q_multimodal_features,
-        # --- past position 50: r3-green, untouched this round ---
-        "q1_pricing_summary": q1_pricing_summary,
-        "q_tfidf_terms": q_tfidf_terms,
-        "q_chunk_dedup": q_chunk_dedup,
-        "q_pii_redact": q_pii_redact,
-        "q_text_chunks": q_text_chunks,
-        "q_domain_stats": q_domain_stats,
-        "q_embed_neardup": q_embed_neardup,
-        "q_lsh_topk": q_lsh_topk,
-        "q_minhash_lsh": q_minhash_lsh,
-        "q_simhash": q_simhash,
-        "q_doc_classify": q_doc_classify,
-        "q_evaluate_semantic": q_evaluate_semantic,
-        "q_neardup_clusters": q_neardup_clusters,
-        "q_customer_revenue": q_customer_revenue,
-        "q_region_revenue": q_region_revenue,
-        "q_events_sessionize": q_events_sessionize,
-        "q_events_islands": q_events_islands,
-        "q_events_metering": q_events_metering,
-        "q_doc_normalize": q_doc_normalize,
-        "q_doc_line_join": q_doc_line_join,
-        "q_doc_token_stats": q_doc_token_stats,
-        "q_doc_lang_id": q_doc_lang_id,
-        "q_doc_quality": q_doc_quality,
-        "q_doc_fingerprint": q_doc_fingerprint,
-        "q_dedup_exact": q_dedup_exact,
-        "q_knn_cosine": q_knn_cosine,
-        "q_evaluate_exact": q_evaluate_exact,
-    }
+    in_window = (
+        _QUERIES_STALE_DRIVER_ROW + _QUERIES_CHANGED_THIS_ROUND + _QUERIES_FILLERS
+    )
+    if len(in_window) != CERT_WINDOW:
+        raise AssertionError(
+            f"certification window holds {len(in_window)} entries, expected "
+            f"{CERT_WINDOW}: rebalance _QUERIES_FILLERS vs _QUERIES_PAST_WINDOW"
+        )
+    names = in_window + _QUERIES_PAST_WINDOW
+    if len(set(names)) != len(names):
+        raise AssertionError("duplicate query name across registry sections")
+    g = globals()
+    return {name: g[name] for name in names}
 
 
 def oracle_sql() -> dict[str, str]:

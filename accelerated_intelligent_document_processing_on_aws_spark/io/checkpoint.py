@@ -160,6 +160,40 @@ PAYLOAD_KINDS = ("ocr_blocks", "html", "pdfish", "plain")
 LINEAGE_OBSERVE_MAX = 8
 
 
+def lineage_metric_exprs(cond=None) -> dict:
+    """The single source of truth for the eight per-bucket lineage metrics:
+    metric name → aggregate Column.  Both lineage strategies consume this —
+    :func:`lineage_observe_exprs` with ``cond = (pt == p)`` (conditional
+    sums riding the write job) and :func:`lineage_agg_rows` with
+    ``cond=None`` (plain sums under a groupBy(pt)) — so a metric
+    redefinition can never diverge between the small-candidate-set observe
+    path and the large-bucket-count groupBy path (cross-path equality is
+    pinned by tests/test_resume.py::test_lineage_paths_agree)."""
+
+    def guarded(col_expr):
+        # sum() ignores NULLs, so when(cond, x) without otherwise() makes
+        # non-matching rows invisible — same totals as otherwise(0)
+        return col_expr if cond is None else F.when(cond, col_expr)
+
+    def kind_count(kname: str):
+        # kname bound through this helper on purpose: a two-parameter
+        # lambda (even with a defaulted second arg) would be treated by
+        # F.filter as the (element, index) form
+        return F.size(F.filter("payload_kinds", lambda x: x == F.lit(kname)))
+
+    metrics = {
+        "rows": F.sum(guarded(F.lit(1))).cast("long"),
+        "spans": F.sum(guarded(F.size("spans"))).cast("long"),
+        "bounds": F.sum(guarded(F.col("is_boundary").cast("long"))).cast("long"),
+        "empty": F.sum(
+            guarded((F.length("extracted_text") == 0).cast("long"))
+        ).cast("long"),
+    }
+    for k in PAYLOAD_KINDS:
+        metrics[f"kind_{k}"] = F.sum(guarded(kind_count(k))).cast("long")
+    return metrics
+
+
 def lineage_observe_exprs(candidates: List[int], partition_col: str = "pt"):
     """Per-bucket lineage aggregates as flat conditional sums for
     ``DataFrame.observe`` — computed DURING the write job itself, so the
@@ -176,31 +210,8 @@ def lineage_observe_exprs(candidates: List[int], partition_col: str = "pt"):
     exprs = []
     for p in candidates:
         c = F.col(partition_col) == p
-        exprs.append(F.sum(c.cast("long")).alias(f"rows_{p}"))
-        exprs.append(
-            F.sum(F.when(c, F.size("spans")).otherwise(0)).cast("long").alias(f"spans_{p}")
-        )
-        exprs.append(
-            F.sum(F.when(c, F.col("is_boundary").cast("long")).otherwise(0))
-            .cast("long")
-            .alias(f"bounds_{p}")
-        )
-        exprs.append(
-            F.sum(F.when(c & (F.length("extracted_text") == 0), 1).otherwise(0))
-            .cast("long")
-            .alias(f"empty_{p}")
-        )
-        for k in PAYLOAD_KINDS:
-            exprs.append(
-                F.sum(
-                    F.when(
-                        c,
-                        F.size(F.filter("payload_kinds", lambda x: x == F.lit(k))),
-                    ).otherwise(0)
-                )
-                .cast("long")
-                .alias(f"kind_{k}_{p}")
-            )
+        for name, expr in lineage_metric_exprs(c).items():
+            exprs.append(expr.alias(f"{name}_{p}"))
     return exprs
 
 
@@ -217,36 +228,19 @@ def lineage_agg_rows(
     frame before the write so this aggregate reads the cache — never the
     input a second time, never the output table.  Hash-empty candidate
     buckets still commit with zero counts (same early-return guarantee
-    as the observe path)."""
-    # NB: the kind is bound through a closure-returning helper — a
-    # two-parameter lambda (even with a defaulted second arg) would be
-    # treated by F.filter as the (element, index) form
-    def _kind_count(kname: str):
-        return F.sum(
-            F.size(F.filter("payload_kinds", lambda x: x == F.lit(kname)))
-        ).alias(f"kind_{kname}")
-
-    kind_sums = [_kind_count(k) for k in PAYLOAD_KINDS]
+    as the observe path).  Metric definitions come from
+    :func:`lineage_metric_exprs` — shared with the observe strategy."""
+    spec = lineage_metric_exprs(None)
     agg = (
         written.groupBy(F.col(partition_col).alias("_pt"))
-        .agg(
-            F.count(F.lit(1)).alias("rows"),
-            F.sum(F.size("spans")).cast("long").alias("spans"),
-            F.sum(F.col("is_boundary").cast("long")).alias("bounds"),
-            F.sum((F.length("extracted_text") == 0).cast("long")).alias("empty"),
-            *kind_sums,
-        )
+        .agg(*[expr.alias(name) for name, expr in spec.items()])
         .collect()
     )
     observed: dict = {}
     for r in agg:
         p = int(r["_pt"])
-        observed[f"rows_{p}"] = r["rows"]
-        observed[f"spans_{p}"] = r["spans"]
-        observed[f"bounds_{p}"] = r["bounds"]
-        observed[f"empty_{p}"] = r["empty"]
-        for k in PAYLOAD_KINDS:
-            observed[f"kind_{k}_{p}"] = r[f"kind_{k}"]
+        for name in spec:
+            observed[f"{name}_{p}"] = r[name]
     return lineage_rows_from_metrics(
         observed, candidates, run_id, input_snapshot_id
     )

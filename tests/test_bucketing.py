@@ -114,3 +114,89 @@ def test_pipeline_bucketed_output_zero_exchange_joins(spark, tmp_path_factory):
     )
     assert s2["resumed"] and s2["partitions_written"] == 0
     assert spark.table("bkt.pipe_out").count() == got.count()
+
+
+def test_pipeline_bucketed_partial_resume(spark, tmp_path_factory):
+    """A crashed bucketed run retried with remaining candidates takes the
+    insertInto + dynamic-partition-overwrite branch of
+    write_partitioned_bucketed (the table already exists): only the lost
+    pt partitions are rewritten, committed partition files stay
+    byte-untouched, downstream joins keep their zero-exchange plans, and
+    the healed table equals the plain path-based pipeline exactly."""
+    import os
+    import shutil
+
+    import accelerated_intelligent_document_processing_on_aws_spark as pkg
+    from accelerated_intelligent_document_processing_on_aws_spark.datagen.transcripts import (
+        write_transcripts,
+    )
+
+    root = tmp_path_factory.mktemp("pipe_bkt_resume")
+    inp = str(root / "in")
+    write_transcripts(spark, inp, n_convs=50, mean_turns=6)
+
+    cfg = pkg.PipelineConfig(
+        n_buckets=8, bucketed_table="bkt.pipe_resume", conv_buckets=8
+    )
+    ckpt = str(root / "ckpt")
+    s1 = pkg.run_pipeline(spark, inp, str(root / "unused"), ckpt, cfg)
+    assert s1["partitions_committed"] == 8
+
+    loc = [
+        r.data_type
+        for r in spark.sql("DESCRIBE FORMATTED bkt.pipe_resume").collect()
+        if r.col_name == "Location"
+    ][0].removeprefix("file:")
+    pts = sorted(
+        int(d.split("=")[1]) for d in os.listdir(loc) if d.startswith("pt=")
+    )
+    assert len(pts) >= 4
+
+    # reconstruct killed-run state: 2 buckets lost from table + checkpoint
+    lost = pts[:2]
+    for pt in lost:
+        shutil.rmtree(os.path.join(loc, f"pt={pt}"))
+    kept = spark.read.parquet(ckpt).filter(~F.col("partition_id").isin(lost))
+    kept_pd = kept.toPandas()
+    shutil.rmtree(ckpt)
+    spark.createDataFrame(kept_pd, kept.schema).coalesce(1).write.parquet(ckpt)
+    spark.catalog.refreshTable("bkt.pipe_resume")
+
+    survivors = {}
+    for d in os.listdir(loc):
+        if d.startswith("pt="):
+            for f in os.listdir(os.path.join(loc, d)):
+                if f.endswith(".parquet"):
+                    st = os.stat(os.path.join(loc, d, f))
+                    survivors[f"{d}/{f}"] = (st.st_size, st.st_mtime)
+
+    s2 = pkg.run_pipeline(spark, inp, str(root / "unused"), ckpt, cfg)
+    assert s2["resumed"] is True
+    assert s2["partitions_committed"] == len(lost)
+    spark.catalog.refreshTable("bkt.pipe_resume")
+
+    after = {}
+    for d in os.listdir(loc):
+        if d.startswith("pt="):
+            for f in os.listdir(os.path.join(loc, d)):
+                if f.endswith(".parquet"):
+                    st = os.stat(os.path.join(loc, d, f))
+                    after[f"{d}/{f}"] = (st.st_size, st.st_mtime)
+    for k, v in survivors.items():
+        assert after[k] == v, f"committed partition file {k} was rewritten"
+
+    # healed table equals the plain path-based run
+    plain_out = str(root / "plain_out")
+    pkg.run_pipeline(spark, inp, plain_out, str(root / "plain_cp"),
+                     pkg.PipelineConfig(n_buckets=8))
+    key = ["conv_id", "turn_idx"]
+    plain_cols = spark.read.parquet(plain_out).columns
+    a = spark.read.parquet(plain_out).orderBy(*key).collect()
+    b = spark.table("bkt.pipe_resume").orderBy(*key).select(*plain_cols).collect()
+    assert a == b
+
+    # zero-exchange conv-keyed aggregate survives the insertInto resume
+    agg = spark.table("bkt.pipe_resume").groupBy("conv_id").agg(
+        F.count("*").alias("n")
+    )
+    assert _n_exchanges(agg) == 0

@@ -281,6 +281,38 @@ def test_lineage_groupby_path_large_bucket_count(spark, tmp_path):
     assert s2["resumed"] and s2["partitions_committed"] == 0
 
 
+def test_lineage_paths_agree(spark, tmp_path, monkeypatch):
+    """The observe strategy and the groupBy(pt) strategy must record
+    IDENTICAL lineage for the same input and bucket count — both consume
+    the shared metric spec (checkpoint.lineage_metric_exprs), and this
+    pins that a future metric edit cannot silently diverge between the
+    small-resume-tail path and the full-run path."""
+    import accelerated_intelligent_document_processing_on_aws_spark.pipeline as pl
+
+    inp = str(tmp_path / "in")
+    write_transcripts(
+        spark, inp, n_convs=25, mean_turns=5, skew_convs=1, skew_factor=8
+    )
+    cfg = PipelineConfig(n_buckets=8)  # == LINEAGE_OBSERVE_MAX → observe path
+
+    out_o, cp_o = str(tmp_path / "out_o"), str(tmp_path / "cp_o")
+    run_pipeline(spark, inp, out_o, cp_o, cfg)
+
+    # same run again with the observe path disabled → groupBy path
+    monkeypatch.setattr(pl, "LINEAGE_OBSERVE_MAX", 0)
+    out_g, cp_g = str(tmp_path / "out_g"), str(tmp_path / "cp_g")
+    run_pipeline(spark, inp, out_g, cp_g, cfg)
+
+    def lineage(cp):
+        return sorted(
+            (r.partition_id, r.row_count, r.span_count, dict(r.metrics))
+            for r in spark.read.parquet(cp).collect()
+        )
+
+    assert lineage(cp_o) == lineage(cp_g)
+    assert _rows(spark, out_o) == _rows(spark, out_g)
+
+
 def test_files_per_bucket_widens_write_parallelism(spark, tmp_path):
     """files_per_bucket=k decouples write parallelism from the bucket
     count: each bucket lands in at most k files (more than 1 for busy
