@@ -372,3 +372,71 @@ def url_domain_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_urls"),
         F.countDistinct(F.col(id_col)).alias("n_docs"),
     )
+
+
+def lm_score_bits(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """CCNet-style language-model quality score (Wenzek et al. 2019,
+    arXiv:1911.00359): CCNet filters web text by perplexity under a KenLM
+    n-gram model; the deterministic rebuild trains an add-alpha-smoothed
+    BIGRAM model on the corpus itself and scores each doc by
+    bits-per-bigram, ``mean(-log2((c(w1,w2)+a) / (c(w1)+a*V)))`` —
+    low = typical text, high = atypical/noisy (the CCNet head/middle/tail
+    split thresholds on exactly this axis).  Docs with fewer than two
+    tokens carry no bigram evidence and are excluded.
+
+    Output: (id_col, n_bigrams, bits_per_bigram) — score rounded to 6 dp.
+
+    Plan shape (100 TB): doc text never shuffles — only slim
+    (id, w1, w2) rows explode out.  The model "training" is one
+    map-side-combining groupBy over the bigram stream; the unigram table
+    derives from the bigram table (no second pass over the corpus); the
+    vocabulary size is a 1-row broadcast.  Scoring joins back on the
+    bigram key — an equi-join AQE can skew-split when a hot bigram
+    (boilerplate) dominates.
+    """
+    w = df.select(F.col(id_col), _words(text_col).alias("_w"))
+    n = F.size(F.col("_w"))
+    pairs = F.transform(
+        F.sequence(F.lit(1), n - F.lit(1)),
+        lambda i: F.struct(
+            F.element_at(F.col("_w"), i).alias("w1"),
+            F.element_at(F.col("_w"), i + F.lit(1)).alias("w2"),
+        ),
+    )
+    bg = (
+        w.filter(n >= 2)
+        .select(F.col(id_col), F.explode(pairs).alias("_p"))
+        .select(F.col(id_col), F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    # the vocabulary size is the model's one scalar of state: computed
+    # eagerly in a single aggregate job (the "training" pass, like
+    # train_ivf_centroids' bounded sample) and folded into the scoring
+    # expression as a literal — a 1-row frame attached lazily would plan a
+    # BroadcastNestedLoopJoin (a trivially-true join condition after
+    # constant folding), which the whole-registry plan sweep bans
+    v_size = int(
+        w.select(F.explode("_w").alias("_t"))
+        .agg(F.countDistinct("_t").alias("v"))
+        .first()["v"]
+        or 0
+    )
+    bits = -F.log2(
+        (F.col("c2") + F.lit(alpha))
+        / (F.col("c1") + F.lit(alpha) * F.lit(float(v_size)))
+    )
+    return (
+        bg.join(c2, ["w1", "w2"])
+        .join(c1, "w1")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.round(F.avg(bits), 6).alias("bits_per_bigram"),
+        )
+    )

@@ -443,3 +443,80 @@ def embedding_near_dups(
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "sim")
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.9,
+    n_cells: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    centroids: np.ndarray | None = None,
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup by
+    embedding clusters.  Vectors are assigned to their nearest cell of the
+    FP-portable integer codebook (same assignment as ``ivf_topk``),
+    pairwise cosine runs ONLY within a cell (equi-self-join on ``cell`` —
+    never all-pairs), and of any pair above ``threshold`` the paper keeps
+    the document FARTHEST from its cluster centroid: a row is removed iff
+    some same-cell row is >= threshold similar AND ranks strictly lower by
+    (cosine-to-centroid, id).  Both comparisons use cosines rounded to
+    6 dp, so the survivor SET is portable across engines (same discipline
+    as ``embedding_near_dups``).  Returns survivors
+    ``(id, cell, centroid_sim)``.
+
+    Scale shape (100 TB): the only joins are the cell equi-self-join
+    (n_cells is sized to the corpus — the paper uses ~sqrt(N) clusters via
+    ``train_ivf_centroids``, so cells stay bounded and AQE splits hot
+    ones) and a final LEFT ANTI on id; removed-id rows are slim (one long
+    each) and the corpus vectors never broadcast.  The reference has no
+    analog (its dedup surface stops at whole-document compare,
+    ``evaluation/comparator.py``)."""
+    if centroids is None:
+        centroids = ivf_centroids(dim, n_cells, seed)
+    assign = ivf_cells_udf(centroids, 1)
+    # centroid vectors as one literal array-of-arrays, indexed by cell:
+    # n_cells*dim integer literals — a tiny broadcast-free constant
+    cent_arr = F.array(
+        *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
+    )
+    side = (
+        ensure_min_partitions(df)
+        .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .withColumn("cell", assign(F.col("v")).getItem(0))
+        .withColumn("n", _norm(F.col("v")))
+        .withColumn(
+            "centroid_sim",
+            F.round(
+                _dot(F.col("v"), cent_arr[F.col("cell")])
+                / (F.col("n") * _norm(cent_arr[F.col("cell")])),
+                6,
+            ),
+        )
+    )
+    a, b = side.alias("a"), side.alias("b")
+    removed = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell")) & (F.col("a.id") != F.col("b.id")),
+        )
+        .filter(
+            _pair_sim(F.col("a.v"), F.col("b.v"), F.col("a.n"), F.col("b.n"))
+            >= F.lit(threshold)
+        )
+        .filter(
+            (F.col("b.centroid_sim") < F.col("a.centroid_sim"))
+            | (
+                (F.col("b.centroid_sim") == F.col("a.centroid_sim"))
+                & (F.col("b.id") < F.col("a.id"))
+            )
+        )
+        .select(F.col("a.id").alias("id"))
+        .distinct()
+    )
+    return (
+        side.join(removed, "id", "left_anti")
+        .select("id", "cell", "centroid_sim")
+    )

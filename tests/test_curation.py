@@ -3,6 +3,7 @@ repetition gate, PII redaction, sliding chunks, domain stats)."""
 
 from __future__ import annotations
 
+import pytest
 from pyspark.sql import Row
 from pyspark.sql import functions as F
 
@@ -143,3 +144,44 @@ def test_url_domain_stats_counts_urls_and_docs(spark):
     out = {r.domain: r for r in url_domain_stats(d, "doc_id", "text").collect()}
     assert out["a.example.com"].n_urls == 2 and out["a.example.com"].n_docs == 1
     assert out["b.example.org"].n_urls == 1 and out["b.example.org"].n_docs == 1
+
+
+def test_lm_score_bits_hand_case(spark):
+    """Hand-computed add-alpha bigram model: corpus ['a b a b', 'a b',
+    'z z', 'solo'] has V=4 distinct tokens, bigram counts (a,b)=3,
+    (b,a)=1, (z,z)=1 and left counts a=3, b=1, z=1; with alpha=0.5 the
+    smoothed conditionals are p(b|a)=3.5/5, p(a|b)=1.5/3, p(z|z)=1.5/3.
+    The 1-token doc carries no bigram and is excluded."""
+    import math
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        lm_score_bits,
+    )
+
+    d = _docs(spark, ["a b a b", "a b", "z z", "solo"])
+    got = {
+        r.doc_id: (r.n_bigrams, r.bits_per_bigram)
+        for r in lm_score_bits(d, "doc_id", "text", alpha=0.5).collect()
+    }
+    b_ab = -math.log2(3.5 / 5.0)
+    b_ba = -math.log2(1.5 / 3.0)
+    b_zz = -math.log2(1.5 / 3.0)
+    assert set(got) == {0, 1, 2}
+    assert got[0][0] == 3
+    assert got[0][1] == pytest.approx(round((2 * b_ab + b_ba) / 3, 6), abs=1e-6)
+    assert got[1] == (1, pytest.approx(round(b_ab, 6), abs=1e-6))
+    assert got[2] == (1, pytest.approx(round(b_zz, 6), abs=1e-6))
+
+
+def test_lm_score_rare_text_scores_higher(spark):
+    """A doc made of corpus-typical bigrams scores fewer bits than a doc
+    of one-off bigrams (the CCNet head/tail ordering)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        lm_score_bits,
+    )
+
+    common = "the cat sat on the mat"
+    d = _docs(spark, [common, common, common, "zq xv wk jy qn"])
+    got = {r.doc_id: r.bits_per_bigram for r in
+           lm_score_bits(d, "doc_id", "text").collect()}
+    assert got[3] > got[0]

@@ -201,3 +201,69 @@ def test_trained_centroids_improve_or_match_recall(spark, emb):
     assert cells >= 4  # corpus spreads over multiple cells
     q = emb.filter(F.col("vec_id") < 5)
     assert ivf_topk(emb, q, k=5, centroids=cents, n_cells=8).count() > 0
+
+
+def test_semantic_dedup_matches_numpy_rule(spark, emb):
+    """Differential oracle: the SemDeDup survivor set equals a brute-force
+    numpy implementation of the identical rule (nearest integer-codebook
+    cell, 6-dp-rounded cosines, keep farthest-from-centroid, tie by id)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        ivf_centroids,
+        semantic_dedup,
+    )
+
+    tau = 0.35
+    got = {
+        r.id: (r.cell, r.centroid_sim)
+        for r in semantic_dedup(
+            emb, "vec_id", "embedding", threshold=tau, n_cells=16, dim=64, seed=7
+        ).collect()
+    }
+
+    rows = emb.select("vec_id", "embedding").collect()
+    ids = [r.vec_id for r in rows]
+    m = np.array([r.embedding for r in rows], dtype=np.float64)
+    cents = ivf_centroids(64, 16, 7)
+    # same quantized assignment as ivf_cells_udf: first max wins
+    cell = np.argmax(np.floor(m * (1 << 20)) @ cents.T, axis=1)
+    norms = np.linalg.norm(m, axis=1)
+    cnorms = np.linalg.norm(cents, axis=1)
+    cs = np.round(
+        np.einsum("ij,ij->i", m, cents[cell]) / (norms * cnorms[cell]), 6
+    )
+    removed = set()
+    for i in range(len(ids)):
+        for j in range(len(ids)):
+            if i == j or cell[i] != cell[j]:
+                continue
+            sim = round(float(m[i] @ m[j] / (norms[i] * norms[j])), 6)
+            if sim < tau:
+                continue
+            if (cs[j], ids[j]) < (cs[i], ids[i]):
+                removed.add(ids[i])
+    expect = {
+        ids[i]: (int(cell[i]), float(cs[i]))
+        for i in range(len(ids))
+        if ids[i] not in removed
+    }
+    assert set(got) == set(expect)
+    for k in got:
+        assert got[k][0] == expect[k][0]
+        assert got[k][1] == pytest.approx(expect[k][1], abs=1e-6)
+
+
+def test_semantic_dedup_deterministic_under_repartition(spark, emb):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        semantic_dedup,
+    )
+
+    a = sorted(
+        r.id for r in semantic_dedup(emb, "vec_id", "embedding", 0.35).collect()
+    )
+    b = sorted(
+        r.id
+        for r in semantic_dedup(
+            emb.repartition(13), "vec_id", "embedding", 0.35
+        ).collect()
+    )
+    assert a == b and len(a) > 0
