@@ -482,6 +482,11 @@ def semantic_dedup(
     cent_arr = F.array(
         *[F.array(*[F.lit(float(x)) for x in c]) for c in centroids]
     )
+    # the assigned/scored frame materializes ONCE (localCheckpoint) before
+    # fanning out to both sides of the self-join and the survivor
+    # anti-join — same double-compute defense as the dedup sketches;
+    # without it the cell-assignment UDF re-evaluates per reference
+    # (measured: 5 ArrowEvalPython stages in the plan, 1 after)
     side = (
         ensure_min_partitions(df)
         .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
@@ -495,6 +500,7 @@ def semantic_dedup(
                 6,
             ),
         )
+        .localCheckpoint(eager=False)
     )
     a, b = side.alias("a"), side.alias("b")
     removed = (
