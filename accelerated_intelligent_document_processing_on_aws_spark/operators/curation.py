@@ -440,3 +440,66 @@ def lm_score_bits(
             F.round(F.avg(bits), 6).alias("bits_per_bigram"),
         )
     )
+
+
+def span_corpus_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    span_words: int = 5,
+    min_df: int = 3,
+) -> DataFrame:
+    """C4-style repeated-span removal (Raffel et al. 2020 §2.2 dedups
+    repeated three-sentence spans; MassiveText/RefinedWeb strip repeated
+    lines): each document is segmented into disjoint ``span_words``-word
+    spans, and EVERY occurrence of any span whose corpus-wide occurrence
+    count reaches ``min_df`` is removed — boilerplate repeats across
+    documents, content does not.  (remove-all variant; ``chunk_dedup`` is
+    the keep-first-occurrence twin.)
+
+    Output: (id_col, clean_text, n_spans, n_removed) — surviving spans
+    re-joined in original order.
+
+    Plan shape (100 TB): document text NEVER shuffles.  Only slim
+    (id, span_idx, md5) rows explode out; the frequent-span table is one
+    map-side-combining groupBy over the hashes; the per-doc removed-index
+    set is a left-semi join plus collect_set — both on slim rows — and
+    spans are stripped back on the doc row with an indexed higher-order
+    filter after ONE equi-join on id (AQE broadcasts the removed-set side
+    when small, which at boilerplate's df distribution it is).  md5 keys
+    make the frequent set portable to the DuckDB oracle."""
+    w = df.select(F.col(id_col), _words(text_col).alias("_w"))
+    n_spans = F.ceil(F.size(F.col("_w")) / F.lit(float(span_words))).cast("int")
+    spans = F.transform(
+        F.sequence(F.lit(0), F.greatest(n_spans - F.lit(1), F.lit(0))),
+        lambda i: F.array_join(
+            F.slice(F.col("_w"), i * span_words + 1, span_words), " "
+        ),
+    )
+    base = w.select(F.col(id_col), spans.alias("_spans"))
+    slim = base.select(
+        F.col(id_col), F.posexplode("_spans").alias("_i", "_s")
+    ).select(
+        F.col(id_col), F.col("_i"), F.md5(F.encode(F.col("_s"), "UTF-8")).alias("_h")
+    )
+    freq = (
+        slim.groupBy("_h")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .filter(F.col("_c") >= min_df)
+        .select("_h")
+    )
+    removed = (
+        slim.join(freq, "_h", "left_semi")
+        .groupBy(id_col)
+        .agg(F.collect_set("_i").alias("_rm"))
+    )
+    rm = F.coalesce(F.col("_rm"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.col("_spans"), lambda x, i: ~F.array_contains(rm, i.cast("int"))
+    )
+    return base.join(removed, id_col, "left").select(
+        F.col(id_col),
+        F.array_join(kept, " ").alias("clean_text"),
+        F.size("_spans").alias("n_spans"),
+        F.size(rm).alias("n_removed"),
+    )

@@ -185,3 +185,47 @@ def test_lm_score_rare_text_scores_higher(spark):
     got = {r.doc_id: r.bits_per_bigram for r in
            lm_score_bits(d, "doc_id", "text").collect()}
     assert got[3] > got[0]
+
+
+def test_span_corpus_dedup_removes_all_frequent_occurrences(spark):
+    """The C4-style remove-all rule: a 5-word span present in >=3 docs
+    disappears from EVERY doc (incl. repeats within one doc), infrequent
+    spans survive, and span order is preserved."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        span_corpus_dedup,
+    )
+
+    boiler = "all rights reserved contact us"
+    docs = [
+        f"{boiler} unique alpha text here now",
+        f"{boiler} other beta words appear here",
+        f"{boiler} {boiler}",          # two occurrences in one doc
+        "completely fresh gamma content stands alone",
+    ]
+    got = {
+        r.doc_id: r
+        for r in span_corpus_dedup(
+            _docs(spark, docs), "doc_id", "text", span_words=5, min_df=3
+        ).collect()
+    }
+    assert got[0].clean_text == "unique alpha text here now"
+    assert got[0].n_spans == 2 and got[0].n_removed == 1
+    assert got[1].clean_text == "other beta words appear here"
+    assert got[2].clean_text == "" and got[2].n_removed == 2
+    assert got[3].clean_text == docs[3]
+    assert got[3].n_removed == 0
+
+
+def test_span_corpus_dedup_empty_and_short_docs(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        span_corpus_dedup,
+    )
+
+    got = {
+        r.doc_id: r
+        for r in span_corpus_dedup(
+            _docs(spark, ["", "one two"]), "doc_id", "text"
+        ).collect()
+    }
+    assert got[0].clean_text == "" and got[0].n_spans == 1
+    assert got[1].clean_text == "one two" and got[1].n_removed == 0
