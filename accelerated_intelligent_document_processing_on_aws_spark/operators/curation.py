@@ -503,3 +503,85 @@ def span_corpus_dedup(
         F.size("_spans").alias("n_spans"),
         F.size(rm).alias("n_removed"),
     )
+
+
+def _hashed_grams(df: DataFrame, id_col: str, text_col: str, n_buckets: int):
+    """Word unigram + bigram occurrences hashed into ``n_buckets`` feature
+    buckets (engine-portable md5-prefix hash, same convention as
+    ``dedup.shingle_hash32``): (id_col, b)."""
+    w = df.select(F.col(id_col), _words(text_col).alias("_w"))
+    n = F.size(F.col("_w"))
+    bigrams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(1), F.lit(1))),
+        lambda i: F.array_join(F.slice(F.col("_w"), i, 2), " "),
+    )
+    grams = w.select(F.col(id_col), F.explode("_w").alias("_g")).unionByName(
+        w.filter(n >= 2).select(F.col(id_col), F.explode(bigrams).alias("_g"))
+    )
+    return grams.select(
+        F.col(id_col),
+        F.pmod(
+            F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        ).alias("b"),
+    )
+
+
+def dsir_weights(
+    df: DataFrame,
+    target: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+    alpha: float = 0.5,
+) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169): score
+    each source document by how much more likely its hashed n-gram features
+    are under the TARGET distribution than the source distribution —
+    ``w(x) = sum_g [ln p_tgt(bucket(g)) - ln p_src(bucket(g))]`` over the
+    doc's unigram+bigram occurrences, add-alpha smoothed.  High weight =
+    resembles the target; data selection keeps the top of this ranking.
+
+    Output: (id_col, n_grams, weight) — weight rounded to 6 dp.
+
+    Plan shape (100 TB): the feature space is FIXED at ``n_buckets``
+    hash buckets, so both model tables are bounded regardless of corpus
+    size; the two totals fold in as literals from one metadata-sized
+    aggregate (the "training" pass, same discipline as ``lm_score_bits``),
+    and scoring is one BROADCAST join of the bucket weights onto the slim
+    (id, bucket) stream plus a map-side-combining per-doc sum — the
+    corpus text never shuffles."""
+    g_src = _hashed_grams(df, id_col, text_col, n_buckets)
+    g_tgt = _hashed_grams(target, id_col, text_col, n_buckets)
+    counts = (
+        g_src.groupBy("b")
+        .agg(F.count(F.lit(1)).alias("c_s"))
+        .join(
+            g_tgt.groupBy("b").agg(F.count(F.lit(1)).alias("c_t")), "b", "full"
+        )
+        .select(
+            "b",
+            F.coalesce("c_s", F.lit(0)).alias("c_s"),
+            F.coalesce("c_t", F.lit(0)).alias("c_t"),
+        )
+    )
+    tot = counts.agg(
+        F.sum("c_s").alias("s"), F.sum("c_t").alias("t")
+    ).first()
+    s_tot = float(tot["s"] or 0) + alpha * n_buckets
+    t_tot = float(tot["t"] or 0) + alpha * n_buckets
+    lam = counts.select(
+        "b",
+        (
+            F.log((F.col("c_t") + F.lit(alpha)) / F.lit(t_tot))
+            - F.log((F.col("c_s") + F.lit(alpha)) / F.lit(s_tot))
+        ).alias("lam"),
+    )
+    return (
+        g_src.join(F.broadcast(lam), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(F.sum("lam"), 6).alias("weight"),
+        )
+    )

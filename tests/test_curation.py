@@ -229,3 +229,42 @@ def test_span_corpus_dedup_empty_and_short_docs(spark):
     }
     assert got[0].clean_text == "" and got[0].n_spans == 1
     assert got[1].clean_text == "one two" and got[1].n_removed == 0
+
+
+def test_dsir_weights_rank_target_like_docs_higher(spark):
+    """Docs made of target-distribution n-grams must outweigh docs made of
+    source-only n-grams, and a doc IN the target slice scores high."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        dsir_weights,
+    )
+
+    target_text = "the quick brown fox jumps over the lazy dog again"
+    source_text = "lorem ipsum dolor sit amet consectetur adipiscing elit sed"
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(
+            [target_text, target_text, source_text, source_text,
+             "the quick brown fox runs", "lorem ipsum dolor sit whatever"]
+        )]
+    )
+    target = docs.filter(F.col("doc_id") < 2)
+    got = {r.doc_id: r.weight for r in
+           dsir_weights(docs, target, "doc_id", "text").collect()}
+    # target-like doc 4 must outrank source-like doc 5
+    assert got[4] > got[5]
+    assert got[0] > got[2]
+
+
+def test_dsir_weights_deterministic_under_repartition(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        dsir_weights,
+    )
+
+    docs = _docs(spark, [f"tok{i} tok{i+1} tok{i+2} common words here"
+                         for i in range(30)])
+    tgt = docs.filter(F.col("doc_id") % 3 == 0)
+    a = sorted((r.doc_id, r.n_grams, r.weight) for r in
+               dsir_weights(docs, tgt, "doc_id", "text").collect())
+    b = sorted((r.doc_id, r.n_grams, r.weight) for r in
+               dsir_weights(docs.repartition(7), tgt.repartition(3),
+                            "doc_id", "text").collect())
+    assert a == b and len(a) == 30
