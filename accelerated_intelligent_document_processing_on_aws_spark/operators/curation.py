@@ -31,6 +31,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..functions.text import normalized_for_compare
+
 # ASCII-only regexes, identical semantics under Java regex and RE2 (the
 # DuckDB oracle) — same dialect-parity rule as __spark_entry__.
 EMAIL_RE = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+[.][A-Za-z]{2,}"
@@ -583,5 +585,132 @@ def dsir_weights(
         .agg(
             F.count(F.lit(1)).alias("n_grams"),
             F.round(F.sum("lam"), 6).alias("weight"),
+        )
+    )
+
+
+# Boilerplate-term line filter (RefinedWeb-style line-wise corrections):
+# ASCII-only, identical under Java regex and RE2 (the DuckDB oracle).
+BOILER_LINE_RE = "cookies?|javascript|all rights reserved"
+
+
+def line_corrections(
+    df: DataFrame, id_col: str, text_col: str, min_words: int = 3
+) -> DataFrame:
+    """Line-wise boilerplate corrections (RefinedWeb, arXiv:2306.01116
+    §"line-wise corrections"; the page-level complement of the extraction
+    pipeline's block classifier, ``kernels/html_main.py``).
+
+    Drops, per line: (1) lines with fewer than ``min_words`` alphanumeric
+    words, (2) ALL-CAPS lines (nav menus / headers), (3) digit-and-
+    punctuation-only lines (pagination / phone cruft), (4) lines matching
+    boilerplate terms (cookie banners, script warnings, copyright tails).
+
+    Output: (id_col, n_lines, n_kept, clean_text) — surviving lines
+    rejoined with newlines.
+
+    Plan shape (100 TB): a single narrow projection — the line explosion
+    never happens (higher-order ``filter`` over the split array runs
+    inside one codegen stage), so the operator adds ZERO exchanges and
+    text never rides a shuffle."""
+    lines = F.split(F.coalesce(F.col(text_col), F.lit("")), "\n")
+
+    def _keep(x: Column) -> Column:
+        n_words = F.size(
+            F.regexp_extract_all(x, F.lit("[A-Za-z0-9]+"), F.lit(0))
+        )
+        all_caps = (F.upper(x) == x) & x.rlike("[A-Za-z]")
+        numeric_only = x.rlike("^[0-9 .,/()-]*$")
+        boiler = F.lower(x).rlike(BOILER_LINE_RE)
+        return (
+            (n_words >= min_words) & ~all_caps & ~numeric_only & ~boiler
+        )
+
+    kept = F.filter(lines, _keep)
+    return df.select(
+        F.col(id_col),
+        F.size(lines).cast("int").alias("n_lines"),
+        F.size(kept).cast("int").alias("n_kept"),
+        F.array_join(kept, "\n").alias("clean_text"),
+    )
+
+
+# URL canonicalization: tracking params stripped by name, scheme+host
+# lowered, www. and default ports removed, fragment and trailing
+# slash/query cruft dropped.  ASCII-only regexes, Java/RE2-identical.
+TRACKING_PARAM_RE = "(utm_[a-z]+|fbclid|gclid)=[^&]*"
+URL_HEAD_RE = "^([A-Za-z][A-Za-z0-9+.-]*://[^/?#]*)"
+
+
+def canonical_url(c: Column) -> Column:
+    """Canonical form of a URL column, pure Catalyst (no UDF):
+
+    1. strip the fragment (``#...``),
+    2. strip tracking query params by name (``utm_*``, ``fbclid``,
+       ``gclid``) wherever they sit in the query string,
+    3. lowercase scheme+host (path/query stay case-sensitive),
+    4. drop ``www.`` and scheme-default ports (http:80 / https:443),
+    5. drop one trailing ``/`` or ``?``.
+
+    Every step is a regexp over the value — whole-stage codegen end to
+    end, so canonicalize-then-groupBy URL dedup shuffles only the
+    canonical key."""
+    u = F.regexp_replace(c, "#.*$", "")  # 1
+    u = F.regexp_replace(u, "&" + TRACKING_PARAM_RE, "")  # 2: non-leading
+    u = F.regexp_replace(u, "[?]" + TRACKING_PARAM_RE + "&", "?")  # leading
+    u = F.regexp_replace(u, "[?]" + TRACKING_PARAM_RE + "$", "")  # only
+    head = F.regexp_extract(u, URL_HEAD_RE, 1)
+    tail = F.substr(u, F.length(head) + F.lit(1))
+    h = F.lower(head)
+    h = F.regexp_replace(h, "^(http://|https://)www[.]", "$1")
+    h = F.when(
+        h.startswith("http://"), F.regexp_replace(h, ":80$", "")
+    ).when(
+        h.startswith("https://"), F.regexp_replace(h, ":443$", "")
+    ).otherwise(h)
+    tail = F.regexp_replace(tail, "[/?]$", "")
+    return F.concat(h, tail)
+
+
+def url_dedup_stats(df: DataFrame, id_col: str, url_col: str) -> DataFrame:
+    """URL-level dedup ledger: canonicalize, then one hash groupBy on the
+    canonical key — (canon_url, n_urls, n_docs).  The CommonCrawl-style
+    first stage of web-corpus dedup: at 100 TB the only shuffled bytes
+    are the canonical URL strings themselves."""
+    u = df.select(
+        F.col(id_col), canonical_url(F.col(url_col)).alias("canon_url")
+    )
+    return u.groupBy("canon_url").agg(
+        F.count(F.lit(1)).alias("n_urls"),
+        F.countDistinct(F.col(id_col)).alias("n_docs"),
+    )
+
+
+def soft_dedup_weights(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """SoftDeDup (He et al. 2024, arXiv:2407.06654): instead of DELETING
+    duplicates, reweight each document by the inverse frequency of its
+    normalized fingerprint — ``w = 1/n_dups`` — so the corpus keeps its
+    coverage but duplicated content stops dominating the sampling
+    distribution.  The soft complement of ``dedup.dedup_corpus``.
+
+    Output: (id_col, fp, n_dups, weight).
+
+    Plan shape (100 TB): one window over the fingerprint hash (md5 keys
+    cannot skew) — a single exchange, no join-back, text never shuffles
+    (the fingerprint is computed before the exchange)."""
+    fp = F.md5(
+        normalized_for_compare(F.coalesce(F.col(text_col), F.lit("")))
+    )
+    w = Window.partitionBy("fp")
+    return (
+        df.select(F.col(id_col), fp.alias("fp"))
+        .withColumn("n_dups", F.count(F.lit(1)).over(w))
+        .select(
+            F.col(id_col),
+            F.col("fp"),
+            F.col("n_dups").cast("long").alias("n_dups"),
+            F.round(F.lit(1.0) / F.col("n_dups"), 6).alias("weight"),
         )
     )

@@ -268,3 +268,87 @@ def test_dsir_weights_deterministic_under_repartition(spark):
                dsir_weights(docs.repartition(7), tgt.repartition(3),
                             "doc_id", "text").collect())
     assert a == b and len(a) == 30
+
+
+def test_line_corrections_rules(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        line_corrections,
+    )
+
+    page = "\n".join(
+        [
+            "A real first paragraph with several words",
+            "HOME | ABOUT | CONTACT",  # all-caps nav
+            "We use cookies to improve your experience",  # boiler term
+            "12, 34/5 (6)",  # digits/punct only
+            "ok go",  # < 3 words
+            "Copyright 2024 All Rights Reserved",  # boiler term
+            "And a second real paragraph closing the page",
+        ]
+    )
+    out = line_corrections(_docs(spark, [page, ""]), "doc_id", "text")
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[0]["n_lines"] == 7
+    assert rows[0]["n_kept"] == 2
+    assert rows[0]["clean_text"] == (
+        "A real first paragraph with several words\n"
+        "And a second real paragraph closing the page"
+    )
+    # empty doc: one empty line, dropped by the digits/punct-only rule
+    assert rows[1]["n_lines"] == 1 and rows[1]["n_kept"] == 0
+    assert rows[1]["clean_text"] == ""
+
+
+def test_line_corrections_plan_has_no_exchange(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        line_corrections,
+    )
+
+    out = line_corrections(_docs(spark, ["a b c\nd"]), "doc_id", "text")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # single narrow projection
+
+
+def test_canonical_url_rules(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        canonical_url,
+    )
+
+    cases = {
+        # fragment + tracking params + caps host + www + default port
+        "HTTPS://WWW.Ex.COM:443/A/b?utm_source=x&q=1&utm_medium=y#top":
+            "https://ex.com/A/b?q=1",
+        # only tracking params -> query dropped entirely
+        "http://ex.com/p?utm_campaign=c": "http://ex.com/p",
+        # leading tracking param, real param kept
+        "http://ex.com/p?fbclid=f&x=2": "http://ex.com/p?x=2",
+        # default port http, trailing slash
+        "http://www.ex.com:80/path/": "http://ex.com/path",
+        # non-default port preserved; path case preserved
+        "https://Ex.com:8443/CaseKept": "https://ex.com:8443/CaseKept",
+        # bare host, trailing slash dropped
+        "https://ex.com/": "https://ex.com",
+    }
+    df = spark.createDataFrame(
+        [Row(u=k) for k in cases]
+    ).select("u", canonical_url(F.col("u")).alias("c"))
+    for r in df.collect():
+        assert r["c"] == cases[r["u"]], (r["u"], r["c"])
+
+
+def test_soft_dedup_weights_inverse_frequency(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        soft_dedup_weights,
+    )
+
+    # doc 0/1/2 share one normalized fingerprint (punct/case differences
+    # collapse); doc 3 is unique
+    out = soft_dedup_weights(
+        _docs(spark, ["Hello, World", "hello world!", "HELLO WORLD", "other"]),
+        "doc_id",
+        "text",
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    assert rows[0]["n_dups"] == 3 and abs(rows[0]["weight"] - 1 / 3) < 1e-6
+    assert rows[0]["fp"] == rows[1]["fp"] == rows[2]["fp"]
+    assert rows[3]["n_dups"] == 1 and rows[3]["weight"] == 1.0
