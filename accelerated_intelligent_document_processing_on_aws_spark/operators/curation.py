@@ -415,7 +415,15 @@ def lm_score_bits(
         .select(F.col(id_col), F.explode(pairs).alias("_p"))
         .select(F.col(id_col), F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
     )
-    c2 = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    # the bigram-count table IS the trained model: materialize it once
+    # (lazy localCheckpoint) so the scoring join and the derived unigram
+    # table share one RDD instead of each re-scanning the corpus —
+    # model-sized state, corpus scanned once to build it
+    c2 = (
+        bg.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c2"))
+        .localCheckpoint(eager=False)
+    )
     c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
     # the vocabulary size is the model's one scalar of state: computed
     # eagerly in a single aggregate job (the "training" pass, like
@@ -555,6 +563,9 @@ def dsir_weights(
     corpus text never shuffles."""
     g_src = _hashed_grams(df, id_col, text_col, n_buckets)
     g_tgt = _hashed_grams(target, id_col, text_col, n_buckets)
+    # the bucket-count model is metadata-sized (<= n_buckets rows) but
+    # costs a full gram scan to build; materialize it ONCE so the totals
+    # action below and the scoring join don't each re-scan the corpus
     counts = (
         g_src.groupBy("b")
         .agg(F.count(F.lit(1)).alias("c_s"))
@@ -566,6 +577,7 @@ def dsir_weights(
             F.coalesce("c_s", F.lit(0)).alias("c_s"),
             F.coalesce("c_t", F.lit(0)).alias("c_t"),
         )
+        .localCheckpoint(eager=False)
     )
     tot = counts.agg(
         F.sum("c_s").alias("s"), F.sum("c_t").alias("t")
