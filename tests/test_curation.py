@@ -352,3 +352,75 @@ def test_soft_dedup_weights_inverse_frequency(spark):
     assert rows[0]["n_dups"] == 3 and abs(rows[0]["weight"] - 1 / 3) < 1e-6
     assert rows[0]["fp"] == rows[1]["fp"] == rows[2]["fp"]
     assert rows[3]["n_dups"] == 1 and rows[3]["weight"] == 1.0
+
+
+def test_canonical_url_idempotent_on_adversarial_inputs(spark):
+    """canonical_url(canonical_url(u)) == canonical_url(u) over a seeded
+    grid of adversarial URLs (every combination of caps/www/port/params/
+    fragment/trailing cruft) — one Spark job, batched."""
+    import itertools
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        canonical_url,
+    )
+
+    schemes = ["http://", "HTTPS://", "https://"]
+    hosts = ["WWW.Ex.COM", "ex.com", "www.sub.ex.org"]
+    ports = ["", ":80", ":443", ":8443"]
+    paths = ["", "/", "/A/b", "/p/"]
+    queries = [
+        "",
+        "?utm_source=a",
+        "?q=1",
+        "?utm_medium=m&q=1",
+        "?q=1&utm_campaign=c&fbclid=f",
+        "?gclid=g&utm_term=t",
+    ]
+    frags = ["", "#x", "#frag?fake=1"]
+    urls = [
+        "".join(p)
+        for p in itertools.product(schemes, hosts, ports, paths, queries, frags)
+    ]
+    df = spark.createDataFrame([Row(u=u) for u in urls]).select(
+        canonical_url(F.col("u")).alias("c1")
+    )
+    twice = df.select(
+        F.col("c1"), canonical_url(F.col("c1")).alias("c2")
+    ).filter(F.col("c1") != F.col("c2"))
+    bad = twice.collect()
+    assert bad == [], bad[:5]
+
+
+def test_line_corrections_output_is_subset_of_input_lines(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        line_corrections,
+    )
+
+    texts = [
+        "keep this real sentence\nDROP ALL CAPS\nanother kept line here",
+        "",
+        "1 2 3\nmixed Line with Words",
+        "only cookies mentioned here\nso is javascript code",
+    ]
+    out = line_corrections(_docs(spark, texts), "doc_id", "text").collect()
+    for r in out:
+        src_lines = texts[r["doc_id"]].split("\n")
+        kept = r["clean_text"].split("\n") if r["clean_text"] else []
+        assert r["n_lines"] == len(src_lines)
+        assert r["n_kept"] == len(kept)
+        assert all(k in src_lines for k in kept)
+        # order preserved
+        idxs = [src_lines.index(k) for k in kept]
+        assert idxs == sorted(idxs)
+
+
+def test_soft_dedup_weights_sum_to_one_per_fingerprint(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        soft_dedup_weights,
+    )
+
+    texts = ["a b", "A b!", "a  b", "c", "d e f", "D E F"]
+    out = soft_dedup_weights(_docs(spark, texts), "doc_id", "text")
+    sums = out.groupBy("fp").agg(F.sum("weight").alias("s")).collect()
+    for r in sums:
+        assert abs(r["s"] - 1.0) < 1e-4, r
