@@ -82,6 +82,23 @@ class PipelineConfig:
     # pt alone.  Each bucket lands in at most files_per_bucket files per
     # run (one per sub-split task).  1 = the round-3 behavior.
     files_per_bucket: int = 1
+    # skew-aware write sub-splitting: a flat files_per_bucket gives a HOT
+    # bucket (one mega-conversation = most of a bucket's rows) the same
+    # write parallelism as a cold one, so the write stage's wall clock is
+    # the hot bucket's rows / files_per_bucket while the rest of the
+    # cluster idles (measured: a 75%-in-one-conv input ran the durable
+    # path at 0.54x the balanced input's throughput; raising the hot
+    # bucket's sub-splits recovered most of it).  AQE cannot fix this —
+    # REPARTITION_BY_NUM is exempt by design (correctly: AQE coalesces by
+    # bytes and would undo the explicit fan-in).  With
+    # adaptive_write_split=True, a metadata-sized pre-pass counts rows per
+    # pt on the RAW input scan (pt is a pure function of conv_id, so this
+    # prunes to one short column and runs no extraction) and each bucket
+    # gets sub-splits proportional to its share — hot buckets fan out to
+    # up to max_files_per_bucket tasks, cold buckets stay at ONE file.
+    # files_per_bucket remains the flat fallback (and the target mean).
+    adaptive_write_split: bool = False
+    max_files_per_bucket: int = 64
     # bucketed publish (VERDICT #8): when set, the output is written as a
     # managed table partitioned by pt AND bucketed by conv_id
     # (io/tables.py write_partitioned_bucketed) instead of plain
@@ -230,6 +247,37 @@ def run_pipeline(
     # still lands in at most k files (the writer splits a task's rows by
     # pt dir, and each task holds ~one (pt, sub) slice).
     k = max(int(cfg.files_per_bucket), 1)
+    split_map = None
+    if cfg.adaptive_write_split and cfg.bucketed_table is None:
+        # skew-aware sub-splitting: rows per pt counted on the RAW scan
+        # (pt is a pure function of conv_id — column-pruned, no
+        # extraction; the result is metadata-sized, <= n_buckets rows).
+        # Each bucket's sub-split count is proportional to its share of
+        # the total with a budget of n_buckets * files_per_bucket splits:
+        # balanced inputs land at ~files_per_bucket everywhere (same
+        # behavior as the flat path), a hot bucket fans out to up to
+        # max_files_per_bucket write tasks, cold buckets stay at 1 file.
+        cnt_rows = (
+            df.groupBy(
+                salted_bucket(
+                    F.col("conv_id"), cfg.n_buckets, cfg.salt
+                ).alias("_pt")
+            )
+            .agg(F.count(F.lit(1)).alias("_c"))
+            .collect()
+        )
+        total = sum(r["_c"] for r in cnt_rows)
+        if total > 0:
+            split_map = {
+                int(r["_pt"]): max(
+                    1,
+                    min(
+                        int(round(r["_c"] / total * cfg.n_buckets * k)),
+                        max(int(cfg.max_files_per_bucket), 1),
+                    ),
+                )
+                for r in cnt_rows
+            }
     if cfg.bucketed_table is not None:
         # align the fan-in with the TABLE buckets (same Murmur3 as the
         # bucket spec) so the bucketed write emits one file per
@@ -238,6 +286,29 @@ def run_pipeline(
             cfg.n_buckets * max(int(cfg.conv_buckets), 1),
             F.col("pt"),
             F.pmod(F.hash(F.col("conv_id")), F.lit(cfg.conv_buckets)),
+        )
+    elif split_map is not None:
+        # try_element_at: ANSI-safe null (not throw) for a pt the count
+        # pass never saw; coalesce to one sub-split for such rows
+        k_col = F.coalesce(
+            F.try_element_at(
+                F.create_map(
+                    *[
+                        F.lit(x)
+                        for pt_v, k_v in sorted(split_map.items())
+                        for x in (pt_v, k_v)
+                    ]
+                ),
+                F.col("pt").cast("int"),
+            ),
+            F.lit(1),
+        )
+        out = out.repartition(
+            max(sum(split_map.values()), cfg.n_buckets),
+            F.col("pt"),
+            F.pmod(
+                F.xxhash64(F.col("conv_id"), F.col("turn_idx")), k_col
+            ),
         )
     elif k == 1:
         out = out.repartition(cfg.n_buckets, F.col("pt"))
