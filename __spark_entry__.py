@@ -3797,6 +3797,51 @@ GROUP BY 1 ORDER BY doc_id
 """
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Classifier-based quality filtering (curation.quality_classifier_scores,
+    GPT-3/PaLM-style linear classifier over hashed n-gram features):
+    deterministic weight table w(b) = (b % 97)/97 - 0.5, bias 0.1 — a
+    fixed 4096-row broadcast join onto the slim gram stream; the corpus
+    text never shuffles."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        quality_classifier_scores,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    weights = {b: (b % 97) / 97.0 - 0.5 for b in range(4096)}
+    return _ordered(
+        quality_classifier_scores(
+            d, "doc_id", "text", weights, bias=0.1, n_buckets=4096
+        ),
+        "doc_id",
+    )
+
+
+Q_QUALITY_CLASSIFIER_SQL = """
+WITH w AS (
+  SELECT doc_id, string_split(COALESCE(text, ''), ' ') AS t FROM documents
+),
+uni AS (SELECT doc_id, UNNEST(t) AS g FROM w),
+bi AS (
+  SELECT doc_id,
+         UNNEST(list_transform(range(1, len(t)),
+                               i -> t[i] || ' ' || t[i + 1])) AS g
+  FROM w WHERE len(t) >= 2
+),
+g AS (SELECT * FROM uni UNION ALL SELECT * FROM bi),
+gb AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS b
+  FROM g
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_grams,
+       ROUND(0.1 + SUM((b % 97) / 97.0 - 0.5), 6) AS logit,
+       ROUND(1.0 / (1.0 + exp(-(0.1 + SUM((b % 97) / 97.0 - 0.5)))), 6)
+         AS score
+FROM gb GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_line_filter(spark, sf_dir):
     """Line-wise boilerplate corrections (curation.line_corrections,
     RefinedWeb arXiv:2306.01116): deterministic synthetic pages — a real
@@ -4021,6 +4066,7 @@ _QUERIES_CHANGED_THIS_ROUND = [
     "q_line_filter",
     "q_url_dedup",
     "q_soft_dedup",
+    "q_quality_classifier",
 ]
 
 _QUERIES_FILLERS = [
@@ -4033,11 +4079,11 @@ _QUERIES_FILLERS = [
     "q_token_packing",
     "q_config_extract",
     "q_validate_feed",
-    "q_ivf_topk",
 ]
 
 _QUERIES_PAST_WINDOW = [
     # past the window: green in a prior round, untouched since
+    "q_ivf_topk",
     "q_range_join",
     "q_interval_overlap",
     "q_session_window",
@@ -4158,6 +4204,7 @@ def oracle_sql() -> dict[str, str]:
         "q_line_filter": Q_LINE_FILTER_SQL,
         "q_url_dedup": Q_URL_DEDUP_SQL,
         "q_soft_dedup": Q_SOFT_DEDUP_SQL,
+        "q_quality_classifier": Q_QUALITY_CLASSIFIER_SQL,
         "q_config_extract": _config_extract_sql(),
         "q_range_join": Q_RANGE_JOIN_SQL,
         "q_interval_overlap": Q_INTERVAL_OVERLAP_SQL,

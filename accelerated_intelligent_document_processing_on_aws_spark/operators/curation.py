@@ -726,3 +726,45 @@ def soft_dedup_weights(
             F.round(F.lit(1.0) / F.col("n_dups"), 6).alias("weight"),
         )
     )
+
+
+def quality_classifier_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    weights: dict,
+    bias: float = 0.0,
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """Classifier-based quality filtering (the GPT-3 / PaLM pipeline
+    stage: a linear classifier over hashed n-gram features scores each
+    document's resemblance to a high-quality corpus; Brown et al. 2020
+    arXiv:2005.14165 Appendix A).  ``weights`` maps feature bucket →
+    learned weight; ``score = sigmoid(bias + sum_g w[bucket(g)])`` over
+    the doc's unigram+bigram occurrences.
+
+    Output: (id_col, n_grams, logit, score) — logit/score rounded 6 dp.
+
+    Plan shape (100 TB): the weight table is FIXED at ``n_buckets`` rows
+    regardless of corpus size — one BROADCAST join onto the slim
+    (id, bucket) gram stream plus a map-side-combining per-doc sum; the
+    corpus text never shuffles (same shape as ``dsir_weights`` scoring,
+    which is this classifier with target/source log-ratio weights)."""
+    spark = df.sparkSession
+    g = _hashed_grams(df, id_col, text_col, n_buckets)
+    wdf = spark.createDataFrame(
+        [(int(b), float(w)) for b, w in sorted(weights.items())],
+        "b long, w double",
+    )
+    logit = F.lit(float(bias)) + F.sum(F.coalesce(F.col("w"), F.lit(0.0)))
+    return (
+        g.join(F.broadcast(wdf), "b", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_grams"),
+            F.round(logit, 6).alias("logit"),
+            F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-logit)), 6).alias(
+                "score"
+            ),
+        )
+    )

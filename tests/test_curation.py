@@ -424,3 +424,33 @@ def test_soft_dedup_weights_sum_to_one_per_fingerprint(spark):
     sums = out.groupBy("fp").agg(F.sum("weight").alias("s")).collect()
     for r in sums:
         assert abs(r["s"] - 1.0) < 1e-4, r
+
+
+def test_quality_classifier_hand_case(spark):
+    import hashlib
+    import math
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        quality_classifier_scores,
+    )
+
+    def bucket(g, n=64):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % n
+
+    # doc 0: words a b -> grams {a, b, 'a b'}; doc 1: single word c.
+    # weight exactly the buckets of doc-0's grams
+    grams0 = ["a", "b", "a b"]
+    weights = {b: 0.25 for b in {bucket(g) for g in grams0}}
+    out = quality_classifier_scores(
+        _docs(spark, ["a b", "c"]), "doc_id", "text", weights,
+        bias=0.5, n_buckets=64,
+    )
+    rows = {r["doc_id"]: r for r in out.collect()}
+    # doc 0: each of its 3 grams hits a weighted bucket -> logit 0.5+3*0.25
+    exp0 = 0.5 + sum(0.25 for _ in grams0)
+    assert rows[0]["n_grams"] == 3
+    assert abs(rows[0]["logit"] - round(exp0, 6)) < 1e-9
+    assert abs(rows[0]["score"] - round(1 / (1 + math.exp(-exp0)), 6)) < 1e-9
+    # doc 1: its gram's bucket is unweighted unless it collides
+    exp1 = 0.5 + (0.25 if bucket("c") in weights else 0.0)
+    assert abs(rows[1]["logit"] - round(exp1, 6)) < 1e-9
