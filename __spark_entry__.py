@@ -3797,6 +3797,71 @@ GROUP BY 1 ORDER BY doc_id
 """
 
 
+def q_evaluate_rouge(spark, sf_dir):
+    """ROUGE-2 overlap (evaluate.rouge_n, Lin 2004): expected = the doc
+    text, actual = its first two-thirds of words — clipped bigram counts
+    via ONE two-level aggregate (no self-join); text never shuffles."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.evaluate import (
+        rouge_n,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    k2 = F.floor(F.lit(2) * F.size(w) / F.lit(3)).cast("int")
+    pairs = d.select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("expected"),
+        F.array_join(F.slice(w, 1, k2), " ").alias("actual"),
+    )
+    return _ordered(
+        rouge_n(pairs, "doc_id", "expected", "actual", n=2), "doc_id"
+    )
+
+
+Q_EVALUATE_ROUGE_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         string_split(coalesce(text, ''), ' ') AS te,
+         list_slice(string_split(coalesce(text, ''), ' '), 1,
+                    (2 * len(string_split(coalesce(text, ''), ' '))) // 3)
+           AS ta
+  FROM documents
+),
+ge AS (SELECT doc_id, UNNEST(list_transform(range(1, len(te)),
+              i -> te[i] || ' ' || te[i + 1])) AS g FROM p),
+ga AS (SELECT doc_id, UNNEST(list_transform(range(1, len(ta)),
+              i -> ta[i] || ' ' || ta[i + 1])) AS g FROM p),
+cnt AS (
+  SELECT doc_id, g,
+         SUM(CASE side WHEN 'e' THEN 1 ELSE 0 END) AS c_e,
+         SUM(CASE side WHEN 'a' THEN 1 ELSE 0 END) AS c_a
+  FROM (SELECT doc_id, 'e' AS side, g FROM ge
+        UNION ALL SELECT doc_id, 'a' AS side, g FROM ga)
+  GROUP BY doc_id, g
+),
+agg AS (
+  SELECT doc_id, SUM(c_e) AS n_e, SUM(c_a) AS n_a,
+         SUM(LEAST(c_e, c_a)) AS n_o
+  FROM cnt GROUP BY doc_id
+)
+SELECT d.doc_id,
+       CAST(coalesce(n_e, 0) AS BIGINT) AS n_expected,
+       CAST(coalesce(n_a, 0) AS BIGINT) AS n_actual,
+       CAST(coalesce(n_o, 0) AS BIGINT) AS n_overlap,
+       ROUND(CASE WHEN coalesce(n_e, 0) > 0 THEN n_o / n_e ELSE 0 END, 6)
+         AS rouge_recall,
+       ROUND(CASE WHEN coalesce(n_a, 0) > 0 THEN n_o / n_a ELSE 0 END, 6)
+         AS rouge_precision,
+       ROUND(CASE WHEN coalesce(n_e, 0) > 0 AND coalesce(n_a, 0) > 0
+                       AND (n_o / n_e + n_o / n_a) > 0
+                  THEN 2.0 * (n_o / n_e) * (n_o / n_a)
+                       / (n_o / n_e + n_o / n_a)
+                  ELSE 0 END, 6) AS rouge_f1
+FROM documents d LEFT JOIN agg USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_quality_classifier(spark, sf_dir):
     """Classifier-based quality filtering (curation.quality_classifier_scores,
     GPT-3/PaLM-style linear classifier over hashed n-gram features):
@@ -4067,6 +4132,7 @@ _QUERIES_CHANGED_THIS_ROUND = [
     "q_url_dedup",
     "q_soft_dedup",
     "q_quality_classifier",
+    "q_evaluate_rouge",
 ]
 
 _QUERIES_FILLERS = [
@@ -4078,11 +4144,11 @@ _QUERIES_FILLERS = [
     "q_section_attributes",
     "q_token_packing",
     "q_config_extract",
-    "q_validate_feed",
 ]
 
 _QUERIES_PAST_WINDOW = [
     # past the window: green in a prior round, untouched since
+    "q_validate_feed",
     "q_ivf_topk",
     "q_range_join",
     "q_interval_overlap",
@@ -4205,6 +4271,7 @@ def oracle_sql() -> dict[str, str]:
         "q_url_dedup": Q_URL_DEDUP_SQL,
         "q_soft_dedup": Q_SOFT_DEDUP_SQL,
         "q_quality_classifier": Q_QUALITY_CLASSIFIER_SQL,
+        "q_evaluate_rouge": Q_EVALUATE_ROUGE_SQL,
         "q_config_extract": _config_extract_sql(),
         "q_range_join": Q_RANGE_JOIN_SQL,
         "q_interval_overlap": Q_INTERVAL_OVERLAP_SQL,

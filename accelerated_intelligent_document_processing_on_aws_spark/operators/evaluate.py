@@ -301,3 +301,78 @@ def metrics_rollup(evaluated: DataFrame) -> DataFrame:
         F.round(f1, 4).alias("f1"),
         F.round(F.col("tp") / F.greatest(F.col("n"), F.lit(1)), 4).alias("accuracy"),
     )
+
+
+def rouge_n(
+    df: DataFrame,
+    id_col: str,
+    expected_col: str,
+    actual_col: str,
+    n: int = 2,
+) -> DataFrame:
+    """ROUGE-N overlap (Lin 2004): clipped word n-gram counts between an
+    expected (reference) and actual (candidate) text — the standard
+    summarization/extraction overlap metric, complementing the
+    EXACT/FUZZY/SEMANTIC/HUNGARIAN comparators (reference
+    ``evaluation/comparator.py`` has no n-gram metric; the public ROUGE
+    definition is used).
+
+    ``overlap = sum_g min(count_expected(g), count_actual(g))``;
+    recall = overlap / n_expected_grams, precision = overlap /
+    n_actual_grams, f1 harmonic — all rounded 6 dp, 0.0 when a side has
+    no n-grams.
+
+    Output: (id_col, n_expected, n_actual, n_overlap, rouge_recall,
+    rouge_precision, rouge_f1).
+
+    Plan shape (100 TB): document text never shuffles — both sides
+    explode to slim (id, gram, side) rows, ONE two-level aggregate
+    (map-side combine on (id, gram, side), then (id)) computes clipped
+    overlap without any self-join: grams pivot into per-side counts in
+    the first aggregate, the per-doc sums in the second reuse the same
+    id-hash partitioning."""
+    def grams(col):
+        w = F.split(F.coalesce(F.col(col), F.lit("")), " ")
+        k = F.size(w)
+        return F.when(k >= n, F.transform(
+            F.sequence(F.lit(1), k - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(w, i, n), " "),
+        )).otherwise(F.array().cast("array<string>"))
+
+    e = df.select(F.col(id_col), F.explode(grams(expected_col)).alias("g")).withColumn("_s", F.lit(1))
+    a = df.select(F.col(id_col), F.explode(grams(actual_col)).alias("g")).withColumn("_s", F.lit(0))
+    both = e.unionByName(a)
+    per_gram = both.groupBy(id_col, "g").agg(
+        F.sum("_s").alias("c_e"),
+        F.sum(F.lit(1) - F.col("_s")).alias("c_a"),
+    )
+    agg = per_gram.groupBy(id_col).agg(
+        F.sum("c_e").alias("n_expected"),
+        F.sum("c_a").alias("n_actual"),
+        F.sum(F.least(F.col("c_e"), F.col("c_a"))).alias("n_overlap"),
+    )
+    rec = F.when(
+        F.col("n_expected") > 0, F.col("n_overlap") / F.col("n_expected")
+    ).otherwise(F.lit(0.0))
+    prec = F.when(
+        F.col("n_actual") > 0, F.col("n_overlap") / F.col("n_actual")
+    ).otherwise(F.lit(0.0))
+    f1 = F.when(
+        (rec + prec) > 0, F.lit(2.0) * rec * prec / (rec + prec)
+    ).otherwise(F.lit(0.0))
+    # docs where BOTH sides are empty never reach the aggregate (no
+    # exploded rows) — join back against the id universe with zeros so
+    # the metric is total over the input
+    ids = df.select(F.col(id_col)).distinct()
+    return (
+        ids.join(agg, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.coalesce("n_expected", F.lit(0)).cast("long").alias("n_expected"),
+            F.coalesce("n_actual", F.lit(0)).cast("long").alias("n_actual"),
+            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
+            F.round(F.coalesce(rec, F.lit(0.0)), 6).alias("rouge_recall"),
+            F.round(F.coalesce(prec, F.lit(0.0)), 6).alias("rouge_precision"),
+            F.round(F.coalesce(f1, F.lit(0.0)), 6).alias("rouge_f1"),
+        )
+    )

@@ -454,3 +454,34 @@ def test_quality_classifier_hand_case(spark):
     # doc 1: its gram's bucket is unweighted unless it collides
     exp1 = 0.5 + (0.25 if bucket("c") in weights else 0.0)
     assert abs(rows[1]["logit"] - round(exp1, 6)) < 1e-9
+
+
+def test_rouge_n_hand_case(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.evaluate import (
+        rouge_n,
+    )
+    from pyspark.sql import Row as _R
+
+    df = spark.createDataFrame(
+        [
+            # expected bigrams: {a b, b c, c a, a b} (a b twice);
+            # actual bigrams: {a b, b d} -> clipped overlap = 1 (a b)
+            _R(doc_id=0, expected="a b c a b", actual="a b d"),
+            # identical -> perfect scores
+            _R(doc_id=1, expected="x y z", actual="x y z"),
+            # actual empty -> all zeros but n_expected counted
+            _R(doc_id=2, expected="p q", actual=""),
+            # both empty -> zero row survives via the id-universe join
+            _R(doc_id=3, expected="", actual=""),
+        ]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in rouge_n(df, "doc_id", "expected", "actual", n=2).collect()
+    }
+    assert (out[0]["n_expected"], out[0]["n_actual"], out[0]["n_overlap"]) == (4, 2, 1)
+    assert abs(out[0]["rouge_recall"] - 0.25) < 1e-9
+    assert abs(out[0]["rouge_precision"] - 0.5) < 1e-9
+    assert out[1]["rouge_f1"] == 1.0
+    assert out[2]["n_expected"] == 1 and out[2]["rouge_recall"] == 0.0
+    assert out[3]["n_expected"] == 0 and out[3]["rouge_f1"] == 0.0
