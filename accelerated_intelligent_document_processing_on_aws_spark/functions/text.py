@@ -215,3 +215,19 @@ def turn_class_col(
         cond = c.rlike(rx)
         expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
     return expr.otherwise(F.lit(fallback)) if expr is not None else F.lit(fallback)
+
+
+def word_ngrams(words, n: int):
+    """Array of space-joined word ``n``-grams from a word-array column;
+    empty array when the doc has fewer than ``n`` words.  Shared by the
+    ROUGE metric and the hashed-feature builders so tokenization edge
+    handling lives in ONE place (``lm_score_bits`` keeps its struct-pair
+    form — its model joins on (w1, w2) columns, not joined strings)."""
+    k = F.size(words)
+    return F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(1), k - F.lit(n - 1)),
+            lambda i: F.array_join(F.slice(words, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

@@ -31,7 +31,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from ..functions.text import normalized_for_compare
+from ..functions.text import normalized_for_compare, word_ngrams
 
 # ASCII-only regexes, identical semantics under Java regex and RE2 (the
 # DuckDB oracle) — same dialect-parity rule as __spark_entry__.
@@ -520,13 +520,9 @@ def _hashed_grams(df: DataFrame, id_col: str, text_col: str, n_buckets: int):
     buckets (engine-portable md5-prefix hash, same convention as
     ``dedup.shingle_hash32``): (id_col, b)."""
     w = df.select(F.col(id_col), _words(text_col).alias("_w"))
-    n = F.size(F.col("_w"))
-    bigrams = F.transform(
-        F.sequence(F.lit(1), F.greatest(n - F.lit(1), F.lit(1))),
-        lambda i: F.array_join(F.slice(F.col("_w"), i, 2), " "),
-    )
+    bigrams = word_ngrams(F.col("_w"), 2)  # empty array when < 2 words
     grams = w.select(F.col(id_col), F.explode("_w").alias("_g")).unionByName(
-        w.filter(n >= 2).select(F.col(id_col), F.explode(bigrams).alias("_g"))
+        w.select(F.col(id_col), F.explode(bigrams).alias("_g"))
     )
     return grams.select(
         F.col(id_col),

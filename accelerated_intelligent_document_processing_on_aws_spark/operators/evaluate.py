@@ -325,31 +325,56 @@ def rouge_n(
     Output: (id_col, n_expected, n_actual, n_overlap, rouge_recall,
     rouge_precision, rouge_f1).
 
-    Plan shape (100 TB): document text never shuffles — both sides
-    explode to slim (id, gram, side) rows, ONE two-level aggregate
-    (map-side combine on (id, gram, side), then (id)) computes clipped
-    overlap without any self-join: grams pivot into per-side counts in
-    the first aggregate, the per-doc sums in the second reuse the same
-    id-hash partitioning."""
-    def grams(col):
-        w = F.split(F.coalesce(F.col(col), F.lit("")), " ")
-        k = F.size(w)
-        return F.when(k >= n, F.transform(
-            F.sequence(F.lit(1), k - F.lit(n - 1)),
-            lambda i: F.array_join(F.slice(w, i, n), " "),
-        )).otherwise(F.array().cast("array<string>"))
+    Plan shape (100 TB): ONE scan of the input — both sides' grams are
+    built in the same projection (side-tagged structs, per-side totals
+    from array sizes) and ``explode_outer`` keeps empty docs alive, so no
+    id-universe join and no distinct.  A two-level aggregate
+    (map-side combine on (id, gram), then (id)) computes the clipped
+    overlap; document text never shuffles, only slim gram rows."""
+    from ..functions.text import word_ngrams
 
-    e = df.select(F.col(id_col), F.explode(grams(expected_col)).alias("g")).withColumn("_s", F.lit(1))
-    a = df.select(F.col(id_col), F.explode(grams(actual_col)).alias("g")).withColumn("_s", F.lit(0))
-    both = e.unionByName(a)
-    per_gram = both.groupBy(id_col, "g").agg(
-        F.sum("_s").alias("c_e"),
-        F.sum(F.lit(1) - F.col("_s")).alias("c_a"),
+    we = F.split(F.coalesce(F.col(expected_col), F.lit("")), " ")
+    wa = F.split(F.coalesce(F.col(actual_col), F.lit("")), " ")
+    ge, ga = word_ngrams(we, n), word_ngrams(wa, n)
+    tagged = F.concat(
+        F.transform(
+            ge,
+            lambda g: F.struct(
+                g.alias("g"), F.lit(1).alias("e"), F.lit(0).alias("a")
+            ),
+        ),
+        F.transform(
+            ga,
+            lambda g: F.struct(
+                g.alias("g"), F.lit(0).alias("e"), F.lit(1).alias("a")
+            ),
+        ),
+    )
+    base = df.select(
+        F.col(id_col),
+        F.size(ge).alias("_ne"),
+        F.size(ga).alias("_na"),
+        F.explode_outer(tagged).alias("_t"),
+    ).select(
+        F.col(id_col),
+        "_ne",
+        "_na",
+        F.col("_t.g").alias("_g"),
+        F.coalesce(F.col("_t.e"), F.lit(0)).alias("_e"),
+        F.coalesce(F.col("_t.a"), F.lit(0)).alias("_a"),
+    )
+    per_gram = base.groupBy(id_col, "_g").agg(
+        F.first("_ne").alias("_ne"),
+        F.first("_na").alias("_na"),
+        F.sum("_e").alias("c_e"),
+        F.sum("_a").alias("c_a"),
     )
     agg = per_gram.groupBy(id_col).agg(
-        F.sum("c_e").alias("n_expected"),
-        F.sum("c_a").alias("n_actual"),
-        F.sum(F.least(F.col("c_e"), F.col("c_a"))).alias("n_overlap"),
+        F.first("_ne").cast("long").alias("n_expected"),
+        F.first("_na").cast("long").alias("n_actual"),
+        F.sum(F.least(F.col("c_e"), F.col("c_a"))).cast("long").alias(
+            "n_overlap"
+        ),
     )
     rec = F.when(
         F.col("n_expected") > 0, F.col("n_overlap") / F.col("n_expected")
@@ -360,19 +385,12 @@ def rouge_n(
     f1 = F.when(
         (rec + prec) > 0, F.lit(2.0) * rec * prec / (rec + prec)
     ).otherwise(F.lit(0.0))
-    # docs where BOTH sides are empty never reach the aggregate (no
-    # exploded rows) — join back against the id universe with zeros so
-    # the metric is total over the input
-    ids = df.select(F.col(id_col)).distinct()
-    return (
-        ids.join(agg, id_col, "left")
-        .select(
-            F.col(id_col),
-            F.coalesce("n_expected", F.lit(0)).cast("long").alias("n_expected"),
-            F.coalesce("n_actual", F.lit(0)).cast("long").alias("n_actual"),
-            F.coalesce("n_overlap", F.lit(0)).cast("long").alias("n_overlap"),
-            F.round(F.coalesce(rec, F.lit(0.0)), 6).alias("rouge_recall"),
-            F.round(F.coalesce(prec, F.lit(0.0)), 6).alias("rouge_precision"),
-            F.round(F.coalesce(f1, F.lit(0.0)), 6).alias("rouge_f1"),
-        )
+    return agg.select(
+        F.col(id_col),
+        "n_expected",
+        "n_actual",
+        "n_overlap",
+        F.round(rec, 6).alias("rouge_recall"),
+        F.round(prec, 6).alias("rouge_precision"),
+        F.round(f1, 6).alias("rouge_f1"),
     )

@@ -97,6 +97,10 @@ class PipelineConfig:
     # gets sub-splits proportional to its share — hot buckets fan out to
     # up to max_files_per_bucket tasks, cold buckets stay at ONE file.
     # files_per_bucket remains the flat fallback (and the target mean).
+    # Caveats: the pre-pass is column-pruned only for parquet input
+    # (jsonl/csv feeds pay a re-parse — land them as parquet first), and
+    # the flag does not compose with bucketed_table (raises: the bucketed
+    # publish fans in by the table's own conv-bucket spec).
     adaptive_write_split: bool = False
     max_files_per_bucket: int = 64
     # bucketed publish (VERDICT #8): when set, the output is written as a
@@ -248,10 +252,22 @@ def run_pipeline(
     # pt dir, and each task holds ~one (pt, sub) slice).
     k = max(int(cfg.files_per_bucket), 1)
     split_map = None
-    if cfg.adaptive_write_split and cfg.bucketed_table is None:
+    if cfg.adaptive_write_split and cfg.bucketed_table is not None:
+        # fail loudly instead of silently ignoring the flag: the bucketed
+        # publish aligns its fan-in with the table's conv-bucket spec, so
+        # per-bucket adaptive sub-splitting does not compose with it
+        raise ValueError(
+            "adaptive_write_split is not supported with bucketed_table: "
+            "the bucketed publish fans in by (pt, conv-bucket) to match "
+            "the table spec; unset one of the two"
+        )
+    if cfg.adaptive_write_split:
         # skew-aware sub-splitting: rows per pt counted on the RAW scan
-        # (pt is a pure function of conv_id — column-pruned, no
-        # extraction; the result is metadata-sized, <= n_buckets rows).
+        # (pt is a pure function of conv_id — for parquet input the scan
+        # column-prunes to conv_id and runs no extraction; for jsonl/csv
+        # feeds this pass re-parses the feed, so land hot feeds as
+        # parquet first if the pre-pass cost matters.  The result is
+        # metadata-sized, <= n_buckets rows).
         # Each bucket's sub-split count is proportional to its share of
         # the total with a budget of n_buckets * files_per_bucket splits:
         # balanced inputs land at ~files_per_bucket everywhere (same
@@ -288,18 +304,17 @@ def run_pipeline(
             F.pmod(F.hash(F.col("conv_id")), F.lit(cfg.conv_buckets)),
         )
     elif split_map is not None:
-        # try_element_at: ANSI-safe null (not throw) for a pt the count
-        # pass never saw; coalesce to one sub-split for such rows
+        # O(1) per-row lookup: pt is dense 0..n_buckets-1, so the split
+        # counts go into a literal ARRAY indexed by pt+1 (a literal MAP
+        # would be GetMapValue — a linear key scan per row, O(n_buckets)
+        # CPU inside the write fan-in at cluster-scale bucket counts).
+        # try_element_at: ANSI-safe null (not throw) out of range;
+        # coalesce to one sub-split for any pt the count pass never saw.
+        k_arr = [split_map.get(i, 1) for i in range(cfg.n_buckets)]
         k_col = F.coalesce(
             F.try_element_at(
-                F.create_map(
-                    *[
-                        F.lit(x)
-                        for pt_v, k_v in sorted(split_map.items())
-                        for x in (pt_v, k_v)
-                    ]
-                ),
-                F.col("pt").cast("int"),
+                F.array(*[F.lit(v) for v in k_arr]),
+                F.col("pt").cast("int") + F.lit(1),
             ),
             F.lit(1),
         )

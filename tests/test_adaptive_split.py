@@ -96,3 +96,19 @@ def test_adaptive_split_resume_still_keys_on_pt(spark, skewed_input):
     assert r1["partitions_committed"] == N_BUCKETS
     r2 = run_pipeline(spark, inp, outp, ckpt, cfg)
     assert r2["resumed"] is True and r2["partitions_written"] == 0
+
+
+def test_adaptive_split_rejects_bucketed_table(spark, skewed_input):
+    root, inp = skewed_input
+    with pytest.raises(ValueError, match="adaptive_write_split"):
+        run_pipeline(
+            spark,
+            inp,
+            f"{root}/x_out",
+            f"{root}/x_ck",
+            PipelineConfig(
+                n_buckets=N_BUCKETS,
+                adaptive_write_split=True,
+                bucketed_table="idp_bucketed_conflict",
+            ),
+        )
