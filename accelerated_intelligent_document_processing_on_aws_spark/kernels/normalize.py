@@ -26,13 +26,17 @@ from typing import List, Tuple
 # A span is (span_id, kind, start, end, text).
 Span = Tuple[int, str, int, int, str]
 
-_WS_RUN = re.compile(r"\s+")
 _PUNCT = re.compile(r"[^\w\s]", re.UNICODE)
 
 
 def collapse_ws(s: str) -> str:
-    """Whitespace-collapse + strip (comparator.py:97-100 semantics)."""
-    return _WS_RUN.sub(" ", s).strip()
+    """Whitespace-collapse + strip (comparator.py:97-100 semantics).
+
+    ``" ".join(s.split())`` is the C-level equivalent of
+    ``_WS_RUN.sub(" ", s).strip()`` (str.split with no separator splits on
+    Unicode whitespace runs and drops leading/trailing) and measured ~3x
+    faster in the extraction hot loop."""
+    return " ".join(s.split())
 
 
 def normalize_for_compare(s: str) -> str:
