@@ -85,13 +85,18 @@ def segment_blocks(html: str):
         run = html[pos : m.start()]
         if run:
             vis = run
-            if vis.strip():
-                s = pos + (len(vis) - len(vis.lstrip()))
-                e = pos + len(vis.rstrip())
+            ls = vis.lstrip()
+            if ls:
+                rs = ls.rstrip()
+                s = pos + (len(vis) - len(ls))
                 if cur.start < 0:
                     cur.start = s
-                cur.end = e
-            cur.parts.append(vis)
+                cur.end = s + len(rs)
+                cur.parts.append(vis)
+            elif cur.parts:
+                # interior whitespace-only run: keep as separator; a
+                # LEADING ws-only run is dropped (collapse_ws strips it)
+                cur.parts.append(vis)
             if anchor_depth > 0:
                 cur.link_chars += len(collapse_ws(vis))
         pos = m.end()
@@ -105,13 +110,22 @@ def segment_blocks(html: str):
                 anchor_depth += 1
             continue
         if name in _BLOCK_TAG_SET:
-            flush()
             if name in STRUCTURAL_BOILER:
                 if closing:
                     boiler_depth = max(0, boiler_depth - 1)
                 elif not selfclose and name != "br":
                     boiler_depth += 1
-            cur = _Block(boiler_depth)
+            if cur.start >= 0:
+                blocks.append(cur)
+                cur = _Block(boiler_depth)
+            else:
+                # reuse the empty block (the common inter-tag case —
+                # ~35 allocations/doc otherwise); leading ws-only parts
+                # were never appended, so clearing state is free
+                if cur.parts:
+                    cur.parts.clear()
+                cur.link_chars = 0
+                cur.boiler_depth = boiler_depth
     tail = html[pos:]
     if tail and tail.strip():
         s = pos + (len(tail) - len(tail.lstrip()))
