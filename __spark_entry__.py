@@ -3797,6 +3797,45 @@ GROUP BY 1 ORDER BY doc_id
 """
 
 
+def q_winnow(spark, sf_dir):
+    """Winnowing fingerprint selection (dedup.winnow_fingerprints, the
+    MOSS algorithm): per-position k-gram md5-prefix hashes + w-window
+    minima, all higher-order transforms in ONE codegen stage — zero
+    exchanges before the terminal sort, zero Python."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, "doc_id", "text", k=5, w=4).transform(
+        _by("doc_id")
+    )
+
+
+Q_WINNOW_SQL = """
+WITH p AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+g AS (SELECT doc_id, t, length(t) - 4 AS m FROM p),
+h AS (SELECT doc_id, m,
+  CASE WHEN m >= 1 THEN list_transform(range(1, m + 1),
+        i -> CAST(('0x' || substr(md5(substr(t, i, 5)), 1, 8)) AS BIGINT))
+       ELSE [] END AS hs
+  FROM g),
+sel AS (SELECT doc_id, m,
+  list_distinct(
+    CASE WHEN m - 3 >= 1
+           THEN list_transform(range(1, m - 3 + 1),
+                               j -> list_min(hs[j:j + 3]))
+         WHEN m >= 1 THEN [list_min(hs)]
+         ELSE [] END) AS sl
+  FROM h)
+SELECT doc_id,
+       CAST(greatest(m, 0) AS INT) AS n_kgrams,
+       CAST(len(sl) AS INT) AS n_selected,
+       md5(array_to_string(list_sort(sl), ',')) AS winnow_digest
+FROM sel ORDER BY doc_id
+"""
+
+
 def q_evaluate_rouge(spark, sf_dir):
     """ROUGE-2 overlap (evaluate.rouge_n, Lin 2004): expected = the doc
     text, actual = its first two-thirds of words — clipped bigram counts
@@ -4133,6 +4172,7 @@ _QUERIES_CHANGED_THIS_ROUND = [
     "q_soft_dedup",
     "q_quality_classifier",
     "q_evaluate_rouge",
+    "q_winnow",
 ]
 
 _QUERIES_FILLERS = [
@@ -4143,11 +4183,11 @@ _QUERIES_FILLERS = [
     "q_eval_report",
     "q_section_attributes",
     "q_token_packing",
-    "q_config_extract",
 ]
 
 _QUERIES_PAST_WINDOW = [
     # past the window: green in a prior round, untouched since
+    "q_config_extract",
     "q_validate_feed",
     "q_ivf_topk",
     "q_range_join",
@@ -4272,6 +4312,7 @@ def oracle_sql() -> dict[str, str]:
         "q_soft_dedup": Q_SOFT_DEDUP_SQL,
         "q_quality_classifier": Q_QUALITY_CLASSIFIER_SQL,
         "q_evaluate_rouge": Q_EVALUATE_ROUGE_SQL,
+        "q_winnow": Q_WINNOW_SQL,
         "q_config_extract": _config_extract_sql(),
         "q_range_join": Q_RANGE_JOIN_SQL,
         "q_interval_overlap": Q_INTERVAL_OVERLAP_SQL,

@@ -653,3 +653,65 @@ def duplicate_span_stats(
             F.min("span_start").alias("first_dup_start"),
         )
     )
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    w: int = 4,
+) -> DataFrame:
+    """Winnowing fingerprint selection (Schleimer, Wilkerson, Aiken 2003,
+    SIGMOD — the MOSS algorithm): hash every character ``k``-gram, then
+    keep the MINIMUM hash of every ``w``-window of consecutive k-grams.
+    The selected set is position-insensitive evidence of local substring
+    overlap — the guarantee is that any shared substring of length
+    >= ``w + k - 1`` contributes at least one common fingerprint, at
+    ~1/w the storage of all k-gram hashes.
+
+    Degenerate inputs: fewer than ``w`` k-grams select the single global
+    minimum; no k-grams (text shorter than ``k``) select nothing.
+
+    Output: (id_col, n_kgrams, n_selected, winnow_digest) where
+    ``winnow_digest`` = md5 of the comma-joined ascending selected set —
+    a stable, engine-portable summary (the full set feeds a candidate
+    equi-join in a pair-matching pipeline, same shape as MinHash bands).
+
+    Plan shape (100 TB): everything is ONE narrow projection — k-gram
+    hashing (``shingle_hash32``: JVM md5 prefix, the exact expression the
+    DuckDB oracle runs) and window minima are higher-order transforms
+    inside a single codegen stage; zero exchanges, zero Python, text
+    never shuffles."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    m = F.length(t) - F.lit(k - 1)  # number of k-grams
+    hashes = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            lambda i: shingle_hash32(F.substring(t, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    n_win = m - F.lit(w - 1)  # number of w-windows
+    sel = F.array_distinct(
+        F.when(
+            n_win >= 1,
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
+                lambda j: F.array_min(F.slice(hashes, j, w)),
+            ),
+        )
+        .when(m >= 1, F.array(F.array_min(hashes)))
+        .otherwise(F.array().cast("array<long>"))
+    )
+    return df.select(
+        F.col(id_col),
+        F.greatest(m, F.lit(0)).cast("int").alias("n_kgrams"),
+        F.size(sel).cast("int").alias("n_selected"),
+        F.md5(
+            F.array_join(
+                F.transform(F.array_sort(sel), lambda x: x.cast("string")),
+                ",",
+            )
+        ).alias("winnow_digest"),
+    )

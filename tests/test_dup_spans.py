@@ -90,3 +90,53 @@ def test_adjacent_windows_merge_not_just_overlapping(spark):
         (11, 2, 6),
         (11, 7, 11),
     }
+
+
+def test_winnow_fingerprints_properties(spark):
+    """Winnowing guarantee + degenerate cases: any shared substring of
+    length >= w + k - 1 yields a shared selected fingerprint; short and
+    empty docs degrade to global-min / empty selections."""
+    from pyspark.sql import Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+        winnow_fingerprints,
+    )
+
+    shared = "the common passage lives here"  # len 29 >= w+k-1 = 8
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=f"prefix one {shared} suffix alpha"),
+            Row(doc_id=1, text=f"other start {shared} different end"),
+            Row(doc_id=2, text="tiny"),  # < k chars -> no k-grams
+            Row(doc_id=3, text="sixchr"),  # 2 k-grams < w -> global min
+            Row(doc_id=4, text=None),
+        ]
+    )
+    rows = {r["doc_id"]: r for r in winnow_fingerprints(df, "doc_id", "text").collect()}
+    assert rows[2]["n_kgrams"] == 0 and rows[2]["n_selected"] == 0
+    assert rows[3]["n_kgrams"] == 2 and rows[3]["n_selected"] == 1
+    assert rows[4]["n_kgrams"] == 0
+    # the digest summarizes the set; verify overlap via the full sets
+    from pyspark.sql import functions as F
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+        shingle_hash32,
+    )
+
+    def selected_set(text):
+        one = spark.createDataFrame([Row(doc_id=0, text=text)])
+        t = F.coalesce(F.col("text"), F.lit(""))
+        m = F.length(t) - F.lit(4)
+        hashes = F.transform(
+            F.sequence(F.lit(1), m), lambda i: shingle_hash32(F.substring(t, i, 5))
+        )
+        sel = F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), m - F.lit(3)),
+                lambda j: F.array_min(F.slice(hashes, j, 4)),
+            )
+        )
+        return set(one.select(sel.alias("s")).collect()[0]["s"])
+
+    s0 = selected_set(f"prefix one {shared} suffix alpha")
+    s1 = selected_set(f"other start {shared} different end")
+    assert s0 & s1, "shared >= w+k-1 substring must share a fingerprint"
