@@ -3836,6 +3836,51 @@ FROM sel ORDER BY doc_id
 """
 
 
+def q_cdc_chunks(spark, sf_dir):
+    """Content-defined chunking (dedup.cdc_chunks, LBFS/FastCDC
+    semantics): k-gram-hash-triggered boundaries + offset/fingerprint
+    chunk rows, one codegen stage before the explode.  Certified with
+    min_len=1 (every triggered boundary kept) because the greedy
+    min-length fold has no pure-SQL form — the fold itself is pinned by
+    the pytest tiling/shift-resistance invariants (test_dup_spans)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+        cdc_chunks,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return cdc_chunks(d, "doc_id", "text", k=5, mask=63, min_len=1).transform(
+        _by("doc_id", "chunk_idx")
+    )
+
+
+Q_CDC_CHUNKS_SQL = """
+WITH p AS (SELECT doc_id, coalesce(text, '') AS t,
+                  length(coalesce(text, '')) AS n FROM documents),
+h AS (SELECT doc_id, t, n,
+  CASE WHEN n - 4 >= 1 THEN list_transform(range(1, n - 4 + 1),
+        i -> CAST(('0x' || substr(md5(substr(t, i, 5)), 1, 8)) AS BIGINT))
+       ELSE [] END AS hs
+  FROM p),
+c AS (SELECT doc_id, t, n,
+  list_filter(list_transform(hs,
+      (x, i) -> CASE WHEN x % 64 = 0 THEN i + 4 ELSE -1 END),
+      v -> v > 0) AS cand
+  FROM h),
+b AS (SELECT doc_id, t, n, list_prepend(0, cand) AS kept FROM c),
+bb AS (SELECT doc_id, t, n,
+  CASE WHEN kept[-1] < n THEN list_append(kept, n) ELSE kept END AS bounds
+  FROM b),
+sp AS (SELECT doc_id, t, r.idx - 1 AS chunk_idx, r.st AS start,
+       coalesce(bounds[r.idx + 1], n) - r.st AS chunk_len
+  FROM bb, UNNEST(list_transform(bounds,
+       (x, i) -> struct_pack(idx := i, st := x))) AS u(r))
+SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx,
+       CAST(start AS INT) AS start, CAST(chunk_len AS INT) AS chunk_len,
+       md5(substr(t, start + 1, chunk_len)) AS chunk_fp
+FROM sp WHERE chunk_len > 0 ORDER BY doc_id, chunk_idx
+"""
+
+
 def q_evaluate_rouge(spark, sf_dir):
     """ROUGE-2 overlap (evaluate.rouge_n, Lin 2004): expected = the doc
     text, actual = its first two-thirds of words — clipped bigram counts
@@ -4173,6 +4218,7 @@ _QUERIES_CHANGED_THIS_ROUND = [
     "q_quality_classifier",
     "q_evaluate_rouge",
     "q_winnow",
+    "q_cdc_chunks",
 ]
 
 _QUERIES_FILLERS = [
@@ -4182,10 +4228,10 @@ _QUERIES_FILLERS = [
     "q_office_extract",
     "q_eval_report",
     "q_section_attributes",
-    "q_token_packing",
 ]
 
 _QUERIES_PAST_WINDOW = [
+    "q_token_packing",
     # past the window: green in a prior round, untouched since
     "q_config_extract",
     "q_validate_feed",
@@ -4313,6 +4359,7 @@ def oracle_sql() -> dict[str, str]:
         "q_quality_classifier": Q_QUALITY_CLASSIFIER_SQL,
         "q_evaluate_rouge": Q_EVALUATE_ROUGE_SQL,
         "q_winnow": Q_WINNOW_SQL,
+        "q_cdc_chunks": Q_CDC_CHUNKS_SQL,
         "q_config_extract": _config_extract_sql(),
         "q_range_join": Q_RANGE_JOIN_SQL,
         "q_interval_overlap": Q_INTERVAL_OVERLAP_SQL,

@@ -715,3 +715,93 @@ def winnow_fingerprints(
             )
         ).alias("winnow_digest"),
     )
+
+
+def cdc_chunks(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    mask: int = 63,
+    min_len: int = 16,
+) -> DataFrame:
+    """Content-defined chunking (Rabin-style, LBFS Muthitacharoen et al.
+    2001 / FastCDC semantics): a chunk boundary falls AFTER position
+    ``i`` when the k-gram hash ending there satisfies
+    ``h % (mask+1) == 0`` and the current chunk is at least ``min_len``
+    chars — so chunk boundaries move WITH the content, and an insertion
+    near the front of a document re-chunks only its neighborhood instead
+    of shifting every fixed-window chunk (the property fixed-size
+    ``sliding_chunks`` cannot give).  Expected chunk length ≈ mask+1.
+
+    Output: one row per chunk — (id_col, chunk_idx, start, chunk_len,
+    chunk_fp) with offsets into the original text; ``chunk_fp`` = md5 of
+    the chunk text, the dedup key (feed to ``chunk_dedup``-style
+    first-occurrence filtering or a corpus-frequency join).
+
+    Plan shape (100 TB): boundary detection is higher-order transforms
+    over the k-gram hash array (same ``shingle_hash32`` primitive the
+    oracle mirrors) inside ONE codegen stage; the only exchange after the
+    explode is whatever the consumer adds.  Text never shuffles — chunks
+    are (offset, length, fingerprint), rehydratable by substring."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    n = F.length(t)
+    m = n - F.lit(k - 1)
+    hashes = F.when(
+        m >= 1,
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(m, F.lit(1))),
+            lambda i: shingle_hash32(F.substring(t, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    # candidate boundaries: hash positions i (1-based) whose k-gram ends a
+    # chunk -> boundary offset = i + k - 1 chars into the text
+    cand = F.filter(
+        F.transform(
+            hashes, lambda h, i: F.when(
+                F.pmod(h, F.lit(mask + 1)) == 0, i + F.lit(k)
+            ).otherwise(F.lit(-1))
+        ),
+        lambda x: x > 0,
+    )
+    # enforce min_len greedily left-to-right (aggregate keeps a boundary
+    # only if it is >= min_len past the previous kept one), then close the
+    # final chunk at n
+    kept = F.aggregate(
+        cand,
+        F.array(F.lit(0)),
+        lambda acc, b: F.when(
+            b - F.element_at(acc, -1) >= min_len, F.concat(acc, F.array(b))
+        ).otherwise(acc),
+    )
+    bounds = F.when(
+        F.element_at(kept, -1) < n, F.concat(kept, F.array(n))
+    ).otherwise(kept)
+    spans = F.filter(
+        F.transform(
+            bounds,
+            lambda b, i: F.struct(
+                i.alias("chunk_idx"),  # transform's index is 0-based
+                b.alias("start"),
+                (
+                    F.coalesce(
+                        F.try_element_at(bounds, i + F.lit(2)), F.lit(n)
+                    )
+                    - b
+                ).alias("chunk_len"),
+            ),
+        ),
+        lambda s: s["chunk_len"] > 0,
+    )
+    ex = df.select(F.col(id_col), t.alias("_t"), F.explode(spans).alias("_s"))
+    return ex.select(
+        F.col(id_col),
+        F.col("_s.chunk_idx").cast("int").alias("chunk_idx"),
+        F.col("_s.start").cast("int").alias("start"),
+        F.col("_s.chunk_len").cast("int").alias("chunk_len"),
+        F.md5(
+            F.substring(
+                F.col("_t"), F.col("_s.start") + F.lit(1), F.col("_s.chunk_len")
+            )
+        ).alias("chunk_fp"),
+    )

@@ -140,3 +140,43 @@ def test_winnow_fingerprints_properties(spark):
     s0 = selected_set(f"prefix one {shared} suffix alpha")
     s1 = selected_set(f"other start {shared} different end")
     assert s0 & s1, "shared >= w+k-1 substring must share a fingerprint"
+
+
+def test_cdc_chunks_tiling_and_shift_resistance(spark):
+    """CDC invariants: chunks tile the text exactly, fingerprints match
+    the substring md5, min_len gates boundaries, and a front insertion
+    preserves later chunk fingerprints (the property fixed windows lack)."""
+    import hashlib
+
+    from pyspark.sql import Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+        cdc_chunks,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    texts = {0: base, 1: "", 2: "tiny", 3: "INSERTED PREFIX!! " + base}
+    df = spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in texts.items()]
+    )
+    rows = cdc_chunks(df, "doc_id", "text", min_len=16).collect()
+    by = {}
+    for r in rows:
+        by.setdefault(r["doc_id"], []).append(r)
+    assert 1 not in by  # empty doc -> no chunks
+    for did, t in texts.items():
+        if not t:
+            continue
+        ch = sorted(by[did], key=lambda r: r["chunk_idx"])
+        pos = 0
+        for j, r in enumerate(ch):
+            assert r["chunk_idx"] == j and r["start"] == pos
+            pos += r["chunk_len"]
+            frag = t[r["start"] : r["start"] + r["chunk_len"]]
+            assert hashlib.md5(frag.encode()).hexdigest() == r["chunk_fp"]
+            if j < len(ch) - 1:  # all but the tail respect min_len
+                assert r["chunk_len"] >= 16
+        assert pos == len(t)
+    fps0 = {r["chunk_fp"] for r in by[0]}
+    fps3 = {r["chunk_fp"] for r in by[3]}
+    assert fps0 & fps3, "front insertion must preserve later chunk fps"
