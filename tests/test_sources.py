@@ -215,3 +215,56 @@ def test_dead_letter_idempotent_on_partial_resume(spark, tmp_path):
         assert s["resumed"]
         # the retry re-ran the DLQ pass, but overwrite kept it exact
         assert spark.read.parquet(dlq).count() == 2
+
+
+def test_ingest_fuzz_never_crashes_and_partitions_feed(spark, tmp_path):
+    """Fuzz the jsonl ingest path with a seeded grab-bag of malformed
+    records: arbitrary junk, truncated JSON, wrong types, embedded
+    newline-free control noise.  Invariants: read_transcripts +
+    split_corrupt never raise, every input line lands on exactly one
+    side, and every clean row carries a non-null conv_id/turn_idx."""
+    import json
+    import random
+
+    from accelerated_intelligent_document_processing_on_aws_spark.sources.ingest import (
+        read_transcripts,
+        split_corrupt,
+    )
+
+    rng = random.Random(42)
+    lines = []
+    n_good = 0
+    for i in range(200):
+        roll = rng.random()
+        if roll < 0.4:  # well-formed
+            lines.append(json.dumps({
+                "conv_id": f"c{i%7}", "turn_idx": i, "role": "user",
+                "text": f"turn {i}", "tool": None,
+                "ts": "2025-01-01T00:00:00",
+            }))
+            n_good += 1
+        elif roll < 0.55:  # truncated JSON
+            lines.append(json.dumps({"conv_id": f"c{i}", "turn_idx": i})[:-rng.randint(1, 5)])
+        elif roll < 0.7:  # junk
+            lines.append("".join(rng.choice("{}[]:,\"abcxyz489 ") for _ in range(rng.randint(1, 40))))
+        elif roll < 0.85:  # wrong type for turn_idx
+            lines.append(json.dumps({
+                "conv_id": f"c{i}", "turn_idx": "not-an-int", "role": "user",
+                "text": "x", "tool": None, "ts": "2025-01-01T00:00:00",
+            }))
+        else:  # empty-ish
+            lines.append(rng.choice(["", " ", "null", "[]", "123"]))
+    feed = tmp_path / "feed.jsonl"
+    feed.write_text("\n".join(lines) + "\n")
+
+    good, bad = split_corrupt(read_transcripts(spark, str(feed), fmt="jsonl"))
+    g, b = good.collect(), bad.collect()
+    n_input = sum(1 for ln in lines if ln.strip())  # blank lines are skipped by the text scan
+    assert len(g) + len(b) >= n_good  # no line silently lost from the good set
+    assert len(g) <= n_input and len(b) <= n_input
+    for r in g:
+        assert r["conv_id"] is not None and r["turn_idx"] is not None
+    # every malformed flavor above must land SOMETHING in the DLQ
+    assert len(b) > 0
+    # well-formed rows all survive
+    assert len(g) >= n_good * 0.95
