@@ -3836,6 +3836,84 @@ FROM sel ORDER BY doc_id
 """
 
 
+def q_bleu(spark, sf_dir):
+    """Sentence BLEU (evaluate.bleu_n, Papineni et al. 2002): candidate
+    = the doc's first two-thirds of words plus an out-of-vocabulary
+    token, so every order's clipped precision and the brevity penalty
+    are all exercised.  Single-scan side/order-tagged explode + two-level
+    aggregate — same shape as ROUGE."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.evaluate import (
+        bleu_n,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    k2 = F.floor(F.lit(2) * F.size(w) / F.lit(3)).cast("int")
+    pairs = d.select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("expected"),
+        F.concat(
+            F.array_join(F.slice(w, 1, k2), " "), F.lit(" zzz")
+        ).alias("actual"),
+    )
+    return _ordered(
+        bleu_n(pairs, "doc_id", "expected", "actual", max_n=4), "doc_id"
+    )
+
+
+Q_BLEU_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         string_split(coalesce(text, ''), ' ') AS te,
+         string_split(array_to_string(
+            list_slice(string_split(coalesce(text, ''), ' '), 1,
+              (2 * len(string_split(coalesce(text, ''), ' '))) // 3), ' ')
+            || ' zzz', ' ') AS ta
+  FROM documents
+),
+g AS (
+  SELECT doc_id, n, gg AS g, 1 AS e, 0 AS a FROM p,
+    UNNEST(range(1, 5)) AS o(n),
+    UNNEST(CASE WHEN len(te) >= n THEN list_transform(
+        range(1, len(te) - n + 2),
+        i -> array_to_string(te[i:i + n - 1], ' ')) ELSE [] END) AS t(gg)
+  UNION ALL
+  SELECT doc_id, n, gg AS g, 0 AS e, 1 AS a FROM p,
+    UNNEST(range(1, 5)) AS o(n),
+    UNNEST(CASE WHEN len(ta) >= n THEN list_transform(
+        range(1, len(ta) - n + 2),
+        i -> array_to_string(ta[i:i + n - 1], ' ')) ELSE [] END) AS t(gg)
+),
+lens AS (SELECT doc_id, len(te) AS lr, len(ta) AS lc FROM p),
+per_gram AS (
+  SELECT doc_id, n, g, SUM(e) AS c_e, SUM(a) AS c_a
+  FROM g GROUP BY doc_id, n, g
+),
+per_n AS (
+  SELECT doc_id, n, SUM(LEAST(c_e, c_a)) AS ov, SUM(c_a) AS na
+  FROM per_gram GROUP BY doc_id, n
+),
+agg AS (
+  SELECT doc_id,
+         SUM(CASE WHEN na > 0 AND ov > 0 THEN ln(ov * 1.0 / na) END)
+           AS logsum,
+         SUM(CASE WHEN na > 0 AND ov > 0 THEN 1 ELSE 0 END) AS ok
+  FROM per_n GROUP BY doc_id
+)
+SELECT l.doc_id,
+       CAST(l.lr AS BIGINT) AS len_ref,
+       CAST(l.lc AS BIGINT) AS len_cand,
+       ROUND(
+         (CASE WHEN coalesce(ok, 0) >= LEAST(l.lc, 4) AND LEAST(l.lc, 4) > 0
+               THEN exp(logsum / LEAST(l.lc, 4)) ELSE 0 END)
+         * (CASE WHEN l.lc >= l.lr THEN 1.0
+                 WHEN l.lc > 0 THEN exp(1.0 - l.lr * 1.0 / l.lc)
+                 ELSE 0 END), 6) AS bleu
+FROM lens l LEFT JOIN agg USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_cdc_chunks(spark, sf_dir):
     """Content-defined chunking (dedup.cdc_chunks, LBFS/FastCDC
     semantics): k-gram-hash-triggered boundaries + offset/fingerprint
@@ -4219,6 +4297,7 @@ _QUERIES_CHANGED_THIS_ROUND = [
     "q_evaluate_rouge",
     "q_winnow",
     "q_cdc_chunks",
+    "q_bleu",
 ]
 
 _QUERIES_FILLERS = [
@@ -4227,10 +4306,10 @@ _QUERIES_FILLERS = [
     "q_yaml_sniff",
     "q_office_extract",
     "q_eval_report",
-    "q_section_attributes",
 ]
 
 _QUERIES_PAST_WINDOW = [
+    "q_section_attributes",
     "q_token_packing",
     # past the window: green in a prior round, untouched since
     "q_config_extract",
@@ -4360,6 +4439,7 @@ def oracle_sql() -> dict[str, str]:
         "q_evaluate_rouge": Q_EVALUATE_ROUGE_SQL,
         "q_winnow": Q_WINNOW_SQL,
         "q_cdc_chunks": Q_CDC_CHUNKS_SQL,
+        "q_bleu": Q_BLEU_SQL,
         "q_config_extract": _config_extract_sql(),
         "q_range_join": Q_RANGE_JOIN_SQL,
         "q_interval_overlap": Q_INTERVAL_OVERLAP_SQL,

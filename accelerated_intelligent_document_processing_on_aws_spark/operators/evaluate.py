@@ -394,3 +394,114 @@ def rouge_n(
         F.round(prec, 6).alias("rouge_precision"),
         F.round(f1, 6).alias("rouge_f1"),
     )
+
+
+def bleu_n(
+    df: DataFrame,
+    id_col: str,
+    expected_col: str,
+    actual_col: str,
+    max_n: int = 4,
+) -> DataFrame:
+    """Sentence-level BLEU (Papineni et al. 2002): geometric mean of
+    clipped n-gram precisions for n = 1..``max_n`` times the brevity
+    penalty ``min(1, exp(1 - len_ref/len_cand))`` — the candidate
+    (actual) side is scored against the reference (expected).  Orders
+    with zero overlap contribute precision 0, so the geometric mean is 0
+    whenever any order has no match (standard uns smoothed BLEU).
+
+    Output: (id_col, len_ref, len_cand, bleu) — bleu rounded 6 dp.
+
+    Plan shape (100 TB): same single-scan shape as ``rouge_n`` — all
+    2·max_n gram arrays are built in ONE projection, side- and
+    order-tagged structs explode once, and a two-level aggregate
+    computes per-order clipped overlaps; text never shuffles."""
+    from ..functions.text import word_ngrams
+
+    we = F.split(F.coalesce(F.col(expected_col), F.lit("")), " ")
+    wa = F.split(F.coalesce(F.col(actual_col), F.lit("")), " ")
+
+    def tag(arr, side, order):
+        return F.transform(
+            arr,
+            lambda g: F.struct(
+                F.lit(order).alias("n"),
+                g.alias("g"),
+                F.lit(side).alias("e"),
+                F.lit(1 - side).alias("a"),
+            ),
+        )
+
+    tagged = F.concat(
+        *[tag(word_ngrams(we, i), 1, i) for i in range(1, max_n + 1)],
+        *[tag(word_ngrams(wa, i), 0, i) for i in range(1, max_n + 1)],
+    )
+    # token lengths (1-gram counts) double as len_ref / len_cand
+    base = df.select(
+        F.col(id_col),
+        F.size(word_ngrams(we, 1)).alias("_lr"),
+        F.size(word_ngrams(wa, 1)).alias("_lc"),
+        F.explode_outer(tagged).alias("_t"),
+    ).select(
+        F.col(id_col),
+        "_lr",
+        "_lc",
+        F.col("_t.n").alias("_n"),
+        F.col("_t.g").alias("_g"),
+        F.coalesce(F.col("_t.e"), F.lit(0)).alias("_e"),
+        F.coalesce(F.col("_t.a"), F.lit(0)).alias("_a"),
+    )
+    per_gram = base.groupBy(id_col, "_n", "_g").agg(
+        F.first("_lr").alias("_lr"),
+        F.first("_lc").alias("_lc"),
+        F.sum("_e").alias("c_e"),
+        F.sum("_a").alias("c_a"),
+    )
+    # per (doc, order): clipped overlap and candidate gram count
+    per_n = per_gram.groupBy(id_col, "_n").agg(
+        F.first("_lr").alias("_lr"),
+        F.first("_lc").alias("_lc"),
+        F.sum(F.least(F.col("c_e"), F.col("c_a"))).alias("ov"),
+        F.sum("c_a").alias("na"),
+    )
+    # geometric mean over orders: exp(avg(ln p_n)); any p_n = 0 -> bleu 0.
+    # The null row from an empty doc carries _n null — drop it here (its
+    # _lr/_lc already rode through per-doc firsts on real orders; a fully
+    # empty doc keeps its zero row via the n=1 order of the OTHER side or
+    # yields bleu 0 through the len aggregate below).
+    p_n = F.when(
+        (F.col("na") > 0) & (F.col("ov") > 0),
+        F.col("ov").cast("double") / F.col("na"),
+    )
+    agg = per_n.groupBy(id_col).agg(
+        F.max("_lr").cast("long").alias("len_ref"),
+        F.max("_lc").cast("long").alias("len_cand"),
+        F.sum(F.when(p_n.isNotNull(), F.log(p_n))).alias("_logsum"),
+        F.sum(F.when(p_n.isNotNull(), F.lit(1)).otherwise(F.lit(0))).alias(
+            "_ok"
+        ),
+    )
+    # effective orders = those the CANDIDATE can populate (a short
+    # candidate is scored on its available orders, not zeroed by 0/0)
+    n_orders = F.least(F.col("len_cand"), F.lit(max_n))
+    geo = F.when(
+        (F.col("_ok") >= n_orders) & (n_orders > 0),
+        F.exp(F.col("_logsum") / n_orders),
+    ).otherwise(F.lit(0.0))
+    bp = F.when(
+        F.col("len_cand") >= F.col("len_ref"), F.lit(1.0)
+    ).otherwise(
+        F.when(
+            F.col("len_cand") > 0,
+            F.exp(
+                F.lit(1.0)
+                - F.col("len_ref").cast("double") / F.col("len_cand")
+            ),
+        ).otherwise(F.lit(0.0))
+    )
+    return agg.select(
+        F.col(id_col),
+        "len_ref",
+        "len_cand",
+        F.round(geo * bp, 6).alias("bleu"),
+    )

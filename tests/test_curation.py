@@ -485,3 +485,36 @@ def test_rouge_n_hand_case(spark):
     assert out[1]["rouge_f1"] == 1.0
     assert out[2]["n_expected"] == 1 and out[2]["rouge_recall"] == 0.0
     assert out[3]["n_expected"] == 0 and out[3]["rouge_f1"] == 0.0
+
+
+def test_bleu_hand_cases(spark):
+    import math
+
+    from pyspark.sql import Row as _R
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.evaluate import (
+        bleu_n,
+    )
+
+    df = spark.createDataFrame(
+        [
+            # identical -> bleu 1
+            _R(doc_id=0, expected="a b c d e", actual="a b c d e"),
+            # candidate = strict prefix: all precisions 1, bp = exp(1-5/4)
+            _R(doc_id=1, expected="a b c d e", actual="a b c d"),
+            # no overlap at all -> 0
+            _R(doc_id=2, expected="a b c d e", actual="x y z w v"),
+            # short candidate (2 words): effective orders = 2, perfect
+            # sub-match, bp = exp(1-5/2)
+            _R(doc_id=3, expected="a b c d e", actual="a b"),
+            # empty-ish candidate ('' tokenizes to one empty token)
+            _R(doc_id=4, expected="a b c", actual=""),
+        ]
+    )
+    out = {r["doc_id"]: r for r in bleu_n(df, "doc_id", "expected", "actual").collect()}
+    assert out[0]["bleu"] == 1.0
+    assert abs(out[1]["bleu"] - round(math.exp(1 - 5 / 4), 6)) < 1e-9
+    assert out[2]["bleu"] == 0.0
+    assert abs(out[3]["bleu"] - round(math.exp(1 - 5 / 2), 6)) < 1e-9
+    # '' -> one empty-string token, no overlap with real words -> 0
+    assert out[4]["bleu"] == 0.0 and out[4]["len_cand"] == 1
