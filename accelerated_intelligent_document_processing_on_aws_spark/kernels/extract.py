@@ -58,19 +58,18 @@ _EXTRACTORS = {
 
 def split_segments(text: str) -> List[Tuple[int, str]]:
     """Split on lines equal to SEGMENT_SEP; return (base_offset, segment)."""
+    if SEGMENT_SEP not in text:  # overwhelmingly common: O(n) memchr scan
+        return [(0, text)]
     segs: List[Tuple[int, str]] = []
-    pos = 0
     n = len(text)
     seg_start = 0
-    while pos <= n:
-        nl = text.find("\n", pos)
-        end = nl if nl != -1 else n
-        if text[pos:end].strip() == SEGMENT_SEP:
+    pos = 0
+    # one C-level split + cumulative offsets instead of a find() loop
+    for ln in text.split("\n"):
+        if ln.strip() == SEGMENT_SEP:
             segs.append((seg_start, text[seg_start:pos]))
-            seg_start = (nl + 1) if nl != -1 else n
-        if nl == -1:
-            break
-        pos = nl + 1
+            seg_start = min(pos + len(ln) + 1, n)
+        pos += len(ln) + 1
     segs.append((seg_start, text[seg_start:]))
     return segs if len(segs) > 1 else [(0, text)]
 

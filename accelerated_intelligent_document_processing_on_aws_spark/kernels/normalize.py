@@ -58,22 +58,14 @@ def normalize_plain(text: str, base: int = 0) -> Tuple[str, List[Span]]:
     spans: List[Span] = []
     out_lines: List[str] = []
     pos = 0
-    n = len(text)
     sid = 0
-    while pos <= n:
-        nl = text.find("\n", pos)
-        end = nl if nl != -1 else n
-        raw = text[pos:end]
-        # strip, tracking offsets
-        lstrip = len(raw) - len(raw.lstrip())
+    # one C-level split + cumulative offsets instead of a find() loop
+    for raw in text.split("\n"):
         stripped = raw.strip()
         if stripped:
-            s0 = base + pos + lstrip
-            s1 = s0 + len(stripped)
-            spans.append((sid, "ocr_line", s0, s1, stripped))
+            s0 = base + pos + (len(raw) - len(raw.lstrip()))
+            spans.append((sid, "ocr_line", s0, s0 + len(stripped), stripped))
             out_lines.append(stripped)
             sid += 1
-        if nl == -1:
-            break
-        pos = nl + 1
+        pos += len(raw) + 1
     return "\n".join(out_lines), spans
