@@ -36,16 +36,14 @@ def extract_layout(text: str, base: int = 0) -> Tuple[str, List[Span]]:
     sid = 0
     in_table = False
     pos = 0
-    n = len(text)
-    while pos <= n:
-        nl = text.find("\n", pos)
-        end = nl if nl != -1 else n
-        raw = text[pos:end]
+    # one C-level split + cumulative offsets instead of a find() loop
+    for raw in text.split("\n"):
         m = _TAG_LINE.match(raw)
         tag = m.group(1) if m else None
         body_off = m.end() if m else 0
-        body = raw[body_off:].strip()
-        lstrip = len(raw[body_off:]) - len(raw[body_off:].lstrip())
+        rest = raw[body_off:]
+        body = rest.strip()
+        lstrip = len(rest) - len(rest.lstrip())
         s0 = base + pos + body_off + lstrip
         s1 = s0 + len(body)
 
@@ -76,7 +74,5 @@ def extract_layout(text: str, base: int = 0) -> Tuple[str, List[Span]]:
                 out.append(body)
                 spans.append((sid, "content", s0, s1, body))
                 sid += 1
-        if nl == -1:
-            break
-        pos = nl + 1
+        pos += len(raw) + 1
     return "\n".join(out), spans
