@@ -3836,6 +3836,72 @@ FROM sel ORDER BY doc_id
 """
 
 
+def q_line_repetition(spark, sf_dir):
+    """Gopher line-level repetition gates
+    (curation.line_repetition_stats): deterministic synthetic pages
+    where doc_id controls how many nav/footer lines duplicate — dup-line
+    and dup-char fractions plus the published keep thresholds, all in
+    one narrow projection (zero exchanges before the terminal sort)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        line_repetition_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    did = F.col("doc_id")
+    t = F.concat_ws(
+        "\n",
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit("Menu Home About"),
+        F.when(did % 3 == 0, F.lit("Menu Home About")).otherwise(
+            F.concat(F.lit("Tail "), did.cast("string"))
+        ),
+        F.concat(F.lit("Footer "), (did % 5).cast("string")),
+        F.when(did % 2 == 0, F.concat(F.lit("Footer "), (did % 5).cast("string"))).otherwise(
+            F.concat(F.lit("Alt "), did.cast("string"))
+        ),
+    )
+    d = d.select("doc_id", t.alias("t"))
+    return line_repetition_stats(d, "doc_id", "t").transform(_by("doc_id"))
+
+
+Q_LINE_REPETITION_SQL = """
+WITH p AS (SELECT doc_id,
+  coalesce(text,'') || chr(10) ||
+  'Menu Home About' || chr(10) ||
+  (CASE WHEN doc_id % 3 = 0 THEN 'Menu Home About'
+        ELSE 'Tail ' || CAST(doc_id AS VARCHAR) END) || chr(10) ||
+  'Footer ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
+  (CASE WHEN doc_id % 2 = 0 THEN 'Footer ' || CAST(doc_id % 5 AS VARCHAR)
+        ELSE 'Alt ' || CAST(doc_id AS VARCHAR) END) AS t
+  FROM documents),
+s AS (SELECT doc_id,
+  list_filter(list_transform(str_split(t, chr(10)), x -> trim(x)),
+              x -> x <> '') AS lines
+  FROM p),
+m AS (SELECT doc_id, lines, list_distinct(lines) AS dl,
+             len(lines) AS nl, len(list_distinct(lines)) AS nd,
+             list_sum(list_transform(lines, x -> length(x))) AS tot
+      FROM s),
+d2 AS (SELECT doc_id, nl, nd, tot,
+  list_sum(list_transform(dl,
+      d -> (len(list_filter(lines, x -> x = d)) - 1) * length(d)))
+    AS dup
+  FROM m)
+SELECT doc_id, CAST(nl AS INT) AS n_lines,
+  ROUND(CASE WHEN nl > 0 THEN (nl - nd) * 1.0 / nl ELSE 0 END, 6)
+    AS dup_line_frac,
+  ROUND(CASE WHEN coalesce(tot, 0) > 0 THEN coalesce(dup, 0) * 1.0 / tot
+             ELSE 0 END, 6) AS dup_char_frac,
+  CAST(CASE WHEN (CASE WHEN nl > 0 THEN (nl - nd) * 1.0 / nl ELSE 0 END)
+                  <= 0.30
+             AND (CASE WHEN coalesce(tot, 0) > 0
+                       THEN coalesce(dup, 0) * 1.0 / tot ELSE 0 END)
+                  <= 0.20
+            THEN 1 ELSE 0 END AS INT) AS keep_doc
+FROM d2 ORDER BY doc_id
+"""
+
+
 def q_bleu(spark, sf_dir):
     """Sentence BLEU (evaluate.bleu_n, Papineni et al. 2002): candidate
     = the doc's first two-thirds of words plus an out-of-vocabulary
@@ -4298,6 +4364,7 @@ _QUERIES_CHANGED_THIS_ROUND = [
     "q_winnow",
     "q_cdc_chunks",
     "q_bleu",
+    "q_line_repetition",
 ]
 
 _QUERIES_FILLERS = [
@@ -4305,10 +4372,10 @@ _QUERIES_FILLERS = [
     "q_evaluate_config",
     "q_yaml_sniff",
     "q_office_extract",
-    "q_eval_report",
 ]
 
 _QUERIES_PAST_WINDOW = [
+    "q_eval_report",
     "q_section_attributes",
     "q_token_packing",
     # past the window: green in a prior round, untouched since
@@ -4440,6 +4507,7 @@ def oracle_sql() -> dict[str, str]:
         "q_winnow": Q_WINNOW_SQL,
         "q_cdc_chunks": Q_CDC_CHUNKS_SQL,
         "q_bleu": Q_BLEU_SQL,
+        "q_line_repetition": Q_LINE_REPETITION_SQL,
         "q_config_extract": _config_extract_sql(),
         "q_range_join": Q_RANGE_JOIN_SQL,
         "q_interval_overlap": Q_INTERVAL_OVERLAP_SQL,

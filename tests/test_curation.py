@@ -518,3 +518,32 @@ def test_bleu_hand_cases(spark):
     assert abs(out[3]["bleu"] - round(math.exp(1 - 5 / 2), 6)) < 1e-9
     # '' -> one empty-string token, no overlap with real words -> 0
     assert out[4]["bleu"] == 0.0 and out[4]["len_cand"] == 1
+
+
+def test_line_repetition_stats_hand_case(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        line_repetition_stats,
+    )
+
+    texts = [
+        # 4 lines, 'nav bar' duplicated: dup_line_frac = 1/4 = 0.25,
+        # dup chars = 1*7 of total 7+7+11+9 = 34
+        "nav bar\nnav bar\nreal text a\nclosing b",
+        # heavy duplication: 3x same line of 4 -> dlf 0.5, dcf 2*9/27... 
+        "same line\nsame line\nsame line",
+        "",
+        "single unique line",
+    ]
+    out = {r["doc_id"]: r for r in line_repetition_stats(_docs(spark, texts), "doc_id", "text").collect()}
+    assert out[0]["n_lines"] == 4
+    assert abs(out[0]["dup_line_frac"] - 0.25) < 1e-9
+    assert abs(out[0]["dup_char_frac"] - 7 / 34) < 1e-6
+    # line gate passes (0.25 <= 0.30) but the char gate fails
+    # (7/34 = 0.206 > 0.20) -> dropped
+    assert out[0]["keep_doc"] == 0
+    assert out[1]["n_lines"] == 3
+    assert abs(out[1]["dup_line_frac"] - 2 / 3) < 1e-6
+    assert abs(out[1]["dup_char_frac"] - 2 / 3) < 1e-6
+    assert out[1]["keep_doc"] == 0
+    assert out[2]["n_lines"] == 0 and out[2]["keep_doc"] == 1
+    assert out[3]["keep_doc"] == 1 and out[3]["dup_line_frac"] == 0.0
