@@ -3836,6 +3836,47 @@ FROM sel ORDER BY doc_id
 """
 
 
+def q_mixture_weights(spark, sf_dir):
+    """Temperature-scaled data-mixture weights
+    (curation.mixture_weights, GPT-3 §2.2): per-lang token-weighted
+    sampling weights at alpha=0.7 over the documents table — one
+    map-side-combining groupBy to a domains-sized frame, normalization
+    on that metadata-sized table."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        mixture_weights,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    d = d.select(
+        "lang",
+        F.size(
+            F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+        ).alias("n_tokens"),
+    )
+    return mixture_weights(
+        d, "lang", alpha=0.7, token_col="n_tokens"
+    ).transform(_by("lang"))
+
+
+Q_MIXTURE_WEIGHTS_SQL = """
+WITH d AS (SELECT lang,
+                  len(string_split(coalesce(text, ''), ' ')) AS n_tokens
+           FROM documents),
+a AS (SELECT lang, COUNT(*) AS n_docs, SUM(n_tokens) AS n_units
+      FROM d GROUP BY lang),
+t AS (SELECT SUM(n_units) AS tot,
+             SUM(POW(n_units * 1.0, 0.7)) AS ptot FROM a)
+SELECT lang,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(n_units AS BIGINT) AS n_units,
+       ROUND(n_units * 1.0 / tot, 6) AS raw_share,
+       ROUND(POW(n_units * 1.0, 0.7) / ptot, 6) AS weight,
+       ROUND((POW(n_units * 1.0, 0.7) / ptot) / (n_units * 1.0 / tot), 6)
+         AS upsample_ratio
+FROM a CROSS JOIN t ORDER BY lang
+"""
+
+
 def q_line_repetition(spark, sf_dir):
     """Gopher line-level repetition gates
     (curation.line_repetition_stats): deterministic synthetic pages
@@ -4365,16 +4406,17 @@ _QUERIES_CHANGED_THIS_ROUND = [
     "q_cdc_chunks",
     "q_bleu",
     "q_line_repetition",
+    "q_mixture_weights",
 ]
 
 _QUERIES_FILLERS = [
     # r3-certified fillers (refresh; fill the window up to CERT_WINDOW)
     "q_evaluate_config",
     "q_yaml_sniff",
-    "q_office_extract",
 ]
 
 _QUERIES_PAST_WINDOW = [
+    "q_office_extract",
     "q_eval_report",
     "q_section_attributes",
     "q_token_packing",
@@ -4508,6 +4550,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cdc_chunks": Q_CDC_CHUNKS_SQL,
         "q_bleu": Q_BLEU_SQL,
         "q_line_repetition": Q_LINE_REPETITION_SQL,
+        "q_mixture_weights": Q_MIXTURE_WEIGHTS_SQL,
         "q_config_extract": _config_extract_sql(),
         "q_range_join": Q_RANGE_JOIN_SQL,
         "q_interval_overlap": Q_INTERVAL_OVERLAP_SQL,

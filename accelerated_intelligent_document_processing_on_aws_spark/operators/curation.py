@@ -817,3 +817,46 @@ def line_repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFram
         F.round(dcf, 6).alias("dup_char_frac"),
         ((dlf <= 0.30) & (dcf <= 0.20)).cast("int").alias("keep_doc"),
     )
+
+
+def mixture_weights(
+    df: DataFrame,
+    domain_col: str,
+    alpha: float = 0.7,
+    token_col: str = None,
+) -> DataFrame:
+    """Temperature-scaled corpus mixing weights (the GPT-3/LLaMA data-
+    mixture stage, Brown et al. 2020 §2.2): sampling weight of domain d
+    is ``n_d^alpha / sum_d' n_d'^alpha`` — alpha < 1 up-samples small
+    domains relative to their raw share, alpha = 1 is proportional
+    sampling.  ``n_d`` is the row count, or the token sum when
+    ``token_col`` is given.
+
+    Output: (domain_col, n_docs, n_units, raw_share, weight,
+    upsample_ratio = weight/raw_share), weights rounded 6 dp.
+
+    Plan shape (100 TB): one map-side-combining groupBy on the domain
+    key produces a domains-sized table; the normalization runs over that
+    metadata-sized frame via a single-row broadcast-style window (sum
+    over an empty partition spec on ~dozens of rows — trivially safe at
+    this cardinality)."""
+    unit = (
+        F.sum(F.col(token_col)).alias("n_units")
+        if token_col
+        else F.count(F.lit(1)).alias("n_units")
+    )
+    agg = df.groupBy(domain_col).agg(
+        F.count(F.lit(1)).alias("n_docs"), unit
+    )
+    w = Window.partitionBy()
+    powered = F.pow(F.col("n_units").cast("double"), F.lit(float(alpha)))
+    raw_share = F.col("n_units") / F.sum("n_units").over(w)
+    weight = powered / F.sum(powered).over(w)
+    return agg.select(
+        F.col(domain_col),
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_units").cast("long").alias("n_units"),
+        F.round(raw_share, 6).alias("raw_share"),
+        F.round(weight, 6).alias("weight"),
+        F.round(weight / raw_share, 6).alias("upsample_ratio"),
+    )

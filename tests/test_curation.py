@@ -547,3 +547,33 @@ def test_line_repetition_stats_hand_case(spark):
     assert out[1]["keep_doc"] == 0
     assert out[2]["n_lines"] == 0 and out[2]["keep_doc"] == 1
     assert out[3]["keep_doc"] == 1 and out[3]["dup_line_frac"] == 0.0
+
+
+def test_mixture_weights_temperature_scaling(spark):
+    from pyspark.sql import Row as _R
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        mixture_weights,
+    )
+
+    # 90/10 split: alpha<1 must up-sample the small domain
+    rows = [_R(domain="big", n=1) for _ in range(90)] + [
+        _R(domain="small", n=1) for _ in range(10)
+    ]
+    out = {
+        r["domain"]: r
+        for r in mixture_weights(
+            spark.createDataFrame(rows), "domain", alpha=0.5
+        ).collect()
+    }
+    assert abs(out["big"]["raw_share"] - 0.9) < 1e-9
+    assert out["small"]["upsample_ratio"] > 1.0 > out["big"]["upsample_ratio"]
+    assert abs(out["big"]["weight"] + out["small"]["weight"] - 1.0) < 1e-5
+    # alpha=1 -> proportional sampling
+    out1 = {
+        r["domain"]: r
+        for r in mixture_weights(
+            spark.createDataFrame(rows), "domain", alpha=1.0
+        ).collect()
+    }
+    assert abs(out1["big"]["upsample_ratio"] - 1.0) < 1e-6
