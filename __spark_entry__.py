@@ -4021,6 +4021,88 @@ ORDER BY doc_id
 """
 
 
+def q_chrf(spark, sf_dir):
+    """chrF (evaluate.chrf_score, Popović 2015): character n-gram
+    F-score, β=2, orders 1-6 over whitespace-stripped text.  Same
+    candidate construction as q_bleu (first two-thirds of words plus an
+    out-of-vocabulary token) so clipping, partial orders, and the
+    zero-denominator guards are all exercised.  Single-scan side/order-
+    tagged explode + two-level aggregate — text never shuffles."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.evaluate import (
+        chrf_score,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    k2 = F.floor(F.lit(2) * F.size(w) / F.lit(3)).cast("int")
+    pairs = d.select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("expected"),
+        F.concat(
+            F.array_join(F.slice(w, 1, k2), " "), F.lit(" zzz")
+        ).alias("actual"),
+    )
+    return _ordered(
+        chrf_score(pairs, "doc_id", "expected", "actual", max_n=6), "doc_id"
+    )
+
+
+Q_CHRF_SQL = r"""
+WITH p AS (
+  SELECT doc_id,
+         regexp_replace(coalesce(text, ''), '\s+', '', 'g') AS se,
+         regexp_replace(
+           array_to_string(
+             list_slice(string_split(coalesce(text, ''), ' '), 1,
+               (2 * len(string_split(coalesce(text, ''), ' '))) // 3), ' ')
+           || ' zzz', '\s+', '', 'g') AS sa
+  FROM documents
+),
+g AS (
+  SELECT doc_id, n, gg AS g, 1 AS e, 0 AS a FROM p,
+    UNNEST(range(1, 7)) AS o(n),
+    UNNEST(CASE WHEN length(se) >= n THEN list_transform(
+        range(1, length(se) - n + 2), i -> substr(se, i, n))
+      ELSE [] END) AS t(gg)
+  UNION ALL
+  SELECT doc_id, n, gg AS g, 0 AS e, 1 AS a FROM p,
+    UNNEST(range(1, 7)) AS o(n),
+    UNNEST(CASE WHEN length(sa) >= n THEN list_transform(
+        range(1, length(sa) - n + 2), i -> substr(sa, i, n))
+      ELSE [] END) AS t(gg)
+),
+lens AS (SELECT doc_id, length(se) AS lr, length(sa) AS lc FROM p),
+per_gram AS (
+  SELECT doc_id, n, g, SUM(e) AS c_e, SUM(a) AS c_a
+  FROM g GROUP BY doc_id, n, g
+),
+per_n AS (
+  SELECT doc_id, n, SUM(LEAST(c_e, c_a)) AS ov,
+         SUM(c_e) AS nr, SUM(c_a) AS nc
+  FROM per_gram GROUP BY doc_id, n
+),
+fn AS (
+  SELECT doc_id,
+         CASE WHEN 4.0 * (CASE WHEN nc > 0 THEN ov * 1.0 / nc ELSE 0.0 END)
+                   + (CASE WHEN nr > 0 THEN ov * 1.0 / nr ELSE 0.0 END) > 0
+              THEN 5.0 * (CASE WHEN nc > 0 THEN ov * 1.0 / nc ELSE 0.0 END)
+                       * (CASE WHEN nr > 0 THEN ov * 1.0 / nr ELSE 0.0 END)
+                   / (4.0 * (CASE WHEN nc > 0 THEN ov * 1.0 / nc ELSE 0.0 END)
+                      + (CASE WHEN nr > 0 THEN ov * 1.0 / nr ELSE 0.0 END))
+              ELSE 0.0 END AS f
+  FROM per_n
+),
+agg AS (SELECT doc_id, SUM(f) AS fsum, COUNT(*) AS neff FROM fn GROUP BY doc_id)
+SELECT l.doc_id,
+       CAST(l.lr AS BIGINT) AS len_ref,
+       CAST(l.lc AS BIGINT) AS len_cand,
+       CASE WHEN coalesce(neff, 0) > 0 THEN ROUND(fsum / neff, 6)
+            ELSE 0.0 END AS chrf
+FROM lens l LEFT JOIN agg USING (doc_id)
+ORDER BY doc_id
+"""
+
+
 def q_cdc_chunks(spark, sf_dir):
     """Content-defined chunking (dedup.cdc_chunks, LBFS/FastCDC
     semantics): k-gram-hash-triggered boundaries + offset/fingerprint
@@ -4407,15 +4489,16 @@ _QUERIES_CHANGED_THIS_ROUND = [
     "q_bleu",
     "q_line_repetition",
     "q_mixture_weights",
+    "q_chrf",
 ]
 
 _QUERIES_FILLERS = [
     # r3-certified fillers (refresh; fill the window up to CERT_WINDOW)
-    "q_evaluate_config",
     "q_yaml_sniff",
 ]
 
 _QUERIES_PAST_WINDOW = [
+    "q_evaluate_config",
     "q_office_extract",
     "q_eval_report",
     "q_section_attributes",
@@ -4549,6 +4632,7 @@ def oracle_sql() -> dict[str, str]:
         "q_winnow": Q_WINNOW_SQL,
         "q_cdc_chunks": Q_CDC_CHUNKS_SQL,
         "q_bleu": Q_BLEU_SQL,
+        "q_chrf": Q_CHRF_SQL,
         "q_line_repetition": Q_LINE_REPETITION_SQL,
         "q_mixture_weights": Q_MIXTURE_WEIGHTS_SQL,
         "q_config_extract": _config_extract_sql(),

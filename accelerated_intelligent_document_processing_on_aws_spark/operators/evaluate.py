@@ -505,3 +505,120 @@ def bleu_n(
         "len_cand",
         F.round(geo * bp, 6).alias("bleu"),
     )
+
+
+def chrf_score(
+    df: DataFrame,
+    id_col: str,
+    expected_col: str,
+    actual_col: str,
+    max_n: int = 6,
+    beta: float = 2.0,
+) -> DataFrame:
+    """chrF (Popović 2015, WMT): character n-gram F-score between an
+    expected (reference) and actual (candidate) text — the standard
+    tokenization-free MT/extraction metric, completing the eval family
+    alongside EXACT/FUZZY/SEMANTIC/HUNGARIAN/ROUGE/BLEU (the reference's
+    ``evaluation/comparator.py`` has no character-level metric; the
+    public chrF definition is used).
+
+    Spec (documented variant, deterministic): all whitespace is removed
+    from both sides; for each order n = 1..``max_n`` with at least one
+    gram on either side (an "effective" order), clipped overlap gives
+    ``P_n = ov/n_cand`` and ``R_n = ov/n_ref`` (0 when that side has no
+    grams) and ``F_n = (1+β²)·P·R / (β²·P + R)`` (0 when the denominator
+    is 0, β = ``beta``); chrF is the arithmetic mean of ``F_n`` over the
+    effective orders (0.0 when there are none).  Identical texts score
+    exactly 1.0.
+
+    Output: (id_col, len_ref, len_cand, chrf) — char lengths after
+    whitespace strip; chrf rounded 6 dp.
+
+    Plan shape (100 TB): same single-scan shape as ``bleu_n`` — all
+    2·max_n char-gram arrays are built in ONE projection (order- and
+    side-tagged structs), ``explode_outer`` keeps empty docs alive, and
+    a two-level aggregate computes per-order clipped overlaps; document
+    text never shuffles, only slim gram rows."""
+    se = F.regexp_replace(
+        F.coalesce(F.col(expected_col), F.lit("")), r"\s+", ""
+    )
+    sa = F.regexp_replace(F.coalesce(F.col(actual_col), F.lit("")), r"\s+", "")
+
+    def grams(s, n):
+        return F.when(
+            F.length(s) >= n,
+            F.transform(
+                F.sequence(F.lit(1), F.length(s) - F.lit(n - 1)),
+                lambda i: s.substr(i, F.lit(n)),
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+
+    def tag(arr, order, side):
+        return F.transform(
+            arr,
+            lambda g: F.struct(
+                F.lit(order).alias("n"),
+                g.alias("g"),
+                F.lit(side).alias("e"),
+                F.lit(1 - side).alias("a"),
+            ),
+        )
+
+    tagged = F.concat(
+        *[tag(grams(se, i), i, 1) for i in range(1, max_n + 1)],
+        *[tag(grams(sa, i), i, 0) for i in range(1, max_n + 1)],
+    )
+    base = df.select(
+        F.col(id_col),
+        F.length(se).alias("_lr"),
+        F.length(sa).alias("_lc"),
+        F.explode_outer(tagged).alias("_t"),
+    ).select(
+        F.col(id_col),
+        "_lr",
+        "_lc",
+        F.col("_t.n").alias("_n"),
+        F.col("_t.g").alias("_g"),
+        F.coalesce(F.col("_t.e"), F.lit(0)).alias("_e"),
+        F.coalesce(F.col("_t.a"), F.lit(0)).alias("_a"),
+    )
+    per_gram = base.groupBy(id_col, "_n", "_g").agg(
+        F.first("_lr").alias("_lr"),
+        F.first("_lc").alias("_lc"),
+        F.sum("_e").alias("c_e"),
+        F.sum("_a").alias("c_a"),
+    )
+    per_n = per_gram.groupBy(id_col, "_n").agg(
+        F.first("_lr").alias("_lr"),
+        F.first("_lc").alias("_lc"),
+        F.sum(F.least("c_e", "c_a")).alias("ov"),
+        F.sum("c_e").alias("nr"),
+        F.sum("c_a").alias("nc"),
+    )
+    p = F.when(
+        F.col("nc") > 0, F.col("ov").cast("double") / F.col("nc")
+    ).otherwise(F.lit(0.0))
+    r = F.when(
+        F.col("nr") > 0, F.col("ov").cast("double") / F.col("nr")
+    ).otherwise(F.lit(0.0))
+    b2 = beta * beta
+    # IEEE op order is pinned left-to-right here and mirrored verbatim in
+    # the DuckDB oracle so round-6dp values match bit-for-bit.
+    fn = F.when(
+        (F.lit(b2) * p + r) > 0,
+        F.lit(1.0 + b2) * p * r / (F.lit(b2) * p + r),
+    ).otherwise(F.lit(0.0))
+    agg = per_n.groupBy(id_col).agg(
+        F.max("_lr").cast("long").alias("len_ref"),
+        F.max("_lc").cast("long").alias("len_cand"),
+        F.sum(F.when(F.col("_n").isNotNull(), fn)).alias("_fsum"),
+        F.sum(
+            F.when(F.col("_n").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+        ).alias("_neff"),
+    )
+    chrf = F.when(
+        F.col("_neff") > 0, F.round(F.col("_fsum") / F.col("_neff"), 6)
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        F.col(id_col), "len_ref", "len_cand", chrf.alias("chrf")
+    )

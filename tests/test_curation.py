@@ -577,3 +577,65 @@ def test_mixture_weights_temperature_scaling(spark):
         ).collect()
     }
     assert abs(out1["big"]["upsample_ratio"] - 1.0) < 1e-6
+
+
+def _chrf_py(expected: str, actual: str, max_n: int = 6, beta: float = 2.0):
+    """Pure-python oracle of the documented chrf_score spec."""
+    import re
+
+    se = re.sub(r"\s+", "", expected or "")
+    sa = re.sub(r"\s+", "", actual or "")
+    b2 = beta * beta
+    fs = []
+    for n in range(1, max_n + 1):
+        ge = [se[i : i + n] for i in range(len(se) - n + 1)]
+        ga = [sa[i : i + n] for i in range(len(sa) - n + 1)]
+        if not ge and not ga:
+            continue
+        ce: dict = {}
+        for g in ge:
+            ce[g] = ce.get(g, 0) + 1
+        ov = 0
+        ca: dict = {}
+        for g in ga:
+            ca[g] = ca.get(g, 0) + 1
+        for g, c in ca.items():
+            ov += min(c, ce.get(g, 0))
+        p = ov / len(ga) if ga else 0.0
+        r = ov / len(ge) if ge else 0.0
+        fs.append((1 + b2) * p * r / (b2 * p + r) if (b2 * p + r) > 0 else 0.0)
+    return round(sum(fs) / len(fs), 6) if fs else 0.0
+
+
+def test_chrf_hand_and_differential(spark):
+    from pyspark.sql import Row as _R
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.evaluate import (
+        chrf_score,
+    )
+
+    cases = [
+        ("the cat sat on the mat", "the cat sat on the mat"),  # identical
+        ("the cat sat", "thecatsat"),  # whitespace-invariant -> 1.0
+        ("abcdef", "uvwxyz"),  # disjoint alphabets -> 0.0
+        ("hello world", "hello wurld"),  # partial char overlap
+        ("a", "a b"),  # short strings, few effective orders
+        ("", ""),  # both empty
+        ("xy", ""),  # one side empty
+        ("repeat repeat repeat", "repeat"),  # clipping
+    ]
+    df = spark.createDataFrame(
+        [_R(doc_id=i, expected=e, actual=a) for i, (e, a) in enumerate(cases)]
+    )
+    out = {
+        r["doc_id"]: r
+        for r in chrf_score(df, "doc_id", "expected", "actual").collect()
+    }
+    for i, (e, a) in enumerate(cases):
+        assert abs(out[i]["chrf"] - _chrf_py(e, a)) < 1e-9, (i, e, a)
+    assert out[0]["chrf"] == 1.0
+    assert out[1]["chrf"] == 1.0  # whitespace removed before gramming
+    assert out[2]["chrf"] == 0.0
+    assert out[5]["chrf"] == 0.0 and out[5]["len_ref"] == 0
+    # char lengths are post-strip
+    assert out[1]["len_ref"] == 9 and out[1]["len_cand"] == 9
