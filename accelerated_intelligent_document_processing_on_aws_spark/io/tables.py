@@ -139,12 +139,87 @@ def write_partitioned_bucketed(
     return loc[0].removeprefix("file:") if loc else ""
 
 
+def _data_files(table_path: str) -> list:
+    """(relative path, size) of every live data file under the table."""
+    out = []
+    for root, dirs, files in os.walk(table_path):
+        dirs[:] = [d for d in dirs if not d.startswith(("_", "."))]
+        for f in sorted(files):
+            if f.startswith(("_", ".")) or not f.endswith(".parquet"):
+                continue
+            fp = os.path.join(root, f)
+            out.append([os.path.relpath(fp, table_path), os.path.getsize(fp)])
+    return sorted(out)
+
+
 def record_snapshot(table_path: str, snap_id: str, meta: Optional[dict] = None) -> None:
+    """Commit a snapshot manifest: id, timestamp, and the full data-file
+    list (path + size) of the table as of this commit — the Iceberg
+    analog of a snapshot's manifest list, and what makes
+    :func:`read_as_of` time travel possible."""
     mdir = os.path.join(table_path, "_manifest")
     os.makedirs(mdir, exist_ok=True)
-    rec = {"snapshot_id": snap_id, "committed_at": time.time(), **(meta or {})}
+    rec = {
+        "snapshot_id": snap_id,
+        "committed_at": time.time(),
+        "files": _data_files(table_path),
+        **(meta or {}),
+    }
     with open(os.path.join(mdir, f"snap-{snap_id}.json"), "w") as fh:
         json.dump(rec, fh)
+
+
+def list_snapshots(table_path: str) -> list:
+    """Committed snapshot manifests, oldest first (Iceberg analog:
+    the ``snapshots`` metadata table)."""
+    mdir = os.path.join(table_path, "_manifest")
+    if not os.path.isdir(mdir):
+        return []
+    recs = []
+    for f in os.listdir(mdir):
+        if f.startswith("snap-") and f.endswith(".json"):
+            with open(os.path.join(mdir, f)) as fh:
+                recs.append(json.load(fh))
+    return sorted(recs, key=lambda r: r["committed_at"])
+
+
+class SnapshotExpiredError(RuntimeError):
+    """The requested snapshot's data files were rewritten or removed by a
+    later commit (Iceberg analog: reading an expired snapshot)."""
+
+
+def read_as_of(spark: SparkSession, path: str, snap_id: str) -> DataFrame:
+    """Time-travel read: the table exactly as of snapshot ``snap_id``
+    (Iceberg analog: ``VERSION AS OF``).
+
+    Reads ONLY the data files listed in that snapshot's manifest, with
+    ``basePath`` set so partition columns (``pt=...``) still resolve.
+    Dynamic partition overwrite deletes replaced files, so a snapshot
+    stays readable until a later commit rewrites one of its buckets —
+    exactly Iceberg's behavior after ``expire_snapshots``; a missing or
+    size-changed file raises :class:`SnapshotExpiredError` rather than
+    silently returning a partial table.
+    """
+    recs = [r for r in list_snapshots(path) if r["snapshot_id"] == snap_id]
+    if not recs:
+        raise KeyError(f"no committed snapshot {snap_id!r} under {path}")
+    rec = recs[-1]
+    if "files" not in rec:
+        raise SnapshotExpiredError(
+            f"snapshot {snap_id!r} predates file-manifest tracking"
+        )
+    full = []
+    for rel, size in rec["files"]:
+        fp = os.path.join(path, rel)
+        if not os.path.isfile(fp) or os.path.getsize(fp) != size:
+            raise SnapshotExpiredError(
+                f"snapshot {snap_id!r} expired: {rel} was rewritten or "
+                "removed by a later commit"
+            )
+        full.append(fp)
+    if not full:
+        return spark.read.parquet(path).limit(0)
+    return spark.read.option("basePath", path).parquet(*full)
 
 
 def read_table(spark: SparkSession, path: str) -> DataFrame:

@@ -147,3 +147,51 @@ def test_write_fanin_one_file_per_nonempty_bucket(spark, tmp_path):
     files = _bucket_files(outp)
     assert sum(len(v) for v in files.values()) == s["partitions_written"]
     assert all(len(v) == 1 for v in files.values())
+
+
+def test_time_travel_read_as_of(spark, tmp_path):
+    """Iceberg-analog VERSION AS OF: a committed snapshot stays readable
+    byte-for-byte until a later commit rewrites one of its files, after
+    which reading it raises SnapshotExpiredError (never a partial table)."""
+    import pytest as _pytest
+
+    from accelerated_intelligent_document_processing_on_aws_spark.io.tables import (
+        SnapshotExpiredError,
+        list_snapshots,
+        read_as_of,
+        record_snapshot,
+        write_partitioned,
+    )
+
+    inp, outp, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    write_transcripts(spark, inp, n_convs=20, mean_turns=5)
+    pkg.run_pipeline(spark, inp, outp, ckpt, pkg.PipelineConfig(n_buckets=8))
+    snaps = list_snapshots(outp)
+    assert len(snaps) == 1 and snaps[0]["files"], "pipeline commit has manifest"
+    s1 = snaps[0]["snapshot_id"]
+
+    v1 = read_as_of(spark, outp, s1)
+    now = spark.read.parquet(outp)
+    key = ["conv_id", "turn_idx"]
+    assert v1.orderBy(*key).collect() == now.orderBy(*key).collect()
+    assert "pt" in v1.columns  # basePath keeps the partition column
+
+    # second commit rewrites ONE bucket -> s1 expires, s2 readable
+    n_rows = now.count()  # materialize BEFORE the overwrite invalidates `now`
+    pt0 = now.select("pt").orderBy("pt").limit(1).collect()[0][0]
+    patch = (
+        now.where(now.pt == pt0)
+        .withColumn("extracted_text", now.extracted_text.substr(1, 3))
+        .localCheckpoint(eager=True)
+    )
+    write_partitioned(patch, outp)
+    record_snapshot(outp, "patched-snap", {"run_id": "patch"})
+
+    v2 = read_as_of(spark, outp, "patched-snap")
+    assert v2.count() == n_rows
+    with _pytest.raises(SnapshotExpiredError):
+        read_as_of(spark, outp, s1).count()
+    with _pytest.raises(KeyError):
+        read_as_of(spark, outp, "nonexistent")
