@@ -3878,11 +3878,12 @@ FROM a CROSS JOIN t ORDER BY lang
 
 
 def q_line_repetition(spark, sf_dir):
-    """Gopher line-level repetition gates
+    """Gopher line- and paragraph-level repetition gates
     (curation.line_repetition_stats): deterministic synthetic pages
-    where doc_id controls how many nav/footer lines duplicate — dup-line
-    and dup-char fractions plus the published keep thresholds, all in
-    one narrow projection (zero exchanges before the terminal sort)."""
+    where doc_id controls how many nav/footer lines AND promo paragraphs
+    duplicate — all four published dup fractions plus the keep
+    thresholds, in one narrow projection (zero exchanges before the
+    terminal sort)."""
     from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
         line_repetition_stats,
     )
@@ -3901,6 +3902,15 @@ def q_line_repetition(spark, sf_dir):
             F.concat(F.lit("Alt "), did.cast("string"))
         ),
     )
+    # paragraph structure: promo block duplicates on doc_id % 4 == 0
+    t = F.concat_ws(
+        "\n\n",
+        t,
+        F.lit("Promo block line"),
+        F.when(did % 4 == 0, F.lit("Promo block line")).otherwise(
+            F.concat(F.lit("Unique para "), did.cast("string"))
+        ),
+    )
     d = d.select("doc_id", t.alias("t"))
     return line_repetition_stats(d, "doc_id", "t").transform(_by("doc_id"))
 
@@ -3913,33 +3923,50 @@ WITH p AS (SELECT doc_id,
         ELSE 'Tail ' || CAST(doc_id AS VARCHAR) END) || chr(10) ||
   'Footer ' || CAST(doc_id % 5 AS VARCHAR) || chr(10) ||
   (CASE WHEN doc_id % 2 = 0 THEN 'Footer ' || CAST(doc_id % 5 AS VARCHAR)
-        ELSE 'Alt ' || CAST(doc_id AS VARCHAR) END) AS t
+        ELSE 'Alt ' || CAST(doc_id AS VARCHAR) END)
+  || chr(10) || chr(10) || 'Promo block line' || chr(10) || chr(10) ||
+  (CASE WHEN doc_id % 4 = 0 THEN 'Promo block line'
+        ELSE 'Unique para ' || CAST(doc_id AS VARCHAR) END) AS t
   FROM documents),
 s AS (SELECT doc_id,
   list_filter(list_transform(str_split(t, chr(10)), x -> trim(x)),
-              x -> x <> '') AS lines
+              x -> x <> '') AS lines,
+  list_filter(list_transform(str_split(t, chr(10) || chr(10)),
+              x -> trim(x)), x -> x <> '') AS paras
   FROM p),
-m AS (SELECT doc_id, lines, list_distinct(lines) AS dl,
+m AS (SELECT doc_id, lines, paras,
+             list_distinct(lines) AS dl, list_distinct(paras) AS dp,
              len(lines) AS nl, len(list_distinct(lines)) AS nd,
-             list_sum(list_transform(lines, x -> length(x))) AS tot
+             len(paras) AS npar, len(list_distinct(paras)) AS npd,
+             list_sum(list_transform(lines, x -> length(x))) AS tot,
+             list_sum(list_transform(paras, x -> length(x))) AS ptot
       FROM s),
-d2 AS (SELECT doc_id, nl, nd, tot,
+d2 AS (SELECT doc_id, nl, nd, tot, npar, npd, ptot,
   list_sum(list_transform(dl,
       d -> (len(list_filter(lines, x -> x = d)) - 1) * length(d)))
-    AS dup
-  FROM m)
+    AS dup,
+  list_sum(list_transform(dp,
+      d -> (len(list_filter(paras, x -> x = d)) - 1) * length(d)))
+    AS pdup
+  FROM m),
+f AS (SELECT doc_id, nl, npar,
+  CASE WHEN nl > 0 THEN (nl - nd) * 1.0 / nl ELSE 0 END AS dlf,
+  CASE WHEN coalesce(tot, 0) > 0 THEN coalesce(dup, 0) * 1.0 / tot
+       ELSE 0 END AS dlcf,
+  CASE WHEN npar > 0 THEN (npar - npd) * 1.0 / npar ELSE 0 END AS dpf,
+  CASE WHEN coalesce(ptot, 0) > 0 THEN coalesce(pdup, 0) * 1.0 / ptot
+       ELSE 0 END AS dpcf
+  FROM d2)
 SELECT doc_id, CAST(nl AS INT) AS n_lines,
-  ROUND(CASE WHEN nl > 0 THEN (nl - nd) * 1.0 / nl ELSE 0 END, 6)
-    AS dup_line_frac,
-  ROUND(CASE WHEN coalesce(tot, 0) > 0 THEN coalesce(dup, 0) * 1.0 / tot
-             ELSE 0 END, 6) AS dup_char_frac,
-  CAST(CASE WHEN (CASE WHEN nl > 0 THEN (nl - nd) * 1.0 / nl ELSE 0 END)
-                  <= 0.30
-             AND (CASE WHEN coalesce(tot, 0) > 0
-                       THEN coalesce(dup, 0) * 1.0 / tot ELSE 0 END)
-                  <= 0.20
+  ROUND(dlf, 6) AS dup_line_frac,
+  ROUND(dlcf, 6) AS dup_line_char_frac,
+  CAST(npar AS INT) AS n_paras,
+  ROUND(dpf, 6) AS dup_para_frac,
+  ROUND(dpcf, 6) AS dup_para_char_frac,
+  CAST(CASE WHEN dlf <= 0.30 AND dlcf <= 0.20
+             AND dpf <= 0.30 AND dpcf <= 0.20
             THEN 1 ELSE 0 END AS INT) AS keep_doc
-FROM d2 ORDER BY doc_id
+FROM f ORDER BY doc_id
 """
 
 

@@ -767,55 +767,69 @@ def quality_classifier_scores(
 
 
 def line_repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Gopher line-level repetition gates (Rae et al. 2021, Table A1):
-    fraction of duplicate lines and fraction of characters inside
-    duplicate lines — the page-level repetition signals complementing
-    ``repetition_stats``' word/bigram fractions.  Lines are trimmed,
-    empties dropped; thresholds follow the paper (dup-line <= 0.30,
-    dup-char <= 0.20).
+    """Gopher line- AND paragraph-level repetition gates (Rae et al.
+    2021, Table A1): fraction of duplicate lines/paragraphs and fraction
+    of characters inside duplicates — the page-level repetition signals
+    complementing ``repetition_stats``' word/bigram fractions.  Lines
+    split on ``\\n``, paragraphs on a blank line (``\\n\\n``); blocks are
+    trimmed, empties dropped.  Thresholds follow the paper: duplicate
+    line/paragraph fraction <= 0.30, duplicate line/paragraph character
+    fraction <= 0.20 — ``keep_doc`` requires all four.
 
-    Output: (id_col, n_lines, dup_line_frac, dup_char_frac, keep_doc).
+    Output: (id_col, n_lines, dup_line_frac, dup_line_char_frac,
+    n_paras, dup_para_frac, dup_para_char_frac, keep_doc).
 
     Plan shape (100 TB): one narrow projection — all counting happens in
-    higher-order transforms/aggregates over the split array (the
-    per-distinct-line recount is O(L^2) in the doc's own line count,
+    higher-order transforms/aggregates over the split arrays (the
+    per-distinct-block recount is O(B^2) in the doc's own block count,
     never a shuffle); zero exchanges, text never leaves its task."""
-    lines = F.filter(
-        F.transform(
-            F.split(F.coalesce(F.col(text_col), F.lit("")), "\n"),
-            lambda x: F.trim(x),
-        ),
-        lambda x: x != F.lit(""),
-    )
-    dl = F.array_distinct(lines)
-    nl = F.size(lines)
-    nd = F.size(dl)
-    tot_chars = F.aggregate(
-        lines, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
-    )
-    dup_chars = F.aggregate(
-        F.transform(
-            dl,
-            lambda d: (
-                F.size(F.filter(lines, lambda x: x == d)) - F.lit(1)
-            ).cast("long")
-            * F.length(d),
-        ),
-        F.lit(0).cast("long"),
-        lambda a, x: a + x,
-    )
-    dlf = F.when(
-        nl > 0, (nl - nd).cast("double") / nl
-    ).otherwise(F.lit(0.0))
-    dcf = F.when(
-        tot_chars > 0, dup_chars.cast("double") / tot_chars
-    ).otherwise(F.lit(0.0))
+
+    def block_stats(sep: str):
+        blocks = F.filter(
+            F.transform(
+                F.split(F.coalesce(F.col(text_col), F.lit("")), sep),
+                lambda x: F.trim(x),
+            ),
+            lambda x: x != F.lit(""),
+        )
+        db = F.array_distinct(blocks)
+        nb = F.size(blocks)
+        nd = F.size(db)
+        tot_chars = F.aggregate(
+            blocks, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        )
+        dup_chars = F.aggregate(
+            F.transform(
+                db,
+                lambda d: (
+                    F.size(F.filter(blocks, lambda x: x == d)) - F.lit(1)
+                ).cast("long")
+                * F.length(d),
+            ),
+            F.lit(0).cast("long"),
+            lambda a, x: a + x,
+        )
+        bf = F.when(
+            nb > 0, (nb - nd).cast("double") / nb
+        ).otherwise(F.lit(0.0))
+        cf = F.when(
+            tot_chars > 0, dup_chars.cast("double") / tot_chars
+        ).otherwise(F.lit(0.0))
+        return nb, bf, cf
+
+    nl, dlf, dlcf = block_stats("\n")
+    np_, dpf, dpcf = block_stats("\n\n")
     return df.select(
         F.col(id_col),
         nl.cast("int").alias("n_lines"),
         F.round(dlf, 6).alias("dup_line_frac"),
-        F.round(dcf, 6).alias("dup_char_frac"),
-        ((dlf <= 0.30) & (dcf <= 0.20)).cast("int").alias("keep_doc"),
+        F.round(dlcf, 6).alias("dup_line_char_frac"),
+        np_.cast("int").alias("n_paras"),
+        F.round(dpf, 6).alias("dup_para_frac"),
+        F.round(dpcf, 6).alias("dup_para_char_frac"),
+        (
+            (dlf <= 0.30) & (dlcf <= 0.20) & (dpf <= 0.30) & (dpcf <= 0.20)
+        ).cast("int").alias("keep_doc"),
     )
 
 

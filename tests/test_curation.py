@@ -537,16 +537,49 @@ def test_line_repetition_stats_hand_case(spark):
     out = {r["doc_id"]: r for r in line_repetition_stats(_docs(spark, texts), "doc_id", "text").collect()}
     assert out[0]["n_lines"] == 4
     assert abs(out[0]["dup_line_frac"] - 0.25) < 1e-9
-    assert abs(out[0]["dup_char_frac"] - 7 / 34) < 1e-6
+    assert abs(out[0]["dup_line_char_frac"] - 7 / 34) < 1e-6
     # line gate passes (0.25 <= 0.30) but the char gate fails
     # (7/34 = 0.206 > 0.20) -> dropped
     assert out[0]["keep_doc"] == 0
     assert out[1]["n_lines"] == 3
     assert abs(out[1]["dup_line_frac"] - 2 / 3) < 1e-6
-    assert abs(out[1]["dup_char_frac"] - 2 / 3) < 1e-6
+    assert abs(out[1]["dup_line_char_frac"] - 2 / 3) < 1e-6
     assert out[1]["keep_doc"] == 0
     assert out[2]["n_lines"] == 0 and out[2]["keep_doc"] == 1
     assert out[3]["keep_doc"] == 1 and out[3]["dup_line_frac"] == 0.0
+    # no blank lines anywhere above -> each doc is ONE paragraph
+    assert out[0]["n_paras"] == 1 and out[0]["dup_para_frac"] == 0.0
+
+
+def test_paragraph_repetition_gates(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        line_repetition_stats,
+    )
+
+    texts = [
+        # 3 paragraphs, one duplicated: dpf = 1/3; para chars 5+5+6 = 16
+        # (the dup para is 'promo' = 5 chars) -> dpcf = 5/16 > 0.20 -> drop
+        "promo\n\npromo\n\nunique",
+        # distinct paragraphs, duplicate LINES across paragraphs: the
+        # paragraph gates pass, the line gates catch it
+        "same\nsame\n\nother",
+        # clean two-paragraph doc -> keep
+        "first paragraph here\n\nsecond paragraph there",
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in line_repetition_stats(
+            _docs(spark, texts), "doc_id", "text"
+        ).collect()
+    }
+    assert out[0]["n_paras"] == 3
+    assert abs(out[0]["dup_para_frac"] - 1 / 3) < 1e-6
+    assert abs(out[0]["dup_para_char_frac"] - 5 / 16) < 1e-6
+    assert out[0]["keep_doc"] == 0
+    assert out[1]["dup_para_frac"] == 0.0  # 'same\nsame' != 'other'
+    assert abs(out[1]["dup_line_frac"] - 1 / 3) < 1e-6
+    assert out[1]["keep_doc"] == 0  # dup_line_char_frac 4/12 > 0.20
+    assert out[2]["keep_doc"] == 1 and out[2]["n_paras"] == 2
 
 
 def test_mixture_weights_temperature_scaling(spark):
