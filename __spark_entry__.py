@@ -4130,6 +4130,40 @@ ORDER BY doc_id
 """
 
 
+
+def q_char_entropy(spark, sf_dir):
+    """Character-distribution Shannon entropy per document
+    (curation.char_entropy_stats): the classic gibberish / degenerate-
+    page quality signal.  Zero exchanges — counting runs in higher-order
+    transforms over the char array with a SORTED distinct alphabet so
+    the IEEE summation order matches the DuckDB oracle exactly."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        char_entropy_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return char_entropy_stats(d, "doc_id", "text").transform(_by("doc_id"))
+
+
+Q_CHAR_ENTROPY_SQL = """
+WITH p AS (SELECT doc_id, coalesce(text, '') AS t FROM documents),
+s AS (SELECT doc_id,
+  list_filter(str_split(t, ''), x -> x <> '') AS cs FROM p),
+m AS (SELECT doc_id, cs, list_sort(list_distinct(cs)) AS dc,
+             len(cs) AS n FROM s),
+e AS (SELECT doc_id, n, len(dc) AS nd,
+  0.0 - list_sum(list_transform(dc, d ->
+     (len(list_filter(cs, x -> x = d)) * 1.0 / n)
+     * log2(len(list_filter(cs, x -> x = d)) * 1.0 / n))) AS ent
+  FROM m)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+  CAST(coalesce(nd, 0) AS BIGINT) AS n_distinct,
+  ROUND(CASE WHEN n > 0 THEN ent ELSE 0.0 END, 6) AS entropy_bits,
+  CAST(CASE WHEN n > 0 AND ent >= 2.0 THEN 1 ELSE 0 END AS INT) AS keep_doc
+FROM e ORDER BY doc_id
+"""
+
+
 def q_cdc_chunks(spark, sf_dir):
     """Content-defined chunking (dedup.cdc_chunks, LBFS/FastCDC
     semantics): k-gram-hash-triggered boundaries + offset/fingerprint
@@ -4517,14 +4551,16 @@ _QUERIES_CHANGED_THIS_ROUND = [
     "q_line_repetition",
     "q_mixture_weights",
     "q_chrf",
+    "q_char_entropy",
 ]
 
 _QUERIES_FILLERS = [
-    # r3-certified fillers (refresh; fill the window up to CERT_WINDOW)
-    "q_yaml_sniff",
+    # (empty: the round-4 additions filled the window; r3-green queries
+    # that lost their filler slot sit at the top of _QUERIES_PAST_WINDOW)
 ]
 
 _QUERIES_PAST_WINDOW = [
+    "q_yaml_sniff",
     "q_evaluate_config",
     "q_office_extract",
     "q_eval_report",
@@ -4660,6 +4696,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cdc_chunks": Q_CDC_CHUNKS_SQL,
         "q_bleu": Q_BLEU_SQL,
         "q_chrf": Q_CHRF_SQL,
+        "q_char_entropy": Q_CHAR_ENTROPY_SQL,
         "q_line_repetition": Q_LINE_REPETITION_SQL,
         "q_mixture_weights": Q_MIXTURE_WEIGHTS_SQL,
         "q_config_extract": _config_extract_sql(),

@@ -874,3 +874,56 @@ def mixture_weights(
         F.round(weight, 6).alias("weight"),
         F.round(weight / raw_share, 6).alias("upsample_ratio"),
     )
+
+
+def char_entropy_stats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_bits: float = 2.0,
+) -> DataFrame:
+    """Character-distribution Shannon entropy per document — the classic
+    gibberish / degenerate-page signal (low entropy = repeated-character
+    or boilerplate junk; used as a quality gate in CommonCrawl-derived
+    curation pipelines alongside the Gopher rules).
+
+    ``H = -sum_c (n_c/N) * log2(n_c/N)`` over the document's character
+    multiset (every character counts, including spaces).  ``keep_doc``
+    requires at least ``min_bits`` bits; empty docs score 0.0 and drop.
+
+    Output: (id_col, n_chars, n_distinct, entropy_bits, keep_doc).
+
+    Plan shape (100 TB): zero exchanges — characters never explode into
+    rows; counting runs in higher-order transforms over the char array
+    (O(distinct · N) per doc, distinct is alphabet-bounded ~100), and the
+    distinct array is SORTED before the accumulating sum so the IEEE
+    summation order is deterministic and mirrored by the DuckDB oracle."""
+    chars = F.filter(
+        F.split(F.coalesce(F.col(text_col), F.lit("")), ""),
+        lambda x: x != F.lit(""),
+    )
+    n = F.size(chars)
+    dc = F.array_sort(F.array_distinct(chars))
+    # 0.0 - sum (not unary minus): an all-one-char doc sums to 0.0 and
+    # -0.0 vs 0.0 would hash-differ between engines
+    ent = F.lit(0.0) - F.aggregate(
+        F.transform(
+            dc,
+            lambda d: (
+                F.size(F.filter(chars, lambda x: x == d)).cast("double") / n
+            )
+            * F.log2(
+                F.size(F.filter(chars, lambda x: x == d)).cast("double") / n
+            ),
+        ),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    ent = F.when(n > 0, ent).otherwise(F.lit(0.0))
+    return df.select(
+        F.col(id_col),
+        n.cast("long").alias("n_chars"),
+        F.size(dc).cast("long").alias("n_distinct"),
+        F.round(ent, 6).alias("entropy_bits"),
+        (ent >= F.lit(float(min_bits))).cast("int").alias("keep_doc"),
+    )

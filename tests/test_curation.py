@@ -672,3 +672,31 @@ def test_chrf_hand_and_differential(spark):
     assert out[5]["chrf"] == 0.0 and out[5]["len_ref"] == 0
     # char lengths are post-strip
     assert out[1]["len_ref"] == 9 and out[1]["len_cand"] == 9
+
+
+def test_char_entropy_hand_cases(spark):
+    import math
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        char_entropy_stats,
+    )
+
+    texts = [
+        "aaaa",  # one symbol -> exactly 0 bits (and +0.0, not -0.0)
+        "abab",  # two equiprobable symbols -> exactly 1 bit
+        "abcd",  # four equiprobable -> 2 bits (boundary: keep at min 2.0)
+        "",  # empty -> 0 bits, dropped
+        "the quick brown fox jumps over the lazy dog",  # English-ish, keep
+    ]
+    out = {
+        r["doc_id"]: r
+        for r in char_entropy_stats(
+            _docs(spark, texts), "doc_id", "text"
+        ).collect()
+    }
+    assert out[0]["entropy_bits"] == 0.0 and out[0]["keep_doc"] == 0
+    assert math.copysign(1.0, out[0]["entropy_bits"]) == 1.0  # +0.0
+    assert out[1]["entropy_bits"] == 1.0 and out[1]["n_distinct"] == 2
+    assert out[2]["entropy_bits"] == 2.0 and out[2]["keep_doc"] == 1
+    assert out[3]["n_chars"] == 0 and out[3]["keep_doc"] == 0
+    assert out[4]["keep_doc"] == 1 and out[4]["entropy_bits"] > 3.0
