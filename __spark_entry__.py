@@ -4164,6 +4164,51 @@ FROM e ORDER BY doc_id
 """
 
 
+
+def q_bm25(spark, sf_dir):
+    """Okapi BM25 relevance (curation.bm25_scores) of every document
+    against the fixed query {spark, query, merge}: the retrieval-based
+    corpus-selection primitive.  The query-term filter lands before any
+    aggregation (the token stream shrinks at the scan), per-term df
+    broadcasts back, and N/avgdl ride one broadcast metadata row."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        bm25_scores,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return bm25_scores(
+        d, "doc_id", "text", ["spark", "query", "merge"]
+    ).transform(_by("doc_id"))
+
+
+Q_BM25_SQL = """
+WITH tl AS (SELECT doc_id,
+  list_filter(str_split(coalesce(text, ''), ' '), x -> x <> '') AS ts
+  FROM documents),
+dls AS (SELECT doc_id, len(ts) AS dl FROM tl),
+stats AS (SELECT COUNT(*) AS n,
+                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl FROM dls),
+hits AS (
+  SELECT tl.doc_id, dls.dl, t.term
+  FROM tl JOIN dls USING (doc_id), UNNEST(tl.ts) AS t(term)
+  WHERE t.term IN ('spark', 'query', 'merge')
+),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+       FROM hits GROUP BY doc_id, term),
+dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+c AS (
+  SELECT tf.doc_id,
+         ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+           * (tf.tf * 2.2)
+           / (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / stats.avgdl)) AS contrib
+  FROM tf JOIN dfreq USING (term), stats
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits,
+       ROUND(SUM(contrib), 6) AS bm25
+FROM c GROUP BY doc_id ORDER BY doc_id
+"""
+
+
 def q_cdc_chunks(spark, sf_dir):
     """Content-defined chunking (dedup.cdc_chunks, LBFS/FastCDC
     semantics): k-gram-hash-triggered boundaries + offset/fingerprint
@@ -4560,6 +4605,7 @@ _QUERIES_FILLERS = [
 ]
 
 _QUERIES_PAST_WINDOW = [
+    "q_bm25",
     "q_yaml_sniff",
     "q_evaluate_config",
     "q_office_extract",
@@ -4697,6 +4743,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bleu": Q_BLEU_SQL,
         "q_chrf": Q_CHRF_SQL,
         "q_char_entropy": Q_CHAR_ENTROPY_SQL,
+        "q_bm25": Q_BM25_SQL,
         "q_line_repetition": Q_LINE_REPETITION_SQL,
         "q_mixture_weights": Q_MIXTURE_WEIGHTS_SQL,
         "q_config_extract": _config_extract_sql(),

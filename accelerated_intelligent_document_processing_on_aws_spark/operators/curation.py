@@ -927,3 +927,72 @@ def char_entropy_stats(
         F.round(ent, 6).alias("entropy_bits"),
         (ent >= F.lit(float(min_bits))).cast("int").alias("keep_doc"),
     )
+
+
+def bm25_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document against a fixed query-term
+    set (Robertson & Walker 1994; the Lucene-default ranking function) —
+    the retrieval-based corpus-selection primitive complementing
+    ``dsir_weights`` (which selects by distribution match rather than by
+    query relevance).
+
+    ``score(d) = sum_t idf(t) · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl))``
+    with the positive Lucene idf ``ln(1 + (N-df+0.5)/(df+0.5))``; tokens
+    are whitespace-split verbatim (normalize upstream if desired).
+
+    Output: (id_col, n_hits = matching query terms, bm25) — only docs
+    containing at least one query term (absent docs score 0 by
+    definition); bm25 rounded 6 dp.
+
+    Plan shape (100 TB): the query-term filter lands BEFORE any
+    aggregation, so the token stream shrinks to query-term rows at the
+    scan side; per-term df is a query-terms-sized frame broadcast back;
+    N and avgdl are ONE metadata row (exact integer sum / count, then a
+    single double division — cross-engine-deterministic) cross-joined as
+    a broadcast.  The corpus is scanned twice (token pass + length
+    pass), both column-pruned to (id, text) — cheaper at scale than
+    shuffling every token to compute lengths in one pass."""
+    toks = F.filter(_words(text_col), lambda x: x != F.lit(""))
+    dl = df.select(F.col(id_col), F.size(toks).alias("_dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).alias("_n"),
+        (
+            F.sum("_dl").cast("double") / F.count(F.lit(1))
+        ).alias("_avgdl"),
+    )
+    hits = (
+        df.select(F.col(id_col), F.size(toks).alias("_dl"),
+                  F.explode(toks).alias("_term"))
+        .filter(F.col("_term").isin(list(query_terms)))
+    )
+    tf = hits.groupBy(id_col, "_term").agg(
+        F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl")
+    )
+    dfreq = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
+    j = (
+        tf.join(F.broadcast(dfreq), "_term")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.log(
+        F.lit(1.0)
+        + (F.col("_n") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+    )
+    den = F.col("_tf") + F.lit(float(k1)) * (
+        F.lit(1.0 - b) + F.lit(float(b)) * F.col("_dl") / F.col("_avgdl")
+    )
+    contrib = idf * (F.col("_tf") * F.lit(float(k1 + 1.0))) / den
+    return (
+        j.select(F.col(id_col), contrib.alias("_c"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hits"),
+            F.round(F.sum("_c"), 6).alias("bm25"),
+        )
+    )

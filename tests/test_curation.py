@@ -700,3 +700,28 @@ def test_char_entropy_hand_cases(spark):
     assert out[2]["entropy_bits"] == 2.0 and out[2]["keep_doc"] == 1
     assert out[3]["n_chars"] == 0 and out[3]["keep_doc"] == 0
     assert out[4]["keep_doc"] == 1 and out[4]["entropy_bits"] > 3.0
+
+
+def test_bm25_hand_case(spark):
+    """Two-doc corpus, query {x}: idf and length normalization computed
+    by hand.  N=2, df(x)=1 -> idf = ln(1 + 1.5/1.5) = ln 2; doc0 has
+    tf=2, dl=4, avgdl=3 -> denom = 2 + 1.2*(0.25 + 0.75*4/3) = 3.5;
+    score = ln2 * 4.4 / 3.5.  Doc1 (no hit) is absent by definition."""
+    import math
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        bm25_scores,
+    )
+
+    d = _docs(spark, ["x a x b", "c d"])
+    out = {r["doc_id"]: r for r in bm25_scores(d, "doc_id", "text", ["x"]).collect()}
+    assert set(out) == {0}
+    expected = math.log(2.0) * (2 * 2.2) / (2 + 1.2 * (0.25 + 0.75 * 4 / 3))
+    assert abs(out[0]["bm25"] - round(expected, 6)) < 1e-9
+    assert out[0]["n_hits"] == 1
+
+    # rarer term outranks a common one at equal tf/dl
+    d2 = _docs(spark, ["rare common", "zz common", "yy common"])
+    sc = {r["doc_id"]: r["bm25"] for r in
+          bm25_scores(d2, "doc_id", "text", ["rare", "common"]).collect()}
+    assert sc[0] > sc[1] == sc[2]
