@@ -954,19 +954,20 @@ def bm25_scores(
     Plan shape (100 TB): the query-term filter lands BEFORE any
     aggregation, so the token stream shrinks to query-term rows at the
     scan side; per-term df is a query-terms-sized frame broadcast back;
-    N and avgdl are ONE metadata row (exact integer sum / count, then a
-    single double division — cross-engine-deterministic) cross-joined as
-    a broadcast.  The corpus is scanned twice (token pass + length
-    pass), both column-pruned to (id, text) — cheaper at scale than
-    shuffling every token to compute lengths in one pass."""
+    N and avgdl are computed eagerly as ONE metadata row (exact integer
+    sum / count, then a single double division — cross-engine-
+    deterministic) and folded into the plan as literals (the q_tfidf
+    n_docs pattern: no 1-row cross join, so the plan stays free of
+    BroadcastNestedLoopJoin and the constants reach codegen).  The
+    corpus is scanned twice (token pass + stats action), both
+    column-pruned to (id, text) — cheaper at scale than shuffling every
+    token to compute lengths in one pass."""
     toks = F.filter(_words(text_col), lambda x: x != F.lit(""))
     dl = df.select(F.col(id_col), F.size(toks).alias("_dl"))
-    stats = dl.agg(
-        F.count(F.lit(1)).alias("_n"),
-        (
-            F.sum("_dl").cast("double") / F.count(F.lit(1))
-        ).alias("_avgdl"),
-    )
+    n_docs, avgdl = dl.agg(
+        F.count(F.lit(1)),
+        F.sum("_dl").cast("double") / F.count(F.lit(1)),
+    ).first()
     hits = (
         df.select(F.col(id_col), F.size(toks).alias("_dl"),
                   F.explode(toks).alias("_term"))
@@ -976,16 +977,14 @@ def bm25_scores(
         F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl")
     )
     dfreq = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
-    j = (
-        tf.join(F.broadcast(dfreq), "_term")
-        .crossJoin(F.broadcast(stats))
-    )
+    j = tf.join(F.broadcast(dfreq), "_term")
     idf = F.log(
         F.lit(1.0)
-        + (F.col("_n") - F.col("_df") + F.lit(0.5)) / (F.col("_df") + F.lit(0.5))
+        + (F.lit(int(n_docs)) - F.col("_df") + F.lit(0.5))
+        / (F.col("_df") + F.lit(0.5))
     )
     den = F.col("_tf") + F.lit(float(k1)) * (
-        F.lit(1.0 - b) + F.lit(float(b)) * F.col("_dl") / F.col("_avgdl")
+        F.lit(1.0 - b) + F.lit(float(b)) * F.col("_dl") / F.lit(float(avgdl))
     )
     contrib = idf * (F.col("_tf") * F.lit(float(k1 + 1.0))) / den
     return (
