@@ -976,6 +976,11 @@ def bm25_scores(
     tf = hits.groupBy(id_col, "_term").agg(
         F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl")
     )
+    # tf fans out to BOTH dfreq and the scoring join — without a
+    # materialization the corpus token scan would run twice in the lazy
+    # plan.  tf is query-terms × docs (slim by construction), so pin it
+    # once, the same discipline as the dedup sketch frames.
+    tf = tf.localCheckpoint(eager=True)
     dfreq = tf.groupBy("_term").agg(F.count(F.lit(1)).alias("_df"))
     j = tf.join(F.broadcast(dfreq), "_term")
     idf = F.log(
