@@ -17,6 +17,7 @@ would be an append to a lineage table in the same catalog.
 
 from __future__ import annotations
 
+import json
 import os
 import uuid
 from typing import List, Optional
@@ -69,6 +70,25 @@ class CheckpointStore:
             .collect()
         )
         return sorted(r.partition_id for r in rows)
+
+    def fully_committed_snapshots(self, n_buckets: int) -> List[str]:
+        """Snapshot ids whose every bucket 0..n_buckets-1 is COMMITTED —
+        the set an incremental run may treat as already-processed input.
+        A partially committed (crashed) snapshot is deliberately NOT in
+        this list: its input files stay in the current delta, so no row
+        can be lost between a crash and the next (possibly larger)
+        snapshot."""
+        df = self.read()
+        if df is None:
+            return []
+        rows = (
+            df.filter(F.col("status") == "COMMITTED")
+            .groupBy("input_snapshot_id")
+            .agg(F.countDistinct("partition_id").alias("n"))
+            .filter(F.col("n") >= n_buckets)
+            .collect()
+        )
+        return sorted(r.input_snapshot_id for r in rows)
 
     def append(self, lineage_df: DataFrame) -> None:
         # lineage is metadata-sized (one row per bucket): without the
@@ -130,6 +150,27 @@ class CheckpointStore:
                 os.remove(p)
                 dropped += int(r.n)
         return dropped
+
+
+def write_input_manifest(checkpoint_path: str, snap: str, files: list) -> None:
+    """Record the input's full data-file listing (relpath + size) for a
+    snapshot, under ``<checkpoint>/_inputs/`` — what incremental runs
+    diff against.  Writing it is crash-safe at any point: delta coverage
+    is derived ONLY from snapshots whose lineage is fully committed
+    (:meth:`CheckpointStore.fully_committed_snapshots`), so an orphaned
+    manifest of a crashed run is simply ignored."""
+    d = os.path.join(checkpoint_path, "_inputs")
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, f"snap-{snap}.json"), "w") as fh:
+        json.dump({"snapshot_id": snap, "files": files}, fh)
+
+
+def read_input_manifest(checkpoint_path: str, snap: str) -> Optional[list]:
+    p = os.path.join(checkpoint_path, "_inputs", f"snap-{snap}.json")
+    if not os.path.isfile(p):
+        return None
+    with open(p) as fh:
+        return json.load(fh)["files"]
 
 
 # payload-kind vocabulary of the extraction dispatcher

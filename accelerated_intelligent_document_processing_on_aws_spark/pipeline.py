@@ -39,8 +39,11 @@ from .io.checkpoint import (
     lineage_observe_exprs,
     lineage_rows_from_metrics,
     new_run_id,
+    read_input_manifest,
+    write_input_manifest,
 )
 from .io.tables import (
+    _data_files,
     record_snapshot,
     salted_bucket,
     snapshot_id,
@@ -176,6 +179,7 @@ def run_pipeline(
     run_id: Optional[str] = None,
     input_format: str = "parquet",
     dead_letter_path: Optional[str] = None,
+    incremental: bool = False,
 ) -> dict:
     """Full run with lineage + resume. Returns a summary dict.
 
@@ -189,11 +193,72 @@ def run_pipeline(
     overwrite so retries of a crashed run replace rather than duplicate
     the snapshot's bad rows; the clean side flows into the pipeline
     unchanged.
+
+    ``incremental``: process only the input files NOT covered by a
+    previously fully-committed snapshot (the daily-append case — at
+    10^12-turn scale a new batch must never recompute history).  Each
+    delta lands under ``output_path/ingest=<snapshot>/pt=...``, so
+    dynamic partition overwrite + lineage resume keep their exact
+    idempotency WITHIN the delta while prior ingests' files are never
+    touched; readers see one table with an extra ``ingest`` partition
+    column.  The input must be append-only (a removed or rewritten
+    previously-processed file raises — silent partial tables are never
+    produced) and appends must be conversation-complete: sections are
+    computed within a delta, so a conversation split across two ingests
+    would sectionize per-ingest (document batches accordingly —
+    transcripts land whole conversations per batch).  Coverage is
+    derived ONLY from fully-committed lineage, so a crash mid-delta
+    leaves those files in the next run's delta (no loss, bounded
+    recompute).  Parquet input only; not composable with
+    ``bucketed_table`` (the managed-table spec has no ingest layer).
+    Use a fresh output/checkpoint pair when adopting incremental mode:
+    plain runs write ``pt=...`` at the top level and incremental runs
+    write ``ingest=<snap>/pt=...`` — mixing the two layouts under one
+    directory breaks parquet partition inference.
     """
     run_id = run_id or new_run_id()
     snap = snapshot_id(input_path)
     store = CheckpointStore(spark, checkpoint_path)
     done = store.committed_partitions(snap)
+
+    new_files = None
+    if incremental:
+        if cfg.bucketed_table is not None:
+            raise ValueError(
+                "incremental mode is not supported with bucketed_table"
+            )
+        if input_format != "parquet":
+            raise ValueError(
+                "incremental mode requires parquet input (land feeds as "
+                "parquet first)"
+            )
+        current = {rel: size for rel, size in _data_files(input_path)}
+        covered: dict = {}
+        for s in store.fully_committed_snapshots(cfg.n_buckets):
+            m = read_input_manifest(checkpoint_path, s)
+            for rel, size in m or []:
+                covered[rel] = size
+        for rel, size in covered.items():
+            if current.get(rel) != size:
+                raise ValueError(
+                    "incremental run requires append-only input: "
+                    f"{rel!r} was removed or rewritten since it was "
+                    "processed"
+                )
+        new_files = sorted(set(current) - set(covered))
+        write_input_manifest(
+            checkpoint_path, snap, sorted([k, v] for k, v in current.items())
+        )
+        if not new_files:
+            return {
+                "run_id": run_id,
+                "snapshot_id": snap,
+                "partitions_written": 0,
+                "partitions_committed": 0,
+                "resumed": True,
+                "incremental": True,
+                "new_files": 0,
+            }
 
     # candidate buckets = enumerate(range) minus committed — NO extra
     # distinct-collect job over the extracted frame (bounded by n_buckets)
@@ -208,7 +273,12 @@ def run_pipeline(
         }
 
     n_dead = 0
-    if input_format == "parquet":
+    if incremental:
+        # the delta scan: ONLY files no committed snapshot covers
+        df = spark.read.parquet(
+            *[os.path.join(input_path, rel) for rel in new_files]
+        )
+    elif input_format == "parquet":
         df = spark.read.parquet(input_path)
     else:
         from .sources import split_corrupt
@@ -334,6 +404,15 @@ def run_pipeline(
             F.pmod(F.xxhash64(F.col("conv_id"), F.col("turn_idx")), F.lit(k)),
         )
 
+    # incremental deltas land one directory level down (ingest=<snap>):
+    # dynamic partition overwrite then only ever touches THIS delta's pt
+    # buckets — prior ingests' files are physically untouchable by this
+    # run, and readers of output_path see ingest as a partition column
+    sink_path = (
+        os.path.join(output_path, f"ingest={snap}") if incremental
+        else output_path
+    )
+
     def _sink(frame) -> str:
         """Write to the configured sink; returns the manifest location."""
         if cfg.bucketed_table is not None:
@@ -345,8 +424,8 @@ def run_pipeline(
                 sort_cols=("conv_id", "turn_idx"),
                 n_buckets=cfg.conv_buckets,
             )
-        write_partitioned(frame, output_path, "pt")
-        return output_path
+        write_partitioned(frame, sink_path, "pt")
+        return sink_path
 
     if len(candidates) <= LINEAGE_OBSERVE_MAX:
         # small candidate sets (the common resume tail — a few crashed
@@ -398,6 +477,9 @@ def run_pipeline(
         "partitions_committed": len(candidates),
         "resumed": bool(done),
     }
+    if incremental:
+        summary["incremental"] = True
+        summary["new_files"] = len(new_files)
     if input_format != "parquet" and dead_letter_path is not None:
         summary["dead_letter_rows"] = n_dead
     return summary
