@@ -539,10 +539,22 @@ def chrf_score(
     side-tagged structs), ``explode_outer`` keeps empty docs alive, and
     a two-level aggregate computes per-order clipped overlaps; document
     text never shuffles, only slim gram rows."""
-    se = F.regexp_replace(
-        F.coalesce(F.col(expected_col), F.lit("")), r"\s+", ""
+    # whitespace-stripped sides materialized as ATTRIBUTES before any
+    # HOF touches them: a lambda that closes over an expression makes
+    # Catalyst re-evaluate it PER ELEMENT (the word_chunks discipline) —
+    # with the regexp_replace inline, every char-gram re-ran an O(N)
+    # regex over the whole text: O(N²) per doc per order (measured 17.6 s
+    # for the sf0.1 registry query; 2.8 s with the attributes).
+    stripped = df.select(
+        "*",
+        F.regexp_replace(
+            F.coalesce(F.col(expected_col), F.lit("")), r"\s+", ""
+        ).alias("_se"),
+        F.regexp_replace(
+            F.coalesce(F.col(actual_col), F.lit("")), r"\s+", ""
+        ).alias("_sa"),
     )
-    sa = F.regexp_replace(F.coalesce(F.col(actual_col), F.lit("")), r"\s+", "")
+    se, sa = F.col("_se"), F.col("_sa")
 
     def grams(s, n):
         return F.when(
@@ -568,7 +580,7 @@ def chrf_score(
         *[tag(grams(se, i), i, 1) for i in range(1, max_n + 1)],
         *[tag(grams(sa, i), i, 0) for i in range(1, max_n + 1)],
     )
-    base = df.select(
+    base = stripped.select(
         F.col(id_col),
         F.length(se).alias("_lr"),
         F.length(sa).alias("_lc"),
