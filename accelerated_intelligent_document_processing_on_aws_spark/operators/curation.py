@@ -779,19 +779,31 @@ def line_repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFram
     Output: (id_col, n_lines, dup_line_frac, dup_line_char_frac,
     n_paras, dup_para_frac, dup_para_char_frac, keep_doc).
 
-    Plan shape (100 TB): one narrow projection — all counting happens in
-    higher-order transforms/aggregates over the split arrays (the
-    per-distinct-block recount is O(B^2) in the doc's own block count,
+    Plan shape (100 TB): two narrow projections — the split block arrays
+    are materialized as ATTRIBUTES first (a HOF lambda that closes over
+    an expression re-evaluates it per element — inlined, every distinct
+    block would re-split the whole text: the word_chunks discipline),
+    then all counting happens in higher-order transforms/aggregates (the
+    per-distinct-block recount is O(B²) in the doc's own block count,
     never a shuffle); zero exchanges, text never leaves its task."""
 
-    def block_stats(sep: str):
-        blocks = F.filter(
+    def split_blocks(sep: str):
+        return F.filter(
             F.transform(
                 F.split(F.coalesce(F.col(text_col), F.lit("")), sep),
                 lambda x: F.trim(x),
             ),
             lambda x: x != F.lit(""),
         )
+
+    pre = df.select(
+        "*",
+        split_blocks("\n").alias("_lines"),
+        split_blocks("\n\n").alias("_paras"),
+    )
+
+    def block_stats(col_name: str):
+        blocks = F.col(col_name)
         db = F.array_distinct(blocks)
         nb = F.size(blocks)
         nd = F.size(db)
@@ -817,9 +829,9 @@ def line_repetition_stats(df: DataFrame, id_col: str, text_col: str) -> DataFram
         ).otherwise(F.lit(0.0))
         return nb, bf, cf
 
-    nl, dlf, dlcf = block_stats("\n")
-    np_, dpf, dpcf = block_stats("\n\n")
-    return df.select(
+    nl, dlf, dlcf = block_stats("_lines")
+    np_, dpf, dpcf = block_stats("_paras")
+    return pre.select(
         F.col(id_col),
         nl.cast("int").alias("n_lines"),
         F.round(dlf, 6).alias("dup_line_frac"),
@@ -894,14 +906,20 @@ def char_entropy_stats(
     Output: (id_col, n_chars, n_distinct, entropy_bits, keep_doc).
 
     Plan shape (100 TB): zero exchanges — characters never explode into
-    rows; counting runs in higher-order transforms over the char array
+    rows; the char array is materialized as an ATTRIBUTE before any HOF
+    closes over it (inlined, every distinct char would re-split the
+    text), counting runs in higher-order transforms over it
     (O(distinct · N) per doc, distinct is alphabet-bounded ~100), and the
     distinct array is SORTED before the accumulating sum so the IEEE
     summation order is deterministic and mirrored by the DuckDB oracle."""
-    chars = F.filter(
-        F.split(F.coalesce(F.col(text_col), F.lit("")), ""),
-        lambda x: x != F.lit(""),
+    pre = df.select(
+        "*",
+        F.filter(
+            F.split(F.coalesce(F.col(text_col), F.lit("")), ""),
+            lambda x: x != F.lit(""),
+        ).alias("_chars"),
     )
+    chars = F.col("_chars")
     n = F.size(chars)
     dc = F.array_sort(F.array_distinct(chars))
     # 0.0 - sum (not unary minus): an all-one-char doc sums to 0.0 and
@@ -920,7 +938,7 @@ def char_entropy_stats(
         lambda a, x: a + x,
     )
     ent = F.when(n > 0, ent).otherwise(F.lit(0.0))
-    return df.select(
+    return pre.select(
         F.col(id_col),
         n.cast("long").alias("n_chars"),
         F.size(dc).cast("long").alias("n_distinct"),
