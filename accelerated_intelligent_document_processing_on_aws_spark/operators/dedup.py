@@ -678,11 +678,14 @@ def winnow_fingerprints(
     a stable, engine-portable summary (the full set feeds a candidate
     equi-join in a pair-matching pipeline, same shape as MinHash bands).
 
-    Plan shape (100 TB): everything is ONE narrow projection — k-gram
-    hashing (``shingle_hash32``: JVM md5 prefix, the exact expression the
-    DuckDB oracle runs) and window minima are higher-order transforms
-    inside a single codegen stage; zero exchanges, zero Python, text
-    never shuffles."""
+    Plan shape (100 TB): staged narrow projections, still zero
+    exchanges / zero Python / text never shuffles.  The k-gram hash
+    array and the selected set are materialized as ATTRIBUTES between
+    stages: the window-minima lambda closes over the hash array, and a
+    closed-over EXPRESSION re-evaluates per element inside a
+    higher-order function — inlined, every w-window re-hashed all m
+    k-grams, O(m²) md5s per doc (measured 76 s for the sf0.1 registry
+    query; 2.6 s staged)."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     m = F.length(t) - F.lit(k - 1)  # number of k-grams
     hashes = F.when(
@@ -692,25 +695,33 @@ def winnow_fingerprints(
             lambda i: shingle_hash32(F.substring(t, i, k)),
         ),
     ).otherwise(F.array().cast("array<long>"))
-    n_win = m - F.lit(w - 1)  # number of w-windows
+    pre = df.select(F.col(id_col), hashes.alias("_wh"))
+    h = F.col("_wh")
+    n_win = F.size(h) - F.lit(w - 1)  # number of w-windows
     sel = F.array_distinct(
         F.when(
             n_win >= 1,
             F.transform(
                 F.sequence(F.lit(1), F.greatest(n_win, F.lit(1))),
-                lambda j: F.array_min(F.slice(hashes, j, w)),
+                lambda j: F.array_min(F.slice(h, j, w)),
             ),
         )
-        .when(m >= 1, F.array(F.array_min(hashes)))
+        .when(F.size(h) >= 1, F.array(F.array_min(h)))
         .otherwise(F.array().cast("array<long>"))
     )
-    return df.select(
+    staged = pre.select(
         F.col(id_col),
-        F.greatest(m, F.lit(0)).cast("int").alias("n_kgrams"),
-        F.size(sel).cast("int").alias("n_selected"),
+        F.size(h).cast("int").alias("n_kgrams"),
+        sel.alias("_sel"),
+    )
+    s = F.col("_sel")
+    return staged.select(
+        F.col(id_col),
+        F.col("n_kgrams"),
+        F.size(s).cast("int").alias("n_selected"),
         F.md5(
             F.array_join(
-                F.transform(F.array_sort(sel), lambda x: x.cast("string")),
+                F.transform(F.array_sort(s), lambda x: x.cast("string")),
                 ",",
             )
         ).alias("winnow_digest"),
@@ -741,9 +752,14 @@ def cdc_chunks(
 
     Plan shape (100 TB): boundary detection is higher-order transforms
     over the k-gram hash array (same ``shingle_hash32`` primitive the
-    oracle mirrors) inside ONE codegen stage; the only exchange after the
-    explode is whatever the consumer adds.  Text never shuffles — chunks
-    are (offset, length, fingerprint), rehydratable by substring."""
+    oracle mirrors) in staged narrow projections; the only exchange
+    after the explode is whatever the consumer adds.  Text never
+    shuffles — chunks are (offset, length, fingerprint), rehydratable by
+    substring.  The boundary array is materialized as an ATTRIBUTE
+    before the span lambda closes over it (``try_element_at(bounds, ...)``
+    per element) — inlined, every span re-ran the whole
+    hash→filter→greedy-fold chain, O(n_chunks · m) md5s per doc
+    (measured 3.7 s for the sf0.1 registry query; 2.0 s staged)."""
     t = F.coalesce(F.col(text_col), F.lit(""))
     n = F.length(t)
     m = n - F.lit(k - 1)
@@ -754,11 +770,14 @@ def cdc_chunks(
             lambda i: shingle_hash32(F.substring(t, i, k)),
         ),
     ).otherwise(F.array().cast("array<long>"))
+    pre = df.select(F.col(id_col), t.alias("_t"), hashes.alias("_ch"))
+    tt = F.col("_t")
+    nn = F.length(tt)
     # candidate boundaries: hash positions i (1-based) whose k-gram ends a
     # chunk -> boundary offset = i + k - 1 chars into the text
     cand = F.filter(
         F.transform(
-            hashes, lambda h, i: F.when(
+            F.col("_ch"), lambda h, i: F.when(
                 F.pmod(h, F.lit(mask + 1)) == 0, i + F.lit(k)
             ).otherwise(F.lit(-1))
         ),
@@ -775,17 +794,20 @@ def cdc_chunks(
         ).otherwise(acc),
     )
     bounds = F.when(
-        F.element_at(kept, -1) < n, F.concat(kept, F.array(n))
+        F.element_at(kept, -1) < nn, F.concat(kept, F.array(nn))
     ).otherwise(kept)
+    staged = pre.select(F.col(id_col), tt, bounds.alias("_b"))
+    b_attr = F.col("_b")
     spans = F.filter(
         F.transform(
-            bounds,
+            b_attr,
             lambda b, i: F.struct(
                 i.alias("chunk_idx"),  # transform's index is 0-based
                 b.alias("start"),
                 (
                     F.coalesce(
-                        F.try_element_at(bounds, i + F.lit(2)), F.lit(n)
+                        F.try_element_at(b_attr, i + F.lit(2)),
+                        F.length(tt),
                     )
                     - b
                 ).alias("chunk_len"),
@@ -793,7 +815,7 @@ def cdc_chunks(
         ),
         lambda s: s["chunk_len"] > 0,
     )
-    ex = df.select(F.col(id_col), t.alias("_t"), F.explode(spans).alias("_s"))
+    ex = staged.select(F.col(id_col), tt, F.explode(spans).alias("_s"))
     return ex.select(
         F.col(id_col),
         F.col("_s.chunk_idx").cast("int").alias("chunk_idx"),
