@@ -980,15 +980,21 @@ def bm25_scores(
     corpus is scanned twice (token pass + stats action), both
     column-pruned to (id, text) — cheaper at scale than shuffling every
     token to compute lengths in one pass."""
-    toks = F.filter(_words(text_col), lambda x: x != F.lit(""))
-    dl = df.select(F.col(id_col), F.size(toks).alias("_dl"))
+    # token array staged as an ATTRIBUTE: computing size(toks) in the
+    # same select as explode(toks) puts it in the projection above the
+    # Generate, where it re-runs the split+filter per exploded row
+    pre = df.select(
+        F.col(id_col),
+        F.filter(_words(text_col), lambda x: x != F.lit("")).alias("_tk"),
+    )
+    dl = pre.select(F.col(id_col), F.size("_tk").alias("_dl"))
     n_docs, avgdl = dl.agg(
         F.count(F.lit(1)),
         F.sum("_dl").cast("double") / F.count(F.lit(1)),
     ).first()
     hits = (
-        df.select(F.col(id_col), F.size(toks).alias("_dl"),
-                  F.explode(toks).alias("_term"))
+        pre.select(F.col(id_col), F.size("_tk").alias("_dl"),
+                   F.explode("_tk").alias("_term"))
         .filter(F.col("_term").isin(list(query_terms)))
     )
     tf = hits.groupBy(id_col, "_term").agg(
