@@ -492,6 +492,11 @@ def span_corpus_dedup(
     ).select(
         F.col(id_col), F.col("_i"), F.md5(F.encode(F.col("_s"), "UTF-8")).alias("_h")
     )
+    # slim fans out to BOTH the frequency pass and the removed-set join —
+    # unpinned, the corpus text scan + span build would run twice in the
+    # lazy plan.  (id, idx, md5) rows are slim by construction: pin once,
+    # the dedup-sketch discipline.
+    slim = slim.localCheckpoint(eager=True)
     freq = (
         slim.groupBy("_h")
         .agg(F.count(F.lit(1)).alias("_c"))
