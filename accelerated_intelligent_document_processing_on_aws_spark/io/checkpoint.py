@@ -155,14 +155,23 @@ class CheckpointStore:
 def write_input_manifest(checkpoint_path: str, snap: str, files: list) -> None:
     """Record the input's full data-file listing (relpath + size) for a
     snapshot, under ``<checkpoint>/_inputs/`` — what incremental runs
-    diff against.  Writing it is crash-safe at any point: delta coverage
-    is derived ONLY from snapshots whose lineage is fully committed
-    (:meth:`CheckpointStore.fully_committed_snapshots`), so an orphaned
-    manifest of a crashed run is simply ignored."""
+    diff against.  Written atomically (temp file + ``os.replace``) so a
+    crash can never leave a torn JSON; writing it early is crash-safe:
+    delta coverage is derived ONLY from snapshots carrying a ``.done``
+    marker (:func:`mark_input_done`, written after the delta's lineage
+    fully commits), so an orphaned manifest of a crashed run is simply
+    ignored."""
+    import time as _time
+
     d = os.path.join(checkpoint_path, "_inputs")
     os.makedirs(d, exist_ok=True)
-    with open(os.path.join(d, f"snap-{snap}.json"), "w") as fh:
-        json.dump({"snapshot_id": snap, "files": files}, fh)
+    p = os.path.join(d, f"snap-{snap}.json")
+    tmp = p + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(
+            {"snapshot_id": snap, "ts": _time.time(), "files": files}, fh
+        )
+    os.replace(tmp, p)
 
 
 def read_input_manifest(checkpoint_path: str, snap: str) -> Optional[list]:
@@ -171,6 +180,49 @@ def read_input_manifest(checkpoint_path: str, snap: str) -> Optional[list]:
         return None
     with open(p) as fh:
         return json.load(fh)["files"]
+
+
+def mark_input_done(checkpoint_path: str, snap: str) -> None:
+    """Mark a snapshot's delta as fully processed — the incremental-
+    coverage commit point.  A marker (not lineage) carries coverage so
+    that ``expire_snapshots`` garbage collection or a later
+    ``n_buckets`` change can never silently shrink coverage and
+    re-extract history as duplicates."""
+    d = os.path.join(checkpoint_path, "_inputs")
+    os.makedirs(d, exist_ok=True)
+    p = os.path.join(d, f"snap-{snap}.done")
+    with open(p + ".tmp", "w") as fh:
+        fh.write(snap)
+    os.replace(p + ".tmp", p)
+
+
+def input_done(checkpoint_path: str, snap: str) -> bool:
+    return os.path.isfile(
+        os.path.join(checkpoint_path, "_inputs", f"snap-{snap}.done")
+    )
+
+
+def latest_done_manifest(checkpoint_path: str) -> Optional[dict]:
+    """The newest (by manifest ts) fully-processed input manifest —
+    sufficient coverage by itself: each manifest records the FULL input
+    listing at its commit, and the append-only guard ensures later
+    listings are supersets of earlier ones.  Returns
+    ``{"snapshot_id": ..., "files": [[rel, size], ...]}`` or None."""
+    d = os.path.join(checkpoint_path, "_inputs")
+    if not os.path.isdir(d):
+        return None
+    best = None
+    for f in os.listdir(d):
+        if not (f.startswith("snap-") and f.endswith(".json")):
+            continue
+        snap = f[len("snap-"):-len(".json")]
+        if not input_done(checkpoint_path, snap):
+            continue
+        with open(os.path.join(d, f)) as fh:
+            rec = json.load(fh)
+        if best is None or rec.get("ts", 0) > best.get("ts", 0):
+            best = rec
+    return best
 
 
 # payload-kind vocabulary of the extraction dispatcher

@@ -156,7 +156,9 @@ def record_snapshot(table_path: str, snap_id: str, meta: Optional[dict] = None) 
     """Commit a snapshot manifest: id, timestamp, and the full data-file
     list (path + size) of the table as of this commit — the Iceberg
     analog of a snapshot's manifest list, and what makes
-    :func:`read_as_of` time travel possible."""
+    :func:`read_as_of` time travel possible.  Written atomically (temp
+    file + ``os.replace``): a crash mid-write can never leave a torn
+    JSON that would break ``list_snapshots`` for the whole table."""
     mdir = os.path.join(table_path, "_manifest")
     os.makedirs(mdir, exist_ok=True)
     rec = {
@@ -165,8 +167,10 @@ def record_snapshot(table_path: str, snap_id: str, meta: Optional[dict] = None) 
         "files": _data_files(table_path),
         **(meta or {}),
     }
-    with open(os.path.join(mdir, f"snap-{snap_id}.json"), "w") as fh:
+    p = os.path.join(mdir, f"snap-{snap_id}.json")
+    with open(p + ".tmp", "w") as fh:
         json.dump(rec, fh)
+    os.replace(p + ".tmp", p)
 
 
 def list_snapshots(table_path: str) -> list:

@@ -943,12 +943,15 @@ def char_entropy_stats(
         lambda a, x: a + x,
     )
     ent = F.when(n > 0, ent).otherwise(F.lit(0.0))
+    # empty docs drop regardless of threshold (the documented contract;
+    # without the n > 0 guard a min_bits <= 0 would keep them)
+    keep = ((n > 0) & (ent >= F.lit(float(min_bits)))).cast("int")
     return pre.select(
         F.col(id_col),
         n.cast("long").alias("n_chars"),
         F.size(dc).cast("long").alias("n_distinct"),
         F.round(ent, 6).alias("entropy_bits"),
-        (ent >= F.lit(float(min_bits))).cast("int").alias("keep_doc"),
+        keep.alias("keep_doc"),
     )
 
 
@@ -997,6 +1000,10 @@ def bm25_scores(
         F.count(F.lit(1)),
         F.sum("_dl").cast("double") / F.count(F.lit(1)),
     ).first()
+    if not n_docs or avgdl is None:
+        # empty corpus: no hit rows can exist; any non-zero constant
+        # keeps the (never-evaluated) expressions well-typed
+        n_docs, avgdl = 0, 1.0
     hits = (
         pre.select(F.col(id_col), F.size("_tk").alias("_dl"),
                    F.explode("_tk").alias("_term"))

@@ -38,6 +38,9 @@ from .io.checkpoint import (
     lineage_agg_rows,
     lineage_observe_exprs,
     lineage_rows_from_metrics,
+    input_done,
+    latest_done_manifest,
+    mark_input_done,
     new_run_id,
     read_input_manifest,
     write_input_manifest,
@@ -206,15 +209,29 @@ def run_pipeline(
     produced) and appends must be conversation-complete: sections are
     computed within a delta, so a conversation split across two ingests
     would sectionize per-ingest (document batches accordingly —
-    transcripts land whole conversations per batch).  Coverage is
-    derived ONLY from fully-committed lineage, so a crash mid-delta
-    leaves those files in the next run's delta (no loss, bounded
-    recompute).  Parquet input only; not composable with
-    ``bucketed_table`` (the managed-table spec has no ingest layer).
-    Use a fresh output/checkpoint pair when adopting incremental mode:
-    plain runs write ``pt=...`` at the top level and incremental runs
-    write ``ingest=<snap>/pt=...`` — mixing the two layouts under one
-    directory breaks parquet partition inference.
+    transcripts land whole conversations per batch).  Coverage commits
+    via a ``.done`` marker written AFTER the delta's lineage fully
+    commits — decoupled from the lineage table, so ``expire_snapshots``
+    garbage collection or a later ``n_buckets`` change can never shrink
+    coverage and re-extract history; a crash mid-delta leaves those
+    files in the next run's delta (no loss, bounded recompute), and a
+    startup reconcile pass heals the two crash windows: an ingest dir
+    whose lineage fully committed but whose marker was never written is
+    marked done in place, and an abandoned partial ingest dir (its
+    snapshot superseded before completing) is deleted so it can never
+    surface duplicate rows.  Each run also commits a CUMULATIVE
+    ``record_snapshot`` manifest at ``output_path``, so
+    ``io.tables.read_as_of(output_path, <snap>)`` time-travels across
+    ingests (prior deltas' files are never rewritten, so old snapshots
+    stay readable).  The append-only check compares (path, size): Spark
+    writers emit unique part-file names per job, so a same-name
+    same-size content rewrite is outside the contract (use new file
+    names, as any Spark/parquet writer does).  Parquet input only; not
+    composable with ``bucketed_table`` (the managed-table spec has no
+    ingest layer).  Use a fresh output/checkpoint pair when adopting
+    incremental mode: plain runs write ``pt=...`` at the top level and
+    incremental runs write ``ingest=<snap>/pt=...`` — mixing the two
+    layouts under one directory breaks parquet partition inference.
     """
     run_id = run_id or new_run_id()
     snap = snapshot_id(input_path)
@@ -233,11 +250,39 @@ def run_pipeline(
                 "parquet first)"
             )
         current = {rel: size for rel, size in _data_files(input_path)}
-        covered: dict = {}
-        for s in store.fully_committed_snapshots(cfg.n_buckets):
-            m = read_input_manifest(checkpoint_path, s)
-            for rel, size in m or []:
-                covered[rel] = size
+        # reconcile crash windows BEFORE computing coverage: heal a
+        # fully-committed-but-unmarked ingest (crash after the lineage
+        # commit, before the marker), delete an abandoned partial ingest
+        # (its snapshot superseded before completing — left in place its
+        # rows would read as duplicates once this run re-extracts them)
+        if os.path.isdir(output_path):
+            import shutil as _shutil
+
+            _full = None
+            for entry in sorted(os.listdir(output_path)):
+                if not entry.startswith("ingest="):
+                    continue
+                s = entry.split("=", 1)[1]
+                if s == snap or input_done(checkpoint_path, s):
+                    continue
+                if _full is None:
+                    _full = set(
+                        store.fully_committed_snapshots(cfg.n_buckets)
+                    )
+                if s in _full and read_input_manifest(
+                    checkpoint_path, s
+                ) is not None:
+                    mark_input_done(checkpoint_path, s)
+                else:
+                    _shutil.rmtree(
+                        os.path.join(output_path, entry), ignore_errors=True
+                    )
+        # coverage = the LATEST done-marked manifest alone: every
+        # manifest records the FULL input listing at its commit and the
+        # append-only guard makes later listings supersets — O(1)
+        # manifests read per run instead of O(history)
+        cov = latest_done_manifest(checkpoint_path)
+        covered = {rel: size for rel, size in (cov or {}).get("files", [])}
         for rel, size in covered.items():
             if current.get(rel) != size:
                 raise ValueError(
@@ -250,6 +295,9 @@ def run_pipeline(
             checkpoint_path, snap, sorted([k, v] for k, v in current.items())
         )
         if not new_files:
+            # everything current is covered — advance the marker so the
+            # latest manifest reflects this (possibly renamed) snapshot
+            mark_input_done(checkpoint_path, snap)
             return {
                 "run_id": run_id,
                 "snapshot_id": snap,
@@ -264,6 +312,10 @@ def run_pipeline(
     # distinct-collect job over the extracted frame (bounded by n_buckets)
     candidates = sorted(set(range(cfg.n_buckets)) - set(done))
     if not candidates:
+        if incremental:
+            # all buckets committed for this exact input: heal the
+            # crash-after-lineage-before-marker window on resume
+            mark_input_done(checkpoint_path, snap)
         return {
             "run_id": run_id,
             "snapshot_id": snap,
@@ -274,8 +326,10 @@ def run_pipeline(
 
     n_dead = 0
     if incremental:
-        # the delta scan: ONLY files no committed snapshot covers
-        df = spark.read.parquet(
+        # the delta scan: ONLY files no committed snapshot covers.
+        # basePath keeps hive-partition columns of partitioned INPUT
+        # layouts resolving identically to the full-run scan
+        df = spark.read.option("basePath", input_path).parquet(
             *[os.path.join(input_path, rel) for rel in new_files]
         )
     elif input_format == "parquet":
@@ -468,7 +522,18 @@ def run_pipeline(
         spark.createDataFrame(_pd.DataFrame(lineage_rows), CHECKPOINT_SCHEMA)
     )
     if manifest_loc:
-        record_snapshot(manifest_loc, snap, {"run_id": run_id})
+        # incremental runs record a CUMULATIVE manifest at the table
+        # root (all ingests' files as of this commit), so read_as_of
+        # time-travels across deltas — prior ingests are never
+        # rewritten, keeping every older snapshot readable
+        record_snapshot(
+            output_path if incremental else manifest_loc,
+            snap,
+            {"run_id": run_id},
+        )
+    if incremental:
+        # the coverage commit point: only now is this delta "covered"
+        mark_input_done(checkpoint_path, snap)
     n_written = sum(1 for r in lineage_rows if r["row_count"] > 0)
     summary = {
         "run_id": run_id,

@@ -725,3 +725,23 @@ def test_bm25_hand_case(spark):
     sc = {r["doc_id"]: r["bm25"] for r in
           bm25_scores(d2, "doc_id", "text", ["rare", "common"]).collect()}
     assert sc[0] > sc[1] == sc[2]
+
+
+def test_bm25_and_entropy_edge_guards(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        bm25_scores,
+        char_entropy_stats,
+    )
+
+    # empty corpus: no crash, empty result (avgdl aggregate returns null)
+    empty = _docs(spark, ["a b"]).filter("doc_id < 0")
+    assert bm25_scores(empty, "doc_id", "text", ["x"]).count() == 0
+
+    # empty docs drop even at min_bits=0 (the documented contract)
+    out = {
+        r["doc_id"]: r["keep_doc"]
+        for r in char_entropy_stats(
+            _docs(spark, ["", "ab"]), "doc_id", "text", min_bits=0.0
+        ).collect()
+    }
+    assert out[0] == 0 and out[1] == 1

@@ -113,3 +113,70 @@ def test_incremental_mode_guards(spark, tmp_path):
             spark, inp, outp, ckpt, pkg.PipelineConfig(n_buckets=4),
             incremental=True, input_format="jsonl",
         )
+
+
+def test_incremental_orphan_cleanup_heal_and_time_travel(spark, tmp_path):
+    """The startup reconcile pass: a fully-committed-but-unmarked ingest
+    heals (stays, not reprocessed); an abandoned partial ingest dir is
+    deleted (never surfaces duplicates); read_as_of time-travels across
+    ingests via the cumulative table-root manifests."""
+    from accelerated_intelligent_document_processing_on_aws_spark.io.checkpoint import (
+        input_done,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.io.tables import (
+        read_as_of,
+    )
+
+    inp, outp, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    cfg = pkg.PipelineConfig(n_buckets=8)
+    gen_transcripts_df(spark, n_convs=12, mean_turns=4).write.mode(
+        "overwrite"
+    ).parquet(inp)
+    s1 = pkg.run_pipeline(spark, inp, outp, ckpt, cfg, incremental=True)
+    snap1 = s1["snapshot_id"]
+    assert input_done(ckpt, snap1)
+    v1_rows = read_as_of(spark, outp, snap1).count()
+    assert v1_rows == spark.read.parquet(outp).count()
+
+    # simulate crash-after-lineage-before-marker: drop the marker
+    os.remove(os.path.join(ckpt, "_inputs", f"snap-{snap1}.done"))
+    # plant an abandoned partial delta (no lineage, no marker)
+    orphan = os.path.join(outp, "ingest=deadbeef")
+    gen_transcripts_df(spark, n_convs=2, mean_turns=2).withColumn(
+        "conv_id", F.concat(F.lit("orphan-"), F.col("conv_id"))
+    ).write.parquet(os.path.join(orphan, "pt=0"))
+
+    b2 = gen_transcripts_df(spark, n_convs=6, mean_turns=3).withColumn(
+        "conv_id", F.concat(F.lit("b2-"), F.col("conv_id"))
+    )
+    b2.write.mode("append").parquet(inp)
+    s2 = pkg.run_pipeline(spark, inp, outp, ckpt, cfg, incremental=True)
+    snap2 = s2["snapshot_id"]
+
+    # heal: snap1's delta was NOT reprocessed — only batch-2 files ran
+    assert input_done(ckpt, snap1)
+    import json as _json
+
+    with open(os.path.join(ckpt, "_inputs", f"snap-{snap1}.json")) as fh:
+        n_b1 = len(_json.load(fh)["files"])
+    n_now = len([f for f in os.listdir(inp) if f.endswith(".parquet")])
+    assert s2["new_files"] == n_now - n_b1 > 0
+    # orphan removed, no duplicate rows
+    assert not os.path.isdir(orphan)
+    got = spark.read.parquet(outp)
+    assert got.filter(F.col("conv_id").startswith("orphan-")).count() == 0
+
+    # union equality vs a fresh full run
+    full_out, full_ckpt = str(tmp_path / "fout"), str(tmp_path / "fckpt")
+    pkg.run_pipeline(spark, inp, full_out, full_ckpt, cfg)
+    key = ["conv_id", "turn_idx"]
+    assert (
+        got.drop("ingest").orderBy(*key).collect()
+        == spark.read.parquet(full_out).orderBy(*key).collect()
+    )
+
+    # cumulative time travel: snap2 sees everything; snap1 still readable
+    assert read_as_of(spark, outp, snap2).count() == got.count()
+    assert read_as_of(spark, outp, snap1).count() == v1_rows
