@@ -53,6 +53,13 @@ def main() -> None:
         default=None,
         help="parquet dir for malformed jsonl/csv records (replayable DLQ)",
     )
+    ap.add_argument(
+        "--incremental",
+        action="store_true",
+        help="append-only delta mode: process only input files not covered "
+        "by a previous fully-committed run; deltas land under "
+        "output/ingest=<snapshot>/ and history is never re-extracted",
+    )
     args = ap.parse_args()
 
     # the session comes from spark-submit conf; enable the plan-shaping
@@ -85,6 +92,7 @@ def main() -> None:
         cfg,
         input_format=args.format,
         dead_letter_path=args.dead_letter,
+        incremental=args.incremental,
     )
     print(json.dumps(summary))
     spark.stop()
