@@ -4617,6 +4617,126 @@ FROM w ORDER BY doc_id
 """
 
 
+def q_inverted_index(spark, sf_dir):
+    """Positional inverted index over the documents corpus
+    (operators/corpus.py positional_index): one row per (term, doc) with
+    term frequency, per-term document frequency, and the sorted 0-based
+    token positions as a CSV string.  Tokens shorter than 3 chars are
+    dropped INSIDE the explode lambda — the stopword-class terms whose
+    posting lists dominate a web-scale index never generate rows.  Plan:
+    one explode, ONE groupBy on the compound (term, doc) key (map-side
+    combine; no reducer ever builds a hot term's full posting list), and
+    a term-partitioned window for df whose exchange is the by-term
+    clustering a sharded posting write wants."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        positional_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return positional_index(d, "doc_id", "text", min_token_len=3).transform(
+        _by("term", "doc_id")
+    )
+
+
+Q_INVERTED_INDEX_SQL = f"""
+WITH nm AS (SELECT doc_id, {_NORM_SQL} AS nt FROM documents),
+arr AS (SELECT doc_id, list_filter(str_split(nt, ' '), t -> t <> '') AS w
+        FROM nm),
+toks AS (
+  SELECT doc_id, i - 1 AS pos, w[i] AS term
+  FROM arr, UNNEST(range(1, len(w) + 1)) AS t(i)
+  WHERE length(w[i]) >= 3
+),
+postings AS (
+  SELECT term, doc_id, COUNT(*) AS tf,
+         string_agg(pos::VARCHAR, ',' ORDER BY pos) AS positions
+  FROM toks GROUP BY term, doc_id
+)
+SELECT term, doc_id, CAST(tf AS BIGINT) AS tf,
+       CAST(COUNT(*) OVER (PARTITION BY term) AS BIGINT) AS df,
+       positions
+FROM postings ORDER BY term, doc_id
+"""
+
+
+def q_collocations(spark, sf_dir):
+    """Top-50 adjacent-bigram collocations by PMI (operators/corpus.py
+    collocations): bigrams straight off the per-doc token array via
+    zip_with(slice, slice) — no self-join, no window over exploded rows;
+    unigram counts broadcast to the bigram side; the corpus token count
+    is a deliberate scalar literal (one metadata-sized sum job).  The
+    final top-k plans TakeOrderedAndProject, never a global sort."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        collocations,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return collocations(d, "doc_id", "text", min_count=5, top_k=50)
+
+
+Q_COLLOCATIONS_SQL = f"""
+WITH nm AS (SELECT {_NORM_SQL} AS nt FROM documents),
+arr AS (SELECT list_filter(str_split(nt, ' '), t -> t <> '') AS w FROM nm),
+n AS (SELECT SUM(len(w)) AS n_tokens FROM arr),
+bi AS (
+  SELECT w[i] AS w1, w[i + 1] AS w2
+  FROM arr, UNNEST(range(1, len(w))) AS t(i)
+  WHERE len(w) >= 2
+),
+pair AS (SELECT w1, w2, COUNT(*) AS pair_count FROM bi
+         GROUP BY w1, w2 HAVING COUNT(*) >= 5),
+uni AS (SELECT u.tok AS w, COUNT(*) AS c
+        FROM arr, UNNEST(w) AS u(tok) GROUP BY u.tok),
+scored AS (
+  SELECT w1, w2, CAST(pair_count AS BIGINT) AS pair_count,
+         CAST(u1.c AS BIGINT) AS left_count,
+         CAST(u2.c AS BIGINT) AS right_count,
+         ROUND(ln(pair_count * CAST((SELECT n_tokens FROM n) AS DOUBLE)
+                  / (u1.c * u2.c)), 6) AS pmi
+  FROM pair JOIN uni u1 ON pair.w1 = u1.w JOIN uni u2 ON pair.w2 = u2.w
+)
+SELECT w1, w2, pair_count, left_count, right_count, pmi
+FROM scored ORDER BY pmi DESC, w1 ASC, w2 ASC LIMIT 50
+"""
+
+
+def q_containment(spark, sf_dir):
+    """Doc-inside-doc detection by k-gram set containment
+    (dedup.containment_pairs, Broder 1997's companion measure to
+    resemblance): pairs whose smaller shingle set is >= 0.6 contained in
+    the larger.  Same inverted-index equi-join + hot-shingle df-cap as
+    ngram-Jaccard, but deliberately NO size-ratio prune — asymmetric
+    (short-quoted-in-long) pairs are exactly the target."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+        containment_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return containment_pairs(
+        d, "doc_id", "text", k=3, tau=0.6, df_cap=64
+    ).transform(_by("id_a", "id_b"))
+
+
+Q_CONTAINMENT_SQL = f"""
+WITH nm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+w AS (SELECT doc_id, str_split(t, ' ') AS w FROM nm),
+g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+      FROM w, UNNEST(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)),
+hot AS (SELECT g FROM g GROUP BY g HAVING COUNT(*) > 64),
+gc AS (SELECT g.* FROM g ANTI JOIN hot USING (g)),
+c AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+i AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS nc
+      FROM gc a JOIN gc b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2),
+cont AS (
+  SELECT ia AS id_a, ib AS id_b, CAST(nc AS BIGINT) AS n_common,
+         CAST(ca.n AS BIGINT) AS n_a, CAST(cb.n AS BIGINT) AS n_b,
+         ROUND(CAST(nc AS DOUBLE) / least(ca.n, cb.n), 6) AS containment
+  FROM i JOIN c ca ON ia = ca.doc_id JOIN c cb ON ib = cb.doc_id
+)
+SELECT * FROM cont WHERE containment >= 0.6 ORDER BY id_a, id_b
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -4686,13 +4806,19 @@ _QUERIES_CHANGED_THIS_ROUND = [
 ]
 
 _QUERIES_FILLERS = [
-    # r3-certified fillers (unchanged since their green row)
-    "q_yaml_sniff",
-    "q_evaluate_config",
-    "q_eval_report",
+    # new this session (operators/corpus.py + dedup.containment_pairs);
+    # they take the window slots previously padded by r3-certified
+    # fillers (q_yaml_sniff / q_evaluate_config / q_eval_report moved
+    # past the window — green in r3, untouched since)
+    "q_inverted_index",
+    "q_collocations",
+    "q_containment",
 ]
 
 _QUERIES_PAST_WINDOW = [
+    "q_yaml_sniff",
+    "q_evaluate_config",
+    "q_eval_report",
     "q_office_extract",
     # single-expression micro-queries: driver-certified via the
     # q_doc_scalar_suite composite; individually green in the repo's
@@ -4850,6 +4976,9 @@ def oracle_sql() -> dict[str, str]:
         "q_sample_stratified": Q_SAMPLE_STRATIFIED_SQL,
         "q_dup_spans": Q_DUP_SPANS_SQL,
         "q_tfidf_terms": Q_TFIDF_TERMS_SQL,
+        "q_inverted_index": Q_INVERTED_INDEX_SQL,
+        "q_collocations": Q_COLLOCATIONS_SQL,
+        "q_containment": Q_CONTAINMENT_SQL,
         "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
         "q_decontaminate": Q_DECONTAMINATE_SQL,
         "q_quality_repetition": Q_QUALITY_REPETITION_SQL,

@@ -1,0 +1,199 @@
+"""Corpus-level text analytics: positional inverted index + collocation
+mining (PMI).
+
+Reference parity: the reference has no search-index or collocation code —
+these extend the training-data-pipeline family (brief requirement) with
+the two corpus structures an LLM-data platform builds right after dedup:
+a posting-list index for exact-phrase / provenance lookups over the kept
+corpus, and collocation statistics for tokenizer/vocabulary auditing.
+
+Scale shape (both):
+* tokenization is one JVM-side projection (``split`` over the normalized
+  text materialized as a column first — Catalyst re-evaluates expressions
+  *closed over* by HOF lambdas per element, see dedup.shingle_rows);
+* every shuffle is a groupBy/join on the term key with map-side partial
+  aggregation;
+* nothing collects to the driver except deliberate scalar literals
+  (corpus token count) — one count job each, same pattern as tf-idf's
+  ``n_docs``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import normalized_for_compare
+from .common import ensure_min_partitions
+
+
+def _token_rows(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, pos, term) — one row per token of the normalized text, with
+    its 0-based position in the token sequence.  The words array is
+    materialized BEFORE posexplode so the split runs once per document,
+    and posexplode receives the array as an EXPRESSION in the same select
+    (an intermediate aliased column would trigger the
+    InferFiltersFromGenerate re-inlining trap documented in
+    dedup.shingle_rows)."""
+    w = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"),
+        F.split(normalized_for_compare(F.col(text_col)), " ").alias("_w"),
+    )
+    return w.select(
+        "id",
+        F.posexplode(F.filter(F.col("_w"), lambda t: t != F.lit(""))).alias(
+            "pos", "term"
+        ),
+    )
+
+
+def positional_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_token_len: int = 1,
+) -> DataFrame:
+    """Positional inverted index over the normalized corpus: one row per
+    (term, doc), with term frequency, per-term document frequency, and
+    the sorted 0-based token positions serialized as a CSV string.
+
+    Columns: ``term, doc_id, tf, df, positions``.
+
+    ``min_token_len`` drops tokens shorter than the bound *inside the
+    explode lambda* — at web scale the sub-length tokens are exactly the
+    stopword-class terms whose posting lists dominate the index, so the
+    filter runs before any row is generated, not as a post-hoc prune.
+
+    Plan: one scan, one explode, ONE groupBy(term, doc) with map-side
+    combine (positions collect per compound key, never per term alone,
+    so no single reducer ever holds a hot term's full posting list
+    while building it), then a ``Window.partitionBy(term)`` for
+    document frequency whose exchange IS the by-term clustering a
+    sharded posting-list write wants and whose state is a single count
+    (no row buffering).  The measured alternative — a per-term
+    aggregate joined back — plans the scan+explode subtree TWICE
+    (column pruning differentiates the branches, so Catalyst cannot
+    reuse the exchange), and pinning postings first just trades the
+    window's shuffle for an equally-sized cache write.  Per-term skew
+    is bounded by the hottest surviving term's posting rows; the
+    ``min_token_len`` gate removes the stopword-class terms that
+    dominate that tail.  Positions are serialized (not an array column)
+    so the row is engine-portable and the output is a plain columnar
+    table.
+    """
+    toks = _token_rows(df, id_col, text_col)
+    if min_token_len > 1:
+        toks = toks.filter(F.length("term") >= min_token_len)
+    postings = toks.groupBy("term", F.col("id").alias("doc_id")).agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("pos")),
+                lambda p: p.cast("string"),
+            ),
+            ",",
+        ).alias("positions"),
+    )
+    wt = Window.partitionBy("term")
+    return postings.select(
+        "term",
+        "doc_id",
+        F.col("tf").cast("long").alias("tf"),
+        F.count(F.lit(1)).over(wt).cast("long").alias("df"),
+        "positions",
+    )
+
+
+def collocations(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Top-``top_k`` adjacent-bigram collocations by pointwise mutual
+    information over the normalized corpus.
+
+    PMI(x, y) = ln( c_xy * N / (c_x * c_y) ) with N = total token count;
+    bigrams below ``min_count`` occurrences are dropped (the standard
+    sparse-PMI guard — a hapax pair always has inflated PMI).
+
+    Columns: ``w1, w2, pair_count, left_count, right_count, pmi``.
+
+    Plan: bigrams come straight off the per-doc token ARRAY via
+    ``zip_with(slice, slice)`` — zero self-joins, zero windows over the
+    exploded rows; unigram counts aggregate the same array exploded once.
+    The tokenized base materializes ONCE (lazy localCheckpoint, forced
+    by the N scalar action — the dedup-sketch pattern) so its three
+    consumers (N, bigrams, unigrams) never re-run the normalize+split
+    scan.  The unigram table is vocabulary-sized, so both count lookups
+    join broadcast; the only wide shuffle is the bigram groupBy
+    (map-side combine absorbs repeats).  N is a deliberate scalar
+    literal (one sum job over per-doc token counts — a metadata-sized
+    aggregate).  The final top-k is a real ``orderBy().limit()`` so
+    Catalyst plans TakeOrderedAndProject, never a global sort.
+    """
+    base = (
+        ensure_min_partitions(df)
+        .select(
+            F.filter(
+                F.split(normalized_for_compare(F.col(text_col)), " "),
+                lambda t: t != F.lit(""),
+            ).alias("_w")
+        )
+        .localCheckpoint(eager=False)
+    )
+    # scalar literal: corpus token count (one agg job, metadata-sized);
+    # this action also materializes the checkpoint for the two branches
+    n_tokens = base.agg(F.sum(F.size("_w"))).collect()[0][0] or 0
+    n = F.size(F.col("_w"))
+    bigrams = base.select(
+        F.explode(
+            F.when(
+                n >= 2,
+                F.zip_with(
+                    F.slice(F.col("_w"), 1, n - 1),
+                    F.slice(F.col("_w"), 2, n - 1),
+                    lambda x, y: F.struct(x.alias("w1"), y.alias("w2")),
+                ),
+            ).otherwise(F.array()),
+        ).alias("_b")
+    ).select(F.col("_b.w1").alias("w1"), F.col("_b.w2").alias("w2"))
+    pair = (
+        bigrams.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    uni = (
+        base.select(F.explode("_w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scored = (
+        pair.join(
+            F.broadcast(uni.select(F.col("w").alias("w1"), F.col("c").alias("left_count"))),
+            "w1",
+        )
+        .join(
+            F.broadcast(uni.select(F.col("w").alias("w2"), F.col("c").alias("right_count"))),
+            "w2",
+        )
+        .select(
+            "w1",
+            "w2",
+            F.col("pair_count").cast("long").alias("pair_count"),
+            F.col("left_count").cast("long").alias("left_count"),
+            F.col("right_count").cast("long").alias("right_count"),
+            F.round(
+                F.log(
+                    F.col("pair_count")
+                    * F.lit(float(n_tokens))
+                    / (F.col("left_count") * F.col("right_count"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(top_k)

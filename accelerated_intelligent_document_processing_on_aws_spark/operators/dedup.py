@@ -291,6 +291,68 @@ def ngram_jaccard_pairs(
     ).filter(F.col("jaccard") >= F.lit(threshold))
 
 
+def containment_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    tau: float = 0.6,
+    df_cap: int | None = 64,
+) -> DataFrame:
+    """Near-superset pairs by word-k-gram set CONTAINMENT: pairs whose
+    smaller shingle set is >= ``tau`` contained in the larger —
+    C(A, B) = |A∩B| / min(|A|, |B|).
+
+    Containment is the doc-inside-doc detector resemblance misses: a
+    short document quoted whole inside a much longer one has tiny
+    Jaccard (the union is dominated by the long side) but containment
+    ~1.0 — the classic Broder (1997) companion measure to the
+    resemblance the MinHash/ngram-Jaccard operators certify.  Because a
+    size-RATIO prune would throw away exactly these asymmetric pairs,
+    there is deliberately no ratio filter here; the hot-shingle
+    ``df_cap`` (identical semantics and identical SQL-oracle clause as
+    :func:`ngram_jaccard_pairs`) is the candidate-blowup defense, and
+    the window that computes it hash-partitions by ``g`` — the same
+    clustering the self-join consumes, so Catalyst plans one shuffle
+    plus a ReusedExchange.  Columns:
+    ``id_a, id_b, n_common, n_a, n_b, containment``.
+    """
+    exploded = shingle_rows(df, id_col, text_col, k)
+    if df_cap is not None:
+        wg = Window.partitionBy("g")
+        exploded = (
+            exploded.withColumn("_df", F.count(F.lit(1)).over(wg))
+            .filter(F.col("_df") <= df_cap)
+            .drop("_df")
+        )
+    a = exploded.alias("a")
+    b = exploded.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")),
+        )
+        .groupBy(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cont = F.col("n_common").cast("double") / F.least(
+        F.col("n_a"), F.col("n_b")
+    ).cast("double")
+    return inter.select(
+        "id_a",
+        "id_b",
+        F.col("n_common").cast("long").alias("n_common"),
+        F.col("n_a").cast("long").alias("n_a"),
+        F.col("n_b").cast("long").alias("n_b"),
+        F.round(cont, 6).alias("containment"),
+    ).filter(F.col("containment") >= F.lit(tau))
+
+
 def _minhash_params(num_hashes: int, seed: int = 42):
     # a,b < 2^31 and 32-bit shingle hashes keep a*h+b < 2^63: the universal
     # hash (a*h+b) mod (2^61-1) stays in uint64 — fully vectorized numpy,

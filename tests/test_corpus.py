@@ -1,0 +1,102 @@
+"""Unit tests for operators/corpus.py (positional inverted index,
+PMI collocations) and dedup.containment_pairs."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Row
+
+from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+    collocations,
+    positional_index,
+)
+from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+    containment_pairs,
+)
+
+
+def _docs(spark, texts):
+    return spark.createDataFrame(
+        [Row(doc_id=i, text=t) for i, t in enumerate(texts)]
+    )
+
+
+def test_positional_index_positions_tf_df(spark):
+    d = _docs(spark, ["the cat sat on the mat", "the mat"])
+    rows = positional_index(d, "doc_id", "text").collect()
+    got = {(r.term, r.doc_id): r for r in rows}
+    # "the" occurs at normalized-token positions 0 and 4 in doc 0
+    assert got[("the", 0)].tf == 2
+    assert got[("the", 0)].positions == "0,4"
+    assert got[("the", 1)].positions == "0"
+    # df counts documents, not occurrences
+    assert got[("the", 0)].df == 2
+    assert got[("cat", 0)].df == 1
+    assert got[("mat", 0)].df == 2 and got[("mat", 1)].tf == 1
+
+
+def test_positional_index_min_token_len_preserves_positions(spark):
+    # length filter drops rows AFTER position assignment: surviving
+    # tokens keep their offsets in the full normalized token sequence
+    d = _docs(spark, ["a bb ccc a dddd"])
+    rows = positional_index(d, "doc_id", "text", min_token_len=3).collect()
+    got = {r.term: r.positions for r in rows}
+    assert got == {"ccc": "2", "dddd": "4"}
+
+
+def test_positional_index_empty_and_punct_only(spark):
+    d = _docs(spark, ["", "!!!", "word"])
+    rows = positional_index(d, "doc_id", "text").collect()
+    assert {(r.term, r.doc_id) for r in rows} == {("word", 2)}
+
+
+def test_collocations_pmi_value(spark):
+    # corpus: "x y" appears 5 times, nothing else repeats adjacently
+    d = _docs(spark, ["x y"] * 5 + ["z w q"])
+    out = collocations(d, "doc_id", "text", min_count=5, top_k=10).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.w1, r.w2, r.pair_count) == ("x", "y", 5)
+    # N = 13 tokens, c_x = c_y = 5 -> PMI = ln(5 * 13 / 25)
+    assert r.pmi == round(math.log(5 * 13 / 25), 6)
+
+
+def test_collocations_min_count_gate_and_top_k(spark):
+    d = _docs(spark, ["p q"] * 5 + ["r s"] * 4)
+    out = collocations(d, "doc_id", "text", min_count=5, top_k=10).collect()
+    assert [(r.w1, r.w2) for r in out] == [("p", "q")]  # r s below gate
+
+
+def test_containment_detects_doc_inside_doc(spark):
+    # short doc quoted whole inside a long one: Jaccard is small
+    # (union dominated by the long side) but containment is 1.0
+    short = "alpha beta gamma delta epsilon"
+    long = short + " " + " ".join(f"w{i}" for i in range(40))
+    d = _docs(spark, [short, long])
+    rows = containment_pairs(d, "doc_id", "text", k=3, tau=0.9).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.id_a, r.id_b) == (0, 1)
+    assert r.containment == 1.0
+    assert r.n_common == r.n_a == 3  # 3 distinct 3-grams in the short doc
+    # the same pair is far below a 0.9 Jaccard threshold
+    jac = r.n_common / (r.n_a + r.n_b - r.n_common)
+    assert jac < 0.1
+
+
+def test_containment_no_pair_below_tau(spark):
+    d = _docs(spark, ["one two three four", "five six seven eight"])
+    assert containment_pairs(d, "doc_id", "text", k=3, tau=0.5).count() == 0
+
+
+def test_containment_df_cap_drops_ubiquitous_shingles(spark):
+    # a shingle present in EVERY doc is dropped from the index when
+    # df_cap < corpus size, so it alone can't certify containment
+    texts = [f"common gram here tail{i} x{i} y{i}" for i in range(6)]
+    d = _docs(spark, texts)
+    # each doc has 4 distinct 3-grams, exactly 1 shared -> containment 0.25
+    with_cap = containment_pairs(d, "doc_id", "text", k=3, tau=0.2, df_cap=5)
+    assert with_cap.count() == 0
+    no_cap = containment_pairs(d, "doc_id", "text", k=3, tau=0.2, df_cap=None)
+    assert no_cap.count() > 0
