@@ -4737,6 +4737,101 @@ SELECT * FROM cont WHERE containment >= 0.6 ORDER BY id_a, id_b
 """
 
 
+def q_zorder(spark, sf_dir):
+    """Z-order (Morton) clustering audit over events
+    (operators/layout.py zorder_key): interleave 8 bits of
+    (user_id mod 256, epoch-second mod 256) into one long — the
+    lakehouse OPTIMIZE-ZORDER key — and prove multi-dimensional
+    locality by aggregating per 8-bit z-prefix: every prefix bucket's
+    (u, s) ranges span <= 16x16 of the 256x256 key space, which is what
+    makes min/max file pruning work on BOTH dimensions after a sort by
+    the single key.  Pure integer Catalyst expression (shift/and/or —
+    zero FP, zero Python), one aggregate."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.layout import (
+        quantize_mod,
+        zorder_key,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    u = quantize_mod(F.col("user_id"), 256)
+    s = quantize_mod(F.unix_timestamp(F.col("ts")), 256)
+    d = e.select(u.alias("u"), s.alias("s"), zorder_key([u, s], 8).alias("zkey"))
+    return (
+        d.groupBy(F.shiftright(F.col("zkey"), 8).alias("zprefix"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("u").alias("u_min"),
+            F.max("u").alias("u_max"),
+            F.min("s").alias("s_min"),
+            F.max("s").alias("s_max"),
+        )
+        .transform(_by("zprefix"))
+    )
+
+
+def _z_sql(dims: list, bits: int) -> str:
+    """DuckDB twin of layout.zorder_key — identical bit placement."""
+    n = len(dims)
+    return " | ".join(
+        f"((({d} >> {b}) & 1) << {b * n + i})"
+        for i, d in enumerate(dims)
+        for b in range(bits)
+    )
+
+
+Q_ZORDER_SQL = f"""
+WITH q AS (
+  SELECT user_id % 256 AS u,
+         CAST(floor(epoch(ts)) AS BIGINT) % 256 AS s
+  FROM events
+),
+z AS (SELECT u, s, {_z_sql(['u', 's'], 8)} AS zkey FROM q)
+SELECT zkey >> 8 AS zprefix, COUNT(*) AS n,
+       MIN(u) AS u_min, MAX(u) AS u_max,
+       MIN(s) AS s_min, MAX(s) AS s_max
+FROM z GROUP BY 1 ORDER BY zprefix
+"""
+
+
+def q_funnel(spark, sf_dir):
+    """Sequential view->click->purchase funnel over events
+    (operators/funnel.py): per-user step times from ONE shuffle (sorted
+    collect per user + a single F.aggregate fold — no k-step join
+    chain), then a metadata-sized per-step rollup with conversion vs
+    step 1.  The oracle computes the same first-touch semantics as a
+    chain of MIN(ts > prev-step) CTEs."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.funnel import (
+        funnel_conversion,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return funnel_conversion(
+        e, "user_id", "event_type", "ts", ["view", "click", "purchase"]
+    ).transform(_by("step_idx"))
+
+
+Q_FUNNEL_SQL = """
+WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY user_id),
+t2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e JOIN t1 USING (user_id)
+       WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY e.user_id),
+t3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e JOIN t2 USING (user_id)
+       WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY e.user_id),
+n AS (SELECT (SELECT COUNT(*) FROM t1) AS n1,
+             (SELECT COUNT(*) FROM t2) AS n2,
+             (SELECT COUNT(*) FROM t3) AS n3)
+SELECT 1 AS step_idx, 'view' AS step_name, CAST(n1 AS BIGINT) AS users,
+       ROUND(n1 * 100.0 / greatest(n1, 1), 6) AS conversion_pct FROM n
+UNION ALL
+SELECT 2, 'click', CAST(n2 AS BIGINT),
+       ROUND(n2 * 100.0 / greatest(n1, 1), 6) FROM n
+UNION ALL
+SELECT 3, 'purchase', CAST(n3 AS BIGINT),
+       ROUND(n3 * 100.0 / greatest(n1, 1), 6) FROM n
+ORDER BY step_idx
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -4816,6 +4911,10 @@ _QUERIES_FILLERS = [
 ]
 
 _QUERIES_PAST_WINDOW = [
+    # new this session but past the (full) r4 window: repo-sweep-certified
+    # at sf0.01 + sf0.1 now, first in line for the r5 driver window
+    "q_zorder",
+    "q_funnel",
     "q_yaml_sniff",
     "q_evaluate_config",
     "q_eval_report",
@@ -4979,6 +5078,8 @@ def oracle_sql() -> dict[str, str]:
         "q_inverted_index": Q_INVERTED_INDEX_SQL,
         "q_collocations": Q_COLLOCATIONS_SQL,
         "q_containment": Q_CONTAINMENT_SQL,
+        "q_zorder": Q_ZORDER_SQL,
+        "q_funnel": Q_FUNNEL_SQL,
         "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
         "q_decontaminate": Q_DECONTAMINATE_SQL,
         "q_quality_repetition": Q_QUALITY_REPETITION_SQL,

@@ -1,0 +1,112 @@
+"""Sequential funnel analysis over an event stream.
+
+Classic product-analytics operator the reference's metering/reporting
+family stops short of: given an ordered list of step event-types, count
+how many users reached each step IN ORDER — step ``i`` matches a user's
+earliest event of that type occurring strictly after their matched step
+``i-1`` event (first-touch sequential funnel).
+
+Scale shape: ONE shuffle total.  Events group by user once
+(``sort_array(collect_list(struct(ts, type)))`` — the repo's G3
+ordered-assembly pattern, state bounded by a single user's activity),
+and the per-user step times fall out of one ``F.aggregate`` fold over
+the sorted array (O(events) per user, no re-evaluation pitfall: the
+fold's accumulator is the only captured state).  The per-step rollup is
+a metadata-sized aggregate.  The equivalent k-step join chain would
+shuffle k times; the fold does it in one.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def funnel_steps(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Per-user step-completion times: ``(user, t_1 .. t_k)`` where
+    ``t_i`` is the earliest ``steps[i]`` event strictly after ``t_{i-1}``
+    (NULL = step never reached; later steps of an unreached step are
+    NULL by construction).  Ties at identical timestamps break by the
+    struct sort's (ts, type) lexical order — deterministic."""
+    k = len(steps)
+    if k == 0:
+        raise ValueError("steps must be non-empty")
+    per_user = df.groupBy(F.col(user_col).alias("user_id")).agg(
+        F.sort_array(
+            F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(type_col).alias("tp")))
+        ).alias("_ev")
+    )
+    zero = F.struct(
+        *[F.lit(None).cast("timestamp").alias(f"t{i}") for i in range(1, k + 1)]
+    )
+
+    def step_fold(acc, e):
+        # first step: min ts of steps[0]; step i: first steps[i] event
+        # strictly after acc.t{i-1} — evaluated most-advanced-first so a
+        # single event can't satisfy two consecutive steps
+        fields = []
+        for i in range(k, 0, -1):
+            prev_ok = (
+                F.lit(True) if i == 1 else acc[f"t{i-1}"].isNotNull()
+            )
+            prev_lt = (
+                F.lit(True) if i == 1 else (e["ts"] > acc[f"t{i-1}"])
+            )
+            hit = (
+                acc[f"t{i}"].isNull()
+                & (e["tp"] == F.lit(steps[i - 1]))
+                & prev_ok
+                & prev_lt
+            )
+            fields.append(F.when(hit, e["ts"]).otherwise(acc[f"t{i}"]).alias(f"t{i}"))
+        return F.struct(*reversed(fields))
+
+    folded = per_user.select(
+        "user_id", F.aggregate("_ev", zero, step_fold).alias("_s")
+    )
+    return folded.select(
+        "user_id", *[F.col(f"_s.t{i}").alias(f"t{i}") for i in range(1, k + 1)]
+    )
+
+
+def funnel_conversion(
+    df: DataFrame,
+    user_col: str,
+    type_col: str,
+    ts_col: str,
+    steps: Sequence[str],
+) -> DataFrame:
+    """Funnel rollup: one row per step with users reached and conversion
+    vs step 1 (``step_idx, step_name, users, conversion_pct``).  The
+    rollup aggregates the per-user step table once (metadata-sized
+    result); percentages round to 6 so the output is engine-portable."""
+    k = len(steps)
+    per_user = funnel_steps(df, user_col, type_col, ts_col, steps)
+    counts = per_user.agg(
+        *[
+            F.sum(F.col(f"t{i}").isNotNull().cast("long")).alias(f"n{i}")
+            for i in range(1, k + 1)
+        ]
+    )
+    rows = None
+    for i in range(1, k + 1):
+        r = counts.select(
+            F.lit(i).alias("step_idx"),
+            F.lit(steps[i - 1]).alias("step_name"),
+            F.col(f"n{i}").alias("users"),
+            F.round(
+                F.col(f"n{i}") * F.lit(100.0)
+                / F.greatest(F.col("n1"), F.lit(1)),
+                6,
+            ).alias("conversion_pct"),
+        )
+        rows = r if rows is None else rows.unionAll(r)
+    return rows

@@ -1,0 +1,138 @@
+"""Unit tests for operators/layout.py (Z-order keys) and
+operators/funnel.py (sequential funnel)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from accelerated_intelligent_document_processing_on_aws_spark.operators.funnel import (
+    funnel_conversion,
+    funnel_steps,
+)
+from accelerated_intelligent_document_processing_on_aws_spark.operators.layout import (
+    quantize_mod,
+    zorder_key,
+)
+
+
+def _morton2(u: int, s: int, bits: int = 8) -> int:
+    z = 0
+    for b in range(bits):
+        z |= ((u >> b) & 1) << (2 * b)
+        z |= ((s >> b) & 1) << (2 * b + 1)
+    return z
+
+
+def test_zorder_matches_reference_interleave(spark):
+    rows = [(0, 0), (1, 0), (0, 1), (255, 255), (170, 85), (3, 200)]
+    df = spark.createDataFrame([Row(u=u, s=s) for u, s in rows])
+    got = {
+        (r.u, r.s): r.z
+        for r in df.select(
+            "u", "s", zorder_key([F.col("u"), F.col("s")], 8).alias("z")
+        ).collect()
+    }
+    for u, s in rows:
+        assert got[(u, s)] == _morton2(u, s), (u, s)
+
+
+def test_zorder_prefix_locality(spark):
+    # dropping the low 8 of 16 interleaved bits keeps the top 4 bits of
+    # each dimension: every prefix bucket spans <= a 16x16 tile
+    df = spark.range(0, 4096).select(
+        (F.col("id") % 256).alias("u"), ((F.col("id") * 7) % 256).alias("s")
+    )
+    z = df.select(
+        "u", "s", zorder_key([F.col("u"), F.col("s")], 8).alias("z")
+    )
+    agg = (
+        z.groupBy(F.shiftright("z", 8).alias("p"))
+        .agg(
+            (F.max("u") - F.min("u")).alias("du"),
+            (F.max("s") - F.min("s")).alias("ds"),
+        )
+        .agg(F.max("du"), F.max("ds"))
+        .collect()[0]
+    )
+    assert agg[0] <= 15 and agg[1] <= 15
+
+
+def test_zorder_bit_budget_guard():
+    with pytest.raises(ValueError):
+        zorder_key([F.col("a"), F.col("b")], 32)  # 64 bits > 63
+
+
+def test_quantize_mod_negative_safe(spark):
+    df = spark.createDataFrame([Row(x=-1), Row(x=257)])
+    got = sorted(
+        r.q for r in df.select(quantize_mod(F.col("x"), 256).alias("q")).collect()
+    )
+    assert got == [1, 255]  # pmod keeps the key non-negative
+
+
+def _events(spark, rows):
+    t0 = dt.datetime(2024, 1, 1)
+    return spark.createDataFrame(
+        [
+            Row(user_id=u, event_type=tp, ts=t0 + dt.timedelta(seconds=s))
+            for u, tp, s in rows
+        ]
+    )
+
+
+def test_funnel_requires_strict_order(spark):
+    e = _events(
+        spark,
+        [
+            # user 1: full ordered funnel
+            (1, "view", 0), (1, "click", 10), (1, "purchase", 20),
+            # user 2: purchase BEFORE click -> purchase must not count
+            (2, "view", 0), (2, "purchase", 5), (2, "click", 10),
+            # user 3: click only, never viewed -> reaches nothing
+            (3, "click", 0),
+        ],
+    )
+    steps = funnel_steps(e, "user_id", "event_type", "ts", ["view", "click", "purchase"])
+    got = {r.user_id: (r.t1, r.t2, r.t3) for r in steps.collect()}
+    assert got[1][2] is not None
+    assert got[2][1] is not None and got[2][2] is None
+    assert got[3] == (None, None, None)
+    conv = {
+        r.step_idx: (r.users, r.conversion_pct)
+        for r in funnel_conversion(
+            e, "user_id", "event_type", "ts", ["view", "click", "purchase"]
+        ).collect()
+    }
+    assert conv[1] == (2, 100.0)
+    assert conv[2] == (2, 100.0)
+    assert conv[3] == (1, 50.0)
+
+
+def test_funnel_same_timestamp_not_counted(spark):
+    # strict ">": a click at exactly the view's timestamp doesn't advance
+    e = _events(spark, [(1, "view", 0), (1, "click", 0), (1, "click", 3)])
+    r = funnel_steps(e, "user_id", "event_type", "ts", ["view", "click"]).collect()[0]
+    assert r.t1 is not None and r.t2 == dt.datetime(2024, 1, 1, 0, 0, 3)
+
+
+def test_funnel_repeated_step_types(spark):
+    # steps may repeat: second "view" must be a LATER event
+    e = _events(spark, [(1, "view", 0), (1, "view", 7)])
+    r = funnel_steps(e, "user_id", "event_type", "ts", ["view", "view"]).collect()[0]
+    assert (r.t1, r.t2) == (
+        dt.datetime(2024, 1, 1),
+        dt.datetime(2024, 1, 1, 0, 0, 7),
+    )
+
+
+def test_funnel_single_shuffle_plan(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.plans import plan_of
+
+    e = _events(spark, [(1, "view", 0)])
+    p = plan_of(funnel_steps(e, "user_id", "event_type", "ts", ["view", "click"]))
+    assert p.count("Exchange") <= 2  # user groupBy (+ input spread only)
+    assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
