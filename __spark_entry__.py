@@ -4832,6 +4832,222 @@ ORDER BY step_idx
 """
 
 
+def q_pagerank(spark, sf_dir):
+    """PageRank centrality over the user co-activity graph
+    (operators/graph.py): edges join users active in the same minute
+    (hot minutes df-capped like the dedup family), then 5 fixed power
+    iterations with uniform teleport, each round's ranks rounded to 9
+    decimals (part of the operator contract — makes the fixed-iteration
+    result engine-portable).  The iterative class of operator: one
+    shuffle join + one aggregate per round, lineage truncated per round
+    via localCheckpoint, dangling mass on a broadcast one-row frame.
+    The oracle unrolls the identical 5 iterations as chained CTEs."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        coactivity_edges,
+        pagerank,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    edges = coactivity_edges(e, "user_id", "ts", "minute", 64)
+    pr = pagerank(edges, iterations=5, damping=0.85, round_to=9)
+    return pr.select(
+        F.col("node"), F.round(F.col("rank"), 6).alias("pr")
+    ).transform(_by("node"))
+
+
+def _pagerank_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """DuckDB twin: same edge derivation, same unrolled iterations, same
+    per-round 9-decimal rounding.  The teleport and damping constants
+    are injected as full-precision Python literals so both engines add
+    bit-identical doubles before each round's ROUND."""
+    tele = repr((1.0 - damping) / 1.0)  # per-node division stays in SQL
+    d = repr(damping)
+    its = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        its.append(f"""
+r{i} AS (
+  SELECT b.node, b.deg,
+         ROUND(({repr(1.0 - damping)} / nn.n) + {d} * (COALESCE(c.s, 0.0) + dg.m / nn.n), 9) AS rnk
+  FROM base b
+  CROSS JOIN nn
+  CROSS JOIN (SELECT COALESCE(SUM(CASE WHEN deg = 0 THEN rnk END), 0.0) AS m FROM {prev}) dg
+  LEFT JOIN (SELECT e.dst AS node, SUM(r.rnk / r.deg) AS s
+             FROM edges e JOIN {prev} r ON e.src = r.node AND r.deg > 0
+             GROUP BY e.dst) c ON b.node = c.node
+)""")
+        prev = f"r{i}"
+    assert tele  # teleport folded per-node above
+    return f"""
+WITH b AS (SELECT DISTINCT date_trunc('minute', ts) AS _b, user_id AS _u FROM events),
+sized AS (SELECT _b, _u FROM (SELECT _b, _u, COUNT(*) OVER (PARTITION BY _b) AS _n FROM b)
+          WHERE _n <= 64),
+edges AS (SELECT DISTINCT l._u AS src, r._u AS dst
+          FROM sized l JOIN sized r USING (_b) WHERE l._u <> r._u),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+base AS (SELECT node, COALESCE(deg, 0) AS deg FROM nodes LEFT JOIN deg ON node = src),
+r0 AS (SELECT node, deg, 1.0 / nn.n AS rnk FROM base CROSS JOIN nn),
+{",".join(its)}
+SELECT node, ROUND(rnk, 6) AS pr FROM {prev} ORDER BY node
+"""
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Weekly retention cohorts over events: cohort = Monday-truncated
+    week of a user's first event; one row per (cohort_week, week_offset)
+    with distinct active users and retention vs the cohort's own week 0
+    (first_value over the cohort partition — week 0 is every cohort's
+    full size by construction).  Plan shape: ONE user-keyed shuffle
+    derives each user's sorted distinct-week set (collect_set — bounded
+    by calendar weeks, not events), cohort = element 0, and the explode
+    emits each (user, week) exactly once — so the cohort rollup is a
+    plain count, no countDistinct Expand.  Two data shuffles total
+    (user groupBy + cohort groupBy); the first/active-join formulation
+    measured 8 exchanges, this one 4."""
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_set(F.date_trunc("week", F.col("ts")).cast("date"))
+        ).alias("_ws")
+    )
+    exploded = per_user.select(
+        F.col("_ws")[0].alias("_cw"), F.explode("_ws").alias("w")
+    )
+    cohorts = exploded.groupBy(
+        F.col("_cw"),
+        (F.datediff(F.col("w"), F.col("_cw")) / 7).cast("int").alias("week_offset"),
+    ).agg(F.count(F.lit(1)).alias("users"))
+    w0 = Window.partitionBy("_cw").orderBy("week_offset")
+    return cohorts.select(
+        F.date_format("_cw", "yyyy-MM-dd").alias("cohort_week"),
+        "week_offset",
+        "users",
+        F.round(
+            F.col("users") * 100.0 / F.first("users").over(w0), 6
+        ).alias("retention_pct"),
+    ).transform(_by("cohort_week", "week_offset"))
+
+
+Q_RETENTION_COHORTS_SQL = """
+WITH first AS (
+  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS DATE) AS cohort_week
+  FROM events GROUP BY user_id),
+active AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS w FROM events),
+cohorts AS (
+  SELECT f.cohort_week,
+         CAST(datediff('day', f.cohort_week, a.w) / 7 AS INT) AS week_offset,
+         COUNT(DISTINCT a.user_id) AS users
+  FROM active a JOIN first f USING (user_id)
+  GROUP BY 1, 2)
+SELECT CAST(cohort_week AS VARCHAR) AS cohort_week, week_offset, users,
+       ROUND(users * 100.0 / FIRST_VALUE(users) OVER (
+         PARTITION BY cohort_week ORDER BY week_offset), 6) AS retention_pct
+FROM cohorts ORDER BY cohort_week, week_offset
+"""
+
+
+def q_anomaly_days(spark, sf_dir):
+    """Trailing-window anomaly detection over the daily event series:
+    per (event_type, day) counts, then a z-score against the preceding
+    7 rows (rows-frame, not range: both engines skip calendar gaps the
+    same way) — |z| >= 2 flags the day.  One shuffle for the daily
+    aggregate; the window repartitions by event_type (cardinality-
+    bounded key, so the window state is trivially executor-resident at
+    any corpus size)."""
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.col("event_type"), F.date_format("ts", "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("day").rowsBetween(-7, -1)
+    scored = daily.select(
+        "event_type",
+        "day",
+        "n",
+        F.avg("n").over(w).alias("_mu"),
+        F.stddev_samp(F.col("n").cast("double")).over(w).alias("_sd"),
+    )
+    return scored.select(
+        "event_type",
+        "day",
+        "n",
+        F.round(
+            F.when(
+                F.col("_sd") > 0, (F.col("n") - F.col("_mu")) / F.col("_sd")
+            ),
+            6,
+        ).alias("zscore"),
+        F.when(
+            F.col("_sd") > 0,
+            (F.abs((F.col("n") - F.col("_mu")) / F.col("_sd")) >= 2).cast("int"),
+        ).alias("is_anomaly"),
+    ).transform(_by("event_type", "day"))
+
+
+Q_ANOMALY_DAYS_SQL = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+scored AS (
+  SELECT event_type, day, n,
+         AVG(n) OVER w AS mu,
+         STDDEV_SAMP(CAST(n AS DOUBLE)) OVER w AS sd
+  FROM daily
+  WINDOW w AS (PARTITION BY event_type ORDER BY day
+               ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING))
+SELECT event_type, day, n,
+       ROUND(CASE WHEN sd > 0 THEN (n - mu) / sd END, 6) AS zscore,
+       CASE WHEN sd > 0 THEN CAST(ABS((n - mu) / sd) >= 2 AS INT) END AS is_anomaly
+FROM scored ORDER BY event_type, day
+"""
+
+
+def q_event_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over per-user event
+    sequences: lead() under (user_id ORDER BY ts, event_id) pairs each
+    event with its successor (event_id breaks timestamp ties —
+    deterministic), then one aggregate counts (prev, next) and a
+    by-prev window normalizes rows to probabilities.  The sequence
+    window and the pair aggregate are the only shuffles; no self-join
+    (the lead() formulation is what survives 100 TB — an events-to-
+    events join on adjacent row numbers would shuffle the table
+    twice)."""
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = e.select(
+        F.col("event_type").alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+    ).filter(F.col("next_type").isNotNull())
+    counts = pairs.groupBy("prev_type", "next_type").agg(
+        F.count(F.lit(1)).alias("transitions")
+    )
+    wp = Window.partitionBy("prev_type")
+    return counts.select(
+        "prev_type",
+        "next_type",
+        "transitions",
+        F.round(
+            F.col("transitions") * 1.0 / F.sum("transitions").over(wp), 6
+        ).alias("prob"),
+    ).transform(_by("prev_type", "next_type"))
+
+
+Q_EVENT_TRANSITIONS_SQL = """
+WITH pairs AS (
+  SELECT event_type AS prev_type,
+         LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+  FROM events),
+counts AS (
+  SELECT prev_type, next_type, COUNT(*) AS transitions
+  FROM pairs WHERE next_type IS NOT NULL GROUP BY 1, 2)
+SELECT prev_type, next_type, transitions,
+       ROUND(transitions * 1.0 / SUM(transitions) OVER (PARTITION BY prev_type), 6) AS prob
+FROM counts ORDER BY prev_type, next_type
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -4915,6 +5131,10 @@ _QUERIES_PAST_WINDOW = [
     # at sf0.01 + sf0.1 now, first in line for the r5 driver window
     "q_zorder",
     "q_funnel",
+    "q_pagerank",
+    "q_retention_cohorts",
+    "q_anomaly_days",
+    "q_event_transitions",
     "q_yaml_sniff",
     "q_evaluate_config",
     "q_eval_report",
@@ -5080,6 +5300,10 @@ def oracle_sql() -> dict[str, str]:
         "q_containment": Q_CONTAINMENT_SQL,
         "q_zorder": Q_ZORDER_SQL,
         "q_funnel": Q_FUNNEL_SQL,
+        "q_pagerank": _pagerank_sql(),
+        "q_retention_cohorts": Q_RETENTION_COHORTS_SQL,
+        "q_anomaly_days": Q_ANOMALY_DAYS_SQL,
+        "q_event_transitions": Q_EVENT_TRANSITIONS_SQL,
         "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
         "q_decontaminate": Q_DECONTAMINATE_SQL,
         "q_quality_repetition": Q_QUALITY_REPETITION_SQL,

@@ -1,0 +1,141 @@
+"""Link-graph centrality: PageRank by fixed-iteration power method.
+
+A web-scale corpus curator ranks sources by link structure (Common
+Crawl's harmonic/PageRank priors decide crawl frequency and feed
+quality filters like CCNet's head/middle/tail split).  The reference
+pipeline has no graph stage; this module adds the missing ITERATIVE
+class of operator — the repo's connected-components (dedup.py) is the
+other member — expressed Spark-first: one join + one aggregate per
+iteration, lineage truncated per round with ``localCheckpoint`` so the
+plan stays flat at any iteration count, and every iteration's ranks
+rounded to a fixed number of decimals so the result is engine-portable
+(a DuckDB oracle unrolls the same iterations as chained CTEs and lands
+on identical doubles).
+
+Scale shape (100 TB edges, 1000 executors): the edge list shuffles ONCE
+per iteration (join on ``src``); the rank table is node-sized and the
+per-iteration dangling-mass total rides a broadcast one-row frame, so
+no driver collect inside the loop.  ``iterations`` is a small constant
+(PageRank converges geometrically; 5-20 rounds in practice), giving a
+bounded number of jobs — the same discipline as connected_components'
+one-job-per-round.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def coactivity_edges(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    bucket: str = "minute",
+    max_bucket_users: int = 64,
+) -> DataFrame:
+    """Undirected co-activity graph from an event stream: an edge joins
+    every pair of users active in the same ``bucket``-truncated instant
+    (both directions emitted, so downstream out-degrees see the full
+    neighborhood).  Returns distinct ``(src, dst)``.
+
+    The pair join is the classic co-occurrence self-join; its blowup is
+    quadratic in the hottest bucket, so buckets with more than
+    ``max_bucket_users`` distinct users are dropped whole (deliberately
+    lossy, like the dedup family's hot-shingle df-cap — a bucket that
+    hot is a bot spike, not signal).  The cap bounds every join group at
+    ``max_bucket_users``², which is what keeps the shuffle skew-free at
+    100 TB.
+    """
+    b = df.select(
+        F.date_trunc(bucket, F.col(ts_col)).alias("_b"),
+        F.col(user_col).alias("_u"),
+    ).distinct()
+    sized = b.withColumn(
+        "_n", F.count(F.lit(1)).over(Window.partitionBy("_b"))
+    ).filter(F.col("_n") <= max_bucket_users)
+    left = sized.select("_b", F.col("_u").alias("src"))
+    right = sized.select("_b", F.col("_u").alias("dst"))
+    pairs = left.join(right, "_b").filter(F.col("src") != F.col("dst"))
+    return pairs.select("src", "dst").distinct()
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 5,
+    damping: float = 0.85,
+    round_to: int = 9,
+) -> DataFrame:
+    """PageRank over a directed edge list ``(src, dst)``: fixed
+    ``iterations`` of the power method with uniform teleport.
+
+    Per iteration: ``r'(v) = (1-d)/N + d * (Σ_{u→v} r(u)/deg(u)
+    + dangling_mass/N)``, then every rank is rounded to ``round_to``
+    decimals — the rounding is part of the operator's contract (it makes
+    the fixed-iteration result reproducible across engines and FP sum
+    orders, the property the correctness oracle certifies).
+
+    Returns ``(node, rank)``.  One shuffle join + one aggregate per
+    iteration; each round's node-sized rank frame is materialized with
+    ``localCheckpoint`` so iteration k's plan does not nest iterations
+    1..k-1 (the connected-components discipline in dedup.py).
+    """
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    n_nodes = nodes.count()
+    if n_nodes == 0:
+        return nodes.withColumn("rank", F.lit(0.0))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    # node-sized static frame: each node's out-degree (0 = dangling)
+    base = nodes.join(deg, nodes.node == deg.src, "left").select(
+        "node", F.coalesce(F.col("deg"), F.lit(0)).alias("deg")
+    ).localCheckpoint(eager=False)
+
+    teleport = (1.0 - damping) / n_nodes
+    ranks = base.select("node", "deg", F.lit(1.0 / n_nodes).alias("rank"))
+    for _ in range(iterations):
+        # mass of dangling nodes, spread uniformly — a broadcast one-row
+        # frame, not a driver collect, so the loop never blocks on a job
+        dang = ranks.agg(
+            F.coalesce(
+                F.sum(F.when(F.col("deg") == 0, F.col("rank"))), F.lit(0.0)
+            ).alias("_dm")
+        )
+        contrib = (
+            e.join(
+                ranks.filter(F.col("deg") > 0).select(
+                    F.col("node").alias("src"),
+                    (F.col("rank") / F.col("deg")).alias("_w"),
+                ),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("_w").alias("_in"))
+        )
+        ranks = (
+            base.join(contrib, "node", "left")
+            .crossJoin(F.broadcast(dang))
+            .select(
+                "node",
+                "deg",
+                F.round(
+                    F.lit(teleport)
+                    + F.lit(damping)
+                    * (
+                        F.coalesce(F.col("_in"), F.lit(0.0))
+                        + F.col("_dm") / F.lit(float(n_nodes))
+                    ),
+                    round_to,
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return ranks.select("node", "rank")

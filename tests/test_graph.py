@@ -1,0 +1,76 @@
+"""Closed-form hand cases for operators/graph.py (PageRank + co-activity
+edge derivation).  The DuckDB oracle (q_pagerank) certifies engine parity;
+these pin the MATH: ring-graph fixed point, dangling-mass redistribution,
+rank conservation, and the hot-bucket cap's lossiness contract."""
+
+import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+    coactivity_edges,
+    pagerank,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src long, dst long")
+
+
+def test_ring_uniform_fixed_point(spark):
+    # A->B->C->A: the uniform distribution is PageRank's fixed point, so
+    # 1/3 must survive every iteration exactly (round_to makes it exact)
+    pr = pagerank(_edges(spark, [(1, 2), (2, 3), (3, 1)]), iterations=4)
+    ranks = {r.node: r.rank for r in pr.collect()}
+    assert ranks == {1: pytest.approx(1 / 3, abs=1e-9),
+                     2: pytest.approx(1 / 3, abs=1e-9),
+                     3: pytest.approx(1 / 3, abs=1e-9)}
+
+
+def test_two_node_cycle_symmetric(spark):
+    pr = pagerank(_edges(spark, [(1, 2), (2, 1)]), iterations=3)
+    ranks = {r.node: r.rank for r in pr.collect()}
+    assert ranks[1] == ranks[2] == pytest.approx(0.5, abs=1e-9)
+
+
+def test_dangling_mass_one_iteration(spark):
+    # A->B, B dangling.  One iteration from (0.5, 0.5):
+    #   dangling mass = 0.5, spread 0.25 to each node
+    #   r(A) = 0.15/2 + 0.85*(0 + 0.25)        = 0.2875
+    #   r(B) = 0.15/2 + 0.85*(0.5/1 + 0.25)    = 0.7125
+    pr = pagerank(_edges(spark, [(1, 2)]), iterations=1)
+    ranks = {r.node: r.rank for r in pr.collect()}
+    assert ranks[1] == pytest.approx(0.2875, abs=1e-9)
+    assert ranks[2] == pytest.approx(0.7125, abs=1e-9)
+
+
+def test_rank_conservation(spark):
+    # teleport + damping + dangling redistribution conserve total mass
+    e = _edges(spark, [(1, 2), (1, 3), (2, 3), (4, 1), (3, 4), (5, 1)])
+    total = pagerank(e, iterations=6).agg(F.sum("rank")).first()[0]
+    assert total == pytest.approx(1.0, abs=1e-6)
+
+
+def test_coactivity_edges_symmetric_and_capped(spark):
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        # minute 0: users 1,2 -> one undirected pair (both directions)
+        (1, t0), (2, t0.replace(second=30)),
+        # minute 1: users 3,4,5 but cap=2 drops the whole bucket
+        (3, t0.replace(minute=1)), (4, t0.replace(minute=1, second=10)),
+        (5, t0.replace(minute=1, second=20)),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = {
+        (r.src, r.dst)
+        for r in coactivity_edges(df, max_bucket_users=2).collect()
+    }
+    assert got == {(1, 2), (2, 1)}
+
+
+def test_coactivity_dedups_repeat_contacts(spark):
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [(1, t0), (2, t0), (1, t0.replace(second=5)), (2, t0.replace(second=9))]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    assert coactivity_edges(df).count() == 2  # (1,2) and (2,1), once each
