@@ -5048,6 +5048,129 @@ FROM counts ORDER BY prev_type, next_type
 """
 
 
+def q_merge_upsert(spark, sf_dir):
+    """MERGE INTO semantics (operators/cdc.py merge_into): apply a
+    deterministic CDC batch derived from the documents table itself —
+    doc_id%7==0 deletes, doc_id%3==0 (and not deleted) updates the text
+    to a tagged 40-char prefix, doc_id%50==0 inserts a shifted new key —
+    in ONE full-outer shuffle join (upsert + delete + insert + passthrough
+    in a single pass; Iceberg/Delta MERGE INTO's plan shape).  The
+    oracle is the same FULL OUTER JOIN in SQL."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.cdc import (
+        merge_into,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    upd_text = F.concat(F.lit("upd:"), F.substring("text", 1, 40))
+    upd = d.filter((F.col("doc_id") % 3 == 0) & (F.col("doc_id") % 7 != 0)).select(
+        "doc_id",
+        F.lit("upsert").alias("op"),
+        upd_text.alias("text"),
+        F.lit("xx").alias("lang"),
+        F.col("source"),
+        F.length(upd_text).cast("long").alias("n_chars"),
+    )
+    dele = d.filter(F.col("doc_id") % 7 == 0).select(
+        "doc_id",
+        F.lit("delete").alias("op"),
+        F.lit(None).cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+        F.lit(None).cast("string").alias("source"),
+        F.lit(None).cast("long").alias("n_chars"),
+    )
+    ins_text = F.concat(F.lit("new:"), F.col("source"))
+    ins = d.filter(F.col("doc_id") % 50 == 0).select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.lit("upsert").alias("op"),
+        ins_text.alias("text"),
+        F.col("lang"),
+        F.col("source"),
+        F.length(ins_text).cast("long").alias("n_chars"),
+    )
+    changes = upd.unionAll(dele).unionAll(ins)
+    merged = merge_into(d, changes, "doc_id")
+    return merged.select(
+        "doc_id", F.substring("text", 1, 44).alias("text_head"), "lang", "source", "n_chars"
+    ).transform(_by("doc_id"))
+
+
+Q_MERGE_UPSERT_SQL = """
+WITH changes AS (
+  SELECT doc_id, 'upsert' AS op, 'upd:' || substr(text, 1, 40) AS text,
+         'xx' AS lang, source,
+         CAST(length('upd:' || substr(text, 1, 40)) AS BIGINT) AS n_chars
+  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id, 'delete', NULL, NULL, NULL, NULL
+  FROM documents WHERE doc_id % 7 = 0
+  UNION ALL
+  SELECT doc_id + 1000000, 'upsert', 'new:' || source, lang, source,
+         CAST(length('new:' || source) AS BIGINT)
+  FROM documents WHERE doc_id % 50 = 0),
+merged AS (
+  SELECT COALESCE(b.doc_id, c.doc_id) AS doc_id,
+         CASE WHEN c.op = 'upsert' THEN c.text ELSE b.text END AS text,
+         CASE WHEN c.op = 'upsert' THEN c.lang ELSE b.lang END AS lang,
+         CASE WHEN c.op = 'upsert' THEN c.source ELSE b.source END AS source,
+         CASE WHEN c.op = 'upsert' THEN c.n_chars ELSE b.n_chars END AS n_chars
+  FROM documents b FULL OUTER JOIN changes c USING (doc_id)
+  WHERE c.op IS NULL OR c.op <> 'delete')
+SELECT doc_id, substr(text, 1, 44) AS text_head, lang, source, n_chars
+FROM merged ORDER BY doc_id
+"""
+
+
+def q_scd2(spark, sf_dir):
+    """SCD2 historization (operators/cdc.py scd2_intervals): collapse
+    each user's event_type stream into validity intervals via
+    gaps-and-islands (lag-compare + cumsum run ids, min ts per run,
+    lead for valid_to) — one (user ORDER BY ts, event_id) window
+    partitioning, island rollup on the same key.  The oracle is the
+    identical islands construction in SQL."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.cdc import (
+        scd2_intervals,
+    )
+
+    e = _t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    iv = scd2_intervals(
+        e, "user_id", "ts", ["event_type"], tiebreak=["event_id"]
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return iv.select(
+        "user_id",
+        "event_type",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "is_current",
+    ).transform(_by("user_id", "valid_from"))
+
+
+Q_SCD2_SQL = """
+WITH marked AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                   OR event_type IS DISTINCT FROM LAG(event_type) OVER w
+              THEN 1 ELSE 0 END AS new_run
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+runs AS (
+  SELECT user_id, event_type,
+         SUM(new_run) OVER (PARTITION BY user_id ORDER BY ts
+                            ROWS UNBOUNDED PRECEDING) AS run_id, ts
+  FROM marked),
+islands AS (
+  SELECT user_id, event_type, MIN(ts) AS valid_from
+  FROM runs GROUP BY user_id, event_type, run_id)
+SELECT user_id, event_type,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       strftime(LEAD(valid_from) OVER w2, '%Y-%m-%d %H:%M:%S.%f') AS valid_to,
+       CAST(LEAD(valid_from) OVER w2 IS NULL AS INT) AS is_current
+FROM islands
+WINDOW w2 AS (PARTITION BY user_id ORDER BY valid_from)
+ORDER BY user_id, valid_from
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -5135,6 +5258,8 @@ _QUERIES_PAST_WINDOW = [
     "q_retention_cohorts",
     "q_anomaly_days",
     "q_event_transitions",
+    "q_merge_upsert",
+    "q_scd2",
     "q_yaml_sniff",
     "q_evaluate_config",
     "q_eval_report",
@@ -5304,6 +5429,8 @@ def oracle_sql() -> dict[str, str]:
         "q_retention_cohorts": Q_RETENTION_COHORTS_SQL,
         "q_anomaly_days": Q_ANOMALY_DAYS_SQL,
         "q_event_transitions": Q_EVENT_TRANSITIONS_SQL,
+        "q_merge_upsert": Q_MERGE_UPSERT_SQL,
+        "q_scd2": Q_SCD2_SQL,
         "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
         "q_decontaminate": Q_DECONTAMINATE_SQL,
         "q_quality_repetition": Q_QUALITY_REPETITION_SQL,
