@@ -5171,6 +5171,55 @@ ORDER BY user_id, valid_from
 """
 
 
+def q_revenue_rollup(spark, sf_dir):
+    """Hierarchical subtotals via native ROLLUP grouping sets — the one
+    classic OLAP surface the registry lacked: revenue by (region,
+    nation) plus per-region subtotals and a grand total in ONE
+    aggregate (Spark expands grouping sets map-side; no 3-query union,
+    no re-scan per level).  grouping_id() disambiguates levels; totals
+    sum as decimal(18,2) so both engines add exactly.  Dims broadcast
+    onto orders — the fact table never shuffles before the rollup."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    rev = (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+    )
+    return (
+        rev.rollup("r_name", "n_name")
+        .agg(
+            F.grouping_id().cast("int").alias("lvl"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)")).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            "r_name",
+            "n_name",
+            "lvl",
+            F.col("revenue").cast("double").alias("revenue"),
+            "n_orders",
+        )
+        .transform(_by("lvl", "r_name", "n_name"))
+    )
+
+
+Q_REVENUE_ROLLUP_SQL = """
+SELECT r_name, n_name,
+       CAST(GROUPING(r_name) * 2 + GROUPING(n_name) AS INT) AS lvl,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_orders
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY lvl, r_name, n_name
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -5260,6 +5309,7 @@ _QUERIES_PAST_WINDOW = [
     "q_event_transitions",
     "q_merge_upsert",
     "q_scd2",
+    "q_revenue_rollup",
     "q_yaml_sniff",
     "q_evaluate_config",
     "q_eval_report",
@@ -5431,6 +5481,7 @@ def oracle_sql() -> dict[str, str]:
         "q_event_transitions": Q_EVENT_TRANSITIONS_SQL,
         "q_merge_upsert": Q_MERGE_UPSERT_SQL,
         "q_scd2": Q_SCD2_SQL,
+        "q_revenue_rollup": Q_REVENUE_ROLLUP_SQL,
         "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
         "q_decontaminate": Q_DECONTAMINATE_SQL,
         "q_quality_repetition": Q_QUALITY_REPETITION_SQL,
