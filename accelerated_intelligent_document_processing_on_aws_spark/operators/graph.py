@@ -12,10 +12,12 @@ rounded to a fixed number of decimals so the result is engine-portable
 (a DuckDB oracle unrolls the same iterations as chained CTEs and lands
 on identical doubles).
 
-Scale shape (100 TB edges, 1000 executors): the edge list shuffles ONCE
-per iteration (join on ``src``); the rank table is node-sized and the
-per-iteration dangling-mass total rides a broadcast one-row frame, so
-no driver collect inside the loop.  ``iterations`` is a small constant
+Scale shape (100 TB edges, 1000 executors): the edge list is
+hash-partitioned on ``src`` ONCE and persisted, so every iteration's
+join reads it in place and shuffles only the node-sized rank table;
+the per-iteration dangling-mass total (computed only when a one-time
+precheck finds dangling nodes at all) rides a broadcast one-row frame,
+so no driver collect inside the loop.  ``iterations`` is a small constant
 (PageRank converges geometrically; 5-20 rounds in practice), giving a
 bounded number of jobs — the same discipline as connected_components'
 one-job-per-round.
@@ -80,10 +82,20 @@ def pagerank(
     ``localCheckpoint`` so iteration k's plan does not nest iterations
     1..k-1 (the connected-components discipline in dedup.py).
     """
-    e = edges.select(
-        F.col("src").cast("long").alias("src"),
-        F.col("dst").cast("long").alias("dst"),
-    ).localCheckpoint(eager=False)
+    # the edge list is the 100 TB side: hash-partition it on ``src`` ONCE
+    # and persist — unlike localCheckpoint (whose Scan ExistingRDD drops
+    # outputPartitioning), a persisted shuffle keeps the join co-located,
+    # so each iteration shuffles only the node-sized rank frame while the
+    # edge cache is read in place (verified via .explain: no Exchange on
+    # the edge side of the per-iteration SortMergeJoin)
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .repartition("src")
+        .persist()
+    )
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
@@ -92,6 +104,7 @@ def pagerank(
     )
     n_nodes = nodes.count()
     if n_nodes == 0:
+        e.unpersist()
         return nodes.withColumn("rank", F.lit(0.0))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     # node-sized static frame: each node's out-degree (0 = dangling)
@@ -100,15 +113,13 @@ def pagerank(
     ).localCheckpoint(eager=False)
 
     teleport = (1.0 - damping) / n_nodes
+    # one node-sized precheck: graphs whose every node has an out-edge
+    # (any symmetric edge list, e.g. co-activity) never carry dangling
+    # mass, so the per-iteration dangling aggregate + broadcast can be
+    # elided entirely — 2 fewer jobs per round, identical values
+    has_dangling = base.filter(F.col("deg") == 0).limit(1).count() > 0
     ranks = base.select("node", "deg", F.lit(1.0 / n_nodes).alias("rank"))
     for _ in range(iterations):
-        # mass of dangling nodes, spread uniformly — a broadcast one-row
-        # frame, not a driver collect, so the loop never blocks on a job
-        dang = ranks.agg(
-            F.coalesce(
-                F.sum(F.when(F.col("deg") == 0, F.col("rank"))), F.lit(0.0)
-            ).alias("_dm")
-        )
         contrib = (
             e.join(
                 ranks.filter(F.col("deg") > 0).select(
@@ -120,22 +131,30 @@ def pagerank(
             .groupBy(F.col("dst").alias("node"))
             .agg(F.sum("_w").alias("_in"))
         )
-        ranks = (
-            base.join(contrib, "node", "left")
-            .crossJoin(F.broadcast(dang))
-            .select(
-                "node",
-                "deg",
-                F.round(
-                    F.lit(teleport)
-                    + F.lit(damping)
-                    * (
-                        F.coalesce(F.col("_in"), F.lit(0.0))
-                        + F.col("_dm") / F.lit(float(n_nodes))
-                    ),
-                    round_to,
-                ).alias("rank"),
+        nxt = base.join(contrib, "node", "left")
+        if has_dangling:
+            # mass of dangling nodes, spread uniformly — a broadcast
+            # one-row frame, not a driver collect inside the loop
+            dang = ranks.agg(
+                F.coalesce(
+                    F.sum(F.when(F.col("deg") == 0, F.col("rank"))), F.lit(0.0)
+                ).alias("_dm")
             )
-            .localCheckpoint(eager=False)
-        )
-    return ranks.select("node", "rank")
+            nxt = nxt.crossJoin(F.broadcast(dang))
+            incoming = F.coalesce(F.col("_in"), F.lit(0.0)) + F.col(
+                "_dm"
+            ) / F.lit(float(n_nodes))
+        else:
+            incoming = F.coalesce(F.col("_in"), F.lit(0.0))
+        ranks = nxt.select(
+            "node",
+            "deg",
+            F.round(
+                F.lit(teleport) + F.lit(damping) * incoming, round_to
+            ).alias("rank"),
+        ).localCheckpoint(eager=False)
+    # materialize the final ranks eagerly so the persisted edge cache can
+    # be released before returning (callers get a lineage-free frame)
+    out = ranks.select("node", "rank").localCheckpoint(eager=True)
+    e.unpersist()
+    return out
