@@ -5220,6 +5220,129 @@ ORDER BY lvl, r_name, n_name
 """
 
 
+def q_kmv_distinct(spark, sf_dir):
+    """Per-event-type approximate distinct-user counts via the
+    deterministic KMV sketch (operators/sketches.py kmv_distinct,
+    Bar-Yossef et al. 2002): k smallest distinct md5-derived 60-bit
+    hashes per group; below k the sketch is exact, above it
+    ``(k-1)*2^60/(h_k+1)``.  The 100 TB point: per-group state is k
+    longs riding a top-k window, not the billions-row hash set an exact
+    COUNT(DISTINCT) Expand shuffles.  Deterministic hashing makes the
+    estimate itself hash-certifiable — the DuckDB oracle lands on
+    bit-identical doubles."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.sketches import (
+        kmv_distinct,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return kmv_distinct(e, ["event_type"], "user_id", k=64).transform(
+        _by("event_type")
+    )
+
+
+Q_KMV_DISTINCT_SQL = """
+WITH d AS (
+  SELECT DISTINCT event_type,
+         CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events
+),
+r AS (SELECT event_type, h,
+             row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+      FROM d)
+SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sketch,
+       ROUND(CASE WHEN COUNT(*) < 64 THEN CAST(COUNT(*) AS DOUBLE)
+                  ELSE 63.0 * 1152921504606846976.0
+                       / (CAST(MAX(h) AS DOUBLE) + 1.0) END,
+             4) AS est_distinct
+FROM r WHERE rn <= 64 GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_kmv_overlap(spark, sf_dir):
+    """Audience overlap between the click and purchase user sets WITHOUT
+    a corpus join: theta-sketch composition of two deterministic KMV
+    sketches (operators/sketches.py kmv_overlap) cut at
+    θ = min(θ_click, θ_purchase) — below θ each sketch holds its side's
+    complete hash population, so union/jaccard/intersection estimators
+    are unbiased, and with deterministic md5 hashing they are exact
+    functions of the input.  At sf0.01 both sides fit under k=256 (θ =
+    full space → all outputs exact); at sf0.1 both sides exceed k, so
+    the two sweep scales certify BOTH the exact and the estimating
+    branch."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.sketches import (
+        kmv_overlap,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id")
+    buys = e.filter(F.col("event_type") == "purchase").select("user_id")
+    return kmv_overlap(clicks, buys, "user_id", k=256)
+
+
+Q_KMV_OVERLAP_SQL = """
+WITH sa AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events WHERE event_type = 'click'
+  ORDER BY h LIMIT 256
+),
+sb AS (
+  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+  FROM events WHERE event_type = 'purchase'
+  ORDER BY h LIMIT 256
+),
+th AS (
+  SELECT LEAST(
+    (SELECT CASE WHEN COUNT(*) >= 256 THEN CAST(MAX(h) AS DOUBLE)
+                 ELSE 1152921504606846976.0 END FROM sa),
+    (SELECT CASE WHEN COUNT(*) >= 256 THEN CAST(MAX(h) AS DOUBLE)
+                 ELSE 1152921504606846976.0 END FROM sb)) AS theta
+),
+m AS (
+  SELECT COALESCE(a.h, b.h) AS h,
+         CASE WHEN a.h IS NOT NULL AND b.h IS NOT NULL THEN 1 ELSE 0 END AS bth
+  FROM sa a FULL OUTER JOIN sb b ON a.h = b.h
+),
+kept AS (SELECT m.h, m.bth, th.theta FROM m, th
+         WHERE CAST(m.h AS DOUBLE) < th.theta)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_retained,
+       ROUND(COALESCE(CAST(COUNT(*) AS DOUBLE)
+                      * (1152921504606846976.0 / MAX(theta)), 0.0), 4) AS union_est,
+       ROUND(CASE WHEN COUNT(*) > 0
+                  THEN CAST(COALESCE(SUM(bth), 0) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS jaccard_est,
+       ROUND(COALESCE(CAST(COALESCE(SUM(bth), 0) AS DOUBLE)
+                      * (1152921504606846976.0 / MAX(theta)), 0.0), 4) AS inter_est
+FROM kept
+"""
+
+
+def q_weighted_sample(spark, sf_dir):
+    """Deterministic weight-proportional corpus draw: Efraimidis-
+    Spirakis (2006) exponential race with md5(seed||id)-derived uniforms
+    (operators/sketches.py weighted_sample) — 50 documents weighted by
+    length.  Pure function of (seed, id, weight): reproducible across
+    engines, reruns, and resumes — the WHICH-documents half of the
+    mixture-weights story (q_mixture_weights picks how much per domain).
+    Plan: one projection + TakeOrderedAndProject; the corpus never
+    shuffles."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.sketches import (
+        weighted_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return weighted_sample(d, "doc_id", "n_chars", k=50, seed="es1")
+
+
+Q_WEIGHTED_SAMPLE_SQL = """
+SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS weight,
+       ROUND(ln((CAST(('0x' || substr(md5('es1' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) + 1.0)
+                / 1152921504606846976.0)
+             / CAST(n_chars AS DOUBLE), 9) AS es_key
+FROM documents WHERE CAST(n_chars AS DOUBLE) > 0
+ORDER BY es_key DESC, id ASC LIMIT 50
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -5310,6 +5433,9 @@ _QUERIES_PAST_WINDOW = [
     "q_merge_upsert",
     "q_scd2",
     "q_revenue_rollup",
+    "q_kmv_distinct",
+    "q_kmv_overlap",
+    "q_weighted_sample",
     "q_yaml_sniff",
     "q_evaluate_config",
     "q_eval_report",
@@ -5482,6 +5608,9 @@ def oracle_sql() -> dict[str, str]:
         "q_merge_upsert": Q_MERGE_UPSERT_SQL,
         "q_scd2": Q_SCD2_SQL,
         "q_revenue_rollup": Q_REVENUE_ROLLUP_SQL,
+        "q_kmv_distinct": Q_KMV_DISTINCT_SQL,
+        "q_kmv_overlap": Q_KMV_OVERLAP_SQL,
+        "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
         "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
         "q_decontaminate": Q_DECONTAMINATE_SQL,
         "q_quality_repetition": Q_QUALITY_REPETITION_SQL,

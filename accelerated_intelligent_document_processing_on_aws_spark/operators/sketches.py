@@ -1,0 +1,239 @@
+"""Deterministic cardinality / sampling sketches: KMV distinct-count,
+KMV set-overlap (theta-sketch style), and Efraimidis-Spirakis weighted
+sampling.
+
+Reference parity: the reference has no sketch code — these extend the
+training-data-pipeline family with the three estimators a 100 TB corpus
+platform leans on when exact answers stop being affordable:
+
+* per-group distinct counts (vocabulary size per source, users per
+  event class) without a full ``COUNT(DISTINCT)`` Expand;
+* overlap between two corpora (train-vs-eval token contamination,
+  snapshot drift) without materializing the intersection join;
+* weight-proportional sampling (quality-weighted corpus draws, the
+  mixture-weights companion) without a global shuffle of the corpus.
+
+All three are built on the repo's engine-portability discipline
+(dedup.shingle_hash32): values hash through md5 → a 60-bit integer, so
+every estimate is a pure function of the input and a DuckDB oracle
+lands on hash-identical doubles — the sketches are *deterministic*, not
+randomized, which is what makes them certifiable (and reproducible
+across reruns, the property a lineage-checkpointed pipeline needs).
+
+Scale shape: a KMV sketch is k rows; every operator here reduces its
+input to sketch size as early as the plan allows (distinct with
+map-side combine → bounded top-k), and nothing driver-side ever holds
+more than k rows per group.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+# 60-bit hash space: 15 md5 hex chars.  60 bits keeps the k-th-minimum
+# statistics effectively collision-free at any realistic cardinality
+# while fitting a signed BIGINT in both engines (the repo-wide md5
+# portability pattern — dedup.shingle_hash32 is the 32-bit sibling).
+HASH_BITS = 60
+HASH_SPACE = float(2**HASH_BITS)
+
+
+def hash60(col: Column) -> Column:
+    """Deterministic 60-bit integer hash of a string column (md5-based,
+    engine-portable: DuckDB twin is
+    ``CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)``)."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
+def kmv_distinct(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    k: int = 64,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-group approximate COUNT(DISTINCT value) via the k-minimum-
+    values estimator (Bar-Yossef et al. 2002): keep each group's k
+    smallest distinct hash values; if the group has fewer than k
+    distinct values the sketch IS the exact answer, otherwise
+    ``est = (k-1) * 2^60 / (h_k + 1)`` with ``h_k`` the k-th minimum.
+
+    Columns: ``*key_cols, n_sketch, est_distinct``.
+
+    Relative standard error ~ 1/sqrt(k-2) (~12.7% at k=64); the point
+    at 100 TB is that the group's state is k longs instead of the
+    billions-row hash set an exact COUNT(DISTINCT) Expand drags through
+    the shuffle.
+
+    Plan: project to (keys, hash) → DISTINCT (one shuffle, map-side
+    partial dedup absorbs the heavy repeats — the raw value column is
+    dropped before any exchange) → per-key ``row_number`` window keeps
+    ranks ≤ k (the standard spillable top-k-per-group; O(1) window
+    state) → one final group-sized aggregate.  The estimate is double
+    arithmetic over exactly-representable integers, rounded, so both
+    engines agree bit-for-bit.
+    """
+    d = df.select(
+        *[F.col(c) for c in key_cols],
+        hash60(F.col(value_col).cast("string")).alias("_h"),
+    ).distinct()
+    w = Window.partitionBy(*key_cols).orderBy("_h")
+    sk = d.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") <= k)
+    return sk.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_sketch"),
+        F.round(
+            F.when(
+                F.count(F.lit(1)) < k,
+                F.count(F.lit(1)).cast("double"),
+            ).otherwise(
+                F.lit(float(k - 1))
+                * F.lit(HASH_SPACE)
+                / (F.max("_h").cast("double") + F.lit(1.0))
+            ),
+            round_to,
+        ).alias("est_distinct"),
+    )
+
+
+def _side_sketch(df: DataFrame, value_col: str, k: int) -> DataFrame:
+    """Global k-minimum distinct-hash sketch of one value column:
+    ``(h)`` rows, at most k of them.  distinct reduces corpus → hash
+    set with map-side combine; the k-min cut is a real
+    ``orderBy().limit()`` so Catalyst plans TakeOrderedAndProject
+    (per-partition heaps + driver merge of k-row partials), never a
+    global sort."""
+    return (
+        df.select(hash60(F.col(value_col).cast("string")).alias("h"))
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_overlap(
+    df_a: DataFrame,
+    df_b: DataFrame,
+    value_col: str,
+    k: int = 256,
+    round_to: int = 4,
+) -> DataFrame:
+    """Set-overlap estimate between two corpora of values without a
+    corpus-sized join: the theta-sketch composition of two KMV sketches
+    (Dasgupta et al. 2016's framework; deterministic md5 variant).
+
+    Per side, reduce to the k smallest distinct hashes.  Compose at
+    ``θ = min(θ_a, θ_b)`` where a FULL sketch's θ is its k-th minimum
+    (exclusive) and a small side's θ is the whole hash space — below θ
+    each sketch contains its set's *complete* distinct-hash population,
+    so within ``retained = {h < θ}`` membership-in-both is exact and
+    the standard theta estimators are unbiased:
+
+    * ``union_est = |retained| * 2^60 / θ``
+    * ``jaccard_est = |both| / |retained|``
+    * ``inter_est = |both| * 2^60 / θ``
+
+    (Cutting at the combined k-minimum WITHOUT the θ min — the naive
+    merge — counts hashes above the smaller side's threshold as
+    one-sided and biases Jaccard low; the θ cut is the theta-sketch
+    fix.)  When both sides are small, θ = 2^60 and all three outputs
+    are exact.
+
+    Returns ONE row: ``n_retained, union_est, jaccard_est, inter_est``
+    — deliberately scalar output (the operator's whole point is
+    collapsing two 100 TB scans into ≤2k longs before they meet; the
+    sketch frames are broadcast-joinable by construction).
+    """
+    # each side's sketch is pinned (lazy localCheckpoint, forced by the
+    # θ collect below) so the corpus scans run exactly once per side
+    sa = (
+        _side_sketch(df_a, value_col, k)
+        .withColumn("_a", F.lit(1))
+        .localCheckpoint(eager=False)
+    )
+    sb = (
+        _side_sketch(df_b, value_col, k)
+        .withColumn("_b", F.lit(1))
+        .localCheckpoint(eager=False)
+    )
+
+    def theta(sketch: DataFrame) -> float:
+        # exclusive threshold: k-th minimum when full, else whole space.
+        # θ is a DELIBERATE scalar literal (the corpus.py n_tokens
+        # pattern): one k-row aggregate job per side — the sketch frames
+        # are metadata-sized by construction, and folding θ into the
+        # plan as a literal avoids the one-row-frame join Catalyst
+        # would plan as a (sweep-banned) BroadcastNestedLoopJoin.
+        (row,) = sketch.agg(
+            F.count(F.lit(1)).alias("n"), F.max("h").alias("mx")
+        ).collect()
+        return float(row["mx"]) if row["n"] >= k else HASH_SPACE
+
+    th = min(theta(sa), theta(sb))
+    merged = (
+        sa.join(sb, "h", "full_outer")
+        .select(
+            "h",
+            (
+                F.coalesce(F.col("_a"), F.lit(0))
+                * F.coalesce(F.col("_b"), F.lit(0))
+            ).alias("_both"),
+        )
+        .filter(F.col("h").cast("double") < F.lit(th))
+    )
+    scale = F.lit(HASH_SPACE / th)
+    n_ret = F.count(F.lit(1)).cast("double")
+    n_both = F.coalesce(F.sum("_both"), F.lit(0)).cast("double")
+    return merged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_retained"),
+        F.round(n_ret * scale, round_to).alias("union_est"),
+        F.round(
+            F.when(F.count(F.lit(1)) > 0, n_both / n_ret).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ).alias("jaccard_est"),
+        F.round(n_both * scale, round_to).alias("inter_est"),
+    )
+
+
+def weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int = 50,
+    seed: str = "es1",
+    round_to: int = 9,
+) -> DataFrame:
+    """Deterministic weight-proportional sample of k rows: the
+    Efraimidis-Spirakis (2006) exponential race with the randomness
+    replaced by the md5 hash of ``seed || id`` — ``u = (h+1)/2^60 ∈
+    (0,1]``, key ``= ln(u) / w``, keep the k largest keys.  Items win
+    with probability proportional to weight (without replacement), and
+    the draw is a pure function of (seed, id, weight): reproducible
+    across engines, reruns, and resumes.
+
+    Columns: ``id, weight, es_key`` (key rounded to ``round_to`` so the
+    sort order itself is engine-portable; ties broken by id).
+
+    Rows with non-positive or null weight never win (filtered, the
+    standard E-S domain).  Plan: one projection + TakeOrderedAndProject
+    — the corpus never shuffles; each partition surfaces at most k
+    candidates.  This is the sampling half of the mixture-weights
+    story: temperature-scaled weights pick HOW MUCH of each domain,
+    this operator picks WHICH documents, deterministically.
+    """
+    w = F.col(weight_col).cast("double")
+    u = (
+        hash60(F.concat(F.lit(seed), F.col(id_col).cast("string"))).cast("double")
+        + F.lit(1.0)
+    ) / F.lit(HASH_SPACE)
+    scored = (
+        df.filter(w > 0)
+        .select(
+            F.col(id_col).alias("id"),
+            w.alias("weight"),
+            F.round(F.log(u) / w, round_to).alias("es_key"),
+        )
+    )
+    return scored.orderBy(F.col("es_key").desc(), F.col("id").asc()).limit(k)
