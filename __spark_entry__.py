@@ -5343,6 +5343,46 @@ ORDER BY es_key DESC, id ASC LIMIT 50
 """
 
 
+def q_triangles(spark, sf_dir):
+    """Exact triangle census of the user co-activity graph
+    (operators/graph.py triangle_stats, Schank-Wagner degree
+    orientation): every undirected edge oriented from its (degree,
+    id)-smaller endpoint, so each triangle is counted at exactly one
+    vertex and the wedge self-join's per-key fan-out is the max ORIENTED
+    out-degree — O(sqrt m) on any graph, the property that keeps the
+    join skew-bounded at 100 TB where a raw adjacency self-join blows up
+    quadratically in the hottest vertex.  One row: triangle count, wedge
+    count, global clustering coefficient."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        coactivity_edges,
+        triangle_stats,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    edges = coactivity_edges(e, "user_id", "ts", "minute", 64)
+    return triangle_stats(edges)
+
+
+Q_TRIANGLES_SQL = """
+WITH b AS (SELECT DISTINCT date_trunc('minute', ts) AS _b, user_id AS _u FROM events),
+sized AS (SELECT _b, _u FROM (SELECT _b, _u, COUNT(*) OVER (PARTITION BY _b) AS _n FROM b)
+          WHERE _n <= 64),
+und AS (SELECT DISTINCT LEAST(l._u, r._u) AS a, GREATEST(l._u, r._u) AS b
+        FROM sized l JOIN sized r USING (_b) WHERE l._u <> r._u),
+deg AS (SELECT node, COUNT(*) AS deg
+        FROM (SELECT a AS node FROM und UNION ALL SELECT b FROM und)
+        GROUP BY node),
+t AS (SELECT COUNT(*) AS n
+      FROM und e1 JOIN und e2 ON e2.a = e1.b
+           JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b),
+w AS (SELECT COALESCE(SUM(deg * (deg - 1) / 2), 0) AS nw FROM deg)
+SELECT CAST(t.n AS BIGINT) AS n_triangles,
+       CAST(w.nw AS BIGINT) AS n_wedges,
+       ROUND(CASE WHEN w.nw > 0 THEN 3.0 * t.n / w.nw ELSE 0.0 END, 6) AS clustering
+FROM t, w
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -5436,6 +5476,7 @@ _QUERIES_PAST_WINDOW = [
     "q_kmv_distinct",
     "q_kmv_overlap",
     "q_weighted_sample",
+    "q_triangles",
     "q_yaml_sniff",
     "q_evaluate_config",
     "q_eval_report",
@@ -5611,6 +5652,7 @@ def oracle_sql() -> dict[str, str]:
         "q_kmv_distinct": Q_KMV_DISTINCT_SQL,
         "q_kmv_overlap": Q_KMV_OVERLAP_SQL,
         "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
+        "q_triangles": Q_TRIANGLES_SQL,
         "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
         "q_decontaminate": Q_DECONTAMINATE_SQL,
         "q_quality_repetition": Q_QUALITY_REPETITION_SQL,

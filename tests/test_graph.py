@@ -74,3 +74,64 @@ def test_coactivity_dedups_repeat_contacts(spark):
     rows = [(1, t0), (2, t0), (1, t0.replace(second=5)), (2, t0.replace(second=9))]
     df = spark.createDataFrame(rows, "user_id long, ts timestamp")
     assert coactivity_edges(df).count() == 2  # (1,2) and (2,1), once each
+
+
+def test_triangle_k3_and_k4(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    k3 = spark.createDataFrame([(1, 2), (2, 3), (1, 3)], ["src", "dst"])
+    (r,) = triangle_stats(k3).collect()
+    assert (r["n_triangles"], r["n_wedges"]) == (1, 3)
+    assert r["clustering"] == 1.0
+    # K4: 4 triangles, 12 wedges, clustering 1.0; both directions present
+    e = [(a, b) for a in range(4) for b in range(4) if a != b]
+    k4 = spark.createDataFrame(e, ["src", "dst"])
+    (r4,) = triangle_stats(k4).collect()
+    assert (r4["n_triangles"], r4["n_wedges"]) == (4, 12)
+    assert r4["clustering"] == 1.0
+
+
+def test_triangle_star_and_path(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    star = spark.createDataFrame(
+        [(0, i) for i in range(1, 6)], ["src", "dst"]
+    )
+    (r,) = triangle_stats(star).collect()
+    assert r["n_triangles"] == 0
+    assert r["n_wedges"] == 10  # C(5,2) at the hub
+    assert r["clustering"] == 0.0
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], ["src", "dst"])
+    (p,) = triangle_stats(path).collect()
+    assert (p["n_triangles"], p["n_wedges"]) == (0, 2)
+
+
+def test_triangle_differential_random(spark):
+    """Degree-oriented count equals a brute-force itertools enumeration
+    on a deterministic random graph."""
+    import itertools
+    import random
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        triangle_stats,
+    )
+
+    rng = random.Random(7)
+    nodes = list(range(30))
+    und = {
+        (a, b)
+        for a, b in itertools.combinations(nodes, 2)
+        if rng.random() < 0.2
+    }
+    expected = sum(
+        1
+        for x, y, z in itertools.combinations(nodes, 3)
+        if (x, y) in und and (y, z) in und and (x, z) in und
+    )
+    df = spark.createDataFrame(sorted(und), ["src", "dst"])
+    (r,) = triangle_stats(df).collect()
+    assert r["n_triangles"] == expected
