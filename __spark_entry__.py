@@ -5383,6 +5383,76 @@ FROM t, w
 """
 
 
+def q_snm_pairs(spark, sf_dir):
+    """Sorted-neighborhood near-dup candidates (dedup.py
+    sorted_neighborhood_pairs, Hernández-Stolfo SNM): sort by a 24-char
+    normalized-prefix key inside coarse 2-char blocks, compare each doc
+    to its next 3 sort neighbors, keep pairs within 10 edits on the
+    64-char prefix.  Zero joins — one shuffle on the block key, then
+    lead() windows; the typo-class complement to the shingle/LSH
+    family (one-char edits shift every downstream k-gram but barely
+    move a record in sort order).  At sf0.01 the distance histogram is
+    bimodal: true near-dups at dist<=4, unrelated neighbors at 32+."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = sorted_neighborhood_pairs(d, "doc_id", "text")
+    return pairs.transform(_by("dist", "id_a", "id_b"))
+
+
+Q_SNM_PAIRS_SQL = f"""
+WITH nm AS (SELECT doc_id AS id, {_NORM_SQL} AS nt FROM documents),
+k AS (SELECT id, substr(nt, 1, 24) AS key, substr(nt, 1, 64) AS cmp FROM nm),
+lw AS (SELECT id, cmp,
+        lead(id, 1) OVER w AS id1, lead(cmp, 1) OVER w AS c1,
+        lead(id, 2) OVER w AS id2, lead(cmp, 2) OVER w AS c2,
+        lead(id, 3) OVER w AS id3, lead(cmp, 3) OVER w AS c3
+       FROM k WINDOW w AS (PARTITION BY substr(key, 1, 2) ORDER BY key, id)),
+p AS (
+  SELECT id AS id_a, id1 AS id_b, levenshtein(cmp, c1) AS dist
+  FROM lw WHERE id1 IS NOT NULL
+  UNION ALL
+  SELECT id, id2, levenshtein(cmp, c2) FROM lw WHERE id2 IS NOT NULL
+  UNION ALL
+  SELECT id, id3, levenshtein(cmp, c3) FROM lw WHERE id3 IS NOT NULL)
+SELECT id_a, id_b, CAST(dist AS INTEGER) AS dist
+FROM p WHERE dist <= 10
+ORDER BY dist, id_a, id_b
+"""
+
+
+def q_bpe_pairs(spark, sf_dir):
+    """BPE merge-pair statistics (corpus.py bpe_merge_pairs, Sennrich
+    2016 iteration 1): adjacent-character pair counts weighted by word
+    frequency, top 30.  The corpus collapses to its zipf-tiny
+    word-frequency table before any per-character work, so the explode
+    is O(vocab), not O(corpus) — the property that makes tokenizer
+    training at 100 TB a sequence of vocab-table jobs."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        bpe_merge_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return bpe_merge_pairs(d, "doc_id", "text", top_k=30)
+
+
+Q_BPE_PAIRS_SQL = f"""
+WITH nm AS (SELECT {_NORM_SQL} AS nt FROM documents),
+arr AS (SELECT list_filter(str_split(nt, ' '), t -> t <> '') AS w FROM nm),
+words AS (SELECT u.tok AS term, COUNT(*) AS wc
+          FROM arr, UNNEST(w) AS u(tok) GROUP BY u.tok),
+p AS (SELECT substr(term, i, 1) AS c1, substr(term, i + 1, 1) AS c2,
+             SUM(wc) AS pair_count
+      FROM words, UNNEST(range(1, length(term))) AS t(i)
+      WHERE length(term) >= 2
+      GROUP BY 1, 2)
+SELECT c1, c2, CAST(pair_count AS BIGINT) AS pair_count
+FROM p ORDER BY pair_count DESC, c1 ASC, c2 ASC LIMIT 30
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -5477,6 +5547,8 @@ _QUERIES_PAST_WINDOW = [
     "q_kmv_overlap",
     "q_weighted_sample",
     "q_triangles",
+    "q_snm_pairs",
+    "q_bpe_pairs",
     "q_yaml_sniff",
     "q_evaluate_config",
     "q_eval_report",
@@ -5653,6 +5725,8 @@ def oracle_sql() -> dict[str, str]:
         "q_kmv_overlap": Q_KMV_OVERLAP_SQL,
         "q_weighted_sample": Q_WEIGHTED_SAMPLE_SQL,
         "q_triangles": Q_TRIANGLES_SQL,
+        "q_snm_pairs": Q_SNM_PAIRS_SQL,
+        "q_bpe_pairs": Q_BPE_PAIRS_SQL,
         "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
         "q_decontaminate": Q_DECONTAMINATE_SQL,
         "q_quality_repetition": Q_QUALITY_REPETITION_SQL,

@@ -197,3 +197,53 @@ def collocations(
     return scored.orderBy(
         F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
     ).limit(top_k)
+
+
+def bpe_merge_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    top_k: int = 30,
+) -> DataFrame:
+    """Byte-pair-encoding merge statistics (Sennrich et al. 2016, one
+    training iteration): frequency of every adjacent symbol pair across
+    the corpus, weighted by word frequency — the quantity BPE maximizes
+    when it picks the next merge.  Columns: ``c1, c2, pair_count``,
+    top ``top_k`` by count (ties broken by pair, ascending).
+
+    Scale shape — the reason tokenizer training is feasible at 100 TB:
+    the corpus collapses to its WORD-FREQUENCY table first (one
+    corpus-size shuffle with map-side combine; vocabulary is zipf-tiny
+    next to the corpus), and the per-character pair explode runs over
+    distinct words only, so its cost is O(vocab · word_len), independent
+    of corpus size.  Iterated BPE = re-running the pair count over the
+    re-segmented vocab table, never over the corpus again.
+    """
+    words = (
+        _token_rows(df, id_col, text_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("wc"))
+        .filter(F.length("term") >= 2)
+    )
+    pairs = words.select(
+        "wc",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("term") - 1),
+                lambda i: F.struct(
+                    F.col("term").substr(i, F.lit(1)).alias("c1"),
+                    F.col("term").substr(i + F.lit(1), F.lit(1)).alias(
+                        "c2"
+                    ),
+                ),
+            )
+        ).alias("p"),
+    )
+    counts = (
+        pairs.select(F.col("p.c1").alias("c1"), F.col("p.c2").alias("c2"), "wc")
+        .groupBy("c1", "c2")
+        .agg(F.sum("wc").alias("pair_count"))
+    )
+    return counts.orderBy(
+        F.col("pair_count").desc(), F.col("c1").asc(), F.col("c2").asc()
+    ).limit(top_k)

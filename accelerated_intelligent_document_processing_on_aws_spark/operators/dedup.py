@@ -125,6 +125,82 @@ def dedup_against(
     )
 
 
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 4,
+    key_len: int = 24,
+    block_len: int = 2,
+    cmp_len: int = 64,
+    max_dist: int = 10,
+) -> DataFrame:
+    """Sorted-neighborhood near-dup candidates (Hernández & Stolfo,
+    SIGMOD '95): sort the corpus by a normalized-prefix key, compare each
+    record only to its next ``window-1`` neighbors in sort order, keep
+    pairs whose ``cmp_len``-char normalized prefixes are within
+    ``max_dist`` edits.  Complements the set-similarity family above —
+    SNM catches typo-class edits that perturb many shingles at once (a
+    one-char insertion shifts every downstream k-gram) but barely move a
+    record in sort order.
+
+    Columns: ``id_a, id_b, dist`` (each candidate pair once, forward
+    neighbor direction only).
+
+    Scale shape: the distributed-SNM standard is range-partitioning the
+    sort key so neighborhoods are co-located; here the window is
+    PARTITIONED by a coarse ``block_len``-char key prefix — one shuffle
+    on the block key, then ``lead()`` inside each sorted block, ZERO
+    joins (the naive formulation is a self-join on position).  Pairs
+    straddling block boundaries are dropped by design; production SNM
+    runs multi-pass with a rotated key, each pass this same plan.  The
+    Levenshtein gate runs on fixed-length prefixes so per-row cost is
+    O(cmp_len²) regardless of document size.
+    """
+    nt = ensure_min_partitions(df).select(
+        F.col(id_col).alias("id"),
+        normalized_for_compare(F.col(text_col)).alias("_nt"),
+    )
+    base = nt.select(
+        "id",
+        F.substring("_nt", 1, key_len).alias("key"),
+        F.substring("_nt", 1, cmp_len).alias("cmp"),
+    )
+    w = (
+        Window.partitionBy(F.substring("key", 1, block_len))
+        .orderBy("key", "id")
+    )
+    # leads computed in their own projection (a window expression may
+    # not appear inside a generator), then exploded in the next one
+    led = base.select(
+        F.col("id").alias("id_a"),
+        F.col("cmp"),
+        *[
+            F.struct(
+                F.lead("id", k).over(w).alias("id_b"),
+                F.lead("cmp", k).over(w).alias("cmp_b"),
+            ).alias(f"_n{k}")
+            for k in range(1, window)
+        ],
+    )
+    paired = led.select(
+        "id_a",
+        "cmp",
+        F.explode(
+            F.array(*[F.col(f"_n{k}") for k in range(1, window)])
+        ).alias("nb"),
+    )
+    return (
+        paired.filter(F.col("nb.id_b").isNotNull())
+        .select(
+            "id_a",
+            F.col("nb.id_b").alias("id_b"),
+            F.levenshtein(F.col("cmp"), F.col("nb.cmp_b")).alias("dist"),
+        )
+        .filter(F.col("dist") <= max_dist)
+    )
+
+
 def shingles(c, k: int = 3):
     """Word k-shingles of the normalized text as an array column
     (pure-Catalyst variant).  SET semantics: ``array_distinct`` keeps the

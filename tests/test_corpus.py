@@ -100,3 +100,56 @@ def test_containment_df_cap_drops_ubiquitous_shingles(spark):
     assert with_cap.count() == 0
     no_cap = containment_pairs(d, "doc_id", "text", k=3, tau=0.2, df_cap=None)
     assert no_cap.count() > 0
+
+
+def test_bpe_merge_pairs_counts_weighted_by_word_freq(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        bpe_merge_pairs,
+    )
+
+    # "aba" x3 docs, "ab" x1 -> pairs: ab appears in both words
+    # (aba contributes ab+ba). wc(aba)=3, wc(ab)=1
+    d = _docs(spark, ["aba", "aba", "aba", "ab"])
+    rows = bpe_merge_pairs(d, "doc_id", "text", top_k=10).collect()
+    got = {(r.c1, r.c2): r.pair_count for r in rows}
+    assert got == {("a", "b"): 4, ("b", "a"): 3}
+
+
+def test_bpe_merge_pairs_vocab_not_corpus_weighting(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        bpe_merge_pairs,
+    )
+
+    # same word repeated inside one doc: counts by occurrence
+    d = _docs(spark, ["xy xy xy"])
+    rows = bpe_merge_pairs(d, "doc_id", "text").collect()
+    assert {(r.c1, r.c2): r.pair_count for r in rows} == {("x", "y"): 3}
+
+
+def test_sorted_neighborhood_finds_typo_pair(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    typo = base.replace("jumps", "jmups")
+    far = "completely unrelated content about maritime insurance law"
+    d = _docs(spark, [base, typo, far])
+    rows = sorted_neighborhood_pairs(d, "doc_id", "text").collect()
+    pairs = {frozenset((r.id_a, r.id_b)) for r in rows}
+    assert frozenset((0, 1)) in pairs
+    assert all(2 not in p for p in pairs)
+
+
+def test_sorted_neighborhood_window_limits_comparisons(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+        sorted_neighborhood_pairs,
+    )
+
+    # five identical docs, window=2 -> only adjacent sort neighbors pair
+    d = _docs(spark, ["same text here"] * 5)
+    rows = sorted_neighborhood_pairs(
+        d, "doc_id", "text", window=2
+    ).collect()
+    assert len(rows) == 4  # a chain, not all C(5,2)=10 pairs
+    assert all(r.dist == 0 for r in rows)
