@@ -5453,6 +5453,111 @@ FROM p ORDER BY pair_count DESC, c1 ASC, c2 ASC LIMIT 30
 """
 
 
+def q_cms_heavy(spark, sf_dir):
+    """Count-min sketch heavy-hitter estimates (sketches.cms_table /
+    cms_point_estimates, Cormode & Muthukrishnan 2005): build a 4×64
+    CMS over the corpus bigram-frequency table, then report the top-20
+    exact bigrams with their sketch estimates — est is never below the
+    true count, over by at most (e/64)·total with prob 1-e^-4.  The
+    100 TB point: the sketch is 256 longs no matter the vocabulary,
+    merges cell-wise (plain map-side combine / snapshot-to-snapshot
+    addition), and point lookups broadcast it.  Deterministic md5
+    row-salted hashing → the whole sketch is hash-certified."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        bigram_counts,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.sketches import (
+        cms_point_estimates,
+        cms_table,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    # vocab²-sized bigram table materializes once for its two consumers
+    big = bigram_counts(d, "doc_id", "text").localCheckpoint(eager=False)
+    top = big.orderBy(F.col("wc").desc(), F.col("term").asc()).limit(20)
+    cms = cms_table(big, "term", "wc", depth=4, width=64)
+    est = cms_point_estimates(cms, top.select("term"), "term", depth=4, width=64)
+    out = top.join(est, "term").select(
+        "term",
+        F.col("wc").cast("long").alias("exact_cnt"),
+        F.col("cms_est").cast("long").alias("cms_est"),
+        (F.col("cms_est") - F.col("wc")).cast("long").alias("overcount"),
+    )
+    return out.transform(_by("term"))
+
+
+Q_CMS_HEAVY_SQL = f"""
+WITH nm AS (SELECT {_NORM_SQL} AS nt FROM documents),
+arr AS (SELECT list_filter(str_split(nt, ' '), t -> t <> '') AS w FROM nm),
+bg AS (SELECT w[i] || ' ' || w[i + 1] AS term
+       FROM arr, UNNEST(range(1, len(w))) AS t(i) WHERE len(w) >= 2),
+big AS (SELECT term, COUNT(*) AS wc FROM bg GROUP BY term),
+cms AS (SELECT r,
+          CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || term), 1, 15)
+               AS BIGINT) % 64 AS bucket,
+          SUM(wc) AS cnt
+        FROM big, UNNEST(range(0, 4)) AS u(r) GROUP BY 1, 2),
+top AS (SELECT term, wc FROM big ORDER BY wc DESC, term ASC LIMIT 20),
+q AS (SELECT term, wc, r,
+        CAST('0x' || substr(md5(CAST(r AS VARCHAR) || ':' || term), 1, 15)
+             AS BIGINT) % 64 AS bucket
+      FROM top, UNNEST(range(0, 4)) AS u(r)),
+est AS (SELECT q.term, CAST(MIN(COALESCE(cms.cnt, 0)) AS BIGINT) AS cms_est
+        FROM q LEFT JOIN cms ON q.r = cms.r AND q.bucket = cms.bucket
+        GROUP BY q.term)
+SELECT top.term, CAST(top.wc AS BIGINT) AS exact_cnt, est.cms_est,
+       CAST(est.cms_est - top.wc AS BIGINT) AS overcount
+FROM top JOIN est ON top.term = est.term
+ORDER BY top.term
+"""
+
+
+def q_hll_users(spark, sf_dir):
+    """Per-event-type approximate distinct users via HyperLogLog
+    (sketches.hll_distinct, Flajolet et al. 2007; p=32 registers,
+    deterministic 60-bit md5 hash).  KMV's complement: state is p small
+    ints with register-wise MAX as the merge, so the shuffle carries at
+    most p rows per group no matter how many billions of events the
+    group holds (map-side partial max absorbs duplicates).  Integer
+    harmonic sum + one folded float literal → bit-identical in DuckDB,
+    hash-certified like q_kmv_distinct."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return hll_distinct(e, ["event_type"], "user_id", b=5).transform(
+        _by("event_type")
+    )
+
+
+Q_HLL_USERS_SQL = f"""
+WITH h AS (SELECT event_type,
+             CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)
+                  AS BIGINT) AS h
+           FROM events),
+r AS (SELECT event_type, h >> 55 AS reg,
+        h & ((1::BIGINT << 55) - 1) AS rem FROM h),
+rr AS (SELECT event_type, reg,
+         55 - (CASE WHEN rem = 0 THEN 0 ELSE length(bin(rem)) END) + 1 AS rho
+       FROM r),
+regs AS (SELECT event_type, reg, MAX(rho) AS mx FROM rr GROUP BY 1, 2),
+agg AS (SELECT event_type, COUNT(*) AS nreg,
+          CAST(SUM(CAST(pow(2, 56 - mx) AS BIGINT)) AS BIGINT) AS isum
+        FROM regs GROUP BY 1),
+fin AS (SELECT event_type, nreg,
+          {0.697 * 32 * 32 * float(2 ** 56)!r}
+            / CAST(isum + (32 - nreg) * CAST(pow(2, 56) AS BIGINT) AS DOUBLE)
+            AS e_raw,
+          32 - nreg AS v
+        FROM agg)
+SELECT event_type, CAST(nreg AS BIGINT) AS n_registers,
+       ROUND(CASE WHEN e_raw <= 80.0 AND v > 0 THEN 32.0 * ln(32.0 / v)
+                  ELSE e_raw END, 4) AS est_distinct
+FROM fin ORDER BY event_type
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -5549,6 +5654,8 @@ _QUERIES_PAST_WINDOW = [
     "q_triangles",
     "q_snm_pairs",
     "q_bpe_pairs",
+    "q_cms_heavy",
+    "q_hll_users",
     "q_yaml_sniff",
     "q_evaluate_config",
     "q_eval_report",
@@ -5727,6 +5834,8 @@ def oracle_sql() -> dict[str, str]:
         "q_triangles": Q_TRIANGLES_SQL,
         "q_snm_pairs": Q_SNM_PAIRS_SQL,
         "q_bpe_pairs": Q_BPE_PAIRS_SQL,
+        "q_cms_heavy": Q_CMS_HEAVY_SQL,
+        "q_hll_users": Q_HLL_USERS_SQL,
         "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
         "q_decontaminate": Q_DECONTAMINATE_SQL,
         "q_quality_repetition": Q_QUALITY_REPETITION_SQL,

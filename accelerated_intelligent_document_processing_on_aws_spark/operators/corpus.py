@@ -247,3 +247,36 @@ def bpe_merge_pairs(
     return counts.orderBy(
         F.col("pair_count").desc(), F.col("c1").asc(), F.col("c2").asc()
     ).limit(top_k)
+
+
+def bigram_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Adjacent-bigram frequency table over the normalized corpus:
+    ``term`` = the two tokens joined by one space, ``wc`` = corpus-wide
+    occurrence count.  The weighted-items input shape for the
+    count-min sketch (sketches.cms_table).
+
+    Same zero-join plan as :func:`collocations`: bigrams come straight
+    off the per-doc token array via ``zip_with(slice, slice)``, then one
+    groupBy with map-side combine — the table that leaves the scan stage
+    is already vocabulary², not corpus, sized.
+    """
+    base = ensure_min_partitions(df).select(
+        F.filter(
+            F.split(normalized_for_compare(F.col(text_col)), " "),
+            lambda t: t != F.lit(""),
+        ).alias("_w")
+    )
+    n = F.size(F.col("_w"))
+    bigrams = base.select(
+        F.explode(
+            F.when(
+                n >= 2,
+                F.zip_with(
+                    F.slice(F.col("_w"), 1, n - 1),
+                    F.slice(F.col("_w"), 2, n - 1),
+                    lambda x, y: F.concat(x, F.lit(" "), y),
+                ),
+            ).otherwise(F.array()),
+        ).alias("term")
+    )
+    return bigrams.groupBy("term").agg(F.count(F.lit(1)).alias("wc"))

@@ -237,3 +237,162 @@ def weighted_sample(
         )
     )
     return scored.orderBy(F.col("es_key").desc(), F.col("id").asc()).limit(k)
+
+
+def cms_table(
+    items: DataFrame,
+    term_col: str,
+    weight_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) of a weighted
+    term table: ``depth`` hash rows × ``width`` counter buckets, bucket
+    ``i`` of row ``r`` holding the sum of weights of every term with
+    ``hash(r || ':' || term) % width == i``.  Columns: ``row, bucket,
+    cnt`` (absent cells are implicit zeros).
+
+    Deterministic md5 row-salted hashing (the repo's engine-portability
+    pattern — see :func:`hash60`), so the sketch is a pure function of
+    the input and a DuckDB twin lands on identical counters.
+
+    The 100 TB property is the one CMS exists for: the sketch is
+    ``depth·width`` longs NO MATTER the vocabulary — counters are
+    additive, so per-partition partial sketches merge by cell-wise sum
+    (here: plain map-side combine under one groupBy), and two corpus
+    snapshots' sketches merge the same way without re-scanning either.
+    """
+    rows = items.select(
+        F.col(term_col).alias("term"),
+        F.col(weight_col).cast("long").alias("wc"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    )
+    bucketed = rows.select(
+        "row",
+        F.pmod(
+            hash60(
+                F.concat(F.col("row").cast("string"), F.lit(":"), F.col("term"))
+            ),
+            F.lit(width),
+        ).alias("bucket"),
+        "wc",
+    )
+    return bucketed.groupBy("row", "bucket").agg(F.sum("wc").alias("cnt"))
+
+
+def cms_point_estimates(
+    cms: DataFrame,
+    queries: DataFrame,
+    term_col: str,
+    depth: int = 4,
+    width: int = 64,
+) -> DataFrame:
+    """Point-frequency estimates from a :func:`cms_table` sketch:
+    ``est(term) = min over rows of the term's bucket counter`` — never
+    under the true count, over by at most ``e/width · total_weight``
+    with probability ``1 - e^-depth`` (the classic CMS guarantee).
+
+    Columns: ``term, cms_est``.  Plan: the query side explodes to
+    ``depth`` rows per term and equi-joins the BROADCAST sketch (the
+    sketch is ``depth·width`` cells by construction — the definition of
+    broadcastable); a missing cell is a zero counter, hence the left
+    join + coalesce, and the min folds back to one row per term.
+    """
+    q = queries.select(
+        F.col(term_col).alias("term"),
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+    ).select(
+        "term",
+        "row",
+        F.pmod(
+            hash60(
+                F.concat(F.col("row").cast("string"), F.lit(":"), F.col("term"))
+            ),
+            F.lit(width),
+        ).alias("bucket"),
+    )
+    j = q.join(F.broadcast(cms), ["row", "bucket"], "left")
+    return j.groupBy("term").agg(
+        F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("cms_est")
+    )
+
+
+# HLL constants: b register-index bits -> p = 2^b registers; alpha_p is
+# the standard HyperLogLog bias constant (Flajolet et al. 2007, fig. 3).
+_HLL_ALPHA = {16: 0.673, 32: 0.697, 64: 0.709}
+
+
+def hll_distinct(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    b: int = 5,
+    round_to: int = 4,
+) -> DataFrame:
+    """Per-group approximate COUNT(DISTINCT value) via HyperLogLog
+    (Flajolet et al. 2007) over the deterministic 60-bit md5 hash: the
+    top ``b`` hash bits pick one of ``p = 2^b`` registers, the register
+    keeps the max leading-zero-run length (+1) of the remaining
+    ``60-b`` bits, and the estimate is the bias-corrected harmonic mean
+    ``alpha_p · p² / Σ 2^-M_j`` with the small-range linear-counting
+    fallback (``p·ln(p/V)`` when the raw estimate ≤ 2.5p and V empty
+    registers remain).
+
+    Columns: ``*key_cols, n_registers, est_distinct``.
+
+    KMV's complement (same ~1.04/√p error class): a KMV sketch is exact
+    below k but k longs of state; HLL is p SMALL INTS of state with
+    register-wise MAX as the merge — the shape stream/snapshot
+    cardinality services standardize on.  Here that merge is literally
+    the plan: groupBy(keys, register).max — map-side partial max absorbs
+    every duplicate value before the exchange, so the shuffle carries at
+    most ``p`` rows per group no matter how many billions of values the
+    group holds.
+
+    Engine-portability: the harmonic sum is computed as the INTEGER
+    ``Σ 2^(61-b-M_j)`` (empty registers contribute ``2^(61-b)``) — exact
+    bigint arithmetic, immune to float summation order — and the single
+    float literal ``alpha·p²·2^(61-b)`` folds in Python so both engines
+    parse the identical double.  No large-range correction: that patches
+    32-bit hash saturation and a 60-bit space never saturates.
+    """
+    p = 2 ** b
+    m = HASH_BITS - b
+    alpha = _HLL_ALPHA.get(p, 0.7213 / (1.0 + 1.079 / p))
+    num = alpha * p * p * float(2 ** (m + 1))
+    h = hash60(F.col(value_col).cast("string"))
+    rem = h.bitwiseAND(F.lit((1 << m) - 1))
+    rho = (
+        F.lit(m)
+        - F.when(rem == 0, F.lit(0)).otherwise(F.length(F.bin(rem)))
+        + F.lit(1)
+    )
+    regs = (
+        df.select(
+            *[F.col(c) for c in key_cols],
+            F.shiftright(h, m).alias("_reg"),
+            rho.alias("_rho"),
+        )
+        .groupBy(*key_cols, "_reg")
+        .agg(F.max("_rho").alias("_mx"))
+    )
+    agg = regs.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).cast("long").alias("n_registers"),
+        F.sum(
+            F.pow(F.lit(2.0), F.lit(m + 1) - F.col("_mx")).cast("long")
+        ).alias("_isum"),
+    )
+    isum_all = F.col("_isum") + (F.lit(p).cast("long") - F.col("n_registers")) * F.lit(
+        2 ** (m + 1)
+    ).cast("long")
+    e_raw = F.lit(num) / isum_all.cast("double")
+    v_empty = F.lit(p).cast("long") - F.col("n_registers")
+    est = F.when(
+        (e_raw <= F.lit(2.5 * p)) & (v_empty > 0),
+        F.lit(float(p)) * F.log(F.lit(float(p)) / v_empty.cast("double")),
+    ).otherwise(e_raw)
+    return agg.select(
+        *[F.col(c) for c in key_cols],
+        "n_registers",
+        F.round(est, round_to).alias("est_distinct"),
+    )

@@ -6,6 +6,7 @@ import hashlib
 import math
 
 import pytest
+from pyspark.sql import functions as F
 
 from accelerated_intelligent_document_processing_on_aws_spark.operators.sketches import (
     HASH_SPACE,
@@ -123,3 +124,96 @@ if __name__ == "__main__":
     import sys
 
     sys.exit(pytest.main([__file__, "-x", "-q"]))
+
+
+def test_cms_never_undercounts_and_tight_on_heavy(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.sketches import (
+        cms_point_estimates,
+        cms_table,
+    )
+
+    # 200 distinct terms into 4x64 counters -> collisions guaranteed
+    items = spark.createDataFrame(
+        [(f"t{i}", (200 - i)) for i in range(200)], "term string, wc long"
+    )
+    cms = cms_table(items, "term", "wc", depth=4, width=64)
+    est = cms_point_estimates(cms, items.select("term"), "term", depth=4, width=64)
+    got = {r.term: r.cms_est for r in est.collect()}
+    exact = {f"t{i}": 200 - i for i in range(200)}
+    assert all(got[t] >= exact[t] for t in exact)  # CMS one-sided bound
+    total = sum(exact.values())
+    # classic guarantee: overcount <= (e/width) * total with prob 1-e^-depth;
+    # assert the deterministic instance satisfies it for every term
+    bound = math.e / 64 * total
+    assert all(got[t] - exact[t] <= bound for t in exact)
+
+
+def test_cms_counters_merge_additively(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.sketches import (
+        cms_table,
+    )
+
+    a = spark.createDataFrame([("x", 3), ("y", 5)], "term string, wc long")
+    b = spark.createDataFrame([("x", 2), ("z", 7)], "term string, wc long")
+    both = a.union(b)
+    merged = {
+        (r.row, r.bucket): r.cnt for r in cms_table(both, "term", "wc").collect()
+    }
+    cellwise: dict = {}
+    for part in (a, b):
+        for r in cms_table(part, "term", "wc").collect():
+            cellwise[(r.row, r.bucket)] = cellwise.get((r.row, r.bucket), 0) + r.cnt
+    assert merged == cellwise
+
+
+def test_hll_exact_class_accuracy(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    # 1000 distinct values, p=32 registers -> RSE ~ 1.04/sqrt(32) = 18%
+    df = spark.createDataFrame(
+        [(i % 1000,) for i in range(5000)], "v long"
+    ).withColumn("g", (F.col("v") * 0).cast("int"))
+    row = hll_distinct(df, ["g"], "v", b=5).collect()[0]
+    assert abs(row.est_distinct - 1000) / 1000 < 0.40  # 2+ sigma headroom
+    assert row.n_registers <= 32
+
+
+def test_hll_duplicates_do_not_move_estimate(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    base = spark.createDataFrame([(i,) for i in range(500)], "v long")
+    dup9 = base.union(base).union(base)
+    one = hll_distinct(base.withColumn("g", F.lit(1)), ["g"], "v").collect()[0]
+    many = hll_distinct(dup9.withColumn("g", F.lit(1)), ["g"], "v").collect()[0]
+    assert one.est_distinct == many.est_distinct
+    assert one.n_registers == many.n_registers
+
+
+def test_hll_python_differential(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.sketches import (
+        hll_distinct,
+    )
+
+    vals = [f"u{i}" for i in range(300)]
+    b, m, p = 5, 55, 32
+    regs = [0] * p
+    for v in vals:
+        h = int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+        reg, rem = h >> m, h & ((1 << m) - 1)
+        rho = m - (rem.bit_length()) + 1
+        regs[reg] = max(regs[reg], rho)
+    isum = sum(2 ** (m + 1 - mx) for mx in regs)
+    e_raw = 0.697 * p * p * float(2 ** (m + 1)) / isum
+    v_empty = regs.count(0)
+    expect = (
+        p * math.log(p / v_empty) if (e_raw <= 2.5 * p and v_empty > 0) else e_raw
+    )
+    df = spark.createDataFrame([(v,) for v in vals], "v string").withColumn(
+        "g", F.lit(1)
+    )
+    got = hll_distinct(df, ["g"], "v").collect()[0]
+    assert got.est_distinct == pytest.approx(round(expect, 4), abs=1e-4)
