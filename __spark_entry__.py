@@ -5558,6 +5558,90 @@ FROM fin ORDER BY event_type
 """
 
 
+def q_prefix_dedup(spark, sf_dir):
+    """Conversation-tree prefix dedup (dedup.conversation_prefix_groups,
+    the ShareGPT-style pattern): for every turn-label prefix up to depth
+    6, the number of conversations sharing it — the table a corpus
+    builder consults before double-counting shared conversation
+    openings.  One shuffle on conv_id; per-conversation window state is
+    capped at max_depth rows BEFORE the prefix concat, so
+    mega-conversation skew cannot inflate the window."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+        conversation_prefix_groups,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    out = conversation_prefix_groups(
+        e, "user_id", ["ts", "event_id"], "event_type", max_depth=6
+    )
+    return out.select(
+        F.col("depth").cast("int").alias("depth"), "prefix", "n_convs"
+    ).transform(_by("depth", "prefix"))
+
+
+Q_PREFIX_DEDUP_SQL = """
+WITH h AS (SELECT user_id, ts, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS depth
+           FROM events),
+hd AS (SELECT * FROM h WHERE depth <= 6),
+p AS (SELECT depth,
+        string_agg(event_type, '>') OVER (
+          PARTITION BY user_id ORDER BY ts, event_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix
+      FROM hd)
+SELECT CAST(depth AS INTEGER) AS depth, prefix,
+       CAST(COUNT(*) AS BIGINT) AS n_convs
+FROM p GROUP BY depth, prefix HAVING COUNT(*) >= 2
+ORDER BY depth, prefix
+"""
+
+
+def q_context_budget(spark, sf_dir):
+    """Per-turn SFT context capacity (packing.context_window_stats):
+    for each event, how many immediately-preceding same-conversation
+    turns (and how much of their cost) fit in a 120-char context budget
+    — the packing quantity a multi-turn sample builder needs.  NO
+    arrays, NO self-join: the exclusive running cost sum is strictly
+    increasing, so the fitting suffix is exactly a RANGE frame
+    [P-120, P-1]; two windows share one conv_id shuffle, O(1) frame
+    state per row (streaming-friendly)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.packing import (
+        context_window_stats,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    out = context_window_stats(
+        e,
+        "user_id",
+        ["ts", "event_id"],
+        F.length(F.coalesce(F.col("props"), F.lit(""))),
+        budget=120,
+    )
+    return out.select("user_id", "event_id", "n_ctx", "ctx_cost").transform(
+        _by("user_id", "event_id")
+    )
+
+
+Q_CONTEXT_BUDGET_SQL = """
+WITH b AS (SELECT user_id, event_id, ts,
+             greatest(length(coalesce(props, '')), 1) AS cost
+           FROM events),
+p AS (SELECT *,
+        SUM(cost) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                        ROWS UNBOUNDED PRECEDING) - cost AS pp
+      FROM b),
+f AS (SELECT user_id, event_id,
+        COUNT(*) OVER w AS n_ctx,
+        COALESCE(SUM(cost) OVER w, 0) AS ctx_cost
+      FROM p WINDOW w AS (PARTITION BY user_id ORDER BY pp
+                          RANGE BETWEEN 120 PRECEDING AND 1 PRECEDING))
+SELECT user_id, event_id, CAST(n_ctx AS BIGINT) AS n_ctx,
+       CAST(ctx_cost AS BIGINT) AS ctx_cost
+FROM f ORDER BY user_id, event_id
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -5656,6 +5740,8 @@ _QUERIES_PAST_WINDOW = [
     "q_bpe_pairs",
     "q_cms_heavy",
     "q_hll_users",
+    "q_prefix_dedup",
+    "q_context_budget",
     "q_yaml_sniff",
     "q_evaluate_config",
     "q_eval_report",
@@ -5836,6 +5922,8 @@ def oracle_sql() -> dict[str, str]:
         "q_bpe_pairs": Q_BPE_PAIRS_SQL,
         "q_cms_heavy": Q_CMS_HEAVY_SQL,
         "q_hll_users": Q_HLL_USERS_SQL,
+        "q_prefix_dedup": Q_PREFIX_DEDUP_SQL,
+        "q_context_budget": Q_CONTEXT_BUDGET_SQL,
         "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
         "q_decontaminate": Q_DECONTAMINATE_SQL,
         "q_quality_repetition": Q_QUALITY_REPETITION_SQL,

@@ -965,3 +965,57 @@ def cdc_chunks(
             )
         ).alias("chunk_fp"),
     )
+
+
+def conversation_prefix_groups(
+    df: DataFrame,
+    conv_col: str,
+    order_cols: list[str],
+    label_col: str,
+    max_depth: int = 6,
+    min_convs: int = 2,
+) -> DataFrame:
+    """Conversation-tree prefix dedup (the ShareGPT-style pattern): two
+    conversations that open with the same turn sequence are one tree
+    with two leaves, and a training corpus that keeps both double-counts
+    the shared prefix.  For every turn-label prefix up to ``max_depth``
+    turns, count the conversations that share it.
+
+    Columns: ``depth, prefix, n_convs`` (prefixes shared by at least
+    ``min_convs`` conversations; ``prefix`` is the '>' -joined label
+    chain).
+
+    Scale shape: turns past ``max_depth`` are dropped by a row_number
+    gate BEFORE the prefix concat, so per-conversation window state is
+    ≤ max_depth rows no matter how long the conversation runs (the
+    mega-conversation skew case); both windows share one partitioning
+    → ONE shuffle on conv_id, then a vocabulary-of-prefixes-sized
+    groupBy with map-side combine.  One row per (conv, depth) by
+    construction, so ``count(*)`` IS the distinct-conversation count —
+    no COUNT(DISTINCT) Expand.
+    """
+    w = Window.partitionBy("_conv").orderBy(*order_cols)
+    head = (
+        ensure_min_partitions(df)
+        .select(
+            F.col(conv_col).alias("_conv"),
+            *[F.col(c) for c in order_cols],
+            F.col(label_col).alias("_lbl"),
+        )
+        .withColumn("_depth", F.row_number().over(w))
+        .filter(F.col("_depth") <= max_depth)
+    )
+    w2 = (
+        Window.partitionBy("_conv")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    prefixed = head.select(
+        F.col("_depth").alias("depth"),
+        F.array_join(F.collect_list("_lbl").over(w2), ">").alias("prefix"),
+    )
+    return (
+        prefixed.groupBy("depth", "prefix")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_convs"))
+        .filter(F.col("n_convs") >= min_convs)
+    )

@@ -96,3 +96,55 @@ def batch_stats(packed: DataFrame, token_col: str, shard_col: str = "shard") -> 
         F.count(F.lit(1)).alias("n_docs"),
         F.sum(F.col(token_col)).cast("long").alias("n_tokens"),
     )
+
+
+def context_window_stats(
+    df: DataFrame,
+    conv_col: str,
+    order_cols: list[str],
+    cost_col,
+    budget: int,
+) -> DataFrame:
+    """Per-turn training-context capacity under a token budget: for each
+    turn, how many of its immediately-preceding turns (and how much of
+    their cost) fit in a ``budget``-sized context window — the quantity
+    an SFT sample builder needs when it packs multi-turn conversations
+    into fixed-length model inputs.
+
+    Adds ``n_ctx`` (count of preceding turns whose suffix-sum of cost is
+    ≤ budget) and ``ctx_cost`` (that suffix's total cost).
+
+    Plan: NO arrays and NO self-join — the exclusive running cost sum
+    ``P`` is strictly increasing within a conversation (costs are
+    clamped ≥ 1), so "the longest suffix of previous turns with total
+    cost ≤ B" is exactly the rows whose ``P`` lands in the RANGE frame
+    ``[P_i - B, P_i - 1]``.  Two window passes sharing one partitioning
+    → ONE shuffle on conv_id, O(1) running state per row (the
+    streaming-friendly frame shape), per-conversation cost independent
+    of conversation length — the mega-conversation skew case degrades
+    gracefully.
+    """
+    cost = F.greatest(cost_col.cast("long"), F.lit(1).cast("long"))
+    w = (
+        Window.partitionBy(conv_col)
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = df.withColumn("_cost", cost).withColumn(
+        "_p", F.sum("_cost").over(w) - F.col("_cost")
+    )
+    wr = (
+        Window.partitionBy(conv_col)
+        .orderBy(F.col("_p"))
+        .rangeBetween(-budget, -1)
+    )
+    return (
+        base.withColumn(
+            "n_ctx", F.coalesce(F.count(F.lit(1)).over(wr), F.lit(0)).cast("long")
+        )
+        .withColumn(
+            "ctx_cost",
+            F.coalesce(F.sum("_cost").over(wr), F.lit(0).cast("long")).cast("long"),
+        )
+        .drop("_cost", "_p")
+    )

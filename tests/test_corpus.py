@@ -153,3 +153,26 @@ def test_sorted_neighborhood_window_limits_comparisons(spark):
     ).collect()
     assert len(rows) == 4  # a chain, not all C(5,2)=10 pairs
     assert all(r.dist == 0 for r in rows)
+
+
+def test_prefix_groups_counts_and_depth_gate(spark):
+    from pyspark.sql import Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+        conversation_prefix_groups,
+    )
+
+    rows = []
+    # convs 1 and 2 share prefix a>b, then diverge; conv 3 unique
+    for conv, labels in [(1, "abc"), (2, "abd"), (3, "xyz")]:
+        rows += [Row(conv=conv, idx=i, lbl=ch) for i, ch in enumerate(labels)]
+    # conv 4: a 100-turn mega-conversation opening with a>b
+    rows += [Row(conv=4, idx=i, lbl="ab"[i] if i < 2 else "q") for i in range(100)]
+    df = spark.createDataFrame(rows)
+    out = conversation_prefix_groups(
+        df, "conv", ["idx"], "lbl", max_depth=3, min_convs=2
+    )
+    got = {(r.depth, r.prefix): r.n_convs for r in out.collect()}
+    assert got == {(1, "a"): 3, (2, "a>b"): 3}
+    # depth gate held: nothing past max_depth even for the 100-turn conv
+    assert all(d <= 3 for d, _ in got)

@@ -82,3 +82,46 @@ def test_cumsum_batches_are_budget_sized_on_average(spark, docs):
     stats = batch_stats(packed, "toks").collect()
     full = [r for r in stats if r.n_tokens >= 600]  # all but shard tails
     assert len(full) >= len(stats) // 2
+
+
+def test_context_window_budget_semantics(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.packing import (
+        context_window_stats,
+    )
+
+    # one conv, costs 10,20,30,40,50; budget 60
+    rows = [("c", i, (i + 1) * 10) for i in range(5)]
+    df = spark.createDataFrame(rows, "conv string, idx int, cost int")
+    out = context_window_stats(
+        df, "conv", ["idx"], F.col("cost"), budget=60
+    )
+    got = {r.idx: (r.n_ctx, r.ctx_cost) for r in out.collect()}
+    # idx0: no prior. idx1: [10]. idx2: [10,20]=30. idx3: [10,20,30]=60.
+    # idx4: [20,30,40]=90>60 -> [30,40]=70>60 -> [40]=40
+    assert got == {0: (0, 0), 1: (1, 10), 2: (2, 30), 3: (3, 60), 4: (1, 40)}
+
+
+def test_context_window_convs_isolated(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.packing import (
+        context_window_stats,
+    )
+
+    rows = [("a", 0, 5), ("a", 1, 5), ("b", 0, 5), ("b", 1, 5)]
+    df = spark.createDataFrame(rows, "conv string, idx int, cost int")
+    out = context_window_stats(df, "conv", ["idx"], F.col("cost"), budget=100)
+    got = {(r.conv, r.idx): r.n_ctx for r in out.collect()}
+    assert got == {("a", 0): 0, ("a", 1): 1, ("b", 0): 0, ("b", 1): 1}
+
+
+def test_context_window_null_and_zero_costs_clamped(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.packing import (
+        context_window_stats,
+    )
+
+    # zero/null costs clamp to 1 so the prefix sum stays strictly
+    # increasing (the property the RANGE frame relies on)
+    rows = [("c", 0, None), ("c", 1, 0), ("c", 2, 4)]
+    df = spark.createDataFrame(rows, "conv string, idx int, cost int")
+    out = context_window_stats(df, "conv", ["idx"], F.col("cost"), budget=2)
+    got = {r.idx: (r.n_ctx, r.ctx_cost) for r in out.collect()}
+    assert got == {0: (0, 0), 1: (1, 1), 2: (2, 2)}
