@@ -5642,6 +5642,41 @@ FROM f ORDER BY user_id, event_id
 """
 
 
+def q_ppjoin(spark, sf_dir):
+    """Lossless prefix-filtered similarity join (dedup.
+    prefix_filter_pairs, PPJoin family — Chaudhuri 2006 / Xiao 2008):
+    all pairs with word-3-gram Jaccard ≥ 3/5.  The oracle is the
+    PRUNE-FREE exact all-pairs Jaccard, so this certification
+    mechanically proves the prefix filter loses nothing — the
+    contrast to q_ngram_jaccard's df-cap, which is deliberately lossy
+    on ubiquitous shingles.  All gates (prefix length, size ratio,
+    final threshold) are integer arithmetic on a rational tau, so no
+    float-ceil off-by-one can break the proof."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = prefix_filter_pairs(d, "doc_id", "text", k=3, tau_num=3, tau_den=5)
+    return pairs.transform(_by("id_a", "id_b"))
+
+
+Q_PPJOIN_SQL = f"""
+WITH nm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+w AS (SELECT doc_id, str_split(t, ' ') AS w FROM nm),
+g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+      FROM w, UNNEST(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)),
+c AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+i AS (SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*) AS nc
+      FROM g a JOIN g b ON a.g = b.g AND a.doc_id < b.doc_id GROUP BY 1, 2)
+SELECT ia AS id_a, ib AS id_b,
+       ROUND(CAST(nc AS DOUBLE) / (ca.n + cb.n - nc), 4) AS jaccard
+FROM i JOIN c ca ON ia = ca.doc_id JOIN c cb ON ib = cb.doc_id
+WHERE nc * 5 >= 3 * (ca.n + cb.n - nc)
+ORDER BY id_a, id_b
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -5742,6 +5777,7 @@ _QUERIES_PAST_WINDOW = [
     "q_hll_users",
     "q_prefix_dedup",
     "q_context_budget",
+    "q_ppjoin",
     "q_yaml_sniff",
     "q_evaluate_config",
     "q_eval_report",
@@ -5924,6 +5960,7 @@ def oracle_sql() -> dict[str, str]:
         "q_hll_users": Q_HLL_USERS_SQL,
         "q_prefix_dedup": Q_PREFIX_DEDUP_SQL,
         "q_context_budget": Q_CONTEXT_BUDGET_SQL,
+        "q_ppjoin": Q_PPJOIN_SQL,
         "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
         "q_decontaminate": Q_DECONTAMINATE_SQL,
         "q_quality_repetition": Q_QUALITY_REPETITION_SQL,

@@ -1019,3 +1019,107 @@ def conversation_prefix_groups(
         .agg(F.count(F.lit(1)).cast("long").alias("n_convs"))
         .filter(F.col("n_convs") >= min_convs)
     )
+
+
+def prefix_filter_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    tau_num: int = 3,
+    tau_den: int = 5,
+) -> DataFrame:
+    """All pairs with word-k-gram Jaccard ≥ tau via PREFIX FILTERING
+    (PPJoin family, Chaudhuri et al. 2006 / Xiao et al. 2008) —
+    LOSSLESS, unlike ``ngram_jaccard_pairs``'s df-cap: order every
+    doc's shingles by global rarity (ascending document frequency,
+    ties by gram), and two docs can reach J ≥ tau only if their first
+    ``n - ceil(tau·n) + 1`` rarest shingles intersect.  Joining on
+    prefix tokens alone prunes the candidate space like the df-cap
+    does — hot shingles land at the END of the global order, so they
+    fall OUT of prefixes instead of being dropped from the index —
+    but provably misses nothing.
+
+    Columns: ``id_a, id_b, jaccard`` (exact, verified on full shingle
+    sets; rounded to 4).
+
+    Threshold as a rational ``tau_num/tau_den`` so every gate —
+    ``ceil(tau·n)`` prefix length, size-ratio prune, final J ≥ tau —
+    is INTEGER arithmetic: no float-ceil off-by-one can break the
+    losslessness proof, and both engines agree bit-for-bit.
+
+    Plan: shingle table materializes once (lazy localCheckpoint) for
+    its two consumers; df ranks ride a window over g; per-doc prefix
+    ranks a window over id whose exchange the verification
+    collect_set reuses; candidates dedup through one pair-keyed
+    aggregate; verification joins the (candidate-sized) pair table to
+    the per-doc gram arrays and intersects in-row.  At 100 TB the
+    candidate table after prefix + size-ratio pruning is orders
+    smaller than the raw inverted-index join the naive formulation
+    shuffles.
+    """
+    sh = shingle_rows(df, id_col, text_col, k).localCheckpoint(eager=False)
+    wg = Window.partitionBy("g")
+    wd = Window.partitionBy("id").orderBy("_df", "g")
+    # integer ceil(tau*n) = floor((num*n + den - 1) / den)
+    ceil_tau_n = F.floor(
+        (F.lit(tau_num) * F.col("n_sh") + F.lit(tau_den - 1)) / F.lit(tau_den)
+    )
+    prefix = (
+        sh.withColumn("_df", F.count(F.lit(1)).over(wg))
+        .withColumn("_rk", F.row_number().over(wd))
+        .filter(F.col("_rk") <= F.col("n_sh") - ceil_tau_n + 1)
+        .select("id", "n_sh", "g")
+    )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    ratio_ok = (
+        F.col("a.n_sh") * F.lit(tau_den) >= F.col("b.n_sh") * F.lit(tau_num)
+    ) & (F.col("b.n_sh") * F.lit(tau_den) >= F.col("a.n_sh") * F.lit(tau_num))
+    cands = (
+        a.join(
+            b,
+            (F.col("a.g") == F.col("b.g"))
+            & (F.col("a.id") < F.col("b.id"))
+            & ratio_ok,
+        )
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_np"))
+        .drop("_np")
+    )
+    arrs = sh.groupBy("id").agg(
+        F.collect_set("g").alias("gs"), F.max("n_sh").alias("n")
+    )
+    paired = (
+        cands.join(
+            arrs.select(
+                F.col("id").alias("id_a"),
+                F.col("gs").alias("_ga"),
+                F.col("n").alias("_na"),
+            ),
+            "id_a",
+        )
+        .join(
+            arrs.select(
+                F.col("id").alias("id_b"),
+                F.col("gs").alias("_gb"),
+                F.col("n").alias("_nb"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "_nc", F.size(F.array_intersect("_ga", "_gb")).cast("long")
+        )
+    )
+    keep = paired.filter(
+        F.col("_nc") * F.lit(tau_den)
+        >= F.lit(tau_num) * (F.col("_na") + F.col("_nb") - F.col("_nc"))
+    )
+    return keep.select(
+        "id_a",
+        "id_b",
+        F.round(
+            F.col("_nc").cast("double")
+            / (F.col("_na") + F.col("_nb") - F.col("_nc")).cast("double"),
+            4,
+        ).alias("jaccard"),
+    )

@@ -176,3 +176,62 @@ def test_prefix_groups_counts_and_depth_gate(spark):
     assert got == {(1, "a"): 3, (2, "a>b"): 3}
     # depth gate held: nothing past max_depth even for the 100-turn conv
     assert all(d <= 3 for d, _ in got)
+
+
+def _brute_jaccard_pairs(texts, k=3, tau=0.6):
+    import re
+
+    def sh(t):
+        norm = re.sub(r"[ \t\n\r]+", " ", re.sub(r"[^a-zA-Z0-9_ \t\n\r]", "", t)).strip().lower()
+        w = norm.split(" ")
+        if len(w) >= k:
+            return set(" ".join(w[i : i + k]) for i in range(len(w) - k + 1))
+        return {" ".join(w)}
+
+    sets = {i: sh(t) for i, t in enumerate(texts)}
+    out = {}
+    for a in sets:
+        for b in sets:
+            if a < b:
+                inter = len(sets[a] & sets[b])
+                union = len(sets[a] | sets[b])
+                if inter / union >= tau:
+                    out[(a, b)] = round(inter / union, 4)
+    return out
+
+
+def test_ppjoin_matches_brute_force_with_hot_shingle(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    hot = "the quick brown"  # shared 3-gram across ALL docs
+    texts = [
+        f"{hot} fox jumps over the lazy dog number {i} " * 2 for i in range(6)
+    ]
+    # two true near-dups differing by one trailing word
+    texts.append("alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    texts.append("alpha beta gamma delta epsilon zeta eta theta iota lambda")
+    got = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in prefix_filter_pairs(
+            _docs(spark, texts), "doc_id", "text", tau_num=3, tau_den=5
+        ).collect()
+    }
+    assert got == _brute_jaccard_pairs(texts, tau=0.6)
+
+
+def test_ppjoin_lossless_at_integer_ceil_boundary(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+        prefix_filter_pairs,
+    )
+
+    # J exactly == tau (10 shared of 10+2 unique-ish): float ceil could
+    # shorten the prefix and drop the pair; integer arithmetic must not
+    base = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    texts = [base + " endA endB", base + " endC endD"]
+    got = prefix_filter_pairs(
+        _docs(spark, texts), "doc_id", "text", tau_num=3, tau_den=5
+    ).collect()
+    expect = _brute_jaccard_pairs(texts, tau=0.6)
+    assert {(r.id_a, r.id_b): r.jaccard for r in got} == expect
