@@ -5677,6 +5677,54 @@ ORDER BY id_a, id_b
 """
 
 
+def q_doc_readability(spark, sf_dir):
+    """Flesch reading-ease readability gate (functions/text.py
+    readability_cols, Flesch 1948 / Kincaid 1975): word / sentence /
+    syllable counts via three deterministic regexes (vowel-group
+    syllable approximation floored at 1/word) and the classic
+    206.835 - 1.015·wps - 84.6·spw score.  Pure Catalyst — three
+    regexp_counts in one whole-stage-codegen projection, zero shuffle;
+    the curation complement to q_doc_quality (flags legalese sludge on
+    the low end, word-soup on the high end)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        readability_cols,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
+    words, sents, syll, flesch = readability_cols(F.col("text"))
+    return d.select(
+        "doc_id",
+        words.alias("n_words"),
+        sents.alias("n_sentences"),
+        syll.alias("n_syllables"),
+        flesch.alias("flesch"),
+    )
+
+
+Q_DOC_READABILITY_SQL = """
+WITH t AS (SELECT doc_id, coalesce(text, '') AS text FROM documents),
+c AS (SELECT doc_id,
+        len(regexp_extract_all(text, '[a-zA-Z]+')) AS words,
+        greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS sents,
+        len(regexp_extract_all(text, '[aeiouyAEIOUY]+'))
+          + greatest(len(regexp_extract_all(text, '[a-zA-Z]+'))
+              - len(regexp_extract_all(
+                    text, '[a-zA-Z]*[aeiouyAEIOUY][a-zA-Z]*')), 0) AS syll
+      FROM t)
+SELECT doc_id,
+       CAST(words AS BIGINT) AS n_words,
+       CAST(sents AS BIGINT) AS n_sentences,
+       CAST(syll AS BIGINT) AS n_syllables,
+       ROUND(206.835
+             - 1.015 * (CAST(greatest(words, 1) AS DOUBLE) / sents)
+             - 84.6 * (CAST(syll AS DOUBLE) / greatest(words, 1)), 4)
+         AS flesch
+FROM c
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -5778,6 +5826,7 @@ _QUERIES_PAST_WINDOW = [
     "q_prefix_dedup",
     "q_context_budget",
     "q_ppjoin",
+    "q_doc_readability",
     "q_yaml_sniff",
     "q_evaluate_config",
     "q_eval_report",
@@ -5961,6 +6010,7 @@ def oracle_sql() -> dict[str, str]:
         "q_prefix_dedup": Q_PREFIX_DEDUP_SQL,
         "q_context_budget": Q_CONTEXT_BUDGET_SQL,
         "q_ppjoin": Q_PPJOIN_SQL,
+        "q_doc_readability": Q_DOC_READABILITY_SQL,
         "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
         "q_decontaminate": Q_DECONTAMINATE_SQL,
         "q_quality_repetition": Q_QUALITY_REPETITION_SQL,

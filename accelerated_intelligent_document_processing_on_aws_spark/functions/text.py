@@ -231,3 +231,45 @@ def word_ngrams(words, n: int):
             lambda i: F.array_join(F.slice(words, i, n), " "),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+# Readability counters (Flesch 1948 / Kincaid 1975), deterministic
+# regex approximations: sentences = terminal-punctuation runs (min 1),
+# syllables = vowel-group runs per word (min 1 per word) — the standard
+# dictionary-free estimate.
+SENT_RE = "[.!?]+"
+VOWEL_GROUP_RE = "[aeiouyAEIOUY]+"
+WORD_RE = "[a-zA-Z]+"
+
+
+def readability_cols(c: Column) -> tuple[Column, Column, Column, Column]:
+    """(n_words, n_sentences, n_syllables, flesch_reading_ease) — the
+    curation-side readability gate (very low scores flag legalese /
+    machine-generated sludge; implausibly high ones flag word-soup).
+    ``flesch = 206.835 - 1.015·(words/sentences) - 84.6·(syllables/
+    words)``, computed with clamped-≥1 denominators and rounded to 4dp
+    so the double arithmetic hashes identically in the SQL oracle.
+    Pure Catalyst (three regexp_counts) — whole-stage codegen, no
+    Python, no shuffle."""
+    words = F.regexp_count(c, F.lit(WORD_RE))
+    sents = F.greatest(F.regexp_count(c, F.lit(SENT_RE)), F.lit(1))
+    # vowel groups, floored at one syllable per word: count vowel runs,
+    # then add one for every word containing NO vowel (e.g. "7th", "xyz")
+    vgroups = F.regexp_count(c, F.lit(VOWEL_GROUP_RE))
+    novowel = words - F.regexp_count(
+        c, F.lit("[a-zA-Z]*[aeiouyAEIOUY][a-zA-Z]*")
+    )
+    syll = vgroups + F.greatest(novowel, F.lit(0))
+    wd = F.greatest(words, F.lit(1)).cast("double")
+    flesch = F.round(
+        F.lit(206.835)
+        - F.lit(1.015) * (wd / sents.cast("double"))
+        - F.lit(84.6) * (syll.cast("double") / wd),
+        4,
+    )
+    return (
+        words.cast("long"),
+        sents.cast("long"),
+        syll.cast("long"),
+        flesch,
+    )

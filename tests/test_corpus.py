@@ -235,3 +235,33 @@ def test_ppjoin_lossless_at_integer_ceil_boundary(spark):
     ).collect()
     expect = _brute_jaccard_pairs(texts, tau=0.6)
     assert {(r.id_a, r.id_b): r.jaccard for r in got} == expect
+
+
+def test_readability_hand_computed(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        readability_cols,
+    )
+
+    # "the cat sat. it ran!" -> words 6? (the,cat,sat,it,ran)=5; sents 2;
+    # syllables: the(1) cat(1) sat(1) it(1) ran(1) = 5
+    d = _docs(spark, ["the cat sat. it ran!"])
+    w, s, y, fl = readability_cols(__import__("pyspark.sql.functions", fromlist=["col"]).col("text"))
+    r = d.select(w.alias("w"), s.alias("s"), y.alias("y"), fl.alias("f")).collect()[0]
+    assert (r.w, r.s, r.y) == (5, 2, 5)
+    assert r.f == round(206.835 - 1.015 * (5 / 2) - 84.6 * (5 / 5), 4)
+
+
+def test_readability_no_vowel_words_floor(spark):
+    from pyspark.sql import functions as F
+
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        readability_cols,
+    )
+
+    # "xyz 7th" -> letter-words: xyz, th (both vowel-free) -> 1 syll each
+    d = _docs(spark, ["xyz 7th", ""])
+    w, s, y, fl = readability_cols(F.col("text"))
+    rows = d.select("doc_id", w.alias("w"), s.alias("s"), y.alias("y")).collect()
+    got = {r.doc_id: (r.w, r.s, r.y) for r in rows}
+    assert got[0] == (2, 1, 2)
+    assert got[1] == (0, 1, 0)
