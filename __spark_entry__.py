@@ -5725,6 +5725,82 @@ FROM c
 """
 
 
+def q_skipgrams(spark, sf_dir):
+    """Skip-gram co-occurrence PMI, window ±3 (corpus.
+    skipgram_cooccurrence — the word2vec/GloVe preprocessing table).
+    Pairs come off the per-doc token array via a nested flattened
+    transform — ZERO self-joins (the naive formulation is a doc-keyed
+    positional band join that explodes on long docs); the token array
+    materializes once for its three consumers."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        skipgram_cooccurrence,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return skipgram_cooccurrence(
+        d, "doc_id", "text", window=3, min_count=5, top_k=50
+    )
+
+
+Q_SKIPGRAMS_SQL = f"""
+WITH nm AS (SELECT {_NORM_SQL} AS nt FROM documents),
+arr AS (SELECT list_filter(str_split(nt, ' '), t -> t <> '') AS w FROM nm),
+tot AS (SELECT SUM(len(w)) AS n FROM arr),
+p AS (SELECT w[i] AS w1, w[i + d] AS w2
+      FROM arr,
+           UNNEST(range(1, len(w))) AS t(i),
+           UNNEST(range(1, least(3, len(w) - i) + 1)) AS u(d)
+      WHERE len(w) >= 2),
+pc AS (SELECT w1, w2, COUNT(*) AS pair_count FROM p GROUP BY 1, 2
+       HAVING COUNT(*) >= 5),
+uni AS (SELECT u.tok AS w, COUNT(*) AS c
+        FROM arr, UNNEST(w) AS u(tok) GROUP BY 1)
+SELECT pc.w1, pc.w2, CAST(pc.pair_count AS BIGINT) AS pair_count,
+       ROUND(ln(pc.pair_count * CAST(tot.n AS DOUBLE) / (c1.c * c2.c)), 6)
+         AS pmi
+FROM pc, tot
+JOIN uni c1 ON pc.w1 = c1.w
+JOIN uni c2 ON pc.w2 = c2.w
+ORDER BY pmi DESC, pc.w1 ASC, pc.w2 ASC
+LIMIT 50
+"""
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Per-document n-gram novelty (corpus.ngram_novelty): fraction of
+    each doc's distinct 3-grams appearing in no other document — the
+    memorization/uniqueness curation signal.  One gram-keyed window
+    shuffle (df == 1 test) + one doc-keyed aggregate; no joins, no
+    second text pass."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        ngram_novelty,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return (
+        ngram_novelty(d, "doc_id", "text", k=3)
+        .withColumnRenamed("id", "doc_id")
+        .transform(_by("doc_id"))
+    )
+
+
+Q_NGRAM_NOVELTY_SQL = f"""
+WITH nm AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents),
+w AS (SELECT doc_id, str_split(t, ' ') AS w FROM nm),
+g AS (SELECT DISTINCT doc_id, array_to_string(w[i:i+2], ' ') AS g
+      FROM w, UNNEST(range(1, greatest(len(w) - 2, 1) + 1)) AS t(i)),
+d AS (SELECT g, COUNT(*) AS df FROM g GROUP BY g)
+SELECT g.doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_grams,
+       CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+       ROUND(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 4) AS novelty
+FROM g JOIN d USING (g)
+GROUP BY g.doc_id
+ORDER BY g.doc_id
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -5827,6 +5903,8 @@ _QUERIES_PAST_WINDOW = [
     "q_context_budget",
     "q_ppjoin",
     "q_doc_readability",
+    "q_skipgrams",
+    "q_ngram_novelty",
     "q_yaml_sniff",
     "q_evaluate_config",
     "q_eval_report",
@@ -6011,6 +6089,8 @@ def oracle_sql() -> dict[str, str]:
         "q_context_budget": Q_CONTEXT_BUDGET_SQL,
         "q_ppjoin": Q_PPJOIN_SQL,
         "q_doc_readability": Q_DOC_READABILITY_SQL,
+        "q_skipgrams": Q_SKIPGRAMS_SQL,
+        "q_ngram_novelty": Q_NGRAM_NOVELTY_SQL,
         "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
         "q_decontaminate": Q_DECONTAMINATE_SQL,
         "q_quality_repetition": Q_QUALITY_REPETITION_SQL,

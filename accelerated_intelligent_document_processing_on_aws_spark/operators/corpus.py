@@ -280,3 +280,135 @@ def bigram_counts(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
         ).alias("term")
     )
     return bigrams.groupBy("term").agg(F.count(F.lit(1)).alias("wc"))
+
+
+def skipgram_cooccurrence(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 3,
+    min_count: int = 5,
+    top_k: int = 50,
+) -> DataFrame:
+    """Window-±``window`` co-occurrence counts with PMI — the word2vec /
+    GloVe preprocessing table (collocations generalizes adjacent-only
+    bigrams to skip-grams).  A pair is counted once per (position,
+    distance): for token i and each d in 1..window, (term[i],
+    term[i+d]) — direction-sensitive, matching the asymmetric-context
+    formulation.
+
+    Columns: ``w1, w2, pair_count, pmi`` — top ``top_k`` by PMI (ties by
+    pair), pairs below ``min_count`` dropped.
+
+    Plan: pairs come off the per-doc token array via a nested
+    ``transform`` (outer over positions, inner over distances) flattened
+    JVM-side — ZERO self-joins (the naive formulation joins token rows
+    on id with a |pos_a-pos_b| band — a doc-keyed join that explodes on
+    long docs).  The token array materializes once for its three
+    consumers (N, pair counts, unigram counts) via the collocations
+    localCheckpoint pattern; unigrams broadcast into the PMI lookup.
+    """
+    base = (
+        ensure_min_partitions(df)
+        .select(
+            F.filter(
+                F.split(normalized_for_compare(F.col(text_col)), " "),
+                lambda t: t != F.lit(""),
+            ).alias("_w")
+        )
+        .localCheckpoint(eager=False)
+    )
+    n_tokens = base.agg(F.sum(F.size("_w"))).collect()[0][0] or 0
+    n = F.size(F.col("_w"))
+    # outer transform over 1-based positions, inner over distances; the
+    # inner sequence clamps at the array end so no filter pass is needed
+    # outer positions stop at n-1 (guarded by the n>=2 filter below) so
+    # the inner distance sequence 1..least(window, n-i) is never empty
+    pair_arrays = F.transform(
+        F.sequence(F.lit(1), n - 1),
+        lambda i: F.transform(
+            F.sequence(F.lit(1), F.least(F.lit(window), n - i)),
+            lambda d: F.struct(
+                F.element_at(F.col("_w"), i).alias("w1"),
+                F.element_at(F.col("_w"), i + d).alias("w2"),
+            ),
+        ),
+    )
+    pairs = base.filter(n >= 2).select(
+        F.explode(F.flatten(pair_arrays)).alias("_p")
+    ).select(F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    pc = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("pair_count"))
+        .filter(F.col("pair_count") >= min_count)
+    )
+    uni = (
+        base.select(F.explode("_w").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    scored = (
+        pc.join(
+            F.broadcast(
+                uni.select(F.col("w").alias("w1"), F.col("c").alias("_c1"))
+            ),
+            "w1",
+        )
+        .join(
+            F.broadcast(
+                uni.select(F.col("w").alias("w2"), F.col("c").alias("_c2"))
+            ),
+            "w2",
+        )
+        .select(
+            "w1",
+            "w2",
+            F.col("pair_count").cast("long").alias("pair_count"),
+            F.round(
+                F.log(
+                    F.col("pair_count")
+                    * F.lit(float(n_tokens))
+                    / (F.col("_c1") * F.col("_c2"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
+    return scored.orderBy(
+        F.col("pmi").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(top_k)
+
+
+def ngram_novelty(
+    df: DataFrame, id_col: str, text_col: str, k: int = 3
+) -> DataFrame:
+    """Per-document n-gram novelty: the fraction of a doc's distinct
+    word-k-grams that appear in NO other document — the memorization /
+    uniqueness signal a curation pipeline reads next to quality scores
+    (novelty ≈ 0 means the doc is stitched from corpus boilerplate;
+    novelty ≈ 1 means nothing about it is shared).
+
+    Columns: ``id, n_grams, n_novel, novelty`` (rounded 4).
+
+    Plan: distinct shingles explode once (dedup.shingle_rows, pure JVM);
+    document frequency rides a count window over g (one shuffle that
+    also serves as the gram-keyed exchange); a gram is novel iff its df
+    is exactly 1 — note df counts DOCUMENTS because shingle_rows is
+    distinct-per-doc — then one doc-keyed aggregate.  No joins, no
+    second pass over text.
+    """
+    from .dedup import shingle_rows
+
+    sh = shingle_rows(df, id_col, text_col, k)
+    wg = Window.partitionBy("g")
+    flagged = sh.withColumn(
+        "_novel", (F.count(F.lit(1)).over(wg) == 1).cast("long")
+    )
+    return flagged.groupBy("id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_grams"),
+        F.sum("_novel").cast("long").alias("n_novel"),
+        F.round(
+            F.sum("_novel").cast("double") / F.count(F.lit(1)).cast("double"),
+            4,
+        ).alias("novelty"),
+    )

@@ -265,3 +265,48 @@ def test_readability_no_vowel_words_floor(spark):
     got = {r.doc_id: (r.w, r.s, r.y) for r in rows}
     assert got[0] == (2, 1, 2)
     assert got[1] == (0, 1, 0)
+
+
+def test_skipgram_window_and_direction(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        skipgram_cooccurrence,
+    )
+
+    # "a b c d": window 2 -> (a,b)(a,c)(b,c)(b,d)(c,d); repeated 5x docs
+    d = _docs(spark, ["a b c d"] * 5)
+    out = skipgram_cooccurrence(
+        d, "doc_id", "text", window=2, min_count=5, top_k=50
+    ).collect()
+    got = {(r.w1, r.w2): r.pair_count for r in out}
+    assert got == {
+        ("a", "b"): 5, ("a", "c"): 5, ("b", "c"): 5, ("b", "d"): 5,
+        ("c", "d"): 5,
+    }
+    # direction-sensitive: no (b, a)
+    assert ("b", "a") not in got
+
+
+def test_skipgram_short_and_single_token_docs(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        skipgram_cooccurrence,
+    )
+
+    d = _docs(spark, ["solo", "", "x y"] * 5)
+    out = skipgram_cooccurrence(
+        d, "doc_id", "text", window=3, min_count=5, top_k=10
+    ).collect()
+    assert {(r.w1, r.w2): r.pair_count for r in out} == {("x", "y"): 5}
+
+
+def test_ngram_novelty_shared_vs_unique(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        ngram_novelty,
+    )
+
+    shared = "one two three four five"
+    d = _docs(spark, [shared, shared, "six seven eight nine ten"])
+    got = {r.id: (r.n_grams, r.n_novel, r.novelty) for r in
+           ngram_novelty(d, "doc_id", "text", k=3).collect()}
+    # docs 0/1 identical -> df=2 for all their grams -> novelty 0
+    assert got[0] == (3, 0, 0.0) and got[1] == (3, 0, 0.0)
+    assert got[2] == (3, 3, 1.0)
