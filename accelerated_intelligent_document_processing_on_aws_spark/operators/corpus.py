@@ -412,3 +412,89 @@ def ngram_novelty(
             4,
         ).alias("novelty"),
     )
+
+
+def source_js_divergence(
+    df: DataFrame,
+    source_col: str,
+    text_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise Jensen-Shannon divergence between per-source unigram
+    distributions — the corpus-drift / mixture-audit table (how far
+    apart two domains' token distributions sit, symmetric and bounded
+    by ln 2; the distance DSIR-style selection and mixture reweighting
+    reason about).
+
+    Columns: ``source_a, source_b, n_shared_terms, jsd`` for every
+    unordered source pair SHARING at least one term; a fully-disjoint
+    pair has no row (its jsd is the ln 2 maximum by definition — callers
+    wanting explicit rows cross the source dim and coalesce).
+
+    Algebra (exact, join-friendly): terms present in both sources
+    contribute ``p·ln(2p/(p+q)) + q·ln(2q/(p+q))``; terms private to a
+    side contribute ``ln 2`` per unit mass, recovered as
+    ``ln2·((1-Σp) + (1-Σq))`` from the shared-mass sums — so an INNER
+    join on the term suffices and no full-outer / zero-fill pass exists
+    in the plan.
+
+    Scale shape: the corpus collapses to its per-source term-frequency
+    table first (one shuffle, map-side combine; vocab·sources rows);
+    per-source totals broadcast back; the pair join runs on the term
+    key with a source inequality — vocab-sized inputs, never corpus-
+    sized.  20 sources → 190 pairs; thousands of domains still produce
+    a dim-scale result.
+    """
+    toks = (
+        ensure_min_partitions(df)
+        .select(
+            F.col(source_col).alias("src"),
+            F.explode(
+                F.filter(
+                    F.split(normalized_for_compare(F.col(text_col)), " "),
+                    lambda t: t != F.lit(""),
+                )
+            ).alias("w"),
+        )
+    )
+    counts = toks.groupBy("src", "w").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("src").agg(F.sum("c").alias("n"))
+    probs = counts.join(F.broadcast(totals), "src").select(
+        "src", "w", (F.col("c").cast("double") / F.col("n")).alias("p")
+    )
+    a, b = probs.alias("a"), probs.alias("b")
+    pq = F.col("a.p") + F.col("b.p")
+    shared = (
+        a.join(
+            b,
+            (F.col("a.w") == F.col("b.w"))
+            & (F.col("a.src") < F.col("b.src")),
+        )
+        .groupBy(
+            F.col("a.src").alias("source_a"), F.col("b.src").alias("source_b")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shared_terms"),
+            F.sum(
+                F.col("a.p") * F.log(F.lit(2.0) * F.col("a.p") / pq)
+                + F.col("b.p") * F.log(F.lit(2.0) * F.col("b.p") / pq)
+            ).alias("_s"),
+            F.sum("a.p").alias("_pm"),
+            F.sum("b.p").alias("_qm"),
+        )
+    )
+    ln2 = float(__import__("math").log(2.0))
+    return shared.select(
+        "source_a",
+        "source_b",
+        "n_shared_terms",
+        F.round(
+            F.lit(0.5)
+            * (
+                F.col("_s")
+                + F.lit(ln2)
+                * ((F.lit(1.0) - F.col("_pm")) + (F.lit(1.0) - F.col("_qm")))
+            ),
+            round_to,
+        ).alias("jsd"),
+    )

@@ -62,6 +62,61 @@ def coactivity_edges(
     return pairs.select("src", "dst").distinct()
 
 
+def _oriented_frames(edges: DataFrame):
+    """Shared triangle machinery: (und, deg, o) — canonical undirected
+    edges (a<b, distinct, pinned), node degrees (pinned), and the
+    degree-oriented edge list u→v with (deg,id)-smaller endpoint first.
+    The orientation is acyclic and bounds the wedge-join fan-out by the
+    max ORIENTED out-degree, O(sqrt(m)) on any graph (Schank & Wagner
+    2005) — see triangle_stats for the full plan discussion."""
+    und = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).alias("a"),
+            F.greatest(F.col("src"), F.col("dst")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = (
+        und.select(F.col("a").alias("node"))
+        .union(und.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    lower_first = (F.col("_da") < F.col("_db")) | (
+        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
+    )
+    o = (
+        und.join(
+            deg.select(F.col("node").alias("a"), F.col("deg").alias("_da")),
+            "a",
+        )
+        .join(
+            deg.select(F.col("node").alias("b"), F.col("deg").alias("_db")),
+            "b",
+        )
+        .select(
+            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        )
+    )
+    return und, deg, o
+
+
+def _triangle_rows(o: DataFrame) -> DataFrame:
+    """Each triangle exactly once as (u, _mid, w): oriented wedges
+    u→_mid→w closed by an oriented u→w edge (every triangle has exactly
+    one vertex with two out-edges under degree orientation)."""
+    paths = o.select(F.col("u"), F.col("v").alias("_mid")).join(
+        o.select(F.col("u").alias("_mid"), F.col("v").alias("w")), "_mid"
+    )
+    return paths.join(
+        o.select(F.col("u"), F.col("v").alias("w")), ["u", "w"], "left_semi"
+    )
+
+
 def triangle_stats(edges: DataFrame, round_to: int = 6) -> DataFrame:
     """Exact triangle count, wedge count, and global clustering
     coefficient over an undirected edge list (either or both directions
@@ -88,51 +143,14 @@ def triangle_stats(edges: DataFrame, round_to: int = 6) -> DataFrame:
     metadata-sized aggregate job, which also materializes the pinned
     frames for the triangle branch).
     """
-    und = (
-        edges.select(
-            F.least(F.col("src"), F.col("dst")).alias("a"),
-            F.greatest(F.col("src"), F.col("dst")).alias("b"),
-        )
-        .filter(F.col("a") != F.col("b"))
-        .distinct()
-        .localCheckpoint(eager=False)
-    )
-    deg = (
-        und.select(F.col("a").alias("node"))
-        .union(und.select(F.col("b").alias("node")))
-        .groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .localCheckpoint(eager=False)
-    )
+    und, deg, o = _oriented_frames(edges)
     (wrow,) = deg.agg(
         F.coalesce(
             F.sum(F.col("deg") * (F.col("deg") - 1) / 2), F.lit(0)
         ).alias("nw")
     ).collect()
     n_wedges = int(wrow["nw"])
-    lower_first = (F.col("_da") < F.col("_db")) | (
-        (F.col("_da") == F.col("_db")) & (F.col("a") < F.col("b"))
-    )
-    o = (
-        und.join(
-            deg.select(F.col("node").alias("a"), F.col("deg").alias("_da")),
-            "a",
-        )
-        .join(
-            deg.select(F.col("node").alias("b"), F.col("deg").alias("_db")),
-            "b",
-        )
-        .select(
-            F.when(lower_first, F.col("a")).otherwise(F.col("b")).alias("u"),
-            F.when(lower_first, F.col("b")).otherwise(F.col("a")).alias("v"),
-        )
-    )
-    paths = o.select(F.col("u"), F.col("v").alias("_mid")).join(
-        o.select(F.col("u").alias("_mid"), F.col("v").alias("w")), "_mid"
-    )
-    tri = paths.join(
-        o.select(F.col("u"), F.col("v").alias("w")), ["u", "w"], "left_semi"
-    )
+    tri = _triangle_rows(o)
     n_tri = F.count(F.lit(1)).cast("double")
     return tri.agg(
         F.count(F.lit(1)).cast("long").alias("n_triangles"),
@@ -242,3 +260,50 @@ def pagerank(
     out = ranks.select("node", "rank").localCheckpoint(eager=True)
     e.unpersist()
     return out
+
+
+def local_clustering(edges: DataFrame, round_to: int = 4) -> DataFrame:
+    """Per-node local clustering coefficient over an undirected edge
+    list: ``lcc(v) = triangles_through_v / (deg_v choose 2)`` — the
+    node-level companion to :func:`triangle_stats`' global coefficient
+    (community-ness of each account in the co-activity graph; near-zero
+    lcc at high degree is the broadcast-bot signature).
+
+    Columns: ``node, deg, n_tri, lcc`` (every node of the graph; lcc is
+    0 for degree-1 nodes).
+
+    Plan: the degree-oriented enumeration emits each triangle exactly
+    ONCE as (u, mid, w) — same skew-bounded wedge join as
+    triangle_stats, fan-out capped at the max oriented out-degree
+    O(sqrt(m)) — then each triangle row explodes to its three corners
+    and one node-keyed count joins back to the node-sized degree frame.
+    Nothing in the plan is more than 3× triangle-count rows or
+    node-count rows after the wedge join.
+    """
+    und, deg, o = _oriented_frames(edges)
+    corners = _triangle_rows(o).select(
+        F.explode(F.array(F.col("u"), F.col("_mid"), F.col("w"))).alias(
+            "node"
+        )
+    )
+    per_node = corners.groupBy("node").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tri")
+    )
+    d2 = F.col("deg").cast("double") * (F.col("deg").cast("double") - 1.0)
+    return (
+        deg.join(per_node, "node", "left")
+        .select(
+            "node",
+            F.col("deg").cast("long").alias("deg"),
+            F.coalesce(F.col("n_tri"), F.lit(0).cast("long")).alias("n_tri"),
+            F.round(
+                F.when(
+                    F.col("deg") >= 2,
+                    F.lit(2.0)
+                    * F.coalesce(F.col("n_tri"), F.lit(0)).cast("double")
+                    / d2,
+                ).otherwise(F.lit(0.0)),
+                round_to,
+            ).alias("lcc"),
+        )
+    )

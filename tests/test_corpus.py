@@ -310,3 +310,48 @@ def test_ngram_novelty_shared_vs_unique(spark):
     # docs 0/1 identical -> df=2 for all their grams -> novelty 0
     assert got[0] == (3, 0, 0.0) and got[1] == (3, 0, 0.0)
     assert got[2] == (3, 3, 1.0)
+
+
+def test_js_divergence_identical_and_disjoint(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        source_js_divergence,
+    )
+
+    rows = [
+        Row(source="a", text="x y z"),
+        Row(source="b", text="x y z"),       # identical dist to a
+        Row(source="c", text="p q r"),       # disjoint from both
+    ]
+    out = source_js_divergence(spark.createDataFrame(rows), "source", "text")
+    got = {(r.source_a, r.source_b): (r.n_shared_terms, r.jsd) for r in out.collect()}
+    assert got[("a", "b")] == (3, 0.0)
+    # fully disjoint pair never appears in the inner join -> absent row;
+    # that's the documented contract (jsd would be ln2)
+    assert ("a", "c") not in got
+
+
+def test_js_divergence_hand_computed(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        source_js_divergence,
+    )
+
+    # a: {x: 1}, b: {x: .5, y: .5}
+    rows = [Row(source="a", text="x x"), Row(source="b", text="x y")]
+    out = source_js_divergence(spark.createDataFrame(rows), "source", "text").collect()
+    (r,) = out
+    p, q = 1.0, 0.5
+    expect = 0.5 * (
+        p * math.log(2 * p / (p + q))
+        + q * math.log(2 * q / (p + q))
+        + math.log(2) * ((1 - p) + (1 - q))
+    )
+    assert r.n_shared_terms == 1
+    assert r.jsd == round(expect, 6)

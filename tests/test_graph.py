@@ -135,3 +135,36 @@ def test_triangle_differential_random(spark):
     df = spark.createDataFrame(sorted(und), ["src", "dst"])
     (r,) = triangle_stats(df).collect()
     assert r["n_triangles"] == expected
+
+
+def test_local_clustering_triangle_plus_tail(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        local_clustering,
+    )
+
+    # triangle 1-2-3 plus pendant 3-4
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (3, 4)], "src long, dst long"
+    )
+    got = {r.node: (r.deg, r.n_tri, r.lcc) for r in local_clustering(edges).collect()}
+    assert got[1] == (2, 1, 1.0)
+    assert got[2] == (2, 1, 1.0)
+    # node 3: deg 3, one triangle of 3 possible pairs -> 2*1/(3*2)=0.3333
+    assert got[3] == (3, 1, 0.3333)
+    assert got[4] == (1, 0, 0.0)
+
+
+def test_local_clustering_consistent_with_global(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        local_clustering,
+        triangle_stats,
+    )
+
+    # K4 plus an edge: every node-triangle membership sums to 3*total
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (4, 5)],
+        "src long, dst long",
+    )
+    g = triangle_stats(edges).collect()[0]
+    lc = local_clustering(edges).collect()
+    assert sum(r.n_tri for r in lc) == 3 * g.n_triangles == 12
