@@ -396,3 +396,76 @@ def hll_distinct(
         "n_registers",
         F.round(est, round_to).alias("est_distinct"),
     )
+
+
+def log_histogram_quantiles(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    buckets_per_decade: int = 20,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group approximate p50/p90/p99 from a LOG-BUCKET histogram
+    sketch (HdrHistogram / DDSketch class): positive values land in
+    bucket ``floor(log10(v)·B)`` (B buckets per decade → relative error
+    ≤ 10^(1/2B)-1, ~5.9% at B=20), the per-group sketch is just bucket
+    counts — MERGEABLE BY ADDITION, the property that distinguishes it
+    from exact percentiles: two corpus snapshots' sketches, or a
+    thousand executors' partials, combine with a cell-wise sum (here:
+    plain map-side combine), while an exact percentile needs the full
+    value multiset every time.
+
+    Columns: ``*key_cols, n, p50, p90, p99`` — each pN is the midpoint
+    ``10^((b+0.5)/B)`` of the smallest bucket whose cumulative count
+    reaches rank ``⌈p·n⌉``.
+
+    Engine-portability: ranks are computed with INTEGER rational
+    arithmetic (⌈p·n⌉ = floor((p_num·n + p_den - 1)/p_den)) so no float
+    boundary can disagree; the bucket index and midpoint are single
+    log10/pow calls on literals both engines fold identically.
+
+    Plan: one projection → groupBy(keys, bucket) with map-side combine
+    (shuffle carries ≤ buckets·groups rows) → cumulative window per
+    group (state: one running sum over ~dozens of buckets) → one
+    conditional-min aggregate.  Non-positive / null values are excluded
+    (log domain), counted nowhere — the DDSketch convention.
+    """
+    v = F.col(value_col).cast("double")
+    b = F.floor(F.log10(v) * F.lit(buckets_per_decade)).cast("long")
+    counts = (
+        df.filter(v > 0)
+        .select(*[F.col(c) for c in key_cols], b.alias("_b"))
+        .groupBy(*key_cols, "_b")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wk = Window.partitionBy(*key_cols)
+    wcum = wk.orderBy("_b").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum = counts.withColumn("_cum", F.sum("_c").over(wcum)).withColumn(
+        "_n", F.sum("_c").over(wk)
+    )
+
+    def rank(num: int, den: int):
+        # integer ceil(num*n/den)
+        return F.floor(
+            (F.lit(num) * F.col("_n") + F.lit(den - 1)) / F.lit(den)
+        ).cast("long")
+
+    def est(num: int, den: int):
+        hit = F.min(
+            F.when(F.col("_cum") >= rank(num, den), F.col("_b"))
+        )
+        return F.round(
+            F.pow(
+                F.lit(10.0),
+                (hit.cast("double") + F.lit(0.5))
+                / F.lit(float(buckets_per_decade)),
+            ),
+            round_to,
+        )
+
+    return cum.groupBy(*key_cols).agg(
+        F.max("_n").cast("long").alias("n"),
+        est(1, 2).alias("p50"),
+        est(9, 10).alias("p90"),
+        est(99, 100).alias("p99"),
+    )

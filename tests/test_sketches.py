@@ -217,3 +217,36 @@ def test_hll_python_differential(spark):
     )
     got = hll_distinct(df, ["g"], "v").collect()[0]
     assert got.est_distinct == pytest.approx(round(expect, 4), abs=1e-4)
+
+
+def test_log_histogram_quantiles_accuracy_and_merge(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.sketches import (
+        log_histogram_quantiles,
+    )
+
+    vals = [float(i) for i in range(1, 1001)]  # uniform 1..1000
+    df = spark.createDataFrame([(v,) for v in vals], "v double").withColumn(
+        "g", F.lit("a")
+    )
+    row = log_histogram_quantiles(df, ["g"], "v").collect()[0]
+    assert row.n == 1000
+    # relative error bound: 10^(1/40)-1 ~ 5.9%; allow bucket-edge slack
+    for est, true in [(row.p50, 500), (row.p90, 900), (row.p99, 990)]:
+        assert abs(est - true) / true < 0.12
+    # mergeability: two halves' sketches sum to the whole (same output)
+    h1 = spark.createDataFrame([(v,) for v in vals[:500]], "v double").withColumn("g", F.lit("a"))
+    h2 = spark.createDataFrame([(v,) for v in vals[500:]], "v double").withColumn("g", F.lit("a"))
+    merged = log_histogram_quantiles(h1.union(h2), ["g"], "v").collect()[0]
+    assert (merged.p50, merged.p90, merged.p99) == (row.p50, row.p90, row.p99)
+
+
+def test_log_histogram_ignores_nonpositive(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.sketches import (
+        log_histogram_quantiles,
+    )
+
+    df = spark.createDataFrame(
+        [(-1.0,), (0.0,), (None,), (10.0,), (10.0,)], "v double"
+    ).withColumn("g", F.lit("a"))
+    row = log_histogram_quantiles(df, ["g"], "v").collect()[0]
+    assert row.n == 2
