@@ -5925,6 +5925,50 @@ FROM cum GROUP BY event_type ORDER BY event_type
 """
 
 
+def q_quality_percentile(spark, sf_dir):
+    """Per-source percent-rank normalization of the quality score — the
+    calibration step before a GLOBAL quality threshold: a raw cutoff
+    applied across domains silently skews the mix toward whichever
+    domain's score distribution sits higher, so curation pipelines
+    threshold the within-domain percentile instead (CCNet's per-bucket
+    split is this move).  One window over source, rank state only;
+    ties share a rank so the result is deterministic without a
+    tiebreak column."""
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        quality_score,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
+    w = Window.partitionBy("source").orderBy("quality")
+    return (
+        d.select("doc_id", "source", quality_score(F.col("text")).alias("quality"))
+        .withColumn("q_pct", F.round(F.percent_rank().over(w), 6))
+        .transform(_by("doc_id"))
+    )
+
+
+def _quality_percentile_sql():
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        STOPWORDS,
+    )
+
+    stop = _stop_sql(STOPWORDS["en"])
+    return f"""
+WITH q AS (SELECT doc_id, source,
+  ROUND(0.4 * least(CAST({_TOK_SQL} AS DOUBLE) / 100.0, 1.0)
+      + 0.3 * (1.0 - least(CAST({_PUNCT_SQL} AS DOUBLE) * 4.0, 1.0))
+      + 0.3 * least(CAST({stop} AS DOUBLE) / greatest({_TOK_SQL}, 1) * 5.0,
+                    1.0), 4) AS quality
+  FROM documents)
+SELECT doc_id, source, quality,
+       ROUND(percent_rank() OVER (PARTITION BY source ORDER BY quality), 6)
+         AS q_pct
+FROM q ORDER BY doc_id
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -6032,6 +6076,7 @@ _QUERIES_PAST_WINDOW = [
     "q_corpus_divergence",
     "q_local_clustering",
     "q_value_histogram",
+    "q_quality_percentile",
     "q_yaml_sniff",
     "q_evaluate_config",
     "q_eval_report",
@@ -6221,6 +6266,7 @@ def oracle_sql() -> dict[str, str]:
         "q_corpus_divergence": Q_CORPUS_DIVERGENCE_SQL,
         "q_local_clustering": Q_LOCAL_CLUSTERING_SQL,
         "q_value_histogram": Q_VALUE_HISTOGRAM_SQL,
+        "q_quality_percentile": _quality_percentile_sql(),
         "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
         "q_decontaminate": Q_DECONTAMINATE_SQL,
         "q_quality_repetition": Q_QUALITY_REPETITION_SQL,
