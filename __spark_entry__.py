@@ -5969,6 +5969,113 @@ FROM q ORDER BY doc_id
 """
 
 
+def q_benford(spark, sf_dir):
+    """Benford first-digit conformance per event type (audit.
+    benford_digit_audit, Benford 1938): observed first-significant-digit
+    counts vs log10(1+1/d), summarized as chi² — the forensic ingest
+    audit for synthetic/clipped/unit-mixed numeric feeds.  The corpus
+    collapses to ≤9 digit rows per group in the FIRST aggregate
+    (map-side combine); the group total rides a window over those 9
+    rows; expected probabilities fold in as literals (Python-computed,
+    byte-identical in the oracle)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.audit import (
+        benford_digit_audit,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return benford_digit_audit(e, ["event_type"], "value").transform(
+        _by("event_type")
+    )
+
+
+def _benford_sql():
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.audit import (
+        _BENFORD,
+    )
+
+    # CAST the probability literals to DOUBLE: DuckDB parses decimal
+    # literals as DECIMAL(38), and (c - pd*n)^2 on BIGINT counts then
+    # overflows DECIMAL multiplication at sf0.1 corpus sizes
+    case = "CASE d " + " ".join(
+        f"WHEN {d} THEN CAST({_BENFORD[d]!r} AS DOUBLE)"
+        for d in range(1, 10)
+    ) + " END"
+    return f"""
+WITH v AS (SELECT event_type,
+             CAST(floor(value / pow(10, floor(log10(value))) + 1e-9)
+                  AS INTEGER) AS d
+           FROM events WHERE value > 0),
+c AS (SELECT event_type, d, CAST(COUNT(*) AS DOUBLE) AS c
+      FROM v GROUP BY 1, 2),
+n AS (SELECT event_type, d, c,
+        SUM(c) OVER (PARTITION BY event_type) AS n FROM c),
+p AS (SELECT *, {case} AS pd FROM n)
+SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+       ROUND(SUM((c - pd * n) * (c - pd * n) / (pd * n))
+             + (1.0 - SUM(pd)) * MAX(n), 6) AS chi2
+FROM p GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_filter_agreement(spark, sf_dir):
+    """Cohen's kappa between two quality gates (audit.filter_agreement):
+    the composite quality score ≥ 0.5 vs a bare 50-token length gate —
+    the redundancy audit that answers "is my quality filter just a
+    length proxy?" (kappa ≈ 1 says yes).  ONE corpus aggregate of four
+    conditional sums — the 2×2 contingency never materializes as rows,
+    no groupBy, map-side partials only."""
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        quality_score,
+        token_count,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.audit import (
+        filter_agreement,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
+    return filter_agreement(
+        d,
+        quality_score(F.col("text")) >= F.lit(0.5),
+        token_count(F.col("text")) >= F.lit(50),
+    )
+
+
+def _filter_agreement_sql():
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        STOPWORDS,
+    )
+
+    stop = _stop_sql(STOPWORDS["en"])
+    q = (
+        f"ROUND(0.4 * least(CAST({_TOK_SQL} AS DOUBLE) / 100.0, 1.0)"
+        f" + 0.3 * (1.0 - least(CAST({_PUNCT_SQL} AS DOUBLE) * 4.0, 1.0))"
+        f" + 0.3 * least(CAST({stop} AS DOUBLE) / greatest({_TOK_SQL}, 1)"
+        f" * 5.0, 1.0), 4)"
+    )
+    return f"""
+WITH l AS (SELECT ({q} >= 0.5) AS a, ({_TOK_SQL} >= 50) AS b
+           FROM documents),
+agg AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+          CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS DOUBLE) AS tt,
+          CAST(SUM(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS DOUBLE) AS tf,
+          CAST(SUM(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS DOUBLE) AS ft,
+          CAST(SUM(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS DOUBLE)
+            AS ff
+        FROM l),
+k AS (SELECT n, (tt + ff) / n AS po,
+        ((tt + tf) / n) * ((tt + ft) / n)
+          + (1.0 - (tt + tf) / n) * (1.0 - (tt + ft) / n) AS pe
+      FROM agg)
+SELECT CAST(n AS BIGINT) AS n, ROUND(po, 6) AS p_observed,
+       ROUND(pe, 6) AS p_expected,
+       ROUND(CASE WHEN pe >= 1.0 THEN 0.0
+                  ELSE (po - pe) / (1.0 - pe) END, 6) AS kappa
+FROM k
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -6077,6 +6184,8 @@ _QUERIES_PAST_WINDOW = [
     "q_local_clustering",
     "q_value_histogram",
     "q_quality_percentile",
+    "q_benford",
+    "q_filter_agreement",
     "q_yaml_sniff",
     "q_evaluate_config",
     "q_eval_report",
@@ -6267,6 +6376,8 @@ def oracle_sql() -> dict[str, str]:
         "q_local_clustering": Q_LOCAL_CLUSTERING_SQL,
         "q_value_histogram": Q_VALUE_HISTOGRAM_SQL,
         "q_quality_percentile": _quality_percentile_sql(),
+        "q_benford": _benford_sql(),
+        "q_filter_agreement": _filter_agreement_sql(),
         "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
         "q_decontaminate": Q_DECONTAMINATE_SQL,
         "q_quality_repetition": Q_QUALITY_REPETITION_SQL,

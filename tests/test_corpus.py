@@ -355,3 +355,60 @@ def test_js_divergence_hand_computed(spark):
     )
     assert r.n_shared_terms == 1
     assert r.jsd == round(expect, 6)
+
+
+def test_benford_conformant_vs_uniform(spark):
+    import math
+
+    from pyspark.sql import Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.audit import (
+        benford_digit_audit,
+    )
+
+    # group "b": perfectly Benford-proportioned counts -> chi2 == 0 after
+    # scaling (we build counts exactly proportional where possible is
+    # messy; instead assert ordering: uniform-digit data scores much
+    # higher chi2 than log-spread data)
+    logspread = [Row(g="log", v=float(10 ** (i / 97.0))) for i in range(97 * 3)]
+    uniform = [Row(g="uni", v=float(100 + i)) for i in range(300)]  # digits 1-3
+    df = spark.createDataFrame(logspread + uniform)
+    got = {r.g: r.chi2 for r in benford_digit_audit(df, ["g"], "v").collect()}
+    assert got["uni"] > got["log"] * 5
+
+
+def test_benford_first_digit_boundaries(spark):
+    from pyspark.sql import Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.audit import (
+        first_digit,
+    )
+
+    import pyspark.sql.functions as F
+
+    df = spark.createDataFrame(
+        [Row(v=0.3), Row(v=0.99), Row(v=100.0), Row(v=9.99), Row(v=-5.0), Row(v=0.0)]
+    )
+    got = [r.d for r in df.select(first_digit(F.col("v")).alias("d")).collect()]
+    assert got == [3, 9, 1, 9, None, None]
+
+
+def test_filter_agreement_kappa_extremes(spark):
+    from pyspark.sql import Row
+
+    import pyspark.sql.functions as F
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.audit import (
+        filter_agreement,
+    )
+
+    df = spark.createDataFrame([Row(x=i) for i in range(100)])
+    # identical gates -> kappa 1
+    (r,) = filter_agreement(df, F.col("x") < 50, F.col("x") < 50).collect()
+    assert r.kappa == 1.0 and r.p_observed == 1.0
+    # independent-ish gates (parity vs half) -> kappa ~ 0
+    (r2,) = filter_agreement(df, F.col("x") % 2 == 0, F.col("x") < 50).collect()
+    assert abs(r2.kappa) < 0.05
+    # degenerate all-true both -> pe = 1 -> kappa defined as 0
+    (r3,) = filter_agreement(df, F.lit(True), F.lit(True)).collect()
+    assert r3.kappa == 0.0
