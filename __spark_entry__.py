@@ -6076,6 +6076,121 @@ FROM k
 """
 
 
+def q_zipf(spark, sf_dir):
+    """Per-source Zipf's-law fit (audit.zipf_fit, Zipf 1949): OLS of
+    ln(term frequency) on ln(rank) — natural text sits near slope -1
+    with high r²; templated or generated feeds flatten/decorrelate.
+    CENTERED least-squares sums (the raw-moment form cancels 10+ digits
+    at vocab size and can't survive cross-engine summation jitter); one
+    exchange after the vocab-sized term-count aggregate, with the rank
+    window, the mean windows, and the final aggregate all sharing that
+    partitioning."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.audit import (
+        zipf_fit,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return zipf_fit(d, ["source"], "text").transform(_by("source"))
+
+
+Q_ZIPF_SQL = f"""
+WITH nm AS (SELECT source, {_NORM_SQL} AS nt FROM documents),
+toks AS (SELECT source, t.term FROM nm,
+           unnest(str_split(nt, ' ')) AS t(term)
+         WHERE t.term <> ''),
+tf AS (SELECT source, term, COUNT(*) AS c FROM toks GROUP BY 1, 2),
+xy AS (SELECT source,
+         ln(CAST(ROW_NUMBER() OVER (PARTITION BY source
+              ORDER BY c DESC, term ASC) AS DOUBLE)) AS x,
+         ln(CAST(c AS DOUBLE)) AS y
+       FROM tf),
+ctr AS (SELECT source,
+          x - AVG(x) OVER (PARTITION BY source) AS dx,
+          y - AVG(y) OVER (PARTITION BY source) AS dy
+        FROM xy)
+SELECT source, COUNT(*) AS n_terms,
+       ROUND(CASE WHEN SUM(dx*dx) > 0 THEN SUM(dx*dy) / SUM(dx*dx) END,
+             6) AS zipf_slope,
+       ROUND(CASE WHEN SUM(dx*dx) > 0 AND SUM(dy*dy) > 0
+                  THEN SUM(dx*dy) * SUM(dx*dy)
+                       / (SUM(dx*dx) * SUM(dy*dy)) END, 6) AS r2
+FROM ctr GROUP BY source ORDER BY source
+"""
+
+
+def q_mad_outliers(spark, sf_dir):
+    """Per-event-type robust outlier census (audit.robust_outliers,
+    Iglewicz & Hoaglin 1993): modified z-score 0.6745·|v-med|/MAD > 3.5
+    over median/MAD — the location/scale pair the outliers can't drag.
+    Exact interpolated medians (the certified path; exact=False swaps in
+    the mergeable percentile_approx sketch for 100 TB groups); per-group
+    stats return via broadcast joins so the input never shuffles."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.audit import (
+        robust_outliers,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return robust_outliers(e, ["event_type"], "value").transform(
+        _by("event_type")
+    )
+
+
+Q_MAD_OUTLIERS_SQL = """
+WITH v AS (SELECT event_type, CAST(value AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL),
+med AS (SELECT event_type, ROUND(median(v), 9) AS med FROM v GROUP BY 1),
+ad AS (SELECT v.event_type, abs(v.v - m.med) AS ad
+       FROM v JOIN med m USING (event_type)),
+st AS (SELECT event_type, ROUND(median(ad), 9) AS mad FROM ad GROUP BY 1),
+f AS (SELECT v.event_type, v.v, m.med, s.mad
+      FROM v JOIN med m USING (event_type) JOIN st s USING (event_type))
+SELECT event_type, COUNT(*) AS n,
+       ROUND(MAX(med), 6) AS median, ROUND(MAX(mad), 6) AS mad,
+       CAST(SUM(CASE WHEN 0.6745 * abs(v - med) > 3.5 * mad
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       ROUND(CAST(SUM(CASE WHEN 0.6745 * abs(v - med) > 3.5 * mad
+                           THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS outlier_frac
+FROM f GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_gini(spark, sf_dir):
+    """Per-source Gini + top-1% share of document character mass
+    (audit.gini_concentration): the mixture-balance audit — is one
+    mega-document carrying a source?  Sorted-rank identity
+    (2·Σi·x₍ᵢ₎ - (n+1)·Σx)/(n·Σx) with integer-valued sums (exact in
+    doubles), ONE exchange (the source window), tie order provably
+    irrelevant."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.audit import (
+        gini_concentration,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return gini_concentration(d, ["source"], "n_chars").transform(
+        _by("source")
+    )
+
+
+Q_GINI_SQL = """
+WITH v AS (SELECT source, CAST(n_chars AS DOUBLE) AS x FROM documents
+           WHERE n_chars IS NOT NULL AND n_chars >= 0),
+r AS (SELECT source, x,
+        CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY x ASC)
+             AS DOUBLE) AS i,
+        CAST(COUNT(*) OVER (PARTITION BY source) AS DOUBLE) AS n
+      FROM v)
+SELECT source, CAST(MAX(n) AS BIGINT) AS n, ROUND(SUM(x), 6) AS total,
+       ROUND(CASE WHEN SUM(x) > 0 THEN
+         (2.0 * SUM(i * x) - (MAX(n) + 1.0) * SUM(x))
+         / (MAX(n) * SUM(x)) END, 6) AS gini,
+       ROUND(CASE WHEN SUM(x) > 0 THEN
+         SUM(CASE WHEN i > n - ceil(n * 0.01) THEN x ELSE 0.0 END)
+         / SUM(x) END, 6) AS top_share
+FROM r GROUP BY source ORDER BY source
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -6186,6 +6301,9 @@ _QUERIES_PAST_WINDOW = [
     "q_quality_percentile",
     "q_benford",
     "q_filter_agreement",
+    "q_zipf",
+    "q_mad_outliers",
+    "q_gini",
     "q_yaml_sniff",
     "q_evaluate_config",
     "q_eval_report",
@@ -6378,6 +6496,9 @@ def oracle_sql() -> dict[str, str]:
         "q_quality_percentile": _quality_percentile_sql(),
         "q_benford": _benford_sql(),
         "q_filter_agreement": _filter_agreement_sql(),
+        "q_zipf": Q_ZIPF_SQL,
+        "q_mad_outliers": Q_MAD_OUTLIERS_SQL,
+        "q_gini": Q_GINI_SQL,
         "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
         "q_decontaminate": Q_DECONTAMINATE_SQL,
         "q_quality_repetition": Q_QUALITY_REPETITION_SQL,

@@ -1,18 +1,26 @@
-"""Data-quality audit operators: Benford first-digit conformance and
-inter-filter agreement (Cohen's kappa).
+"""Data-quality audit operators: Benford first-digit conformance,
+inter-filter agreement (Cohen's kappa), Zipf's-law fit, MAD robust
+outliers, and Gini concentration.
 
 Reference parity: the reference validates single documents against
 configured schemas (assessment/evaluation services); these are the
 CORPUS-level audits a 100 TB ingest runs before trusting a feed — does a
 numeric column's first-digit distribution look organic (Benford 1938;
-fabricated or clipped feeds don't), and do two quality gates actually
+fabricated or clipped feeds don't), do two quality gates actually
 measure different things (near-1 kappa means a redundant filter, near-0
-means the gates disagree on what "bad" is and the cascade order matters).
+means the gates disagree on what "bad" is and the cascade order
+matters), does a source's term-frequency curve look like natural
+language (Zipf slope ≈ -1; templated/generated feeds flatten or
+steepen it), which numeric feeds carry heavy-tailed junk (modified
+z-score over median/MAD — mean/stddev are themselves corrupted by the
+outliers they're meant to find), and how concentrated is corpus mass
+across documents (Gini + top-share: one mega-source drowning the
+mixture).
 
-Scale shape: both collapse the corpus to a handful of rows in their
-FIRST aggregate (9 digit buckets; a 2×2 contingency) with map-side
-combine, then do constant-size arithmetic — nothing downstream of the
-first shuffle is larger than a screenful.
+Scale shape: every audit collapses the corpus to group-sized state in
+its FIRST aggregate (9 digit buckets; a 2×2 contingency; vocab term
+counts; per-group medians; per-group rank sums) with map-side combine —
+nothing downstream of the first shuffle is more than vocabulary-sized.
 """
 
 from __future__ import annotations
@@ -135,4 +143,228 @@ def filter_agreement(
         F.round(po, round_to).alias("p_observed"),
         F.round(pe, round_to).alias("p_expected"),
         F.round(kappa, round_to).alias("kappa"),
+    )
+
+
+def zipf_fit(
+    df: DataFrame,
+    key_cols: list[str],
+    text_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group Zipf's-law fit over the term-frequency distribution:
+    rank terms by frequency (desc, term asc tiebreak) and OLS-fit
+    ln(freq) on ln(rank).  Natural language sits near slope -1; template
+    spam flattens the head (slope → 0 over the top ranks), generated
+    gibberish decorrelates (low r²) — the linguistic twin of the Benford
+    digit audit.
+
+    Columns: ``*key_cols, n_terms, zipf_slope, r2`` (slope/r2 NULL for
+    degenerate groups: one term, or all terms equally frequent).
+
+    Numerics: the CENTERED formulas ``slope = Σdx·dy / Σdx²`` and
+    ``r² = (Σdx·dy)² / (Σdx²·Σdy²)`` with dx = x - x̄ — the raw-moment
+    form ``nΣxy - ΣxΣy`` cancels 10+ significant digits at real vocab
+    sizes and would not survive cross-engine summation-order jitter at
+    6-decimal rounding; the centered sums keep relative error ~1e-13.
+
+    Plan: tokenize (split materialized once per doc, JVM-side) →
+    groupBy(keys, term) with map-side combine (vocab-sized output) →
+    ONE exchange to keys for the rank window; the mean windows and the
+    final aggregate reuse that same partitioning — no further shuffle.
+    The corpus crosses no shuffle; only term counts do.
+    """
+    from pyspark.sql import Window
+
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        normalized_for_compare,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.common import (
+        ensure_min_partitions,
+    )
+
+    toks = ensure_min_partitions(df).select(
+        *[F.col(k) for k in key_cols],
+        F.explode(
+            F.filter(
+                F.split(
+                    normalized_for_compare(
+                        F.coalesce(F.col(text_col), F.lit(""))
+                    ),
+                    " ",
+                ),
+                lambda t: t != F.lit(""),
+            )
+        ).alias("term"),
+    )
+    tf = toks.groupBy(*key_cols, "term").agg(F.count(F.lit(1)).alias("_c"))
+    w_rank = Window.partitionBy(*key_cols).orderBy(
+        F.col("_c").desc(), F.col("term").asc()
+    )
+    w_keys = Window.partitionBy(*key_cols)
+    xy = tf.select(
+        *key_cols,
+        F.log(F.row_number().over(w_rank).cast("double")).alias("_x"),
+        F.log(F.col("_c").cast("double")).alias("_y"),
+    )
+    centered = xy.select(
+        *key_cols,
+        (F.col("_x") - F.avg("_x").over(w_keys)).alias("_dx"),
+        (F.col("_y") - F.avg("_y").over(w_keys)).alias("_dy"),
+    )
+    sxy = F.sum(F.col("_dx") * F.col("_dy"))
+    sxx = F.sum(F.col("_dx") * F.col("_dx"))
+    syy = F.sum(F.col("_dy") * F.col("_dy"))
+    return centered.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.round(
+            F.when(sxx > 0, sxy / sxx), round_to
+        ).alias("zipf_slope"),
+        F.round(
+            F.when((sxx > 0) & (syy > 0), (sxy * sxy) / (sxx * syy)),
+            round_to,
+        ).alias("r2"),
+    )
+
+
+def robust_outliers(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    z: float = 3.5,
+    exact: bool = True,
+    accuracy: int = 10000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group robust outlier census via the modified z-score
+    (Iglewicz & Hoaglin 1993): flag ``0.6745·|v - median| > z·MAD``.
+    Median/MAD are the right location/scale here because mean/stddev are
+    themselves dragged by the outliers they're meant to find — the feed
+    audit that catches unit-mixed and fat-fingered numeric columns.
+
+    Columns: ``*key_cols, n, median, mad, n_outliers, outlier_frac``.
+    A zero MAD (>50% of the group identical) flags any deviating value,
+    and no identical value, which is the standard convention.
+
+    ``exact=True`` (the certified path) uses Spark's exact interpolated
+    median — per-group state is O(distinct values), fine for bounded
+    groups.  At 100 TB with high-cardinality doubles set
+    ``exact=False``: ``percentile_approx`` is a mergeable bounded-size
+    sketch (map-side partials, no memory cliff) at the cost of rank
+    error ≤ 1/accuracy.
+
+    Plan: three passes over the (projected two-column) input — median,
+    MAD, flag census — each collapsing to one row per group with
+    map-side combine; the per-group stats come back via broadcast joins,
+    so the input itself never shuffles.
+    """
+    d = df.select(
+        *[F.col(k) for k in key_cols],
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+
+    def med(c):
+        # quantized to 9 decimals: the interpolated median of an even
+        # group is engine-implementation-sensitive in the last ulp
+        # ((a+b)/2 vs a+(b-a)*0.5), and the outlier flag compares
+        # against it — quantizing makes the boundary identical across
+        # engines while being 1000x finer than the reported rounding
+        m = F.median(c) if exact else F.percentile_approx(c, 0.5, accuracy)
+        return F.round(m, 9)
+
+    meds = d.groupBy(*key_cols).agg(med(F.col("_v")).alias("_med"))
+    devs = d.join(F.broadcast(meds), key_cols).select(
+        *key_cols,
+        F.col("_med"),
+        F.abs(F.col("_v") - F.col("_med")).alias("_ad"),
+    )
+    stats = devs.groupBy(*key_cols).agg(
+        med(F.col("_ad")).alias("_mad"), F.first("_med").alias("_med")
+    )
+    flagged = d.join(F.broadcast(stats), key_cols)
+    is_out = (
+        F.lit(0.6745) * F.abs(F.col("_v") - F.col("_med"))
+        > F.lit(float(z)) * F.col("_mad")
+    )
+    return (
+        flagged.groupBy(*key_cols)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(is_out.cast("long")).alias("n_outliers"),
+            F.round(F.first("_med"), round_to).alias("median"),
+            F.round(F.first("_mad"), round_to).alias("mad"),
+        )
+        .select(
+            *key_cols,
+            "n",
+            "median",
+            "mad",
+            "n_outliers",
+            F.round(
+                F.col("n_outliers") / F.col("n").cast("double"), round_to
+            ).alias("outlier_frac"),
+        )
+    )
+
+
+def gini_concentration(
+    df: DataFrame,
+    key_cols: list[str],
+    value_col: str,
+    top_frac: float = 0.01,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group Gini coefficient + top-share of a non-negative mass
+    column — the mixture-balance audit: is one mega-document (or one
+    crawl host) carrying half a source's mass?  Gini near 0 = uniform,
+    near 1 = concentrated; ``top_share`` = fraction of total mass held
+    by the top ``ceil(n·top_frac)`` rows.
+
+    Uses the sorted-rank identity ``G = (2·Σ i·x₍ᵢ₎ - (n+1)·Σx) /
+    (n·Σx)`` (x ascending).  Ties order arbitrarily but contribute
+    identically (equal x swaps don't change Σi·x), so no tiebreak column
+    is needed for determinism.
+
+    Columns: ``*key_cols, n, total, gini, top_share``.
+
+    Plan: ONE exchange (the keys window for rank + group count), then a
+    same-partitioned aggregate.  State per group is rank sums, not
+    values — nothing vocabulary- or corpus-sized survives the window.
+    """
+    from pyspark.sql import Window
+
+    d = df.select(
+        *[F.col(k) for k in key_cols],
+        F.col(value_col).cast("double").alias("_x"),
+    ).filter(F.col("_x").isNotNull() & (F.col("_x") >= 0))
+    w_keys = Window.partitionBy(*key_cols)
+    ranked = d.select(
+        *key_cols,
+        F.col("_x"),
+        F.row_number()
+        .over(Window.partitionBy(*key_cols).orderBy(F.col("_x").asc()))
+        .cast("double")
+        .alias("_i"),
+        F.count(F.lit(1)).over(w_keys).cast("double").alias("_n"),
+    )
+    in_top = F.col("_i") > F.col("_n") - F.ceil(
+        F.col("_n") * F.lit(float(top_frac))
+    ).cast("double")
+    sx = F.sum(F.col("_x"))
+    six = F.sum(F.col("_i") * F.col("_x"))
+    n = F.max(F.col("_n"))
+    return ranked.groupBy(*key_cols).agg(
+        F.max(F.col("_n")).cast("long").alias("n"),
+        F.round(sx, round_to).alias("total"),
+        F.round(
+            F.when(
+                sx > 0,
+                (F.lit(2.0) * six - (n + F.lit(1.0)) * sx) / (n * sx),
+            ),
+            round_to,
+        ).alias("gini"),
+        F.round(
+            F.when(sx > 0, F.sum(F.when(in_top, F.col("_x")).otherwise(F.lit(0.0))) / sx),
+            round_to,
+        ).alias("top_share"),
     )

@@ -1,0 +1,117 @@
+"""Hand-computed cases for the corpus-audit operators (operators/audit.py):
+Zipf fit, MAD robust outliers, Gini concentration.  (Benford + kappa live
+in test_corpus.py alongside the other corpus statistics.)"""
+
+from __future__ import annotations
+
+import math
+
+import pyspark.sql.functions as F
+from pyspark.sql import Row
+
+from accelerated_intelligent_document_processing_on_aws_spark.operators.audit import (
+    gini_concentration,
+    robust_outliers,
+    zipf_fit,
+)
+
+
+def _ols(xs, ys):
+    n = len(xs)
+    xb, yb = sum(xs) / n, sum(ys) / n
+    sxy = sum((x - xb) * (y - yb) for x, y in zip(xs, ys))
+    sxx = sum((x - xb) ** 2 for x in xs)
+    syy = sum((y - yb) ** 2 for y in ys)
+    return sxy / sxx, (sxy * sxy) / (sxx * syy)
+
+
+def test_zipf_hand_computed(spark):
+    # corpus: "a" x4, "b" x2, "c" x1 -> ranks 1,2,3 (freq desc)
+    df = spark.createDataFrame(
+        [Row(src="s", text="a a b"), Row(src="s", text="a a b c")]
+    )
+    (r,) = zipf_fit(df, ["src"], "text").collect()
+    xs = [math.log(1.0), math.log(2.0), math.log(3.0)]
+    ys = [math.log(4.0), math.log(2.0), math.log(1.0)]
+    slope, r2 = _ols(xs, ys)
+    assert r.n_terms == 3
+    assert r.zipf_slope == round(slope, 6)
+    assert r.r2 == round(r2, 6)
+
+
+def test_zipf_degenerate_groups(spark):
+    df = spark.createDataFrame(
+        [
+            Row(src="one_term", text="hello hello"),
+            # every term equally frequent -> syy = 0 -> r2 NULL, slope 0
+            Row(src="flat", text="x y z"),
+        ]
+    )
+    got = {r.src: r for r in zipf_fit(df, ["src"], "text").collect()}
+    assert got["one_term"].zipf_slope is None
+    assert got["one_term"].r2 is None
+    assert got["flat"].zipf_slope == 0.0
+    assert got["flat"].r2 is None
+
+
+def test_zipf_tiebreak_is_term_order(spark):
+    # b and c tie at freq 1: rank must assign b=2, c=3 (term asc), in
+    # every engine — the x values differ so the fit depends on it
+    df = spark.createDataFrame([Row(src="s", text="a a c b")])
+    (r,) = zipf_fit(df, ["src"], "text").collect()
+    xs = [math.log(1.0), math.log(2.0), math.log(3.0)]
+    ys = [math.log(2.0), math.log(1.0), math.log(1.0)]
+    slope, _ = _ols(xs, ys)
+    assert r.zipf_slope == round(slope, 6)
+
+
+def test_robust_outliers_hand_computed(spark):
+    vals = [float(i) for i in range(1, 10)] + [1000.0]
+    # median 5.5; abs devs sorted: .5 .5 1.5 1.5 2.5 2.5 3.5 3.5 4.5 994.5
+    # -> MAD 2.5; only 1000 clears 0.6745*|v-5.5| > 3.5*2.5
+    df = spark.createDataFrame([Row(g="a", v=v) for v in vals])
+    (r,) = robust_outliers(df, ["g"], "v").collect()
+    assert (r.n, r.median, r.mad) == (10, 5.5, 2.5)
+    assert (r.n_outliers, r.outlier_frac) == (1, 0.1)
+
+
+def test_robust_outliers_zero_mad(spark):
+    # >50% identical -> MAD 0: deviants flagged, identicals never
+    df = spark.createDataFrame(
+        [Row(g="a", v=7.0)] * 6 + [Row(g="a", v=8.0), Row(g="a", v=7.0 + 1e-12)]
+    )
+    (r,) = robust_outliers(df, ["g"], "v").collect()
+    assert r.mad == 0.0
+    assert r.n_outliers == 2
+
+
+def test_robust_outliers_approx_path(spark):
+    # exact=False (the 100 TB sketch path) agrees on this small input
+    df = spark.createDataFrame(
+        [Row(g="a", v=float(i)) for i in range(1, 10)] + [Row(g="a", v=1000.0)]
+    )
+    (r,) = robust_outliers(df, ["g"], "v", exact=False).collect()
+    assert r.n_outliers == 1
+
+
+def test_gini_uniform_and_concentrated(spark):
+    df = spark.createDataFrame(
+        [Row(s="uni", x=5.0)] * 4
+        + [Row(s="conc", x=0.0)] * 3
+        + [Row(s="conc", x=10.0)]
+    )
+    got = {r.s: r for r in gini_concentration(df, ["s"], "x").collect()}
+    assert got["uni"].gini == 0.0
+    # (2*(1*0+2*0+3*0+4*10) - 5*10) / (4*10) = 30/40
+    assert got["conc"].gini == 0.75
+    # ceil(4*0.01)=1 top row holds everything / a quarter of uniform
+    assert got["conc"].top_share == 1.0
+    assert got["uni"].top_share == 0.25
+
+
+def test_gini_null_and_negative_excluded(spark):
+    df = spark.createDataFrame(
+        [Row(s="a", x=5.0), Row(s="a", x=None), Row(s="a", x=-3.0)]
+    )
+    (r,) = gini_concentration(df, ["s"], "x").collect()
+    assert r.n == 1 and r.total == 5.0
