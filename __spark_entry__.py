@@ -6191,6 +6191,106 @@ FROM r GROUP BY source ORDER BY source
 """
 
 
+def q_rolling_events(spark, sf_dir):
+    """Calendar-aware trailing-7-day rolling metrics per event type
+    (timeseries.rolling_daily_metrics): RANGE frame on the epoch-day
+    integer so gap days age out exactly and the rolling average is per
+    CALENDAR day (missing days = zero activity), plus the
+    same-weekday-last-week delta via a point RANGE frame [-7,-7].  The
+    ROWS-frame twin (q_anomaly_days) stretches across gaps; this is the
+    rate-dashboard semantics.  One corpus aggregate to the daily series,
+    then one keys exchange shared by all three frames."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        rolling_daily_metrics,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return rolling_daily_metrics(e, ["event_type"], "ts", 7).transform(
+        _by("event_type", "day")
+    )
+
+
+Q_ROLLING_EVENTS_SQL = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n,
+         CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01'
+              AS BIGINT) AS dnum
+  FROM events GROUP BY 1, 2, 4)
+SELECT event_type, day, n,
+       CAST(SUM(n) OVER w AS BIGINT) AS rolling_sum,
+       CAST(COUNT(*) OVER w AS BIGINT) AS rolling_days,
+       ROUND(CAST(SUM(n) OVER w AS DOUBLE) / 7.0, 6) AS rolling_avg,
+       MAX(n) OVER wp AS prev_week_n,
+       n - MAX(n) OVER wp AS wow_delta
+FROM daily
+WINDOW w AS (PARTITION BY event_type ORDER BY dnum
+             RANGE BETWEEN 6 PRECEDING AND CURRENT ROW),
+       wp AS (PARTITION BY event_type ORDER BY dnum
+              RANGE BETWEEN 7 PRECEDING AND 7 PRECEDING)
+ORDER BY event_type, day
+"""
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of two exact rankings — cosine top-20 and
+    Euclidean top-20 — for the first 10 query vectors
+    (similarity.rrf_fuse, Cormack et al. 2009): the hybrid-search
+    combiner that rewards cross-ranker agreement without comparing
+    incommensurable scores.  Both base rankings broadcast the query
+    side (the corpus never shuffles) and round scores to 6 BEFORE
+    ranking so ranks are engine-portable; fusion itself runs over
+    rankings-sized input only."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_l2,
+        rrf_fuse,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    cos = brute_force_topk(e, q, "vec_id", "embedding", k=20)
+    l2 = brute_force_topk_l2(e, q, "vec_id", "embedding", k=20)
+    return rrf_fuse([cos, l2], k=5).transform(_by("query_id", "rank"))
+
+
+Q_RRF_FUSION_SQL = """
+WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qv
+           FROM embeddings WHERE vec_id < 10),
+e AS (SELECT vec_id AS nid, CAST(embedding AS DOUBLE[]) AS ev
+      FROM embeddings),
+pairs AS (SELECT qid, nid, qv, ev FROM q, e WHERE nid <> qid),
+cosr AS (
+  SELECT qid, nid,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+           ROUND(list_inner_product(qv, ev)
+                 / (sqrt(list_inner_product(qv, qv))
+                    * sqrt(list_inner_product(ev, ev))), 6) DESC,
+           nid ASC) AS r
+  FROM pairs),
+l2r AS (
+  SELECT qid, nid,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY
+           ROUND(sqrt(list_sum(list_transform(
+             range(1, len(qv) + 1),
+             i -> (qv[i] - ev[i]) * (qv[i] - ev[i])))), 6) ASC,
+           nid ASC) AS r
+  FROM pairs),
+u AS (SELECT qid, nid, r FROM cosr WHERE r <= 20
+      UNION ALL
+      SELECT qid, nid, r FROM l2r WHERE r <= 20),
+f AS (SELECT qid, nid, SUM(1.0 / (60.0 + r)) AS s, COUNT(*) AS nr
+      FROM u GROUP BY 1, 2),
+ranked AS (
+  SELECT qid, nid, s, nr,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, nid ASC)
+           AS rank
+  FROM f)
+SELECT qid AS query_id, nid AS neighbor_id, CAST(rank AS BIGINT) AS rank,
+       ROUND(s, 6) AS rrf_score, CAST(nr AS BIGINT) AS n_rankers
+FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -6304,6 +6404,8 @@ _QUERIES_PAST_WINDOW = [
     "q_zipf",
     "q_mad_outliers",
     "q_gini",
+    "q_rolling_events",
+    "q_rrf_fusion",
     "q_yaml_sniff",
     "q_evaluate_config",
     "q_eval_report",
@@ -6499,6 +6601,8 @@ def oracle_sql() -> dict[str, str]:
         "q_zipf": Q_ZIPF_SQL,
         "q_mad_outliers": Q_MAD_OUTLIERS_SQL,
         "q_gini": Q_GINI_SQL,
+        "q_rolling_events": Q_ROLLING_EVENTS_SQL,
+        "q_rrf_fusion": Q_RRF_FUSION_SQL,
         "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
         "q_decontaminate": Q_DECONTAMINATE_SQL,
         "q_quality_repetition": Q_QUALITY_REPETITION_SQL,

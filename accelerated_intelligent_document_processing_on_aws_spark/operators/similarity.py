@@ -103,6 +103,102 @@ def brute_force_topk(
     )
 
 
+def _l2_dist(a: Column, b: Column) -> Column:
+    """Euclidean distance via the elementwise fold Σ(xᵢ-yᵢ)² — NOT the
+    |a|²+|b|²-2a·b identity, which computes different doubles (and
+    therefore different rounded ranks) than an elementwise engine.  The
+    left-to-right fold is the cross-engine-reproducible form."""
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                a,
+                b,
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def brute_force_topk_l2(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact Euclidean top-k: (query_id, neighbor_id, rank, dist) —
+    the L2 twin of ``brute_force_topk`` (same broadcast-the-queries
+    shape: the corpus never shuffles; vectors are dropped before the
+    top-k window so the exchange moves scalar rows).  Distances are
+    rounded to 6 BEFORE ranking (neighbor_id tiebreak), making ranks
+    engine-portable the same way the cosine path's are."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    c = ensure_min_partitions(corpus).select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    )
+    scored = c.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).select(
+        "query_id",
+        "neighbor_id",
+        F.round(_l2_dist(F.col("qv"), F.col("cv")), 6).alias("dist"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "dist")
+    )
+
+
+def rrf_fuse(rankings: list[DataFrame], k: int = 5, c: int = 60) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher 2009) of any
+    number of (query_id, neighbor_id, rank) rankings — the standard
+    hybrid-search combiner (e.g. dense cosine + lexical BM25, or two ANN
+    metrics): ``rrf = Σ_r 1/(c + rank_r)``, which rewards agreement
+    without ever comparing incommensurable scores.
+
+    Columns: ``query_id, neighbor_id, rank, rrf_score, n_rankers``.
+    Deterministic: rrf_score is a sum of exact reciprocals (addition of
+    identical doubles is order-insensitive at this arity), tiebreak
+    neighbor_id asc.
+
+    Plan: unionAll of the (already top-k-sized) rankings → one
+    groupBy(query, neighbor) with map-side combine → one query-keyed
+    window.  Input to fusion is rankings-sized, never corpus-sized.
+    """
+    u = rankings[0].select("query_id", "neighbor_id", "rank")
+    for r in rankings[1:]:
+        u = u.unionByName(r.select("query_id", "neighbor_id", "rank"))
+    scores = u.groupBy("query_id", "neighbor_id").agg(
+        F.sum(F.lit(1.0) / (F.lit(float(c)) + F.col("rank").cast("double"))).alias(
+            "_s"
+        ),
+        F.count(F.lit(1)).alias("n_rankers"),
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_s").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scores.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id",
+            "neighbor_id",
+            "rank",
+            F.round(F.col("_s"), 6).alias("rrf_score"),
+            "n_rankers",
+        )
+    )
+
+
 def random_hyperplanes(dim: int, n_planes: int = 12, seed: int = 42) -> np.ndarray:
     rng = np.random.RandomState(seed)
     return rng.normal(size=(n_planes, dim))
