@@ -6291,6 +6291,123 @@ FROM ranked WHERE rank <= 5 ORDER BY query_id, rank
 """
 
 
+def q_prop_ztest(spark, sf_dir):
+    """Two-proportion z-test between every language pair on the
+    long-document rate (stats.prop_ztest_pairs): the A/B answer to "did
+    this slice's pass rate really change?".  ONE corpus aggregate to
+    (group, n, successes) — the pair blow-up is groups², never rows² —
+    then broadcast self-join + constant arithmetic."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        prop_ztest_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return prop_ztest_pairs(d, "lang", F.col("n_chars") >= 1000).transform(
+        _by("group_a", "group_b")
+    )
+
+
+Q_PROP_ZTEST_SQL = """
+WITH g AS (SELECT lang AS g, COUNT(*) AS n,
+             CAST(SUM(CASE WHEN n_chars >= 1000 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS s
+           FROM documents GROUP BY 1),
+p AS (SELECT a.g AS group_a, b.g AS group_b, a.n AS n_a, b.n AS n_b,
+             CAST(a.s AS DOUBLE) / a.n AS p1,
+             CAST(b.s AS DOUBLE) / b.n AS p2,
+             CAST(a.s + b.s AS DOUBLE) / (a.n + b.n) AS pp
+      FROM g a JOIN g b ON a.g < b.g)
+SELECT group_a, group_b, n_a, n_b,
+       ROUND(p1, 6) AS rate_a, ROUND(p2, 6) AS rate_b,
+       ROUND(CASE WHEN pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b) > 0
+                  THEN (p1 - p2)
+                       / sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b))
+             END, 6) AS z
+FROM p ORDER BY group_a, group_b
+"""
+
+
+def q_mann_whitney(spark, sf_dir):
+    """Mann-Whitney U rank-sum test en-vs-zh on document length
+    (stats.mann_whitney_u, Mann & Whitney 1947): the nonparametric
+    distribution-shift audit (no normality assumption — the t-test is
+    wrecked by exactly the heavy tails q_mad_outliers flags).  Exact
+    average-rank tie handling in rational arithmetic; the corpus
+    collapses to per-distinct-value tie counts BEFORE the single global
+    rank window, so only value-cardinality rows cross it."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        mann_whitney_u,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return mann_whitney_u(d, "lang", "n_chars", "en", "zh")
+
+
+Q_MANN_WHITNEY_SQL = """
+WITH d AS (SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v FROM documents
+           WHERE lang IN ('en', 'zh') AND n_chars IS NOT NULL),
+vc AS (SELECT v, COUNT(*) AS t,
+         CAST(SUM(CASE WHEN g = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ta
+       FROM d GROUP BY v),
+pv AS (SELECT t, ta,
+         SUM(t) OVER (ORDER BY v
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           - t + 1 AS r0
+       FROM vc),
+agg AS (SELECT
+          SUM(CAST(ta AS DOUBLE)
+              * (CAST(r0 AS DOUBLE) + (CAST(t AS DOUBLE) - 1.0) / 2.0))
+            AS ra,
+          CAST(SUM(ta) AS BIGINT) AS na,
+          CAST(SUM(t - ta) AS BIGINT) AS nb,
+          SUM(CAST(t AS DOUBLE) * CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+              - CAST(t AS DOUBLE)) AS tsum
+        FROM pv)
+SELECT na AS n_a, nb AS n_b,
+       ROUND(ra - na * (na + 1.0) / 2.0, 6) AS u_a,
+       ROUND(na * CAST(nb AS DOUBLE)
+             - (ra - na * (na + 1.0) / 2.0), 6) AS u_b,
+       ROUND(CASE WHEN na * CAST(nb AS DOUBLE) / 12.0
+                       * ((na + nb + 1.0)
+                          - tsum / ((na + nb) * (na + nb - 1.0))) > 0
+                  THEN (ra - na * (na + 1.0) / 2.0
+                        - na * CAST(nb AS DOUBLE) / 2.0)
+                       / sqrt(na * CAST(nb AS DOUBLE) / 12.0
+                              * ((na + nb + 1.0)
+                                 - tsum / ((na + nb) * (na + nb - 1.0))))
+             END, 6) AS z
+FROM agg
+"""
+
+
+def q_profile_docs(spark, sf_dir):
+    """ANALYZE-style column profile of the documents table
+    (stats.profile_columns): per column n / nulls / exact distinct /
+    string extrema in ONE scan.  exact_distinct=True is the certified
+    path (Spark plans Expand — input ×5 before the shuffle, deliberate
+    for a profile); the default approx_count_distinct path is the
+    one-pass mergeable-HLL 100 TB shape."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        profile_columns,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return profile_columns(d, exact_distinct=True).transform(_by("column"))
+
+
+def _profile_docs_sql():
+    per_col = " UNION ALL ".join(
+        f"""SELECT '{c}' AS "column", COUNT(*) AS n,
+       CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       COUNT(DISTINCT {c}) AS n_distinct,
+       MIN(CAST({c} AS VARCHAR)) AS min_str,
+       MAX(CAST({c} AS VARCHAR)) AS max_str FROM documents"""
+        for c in ["doc_id", "text", "lang", "source", "n_chars"]
+    )
+    return f'SELECT * FROM ({per_col}) ORDER BY "column"'
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -6406,6 +6523,9 @@ _QUERIES_PAST_WINDOW = [
     "q_gini",
     "q_rolling_events",
     "q_rrf_fusion",
+    "q_prop_ztest",
+    "q_mann_whitney",
+    "q_profile_docs",
     "q_yaml_sniff",
     "q_evaluate_config",
     "q_eval_report",
@@ -6603,6 +6723,9 @@ def oracle_sql() -> dict[str, str]:
         "q_gini": Q_GINI_SQL,
         "q_rolling_events": Q_ROLLING_EVENTS_SQL,
         "q_rrf_fusion": Q_RRF_FUSION_SQL,
+        "q_prop_ztest": Q_PROP_ZTEST_SQL,
+        "q_mann_whitney": Q_MANN_WHITNEY_SQL,
+        "q_profile_docs": _profile_docs_sql(),
         "q_chunk_dedup": Q_CHUNK_DEDUP_SQL,
         "q_decontaminate": Q_DECONTAMINATE_SQL,
         "q_quality_repetition": Q_QUALITY_REPETITION_SQL,

@@ -1,0 +1,208 @@
+"""Hypothesis-testing operators for corpus experiment analysis:
+two-proportion z-tests across group pairs and the Mann-Whitney U
+rank-sum test.
+
+Why these live in a 100 TB engine: curation decisions ("did the new
+filter change the pass rate?", "do two crawls draw from the same length
+distribution?") are A/B questions over groups too large for exact
+permutation tests — the classical asymptotic statistics are the right
+tool, and both reduce to tiny aggregates so the corpus never feeds a
+driver-side stats library.
+
+Scale shape: the z-test collapses each group to (n, successes) before
+any pair work (pairs are group-count², never row-count); Mann-Whitney
+needs one global rank over the two groups' values — a single sort-based
+window, tie handling in exact integer/rational arithmetic — then one
+aggregate.  Nothing pair- or corpus-sized survives the first shuffle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def prop_ztest_pairs(
+    df: DataFrame,
+    group_col: str,
+    success: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-proportion z-test between every ordered pair of groups
+    (a < b lexically): is ``success`` rate in group a different from
+    group b?  ``z = (p̂₁-p̂₂) / √(p̂(1-p̂)(1/n₁+1/n₂))`` with the pooled
+    proportion p̂ — |z| ≥ 1.96 rejects equality at 5%.
+
+    Columns: ``group_a, group_b, n_a, n_b, rate_a, rate_b, z``
+    (z NULL when the pooled variance is 0: all-success or all-failure
+    in both groups).
+
+    Plan: ONE corpus aggregate to (group, n, successes) — map-side
+    combine — then a self-join of that group-count-sized frame
+    (broadcast both sides are tiny) and constant arithmetic.  The pair
+    blow-up is groups², never rows².
+    """
+    g = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(success.cast("long")).alias("s"),
+    )
+    a = g.select(
+        F.col("g").alias("group_a"),
+        F.col("n").alias("n_a"),
+        F.col("s").alias("s_a"),
+    )
+    b = g.select(
+        F.col("g").alias("group_b"),
+        F.col("n").alias("n_b"),
+        F.col("s").alias("s_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+    p1 = F.col("s_a").cast("double") / F.col("n_a").cast("double")
+    p2 = F.col("s_b").cast("double") / F.col("n_b").cast("double")
+    pp = (F.col("s_a") + F.col("s_b")).cast("double") / (
+        F.col("n_a") + F.col("n_b")
+    ).cast("double")
+    var = (
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.lit(1.0) / F.col("n_a").cast("double")
+            + F.lit(1.0) / F.col("n_b").cast("double")
+        )
+    )
+    return pairs.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        F.round(p1, round_to).alias("rate_a"),
+        F.round(p2, round_to).alias("rate_b"),
+        F.round(
+            F.when(var > 0, (p1 - p2) / F.sqrt(var)), round_to
+        ).alias("z"),
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test (Mann & Whitney 1947): do two groups
+    draw from the same distribution of ``value_col``?  Nonparametric —
+    the distribution-shift audit that doesn't assume normality (the
+    parametric t-test is wrecked by the heavy tails MAD flags).
+
+    Average ranks for ties computed EXACTLY as ``rank + (ties-1)/2``
+    (a RANK window plus a per-value count — integer/rational arithmetic,
+    so cross-engine identical); the normal approximation uses the
+    tie-corrected variance ``σ² = n₁n₂/12·((N+1) - Σ(t³-t)/(N(N-1)))``.
+
+    Returns ONE row: ``n_a, n_b, u_a, u_b, z`` (U values are exact
+    halves at worst; z NULL when σ² = 0, i.e. every value tied).
+
+    Plan: filter to the two groups (pushed to the scan) → ONE
+    corpus-sized aggregate collapsing to per-DISTINCT-VALUE tie counts
+    (map-side combine) → the global rank window runs over distinct
+    values only (value-cardinality rows, never corpus rows — rank sums
+    Σrᵢ and the tie census Σ(t³-t) are both per-value algebra:
+    ``Σranks(v) = t_a·(rank(v) + (t-1)/2)``) → one scalar aggregate.
+    The corpus never crosses the single-partition window.
+    """
+    d = df.filter(F.col(group_col).isin([group_a, group_b])).select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    vc = d.groupBy("_v").agg(
+        F.count(F.lit(1)).alias("_t"),
+        F.sum((F.col("g") == group_a).cast("long")).alias("_ta"),
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    per_val = vc.select(
+        "_t",
+        "_ta",
+        # first rank of this value = (# rows with smaller value) + 1
+        (F.sum("_t").over(w) - F.col("_t") + F.lit(1)).alias("_r0"),
+    )
+    t = F.col("_t").cast("double")
+    ta = F.col("_ta").cast("double")
+    avg_rank = F.col("_r0").cast("double") + (t - F.lit(1.0)) / F.lit(2.0)
+    agg = per_val.agg(
+        F.sum(ta * avg_rank).alias("_ra"),
+        F.sum("_ta").alias("_na"),
+        F.sum(F.col("_t") - F.col("_ta")).alias("_nb"),
+        F.sum(t * t * t - t).alias("_tsum"),
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    n = na + nb
+    u_a = F.col("_ra") - na * (na + F.lit(1.0)) / F.lit(2.0)
+    u_b = na * nb - u_a
+    sigma2 = (
+        na
+        * nb
+        / F.lit(12.0)
+        * ((n + F.lit(1.0)) - F.col("_tsum") / (n * (n - F.lit(1.0))))
+    )
+    return agg.select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        F.round(u_a, round_to).alias("u_a"),
+        F.round(u_b, round_to).alias("u_b"),
+        F.round(
+            F.when(sigma2 > 0, (u_a - na * nb / F.lit(2.0)) / F.sqrt(sigma2)),
+            round_to,
+        ).alias("z"),
+    )
+
+
+def profile_columns(
+    df: DataFrame,
+    cols: list[str] | None = None,
+    exact_distinct: bool = False,
+) -> DataFrame:
+    """ANALYZE-style column profile: one output row per column with
+    ``column, n, n_null, n_distinct, min_str, max_str`` — the
+    first-look audit of an unfamiliar feed (null cliffs, constant
+    columns, cardinality explosions).  min/max compare on the string
+    form so the profile is type-uniform (numeric-aware profiling is the
+    histogram sketch's job).
+
+    ``exact_distinct=False`` (the 100 TB default) uses
+    ``approx_count_distinct`` — one pass, mergeable HLL sketches, ≤2%
+    relative error.  ``exact_distinct=True`` (the certified path) is
+    exact but plans Spark's Expand for multiple distinct aggregates:
+    the input is replicated once per profiled column before the
+    shuffle — fine for a sampled profile, deliberate at full scale.
+
+    Plan: ONE corpus scan, one aggregate computing every column's
+    counts and string extrema side by side (map-side partials), then an
+    explode of the single column-count-sized result row.
+    """
+    cols = cols or df.columns
+    per_col = []
+    for c in cols:
+        s = F.col(c).cast("string")
+        nd = (
+            F.count_distinct(F.col(c))
+            if exact_distinct
+            else F.approx_count_distinct(F.col(c))
+        )
+        per_col.append(
+            F.struct(
+                F.lit(c).alias("column"),
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col(c).isNull().cast("long")).alias("n_null"),
+                nd.alias("n_distinct"),
+                F.min(s).alias("min_str"),
+                F.max(s).alias("max_str"),
+            ).alias(f"_p_{c}")
+        )
+    agg = df.agg(*per_col)
+    stacked = agg.select(
+        F.explode(F.array(*[F.col(f"_p_{c}") for c in cols])).alias("p")
+    )
+    return stacked.select("p.*")
