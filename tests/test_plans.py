@@ -230,14 +230,17 @@ def test_incremental_dedup_is_anti_join_on_fingerprints(spark):
 def test_no_query_plans_nested_loop_or_rowwise_python(spark):
     """Whole-registry sweep: NO query may plan a CartesianProduct or a
     row-at-a-time BatchEvalPython, and BroadcastNestedLoopJoin may appear
-    only in the documented brute-force ANN baseline (q_knn_cosine, which
-    broadcasts the tiny query side over the never-shuffled corpus — its
-    scale paths are q_lsh_topk / q_ivf_topk).  Pins the audit run in
-    round 3 so a future query cannot silently regress to an all-pairs or
-    per-row-Python plan."""
+    only where a tiny broadcast side meets a non-equi predicate by
+    design: the brute-force ANN baselines (q_knn_cosine and
+    q_rrf_fusion's two base rankings — tiny query side broadcast over
+    the never-shuffled corpus; scale paths are q_lsh_topk / q_ivf_topk)
+    and q_prop_ztest's group-pair join (BOTH sides are per-group
+    aggregates, group-cardinality² rows regardless of corpus size).
+    Pins the audit run in round 3 so a future query cannot silently
+    regress to an all-pairs or per-row-Python plan."""
     import __spark_entry__ as em
 
-    bnlj_allowed = {"q_knn_cosine"}
+    bnlj_allowed = {"q_knn_cosine", "q_rrf_fusion", "q_prop_ztest"}
     for name, f in em.queries().items():
         p = plan_of(f(spark, "/root/testdata/sf0.001"))
         assert "CartesianProduct" not in p, name
