@@ -307,3 +307,49 @@ def local_clustering(edges: DataFrame, round_to: int = 4) -> DataFrame:
             ).alias("lcc"),
         )
     )
+
+
+def k_core(edges: DataFrame, k: int = 3, max_iters: int = 32) -> DataFrame:
+    """k-core (Seidman 1983): the maximal subgraph in which every node
+    keeps degree ≥ k, found by iterative peeling — drop every edge with
+    an endpoint of degree < k among SURVIVING edges, repeat to fixpoint.
+    The classic community/bot-ring density filter (a spam ring shows up
+    as a dense core the raw degree distribution hides).
+
+    Input: undirected edge list with BOTH directions present (the
+    ``coactivity_edges`` shape), so degree(node) = rows with src=node.
+    Returns ``(node, core_deg)`` for k-core members — core_deg is the
+    node's degree inside the core (≥ k by construction).
+
+    Per round: one aggregate for degrees, two node-keyed semi-joins to
+    drop edges, ``localCheckpoint`` to truncate lineage (the pagerank /
+    connected-components discipline) + one count for the convergence
+    test — peeling converges in peel-depth rounds (single digits on
+    real graphs; ``max_iters`` is a backstop).  Edges shrink
+    monotonically, so late rounds are nearly free; nothing larger than
+    the surviving edge list ever shuffles.
+    """
+    cur = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).localCheckpoint()
+    prev_n = cur.count()
+    for _ in range(max_iters):
+        if prev_n == 0:
+            break
+        deg = cur.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+        keep = deg.filter(F.col("_d") >= k).select("src")
+        nxt = (
+            cur.join(keep, "src")
+            .join(keep.select(F.col("src").alias("dst")), "dst")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+        n = nxt.count()
+        cur = nxt
+        if n == prev_n:
+            break
+        prev_n = n
+    return cur.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).alias("core_deg")
+    )

@@ -168,3 +168,49 @@ def test_local_clustering_consistent_with_global(spark):
     g = triangle_stats(edges).collect()[0]
     lc = local_clustering(edges).collect()
     assert sum(r.n_tri for r in lc) == 3 * g.n_triangles == 12
+
+
+def _both_dirs(spark, pairs):
+    """k_core expects the coactivity shape: both directions present."""
+    rows = sorted({(a, b) for a, b in pairs} | {(b, a) for a, b in pairs})
+    return spark.createDataFrame(rows, "src long, dst long")
+
+
+def test_kcore_clique_survives_tail_peels(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import k_core
+
+    # 5-clique (deg 4 each) + tail 1-6-7: the tail peels in two rounds,
+    # the clique is its own 3-core with core_deg 4
+    clique = [(i, j) for i in range(1, 6) for j in range(i + 1, 6)]
+    e = _both_dirs(spark, clique + [(1, 6), (6, 7)])
+    got = {r.node: r.core_deg for r in k_core(e, k=3).collect()}
+    assert got == {i: 4 for i in range(1, 6)}
+
+
+def test_kcore_chain_cascades_to_empty(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import k_core
+
+    # chain 1-2-3-4 under k=2: endpoints peel, exposing new endpoints,
+    # until nothing is left — the cascade is the whole point of k-core
+    e = _both_dirs(spark, [(1, 2), (2, 3), (3, 4)])
+    assert k_core(e, k=2).count() == 0
+
+
+def test_kcore_ring_is_its_own_2core(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import k_core
+
+    e = _both_dirs(spark, [(1, 2), (2, 3), (3, 4), (4, 5), (5, 1)])
+    got = {r.node: r.core_deg for r in k_core(e, k=2).collect()}
+    assert got == {n: 2 for n in range(1, 6)}
+
+
+def test_kcore_bounded_rounds_contract(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import k_core
+
+    # max_iters=1 on the chain: exactly one peel -> interior nodes 2,3
+    # survive with the single 2-3 edge.  This is the contract the DuckDB
+    # oracle relies on: N Spark rounds == N unrolled SQL peels, whether
+    # or not fixpoint was reached.
+    e = _both_dirs(spark, [(1, 2), (2, 3), (3, 4)])
+    got = {r.node: r.core_deg for r in k_core(e, k=2, max_iters=1).collect()}
+    assert got == {2: 1, 3: 1}
