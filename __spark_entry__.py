@@ -6442,6 +6442,286 @@ FROM agg
 """
 
 
+def q_ks_test(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov en-vs-zh on document length
+    (stats.ks_test): the supremum CDF gap — sensitive to shape shifts
+    Mann-Whitney's rank sum misses.  D is exact integer arithmetic
+    until one final division (|c_a·n_b − c_b·n_a| over per-distinct-
+    value cumulative counts), so the statistic is engine-portable
+    without tolerance; only value-cardinality rows cross the single
+    cumulative window."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        ks_test,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return ks_test(d, "lang", "n_chars", "en", "zh")
+
+
+Q_KS_TEST_SQL = """
+WITH d AS (SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v FROM documents
+           WHERE lang IN ('en', 'zh') AND n_chars IS NOT NULL),
+vc AS (SELECT v, COUNT(*) AS t,
+         CAST(SUM(CASE WHEN g = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS ta
+       FROM d GROUP BY v),
+cum AS (SELECT
+          CAST(SUM(ta) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS ca,
+          CAST(SUM(t - ta) OVER (ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+            AS BIGINT) AS cb,
+          CAST(SUM(ta) OVER () AS BIGINT) AS na,
+          CAST(SUM(t - ta) OVER () AS BIGINT) AS nb
+        FROM vc),
+m AS (SELECT CAST(MAX(ABS(ca * nb - cb * na)) AS BIGINT) AS g,
+             MAX(na) AS na, MAX(nb) AS nb FROM cum)
+SELECT na AS n_a, nb AS n_b,
+       ROUND(CAST(g AS DOUBLE)
+             / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)), 6) AS d,
+       ROUND(SQRT(CAST(na AS DOUBLE) * CAST(nb AS DOUBLE)
+                  / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)))
+             * (CAST(g AS DOUBLE)
+                / (CAST(na AS DOUBLE) * CAST(nb AS DOUBLE))), 6) AS ks_z
+FROM m
+"""
+
+
+def q_chi2(spark, sf_dir):
+    """Chi-squared independence of language × source
+    (stats.chi2_independence) plus Cramér's V effect size — the mixture
+    audit's "is language associated with source?".  Zero-observation
+    cells are reconstructed by the margin cross-join (R×C rows,
+    category-cardinality², never rows²) so chi2 isn't silently
+    deflated; everything past the one corpus aggregate runs on frames
+    no larger than the contingency table."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        chi2_independence,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return chi2_independence(d, "lang", "source")
+
+
+Q_CHI2_SQL = """
+WITH cells AS (SELECT lang AS a, source AS b, COUNT(*) AS o
+               FROM documents GROUP BY 1, 2),
+ra AS (SELECT a, CAST(SUM(o) AS BIGINT) AS rm FROM cells GROUP BY a),
+cb AS (SELECT b, CAST(SUM(o) AS BIGINT) AS cm FROM cells GROUP BY b),
+dims AS (SELECT (SELECT CAST(SUM(rm) AS BIGINT) FROM ra) AS n,
+                (SELECT COUNT(*) FROM ra) AS r,
+                (SELECT COUNT(*) FROM cb) AS c),
+grid AS (SELECT COALESCE(cells.o, 0) AS o, ra.rm, cb.cm, dims.n,
+                dims.r, dims.c
+         FROM ra CROSS JOIN cb CROSS JOIN dims
+         LEFT JOIN cells ON cells.a = ra.a AND cells.b = cb.b),
+agg AS (SELECT n, r, c,
+          SUM((CAST(o AS DOUBLE)
+               - CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE)
+                 / CAST(n AS DOUBLE))
+              * (CAST(o AS DOUBLE)
+                 - CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE)
+                   / CAST(n AS DOUBLE))
+              / (CAST(rm AS DOUBLE) * CAST(cm AS DOUBLE)
+                 / CAST(n AS DOUBLE))) AS chi2
+        FROM grid GROUP BY 1, 2, 3)
+SELECT n, CAST(r AS BIGINT) AS n_rows, CAST(c AS BIGINT) AS n_cols,
+       CAST((r - 1) * (c - 1) AS BIGINT) AS dof,
+       ROUND(chi2, 6) AS chi2,
+       ROUND(SQRT(chi2 / (CAST(n AS DOUBLE)
+                          * (LEAST(CAST(r AS DOUBLE),
+                                   CAST(c AS DOUBLE)) - 1.0))), 6)
+         AS cramers_v
+FROM agg
+"""
+
+
+def q_welch_ttest(spark, sf_dir):
+    """Welch's unequal-variance t-test between every language pair on
+    document length (stats.welch_ttest_pairs) — the mean-shift
+    companion to q_prop_ztest (rates) and q_mann_whitney
+    (distributions).  Moments come from exact int64 Σx/Σx², so mean and
+    variance are identical IEEE expressions in both engines — no
+    Welford-vs-shifted drift.  Pairs are groups², never rows²."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        welch_ttest_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return welch_ttest_pairs(d, "lang", "n_chars").transform(
+        _by("group_a", "group_b")
+    )
+
+
+Q_WELCH_TTEST_SQL = """
+WITH g AS (SELECT lang AS g, COUNT(*) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS s1,
+             CAST(SUM(n_chars * n_chars) AS BIGINT) AS s2
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+p AS (SELECT a.g AS group_a, b.g AS group_b,
+             a.n AS n_a, b.n AS n_b,
+             CAST(a.s1 AS DOUBLE) / CAST(a.n AS DOUBLE) AS m1,
+             CAST(b.s1 AS DOUBLE) / CAST(b.n AS DOUBLE) AS m2,
+             (CAST(a.s2 AS DOUBLE)
+              - CAST(a.s1 AS DOUBLE) * CAST(a.s1 AS DOUBLE)
+                / CAST(a.n AS DOUBLE)) / (CAST(a.n AS DOUBLE) - 1.0)
+               AS v1,
+             (CAST(b.s2 AS DOUBLE)
+              - CAST(b.s1 AS DOUBLE) * CAST(b.s1 AS DOUBLE)
+                / CAST(b.n AS DOUBLE)) / (CAST(b.n AS DOUBLE) - 1.0)
+               AS v2
+      FROM g a JOIN g b ON a.g < b.g)
+SELECT group_a, group_b, n_a, n_b,
+       ROUND(m1, 6) AS mean_a, ROUND(m2, 6) AS mean_b,
+       ROUND(CASE WHEN v1 / n_a + v2 / n_b > 0
+                  THEN (m1 - m2) / SQRT(v1 / n_a + v2 / n_b) END, 6)
+         AS t,
+       ROUND(CASE WHEN v1 / n_a + v2 / n_b > 0
+                  THEN ((v1 / n_a + v2 / n_b) * (v1 / n_a + v2 / n_b))
+                       / ((v1 / n_a) * (v1 / n_a) / (n_a - 1.0)
+                          + (v2 / n_b) * (v2 / n_b) / (n_b - 1.0))
+             END, 6) AS dof
+FROM p ORDER BY group_a, group_b
+"""
+
+
+def q_cusum(spark, sf_dir):
+    """Page's one-sided CUSUM change detector over daily event counts
+    (timeseries.cusum_days): accumulates small persistent level shifts
+    the per-day z-score test never trips on.  The max(0, S+z−k)
+    recursion is rewritten as prefix algebra (cumsum minus running min)
+    so ONE day-ordered window computes it; standardization uses exact
+    integer moment sums so both engines see identical doubles."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        cusum_days,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return cusum_days(e, "ts").transform(_by("day"))
+
+
+Q_CUSUM_SQL = """
+WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+               FROM events GROUP BY 1),
+mom AS (SELECT COUNT(*) AS nd, CAST(SUM(n) AS BIGINT) AS s1,
+               CAST(SUM(n * n) AS BIGINT) AS s2 FROM daily),
+z AS (SELECT day, n,
+        (CAST(n AS DOUBLE) - CAST(s1 AS DOUBLE) / CAST(nd AS DOUBLE))
+        / SQRT((CAST(s2 AS DOUBLE)
+                - CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE)
+                  / CAST(nd AS DOUBLE))
+               / (CAST(nd AS DOUBLE) - 1.0)) AS z
+      FROM daily CROSS JOIN mom),
+c AS (SELECT day, n, z,
+        SUM(z - 0.5) OVER (ORDER BY day
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c
+      FROM z),
+s AS (SELECT day, n, z, c,
+        c - LEAST(MIN(c) OVER (ORDER BY day
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+            0.0) AS cusum
+      FROM c)
+SELECT day, n, ROUND(z, 6) AS z, ROUND(cusum, 6) AS cusum_pos,
+       cusum > 4.0 AS is_change
+FROM s ORDER BY day
+"""
+
+
+def q_acf(spark, sf_dir):
+    """Lag-1..7 autocorrelation of the daily event-count series
+    (timeseries.acf_daily) — the seasonality fingerprint that decides
+    whether anomaly baselines need a weekly cycle.  Pairs align on
+    CALENDAR days via one self-equi-join on the shifted epoch-day key;
+    all five sufficient statistics are exact int64 sums, so r is an
+    identical IEEE expression in both engines."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        acf_daily,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return acf_daily(e, "ts", max_lag=7).transform(_by("lag"))
+
+
+Q_ACF_SQL = """
+WITH daily AS (SELECT CAST(CAST(date_trunc('day', ts) AS DATE)
+                           - DATE '1970-01-01' AS BIGINT) AS d,
+                      COUNT(*) AS n
+               FROM events GROUP BY 1),
+l AS (SELECT d, n AS x, lag
+      FROM daily CROSS JOIN
+           (SELECT UNNEST(generate_series(1, 7)) AS lag)),
+pairs AS (SELECT l.lag, l.x, y.n AS y
+          FROM l JOIN daily y ON l.d - l.lag = y.d),
+agg AS (SELECT lag, COUNT(*) AS m,
+          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+          CAST(SUM(x * y) AS BIGINT) AS sxy,
+          CAST(SUM(x * x) AS BIGINT) AS sxx,
+          CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pairs GROUP BY 1)
+SELECT CAST(lag AS INTEGER) AS lag, m AS n_pairs,
+       ROUND(CASE WHEN CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                   AND CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                       - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0
+                  THEN (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / SQRT((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                              * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                                 - CAST(sy AS DOUBLE)
+                                   * CAST(sy AS DOUBLE)))
+             END, 6) AS r
+FROM agg ORDER BY lag
+"""
+
+
+def q_assortativity(spark, sf_dir):
+    """Degree assortativity of the co-activity graph
+    (graph.assortativity, Newman 2002): one scalar separating the
+    hub-to-hub social regime (r>0) from the hub-to-leaf broadcast/bot
+    regime (r<0) before heavier community analysis runs.  Exact int64
+    degree sums → identical IEEE doubles in both engines; nothing
+    larger than the edge list shuffles."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        assortativity,
+        coactivity_edges,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    edges = coactivity_edges(e, "user_id", "ts", "minute", 64)
+    return assortativity(edges)
+
+
+Q_ASSORTATIVITY_SQL = """
+WITH b AS MATERIALIZED (
+  SELECT DISTINCT date_trunc('minute', ts) AS _b, user_id AS _u
+  FROM events),
+sized AS MATERIALIZED (
+  SELECT _b, _u FROM (SELECT _b, _u,
+    COUNT(*) OVER (PARTITION BY _b) AS _n FROM b) WHERE _n <= 64),
+e AS MATERIALIZED (
+  SELECT DISTINCT CAST(l._u AS BIGINT) AS src, CAST(r._u AS BIGINT) AS dst
+  FROM sized l JOIN sized r USING (_b) WHERE l._u <> r._u),
+deg AS MATERIALIZED (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+ann AS (SELECT d1.d AS x, d2.d AS y
+        FROM e JOIN deg d1 ON e.src = d1.src
+               JOIN deg d2 ON e.dst = d2.src),
+agg AS (SELECT COUNT(*) AS m, CAST(SUM(x) AS BIGINT) AS sx,
+          CAST(SUM(x * y) AS BIGINT) AS sxy,
+          CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM ann)
+SELECT CAST(m / 2 AS BIGINT) AS n_edges,
+       ROUND(CASE WHEN CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+                  THEN (CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       / (CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+             END, 6) AS r
+FROM agg
+"""
+
+
 def q_profile_docs(spark, sf_dir):
     """ANALYZE-style column profile of the documents table
     (stats.profile_columns): per column n / nulls / exact distinct /
@@ -6644,6 +6924,12 @@ _QUERIES_PAST_WINDOW = [
     # new this session, past the (full) window: repo-sweep-certified at
     # sf0.01 + sf0.1, first in line for the next driver window
     "q_kcore",
+    "q_ks_test",
+    "q_chi2",
+    "q_welch_ttest",
+    "q_cusum",
+    "q_acf",
+    "q_assortativity",
 ]
 
 
@@ -6738,6 +7024,12 @@ def oracle_sql() -> dict[str, str]:
         "q_char_entropy": Q_CHAR_ENTROPY_SQL,
         "q_bm25": Q_BM25_SQL,
         "q_kcore": _kcore_sql(),
+        "q_ks_test": Q_KS_TEST_SQL,
+        "q_chi2": Q_CHI2_SQL,
+        "q_welch_ttest": Q_WELCH_TTEST_SQL,
+        "q_cusum": Q_CUSUM_SQL,
+        "q_acf": Q_ACF_SQL,
+        "q_assortativity": Q_ASSORTATIVITY_SQL,
         "q_doc_scalar_suite": Q_DOC_SCALAR_SUITE_SQL,
         "q_line_repetition": Q_LINE_REPETITION_SQL,
         "q_mixture_weights": Q_MIXTURE_WEIGHTS_SQL,

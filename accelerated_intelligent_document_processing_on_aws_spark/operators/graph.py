@@ -353,3 +353,57 @@ def k_core(edges: DataFrame, k: int = 3, max_iters: int = 32) -> DataFrame:
     return cur.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).alias("core_deg")
     )
+
+
+def assortativity(edges: DataFrame, round_to: int = 6) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002): the Pearson
+    correlation between the degrees at the two ends of every edge.
+    Positive = hubs link to hubs (social/citation shape), negative =
+    hubs link to leaves (the star/bot-broadcast shape) — one scalar
+    that says which regime a co-activity graph is in before any
+    heavier community analysis runs.
+
+    Input: undirected edge list with BOTH directions present (the
+    ``coactivity_edges`` shape) — each undirected edge then contributes
+    both (deg_u, deg_v) orderings, which is exactly Newman's symmetric
+    formulation.
+
+    All sufficient statistics (Σx, Σxy, Σx²) are exact int64 sums of
+    integer degrees, so ``r = (mΣxy − ΣxΣy)/√(...)`` is an identical
+    IEEE expression in any engine (by symmetry Σx = Σy and Σx² = Σy²).
+
+    Returns ONE row: ``n_edges, r`` (r NULL for a degree-regular graph,
+    where the variance is 0).
+
+    Plan: one aggregate for degrees (node-sized), two node-keyed joins
+    to annotate edge endpoints, one scalar aggregate.  Nothing larger
+    than the edge list shuffles.
+    """
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    )
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("_d"))
+    ann = (
+        e.join(deg, "src")
+        .join(
+            deg.select(
+                F.col("src").alias("dst"), F.col("_d").alias("_e")
+            ),
+            "dst",
+        )
+    )
+    agg = ann.agg(
+        F.count(F.lit(1)).alias("_m"),
+        F.sum("_d").alias("_sx"),
+        F.sum(F.col("_d") * F.col("_e")).alias("_sxy"),
+        F.sum(F.col("_d") * F.col("_d")).alias("_sxx"),
+    )
+    m = F.col("_m").cast("double")
+    sx = F.col("_sx").cast("double")
+    cov = m * F.col("_sxy").cast("double") - sx * sx
+    var = m * F.col("_sxx").cast("double") - sx * sx
+    return agg.select(
+        (F.col("_m") / F.lit(2)).cast("long").alias("n_edges"),
+        F.round(F.when(var > 0, cov / var), round_to).alias("r"),
+    )

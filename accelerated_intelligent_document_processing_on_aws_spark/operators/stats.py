@@ -206,3 +206,221 @@ def profile_columns(
         F.explode(F.array(*[F.col(f"_p_{c}") for c in cols])).alias("p")
     )
     return stacked.select("p.*")
+
+
+def ks_test(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test: the supremum gap between the
+    two groups' empirical CDFs of ``value_col`` — the classic "did this
+    crawl's length distribution shift anywhere?" audit, sensitive to
+    location AND shape (Mann-Whitney only sees stochastic dominance).
+
+    D is computed in EXACT integer arithmetic until the final division:
+    ``D = max |c_a·n_b − c_b·n_a| / (n_a·n_b)`` over per-distinct-value
+    cumulative counts — integer products are exact, the one division
+    and the final ``sqrt`` are IEEE-deterministic, so the statistic is
+    engine-portable without tolerance.  ``ks_z = √(n_a·n_b/(n_a+n_b))·D``
+    (compare to the Kolmogorov critical value, 1.358 at 5%).  No
+    p-value column: libm ``exp`` is not correctly-rounded and would
+    break cross-engine equality.
+
+    Returns ONE row: ``n_a, n_b, d, ks_z``.
+
+    Plan: filter to the two groups (pushed to the scan) → ONE corpus
+    aggregate to per-DISTINCT-VALUE counts (map-side combine) → the
+    cumulative window runs over value-cardinality rows only → one
+    scalar max.  Same discipline as mann_whitney_u: the corpus never
+    crosses the single-partition window.
+    """
+    d = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .select(
+            F.col(group_col).alias("g"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .filter(F.col("_v").isNotNull())
+    )
+    vc = d.groupBy("_v").agg(
+        F.count(F.lit(1)).alias("_t"),
+        F.sum((F.col("g") == group_a).cast("long")).alias("_ta"),
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    per_val = vc.select(
+        F.sum("_ta").over(w).alias("_ca"),
+        F.sum(F.col("_t") - F.col("_ta")).over(w).alias("_cb"),
+        F.sum("_ta").over(wall).alias("_na"),
+        F.sum(F.col("_t") - F.col("_ta")).over(wall).alias("_nb"),
+    )
+    gap = F.abs(
+        F.col("_ca") * F.col("_nb") - F.col("_cb") * F.col("_na")
+    )
+    agg = per_val.agg(
+        F.max(gap).alias("_g"),
+        F.max("_na").alias("_na"),
+        F.max("_nb").alias("_nb"),
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    d_stat = F.col("_g").cast("double") / (na * nb)
+    return agg.select(
+        F.col("_na").alias("n_a"),
+        F.col("_nb").alias("n_b"),
+        F.round(d_stat, round_to).alias("d"),
+        F.round(F.sqrt(na * nb / (na + nb)) * d_stat, round_to).alias(
+            "ks_z"
+        ),
+    )
+
+
+def chi2_independence(
+    df: DataFrame,
+    col_a: str,
+    col_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pearson chi-squared test of independence between two categorical
+    columns, plus Cramér's V effect size — "is language associated with
+    source?" is the first question a mixture audit asks, and the chi2 /
+    V pair separates significance (grows with n) from strength (doesn't).
+
+    ``chi2 = Σ (o − e)²/e`` with ``e = row_margin·col_margin/n``;
+    ``V = √(chi2 / (n·(min(R,C)−1)))``.  Cells absent from the data are
+    REAL zero-observation cells (e ≠ 0) — they're reconstructed by the
+    margin cross-join, not skipped, or chi2 would be silently deflated.
+
+    Returns ONE row: ``n, n_rows, n_cols, dof, chi2, cramers_v``.
+
+    Plan: ONE corpus aggregate to observed cell counts (map-side
+    combine); margins re-aggregate the CELL frame (cell-cardinality
+    rows, not corpus rows); the cross-join of the two margin frames is
+    R×C — category-cardinality², never rows².  All arithmetic past the
+    first aggregate runs on frames no larger than the contingency table.
+    """
+    cells = df.groupBy(
+        F.col(col_a).alias("_a"), F.col(col_b).alias("_b")
+    ).agg(F.count(F.lit(1)).alias("_o")).localCheckpoint(eager=False)
+    ra = cells.groupBy("_a").agg(F.sum("_o").alias("_ra"))
+    cb = cells.groupBy("_b").agg(F.sum("_o").alias("_cb"))
+    # scalar frame: n, R, C — one row, broadcast under every cell
+    dims = (
+        ra.agg(
+            F.sum("_ra").alias("_n"), F.count(F.lit(1)).alias("_r")
+        ).crossJoin(cb.agg(F.count(F.lit(1)).alias("_c")))
+    )
+    full = (
+        ra.crossJoin(F.broadcast(cb))
+        .join(cells, ["_a", "_b"], "left")
+        .crossJoin(F.broadcast(dims))
+    )
+    o = F.coalesce(F.col("_o"), F.lit(0)).cast("double")
+    e = (
+        F.col("_ra").cast("double")
+        * F.col("_cb").cast("double")
+        / F.col("_n").cast("double")
+    )
+    contrib = (o - e) * (o - e) / e
+    out = full.groupBy("_n", "_r", "_c").agg(
+        F.sum(contrib).alias("_chi2")
+    )
+    r = F.col("_r").cast("double")
+    c = F.col("_c").cast("double")
+    n = F.col("_n").cast("double")
+    dof = (F.col("_r") - 1) * (F.col("_c") - 1)
+    v = F.sqrt(
+        F.col("_chi2") / (n * (F.least(r, c) - F.lit(1.0)))
+    )
+    return out.select(
+        F.col("_n").cast("long").alias("n"),
+        F.col("_r").cast("long").alias("n_rows"),
+        F.col("_c").cast("long").alias("n_cols"),
+        dof.cast("long").alias("dof"),
+        F.round(F.col("_chi2"), round_to).alias("chi2"),
+        F.round(v, round_to).alias("cramers_v"),
+    )
+
+
+def welch_ttest_pairs(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Welch's unequal-variance t-test between every ordered group pair
+    on an INTEGER-valued metric — the mean-shift companion to
+    prop_ztest_pairs (rates) and mann_whitney_u (distributions).
+
+    Moments come from exact integer sums: ``Σx`` and ``Σx²`` are
+    summed as int64 (exact within 2⁵³ when cast to double), so mean and
+    sample variance are IDENTICAL IEEE expressions in both engines —
+    no Welford-vs-shifted-algorithm drift, no summation-order noise.
+    ``t = (m₁−m₂)/√(v₁/n₁+v₂/n₂)``; dof is Welch-Satterthwaite.
+
+    Columns: ``group_a, group_b, n_a, n_b, mean_a, mean_b, t, dof``
+    (t/dof NULL when both variances are 0).
+
+    Plan: ONE corpus aggregate to (group, n, Σx, Σx²) — map-side
+    combine — then a broadcast self-join of the group-count-sized frame
+    and constant arithmetic.  Pairs are groups², never rows².
+    """
+    x = F.col(value_col).cast("long")
+    g = df.filter(x.isNotNull()).groupBy(
+        F.col(group_col).alias("g")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).alias("s1"),
+        F.sum(x * x).alias("s2"),
+    )
+    a = g.select(
+        F.col("g").alias("group_a"),
+        F.col("n").alias("n_a"),
+        F.col("s1").alias("s1_a"),
+        F.col("s2").alias("s2_a"),
+    )
+    b = g.select(
+        F.col("g").alias("group_b"),
+        F.col("n").alias("n_b"),
+        F.col("s1").alias("s1_b"),
+        F.col("s2").alias("s2_b"),
+    )
+    pairs = a.join(F.broadcast(b), F.col("group_a") < F.col("group_b"))
+
+    def _mean(s1, n):
+        return F.col(s1).cast("double") / F.col(n).cast("double")
+
+    def _var(s1, s2, n):
+        nn = F.col(n).cast("double")
+        return (
+            F.col(s2).cast("double")
+            - F.col(s1).cast("double") * F.col(s1).cast("double") / nn
+        ) / (nn - F.lit(1.0))
+
+    m1, m2 = _mean("s1_a", "n_a"), _mean("s1_b", "n_b")
+    v1, v2 = _var("s1_a", "s2_a", "n_a"), _var("s1_b", "s2_b", "n_b")
+    na = F.col("n_a").cast("double")
+    nb = F.col("n_b").cast("double")
+    se2 = v1 / na + v2 / nb
+    dof = (se2 * se2) / (
+        (v1 / na) * (v1 / na) / (na - F.lit(1.0))
+        + (v2 / nb) * (v2 / nb) / (nb - F.lit(1.0))
+    )
+    return pairs.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        F.round(m1, round_to).alias("mean_a"),
+        F.round(m2, round_to).alias("mean_b"),
+        F.round(F.when(se2 > 0, (m1 - m2) / F.sqrt(se2)), round_to).alias(
+            "t"
+        ),
+        F.round(F.when(se2 > 0, dof), round_to).alias("dof"),
+    )

@@ -74,3 +74,146 @@ def rolling_daily_metrics(
         (F.col("n") - F.max("n").over(w_prev)).alias("wow_delta"),
     )
     return out
+
+
+def cusum_days(
+    df: DataFrame,
+    ts_col: str,
+    drift_k: float = 0.5,
+    threshold_h: float = 4.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Page's one-sided CUSUM change detector over the daily event-count
+    series: the sequential-audit answer to "when did the level SHIFT?"
+    (the z-score query flags single outlier days; CUSUM accumulates
+    small persistent drifts a per-day test never trips on).
+
+    Classic recursion ``S_t = max(0, S_{t-1} + z_t − k)`` rewritten as
+    PREFIX algebra so one window computes it: with ``C_t = Σ(z_i − k)``,
+    ``S_t = C_t − min_{s≤t} C_s`` — a cumulative sum plus a running min,
+    both on the same day-ordered window.  ``z_t`` standardizes the daily
+    count by the series' own mean/std, computed from exact integer sums
+    (Σn, Σn² as int64) so both engines standardize with identical IEEE
+    doubles; the window evaluates left-to-right in day order, so even
+    the float accumulation order is pinned.
+
+    Columns: ``day, n, z, cusum_pos, is_change`` (cusum_pos > h flags a
+    sustained upward shift; the mirrored detector is the same call on
+    negated z — deliberately not bundled to keep the certified algebra
+    one-sided).
+
+    Plan: ONE corpus aggregate to the daily series (map-side combine);
+    the moment sums ride an unpartitioned window over the DAYS-sized
+    frame (no join in the plan at all — single-partition is fine
+    because the frame is days-cardinality, never corpus-cardinality);
+    the cumulative window shares that one exchange.
+    """
+    daily = df.groupBy(
+        F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_all = Window.rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    d = daily.select(
+        "day",
+        "n",
+        F.count(F.lit(1)).over(w_all).alias("_nd"),
+        F.sum("n").over(w_all).alias("_s1"),
+        F.sum(F.col("n") * F.col("n")).over(w_all).alias("_s2"),
+    )
+    nd = F.col("_nd").cast("double")
+    mean = F.col("_s1").cast("double") / nd
+    var = (
+        F.col("_s2").cast("double")
+        - F.col("_s1").cast("double") * F.col("_s1").cast("double") / nd
+    ) / (nd - F.lit(1.0))
+    z = (F.col("n").cast("double") - mean) / F.sqrt(var)
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    with_c = d.select(
+        "day",
+        "n",
+        z.alias("_z"),
+        F.sum(z - F.lit(float(drift_k))).over(w).alias("_c"),
+    )
+    cusum = F.col("_c") - F.least(
+        F.min("_c").over(
+            Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+        ),
+        F.lit(0.0),
+    )
+    return with_c.select(
+        "day",
+        "n",
+        F.round("_z", round_to).alias("z"),
+        F.round(cusum, round_to).alias("cusum_pos"),
+        (cusum > F.lit(float(threshold_h))).alias("is_change"),
+    )
+
+
+def acf_daily(
+    df: DataFrame,
+    ts_col: str,
+    max_lag: int = 7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Lag-k autocorrelation of the daily event-count series for
+    k = 1..max_lag — the seasonality fingerprint (a weekly cycle shows
+    as a lag-7 spike) that decides whether the anomaly detector needs a
+    seasonal baseline or a flat one.
+
+    Per lag, Pearson r over the (n−k) day pairs ALIGNED ON CALENDAR
+    days (day t with day t−k; gap days produce no pair rather than a
+    misaligned one).  All five sufficient statistics (Σx, Σy, Σxy, Σx²,
+    Σy²) are exact int64 sums, so ``r = (mΣxy − ΣxΣy) /
+    √((mΣx²−(Σx)²)(mΣy²−(Σy)²))`` is an identical IEEE expression in
+    both engines.
+
+    Columns: ``lag, n_pairs, r`` (r NULL when either side is constant).
+
+    Plan: one aggregate to the daily series, one explode to (day, lag)
+    — days×max_lag rows — and ONE self-equi-join on the shifted
+    epoch-day key; the per-lag aggregate is max_lag rows.  Nothing
+    corpus-sized survives the first aggregate.
+    """
+    daily = (
+        df.groupBy(
+            F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "_d", F.datediff(F.to_date("day"), F.lit("1970-01-01"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    lags = daily.select(
+        "_d",
+        F.col("n").alias("x"),
+        F.explode(
+            F.sequence(F.lit(1), F.lit(int(max_lag)))
+        ).alias("lag"),
+    )
+    pairs = lags.join(
+        daily.select(F.col("_d").alias("_dy"), F.col("n").alias("y")),
+        lags["_d"] - lags["lag"] == F.col("_dy"),
+    )
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("_sx"),
+        F.sum("y").alias("_sy"),
+        F.sum(F.col("x") * F.col("y")).alias("_sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("_sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("_syy"),
+    )
+    m = F.col("n_pairs").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    cov = m * F.col("_sxy").cast("double") - sx * sy
+    vx = m * F.col("_sxx").cast("double") - sx * sx
+    vy = m * F.col("_syy").cast("double") - sy * sy
+    return agg.select(
+        "lag",
+        "n_pairs",
+        F.round(
+            F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), round_to
+        ).alias("r"),
+    )

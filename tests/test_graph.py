@@ -214,3 +214,36 @@ def test_kcore_bounded_rounds_contract(spark):
     e = _both_dirs(spark, [(1, 2), (2, 3), (3, 4)])
     got = {r.node: r.core_deg for r in k_core(e, k=2, max_iters=1).collect()}
     assert got == {2: 1, 3: 1}
+
+
+def test_assortativity_star_is_minus_one(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        assortativity,
+    )
+
+    # star 1-{2,3,4}: pure hub-to-leaf -> r = -1
+    e = _both_dirs(spark, [(1, 2), (1, 3), (1, 4)])
+    (r,) = assortativity(e).collect()
+    assert (r.n_edges, r.r) == (3, -1.0)
+
+
+def test_assortativity_regular_graph_null(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        assortativity,
+    )
+
+    # ring: every degree 2, zero variance -> NULL
+    e = _both_dirs(spark, [(1, 2), (2, 3), (3, 1)])
+    (r,) = assortativity(e).collect()
+    assert r.r is None
+
+
+def test_assortativity_triangle_plus_pendant(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        assortativity,
+    )
+
+    # K3 + pendant 3-4: hand-computed r = -20/28
+    e = _both_dirs(spark, [(1, 2), (1, 3), (2, 3), (3, 4)])
+    (r,) = assortativity(e).collect()
+    assert (r.n_edges, r.r) == (4, round(-20 / 28, 6))

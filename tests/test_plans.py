@@ -233,14 +233,23 @@ def test_no_query_plans_nested_loop_or_rowwise_python(spark):
     only where a tiny broadcast side meets a non-equi predicate by
     design: the brute-force ANN baselines (q_knn_cosine and
     q_rrf_fusion's two base rankings — tiny query side broadcast over
-    the never-shuffled corpus; scale paths are q_lsh_topk / q_ivf_topk)
-    and q_prop_ztest's group-pair join (BOTH sides are per-group
-    aggregates, group-cardinality² rows regardless of corpus size).
+    the never-shuffled corpus; scale paths are q_lsh_topk / q_ivf_topk),
+    the group-pair joins of q_prop_ztest and q_welch_ttest (BOTH sides
+    are per-group aggregates, group-cardinality² rows regardless of
+    corpus size), and q_chi2's margin cross-join (R×C contingency grid
+    reconstructed from two category-cardinality margin frames — the
+    zero-observation cells are required or chi2 deflates).
     Pins the audit run in round 3 so a future query cannot silently
     regress to an all-pairs or per-row-Python plan."""
     import __spark_entry__ as em
 
-    bnlj_allowed = {"q_knn_cosine", "q_rrf_fusion", "q_prop_ztest"}
+    bnlj_allowed = {
+        "q_knn_cosine",
+        "q_rrf_fusion",
+        "q_prop_ztest",
+        "q_welch_ttest",
+        "q_chi2",
+    }
     for name, f in em.queries().items():
         p = plan_of(f(spark, "/root/testdata/sf0.001"))
         assert "CartesianProduct" not in p, name

@@ -83,3 +83,109 @@ def test_profile_columns(spark):
     # approx path returns the same counts at this tiny cardinality
     got2 = {r.column: r for r in profile_columns(df).collect()}
     assert got2["a"].n_distinct == 2
+
+
+def test_ks_hand_computed(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import ks_test
+
+    # A={1,2,3}, B={2,3,4}: CDF gaps 1/3,1/3,1/3,0 -> D = 1/3
+    df = spark.createDataFrame(
+        [Row(g="a", v=v) for v in [1, 2, 3]]
+        + [Row(g="b", v=v) for v in [2, 3, 4]]
+    )
+    (r,) = ks_test(df, "g", "v", "a", "b").collect()
+    assert (r.n_a, r.n_b) == (3, 3)
+    assert r.d == round(1 / 3, 6)
+    assert r.ks_z == round(math.sqrt(9 / 6) * (3 / 9), 6)
+
+
+def test_ks_identical_groups_zero(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import ks_test
+
+    df = spark.createDataFrame(
+        [Row(g=g, v=v) for g in ("a", "b") for v in [5, 6, 7, 7]]
+    )
+    (r,) = ks_test(df, "g", "v", "a", "b").collect()
+    assert r.d == 0.0 and r.ks_z == 0.0
+
+
+def test_ks_with_ties_across_groups(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import ks_test
+
+    # A=[1,1,5], B=[1,5,5]: at v=1 gap=|2*3-1*3|/9=1/3, at v=5 gap 0
+    df = spark.createDataFrame(
+        [Row(g="a", v=v) for v in [1, 1, 5]]
+        + [Row(g="b", v=v) for v in [1, 5, 5]]
+    )
+    (r,) = ks_test(df, "g", "v", "a", "b").collect()
+    assert r.d == round(1 / 3, 6)
+
+
+def test_chi2_hand_computed_2x2(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        chi2_independence,
+    )
+
+    # [[10,20],[20,10]]: every e=15, chi2 = 4*25/15 = 6.666667,
+    # dof=1, V = sqrt(chi2/(60*1)) = 1/3
+    rows = (
+        [Row(a="x", b="p")] * 10
+        + [Row(a="x", b="q")] * 20
+        + [Row(a="y", b="p")] * 20
+        + [Row(a="y", b="q")] * 10
+    )
+    (r,) = chi2_independence(spark.createDataFrame(rows), "a", "b").collect()
+    assert (r.n, r.n_rows, r.n_cols, r.dof) == (60, 2, 2, 1)
+    assert r.chi2 == round(100 / 15, 6)
+    assert r.cramers_v == round(math.sqrt((100 / 15) / 60), 6)
+
+
+def test_chi2_zero_cell_reconstructed(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        chi2_independence,
+    )
+
+    # (y,q) never observed: o=0 but e=(5*5)/15 != 0 must still contribute
+    rows = (
+        [Row(a="x", b="p")] * 5
+        + [Row(a="x", b="q")] * 5
+        + [Row(a="y", b="p")] * 5
+    )
+    (r,) = chi2_independence(spark.createDataFrame(rows), "a", "b").collect()
+    # margins: rx=10, ry=5; cp=10, cq=5; n=15
+    # e: xp=100/15, xq=50/15, yp=50/15, yq=25/15
+    e = [100 / 15, 50 / 15, 50 / 15, 25 / 15]
+    o = [5, 5, 5, 0]
+    chi2 = sum((oi - ei) ** 2 / ei for oi, ei in zip(o, e))
+    assert r.chi2 == round(chi2, 6)
+    assert r.dof == 1
+
+
+def test_welch_hand_computed(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        welch_ttest_pairs,
+    )
+
+    # a=[1,2,3] (m=2, v=1), b=[2,4,6] (m=4, v=4):
+    # se2=5/3, t=-2/sqrt(5/3), dof=(5/3)^2/((1/3)^2/2+(4/3)^2/2)=50/17
+    df = spark.createDataFrame(
+        [Row(g="a", v=v) for v in [1, 2, 3]]
+        + [Row(g="b", v=v) for v in [2, 4, 6]]
+    )
+    (r,) = welch_ttest_pairs(df, "g", "v").collect()
+    assert (r.group_a, r.group_b, r.n_a, r.n_b) == ("a", "b", 3, 3)
+    assert (r.mean_a, r.mean_b) == (2.0, 4.0)
+    assert r.t == round(-2 / math.sqrt(5 / 3), 6)
+    assert r.dof == round((5 / 3) ** 2 / ((1 / 9) / 2 + (16 / 9) / 2), 6)
+
+
+def test_welch_zero_variance_null(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        welch_ttest_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [Row(g="a", v=5), Row(g="a", v=5), Row(g="b", v=9), Row(g="b", v=9)]
+    )
+    (r,) = welch_ttest_pairs(df, "g", "v").collect()
+    assert r.t is None and r.dof is None

@@ -71,3 +71,62 @@ def test_rrf_tiebreak_neighbor_asc(spark):
     )
     rows = rrf_fuse([r1], k=2).collect()
     assert [r.neighbor_id for r in rows] == [5, 20]
+
+
+def test_cusum_matches_classic_recursion(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        cusum_days,
+    )
+
+    # level shift on day 5: [10,10,10,10,20,20] — differential against
+    # the textbook max(0, S + z - k) recursion on the operator's own z
+    rows = []
+    for day, n in enumerate([10, 10, 10, 10, 20, 20], start=1):
+        rows += [Row(ts=datetime(2024, 2, day, 8, 0, 0))] * n
+    got = sorted(
+        cusum_days(spark.createDataFrame(rows), "ts").collect(),
+        key=lambda r: r.day,
+    )
+    s = 0.0
+    for r in got:
+        s = max(0.0, s + r.z - 0.5)
+        assert abs(r.cusum_pos - s) < 1e-5
+    # the shift days accumulate; the flat prefix stays below threshold
+    assert not got[0].is_change and got[-1].cusum_pos > got[0].cusum_pos
+
+
+def test_acf_alternating_series(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        acf_daily,
+    )
+
+    # [1,2,1,2,1,2,1,2]: lag-1 r = -1, lag-2 r = +1 exactly
+    rows = []
+    for day in range(1, 9):
+        rows += [Row(ts=datetime(2024, 3, day, 8, 0, 0))] * (1 if day % 2 else 2)
+    got = {r.lag: r for r in acf_daily(spark.createDataFrame(rows), "ts", max_lag=2).collect()}
+    assert got[1].n_pairs == 7 and got[1].r == -1.0
+    assert got[2].n_pairs == 6 and got[2].r == 1.0
+
+
+def test_acf_constant_series_null(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        acf_daily,
+    )
+
+    rows = [Row(ts=datetime(2024, 3, day, 8, 0, 0)) for day in range(1, 6)]
+    got = acf_daily(spark.createDataFrame(rows), "ts", max_lag=2).collect()
+    assert all(r.r is None for r in got)
+
+
+def test_acf_gap_days_drop_pairs(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        acf_daily,
+    )
+
+    # days 1,2,4,5 — lag 1 aligns only (2,1) and (5,4): 2 pairs
+    rows = []
+    for day, n in [(1, 1), (2, 2), (4, 3), (5, 4)]:
+        rows += [Row(ts=datetime(2024, 4, day, 8, 0, 0))] * n
+    got = {r.lag: r for r in acf_daily(spark.createDataFrame(rows), "ts", max_lag=1).collect()}
+    assert got[1].n_pairs == 2
