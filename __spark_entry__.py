@@ -6722,6 +6722,58 @@ FROM agg
 """
 
 
+def q_assoc_rules(spark, sf_dir):
+    """Market-basket association rules over parts co-ordered in the
+    same order (assoc.association_rules): support / confidence / lift
+    for every part pair co-occurring in ≥2 orders.  The apriori prune
+    (an item in <2 baskets can't reach pair support 2) runs BEFORE the
+    quadratic self-join, and the post-prune basket-size cap bounds the
+    per-basket pair fan-out — the two knobs that keep the 2-itemset
+    lattice pass tractable at 100 TB.  Counts are exact int64; every
+    metric is one division of exact-integer doubles, so the output is
+    engine-portable without tolerance."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.assoc import (
+        association_rules,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return association_rules(
+        li, "l_orderkey", "l_partkey", min_pair_count=2
+    ).transform(_by("item_a", "item_b"))
+
+
+Q_ASSOC_RULES_SQL = """
+WITH b AS (SELECT DISTINCT l_orderkey AS basket, l_partkey AS item
+           FROM lineitem),
+tot AS (SELECT COUNT(DISTINCT basket) AS n_baskets FROM b),
+cnt AS (SELECT item, COUNT(*) AS n_item FROM b GROUP BY item),
+pruned AS (
+  SELECT basket, item FROM (
+    SELECT b.basket, b.item,
+           COUNT(*) OVER (PARTITION BY b.basket) AS bsz
+    FROM b JOIN cnt USING (item) WHERE cnt.n_item >= 2)
+  WHERE bsz <= 256),
+pairs AS (SELECT a.item AS item_a, c.item AS item_b, COUNT(*) AS n_ab
+          FROM pruned a JOIN pruned c
+            ON a.basket = c.basket AND a.item < c.item
+          GROUP BY 1, 2 HAVING COUNT(*) >= 2)
+SELECT p.item_a, p.item_b, ca.n_item AS n_a, cb.n_item AS n_b, p.n_ab,
+  ROUND(CAST(p.n_ab AS DOUBLE) / CAST(t.n_baskets AS DOUBLE), 6)
+    AS support,
+  ROUND(CAST(p.n_ab AS DOUBLE) / CAST(ca.n_item AS DOUBLE), 6)
+    AS conf_a_b,
+  ROUND(CAST(p.n_ab AS DOUBLE) / CAST(cb.n_item AS DOUBLE), 6)
+    AS conf_b_a,
+  ROUND(CAST(p.n_ab AS DOUBLE) * CAST(t.n_baskets AS DOUBLE)
+        / (CAST(ca.n_item AS DOUBLE) * CAST(cb.n_item AS DOUBLE)), 6)
+    AS lift
+FROM pairs p
+JOIN cnt ca ON ca.item = p.item_a
+JOIN cnt cb ON cb.item = p.item_b
+CROSS JOIN tot t
+"""
+
+
 def q_profile_docs(spark, sf_dir):
     """ANALYZE-style column profile of the documents table
     (stats.profile_columns): per column n / nulls / exact distinct /
@@ -6930,6 +6982,7 @@ _QUERIES_PAST_WINDOW = [
     "q_cusum",
     "q_acf",
     "q_assortativity",
+    "q_assoc_rules",
 ]
 
 
@@ -7030,6 +7083,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cusum": Q_CUSUM_SQL,
         "q_acf": Q_ACF_SQL,
         "q_assortativity": Q_ASSORTATIVITY_SQL,
+        "q_assoc_rules": Q_ASSOC_RULES_SQL,
         "q_doc_scalar_suite": Q_DOC_SCALAR_SUITE_SQL,
         "q_line_repetition": Q_LINE_REPETITION_SQL,
         "q_mixture_weights": Q_MIXTURE_WEIGHTS_SQL,

@@ -249,6 +249,9 @@ def test_no_query_plans_nested_loop_or_rowwise_python(spark):
         "q_prop_ztest",
         "q_welch_ttest",
         "q_chi2",
+        # one-row corpus-total attach onto the bounded rule frame
+        # (constant-key broadcast; build side is a single row)
+        "q_assoc_rules",
     }
     for name, f in em.queries().items():
         p = plan_of(f(spark, "/root/testdata/sf0.001"))
