@@ -6774,6 +6774,129 @@ CROSS JOIN tot t
 """
 
 
+def q_ols_trend(spark, sf_dir):
+    """Per-event-type OLS trend of DAILY VOLUME on epoch-day
+    (stats.ols_fit_groups): "is this event type's traffic growing?" —
+    one (type, day) count aggregate, then the moment regression.  Day
+    index and count are both integers, so every moment is an exact
+    double and slope/intercept/R² are engine-portable without tolerance
+    (regressing raw double `value` certified flaky: an intercept landed
+    on a ROUND half-boundary and the engines' sum orders split it)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        ols_fit_groups,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.filter(F.col("ts").isNotNull()).groupBy(
+        "event_type",
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")).alias("day"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return ols_fit_groups(
+        daily, "event_type", F.col("day"), F.col("cnt")
+    ).transform(_by("group"))
+
+
+Q_OLS_TREND_SQL = """
+WITH d AS (SELECT event_type AS g,
+             CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS DOUBLE) AS x,
+             CAST(COUNT(*) AS DOUBLE) AS y
+           FROM events WHERE ts IS NOT NULL
+           GROUP BY event_type, CAST(ts AS DATE)),
+g AS (SELECT g, COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+        SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM d GROUP BY g)
+SELECT g AS "group", n,
+  ROUND(CASE WHEN n * sxx - sx * sx > 0
+             THEN (n * sxy - sx * sy) / (n * sxx - sx * sx) END, 6)
+    AS slope,
+  ROUND(CASE WHEN n * sxx - sx * sx > 0
+             THEN (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                  / n END, 6) AS intercept,
+  ROUND(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+             THEN (n * sxy - sx * sy) * (n * sxy - sx * sy)
+                  / ((n * sxx - sx * sx) * (n * syy - sy * sy)) END, 6)
+    AS r2
+FROM g
+"""
+
+
+def q_anova(spark, sf_dir):
+    """One-way ANOVA of document length across languages
+    (stats.anova_oneway) — the global F-test that precedes pairwise
+    probing (q_welch_ttest) in a corpus experiment readout.  Integer
+    n_chars keeps every moment an exact double, so F and eta² are
+    engine-portable without tolerance."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        anova_oneway,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return anova_oneway(d, "lang", "n_chars")
+
+
+Q_ANOVA_SQL = """
+WITH g AS (SELECT lang, COUNT(*) AS ng,
+             SUM(CAST(n_chars AS DOUBLE)) AS sg,
+             SUM(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)) AS qg
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY lang),
+a AS (SELECT COUNT(*) AS k, CAST(SUM(ng) AS BIGINT) AS n,
+        SUM(sg) AS s, SUM(qg) AS q,
+        SUM(sg * sg / CAST(ng AS DOUBLE)) AS sb
+      FROM g)
+SELECT k, n,
+  ROUND(CASE WHEN k >= 2 AND q - sb > 0
+             THEN ((sb - s * s / n) / (k - 1.0))
+                  / ((q - sb) / (n - CAST(k AS DOUBLE))) END, 6) AS f,
+  ROUND(CASE WHEN q - s * s / n > 0
+             THEN (sb - s * s / n) / (q - s * s / n) END, 6) AS eta2
+FROM a
+"""
+
+
+def q_spearman(spark, sf_dir):
+    """Per-language Spearman rank correlation between document length
+    and token count (stats.spearman_corr_groups): monotone association
+    on tie-corrected fractional ranks — exact half-integer rank moments,
+    so rho is engine-portable without tolerance.  Two in-group rank
+    windows share one exchange; only the group-cardinality frame
+    survives."""
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        token_count,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        spearman_corr_groups,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
+    return spearman_corr_groups(
+        d, "lang", F.col("n_chars"), token_count(F.col("text"))
+    ).transform(_by("group"))
+
+
+Q_SPEARMAN_SQL = f"""
+WITH d AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS x,
+             {_TOK_SQL} AS y
+           FROM documents WHERE n_chars IS NOT NULL),
+r AS (SELECT g,
+        RANK() OVER (PARTITION BY g ORDER BY x)
+          + (COUNT(*) OVER (PARTITION BY g, x) - 1) / 2.0 AS rx,
+        RANK() OVER (PARTITION BY g ORDER BY y)
+          + (COUNT(*) OVER (PARTITION BY g, y) - 1) / 2.0 AS ry
+      FROM d),
+m AS (SELECT g, COUNT(*) AS n, SUM(rx) AS sx, SUM(ry) AS sy,
+        SUM(rx * ry) AS sxy, SUM(rx * rx) AS sxx, SUM(ry * ry) AS syy
+      FROM r GROUP BY g)
+SELECT g AS "group", n,
+  ROUND(CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+             THEN (n * sxy - sx * sy)
+                  / SQRT((n * sxx - sx * sx) * (n * syy - sy * sy))
+        END, 6) AS rho
+FROM m
+"""
+
+
 def q_profile_docs(spark, sf_dir):
     """ANALYZE-style column profile of the documents table
     (stats.profile_columns): per column n / nulls / exact distinct /
@@ -6983,6 +7106,9 @@ _QUERIES_PAST_WINDOW = [
     "q_acf",
     "q_assortativity",
     "q_assoc_rules",
+    "q_ols_trend",
+    "q_anova",
+    "q_spearman",
 ]
 
 
@@ -7084,6 +7210,9 @@ def oracle_sql() -> dict[str, str]:
         "q_acf": Q_ACF_SQL,
         "q_assortativity": Q_ASSORTATIVITY_SQL,
         "q_assoc_rules": Q_ASSOC_RULES_SQL,
+        "q_ols_trend": Q_OLS_TREND_SQL,
+        "q_anova": Q_ANOVA_SQL,
+        "q_spearman": Q_SPEARMAN_SQL,
         "q_doc_scalar_suite": Q_DOC_SCALAR_SUITE_SQL,
         "q_line_repetition": Q_LINE_REPETITION_SQL,
         "q_mixture_weights": Q_MIXTURE_WEIGHTS_SQL,

@@ -424,3 +424,182 @@ def welch_ttest_pairs(
         ),
         F.round(F.when(se2 > 0, dof), round_to).alias("dof"),
     )
+
+
+def ols_fit_groups(
+    df: DataFrame,
+    group_col: str,
+    x_col,
+    y_col,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group simple linear regression (OLS) of y on x via the five
+    sufficient moments — slope, intercept, and R².
+
+    ``slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²)``, ``intercept =
+    (Σy − slope·Σx)/n``, ``R² = (nΣxy − ΣxΣy)² / ((nΣx² − (Σx)²)
+    (nΣy² − (Σy)²))``.  Both NULL for a degenerate group (constant x;
+    R² additionally NULL for constant y).
+
+    Why this lives in a 100 TB engine: "is this metric trending, per
+    segment?" is a regression per group — and the moment form makes it
+    ONE map-side-combinable aggregate over the corpus (the per-group
+    frame that survives is group-cardinality-sized).  No driver-side
+    stats library ever sees row data.
+
+    Columns: ``group, n, slope, intercept, r2``.
+    """
+    x = x_col if isinstance(x_col, Column) else F.col(x_col)
+    y = y_col if isinstance(y_col, Column) else F.col(y_col)
+    xd, yd = x.cast("double"), y.cast("double")
+    g = (
+        df.filter(x.isNotNull() & y.isNotNull())
+        .groupBy(F.col(group_col).alias("group"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(xd).alias("sx"),
+            F.sum(yd).alias("sy"),
+            F.sum(xd * yd).alias("sxy"),
+            F.sum(xd * xd).alias("sxx"),
+            F.sum(yd * yd).alias("syy"),
+        )
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    slope = cov / vx
+    return g.select(
+        "group",
+        "n",
+        F.round(F.when(vx > 0, slope), round_to).alias("slope"),
+        F.round(
+            F.when(vx > 0, (F.col("sy") - slope * F.col("sx")) / n),
+            round_to,
+        ).alias("intercept"),
+        F.round(
+            F.when((vx > 0) & (vy > 0), cov * cov / (vx * vy)), round_to
+        ).alias("r2"),
+    )
+
+
+def anova_oneway(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-way ANOVA across the groups of ``group_col``: does the mean
+    of ``value_col`` differ between ANY pair of groups?  The global
+    F-test that precedes pairwise probing (q_welch_ttest) in a corpus
+    experiment readout.
+
+    Sum-of-squares decomposition from per-group moments only:
+    ``SSB = Σ_g S_g²/n_g − S²/n``, ``SSW = Σx² − Σ_g S_g²/n_g``,
+    ``F = (SSB/(k−1)) / (SSW/(n−k))``; also reports ``eta2 = SSB/SST``
+    (effect size).  F is NULL when k < 2 or SSW = 0.
+
+    Plan: ONE corpus aggregate to (group, n, Σx, Σx²) — map-side
+    combine — then one aggregate of the group-cardinality frame.
+    Integer inputs keep every moment exact int64, so the statistic is
+    engine-portable without tolerance.
+
+    Returns ONE row: ``k, n, f, eta2``.
+    """
+    v = F.col(value_col).cast("double")
+    g = (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(group_col).alias("g"))
+        .agg(
+            F.count(F.lit(1)).alias("ng"),
+            F.sum(v).alias("sg"),
+            F.sum(v * v).alias("qg"),
+        )
+    )
+    a = g.agg(
+        F.count(F.lit(1)).alias("k"),
+        F.sum("ng").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("qg").alias("q"),
+        F.sum(
+            F.col("sg") * F.col("sg") / F.col("ng").cast("double")
+        ).alias("sb"),
+    )
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    ssb = F.col("sb") - F.col("s") * F.col("s") / n
+    ssw = F.col("q") - F.col("sb")
+    sst = F.col("q") - F.col("s") * F.col("s") / n
+    f = (ssb / (k - F.lit(1.0))) / (ssw / (n - k))
+    return a.select(
+        "k",
+        "n",
+        F.round(
+            F.when((F.col("k") >= 2) & (ssw > 0), f), round_to
+        ).alias("f"),
+        F.round(F.when(sst > 0, ssb / sst), round_to).alias("eta2"),
+    )
+
+
+def spearman_corr_groups(
+    df: DataFrame,
+    group_col: str,
+    x_col,
+    y_col,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group Spearman rank correlation between two columns —
+    Pearson on average (tie-corrected, "fractional") ranks, the
+    monotone-association readout that is robust to heavy-tailed corpus
+    metrics where Pearson on raw values is dominated by outliers.
+
+    Average rank of a tied value block = ``rank_min + (cnt − 1)/2``
+    (a half-integer), so with n < ~2×10⁵ per group every rank moment is
+    an EXACT double and the statistic is engine-portable without
+    tolerance.
+
+    Plan: two in-group rank windows (same ``group`` partitioning — one
+    exchange), then one map-side-combinable moment aggregate per group.
+    Nothing survives larger than the group-cardinality frame.
+
+    Columns: ``group, n, rho`` (rho NULL when either column is constant
+    within the group).
+    """
+    x = x_col if isinstance(x_col, Column) else F.col(x_col)
+    y = y_col if isinstance(y_col, Column) else F.col(y_col)
+    base = df.filter(x.isNotNull() & y.isNotNull()).select(
+        F.col(group_col).alias("group"), x.alias("_x"), y.alias("_y")
+    )
+
+    def _avg_rank(col: str) -> Column:
+        w_ord = Window.partitionBy("group").orderBy(col)
+        w_tie = Window.partitionBy("group", col)
+        return (
+            F.rank().over(w_ord).cast("double")
+            + (F.count(F.lit(1)).over(w_tie).cast("double") - 1.0) / 2.0
+        )
+
+    ranked = base.select(
+        "group",
+        _avg_rank("_x").alias("rx"),
+        _avg_rank("_y").alias("ry"),
+    )
+    g = ranked.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("rx").alias("sx"),
+        F.sum("ry").alias("sy"),
+        F.sum(F.col("rx") * F.col("ry")).alias("sxy"),
+        F.sum(F.col("rx") * F.col("rx")).alias("sxx"),
+        F.sum(F.col("ry") * F.col("ry")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    return g.select(
+        "group",
+        "n",
+        F.round(
+            F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), round_to
+        ).alias("rho"),
+    )

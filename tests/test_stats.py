@@ -189,3 +189,104 @@ def test_welch_zero_variance_null(spark):
     )
     (r,) = welch_ttest_pairs(df, "g", "v").collect()
     assert r.t is None and r.dof is None
+
+
+# ---------------------------------------------------------------- r4 batch 2
+
+
+def test_ols_hand_computed(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        ols_fit_groups,
+    )
+
+    rows = [Row(g="a", x=1, y=2), Row(g="a", x=2, y=4), Row(g="a", x=3, y=6),
+            Row(g="b", x=1, y=1), Row(g="b", x=2, y=3), Row(g="b", x=3, y=2)]
+    out = {
+        r.group: r
+        for r in ols_fit_groups(
+            spark.createDataFrame(rows), "g", "x", "y"
+        ).collect()
+    }
+    a, b = out["a"], out["b"]
+    assert (a.n, a.slope, a.intercept, a.r2) == (3, 2.0, 0.0, 1.0)
+    # b: cov=3, vx=6, vy=6 -> slope .5, intercept 1, r2 9/36
+    assert (b.slope, b.intercept, b.r2) == (0.5, 1.0, 0.25)
+
+
+def test_ols_degenerate_constant_x(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        ols_fit_groups,
+    )
+
+    df = spark.createDataFrame(
+        [Row(g="a", x=5, y=1), Row(g="a", x=5, y=9)]
+    )
+    (r,) = ols_fit_groups(df, "g", "x", "y").collect()
+    assert r.slope is None and r.intercept is None and r.r2 is None
+
+
+def test_anova_hand_computed(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        anova_oneway,
+    )
+
+    rows = [Row(g="a", v=v) for v in (1, 2, 3)] + [
+        Row(g="b", v=v) for v in (4, 5, 6)
+    ]
+    (r,) = anova_oneway(spark.createDataFrame(rows), "g", "v").collect()
+    # SSB=13.5, SSW=4, SST=17.5 -> F=13.5, eta2=13.5/17.5
+    assert (r.k, r.n) == (2, 6)
+    assert r.f == 13.5
+    assert r.eta2 == round(13.5 / 17.5, 6)
+
+
+def test_anova_degenerate_zero_within_variance(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        anova_oneway,
+    )
+
+    rows = [Row(g="a", v=2), Row(g="a", v=2), Row(g="b", v=7),
+            Row(g="b", v=7)]
+    (r,) = anova_oneway(spark.createDataFrame(rows), "g", "v").collect()
+    assert r.f is None  # SSW = 0
+    assert r.eta2 == 1.0
+
+
+def test_spearman_hand_computed(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        spearman_corr_groups,
+    )
+
+    rows = [Row(g="g", x=1, y=3), Row(g="g", x=2, y=1), Row(g="g", x=3, y=2)]
+    (r,) = spearman_corr_groups(
+        spark.createDataFrame(rows), "g", "x", "y"
+    ).collect()
+    # classic formula: 1 - 6*6/(3*8) = -0.5
+    assert (r.n, r.rho) == (3, -0.5)
+
+
+def test_spearman_ties_average_rank(spark):
+    import math
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        spearman_corr_groups,
+    )
+
+    rows = [Row(g="g", x=1, y=1), Row(g="g", x=1, y=2), Row(g="g", x=2, y=3)]
+    (r,) = spearman_corr_groups(
+        spark.createDataFrame(rows), "g", "x", "y"
+    ).collect()
+    # rx=[1.5,1.5,3], ry=[1,2,3]: cov=4.5, vx=4.5, vy=6
+    assert r.rho == round(4.5 / math.sqrt(27), 6)
+
+
+def test_spearman_constant_column_null(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        spearman_corr_groups,
+    )
+
+    rows = [Row(g="g", x=1, y=5), Row(g="g", x=2, y=5)]
+    (r,) = spearman_corr_groups(
+        spark.createDataFrame(rows), "g", "x", "y"
+    ).collect()
+    assert r.rho is None
