@@ -6897,6 +6897,161 @@ FROM m
 """
 
 
+def q_expectations(spark, sf_dir):
+    """Declarative data-quality expectation suite over the documents
+    feed (audit.expectation_suite — the Deequ / Great-Expectations
+    shape): seven contract constraints compiled into ONE corpus
+    aggregate, exploded into a per-constraint report with exact int64
+    ratio metrics.  The in_set and max_bound constraints fail on this
+    feed by design (zh outside the declared language set; a 553-char
+    doc over the 500 cap) — the report is the artifact, not a green
+    light."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.audit import (
+        expectation_suite,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return expectation_suite(
+        d,
+        [
+            {"check": "completeness", "column": "text"},
+            {"check": "uniqueness", "column": "doc_id"},
+            {"check": "in_set", "column": "lang",
+             "values": ["en", "fr", "es", "de"], "threshold": 0.9},
+            {"check": "min_bound", "column": "n_chars", "bound": 0},
+            {"check": "max_bound", "column": "n_chars", "bound": 500},
+            {"check": "matches", "column": "source",
+             "pattern": "^src[0-9]+$"},
+            {"check": "row_count_min", "bound": 100},
+        ],
+    ).transform(_by("check"))
+
+
+Q_EXPECTATIONS_SQL = """
+WITH a AS (
+  SELECT COUNT(*) AS n, COUNT(text) AS m0, COUNT(DISTINCT doc_id) AS m1,
+    CAST(SUM(CASE WHEN lang IN ('en','fr','es','de') THEN 1 ELSE 0 END)
+         AS BIGINT) AS m2,
+    CAST(MIN(n_chars) AS DOUBLE) AS m3,
+    CAST(MAX(n_chars) AS DOUBLE) AS m4,
+    CAST(SUM(CASE WHEN REGEXP_MATCHES(source, '^src[0-9]+$')
+                  THEN 1 ELSE 0 END) AS BIGINT) AS m5
+  FROM documents)
+SELECT 'completeness(text)' AS "check", 'text' AS "column",
+  ROUND(CAST(m0 AS DOUBLE) / n, 6) AS metric, 1.0 AS threshold,
+  CAST(m0 AS DOUBLE) / n >= 1.0 AS passed FROM a
+UNION ALL
+SELECT 'uniqueness(doc_id)', 'doc_id',
+  ROUND(CAST(m1 AS DOUBLE) / n, 6), 1.0,
+  CAST(m1 AS DOUBLE) / n >= 1.0 FROM a
+UNION ALL
+SELECT 'in_set(lang)', 'lang', ROUND(CAST(m2 AS DOUBLE) / n, 6), 0.9,
+  CAST(m2 AS DOUBLE) / n >= 0.9 FROM a
+UNION ALL
+SELECT 'min_bound(n_chars)', 'n_chars', ROUND(m3, 6), 0.0,
+  m3 >= 0.0 FROM a
+UNION ALL
+SELECT 'max_bound(n_chars)', 'n_chars', ROUND(m4, 6), 500.0,
+  m4 <= 500.0 FROM a
+UNION ALL
+SELECT 'matches(source)', 'source', ROUND(CAST(m5 AS DOUBLE) / n, 6),
+  1.0, CAST(m5 AS DOUBLE) / n >= 1.0 FROM a
+UNION ALL
+SELECT 'row_count_min', CAST(NULL AS VARCHAR),
+  ROUND(CAST(n AS DOUBLE), 6), 100.0, n >= 100 FROM a
+"""
+
+
+def q_stl_decompose(spark, sf_dir):
+    """Additive seasonal decomposition of per-event-type daily volume
+    (timeseries.seasonal_decompose_daily): y = trend (centered 7-day
+    moving average) + weekly seasonal (mean detrended per day-of-week)
+    + remainder — the "is it growth or just the weekly cycle?" readout
+    that precedes any anomaly rule.  Day-of-week is pure epoch-day
+    arithmetic ((day+3) % 7), so both engines index the cycle
+    identically; trend is an exact-int sum over 7 rows divided once."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        seasonal_decompose_daily,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return seasonal_decompose_daily(e, "event_type", "ts").transform(
+        _by("group", "day")
+    )
+
+
+Q_STL_DECOMPOSE_SQL = """
+WITH daily AS (SELECT event_type AS g,
+    CAST(CAST(ts AS DATE) - DATE '1970-01-01' AS BIGINT) AS day,
+    COUNT(*) AS y
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+t AS (SELECT g, day, y,
+    CASE WHEN COUNT(*) OVER w = 7
+         THEN CAST(SUM(y) OVER w AS DOUBLE) / 7.0 END AS trend
+  FROM daily
+  WINDOW w AS (PARTITION BY g ORDER BY day
+               ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+s AS (SELECT g, day, y, trend, CAST(y AS DOUBLE) - trend AS det,
+    AVG(CAST(y AS DOUBLE) - trend)
+      OVER (PARTITION BY g, (day + 3) % 7) AS seasonal
+  FROM t)
+SELECT g AS "group", day, y, ROUND(trend, 6) AS trend,
+  ROUND(seasonal, 6) AS seasonal,
+  ROUND(det - seasonal, 6) AS remainder
+FROM s
+"""
+
+
+def q_cube(spark, sf_dir):
+    """Multi-dimensional subtotals via native CUBE grouping sets —
+    the cross-dimension companion to q_revenue_rollup / q_events_rollup:
+    events by (type × day-of-week) with BOTH one-dimension margins and
+    the grand total in ONE aggregate (Catalyst expands grouping sets
+    map-side; no 4-query union).  Day-of-week is epoch-day arithmetic
+    (engine-portable); sums accumulate as DECIMAL so FP order can't
+    flip the hash; grouping_id() disambiguates levels."""
+    e = _t(spark, sf_dir, "events")
+    dow = (
+        F.datediff(F.to_date("ts"), F.lit("1970-01-01")) + F.lit(3)
+    ) % F.lit(7)
+    return (
+        e.filter(F.col("ts").isNotNull())
+        .select(
+            F.col("event_type").alias("etype"),
+            dow.cast("long").alias("dow"),
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .cube("etype", "dow")
+        .agg(
+            F.grouping_id().cast("int").alias("lvl"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("v").cast("double"), 4).alias("sum_value"),
+        )
+        .select(
+            F.coalesce(F.col("etype"), F.lit("ALL")).alias("etype"),
+            F.coalesce(F.col("dow"), F.lit(-1)).alias("dow"),
+            "lvl",
+            "n_events",
+            "sum_value",
+        )
+        .transform(_by("etype", "dow"))
+    )
+
+
+Q_CUBE_SQL = """
+WITH d AS (SELECT event_type AS etype,
+    CAST((CAST(ts AS DATE) - DATE '1970-01-01' + 3) % 7 AS BIGINT)
+      AS dow,
+    CAST(value AS DECIMAL(18,6)) AS v
+  FROM events WHERE ts IS NOT NULL)
+SELECT COALESCE(etype, 'ALL') AS etype, COALESCE(dow, -1) AS dow,
+  CAST(GROUPING(etype) * 2 + GROUPING(dow) AS INT) AS lvl,
+  COUNT(*) AS n_events,
+  ROUND(CAST(SUM(v) AS DOUBLE), 4) AS sum_value
+FROM d GROUP BY CUBE (etype, dow)
+"""
+
+
 def q_profile_docs(spark, sf_dir):
     """ANALYZE-style column profile of the documents table
     (stats.profile_columns): per column n / nulls / exact distinct /
@@ -7109,6 +7264,9 @@ _QUERIES_PAST_WINDOW = [
     "q_ols_trend",
     "q_anova",
     "q_spearman",
+    "q_expectations",
+    "q_stl_decompose",
+    "q_cube",
 ]
 
 
@@ -7213,6 +7371,9 @@ def oracle_sql() -> dict[str, str]:
         "q_ols_trend": Q_OLS_TREND_SQL,
         "q_anova": Q_ANOVA_SQL,
         "q_spearman": Q_SPEARMAN_SQL,
+        "q_expectations": Q_EXPECTATIONS_SQL,
+        "q_stl_decompose": Q_STL_DECOMPOSE_SQL,
+        "q_cube": Q_CUBE_SQL,
         "q_doc_scalar_suite": Q_DOC_SCALAR_SUITE_SQL,
         "q_line_repetition": Q_LINE_REPETITION_SQL,
         "q_mixture_weights": Q_MIXTURE_WEIGHTS_SQL,

@@ -217,3 +217,74 @@ def acf_daily(
             F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), round_to
         ).alias("r"),
     )
+
+
+def seasonal_decompose_daily(
+    df: DataFrame,
+    group_col: str,
+    ts_col: str = "ts",
+    period: int = 7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Classical additive seasonal decomposition of per-group DAILY
+    VOLUME: ``y = trend + seasonal + remainder`` — the moving-average
+    STL-lite that answers "is traffic actually growing, or is that just
+    the weekly cycle?" before any anomaly rule fires.
+
+    - ``trend``: centered ``period``-point moving average over the
+      group's observed-day sequence (NULL unless the full window of
+      ``period`` rows exists — edges carry no trend);
+    - ``seasonal``: mean detrended value per (group, day-of-period),
+      with day-of-period = ``(epoch_day + 3) % period`` so period=7
+      indexes weekdays identically in any engine (no locale-dependent
+      DAYOFWEEK);
+    - ``remainder``: what neither explains — the anomaly signal.
+
+    Precision: y is an exact int64 count, the trend is one exact-int
+    sum divided by ``period`` (identical IEEE op in any engine), and the
+    seasonal means aggregate O(weeks) small doubles — portable at 6 dp.
+
+    Plan: one corpus aggregate to (group, day) — map-side combine —
+    then two windows over the SAME group partitioning (one exchange of
+    the days-sized frame) and one (group, dow)-keyed window.  Nothing
+    after the first aggregate exceeds group-cardinality × days rows.
+
+    Columns: ``group, day, y, trend, seasonal, remainder``.
+    """
+    half = int(period) // 2
+    daily = (
+        df.filter(F.col(ts_col).isNotNull())
+        .groupBy(
+            F.col(group_col).alias("group"),
+            F.datediff(F.to_date(ts_col), F.lit("1970-01-01"))
+            .cast("long")
+            .alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("y"))
+    )
+    w = (
+        Window.partitionBy("group")
+        .orderBy("day")
+        .rowsBetween(-half, half)
+    )
+    t = daily.withColumn(
+        "trend",
+        F.when(
+            F.count(F.lit(1)).over(w) == int(period),
+            F.sum("y").over(w).cast("double") / F.lit(float(period)),
+        ),
+    ).withColumn("_det", F.col("y").cast("double") - F.col("trend"))
+    dow = (F.col("day") + F.lit(3)) % F.lit(int(period))
+    s = t.withColumn(
+        "seasonal", F.avg("_det").over(Window.partitionBy("group", dow))
+    )
+    return s.select(
+        "group",
+        "day",
+        "y",
+        F.round("trend", round_to).alias("trend"),
+        F.round("seasonal", round_to).alias("seasonal"),
+        F.round(F.col("_det") - F.col("seasonal"), round_to).alias(
+            "remainder"
+        ),
+    )

@@ -115,3 +115,79 @@ def test_gini_null_and_negative_excluded(spark):
     )
     (r,) = gini_concentration(df, ["s"], "x").collect()
     assert r.n == 1 and r.total == 5.0
+
+
+# ------------------------------------------------------------ expectations
+
+
+def _exp_rows(spark):
+    from pyspark.sql import Row
+
+    return spark.createDataFrame(
+        [
+            Row(id=1, lang="en", n=10, src="src1", txt="a"),
+            Row(id=2, lang="en", n=20, src="src2", txt=None),
+            Row(id=3, lang="xx", n=-5, src="other", txt="c"),
+            Row(id=3, lang="fr", n=900, src="src3", txt="d"),
+        ]
+    )
+
+
+def test_expectation_suite_metrics_and_verdicts(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.audit import (
+        expectation_suite,
+    )
+
+    out = {
+        r.check: r
+        for r in expectation_suite(
+            _exp_rows(spark),
+            [
+                {"check": "completeness", "column": "txt"},
+                {"check": "uniqueness", "column": "id"},
+                {"check": "in_set", "column": "lang",
+                 "values": ["en", "fr"], "threshold": 0.7},
+                {"check": "min_bound", "column": "n", "bound": 0},
+                {"check": "max_bound", "column": "n", "bound": 1000},
+                {"check": "matches", "column": "src",
+                 "pattern": "^src[0-9]+$", "threshold": 0.75},
+                {"check": "row_count_min", "bound": 3},
+            ],
+        ).collect()
+    }
+    c = out["completeness(txt)"]
+    assert (c.metric, c.passed) == (0.75, False)
+    u = out["uniqueness(id)"]
+    assert (u.metric, u.passed) == (0.75, False)
+    s = out["in_set(lang)"]
+    assert (s.metric, s.passed) == (0.75, True)
+    assert (out["min_bound(n)"].metric, out["min_bound(n)"].passed) == (
+        -5.0, False)
+    assert (out["max_bound(n)"].metric, out["max_bound(n)"].passed) == (
+        900.0, True)
+    m = out["matches(src)"]
+    assert (m.metric, m.passed) == (0.75, True)
+    r = out["row_count_min"]
+    assert (r.metric, r.passed) == (4.0, True)
+
+
+def test_expectation_suite_empty_input(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.audit import (
+        expectation_suite,
+    )
+
+    df = _exp_rows(spark).filter("id > 99")
+    out = {
+        r.check: r
+        for r in expectation_suite(
+            df,
+            [
+                {"check": "completeness", "column": "txt"},
+                {"check": "row_count_min", "bound": 1},
+            ],
+        ).collect()
+    }
+    # 0/0 completeness is NULL metric -> not passed (no evidence)
+    assert out["completeness(txt)"].metric is None
+    assert out["completeness(txt)"].passed is False
+    assert out["row_count_min"].passed is False

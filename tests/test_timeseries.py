@@ -130,3 +130,48 @@ def test_acf_gap_days_drop_pairs(spark):
         rows += [Row(ts=datetime(2024, 4, day, 8, 0, 0))] * n
     got = {r.lag: r for r in acf_daily(spark.createDataFrame(rows), "ts", max_lag=1).collect()}
     assert got[1].n_pairs == 2
+
+
+def test_seasonal_decompose_hand_computed(spark):
+    import datetime as dt
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        seasonal_decompose_daily,
+    )
+
+    # period=3, one event per (day, count) pair: counts 1,2,3,1,2,3,...
+    base = dt.datetime(2024, 1, 1)
+    rows = []
+    for d in range(9):
+        for _ in range((d % 3) + 1):
+            rows.append(Row(g="a", ts=base + dt.timedelta(days=d)))
+    out = {
+        r.day: r
+        for r in seasonal_decompose_daily(
+            spark.createDataFrame(rows), "g", "ts", period=3
+        ).collect()
+    }
+    assert len(out) == 9
+    days = sorted(out)
+    first, mid, last = out[days[0]], out[days[1]], out[days[-1]]
+    # edges: no full 3-row window -> trend NULL
+    assert first.trend is None and last.trend is None
+    # interior: avg(1,2,3) = 2 everywhere
+    assert mid.trend == 2.0
+    # seasonal per day-of-period: detrended is exactly y-2 on interior
+    # rows, so seasonal = mean of a constant = y-2, remainder = 0
+    assert mid.seasonal == mid.y - 2.0
+    assert mid.remainder == 0.0
+
+
+def test_seasonal_decompose_single_day_group(spark):
+    import datetime as dt
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        seasonal_decompose_daily,
+    )
+
+    df = spark.createDataFrame([Row(g="a", ts=dt.datetime(2024, 1, 1))])
+    (r,) = seasonal_decompose_daily(df, "g", "ts", period=7).collect()
+    assert r.y == 1 and r.trend is None
+    assert r.seasonal is None and r.remainder is None
