@@ -622,3 +622,279 @@ def semantic_dedup(
         side.join(removed, "id", "left_anti")
         .select("id", "cell", "centroid_sim")
     )
+
+
+def pq_codebooks(
+    dim: int = 64, m_sub: int = 4, n_codes: int = 16, seed: int = 11,
+    scale: float = float(1 << 17),
+) -> np.ndarray:
+    """Fixed product-quantization codebooks, shape (m_sub, n_codes,
+    dim/m_sub), integer-rounded coordinates stored as exact float64
+    (Jegou et al. 2011, "Product Quantization for Nearest Neighbor
+    Search").  The codebooks live directly in the QUANTIZED data space:
+    unit-norm dim-64 vectors have components ~N(0, 1/8), so after
+    ``quantized_vec``'s floor(x * 2^20) they are ~N(0, 2^20/8 = 2^17) —
+    ``scale`` defaults to exactly that, keeping the code-dependent
+    ``|c|^2`` and the data-dependent ``2 x_q.c`` distance terms on the
+    same magnitude (a scale mismatch makes argmin degenerate to the
+    smallest-norm code for every vector).  Like ``ivf_centroids``, a
+    data-independent integer codebook keeps every distance term an exact
+    integer in float64 (code assignment and ADC scoring become
+    FP-portable / oracle-reproducible); data-adapted codebooks would
+    come from per-subspace k-means on a bounded sample, the
+    ``train_ivf_centroids`` recipe applied per subspace."""
+    rng = np.random.RandomState(seed)
+    return np.rint(rng.normal(size=(m_sub, n_codes, dim // m_sub)) * scale)
+
+
+def _pq_dist_terms(codebooks: np.ndarray) -> np.ndarray:
+    """Per-(subspace, code) constant ``|c|^2`` — the code-dependent half of
+    the quantized-space squared-L2 surrogate ``|c|^2 - 2 x_q.c`` used for
+    both encoding (argmin over codes) and ADC lookup tables.  All values
+    are integers far below 2^53, so float64 arithmetic is exact."""
+    return (codebooks ** 2).sum(axis=2)
+
+
+def pq_encode_udf(codebooks: np.ndarray, quantize_bits: int = 20):
+    """PQ codes per vector via ONE matmul per subspace per Arrow batch:
+    vectors floor-quantize to integers, each subvector takes the code
+    minimizing the exact-integer distance surrogate
+    ``|c|^2 - 2*(x_q . c)`` (nearest-centroid L2 in quantized space, up
+    to the code-independent ``|x_q|^2`` term).  numpy argmin's first-match
+    tie-break = ascending code id, reproducibly across engines."""
+    m_sub, n_codes, sub_dim = codebooks.shape
+    s = float(1 << quantize_bits)
+    const = _pq_dist_terms(codebooks)  # (m_sub, n_codes)
+
+    @F.pandas_udf(T.ArrayType(T.IntegerType()))
+    def codes(vecs: pd.Series) -> pd.Series:
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        xq = np.floor(m * s).reshape(len(m), m_sub, sub_dim)
+        out = np.empty((len(m), m_sub), dtype=np.int32)
+        for i in range(m_sub):
+            d = const[i] - 2.0 * (xq[:, i, :] @ codebooks[i].T)
+            out[:, i] = np.argmin(d, axis=1)
+        return pd.Series(list(out))
+
+    return codes
+
+
+def pq_lut_udf(codebooks: np.ndarray, quantize_bits: int = 20):
+    """Per-query ADC lookup table (flattened m_sub*n_codes doubles): entry
+    ``[s*n_codes + j] = |c_sj|^2 - 2*(q_qs . c_sj)`` — summing the
+    entries selected by a corpus row's codes ranks candidates by
+    approximate squared L2 in quantized space (the query's own ``|q_q|^2``
+    term is constant per query and cancels in ranking).  Exact integers
+    in float64 throughout."""
+    m_sub, n_codes, sub_dim = codebooks.shape
+    s = float(1 << quantize_bits)
+    const = _pq_dist_terms(codebooks)
+
+    @F.pandas_udf(T.ArrayType(T.DoubleType()))
+    def lut(vecs: pd.Series) -> pd.Series:
+        m = np.array([np.asarray(v, dtype=np.float64) for v in vecs])
+        xq = np.floor(m * s).reshape(len(m), m_sub, sub_dim)
+        tabs = np.empty((len(m), m_sub, n_codes), dtype=np.float64)
+        for i in range(m_sub):
+            tabs[:, i, :] = const[i] - 2.0 * (xq[:, i, :] @ codebooks[i].T)
+        return pd.Series(list(tabs.reshape(len(m), m_sub * n_codes)))
+
+    return lut
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m_sub: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    seed: int = 7,
+    pq_seed: int = 11,
+    broadcast_queries: bool = True,
+    codebooks: np.ndarray | None = None,
+    rerank: int | None = None,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (the FAISS IVFPQ shape, Jegou et al. 2011):
+    IVF cells prune candidates (equi-join on ``cell`` — never all-pairs),
+    then PQ asymmetric-distance lookup tables score them in the COMPRESSED
+    domain — per pair, ``m_sub`` array indexings instead of a ``dim``-wide
+    dot product, and the corpus embedding vectors never leave the scan
+    (only ``m_sub`` int32 codes + the cell id travel through the join).
+
+    Scale shape (100 TB): the corpus never shuffles (BroadcastHashJoin on
+    cell against the small query side); the per-candidate cost drops from
+    O(dim) interpreted HOF math to O(m_sub) JVM ``element_at`` lookups;
+    the top-k window moves slim (query_id, neighbor_id, adc) rows.  Codes
+    here quantize RAW subvectors; residual encoding (subtract the cell
+    centroid first) is the same plumbing with per-cell LUTs.  Integer
+    codebooks x floor-quantized vectors keep every distance term an exact
+    integer in float64, so code assignment, LUTs, and the final ranking
+    are FP-portable and DuckDB-certifiable (q_ivfpq_topk).  Returns
+    (query_id, neighbor_id, rank, adc) — adc ascending = nearer.
+
+    ``rerank=R`` adds the production second stage: the ADC shortlist of
+    the R nearest codes per query re-scores with EXACT cosine and returns
+    (query_id, neighbor_id, rank, sim) instead.  ADC cannot rank within a
+    tight cluster (same-cluster vectors share codes, so their distance
+    table sums tie) — the shortlist+rerank shape is how FAISS closes that
+    gap while still paying full-width math for only R rows per query.
+    The shortlist (with query vectors attached) broadcasts back onto the
+    corpus scan, so the corpus STILL never shuffles."""
+    cents = ivf_centroids(dim, n_cells, seed)
+    books = (
+        codebooks
+        if codebooks is not None
+        else pq_codebooks(dim, m_sub, n_codes, pq_seed)
+    )
+    assign = ivf_cells_udf(cents, 1)
+    probe = ivf_cells_udf(cents, n_probe)
+    enc = pq_encode_udf(books)
+    lut = pq_lut_udf(books)
+    c = (
+        ensure_min_partitions(corpus)
+        .select(F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+        .withColumn("cell", assign(F.col("cv")).getItem(0))
+        .withColumn("codes", enc(F.col("cv")))
+        .drop("cv")
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).select(
+        "query_id",
+        lut(F.col("qv")).alias("lut"),
+        F.explode(probe(F.col("qv"))).alias("cell"),
+    )
+    if broadcast_queries:
+        q = F.broadcast(q)
+    adc = sum(
+        F.element_at(
+            F.col("lut"), F.lit(s * n_codes + 1) + F.col("codes")[s]
+        )
+        for s in range(m_sub)
+    ).cast("long")
+    scored = (
+        c.join(q, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", adc.alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("adc").asc(), F.col("neighbor_id").asc()
+    )
+    if rerank is None:
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= k)
+            .select("query_id", "neighbor_id", "rank", "adc")
+        )
+    short = (
+        scored.withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") <= rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qv = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    ).withColumn("qn", _norm(F.col("qv")))
+    cv = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cv")
+    ).withColumn("cn", _norm(F.col("cv")))
+    rescored = cv.join(
+        F.broadcast(short.join(qv, "query_id")), "neighbor_id"
+    ).select(
+        "query_id",
+        "neighbor_id",
+        _pair_sim(F.col("qv"), F.col("cv"), F.col("qn"), F.col("cn")).alias("sim"),
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        rescored.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank", "sim")
+    )
+
+
+def ann_recall(
+    approx: DataFrame,
+    exact: DataFrame,
+    k: int = 5,
+) -> DataFrame:
+    """Recall@k self-evaluation for an ANN path: fraction of each query's
+    EXACT top-k neighbors recovered by the approximate top-k (both inputs
+    in the (query_id, neighbor_id, rank) shape that ``lsh_topk`` /
+    ``ivf_topk`` / ``ivfpq_topk`` / ``brute_force_topk`` share).  The
+    index quality gate a training-data pipeline runs before trusting an
+    ANN path for semantic dedup at 100 TB — measured on a sampled query
+    set exactly like this, never on the full corpus.
+
+    Scale shape: both inputs are top-k frames (|Q| x k rows — sampled-
+    query-set sized, not corpus sized); one equi-join on (query_id,
+    neighbor_id) and one per-query aggregate."""
+    a = approx.filter(F.col("rank") <= k).select(
+        "query_id", "neighbor_id", F.lit(1).alias("_found")
+    )
+    e = exact.filter(F.col("rank") <= k).select("query_id", "neighbor_id")
+    return (
+        e.join(a, ["query_id", "neighbor_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.count(F.lit(1)).alias("exact_k"),
+            F.count("_found").alias("hits"),
+        )
+        .select(
+            "query_id",
+            F.col("hits").cast("int").alias("hits"),
+            F.round(F.col("hits") / F.col("exact_k"), 6).alias("recall"),
+        )
+    )
+
+
+def train_pq_codebooks(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    m_sub: int = 4,
+    n_codes: int = 16,
+    dim: int = 64,
+    sample_rows: int = 100_000,
+    seed: int = 11,
+    iters: int = 10,
+    quantize_bits: int = 20,
+) -> np.ndarray:
+    """Data-adapted PQ codebooks: per-subspace k-means on a BOUNDED
+    driver-side sample (the Jegou et al. 2011 training recipe; at 100 TB
+    the sample is a ``limit``-ed scan of ~1e5 rows, never a full
+    collect), run directly in quantized-integer space and integer-rounded
+    so assignment/ADC stay FP-portable.  Deterministic given (df, seed):
+    the sample is taken by ascending hash so partitioning does not change
+    it (the ``train_ivf_centroids`` discipline).  Random codebooks
+    (``pq_codebooks``) are distortion-heavy on real data — trained ones
+    are what make ADC ranking track true distance."""
+    sample = (
+        df.select(F.col(vec_col).alias("v"))
+        .withColumn("_h", F.xxhash64(F.col("v").cast("array<double>").cast("string")))
+        .orderBy("_h")
+        .limit(sample_rows)
+        .collect()
+    )
+    s = float(1 << quantize_bits)
+    m = np.floor(np.array([r.v for r in sample], dtype=np.float64) * s)
+    sub_dim = dim // m_sub
+    rng = np.random.RandomState(seed)
+    books = np.empty((m_sub, n_codes, sub_dim), dtype=np.float64)
+    for i in range(m_sub):
+        x = m[:, i * sub_dim : (i + 1) * sub_dim]
+        cents = x[rng.choice(len(x), size=min(n_codes, len(x)), replace=False)]
+        for _ in range(iters):
+            d = (cents**2).sum(axis=1) - 2.0 * (x @ cents.T)
+            assign = np.argmin(d, axis=1)
+            for c in range(len(cents)):
+                mask = assign == c
+                if mask.any():
+                    cents[c] = x[mask].mean(axis=0)
+        books[i] = np.rint(cents)
+    return books

@@ -469,3 +469,66 @@ def log_histogram_quantiles(
         est(9, 10).alias("p90"),
         est(99, 100).alias("p99"),
     )
+
+
+def bloom_positions(col: Column, m: int = 8192, k: int = 3) -> Column:
+    """Array of the value's ``k`` Bloom bit positions in ``[0, m)``:
+    position_i = hash60(i || value) mod m — k independent md5-seeded
+    hashes, engine-portable (DuckDB twin:
+    ``CAST(('0x' || substr(md5(CAST(i AS VARCHAR) || x), 1, 15)) AS
+    BIGINT) % m``; hash60 is non-negative so both engines' ``%`` agree)."""
+    return F.array(
+        *[
+            F.pmod(hash60(F.concat(F.lit(str(i)), col)), F.lit(m)).cast("int")
+            for i in range(k)
+        ]
+    )
+
+
+def bloom_build(
+    df: DataFrame, value_col: str, m: int = 8192, k: int = 3
+) -> DataFrame:
+    """ONE-row frame holding the Bloom filter of ``value_col`` as the
+    sorted array of set bit positions (Bloom 1970).  Build is a map-side-
+    combined distinct over exploded positions (≤ m survivors regardless
+    of input size) collapsed by collect_set — the filter is metadata-
+    sized (m ≤ a few million bits) no matter how large the build corpus."""
+    return (
+        df.select(
+            F.explode(bloom_positions(F.col(value_col), m, k)).alias("_p")
+        )
+        .distinct()
+        .agg(F.array_sort(F.collect_set("_p")).alias("bits"))
+    )
+
+
+def bloom_probe(
+    build: DataFrame,
+    probe: DataFrame,
+    value_col: str,
+    m: int = 8192,
+    k: int = 3,
+) -> DataFrame:
+    """Probe rows against a Bloom filter built from ``build``'s values:
+    adds ``bloom_hit`` (true iff ALL k positions are set — no false
+    negatives by construction; false-positive rate ~ (1-e^{-kn/m})^k).
+
+    Scale shape (100 TB): the filter is ONE row (a sorted int array ≤ m
+    entries) cross-broadcast to the probe side — the probe table NEVER
+    shuffles and pays k binary-searchable array_contains checks per row.
+    This is the membership pre-filter a pipeline puts in front of an
+    expensive anti-join (seen-URL filtering, decontamination pre-pass):
+    only bloom_hit rows proceed to the exact check, everything else
+    skips it, and the filter itself costs one metadata-sized aggregate
+    of the build side."""
+    probed = probe.withColumn(
+        "_ps", bloom_positions(F.col(value_col), m, k)
+    )
+    return (
+        probed.join(F.broadcast(build))
+        .withColumn(
+            "bloom_hit",
+            F.forall(F.col("_ps"), lambda p: F.array_contains(F.col("bits"), p)),
+        )
+        .drop("_ps", "bits")
+    )

@@ -267,3 +267,136 @@ def test_semantic_dedup_deterministic_under_repartition(spark, emb):
         ).collect()
     )
     assert a == b and len(a) > 0
+
+
+def test_ivfpq_codes_and_adc_match_numpy(spark, emb):
+    """PQ codes and ADC scores are exactly the numpy recomputation
+    (integer codebooks x floor-quantized vectors => exact f64)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        ivf_centroids,
+        ivfpq_topk,
+        pq_codebooks,
+    )
+
+    vecs = {r.vec_id: np.asarray(r.embedding, np.float64) for r in emb.collect()}
+    q = emb.filter(F.col("vec_id") < 10)
+    got = ivfpq_topk(emb, q, k=5).collect()
+    assert {r.query_id for r in got} == set(range(10))
+    for qid in range(10):
+        rows = sorted((r for r in got if r.query_id == qid), key=lambda r: r.rank)
+        assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+
+    # numpy twin: same cells, same codes, same ADC
+    cents = ivf_centroids(64, 16, 7)
+    books = pq_codebooks(64, 4, 16, 11)
+    s = float(1 << 20)
+    const = (books**2).sum(axis=2)
+
+    def cell_of(v, n):
+        d = np.floor(v * s) @ cents.T
+        return np.argsort(-d, kind="stable")[:n]
+
+    def codes_of(v):
+        xq = np.floor(v * s).reshape(4, 16)
+        return [int(np.argmin(const[i] - 2.0 * (books[i] @ xq[i]))) for i in range(4)]
+
+    def lut_of(v):
+        xq = np.floor(v * s).reshape(4, 16)
+        return np.stack([const[i] - 2.0 * (books[i] @ xq[i]) for i in range(4)])
+
+    for qid in [0, 3, 7]:
+        probes = set(cell_of(vecs[qid], 4))
+        lut = lut_of(vecs[qid])
+        cand = []
+        for nid, v in vecs.items():
+            if nid == qid or cell_of(v, 1)[0] not in probes:
+                continue
+            adc = sum(lut[i, c] for i, c in enumerate(codes_of(v)))
+            cand.append((int(adc), nid))
+        cand.sort()
+        want = cand[:5]
+        rows = sorted((r for r in got if r.query_id == qid), key=lambda r: r.rank)
+        assert [(r.adc, r.neighbor_id) for r in rows] == want
+
+
+def test_ivfpq_plan_is_equijoin_no_vectors_through_join(spark, emb):
+    """IVFPQ must plan a broadcast EQUI-join on cell (never BNLJ) and the
+    corpus embedding column must not survive past the scan projection."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.plans import (
+        assert_scale_safe,
+        plan_of,
+    )
+
+    df = ivfpq_topk(emb, emb.filter(F.col("vec_id") < 10))
+    p = plan_of(df)
+    assert "BroadcastHashJoin" in p
+    assert_scale_safe(df)
+
+
+def test_ann_recall_bounds_and_self_recall(spark, emb):
+    """recall(exact, exact) == 1.0; approximate paths land in [0, 1] and
+    the LSH path's mean recall is positive on this corpus."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    q = emb.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(emb, q, k=5).cache()
+    self_r = ann_recall(exact, exact, k=5).collect()
+    assert all(r.recall == 1.0 and r.hits == 5 for r in self_r)
+
+    approx = lsh_topk(emb, q, k=5)
+    rec = ann_recall(approx, exact, k=5).collect()
+    assert len(rec) == 10
+    assert all(0.0 <= r.recall <= 1.0 for r in rec)
+    assert sum(r.recall for r in rec) > 0.0
+
+
+def test_trained_pq_high_recall_on_clustered_data(spark):
+    """On clustered vectors (the realistic embedding shape) IVFPQ with
+    TRAINED codebooks recovers nearly all true neighbors — the ADC
+    ranking must track true distance once codebooks adapt to the data.
+    Random codebooks on near-uniform vectors are distortion-bound (the
+    honest limit of a data-independent quantizer), so the quality gate
+    runs where PQ is designed to work."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        ivfpq_topk,
+        train_pq_codebooks,
+    )
+
+    rng = np.random.RandomState(5)
+    centers = rng.normal(size=(8, 64))
+    centers /= np.linalg.norm(centers, axis=1, keepdims=True)
+    rows = []
+    for i in range(400):
+        v = centers[i % 8] + rng.normal(scale=0.05, size=64)
+        v /= np.linalg.norm(v)
+        rows.append((i, [float(x) for x in v]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"]).cache()
+    q = df.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(df, q, k=5).cache()
+
+    books = train_pq_codebooks(df, m_sub=4, n_codes=16, sample_rows=400, seed=11)
+    # pure-ADC stage: same-cluster precision (coarse retrieval is what the
+    # compressed domain CAN rank — within-cluster ties are inherent)
+    adc_top = ivfpq_topk(df, q, k=5, n_probe=8, codebooks=books).collect()
+    same = sum(1 for r in adc_top if r.neighbor_id % 8 == r.query_id % 8)
+    assert same / len(adc_top) >= 0.8, same / len(adc_top)
+
+    # shortlist + exact rerank: the production two-stage path recovers the
+    # true within-cluster neighbors
+    # shortlist must exceed the ~50-member cluster: within a tight cluster
+    # all members tie on ADC, so a smaller shortlist id-tiebreaks true
+    # neighbors out before the exact stage sees them
+    approx = ivfpq_topk(df, q, k=5, n_probe=8, codebooks=books, rerank=60)
+    mean_rec = (
+        ann_recall(approx, exact, k=5).agg(F.avg("recall")).collect()[0][0]
+    )
+    assert mean_rec >= 0.8, mean_rec

@@ -250,3 +250,37 @@ def test_log_histogram_ignores_nonpositive(spark):
     ).withColumn("g", F.lit("a"))
     row = log_histogram_quantiles(df, ["g"], "v").collect()[0]
     assert row.n == 2
+
+
+def test_bloom_no_false_negatives_and_fp_rate(spark):
+    """Every built value probes true (Bloom guarantee); false-positive
+    rate on disjoint probes stays near the analytic (1-e^{-kn/m})^k."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    build = spark.range(500).selectExpr("concat('in-', id) AS v")
+    members = bloom_probe(bloom_build(build, "v"), build, "v").collect()
+    assert all(r.bloom_hit for r in members)
+
+    out = spark.range(2000).selectExpr("concat('out-', id) AS v")
+    probes = bloom_probe(bloom_build(build, "v"), out, "v").collect()
+    fp = sum(r.bloom_hit for r in probes) / len(probes)
+    # m=8192, k=3, n=500 -> analytic fp ~ 0.0043; allow generous slack
+    assert fp < 0.03
+
+
+def test_bloom_filter_is_one_row_and_bounded(spark):
+    """The built filter is ONE row whose bit array is bounded by m
+    regardless of build cardinality (metadata-sized broadcast)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.sketches import (
+        bloom_build,
+    )
+
+    build = spark.range(50_000).selectExpr("CAST(id AS STRING) AS v")
+    rows = bloom_build(build, "v", m=1024, k=3).collect()
+    assert len(rows) == 1
+    bits = rows[0].bits
+    assert len(bits) <= 1024
+    assert bits == sorted(bits) and len(set(bits)) == len(bits)
