@@ -7080,6 +7080,310 @@ def _profile_docs_sql():
     return f'SELECT * FROM ({per_col}) ORDER BY "column"'
 
 
+def q_bloom_filter(spark, sf_dir):
+    """Bloom-filter membership probe (sketches.bloom_build/bloom_probe):
+    the filter over 70% of documents' texts is ONE row (sorted set-bit
+    array, m=8192, k=3 md5-seeded hashes — the repo's engine-portable
+    hash60 family) broadcast to the probe side, which NEVER shuffles.
+    Output pins both the probe verdict and true membership, so the
+    oracle certifies the exact bit pattern AND exposes the
+    false-positive behavior (members always hit; non-members hit at the
+    analytic fp rate)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.sketches import (
+        bloom_build,
+        bloom_probe,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    vals = d.select(
+        "doc_id", F.coalesce(F.col("text"), F.lit("")).alias("v")
+    )
+    build = vals.filter(F.col("doc_id") % 10 < 7).select("v")
+    probed = bloom_probe(bloom_build(build, "v"), vals, "v")
+    members = build.distinct().withColumn("_m", F.lit(True))
+    return (
+        probed.join(members, "v", "left")
+        .select(
+            "doc_id",
+            "bloom_hit",
+            F.coalesce(F.col("_m"), F.lit(False)).alias("true_member"),
+        )
+        .transform(_by("doc_id"))
+    )
+
+
+Q_BLOOM_FILTER_SQL = """
+WITH vals AS (SELECT doc_id, coalesce(text,'') AS v FROM documents),
+b AS (SELECT DISTINCT v FROM vals WHERE doc_id % 10 < 7),
+pos AS (
+  SELECT DISTINCT
+         CAST(('0x' || substr(md5(CAST(s.range AS VARCHAR) || b.v), 1, 15))
+              AS BIGINT) % 8192 AS p
+  FROM b CROSS JOIN range(3) s),
+pp AS (
+  SELECT vals.doc_id, vals.v,
+         CAST(('0x' || substr(md5(CAST(s.range AS VARCHAR) || vals.v), 1, 15))
+              AS BIGINT) % 8192 AS p
+  FROM vals CROSS JOIN range(3) s),
+cnt AS (
+  SELECT pp.doc_id, pp.v, COUNT(pos.p) AS nh
+  FROM pp LEFT JOIN pos ON pp.p = pos.p
+  GROUP BY pp.doc_id, pp.v)
+SELECT c.doc_id, c.nh = 3 AS bloom_hit, (b.v IS NOT NULL) AS true_member
+FROM cnt c LEFT JOIN b ON c.v = b.v
+ORDER BY doc_id
+"""
+
+
+def q_ivfpq_topk(spark, sf_dir):
+    """IVF-PQ approximate top-k (similarity.ivfpq_topk — the FAISS IVFPQ
+    shape, third ANN path next to LSH/IVF): IVF cells prune candidates on
+    an equi-join, PQ lookup tables score them in the COMPRESSED domain
+    (4 element_at lookups per pair; corpus vectors never leave the scan).
+    Integer codebooks x floor-quantized vectors keep codes/LUTs/ranking
+    exact in float64, so the DuckDB oracle reproduces the full pipeline
+    bit-for-bit — cells, codes, ADC sums, ranks."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        ivfpq_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    return _ordered(ivfpq_topk(e, q, k=5), "query_id", "rank")
+
+
+def _ivfpq_sql() -> str:
+    """DuckDB twin of q_ivfpq_topk: reuses the IVF cell CTEs (same seed-7
+    codebook as q_ivf_topk), then reproduces the PQ stage — per-subspace
+    distance arrays d0..d3 (|c|^2 - 2 x_q.c, exact integers), first-min
+    code assignment (list_position = numpy argmin's first-match
+    tie-break), and the ADC sum via the query's OWN distance arrays as
+    lookup tables."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        pq_codebooks,
+    )
+
+    books = pq_codebooks(64, 4, 16, 11)
+    darr = []
+    for s in range(4):
+        lo, hi = s * 16 + 1, (s + 1) * 16
+        exprs = []
+        for j in range(16):
+            c = books[s, j]
+            lit = "[" + ",".join(str(int(x)) for x in c) + "]"
+            c2 = int((c * c).sum())
+            exprs.append(
+                f"{c2} - 2 * list_inner_product(q[{lo}:{hi}],"
+                f" CAST({lit} AS DOUBLE[]))"
+            )
+        darr.append(
+            f"[" + ",\n          ".join(exprs) + f"] AS d{s}"
+        )
+    return _ivf_sql_ctes() + """,
+pqd AS (
+  SELECT vec_id,
+         """ + ",\n         ".join(darr) + """
+  FROM e
+),
+pcodes AS (
+  SELECT vec_id,
+         CAST(list_position(d0, list_min(d0)) - 1 AS INT) AS c0,
+         CAST(list_position(d1, list_min(d1)) - 1 AS INT) AS c1,
+         CAST(list_position(d2, list_min(d2)) - 1 AS INT) AS c2,
+         CAST(list_position(d3, list_min(d3)) - 1 AS INT) AS c3
+  FROM pqd
+),
+cand AS (
+  SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+         CAST(qd.d0[k.c0 + 1] + qd.d1[k.c1 + 1]
+              + qd.d2[k.c2 + 1] + qd.d3[k.c3 + 1] AS BIGINT) AS adc
+  FROM probes p
+  JOIN cell1 c ON p.cell = c.cell AND c.vec_id <> p.vec_id
+  JOIN pcodes k ON k.vec_id = c.vec_id
+  JOIN pqd qd ON qd.vec_id = p.vec_id
+),
+ranked AS (
+  SELECT query_id, neighbor_id, adc,
+         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY adc ASC, neighbor_id ASC) AS INT)
+           AS rank
+  FROM cand
+)
+SELECT query_id, neighbor_id, rank, adc FROM ranked WHERE rank <= 5
+ORDER BY query_id, rank
+"""
+
+
+def q_ann_recall(spark, sf_dir):
+    """ANN recall@5 self-evaluation (similarity.ann_recall): the LSH path's
+    top-5 joined against the exact brute-force top-5, one recall row per
+    query — the index quality gate a pipeline runs on a sampled query set
+    before trusting an ANN path for semantic dedup.  Both the approximate
+    and exact rankings are already individually certified (q_lsh_topk /
+    q_knn_cosine); this certifies their composition."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        lsh_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    approx = lsh_topk(
+        e, q, "vec_id", "embedding", k=5,
+        bands=8, rows_per_band=4, dim=64, quantize_bits=20,
+    )
+    exact = brute_force_topk(e, q, "vec_id", "embedding", k=5)
+    return ann_recall(approx, exact, k=5).transform(_by("query_id"))
+
+
+Q_ANN_RECALL_SQL = _lsh_bucket_sql_ctes() + f""",
+lsh_cand AS (
+  SELECT DISTINCT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+                  a.v AS qv, c.v AS cv
+  FROM bk a JOIN bk c ON a.vec_id < 10 AND a.vec_id <> c.vec_id
+                      AND ({_LSH_BAND_MATCH})
+),
+lsh_ranked AS (
+  SELECT query_id, neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY
+           ROUND(list_inner_product(qv, cv)
+                 / (sqrt(list_inner_product(qv, qv))
+                    * sqrt(list_inner_product(cv, cv))), 6) DESC,
+           neighbor_id) AS rn
+  FROM lsh_cand
+),
+lsh5 AS (SELECT query_id, neighbor_id FROM lsh_ranked WHERE rn <= 5),
+bf_ranked AS (
+  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+           ROUND(list_inner_product(a.v, c.v)
+                 / (sqrt(list_inner_product(a.v, a.v))
+                    * sqrt(list_inner_product(c.v, c.v))), 6) DESC,
+           c.vec_id) AS rn
+  FROM e a JOIN e c ON a.vec_id < 10 AND a.vec_id <> c.vec_id
+),
+bf5 AS (SELECT query_id, neighbor_id FROM bf_ranked WHERE rn <= 5)
+SELECT b.query_id, CAST(COUNT(l.query_id) AS INT) AS hits,
+       ROUND(COUNT(l.query_id) * 1.0 / COUNT(*), 6) AS recall
+FROM bf5 b LEFT JOIN lsh5 l
+  ON b.query_id = l.query_id AND b.neighbor_id = l.neighbor_id
+GROUP BY b.query_id
+ORDER BY b.query_id
+"""
+
+
+def q_textrank(spark, sf_dir):
+    """TextRank extractive summarization (operators/textrank.py): the
+    synthetic word-soup corpus chunks into fixed 12-word pseudo-sentences
+    (pure Catalyst sequence+slice — natural text would use
+    sentence_rows), then per-doc weighted PageRank over shared-word
+    graphs picks each document's top-2 central sentences.  Integer edge
+    weights + per-round 9-dp rounding make the 5 fixed iterations
+    engine-portable; the oracle unrolls them as chained CTEs (the
+    q_pagerank discipline, grouped per doc)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.textrank import (
+        textrank,
+        top_sentences,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("text").isNotNull())
+    words = F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+    sents = (
+        d.select("doc_id", words.alias("ws"))
+        .filter(F.size("ws") > 0)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(
+                    F.lit(0), ((F.size("ws") + 11) / 12).cast("int") - 1
+                )
+            ).alias("sent_idx"),
+            "ws",
+        )
+        .select(
+            "doc_id",
+            "sent_idx",
+            F.slice(F.col("ws"), F.col("sent_idx") * 12 + 1, 12).alias(
+                "words"
+            ),
+        )
+    )
+    return (
+        top_sentences(textrank(sents), top_n=2)
+        .select(
+            "doc_id",
+            "sent_idx",
+            "tr_rank",
+            F.round("score", 6).alias("score"),
+        )
+        .transform(_by("doc_id", "tr_rank"))
+    )
+
+
+def _textrank_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """DuckDB twin: same 12-word chunking, same integer shared-word edge
+    weights, same unrolled iterations with per-round 9-dp rounding.
+    Damping/teleport constants injected as full-precision Python literals
+    so both engines add bit-identical doubles before each ROUND."""
+    tele = repr(1.0 - damping)
+    d = repr(damping)
+    its = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        its.append(f"""
+r{i} AS (
+  SELECT b.doc_id, b.sent_idx, b.n,
+         ROUND({tele} / b.n + {d} * COALESCE(c.s, 0.0), 9) AS rnk
+  FROM base b LEFT JOIN (
+    SELECT ne.doc_id, ne.dst, SUM(ne.nw * r.rnk) AS s
+    FROM ne JOIN {prev} r
+      ON ne.doc_id = r.doc_id AND ne.src = r.sent_idx
+    GROUP BY 1, 2) c
+  ON b.doc_id = c.doc_id AND b.sent_idx = c.dst
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH w AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS ws
+  FROM documents WHERE text IS NOT NULL),
+wn AS (SELECT doc_id, ws FROM w WHERE len(ws) > 0),
+sx AS (
+  SELECT doc_id, UNNEST(range(CAST(ceil(len(ws) / 12.0) AS BIGINT))) AS si,
+         ws
+  FROM wn),
+sw AS (
+  SELECT doc_id, CAST(si AS INT) AS sent_idx,
+         list_distinct(ws[si * 12 + 1 : si * 12 + 12]) AS wset
+  FROM sx),
+base AS (
+  SELECT doc_id, sent_idx, COUNT(*) OVER (PARTITION BY doc_id) AS n
+  FROM sw),
+eg AS (
+  SELECT a.doc_id, a.sent_idx AS src, b.sent_idx AS dst,
+         len(list_distinct(list_intersect(a.wset, b.wset))) AS c
+  FROM sw a JOIN sw b
+    ON a.doc_id = b.doc_id AND a.sent_idx <> b.sent_idx
+  WHERE len(list_distinct(list_intersect(a.wset, b.wset))) > 0),
+ne AS (
+  SELECT doc_id, src, dst,
+         ROUND(CAST(c AS DOUBLE)
+               / SUM(c) OVER (PARTITION BY doc_id, src), 9) AS nw
+  FROM eg),
+r0 AS (SELECT doc_id, sent_idx, n, ROUND(1.0 / n, 9) AS rnk FROM base),
+{",".join(its)},
+ranked AS (
+  SELECT doc_id, sent_idx,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+                                 ORDER BY rnk DESC, sent_idx ASC) AS INT)
+           AS tr_rank,
+         ROUND(rnk, 6) AS score
+  FROM {prev})
+SELECT doc_id, sent_idx, tr_rank, score FROM ranked WHERE tr_rank <= 2
+ORDER BY doc_id, tr_rank
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -7267,6 +7571,10 @@ _QUERIES_PAST_WINDOW = [
     "q_expectations",
     "q_stl_decompose",
     "q_cube",
+    "q_bloom_filter",
+    "q_ivfpq_topk",
+    "q_ann_recall",
+    "q_textrank",
 ]
 
 
@@ -7374,6 +7682,10 @@ def oracle_sql() -> dict[str, str]:
         "q_expectations": Q_EXPECTATIONS_SQL,
         "q_stl_decompose": Q_STL_DECOMPOSE_SQL,
         "q_cube": Q_CUBE_SQL,
+        "q_bloom_filter": Q_BLOOM_FILTER_SQL,
+        "q_ivfpq_topk": _ivfpq_sql(),
+        "q_ann_recall": Q_ANN_RECALL_SQL,
+        "q_textrank": _textrank_sql(),
         "q_doc_scalar_suite": Q_DOC_SCALAR_SUITE_SQL,
         "q_line_repetition": Q_LINE_REPETITION_SQL,
         "q_mixture_weights": Q_MIXTURE_WEIGHTS_SQL,

@@ -252,6 +252,13 @@ def test_no_query_plans_nested_loop_or_rowwise_python(spark):
         # one-row corpus-total attach onto the bounded rule frame
         # (constant-key broadcast; build side is a single row)
         "q_assoc_rules",
+        # one-row Bloom bitmap replicated to the probe side (build side
+        # is exactly one metadata-sized row by construction — the probe
+        # table never shuffles, which is the operator's whole point)
+        "q_bloom_filter",
+        # contains the documented brute-force exact baseline as the
+        # recall denominator (the approximate side is the LSH equi-join)
+        "q_ann_recall",
     }
     for name, f in em.queries().items():
         p = plan_of(f(spark, "/root/testdata/sf0.001"))
