@@ -7384,6 +7384,174 @@ ORDER BY doc_id, tr_rank
 """
 
 
+def q_mmr_select(spark, sf_dir):
+    """Maximal-Marginal-Relevance diverse selection (similarity.mmr_select,
+    Carbonell & Goldstein 1998): brute-force top-10 candidates per query
+    re-ranked by ``0.7*rel - 0.3*max_sim_to_selected`` for 3 picks — the
+    diversity-aware re-ranker after ANN retrieval (diverse few-shot
+    selection, dedup-aware context assembly).  Every pairwise sim and
+    every round's objective rounds to 6 dp before the per-query argmax,
+    so the oracle unrolls the same 3 rounds as chained CTEs."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_select,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    cand = (
+        brute_force_topk(e, q, "vec_id", "embedding", k=10)
+        .join(
+            e.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.col("embedding").alias("cv"),
+            ),
+            "neighbor_id",
+        )
+        .select("query_id", "neighbor_id", "cv", F.col("sim").alias("rel"))
+    )
+    return mmr_select(cand, k=3, lam=0.7).transform(
+        _by("query_id", "mmr_rank")
+    )
+
+
+def _mmr_sql(lam: float = 0.7) -> str:
+    """DuckDB twin of q_mmr_select: identical brute-force top-10 candidate
+    CTE, then the three MMR rounds unrolled (pick 1 = pure relevance;
+    rounds 2-3 re-score survivors against the growing selected set with
+    the same 6-dp roundings and neighbor-id tiebreaks).  The lambda
+    complements are injected as full-precision Python literals so both
+    engines subtract bit-identical doubles before the final ROUND."""
+    lm, om = repr(lam), repr(1.0 - lam)
+
+    def cos(x: str, y: str) -> str:
+        return (
+            f"ROUND(list_inner_product({x}, {y})"
+            f" / (sqrt(list_inner_product({x}, {x}))"
+            f" * sqrt(list_inner_product({y}, {y}))), 6)"
+        )
+
+    return f"""
+WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+bf AS (
+  SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id, c.v AS cv,
+         {cos("a.v", "c.v")} AS rel,
+         ROW_NUMBER() OVER (PARTITION BY a.vec_id
+                            ORDER BY {cos("a.v", "c.v")} DESC, c.vec_id) AS rn
+  FROM e a JOIN e c ON a.vec_id < 10 AND c.vec_id <> a.vec_id),
+cand AS (SELECT query_id, neighbor_id, cv, rel FROM bf WHERE rn <= 10),
+p1 AS (
+  SELECT query_id, neighbor_id, cv, ROUND(rel, 6) AS score FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY rel DESC, neighbor_id) AS r
+    FROM cand) WHERE r = 1),
+m2 AS (
+  SELECT c.query_id, c.neighbor_id, c.cv, c.rel,
+         ROUND({lm} * c.rel - {om} * {cos("c.cv", "p.cv")}, 6) AS score
+  FROM cand c JOIN p1 p
+    ON c.query_id = p.query_id AND c.neighbor_id <> p.neighbor_id),
+p2 AS (
+  SELECT query_id, neighbor_id, cv, score FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS r
+    FROM m2) WHERE r = 1),
+m3 AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND({lm} * c.rel - {om} * GREATEST(
+           {cos("c.cv", "a.cv")}, {cos("c.cv", "b.cv")}), 6) AS score
+  FROM cand c
+  JOIN p1 a ON c.query_id = a.query_id
+  JOIN p2 b ON c.query_id = b.query_id
+  WHERE c.neighbor_id <> a.neighbor_id AND c.neighbor_id <> b.neighbor_id),
+p3 AS (
+  SELECT query_id, neighbor_id, score FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                                 ORDER BY score DESC, neighbor_id) AS r
+    FROM m3) WHERE r = 1)
+SELECT query_id, neighbor_id, 1 AS mmr_rank, score AS mmr_score FROM p1
+UNION ALL
+SELECT query_id, neighbor_id, 2, score FROM p2
+UNION ALL
+SELECT query_id, neighbor_id, 3, score FROM p3
+ORDER BY query_id, mmr_rank
+"""
+
+
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining for contrastive training
+    (similarity.hard_negative_pairs): pairs colliding in some LSH band
+    whose exact cosine lands in [0.30, 0.38) — related enough to confuse
+    an embedding model, below the near-dup threshold (q_embed_neardup
+    starts at 0.38, so the two outputs partition the banded candidates).
+    Same FP-portable integer-quantized buckets, so the oracle reproduces
+    the exact pair set."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        hard_negative_pairs,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return hard_negative_pairs(
+        e, sim_lo=0.30, sim_hi=0.38, quantize_bits=20
+    ).transform(_by("id_a", "id_b"))
+
+
+Q_HARD_NEGATIVES_SQL = _lsh_bucket_sql_ctes(rows_per_band=4) + f"""
+SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+       ROUND(list_inner_product(a.v, c.v)
+             / (sqrt(list_inner_product(a.v, a.v))
+                * sqrt(list_inner_product(c.v, c.v))), 6) AS sim
+FROM bk a JOIN bk c ON a.vec_id < c.vec_id AND ({_LSH_BAND_MATCH})
+WHERE ROUND(list_inner_product(a.v, c.v)
+            / (sqrt(list_inner_product(a.v, a.v))
+               * sqrt(list_inner_product(c.v, c.v))), 6) >= 0.30
+  AND ROUND(list_inner_product(a.v, c.v)
+            / (sqrt(list_inner_product(a.v, a.v))
+               * sqrt(list_inner_product(c.v, c.v))), 6) < 0.38
+ORDER BY id_a, id_b
+"""
+
+
+def q_kn_bigrams(spark, sf_dir):
+    """Interpolated Kneser-Ney bigram estimation
+    (corpus.kneser_ney_bigrams — Kneser & Ney 1995, Chen & Goodman 1999):
+    the n-gram LM pass over the normalized corpus, with continuation
+    counts, backoff mass, and the full interpolated estimate per
+    surviving bigram.  Everything is exact integer counts + one rational
+    expression with the exactly-representable 0.75 discount, so the
+    oracle lands on hash-identical doubles."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        kneser_ney_bigrams,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return kneser_ney_bigrams(d, "doc_id", "text", min_count=5).transform(
+        _by("v", "w")
+    )
+
+
+Q_KN_BIGRAMS_SQL = f"""
+WITH toks AS (
+  SELECT list_filter(string_split({_NORM_SQL}, ' '), x -> x <> '') AS ws
+  FROM documents),
+idx AS (SELECT ws, UNNEST(range(len(ws) - 1)) AS i FROM toks),
+bg AS (SELECT ws[i + 1] AS v, ws[i + 2] AS w FROM idx),
+types AS (SELECT v, w, COUNT(*) AS c_vw FROM bg GROUP BY v, w),
+st AS (
+  SELECT v, w, c_vw,
+         CAST(SUM(c_vw) OVER (PARTITION BY v) AS BIGINT) AS c_v,
+         COUNT(*) OVER (PARTITION BY v) AS n1_fwd,
+         COUNT(*) OVER (PARTITION BY w) AS n1_bwd,
+         COUNT(*) OVER () AS tt
+  FROM types)
+SELECT v, w, c_vw, c_v, n1_fwd, n1_bwd,
+       ROUND(n1_bwd / tt, 6) AS pcont,
+       ROUND(greatest(c_vw - 0.75, 0.0) / c_v
+             + 0.75 * n1_fwd / c_v * (n1_bwd / tt), 6) AS pkn
+FROM st WHERE c_vw >= 5
+ORDER BY v, w
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -7575,6 +7743,9 @@ _QUERIES_PAST_WINDOW = [
     "q_ivfpq_topk",
     "q_ann_recall",
     "q_textrank",
+    "q_mmr_select",
+    "q_hard_negatives",
+    "q_kn_bigrams",
 ]
 
 
@@ -7686,6 +7857,9 @@ def oracle_sql() -> dict[str, str]:
         "q_ivfpq_topk": _ivfpq_sql(),
         "q_ann_recall": Q_ANN_RECALL_SQL,
         "q_textrank": _textrank_sql(),
+        "q_mmr_select": _mmr_sql(),
+        "q_hard_negatives": Q_HARD_NEGATIVES_SQL,
+        "q_kn_bigrams": Q_KN_BIGRAMS_SQL,
         "q_doc_scalar_suite": Q_DOC_SCALAR_SUITE_SQL,
         "q_line_repetition": Q_LINE_REPETITION_SQL,
         "q_mixture_weights": Q_MIXTURE_WEIGHTS_SQL,

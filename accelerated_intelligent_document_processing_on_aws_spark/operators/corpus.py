@@ -498,3 +498,82 @@ def source_js_divergence(
             round_to,
         ).alias("jsd"),
     )
+
+
+def kneser_ney_bigrams(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    discount: float = 0.75,
+    min_count: int = 5,
+) -> DataFrame:
+    """Interpolated Kneser-Ney bigram estimates (Kneser & Ney 1995; Chen &
+    Goodman 1999) over the normalized corpus — the n-gram LM estimation
+    pass a training-data pipeline runs to score corpus slices, build
+    lightweight rerankers, or feed perplexity-based quality filters
+    without any neural model:
+
+      ``pkn(w|v) = max(c(vw)-d, 0)/c(v) + d*N1+(v.)/c(v) * pcont(w)``
+      ``pcont(w) = N1+(.w) / |distinct bigrams|``
+
+    Columns: ``v, w, c_vw, c_v, n1_fwd`` (distinct continuations of v),
+    ``n1_bwd`` (distinct left contexts of w), ``pcont, pkn`` (6 dp).
+    Rows are bigrams with ``c_vw >= min_count``; counts/backoff stats are
+    computed over ALL bigrams first, so the filter only bounds output.
+
+    Scale shape (100 TB): bigrams leave the scan stage already reduced to
+    the types table (one groupBy with map-side combine — the
+    ``bigram_counts`` plan); c(v)/N1+(v.) ride ONE v-keyed window and
+    N1+(.w) one w-keyed window over that types-sized frame; the distinct-
+    bigram total attaches as a one-row broadcast.  Nothing corpus-sized
+    survives the first aggregate.  ``discount`` defaults to 0.75 (the
+    standard fixed-discount choice), exactly representable in float64 so
+    both engines' arithmetic agrees before the final ROUND."""
+    base = ensure_min_partitions(df).select(
+        F.filter(
+            F.split(normalized_for_compare(F.col(text_col)), " "),
+            lambda t: t != F.lit(""),
+        ).alias("_w")
+    )
+    n = F.size(F.col("_w"))
+    pairs = base.select(
+        F.explode(
+            F.when(
+                n >= 2,
+                F.zip_with(
+                    F.slice(F.col("_w"), 1, n - 1),
+                    F.slice(F.col("_w"), 2, n - 1),
+                    lambda x, y: F.struct(x.alias("v"), y.alias("w")),
+                ),
+            ).otherwise(F.array()),
+        ).alias("_p")
+    ).select(F.col("_p.v").alias("v"), F.col("_p.w").alias("w"))
+    types = pairs.groupBy("v", "w").agg(F.count(F.lit(1)).alias("c_vw"))
+    wv = Window.partitionBy("v")
+    ww = Window.partitionBy("w")
+    stats = (
+        types.withColumn("c_v", F.sum("c_vw").over(wv))
+        .withColumn("n1_fwd", F.count(F.lit(1)).over(wv))
+        .withColumn("n1_bwd", F.count(F.lit(1)).over(ww))
+    )
+    total = types.agg(F.count(F.lit(1)).alias("_tt"))
+    d = float(discount)
+    return (
+        stats.join(F.broadcast(total))
+        .filter(F.col("c_vw") >= min_count)
+        .select(
+            "v",
+            "w",
+            "c_vw",
+            "c_v",
+            "n1_fwd",
+            "n1_bwd",
+            F.round(F.col("n1_bwd") / F.col("_tt"), 6).alias("pcont"),
+            F.round(
+                F.greatest(F.col("c_vw") - F.lit(d), F.lit(0.0)) / F.col("c_v")
+                + F.lit(d) * F.col("n1_fwd") / F.col("c_v")
+                * (F.col("n1_bwd") / F.col("_tt")),
+                6,
+            ).alias("pkn"),
+        )
+    )

@@ -490,6 +490,7 @@ def embedding_near_dups(
     dim: int = 64,
     seed: int = 42,
     quantize_bits: int | None = None,
+    sim_hi: float | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs by cosine >= threshold within OR-amplified LSH
     band buckets (exact cosine re-check keeps precision exact; bands bound
@@ -499,7 +500,10 @@ def embedding_near_dups(
     nested loop over all pairs (pinned by tests/test_plans.py).  With
     ``quantize_bits`` set, buckets come from integer-quantized vectors ×
     integer planes, making the candidate set FP-portable so a DuckDB
-    oracle can reproduce the exact output (q_embed_neardup)."""
+    oracle can reproduce the exact output (q_embed_neardup).
+
+    ``sim_hi`` turns the threshold into the half-open band
+    ``threshold <= sim < sim_hi`` — see ``hard_negative_pairs``."""
     if quantize_bits is None:
         planes = banded_hyperplanes(dim, bands, rows_per_band, seed)
         bucket_vec = F.col("v")
@@ -535,9 +539,53 @@ def embedding_near_dups(
                 "sim"
             ),
         )
-        .filter(F.col("sim") >= F.lit(threshold))
+        .filter(
+            (F.col("sim") >= F.lit(threshold))
+            if sim_hi is None
+            else (
+                (F.col("sim") >= F.lit(threshold))
+                & (F.col("sim") < F.lit(sim_hi))
+            )
+        )
         .dropDuplicates(["id_a", "id_b"])
         .select("id_a", "id_b", "sim")
+    )
+
+
+def hard_negative_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    sim_lo: float = 0.10,
+    sim_hi: float = 0.35,
+    bands: int = 8,
+    rows_per_band: int = 4,
+    dim: int = 64,
+    seed: int = 42,
+    quantize_bits: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training: pairs that COLLIDE
+    in some LSH band (so the hash family considers them related) yet whose
+    exact cosine lands in the moderate band ``[sim_lo, sim_hi)`` — close
+    enough to confuse an embedding model, far enough to be true negatives.
+    The standard in-batch-negatives upgrade for retrieval/embedding
+    fine-tuning data (e.g. DPR-style hard negatives), mined from the
+    corpus itself with zero model calls.
+
+    Same plan shape as ``embedding_near_dups`` (band equi-join, map-side
+    scoring, slim dedup rows) — only the similarity band differs, so the
+    100 TB judgment carries over unchanged."""
+    return embedding_near_dups(
+        df,
+        id_col,
+        vec_col,
+        threshold=sim_lo,
+        bands=bands,
+        rows_per_band=rows_per_band,
+        dim=dim,
+        seed=seed,
+        quantize_bits=quantize_bits,
+        sim_hi=sim_hi,
     )
 
 
@@ -898,3 +946,111 @@ def train_pq_codebooks(
                     cents[c] = x[mask].mean(axis=0)
         books[i] = np.rint(cents)
     return books
+
+
+def mmr_select(
+    candidates: DataFrame,
+    k: int = 3,
+    lam: float = 0.7,
+    id_col: str = "neighbor_id",
+    vec_col: str = "cv",
+    rel_col: str = "rel",
+) -> DataFrame:
+    """Maximal Marginal Relevance selection (Carbonell & Goldstein 1998):
+    from each query's candidate set, iteratively pick the item maximizing
+    ``lam * relevance - (1-lam) * max_similarity_to_already_selected`` —
+    the diversity-aware re-ranker a training-data pipeline runs after ANN
+    retrieval (diverse few-shot example selection, dedup-aware context
+    assembly) so the k picks don't all say the same thing.
+
+    Input: (query_id, ``id_col``, ``vec_col``, ``rel_col``) — one row per
+    candidate, ``rel_col`` already rounded (the ANN paths' 6-dp cosine).
+    Returns (query_id, ``id_col``, mmr_rank, mmr_score).
+
+    Determinism/portability: pairwise similarities and every iteration's
+    MMR objective are rounded to 6 dp before the per-query argmax
+    (neighbor-id tiebreak), so a SQL oracle unrolling the same k
+    iterations agrees bit-for-bit.
+
+    Scale shape (100 TB): candidate sets are ANN-output sized (tens of
+    rows per query, NEVER corpus-sized), so each of the k-1 rounds is a
+    broadcast join of the per-query selected set (≤ k rows/query) against
+    the candidate frame plus one per-query argmax window — all JVM-side
+    HOF math, no Python, no corpus shuffle."""
+    cand = candidates.select(
+        "query_id",
+        F.col(id_col).alias("cid"),
+        F.col(vec_col).alias("v"),
+        F.col(rel_col).alias("rel"),
+    ).withColumn("n", _norm(F.col("v"))).localCheckpoint(eager=False)
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), F.col("cid").asc()
+    )
+    # round 1: pure relevance
+    selected = (
+        cand.withColumn("_score", F.col("rel"))
+        .withColumn("_r", F.row_number().over(w))
+        .filter(F.col("_r") == 1)
+        .select(
+            "query_id",
+            "cid",
+            "v",
+            "n",
+            F.lit(1).alias("mmr_rank"),
+            F.round(F.col("_score"), 6).alias("mmr_score"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    for step in range(2, k + 1):
+        sel = selected.select(
+            "query_id",
+            F.col("cid").alias("sid"),
+            F.col("v").alias("sv"),
+            F.col("n").alias("sn"),
+        )
+        remaining = cand.join(
+            selected.select("query_id", "cid"), ["query_id", "cid"], "left_anti"
+        )
+        scored = (
+            remaining.join(F.broadcast(sel), "query_id")
+            .select(
+                "query_id",
+                "cid",
+                "rel",
+                _pair_sim(
+                    F.col("v"), F.col("sv"), F.col("n"), F.col("sn")
+                ).alias("_sim"),
+            )
+            .groupBy("query_id", "cid", "rel")
+            .agg(F.max("_sim").alias("_maxsim"))
+            .withColumn(
+                "_score",
+                F.round(
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1.0 - lam) * F.col("_maxsim"),
+                    6,
+                ),
+            )
+        )
+        pick = (
+            scored.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select(
+                "query_id",
+                "cid",
+                F.lit(step).alias("mmr_rank"),
+                F.col("_score").alias("mmr_score"),
+            )
+            .join(cand.select("query_id", "cid", "v", "n"), ["query_id", "cid"])
+            .select(
+                "query_id", "cid", "v", "n", "mmr_rank", "mmr_score"
+            )
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+    return selected.select(
+        "query_id",
+        F.col("cid").alias(id_col),
+        "mmr_rank",
+        "mmr_score",
+    )

@@ -412,3 +412,42 @@ def test_filter_agreement_kappa_extremes(spark):
     # degenerate all-true both -> pe = 1 -> kappa defined as 0
     (r3,) = filter_agreement(df, F.lit(True), F.lit(True)).collect()
     assert r3.kappa == 0.0
+
+
+def test_kneser_ney_hand_counts(spark):
+    """Hand-checked KN estimate: corpus {"a b a b", "b a"} has types
+    (a,b):2 and (b,a):2, so pkn(b|a) = (2-.75)/2 + .75*(1/2)*(1/2)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        kneser_ney_bigrams,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b a b"), (2, "b a")], ["doc_id", "text"]
+    )
+    rows = {
+        (r.v, r.w): r
+        for r in kneser_ney_bigrams(df, "doc_id", "text", min_count=1).collect()
+    }
+    ab = rows[("a", "b")]
+    assert (ab.c_vw, ab.c_v, ab.n1_fwd, ab.n1_bwd) == (2, 2, 1, 1)
+    assert ab.pcont == 0.5
+    assert ab.pkn == round((2 - 0.75) / 2 + 0.75 * 1 / 2 * 0.5, 6)
+    ba = rows[("b", "a")]
+    assert ba.pkn == ab.pkn  # symmetric corpus
+
+
+def test_kneser_ney_min_count_bounds_output_not_stats(spark):
+    """min_count prunes OUTPUT rows only — backoff stats still reflect the
+    full types table (n1_fwd counts continuations below the cutoff)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        kneser_ney_bigrams,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x y x y x y"), (2, "x z")], ["doc_id", "text"]
+    )
+    out = kneser_ney_bigrams(df, "doc_id", "text", min_count=2).collect()
+    assert {(r.v, r.w) for r in out} == {("x", "y"), ("y", "x")}
+    xy = next(r for r in out if (r.v, r.w) == ("x", "y"))
+    # x continues into BOTH y and z even though (x,z) is below min_count
+    assert xy.n1_fwd == 2 and xy.c_v == 4

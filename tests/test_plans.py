@@ -259,6 +259,13 @@ def test_no_query_plans_nested_loop_or_rowwise_python(spark):
         # contains the documented brute-force exact baseline as the
         # recall denominator (the approximate side is the LSH equi-join)
         "q_ann_recall",
+        # candidate generation is the documented brute-force baseline
+        # (top-10 per query); the MMR rounds themselves are equi-joins
+        # over candidate-sized frames
+        "q_mmr_select",
+        # one-row distinct-bigram total attached to the types-sized
+        # stats frame (the q_assoc_rules constant-attach shape)
+        "q_kn_bigrams",
     }
     for name, f in em.queries().items():
         p = plan_of(f(spark, "/root/testdata/sf0.001"))

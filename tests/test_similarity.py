@@ -400,3 +400,67 @@ def test_trained_pq_high_recall_on_clustered_data(spark):
         ann_recall(approx, exact, k=5).agg(F.avg("recall")).collect()[0][0]
     )
     assert mean_rec >= 0.8, mean_rec
+
+
+def test_mmr_prefers_diverse_pick(spark):
+    """MMR round 2 passes over a redundant near-duplicate of pick 1 in
+    favor of a diverse candidate with slightly lower relevance."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        mmr_select,
+    )
+
+    e1 = [1.0] + [0.0] * 63
+    e2 = [0.0, 1.0] + [0.0] * 62
+    near = [0.999] + [0.0445] + [0.0] * 62  # ~parallel to e1
+    rows = [
+        (0, 101, e1, 0.99),     # top relevance
+        (0, 102, near, 0.98),   # redundant with 101
+        (0, 103, e2, 0.60),     # diverse
+    ]
+    cand = spark.createDataFrame(rows, ["query_id", "neighbor_id", "cv", "rel"])
+    got = {r.mmr_rank: r.neighbor_id for r in mmr_select(cand, k=3).collect()}
+    assert got == {1: 101, 2: 103, 3: 102}
+
+
+def test_mmr_rank_shape_and_determinism(spark, emb):
+    """k rows per query, ranks 1..k, identical across runs."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        brute_force_topk,
+        mmr_select,
+    )
+
+    q = emb.filter(F.col("vec_id") < 5)
+    topk = brute_force_topk(emb, q, k=10)
+    cand = topk.join(
+        emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("cv")
+        ),
+        "neighbor_id",
+    ).select("query_id", "neighbor_id", "cv", F.col("sim").alias("rel"))
+    a = sorted(mmr_select(cand, k=3).collect(), key=lambda r: (r.query_id, r.mmr_rank))
+    b = sorted(mmr_select(cand, k=3).collect(), key=lambda r: (r.query_id, r.mmr_rank))
+    assert a == b
+    per_q = {}
+    for r in a:
+        per_q.setdefault(r.query_id, []).append(r.mmr_rank)
+    assert all(sorted(v) == [1, 2, 3] for v in per_q.values())
+    # selections are distinct per query
+    ids = {}
+    for r in a:
+        ids.setdefault(r.query_id, set()).add(r.neighbor_id)
+    assert all(len(v) == 3 for v in ids.values())
+
+
+def test_hard_negative_band_and_collision(spark, emb):
+    """Every mined pair sits in [lo, hi) and collides in some LSH band;
+    no near-duplicate (>= hi) leaks in."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        hard_negative_pairs,
+    )
+
+    got = hard_negative_pairs(
+        emb, sim_lo=0.20, sim_hi=0.35, quantize_bits=20
+    ).collect()
+    assert len(got) > 0
+    assert all(0.20 <= r.sim < 0.35 for r in got)
+    assert all(r.id_a < r.id_b for r in got)
