@@ -7552,6 +7552,116 @@ ORDER BY v, w
 """
 
 
+def q_dataset_split(spark, sf_dir):
+    """Deterministic train/val/test assignment (dedup.dataset_split):
+    md5-bucket CASE over doc ids — a document's split is a pure function
+    of its id, so corpus growth never moves old rows between splits (the
+    property that keeps accumulated eval sets honest).  Zero shuffle,
+    zero joins; the oracle is the same CASE in SQL."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+        dataset_split,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return dataset_split(d.select("doc_id"), "doc_id").transform(_by("doc_id"))
+
+
+Q_DATASET_SPLIT_SQL = """
+WITH b AS (
+  SELECT doc_id,
+         CAST(('0x' || substr(md5('split42' || CAST(doc_id AS VARCHAR)),
+                              1, 8)) AS BIGINT) % 100 AS bk
+  FROM documents)
+SELECT doc_id,
+       CASE WHEN bk < 90 THEN 'train'
+            WHEN bk < 95 THEN 'val'
+            ELSE 'test' END AS split
+FROM b ORDER BY doc_id
+"""
+
+
+def q_curriculum(spark, sf_dir):
+    """Curriculum-learning deciles (curation.curriculum_buckets): corpus
+    ranked by whitespace token count and cut into 10 rank-buckets via the
+    exact measure histogram (metadata-sized; global ntile's one-task sort
+    is the thing this operator exists to avoid).  Ties are coherent —
+    equal token counts share a bucket — which is also what makes the
+    assignment engine-portable."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        curriculum_buckets,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id", token_count(F.col("text")).alias("n_tok")
+    )
+    return curriculum_buckets(d, "doc_id", "n_tok", n_buckets=10).transform(
+        _by("doc_id")
+    )
+
+
+Q_CURRICULUM_SQL = f"""
+WITH d AS (SELECT doc_id, {_TOK_SQL} AS n_tok FROM documents),
+h AS (SELECT n_tok, COUNT(*) AS c FROM d GROUP BY n_tok),
+cuts AS (
+  SELECT n_tok,
+         CAST(floor(10 * (SUM(c) OVER (ORDER BY n_tok
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                          - c)
+                    / SUM(c) OVER ()) AS INT) AS bucket
+  FROM h)
+SELECT d.doc_id, d.n_tok, cuts.bucket
+FROM d JOIN cuts USING (n_tok)
+ORDER BY doc_id
+"""
+
+
+def q_budget_select(spark, sf_dir):
+    """Token-budget corpus selection (curation.budget_select): per source,
+    keep the highest-n_chars prefix whose cumulative whitespace-token cost
+    stays within 700 tokens — quality-first selection under a hard
+    budget, prefix semantics (an over-budget doc ends the group; no
+    backfilling with smaller later docs, which keeps the set a pure
+    function of the ordering).  One per-group cumsum window, output
+    budget-bounded by construction."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        budget_select,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        token_count,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        token_count(F.col("text")).alias("n_tok"),
+    )
+    return (
+        budget_select(d, "doc_id", "source", "n_chars", "n_tok", budget=700)
+        .withColumn("cum_cost", F.col("cum_cost").cast("long"))
+        .transform(_by("group", "id"))
+    )
+
+
+Q_BUDGET_SELECT_SQL = f"""
+WITH d AS (
+  SELECT doc_id AS id, source AS "group", n_chars AS score,
+         {_TOK_SQL} AS cost
+  FROM documents),
+c AS (
+  SELECT *, CAST(SUM(cost) OVER (PARTITION BY "group"
+              ORDER BY score DESC, id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+            AS cum_cost
+  FROM d)
+SELECT id, "group", score, cost, cum_cost FROM c WHERE cum_cost <= 700
+ORDER BY "group", id
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -7746,6 +7856,9 @@ _QUERIES_PAST_WINDOW = [
     "q_mmr_select",
     "q_hard_negatives",
     "q_kn_bigrams",
+    "q_dataset_split",
+    "q_curriculum",
+    "q_budget_select",
 ]
 
 
@@ -7860,6 +7973,9 @@ def oracle_sql() -> dict[str, str]:
         "q_mmr_select": _mmr_sql(),
         "q_hard_negatives": Q_HARD_NEGATIVES_SQL,
         "q_kn_bigrams": Q_KN_BIGRAMS_SQL,
+        "q_dataset_split": Q_DATASET_SPLIT_SQL,
+        "q_curriculum": Q_CURRICULUM_SQL,
+        "q_budget_select": Q_BUDGET_SELECT_SQL,
         "q_doc_scalar_suite": Q_DOC_SCALAR_SUITE_SQL,
         "q_line_repetition": Q_LINE_REPETITION_SQL,
         "q_mixture_weights": Q_MIXTURE_WEIGHTS_SQL,

@@ -1036,3 +1036,93 @@ def bm25_scores(
             F.round(F.sum("_c"), 6).alias("bm25"),
         )
     )
+
+
+def curriculum_buckets(
+    df: DataFrame,
+    id_col: str,
+    measure_col: str,
+    n_buckets: int = 10,
+) -> DataFrame:
+    """Curriculum-learning bucket assignment (Bengio et al. 2009): rank the
+    corpus by an integer difficulty measure (token count, the classic
+    short-to-long curriculum; any integer score works) and cut it into
+    ``n_buckets`` rank-deciles — the pass that orders training data
+    easy-to-hard before sharding.
+
+    Global ntile is NOT scale-safe (one unpartitioned window = the whole
+    corpus through one task).  Instead: the exact histogram of the
+    measure (groupBy measure — distinct-values-sized, metadata at any
+    corpus size for integer measures) gets an exclusive cumulative count,
+    and every row joins its measure's ``bucket = floor(n * cum_before /
+    total)`` back via broadcast.  Ties are coherent by construction
+    (equal measures share a bucket — they never straddle a boundary,
+    which also makes the assignment engine-portable: no tie-splitting
+    order to disagree on).
+
+    Columns: input + ``bucket`` (0-based)."""
+    hist = df.groupBy(F.col(measure_col).alias("_m")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wcum = Window.orderBy("_m").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    wtot = Window.partitionBy()
+    cuts = hist.select(
+        "_m",
+        (F.sum("_c").over(wcum) - F.col("_c")).alias("_before"),
+        F.sum("_c").over(wtot).alias("_total"),
+    ).select(
+        "_m",
+        F.floor(F.lit(n_buckets) * F.col("_before") / F.col("_total"))
+        .cast("int")
+        .alias("bucket"),
+    )
+    return df.join(
+        F.broadcast(cuts), F.col(measure_col) == F.col("_m")
+    ).drop("_m")
+
+
+def budget_select(
+    df: DataFrame,
+    id_col: str,
+    group_col: str,
+    score_col: str,
+    cost_col: str,
+    budget: int,
+) -> DataFrame:
+    """Token-budget corpus selection: per group (source/domain), take
+    documents in descending ``score_col`` order until the cumulative
+    ``cost_col`` (token count) exceeds ``budget`` — the
+    quality-first-under-a-budget pass that turns "we can afford 2B
+    tokens of web text" into a concrete document set.
+
+    A row survives iff the cumulative cost INCLUDING it stays within
+    budget (prefix semantics — one over-budget doc doesn't open the door
+    for smaller later ones; that keeps the selected set a pure function
+    of the ordering and portable across engines).  Ordering tie-breaks by
+    ascending id.
+
+    Columns: ``id, group, score, cost, cum_cost``.
+
+    Scale shape (100 TB): ONE per-group window (sort by score within the
+    group's hash partition — the token_packing cumsum discipline; groups
+    are sources/domains, so per-group data is large but the window is a
+    single sort-based aggregation, no join, no global sort).  Skewed
+    mega-groups are handled upstream the same way packing does it
+    (split the group key); the output is budget-bounded by construction."""
+    w = (
+        Window.partitionBy("group")
+        .orderBy(F.col("score").desc(), F.col("id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.col(group_col).alias("group"),
+            F.col(score_col).alias("score"),
+            F.col(cost_col).alias("cost"),
+        )
+        .withColumn("cum_cost", F.sum("cost").over(w))
+        .filter(F.col("cum_cost") <= F.lit(budget))
+    )

@@ -1123,3 +1123,42 @@ def prefix_filter_pairs(
             4,
         ).alias("jaccard"),
     )
+
+
+def dataset_split(
+    df: DataFrame,
+    id_col: str,
+    splits: list[tuple[str, int]] | None = None,
+    seed: str = "split42",
+) -> DataFrame:
+    """Deterministic train/val/test split assignment: ``md5(seed||id) mod
+    100`` lands each row in the first split whose cumulative percentage
+    covers its bucket — the ``hash_sample`` guarantee applied to dataset
+    partitioning (a document's split is a pure function of its id: stable
+    across runs, partitionings, engines, and corpus growth — new rows
+    never move old rows between splits, the property that keeps eval
+    sets honest as the corpus accumulates).
+
+    ``splits`` is an ordered list of (name, pct) summing to 100
+    (default [("train", 90), ("val", 5), ("test", 5)]).  Adds ``split``.
+    Pure Catalyst CASE over the hash bucket — no shuffle, no join."""
+    if splits is None:
+        splits = [("train", 90), ("val", 5), ("test", 5)]
+    if sum(p for _, p in splits) != 100:
+        raise ValueError("split percentages must sum to 100")
+    bucket = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long") % 100
+    expr = F.lit(splits[-1][0])
+    cum = 0
+    arms = []
+    for name, pct in splits[:-1]:
+        cum += pct
+        arms.append((cum, name))
+    for cut, name in reversed(arms):
+        expr = F.when(bucket < F.lit(cut), F.lit(name)).otherwise(expr)
+    return df.withColumn("split", expr)

@@ -745,3 +745,63 @@ def test_bm25_and_entropy_edge_guards(spark):
         ).collect()
     }
     assert out[0] == 0 and out[1] == 1
+
+
+def test_curriculum_buckets_rank_coherent(spark):
+    """Buckets are 0..n-1, monotone in the measure, tie-coherent (equal
+    measures share a bucket), and roughly balanced."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        curriculum_buckets,
+    )
+
+    rows = [(i, (i * 7) % 50 + 1) for i in range(200)]
+    df = spark.createDataFrame(rows, ["doc_id", "n_tok"])
+    out = curriculum_buckets(df, "doc_id", "n_tok", n_buckets=10).collect()
+    assert len(out) == 200
+    assert {r.bucket for r in out} == set(range(10))
+    by_measure = {}
+    for r in out:
+        by_measure.setdefault(r.n_tok, set()).add(r.bucket)
+    assert all(len(v) == 1 for v in by_measure.values())  # tie-coherent
+    ms = sorted(by_measure)
+    bks = [by_measure[m].pop() for m in ms]
+    assert bks == sorted(bks)  # monotone in the measure
+
+
+def test_budget_select_prefix_semantics(spark):
+    """Selection keeps the highest-score prefix whose cumulative cost fits;
+    an over-budget doc does NOT let smaller later docs in."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        budget_select,
+    )
+
+    rows = [
+        (1, "web", 0.9, 40),
+        (2, "web", 0.8, 50),
+        (3, "web", 0.7, 30),   # cum 120 > 100 -> cut here
+        (4, "web", 0.6, 5),    # would fit, but prefix semantics exclude it
+        (5, "books", 0.5, 60),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "source", "q", "tok"])
+    got = budget_select(df, "doc_id", "source", "q", "tok", budget=100).collect()
+    assert {(r.id, r.cum_cost) for r in got} == {(1, 40), (2, 90), (5, 60)}
+
+
+def test_dataset_split_stable_and_partitioned(spark):
+    """Split assignment is a pure function of the id (stable under corpus
+    growth and repartitioning), covers all rows, and lands near the
+    requested fractions."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+        dataset_split,
+    )
+
+    small = spark.range(500).withColumnRenamed("id", "doc_id")
+    big = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s1 = {r.doc_id: r.split for r in dataset_split(small, "doc_id").collect()}
+    s2 = {r.doc_id: r.split for r in dataset_split(big.repartition(13), "doc_id").collect()}
+    assert all(s2[k] == v for k, v in s1.items())  # growth never moves rows
+    from collections import Counter
+
+    c = Counter(s2.values())
+    assert set(c) == {"train", "val", "test"}
+    assert 0.85 <= c["train"] / 2000 <= 0.95
