@@ -295,3 +295,64 @@ def hungarian_match(
     fn = len(expected) - tp
     mean = float(np.mean(scores)) if scores else 0.0
     return tp, fp, fn, mean
+
+
+def jaro_similarity(s1: str, s2: str) -> float:
+    """Jaro similarity (Jaro 1989): matches within the standard window
+    ``max(|s1|,|s2|)/2 - 1``, transpositions = half the out-of-order
+    matches.  Pure rational arithmetic — two independent implementations
+    (this one and a SQL engine's native) agree to the last ulp on the
+    same inputs, which is what lets q_record_linkage use DuckDB's
+    ``jaro_similarity`` as a true differential oracle."""
+    if s1 == s2:
+        return 1.0
+    n1, n2 = len(s1), len(s2)
+    if n1 == 0 or n2 == 0:
+        return 0.0
+    window = max(max(n1, n2) // 2 - 1, 0)
+    match1 = [False] * n1
+    match2 = [False] * n2
+    m = 0
+    for i, c in enumerate(s1):
+        lo, hi = max(0, i - window), min(n2, i + window + 1)
+        for j in range(lo, hi):
+            if not match2[j] and s2[j] == c:
+                match1[i] = match2[j] = True
+                m += 1
+                break
+    if m == 0:
+        return 0.0
+    k = 0
+    half_t = 0
+    for i in range(n1):
+        if match1[i]:
+            while not match2[k]:
+                k += 1
+            if s1[i] != s2[k]:
+                half_t += 1
+            k += 1
+    t = half_t / 2.0
+    return (m / n1 + m / n2 + (m - t) / m) / 3.0
+
+
+def jaro_winkler(
+    s1: str,
+    s2: str,
+    p: float = 0.1,
+    max_prefix: int = 4,
+    boost_threshold: float = 0.7,
+) -> float:
+    """Jaro-Winkler similarity (Winkler 1990): the Jaro score boosted by
+    the common prefix (capped at ``max_prefix``), applied only above the
+    standard 0.7 boost threshold — the exact variant DuckDB's
+    ``jaro_winkler_similarity`` implements, verified by
+    tests/test_linkage.py against its textbook values."""
+    j = jaro_similarity(s1, s2)
+    if j <= boost_threshold:
+        return j
+    l = 0
+    for a, b in zip(s1[:max_prefix], s2[:max_prefix]):
+        if a != b:
+            break
+        l += 1
+    return j + l * p * (1.0 - j)
