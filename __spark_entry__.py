@@ -7694,6 +7694,95 @@ ORDER BY name_a, name_b
 """
 
 
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index between two corpus snapshots
+    (audit.psi_drift): even-doc_id half as the reference, odd half as
+    current, n_chars binned at width 100 — the distribution-drift gate a
+    platform runs between ingest snapshots.  Histograms are metadata-
+    sized before anything joins; epsilon-clamped shares keep one-sided
+    bins finite; ln portability is absorbed by 6-dp rounding (the JS-
+    divergence discipline)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.audit import (
+        psi_drift,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    ref = d.filter(F.col("doc_id") % 2 == 0)
+    cur = d.filter(F.col("doc_id") % 2 == 1)
+    return psi_drift(ref, cur, "n_chars", bin_width=100).transform(_by("bin"))
+
+
+Q_PSI_DRIFT_SQL = """
+WITH r AS (
+  SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bin, COUNT(*) AS cr
+  FROM documents WHERE doc_id % 2 = 0 GROUP BY 1),
+c AS (
+  SELECT CAST(floor(n_chars / 100) AS BIGINT) AS bin, COUNT(*) AS cc
+  FROM documents WHERE doc_id % 2 = 1 GROUP BY 1),
+j AS (
+  SELECT COALESCE(r.bin, c.bin) AS bin,
+         COALESCE(cr, 0) AS cr, COALESCE(cc, 0) AS cc
+  FROM r FULL OUTER JOIN c ON r.bin = c.bin),
+s AS (
+  SELECT bin,
+         greatest(cr / SUM(cr) OVER (), 0.000001) AS pr,
+         greatest(cc / SUM(cc) OVER (), 0.000001) AS pc
+  FROM j)
+SELECT bin, ROUND(pr, 6) AS p_ref, ROUND(pc, 6) AS p_cur,
+       ROUND((pc - pr) * ln(pc / pr), 6) AS psi_term
+FROM s ORDER BY bin
+"""
+
+
+def q_label_prop(spark, sf_dir):
+    """Label-propagation communities over the user co-activity graph
+    (graph.label_propagation — Raghavan et al. 2007, deterministic
+    synchronous variant with min-label ties): 5 fixed rounds, each one
+    join + one (dst,label) count + one per-dst argmax, the pagerank
+    iteration discipline.  The oracle unrolls the identical rounds."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        coactivity_edges,
+        label_propagation,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    edges = coactivity_edges(e, "user_id", "ts", "minute", 64)
+    return label_propagation(edges, iterations=5).transform(_by("node"))
+
+
+def _label_prop_sql(iterations: int = 5) -> str:
+    """DuckDB twin: same co-activity edge derivation as _pagerank_sql,
+    then the synchronous LPA rounds unrolled (mode of in-neighbor labels,
+    ties to the smallest label, isolated nodes keep their id)."""
+    its = []
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        its.append(f"""
+l{i} AS (
+  SELECT n.node, COALESCE(b.label, n.node) AS label
+  FROM nodes n LEFT JOIN (
+    SELECT dst AS node, label FROM (
+      SELECT e.dst, l.label,
+             ROW_NUMBER() OVER (PARTITION BY e.dst
+                                ORDER BY COUNT(*) DESC, l.label ASC) AS r
+      FROM edges e JOIN {prev} l ON e.src = l.node
+      GROUP BY e.dst, l.label) WHERE r = 1) b
+  ON n.node = b.node
+)""")
+        prev = f"l{i}"
+    return f"""
+WITH b AS (SELECT DISTINCT date_trunc('minute', ts) AS _b, user_id AS _u FROM events),
+sized AS (SELECT _b, _u FROM (SELECT _b, _u, COUNT(*) OVER (PARTITION BY _b) AS _n FROM b)
+          WHERE _n <= 64),
+edges AS (SELECT DISTINCT l._u AS src, r._u AS dst
+          FROM sized l JOIN sized r USING (_b) WHERE l._u <> r._u),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+l0 AS (SELECT node, node AS label FROM nodes),
+{",".join(its)}
+SELECT node, label FROM {prev} ORDER BY node
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -7892,6 +7981,8 @@ _QUERIES_PAST_WINDOW = [
     "q_curriculum",
     "q_budget_select",
     "q_record_linkage",
+    "q_psi_drift",
+    "q_label_prop",
 ]
 
 
@@ -8010,6 +8101,8 @@ def oracle_sql() -> dict[str, str]:
         "q_curriculum": Q_CURRICULUM_SQL,
         "q_budget_select": Q_BUDGET_SELECT_SQL,
         "q_record_linkage": Q_RECORD_LINKAGE_SQL,
+        "q_psi_drift": Q_PSI_DRIFT_SQL,
+        "q_label_prop": _label_prop_sql(),
         "q_doc_scalar_suite": Q_DOC_SCALAR_SUITE_SQL,
         "q_line_repetition": Q_LINE_REPETITION_SQL,
         "q_mixture_weights": Q_MIXTURE_WEIGHTS_SQL,

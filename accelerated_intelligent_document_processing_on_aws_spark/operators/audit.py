@@ -27,7 +27,7 @@ from __future__ import annotations
 
 import math
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 # Benford expected first-digit probabilities log10(1 + 1/d), exact the
@@ -461,3 +461,72 @@ def expectation_suite(df: DataFrame, checks: list[dict]) -> DataFrame:
             )
         )
     return one.select(F.inline(F.array(*rows)))
+
+
+def psi_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    value_col: str,
+    bin_width: int = 1,
+    epsilon: float = 1e-6,
+    round_to: int = 6,
+) -> DataFrame:
+    """Population Stability Index between a reference and a current
+    snapshot of an integer-binnable measure — the standard
+    distribution-drift gate (PSI < 0.1 stable, 0.1-0.25 moderate,
+    > 0.25 drifted) a corpus platform runs between ingest snapshots
+    before retraining on the new slice.
+
+    Bins = ``floor(value / bin_width)`` (integer-exact, engine-portable);
+    per-bin shares are epsilon-clamped on BOTH sides (the standard
+    zero-bin smoothing — PSI diverges on empty bins otherwise), each
+    bin's term is ``(p_cur - p_ref) * ln(p_cur / p_ref)`` rounded to
+    ``round_to``, and the one-row total sums the rounded terms (the JS-
+    divergence discipline: ln portability is absorbed by the rounding).
+
+    Columns: ``bin, p_ref, p_cur, psi_term`` — one row per bin present in
+    EITHER side (full outer on the bin key).  Callers sum ``psi_term``
+    for the headline number.
+
+    Scale shape (100 TB): each snapshot collapses to its bin histogram
+    first (one groupBy with map-side combine — bins are metadata-sized
+    for any bounded measure); the outer join and shares run on the two
+    histograms.  Nothing corpus-sized survives the first aggregate."""
+    def hist(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select(
+                F.floor(F.col(value_col) / F.lit(bin_width))
+                .cast("long")
+                .alias("bin")
+            )
+            .groupBy("bin")
+            .agg(F.count(F.lit(1)).alias(f"_c_{side}"))
+        )
+
+    r, c = hist(ref, "ref"), hist(cur, "cur")
+    joined = r.join(c, "bin", "full_outer").select(
+        "bin",
+        F.coalesce(F.col("_c_ref"), F.lit(0)).alias("_cr"),
+        F.coalesce(F.col("_c_cur"), F.lit(0)).alias("_cc"),
+    )
+    wtot = Window.partitionBy()
+    eps = float(epsilon)
+    shares = joined.select(
+        "bin",
+        F.greatest(
+            F.col("_cr") / F.sum("_cr").over(wtot), F.lit(eps)
+        ).alias("_pr"),
+        F.greatest(
+            F.col("_cc") / F.sum("_cc").over(wtot), F.lit(eps)
+        ).alias("_pc"),
+    )
+    return shares.select(
+        "bin",
+        F.round(F.col("_pr"), round_to).alias("p_ref"),
+        F.round(F.col("_pc"), round_to).alias("p_cur"),
+        F.round(
+            (F.col("_pc") - F.col("_pr"))
+            * F.log(F.col("_pc") / F.col("_pr")),
+            round_to,
+        ).alias("psi_term"),
+    )

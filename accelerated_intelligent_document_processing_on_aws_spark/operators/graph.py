@@ -407,3 +407,67 @@ def assortativity(edges: DataFrame, round_to: int = 6) -> DataFrame:
         (F.col("_m") / F.lit(2)).cast("long").alias("n_edges"),
         F.round(F.when(var > 0, cov / var), round_to).alias("r"),
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 5,
+) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan,
+    Albert & Kumara 2007): labels start as node ids; each round every
+    node adopts the most frequent label among its in-neighbors, ties
+    broken by the SMALLEST label — the deterministic synchronous variant
+    (the paper's random asynchronous order is not reproducible; fixed
+    rounds + min-label ties make the result a pure function of the edge
+    list, hence engine-portable and oracle-certifiable).
+
+    Returns ``(node, label)`` after ``iterations`` rounds; isolated
+    nodes (no in-edges) keep their own id.
+
+    Scale shape: the edge list hash-partitions on ``src`` ONCE and
+    persists (the ``pagerank`` discipline); each round shuffles only the
+    node-sized label frame — one join + one (dst, label) count aggregate
+    + one per-dst argmax window per round, lineage truncated with
+    localCheckpoint."""
+    e = (
+        edges.select(
+            F.col("src").cast("long").alias("src"),
+            F.col("dst").cast("long").alias("dst"),
+        )
+        .repartition("src")
+        .persist()
+    )
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.select("node", F.col("node").alias("label"))
+    w = Window.partitionBy("node").orderBy(
+        F.col("_n").desc(), F.col("label").asc()
+    )
+    for _ in range(iterations):
+        neigh = (
+            e.join(
+                labels.select(F.col("node").alias("src"), "label"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"), F.col("label"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+        )
+        best = (
+            neigh.withColumn("_r", F.row_number().over(w))
+            .filter(F.col("_r") == 1)
+            .select("node", F.col("label").alias("_new"))
+        )
+        labels = (
+            nodes.join(best, "node", "left")
+            .select(
+                "node",
+                F.coalesce(F.col("_new"), F.col("node")).alias("label"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = labels.localCheckpoint(eager=True)
+    e.unpersist()
+    return out

@@ -191,3 +191,24 @@ def test_expectation_suite_empty_input(spark):
     assert out["completeness(txt)"].metric is None
     assert out["completeness(txt)"].passed is False
     assert out["row_count_min"].passed is False
+
+
+def test_psi_drift_identical_and_shifted(spark):
+    """Identical snapshots give PSI ~ 0; a shifted distribution gives a
+    clearly positive PSI; epsilon clamping keeps one-sided bins finite."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.audit import (
+        psi_drift,
+    )
+    import pyspark.sql.functions as F
+
+    ref = spark.range(1000).select((F.col("id") % 10).alias("v"))
+    same = psi_drift(ref, ref, "v").agg(F.sum("psi_term")).collect()[0][0]
+    assert abs(same) < 1e-9
+
+    cur = spark.range(1000).select((F.col("id") % 10 + 5).alias("v"))
+    rows = psi_drift(ref, cur, "v").collect()
+    total = sum(r.psi_term for r in rows)
+    assert total > 0.25  # drifted by the standard rule of thumb
+    bins = {r.bin for r in rows}
+    assert bins == set(range(15))  # full outer: bins of either side
+    assert all(r.p_ref >= 0 and r.p_cur >= 0 for r in rows)

@@ -247,3 +247,36 @@ def test_assortativity_triangle_plus_pendant(spark):
     e = _both_dirs(spark, [(1, 2), (1, 3), (2, 3), (3, 4)])
     (r,) = assortativity(e).collect()
     assert (r.n_edges, r.r) == (4, round(-20 / 28, 6))
+
+
+def test_label_propagation_triangle_and_determinism(spark):
+    """A triangle converges to one community (min label by the tie rule);
+    output is a pure function of the edge list (repartition-stable)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        label_propagation,
+    )
+
+    tri = [(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2)]
+    pair = [(10, 11), (11, 10)]
+    edges = spark.createDataFrame(tri + pair, ["src", "dst"])
+    out = {r.node: r.label for r in label_propagation(edges, 5).collect()}
+    assert len({out[1], out[2], out[3]}) == 1  # one triangle community
+    assert out[1] in (1, 2, 3)
+    assert out[10] in (10, 11) and out[11] in (10, 11)
+    out2 = {
+        r.node: r.label
+        for r in label_propagation(edges.repartition(7), 5).collect()
+    }
+    assert out == out2
+
+
+def test_label_propagation_isolated_nodes_keep_id(spark):
+    """A source-only node (no in-edges) keeps its own id as label."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        label_propagation,
+    )
+
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])  # 1 has no in-edge
+    out = {r.node: r.label for r in label_propagation(edges, 3).collect()}
+    assert out[1] == 1
+    assert out[2] == 1  # adopts its only in-neighbor's label
