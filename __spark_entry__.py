@@ -7783,6 +7783,69 @@ SELECT node, label FROM {prev} ORDER BY node
 """
 
 
+def q_time_weighted(spark, sf_dir):
+    """Per-user time-weighted mean of event values
+    (timeseries.time_weighted_mean): step interpolation — each value
+    holds until the next observation — so irregular sampling doesn't
+    over-weight bursts (the metering/billing convention the reference's
+    metering stage implies but never computes).  Weights are exact
+    integer epoch-microsecond deltas; one lead() window + one aggregate,
+    no self-join."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        time_weighted_mean,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return time_weighted_mean(
+        e, "user_id", "ts", "value", order_tiebreak="event_id"
+    ).transform(_by("key"))
+
+
+Q_TIME_WEIGHTED_SQL = """
+WITH p AS (
+  SELECT user_id AS key, CAST(value AS DOUBLE) AS v,
+         LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id)
+           - epoch_us(ts) AS dt
+  FROM events)
+SELECT key, COUNT(*) AS n_intervals,
+       CAST(SUM(dt) AS BIGINT) AS total_us,
+       ROUND(SUM(v * dt) / SUM(dt), 6) AS tw_mean
+FROM p WHERE dt IS NOT NULL GROUP BY key ORDER BY key
+"""
+
+
+def q_event_trigrams(spark, sf_dir):
+    """Frequent contiguous 3-step event paths (funnel.sequence_ngrams —
+    PrefixSpan-lite for the contiguous case, one level up from the
+    first-order q_event_transitions matrix): chained lead() columns
+    under ONE key-ordered window, one support-pruned aggregate.  Output
+    is vocabulary^3-bounded regardless of corpus size."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.funnel import (
+        sequence_ngrams,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return sequence_ngrams(
+        e, "user_id", "event_type", "ts", "event_id", n=3, min_support=5
+    ).transform(_by("step_1", "step_2", "step_3"))
+
+
+Q_EVENT_TRIGRAMS_SQL = """
+WITH g AS (
+  SELECT user_id AS k, event_type AS step_1,
+         LEAD(event_type, 1) OVER w AS step_2,
+         LEAD(event_type, 2) OVER w AS step_3
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+SELECT step_1, step_2, step_3, COUNT(*) AS support,
+       COUNT(DISTINCT k) AS n_keys
+FROM g WHERE step_3 IS NOT NULL
+GROUP BY 1, 2, 3 HAVING COUNT(*) >= 5
+ORDER BY step_1, step_2, step_3
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -7983,6 +8046,8 @@ _QUERIES_PAST_WINDOW = [
     "q_record_linkage",
     "q_psi_drift",
     "q_label_prop",
+    "q_time_weighted",
+    "q_event_trigrams",
 ]
 
 
@@ -8103,6 +8168,8 @@ def oracle_sql() -> dict[str, str]:
         "q_record_linkage": Q_RECORD_LINKAGE_SQL,
         "q_psi_drift": Q_PSI_DRIFT_SQL,
         "q_label_prop": _label_prop_sql(),
+        "q_time_weighted": Q_TIME_WEIGHTED_SQL,
+        "q_event_trigrams": Q_EVENT_TRIGRAMS_SQL,
         "q_doc_scalar_suite": Q_DOC_SCALAR_SUITE_SQL,
         "q_line_repetition": Q_LINE_REPETITION_SQL,
         "q_mixture_weights": Q_MIXTURE_WEIGHTS_SQL,

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from typing import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -125,4 +125,45 @@ def funnel_conversion(
                 6,
             ).alias("conversion_pct"),
         )
+    )
+
+
+def sequence_ngrams(
+    df: DataFrame,
+    key_col: str,
+    event_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    n: int = 3,
+    min_support: int = 5,
+) -> DataFrame:
+    """Frequent contiguous event n-grams (PrefixSpan-lite for the
+    contiguous case): each key's time-ordered event sequence contributes
+    its length-``n`` windows, and n-grams with support (number of
+    occurrences) below ``min_support`` are pruned — the sequence-mining
+    pass behind "what 3-step paths do users actually take", one level up
+    from the first-order transition matrix.
+
+    Columns: ``step_1..step_n, support, n_keys`` (distinct keys the
+    pattern occurs in).
+
+    Scale shape: chained lead() columns under ONE key-ordered window (no
+    self-join — the q_event_transitions discipline generalized to n),
+    then one aggregate with map-side combine.  Output is
+    vocabulary^n-bounded after the support prune, never corpus-sized."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    cols = [F.col(event_col).alias("step_1")] + [
+        F.lead(event_col, i).over(w).alias(f"step_{i + 1}")
+        for i in range(1, n)
+    ]
+    grams = df.select(F.col(key_col).alias("_k"), *cols).filter(
+        F.col(f"step_{n}").isNotNull()
+    )
+    return (
+        grams.groupBy(*[f"step_{i + 1}" for i in range(n)])
+        .agg(
+            F.count(F.lit(1)).alias("support"),
+            F.countDistinct("_k").alias("n_keys"),
+        )
+        .filter(F.col("support") >= F.lit(min_support))
     )

@@ -288,3 +288,55 @@ def seasonal_decompose_daily(
             "remainder"
         ),
     )
+
+
+def time_weighted_mean(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str,
+    order_tiebreak: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-key time-weighted average: each observation's value holds until
+    the next observation (step interpolation — the metering/billing
+    convention), so the mean weights every value by how long it was in
+    effect: ``Σ v_i·Δt_i / Σ Δt_i`` over consecutive-pair intervals.
+    The last observation per key has no duration and contributes nothing
+    (a step function needs an end).  Keys with a single observation have
+    no intervals and emit NULL.
+
+    Why not a plain AVG: irregular sampling over-weights bursts — a
+    minute of 100 req/s sampled every second would swamp an hour of
+    1 req/s sampled hourly.
+
+    Columns: ``key, n_intervals, total_us, tw_mean``.
+
+    Scale shape: ONE key-ordered window (lead), one aggregate — the
+    q_event_transitions lead() discipline; no self-join.  Weights are
+    integer epoch-MICROsecond deltas (``unix_micros`` — lossless for
+    sub-second timestamps; DuckDB twin ``epoch_us``), so Σ v·Δt
+    accumulates exact-integer-weighted products and the weight unit
+    cancels in the final rounded division."""
+    w = Window.partitionBy(key_col).orderBy(
+        *(
+            [ts_col, order_tiebreak]
+            if order_tiebreak
+            else [ts_col]
+        )
+    )
+    # cast covers TIMESTAMP_NTZ inputs (unix_micros wants TIMESTAMP);
+    # any session-timezone offset is constant and cancels in the deltas
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    pairs = df.select(
+        F.col(key_col).alias("key"),
+        F.col(value_col).cast("double").alias("v"),
+        (F.lead(us).over(w) - us).alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    return pairs.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_intervals"),
+        F.sum("dt").cast("long").alias("total_us"),
+        F.round(
+            F.sum(F.col("v") * F.col("dt")) / F.sum("dt"), round_to
+        ).alias("tw_mean"),
+    )

@@ -136,3 +136,30 @@ def test_funnel_single_shuffle_plan(spark):
     p = plan_of(funnel_steps(e, "user_id", "event_type", "ts", ["view", "click"]))
     assert p.count("Exchange") <= 2  # user groupBy (+ input spread only)
     assert "BatchEvalPython" not in p and "ArrowEvalPython" not in p
+
+
+def test_sequence_ngrams_counts_and_prune(spark):
+    """Contiguous trigram counts over ordered per-key sequences; support
+    prune removes rare patterns; n_keys counts distinct keys."""
+    import datetime as dt
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.funnel import (
+        sequence_ngrams,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    for uid in range(4):
+        for i, ev in enumerate(["view", "click", "buy", "view"]):
+            rows.append((uid, ev, t0 + dt.timedelta(seconds=i), i))
+    rows.append((99, "x", t0, 0))
+    rows.append((99, "y", t0 + dt.timedelta(seconds=1), 1))
+    rows.append((99, "z", t0 + dt.timedelta(seconds=2), 2))
+    df = spark.createDataFrame(rows, ["uid", "ev", "ts", "eid"])
+    got = {
+        (r.step_1, r.step_2, r.step_3): (r.support, r.n_keys)
+        for r in sequence_ngrams(df, "uid", "ev", "ts", "eid", n=3, min_support=2).collect()
+    }
+    assert got[("view", "click", "buy")] == (4, 4)
+    assert got[("click", "buy", "view")] == (4, 4)
+    assert ("x", "y", "z") not in got  # support 1 pruned

@@ -175,3 +175,26 @@ def test_seasonal_decompose_single_day_group(spark):
     (r,) = seasonal_decompose_daily(df, "g", "ts", period=7).collect()
     assert r.y == 1 and r.trend is None
     assert r.seasonal is None and r.remainder is None
+
+
+def test_time_weighted_mean_hand_case(spark):
+    """Step-interpolated TWA: value 10 for 30 s then 20 for 10 s ->
+    (10*30 + 20*10)/40 = 12.5; the final observation carries no weight."""
+    import datetime as dt
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        time_weighted_mean,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        ("a", t0, 10.0),
+        ("a", t0 + dt.timedelta(seconds=30), 20.0),
+        ("a", t0 + dt.timedelta(seconds=40), 99.0),   # last: no duration
+        ("b", t0, 5.0),                                # single obs: no row? NULL mean
+    ]
+    df = spark.createDataFrame(rows, ["k", "ts", "v"])
+    got = {r.key: r for r in time_weighted_mean(df, "k", "ts", "v").collect()}
+    assert got["a"].tw_mean == 12.5
+    assert got["a"].n_intervals == 2 and got["a"].total_us == 40_000_000
+    assert "b" not in got  # zero intervals -> no row
