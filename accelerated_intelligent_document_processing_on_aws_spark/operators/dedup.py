@@ -1162,3 +1162,38 @@ def dataset_split(
     for cut, name in reversed(arms):
         expr = F.when(bucket < F.lit(cut), F.lit(name)).otherwise(expr)
     return df.withColumn("split", expr)
+
+
+def exact_k_sample(
+    df: DataFrame,
+    id_col: str,
+    strata_col: str,
+    k: int,
+    seed: str = "k42",
+) -> DataFrame:
+    """EXACTLY-k-per-stratum deterministic sample: keep each stratum's k
+    smallest ``md5(seed||id)`` hashes (ties impossible at 60 bits).
+    Rate-based sampling (``stratified_hash_sample``) yields binomially
+    noisy counts; evaluation sets and few-shot pools need exact sizes.
+    Selection is still hash-stable: a row's rank can only move when
+    rows are added to ITS stratum, and the chosen set is a pure function
+    of the stratum's membership — reproducible across engines and
+    partitionings (bottom-k of a hash is the KMV sketch's selection rule,
+    sketches.kmv_distinct).
+
+    Columns: input + ``smp_rank`` (1..k within the stratum).
+
+    Scale shape: ONE stratum-keyed window (rank over the hash); bottom-k
+    per group pushes a partial TakeOrdered map-side under AQE; no joins."""
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))), 1, 15
+        ),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(strata_col).orderBy(h.asc(), F.col(id_col).asc())
+    return (
+        df.withColumn("smp_rank", F.row_number().over(w))
+        .filter(F.col("smp_rank") <= k)
+    )

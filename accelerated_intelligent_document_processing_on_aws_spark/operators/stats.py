@@ -603,3 +603,55 @@ def spearman_corr_groups(
             F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), round_to
         ).alias("rho"),
     )
+
+
+def transition_entropy(
+    df: DataFrame,
+    key_col: str,
+    label_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Entropy rate of the first-order Markov chain over per-key label
+    sequences: ``H = -Σ_v p(v) Σ_w p(w|v) ln p(w|v)`` with the empirical
+    previous-state marginal — ONE number summarizing how predictable the
+    event stream is (0 = deterministic paths, ln(n_labels) = uniform
+    chaos).  The information-theoretic audit a pipeline runs to detect
+    bot traffic (too predictable) or instrumentation noise (too uniform)
+    at corpus scale.
+
+    Columns (one row): ``n_states, n_transitions, entropy_rate,
+    max_entropy`` (ln of the state count — the uniform ceiling).
+
+    Scale shape: lead() pairs under one key-ordered window, one
+    (prev,next) count aggregate (vocab²-sized), then scalar folds over
+    that metadata-sized table.  Per-term ln rounds to ``round_to`` before
+    the sum (the JS-divergence portability discipline)."""
+    w = Window.partitionBy(key_col).orderBy(ts_col, tiebreak_col)
+    pairs = df.select(
+        F.col(label_col).alias("prev"),
+        F.lead(label_col).over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    counts = pairs.groupBy("prev", "nxt").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wp = Window.partitionBy("prev")
+    wall = Window.partitionBy()
+    terms = counts.select(
+        "prev",
+        "c",
+        F.round(
+            (F.col("c") / F.sum("c").over(wall))
+            * -F.log(F.col("c") / F.sum("c").over(wp)),
+            round_to + 3,
+        ).alias("_t"),
+    )
+    return terms.agg(
+        F.count_distinct("prev").cast("long").alias("n_states"),
+        F.sum("c").cast("long").alias("n_transitions"),
+        F.round(F.sum("_t"), round_to).alias("entropy_rate"),
+        F.round(F.log(F.count_distinct("prev").cast("double")), round_to).alias(
+            "max_entropy"
+        ),
+    )

@@ -805,3 +805,32 @@ def test_dataset_split_stable_and_partitioned(spark):
     c = Counter(s2.values())
     assert set(c) == {"train", "val", "test"}
     assert 0.85 <= c["train"] / 2000 <= 0.95
+
+
+def test_exact_k_sample_sizes_and_stability(spark):
+    """Exactly k rows per stratum (or all rows when the stratum is
+    smaller); membership is stable under repartitioning."""
+    import pyspark.sql.functions as F
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.dedup import (
+        exact_k_sample,
+    )
+
+    df = spark.range(300).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 3).alias("s")
+    )
+    tiny = spark.range(2).select(
+        F.col("id").alias("doc_id"), F.lit(99).alias("s")
+    )
+    full = df.unionByName(tiny)
+    got = exact_k_sample(full, "doc_id", "s", k=10).collect()
+    from collections import Counter
+
+    sizes = Counter(r.s for r in got)
+    assert sizes[0] == sizes[1] == sizes[2] == 10 and sizes[99] == 2
+    a = {(r.doc_id, r.smp_rank) for r in got}
+    b = {
+        (r.doc_id, r.smp_rank)
+        for r in exact_k_sample(full.repartition(13), "doc_id", "s", k=10).collect()
+    }
+    assert a == b

@@ -124,3 +124,22 @@ def test_streaming_sessions_with_watermark(spark, tmp_path):
         for r in spark.read.parquet(outp).collect()
     )
     assert second == [("u1", 1), ("u1", 2)]
+
+
+def test_run_length_stats_hand_case(spark):
+    """aabba -> runs [2,2,1]: n_runs=3, max=2, mean=5/3."""
+    import datetime as dt
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.sessions import (
+        run_length_stats,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        ("u", lbl, t0 + dt.timedelta(seconds=i), i)
+        for i, lbl in enumerate("aabba")
+    ]
+    df = spark.createDataFrame(rows, ["k", "lbl", "ts", "i"])
+    r = run_length_stats(df, "k", "lbl", "ts", "i").collect()[0]
+    assert (r.n_runs, r.max_run) == (3, 2)
+    assert r.mean_run == round(5 / 3, 6)

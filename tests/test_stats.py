@@ -290,3 +290,34 @@ def test_spearman_constant_column_null(spark):
         spark.createDataFrame(rows), "g", "x", "y"
     ).collect()
     assert r.rho is None
+
+
+def test_transition_entropy_deterministic_vs_uniform(spark):
+    """A strictly cyclic sequence has entropy 0; alternating between two
+    equally likely successors approaches ln 2."""
+    import datetime as dt
+    import math
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        transition_entropy,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    cyc = [
+        ("u", "abc"[i % 3], t0 + dt.timedelta(seconds=i), i) for i in range(30)
+    ]
+    df = spark.createDataFrame(cyc, ["k", "lbl", "ts", "i"])
+    r = transition_entropy(df, "k", "lbl", "ts", "i").collect()[0]
+    assert r.entropy_rate == 0.0 and r.n_states == 3
+    assert r.max_entropy == round(math.log(3), 6)
+
+    # a -> b or c with equal frequency; b,c -> a always
+    seq = []
+    for i in range(40):
+        seq.append("a")
+        seq.append("b" if i % 2 == 0 else "c")
+    rows = [("u", s, t0 + dt.timedelta(seconds=i), i) for i, s in enumerate(seq)]
+    df2 = spark.createDataFrame(rows, ["k", "lbl", "ts", "i"])
+    r2 = transition_entropy(df2, "k", "lbl", "ts", "i").collect()[0]
+    # half the transitions leave 'a' with entropy ln2, the rest are fixed
+    assert abs(r2.entropy_rate - 0.5 * math.log(2)) < 0.02
