@@ -7952,6 +7952,78 @@ FROM terms
 """
 
 
+def q_score_calibration(spark, sf_dir):
+    """Reliability-diagram table (stats.score_calibration): the
+    quality_score heuristic binned into deciles against the lang=='en'
+    label — the calibration audit run before trusting a classifier
+    threshold (a miscalibrated cut silently changes the kept-token
+    budget).  One n_bins-sized aggregate, no joins."""
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        quality_score,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        score_calibration,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        quality_score(F.col("text")).alias("s"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    return score_calibration(d, "s", "y", n_bins=10).transform(_by("bin"))
+
+
+def _score_calibration_sql() -> str:
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        STOPWORDS,
+    )
+
+    stop = _stop_sql(STOPWORDS["en"])
+    q = (
+        f"ROUND(0.4 * least(CAST({_TOK_SQL} AS DOUBLE) / 100.0, 1.0)"
+        f" + 0.3 * (1.0 - least(CAST({_PUNCT_SQL} AS DOUBLE) * 4.0, 1.0))"
+        f" + 0.3 * least(CAST({stop} AS DOUBLE)"
+        f" / greatest({_TOK_SQL}, 1) * 5.0, 1.0), 4)"
+    )
+    return f"""
+WITH d AS (
+  SELECT {q} AS s, CAST(lang = 'en' AS INT) AS y FROM documents),
+b AS (SELECT least(CAST(floor(s * 10) AS INT), 9) AS bin, s, y FROM d)
+SELECT bin, COUNT(*) AS n,
+       ROUND(AVG(s), 6) AS mean_score,
+       ROUND(AVG(y), 6) AS pos_rate,
+       ROUND(AVG(s) - AVG(y), 6) AS gap
+FROM b GROUP BY bin ORDER BY bin
+"""
+
+
+def q_context_window(spark, sf_dir):
+    """Rolling SFT-context assembly (packing.context_windows): each event
+    paired with the ordered concat of its last 3 event types — the
+    (context, target) training-row builder, ONE bounded-frame window
+    instead of a skew-amplifying range self-join."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.packing import (
+        context_windows,
+    )
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") < 20)
+    return context_windows(
+        e, "user_id", "ts", "event_id", "event_type", n=3
+    ).transform(_by("key", "item_id"))
+
+
+Q_CONTEXT_WINDOW_SQL = """
+WITH c AS (
+  SELECT user_id AS key, event_id AS item_id,
+         list(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+           AS ctx
+  FROM events WHERE user_id < 20)
+SELECT key, item_id, CAST(len(ctx) AS INT) AS ctx_len,
+       array_to_string(ctx, ' | ') AS context
+FROM c ORDER BY key, item_id
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -8157,6 +8229,8 @@ _QUERIES_PAST_WINDOW = [
     "q_sample_exact_k",
     "q_role_runs",
     "q_markov_entropy",
+    "q_score_calibration",
+    "q_context_window",
 ]
 
 
@@ -8282,6 +8356,8 @@ def oracle_sql() -> dict[str, str]:
         "q_sample_exact_k": Q_SAMPLE_EXACT_K_SQL,
         "q_role_runs": Q_ROLE_RUNS_SQL,
         "q_markov_entropy": Q_MARKOV_ENTROPY_SQL,
+        "q_score_calibration": _score_calibration_sql(),
+        "q_context_window": Q_CONTEXT_WINDOW_SQL,
         "q_doc_scalar_suite": Q_DOC_SCALAR_SUITE_SQL,
         "q_line_repetition": Q_LINE_REPETITION_SQL,
         "q_mixture_weights": Q_MIXTURE_WEIGHTS_SQL,

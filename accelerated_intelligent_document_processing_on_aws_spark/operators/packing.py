@@ -148,3 +148,38 @@ def context_window_stats(
         )
         .drop("_cost", "_p")
     )
+
+
+def context_windows(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    tiebreak_col: str,
+    text_col: str,
+    n: int = 3,
+    sep: str = " | ",
+) -> DataFrame:
+    """Rolling context assembly: each row paired with the concatenation of
+    its last ``n`` items (itself included) in key order — the
+    SFT-example builder that turns a transcript into (context, target)
+    training rows without a self-join.
+
+    Columns: ``key, item_id, ctx_len, context``.
+
+    Scale shape: ONE key-ordered window with a bounded ROWS frame
+    (``n-1 PRECEDING``) — state per row is n strings, never the whole
+    conversation; contrast with a range self-join, which would shuffle
+    the table twice and explode skewed keys.  Mega-conversations are
+    bounded by the frame, not the key, so skew does not amplify."""
+    w = (
+        Window.partitionBy(key_col)
+        .orderBy(ts_col, tiebreak_col)
+        .rowsBetween(-(n - 1), Window.currentRow)
+    )
+    ctx = F.collect_list(F.col(text_col)).over(w)
+    return df.select(
+        F.col(key_col).alias("key"),
+        F.col(tiebreak_col).alias("item_id"),
+        F.size(ctx).alias("ctx_len"),
+        F.array_join(ctx, sep).alias("context"),
+    )

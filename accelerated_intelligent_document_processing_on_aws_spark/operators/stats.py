@@ -655,3 +655,39 @@ def transition_entropy(
             "max_entropy"
         ),
     )
+
+
+def score_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Binned calibration table for a [0,1] score against a boolean label
+    (the reliability-diagram data): per score-decile, observed positive
+    rate vs mean predicted score and their gap — the audit a pipeline
+    runs before trusting a quality/toxicity classifier's threshold at
+    corpus scale (a miscalibrated 0.9 cut silently changes the kept-token
+    budget).
+
+    Columns: ``bin, n, mean_score, pos_rate, gap`` (gap = mean_score −
+    pos_rate, the per-bin reliability residual; all 3 rounded).
+
+    Scale shape: one groupBy on the bin key — n_bins-sized output, one
+    map-side-combined aggregate, no joins."""
+    b = F.least(
+        F.floor(F.col(score_col) * F.lit(n_bins)).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    y = F.col(label_col).cast("int")
+    return (
+        df.select(b.alias("bin"), F.col(score_col).alias("s"), y.alias("y"))
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg("s"), round_to).alias("mean_score"),
+            F.round(F.avg("y"), round_to).alias("pos_rate"),
+            F.round(F.avg("s") - F.avg("y"), round_to).alias("gap"),
+        )
+    )

@@ -125,3 +125,23 @@ def test_context_window_null_and_zero_costs_clamped(spark):
     out = context_window_stats(df, "conv", ["idx"], F.col("cost"), budget=2)
     got = {r.idx: (r.n_ctx, r.ctx_cost) for r in out.collect()}
     assert got == {0: (0, 0), 1: (1, 1), 2: (2, 2)}
+
+
+def test_context_windows_rolling_assembly(spark):
+    """Each row carries the ordered concat of its last n items; early rows
+    have shorter contexts; frame bounds state at n."""
+    import datetime as dt
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.packing import (
+        context_windows,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = [
+        ("c", f"t{i}", t0 + dt.timedelta(seconds=i), i) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, ["conv", "txt", "ts", "idx"])
+    got = {r.item_id: r for r in context_windows(df, "conv", "ts", "idx", "txt", n=3).collect()}
+    assert got[0].context == "t0" and got[0].ctx_len == 1
+    assert got[1].context == "t0 | t1"
+    assert got[4].context == "t2 | t3 | t4" and got[4].ctx_len == 3

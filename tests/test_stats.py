@@ -321,3 +321,27 @@ def test_transition_entropy_deterministic_vs_uniform(spark):
     r2 = transition_entropy(df2, "k", "lbl", "ts", "i").collect()[0]
     # half the transitions leave 'a' with entropy ln2, the rest are fixed
     assert abs(r2.entropy_rate - 0.5 * math.log(2)) < 0.02
+
+
+def test_score_calibration_bins_and_gap(spark):
+    """Perfectly calibrated synthetic scores give ~zero gaps; bin edges
+    clamp score=1.0 into the top bin."""
+    import pyspark.sql.functions as F
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        score_calibration,
+    )
+
+    # 100 rows per decile, label true for exactly round(mean_score*100)
+    rows = []
+    for b in range(10):
+        s = b / 10 + 0.05
+        for i in range(100):
+            rows.append((s, i < int(s * 100)))
+    rows.append((1.0, True))  # edge: lands in bin 9, not a phantom bin 10
+    df = spark.createDataFrame(rows, ["score", "label"])
+    out = {r.bin: r for r in score_calibration(df, "score", "label").collect()}
+    assert set(out) == set(range(10))
+    for b in range(9):
+        assert abs(out[b].gap) < 1e-6, (b, out[b])
+    assert out[9].n == 101
