@@ -8024,6 +8024,87 @@ FROM c ORDER BY key, item_id
 """
 
 
+def q_evaluate_alignment(spark, sf_dir):
+    """Alignment-based sequence evaluation (evaluate.evaluate_alignment —
+    Needleman-Wunsch, integer scoring): per user, the first-8 event-type
+    sequence vs the same sequence with every event_id%3==0 row dropped —
+    the shifted-turns case where the per-index join comparators cascade
+    misses but alignment charges one gap per drop.  Integer DP scores
+    make this FP-free; the oracle reproduces the DP in a recursive CTE
+    (per-row iteration + the linear-gap running-max identity
+    ``f(i,j) = max_{k<=j}(g(i,k)+k) - j``)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.evaluate import (
+        evaluate_alignment,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+
+    def seq(df):
+        return (
+            df.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= 8)
+            .select(
+                F.col("user_id").alias("conv_id"),
+                F.col("rn").alias("turn_idx"),
+                F.col("event_type").alias("extracted_text"),
+            )
+        )
+
+    actual = seq(e)
+    golden = seq(e.filter(F.col("event_id") % 3 != 0))
+    return evaluate_alignment(actual, golden).transform(_by("id"))
+
+
+Q_EVALUATE_ALIGNMENT_SQL = """
+WITH ea AS (
+  SELECT user_id AS key, event_type AS tok,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+  FROM events),
+a AS (SELECT key, CAST(i AS INT) AS i, tok FROM ea WHERE i <= 8),
+eb AS (
+  SELECT user_id AS key, event_type AS tok,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS j
+  FROM events WHERE event_id % 3 <> 0),
+b AS (SELECT key, CAST(j AS INT) AS j, tok FROM eb WHERE j <= 8),
+alen AS (SELECT key, MAX(i) AS n FROM a GROUP BY key),
+blen AS (SELECT key, MAX(j) AS m FROM b GROUP BY key),
+nm AS (
+  SELECT COALESCE(alen.key, blen.key) AS key,
+         COALESCE(n, 0) AS n, COALESCE(m, 0) AS m
+  FROM alen FULL OUTER JOIN blen ON alen.key = blen.key),
+dp AS (
+  WITH RECURSIVE t AS (
+    SELECT nm.key, 0 AS i, CAST(r.range AS INT) AS j,
+           CAST(-r.range AS INT) AS f
+    FROM nm CROSS JOIN range(9) r WHERE r.range <= nm.m
+    UNION ALL
+    SELECT key, i, j,
+           CAST(MAX(g + j) OVER (PARTITION BY key ORDER BY j
+                                 ROWS UNBOUNDED PRECEDING) - j AS INT) AS f
+    FROM (
+      SELECT t.key, t.i + 1 AS i, t.j,
+             CASE WHEN t.j = 0 THEN -(t.i + 1)
+                  ELSE greatest(
+                    LAG(t.f) OVER (PARTITION BY t.key ORDER BY t.j)
+                      + CASE WHEN att.tok = bt.tok THEN 2 ELSE -1 END,
+                    t.f - 1)
+             END AS g
+      FROM t
+      JOIN nm ON nm.key = t.key AND t.i < nm.n
+      JOIN a att ON att.key = t.key AND att.i = t.i + 1
+      LEFT JOIN b bt ON bt.key = t.key AND bt.j = t.j
+    ) s
+  )
+  SELECT * FROM t)
+SELECT nm.key AS id, CAST(nm.n AS INT) AS n_actual,
+       CAST(nm.m AS INT) AS n_golden, d.f AS nw_score,
+       ROUND(d.f / (2.0 * greatest(nm.n, nm.m)), 6) AS sim
+FROM nm JOIN dp d ON d.key = nm.key AND d.i = nm.n AND d.j = nm.m
+ORDER BY id
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -8231,6 +8312,7 @@ _QUERIES_PAST_WINDOW = [
     "q_markov_entropy",
     "q_score_calibration",
     "q_context_window",
+    "q_evaluate_alignment",
 ]
 
 
@@ -8358,6 +8440,7 @@ def oracle_sql() -> dict[str, str]:
         "q_markov_entropy": Q_MARKOV_ENTROPY_SQL,
         "q_score_calibration": _score_calibration_sql(),
         "q_context_window": Q_CONTEXT_WINDOW_SQL,
+        "q_evaluate_alignment": Q_EVALUATE_ALIGNMENT_SQL,
         "q_doc_scalar_suite": Q_DOC_SCALAR_SUITE_SQL,
         "q_line_repetition": Q_LINE_REPETITION_SQL,
         "q_mixture_weights": Q_MIXTURE_WEIGHTS_SQL,

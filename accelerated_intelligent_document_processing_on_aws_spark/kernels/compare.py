@@ -356,3 +356,29 @@ def jaro_winkler(
             break
         l += 1
     return j + l * p * (1.0 - j)
+
+
+def nw_score(
+    a: List[str],
+    b: List[str],
+    match: int = 2,
+    mismatch: int = -1,
+    gap: int = -1,
+) -> int:
+    """Needleman-Wunsch global alignment score (Needleman & Wunsch 1970)
+    with integer affine-free scoring — the sequence-level comparator for
+    transcript evaluation when turn indices shift (dropped/inserted
+    turns), where the reference's per-index join (evaluation/service.py)
+    scores every downstream turn as a miss.  Integer scores make the
+    result bit-portable: the DuckDB oracle reproduces the identical DP
+    via a per-row recursive CTE (q_evaluate_alignment)."""
+    n, m = len(a), len(b)
+    prev = [j * gap for j in range(m + 1)]
+    for i in range(1, n + 1):
+        cur = [i * gap] + [0] * m
+        ai = a[i - 1]
+        for j in range(1, m + 1):
+            s = match if ai == b[j - 1] else mismatch
+            cur[j] = max(prev[j - 1] + s, prev[j] + gap, cur[j - 1] + gap)
+        prev = cur
+    return prev[m]

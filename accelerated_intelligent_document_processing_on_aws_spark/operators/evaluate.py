@@ -672,3 +672,77 @@ def chrf_score(
     return agg.select(
         F.col(id_col), "len_ref", "len_cand", chrf.alias("chrf")
     )
+
+
+def evaluate_alignment(
+    actual: DataFrame,
+    golden: DataFrame,
+    id_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "extracted_text",
+    match: int = 2,
+    mismatch: int = -1,
+    gap: int = -1,
+) -> DataFrame:
+    """Alignment-based sequence evaluation: per id, the Needleman-Wunsch
+    global alignment score between the actual and golden turn sequences
+    (ordered by ``idx_col``) — robust to inserted/dropped turns, which
+    the per-index join comparators (``evaluate_turns``) score as misses
+    for every downstream turn.
+
+    Columns: ``id, n_actual, n_golden, nw_score`` (exact integer) and
+    ``sim = nw_score / (match * max(n, m))`` rounded 6 (1.0 = identical
+    sequences; negative = mostly gaps).
+
+    Scale shape (100 TB): each side collapses to one ordered array per id
+    (sort_array(collect_list(struct)) — the G3 ordered-aggregation
+    discipline), ONE id-keyed join, then an Arrow-batched kernel whose
+    cost is |a|x|b| per id — conversation-sized, bounded by chunking
+    upstream like every conv-keyed window in the pipeline."""
+    import pandas as pd
+
+    from ..kernels.compare import nw_score
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy(F.col(id_col).alias("id")).agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col(idx_col), F.col(text_col)))
+                ),
+                lambda s: s[text_col],
+            ).alias(name)
+        )
+
+    joined = side(actual, "_a").join(side(golden, "_g"), "id", "full_outer")
+
+    @F.pandas_udf("int")
+    def _nw(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                nw_score(
+                    list(x) if x is not None else [],
+                    list(y) if y is not None else [],
+                    match,
+                    mismatch,
+                    gap,
+                )
+                for x, y in zip(a, b)
+            ],
+            dtype="int32",
+        )
+
+    na = F.coalesce(F.size("_a"), F.lit(0))
+    ng = F.coalesce(F.size("_g"), F.lit(0))
+    return joined.select(
+        "id",
+        na.alias("n_actual"),
+        ng.alias("n_golden"),
+        _nw(F.col("_a"), F.col("_g")).alias("nw_score"),
+    ).withColumn(
+        "sim",
+        F.round(
+            F.col("nw_score")
+            / (F.lit(float(match)) * F.greatest(F.col("n_actual"), F.col("n_golden"))),
+            6,
+        ),
+    )

@@ -59,3 +59,42 @@ def test_spark_semantic_method(spark):
     }
     assert got[0].matched and got[0].score == 1.0
     assert not got[1].matched
+
+
+def test_nw_score_hand_cases():
+    """Textbook alignment scores with match=2, mismatch=-1, gap=-1."""
+    from accelerated_intelligent_document_processing_on_aws_spark.kernels.compare import (
+        nw_score,
+    )
+
+    assert nw_score(["a", "b", "c"], ["a", "b", "c"]) == 6
+    assert nw_score([], ["a", "b"]) == -2
+    assert nw_score(["a"], []) == -1
+    # one deletion: align abc/ac -> 2 matches + 1 gap = 3
+    assert nw_score(["a", "b", "c"], ["a", "c"]) == 3
+    # total mismatch of equal length: max(all mismatch -3, gaps -6) = -3
+    assert nw_score(["x", "y", "z"], ["p", "q", "r"]) == -3
+
+
+def test_evaluate_alignment_shifted_turns(spark):
+    """A dropped middle turn costs one gap instead of cascading misses;
+    identical sequences score sim=1.0; full-outer covers one-sided ids."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.evaluate import (
+        evaluate_alignment,
+    )
+
+    actual = spark.createDataFrame(
+        [("c1", 0, "hi"), ("c1", 1, "mid"), ("c1", 2, "bye"),
+         ("c2", 0, "x"), ("c3", 0, "only-actual")],
+        ["conv_id", "turn_idx", "extracted_text"],
+    )
+    golden = spark.createDataFrame(
+        [("c1", 0, "hi"), ("c1", 1, "bye"),   # 'mid' dropped
+         ("c2", 0, "x"), ("c4", 0, "only-golden")],
+        ["conv_id", "turn_idx", "extracted_text"],
+    )
+    got = {r.id: r for r in evaluate_alignment(actual, golden).collect()}
+    assert got["c2"].nw_score == 2 and got["c2"].sim == 1.0
+    assert got["c1"].nw_score == 3  # 2 matches + 1 gap
+    assert got["c3"].n_golden == 0 and got["c3"].nw_score == -1
+    assert got["c4"].n_actual == 0 and got["c4"].nw_score == -1
