@@ -304,11 +304,13 @@ def jaro_similarity(s1: str, s2: str) -> float:
     (this one and a SQL engine's native) agree to the last ulp on the
     same inputs, which is what lets q_record_linkage use DuckDB's
     ``jaro_similarity`` as a true differential oracle."""
-    if s1 == s2:
-        return 1.0
     n1, n2 = len(s1), len(s2)
+    # empty-side check FIRST: DuckDB scores ("", "") as 0.0, not 1.0 —
+    # found by the hypothesis differential test
     if n1 == 0 or n2 == 0:
         return 0.0
+    if s1 == s2:
+        return 1.0
     window = max(max(n1, n2) // 2 - 1, 0)
     match1 = [False] * n1
     match2 = [False] * n2
@@ -323,15 +325,19 @@ def jaro_similarity(s1: str, s2: str) -> float:
     if m == 0:
         return 0.0
     k = 0
-    half_t = 0
+    mismatched = 0
     for i in range(n1):
         if match1[i]:
             while not match2[k]:
                 k += 1
             if s1[i] != s2[k]:
-                half_t += 1
+                mismatched += 1
             k += 1
-    t = half_t / 2.0
+    # transpositions = mismatched matched-positions // 2 with INTEGER
+    # floor (an odd count occurs when the matched multiset permutes with
+    # no fixed point) — the Apache-Commons/DuckDB convention, found by
+    # the hypothesis differential test on ('ab ', 'b aaaa')
+    t = mismatched // 2
     return (m / n1 + m / n2 + (m - t) / m) / 3.0
 
 

@@ -77,3 +77,52 @@ def test_record_linkage_blocked_pairs(spark):
     assert not any("red" in a for a, _ in pairs)
     again = {(r.name_a, r.name_b): r.jw for r in record_linkage(df, "name", threshold=0.8).collect()}
     assert again == pairs
+
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+_words = st.text(alphabet="abcdef gh", min_size=0, max_size=24)
+
+
+@settings(max_examples=300, deadline=None)
+@given(_words, _words)
+def test_jaro_winkler_differential_vs_duckdb(a, b):
+    """Property-based differential: our implementation equals DuckDB's
+    native one on arbitrary strings (shared alphabet stresses the match
+    window and transposition paths)."""
+    con = duckdb.connect()
+    want = con.execute(
+        "SELECT jaro_winkler_similarity(?, ?)", [a, b]
+    ).fetchone()[0]
+    assert jaro_winkler(a, b) == want, (a, b)
+
+
+def _nw_brute(a, b, match=2, mismatch=-1, gap=-1):
+    """Exponential reference: best score over all alignments by plain
+    recursion (only for tiny inputs)."""
+    import functools
+
+    @functools.lru_cache(maxsize=None)
+    def go(i, j):
+        if i == len(a):
+            return (len(b) - j) * gap
+        if j == len(b):
+            return (len(a) - i) * gap
+        s = match if a[i] == b[j] else mismatch
+        return max(go(i + 1, j + 1) + s, go(i + 1, j) + gap, go(i, j + 1) + gap)
+
+    return go(0, 0)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    st.lists(st.sampled_from("abc"), max_size=7),
+    st.lists(st.sampled_from("abc"), max_size=7),
+)
+def test_nw_score_matches_bruteforce(a, b):
+    from accelerated_intelligent_document_processing_on_aws_spark.kernels.compare import (
+        nw_score,
+    )
+
+    assert nw_score(a, b) == _nw_brute(tuple(a), tuple(b))
