@@ -8105,6 +8105,75 @@ ORDER BY id
 """
 
 
+_DICT_TERMS = ["spark", "shuffle", "table", "vector", "stream"]
+
+
+def q_dict_tags(spark, sf_dir):
+    """Dictionary tagging (curation.dictionary_tag): occurrence counts of
+    a fixed keyword lexicon per document — the blocklist/compliance/
+    domain-tag sweep.  Counting is replace-arithmetic inside whole-stage
+    codegen (no regex, no UDF, no joins); the oracle repeats the same
+    arithmetic over a VALUES dictionary."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        dictionary_tag,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return dictionary_tag(d, "doc_id", "text", _DICT_TERMS).transform(
+        _by("id", "term")
+    )
+
+
+def _dict_tags_sql() -> str:
+    vals = ", ".join(f"('{t}')" for t in _DICT_TERMS)
+    return f"""
+WITH t AS (SELECT doc_id AS id, coalesce(text, '') AS tx FROM documents),
+terms(term) AS (VALUES {vals}),
+c AS (
+  SELECT id, term,
+         CAST((length(tx) - length(replace(tx, term, '')))
+              / length(term) AS INT) AS hits
+  FROM t CROSS JOIN terms)
+SELECT id, term, hits FROM c WHERE hits > 0 ORDER BY id, term
+"""
+
+
+def q_ewma_days(spark, sf_dir):
+    """Halflife-1 EWMA of daily event counts per event type
+    (timeseries.ewma_days): the 2^-k weights are exact dyadic rationals,
+    so numerator/denominator are exact in float64 — the one EWMA whose
+    fixed-lag truncation is engine-portable without per-term rounding.
+    One metadata-sized daily aggregate + 16 lag() terms under one
+    window."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        ewma_days,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return ewma_days(e, "event_type", "ts").transform(_by("key", "day"))
+
+
+def _ewma_days_sql(window_days: int = 16) -> str:
+    num, den = [], []
+    for k in range(window_days):
+        wk = repr(2.0 ** -k)
+        num.append(f"COALESCE(LAG(n, {k}) OVER w * {wk}, 0.0)")
+        den.append(
+            f"CASE WHEN LAG(n, {k}) OVER w IS NOT NULL THEN {wk} ELSE 0.0 END"
+        )
+    return f"""
+WITH d AS (
+  SELECT event_type AS key, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2)
+SELECT key, day, n,
+       ROUND(({" + ".join(num)})
+             / ({" + ".join(den)}), 6) AS ewma
+FROM d
+WINDOW w AS (PARTITION BY key ORDER BY day)
+ORDER BY key, day
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -8313,6 +8382,8 @@ _QUERIES_PAST_WINDOW = [
     "q_score_calibration",
     "q_context_window",
     "q_evaluate_alignment",
+    "q_dict_tags",
+    "q_ewma_days",
 ]
 
 
@@ -8441,6 +8512,8 @@ def oracle_sql() -> dict[str, str]:
         "q_score_calibration": _score_calibration_sql(),
         "q_context_window": Q_CONTEXT_WINDOW_SQL,
         "q_evaluate_alignment": Q_EVALUATE_ALIGNMENT_SQL,
+        "q_dict_tags": _dict_tags_sql(),
+        "q_ewma_days": _ewma_days_sql(),
         "q_doc_scalar_suite": Q_DOC_SCALAR_SUITE_SQL,
         "q_line_repetition": Q_LINE_REPETITION_SQL,
         "q_mixture_weights": Q_MIXTURE_WEIGHTS_SQL,

@@ -1126,3 +1126,47 @@ def budget_select(
         .withColumn("cum_cost", F.sum("cost").over(w))
         .filter(F.col("cum_cost") <= F.lit(budget))
     )
+
+
+def dictionary_tag(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    terms: list[str],
+) -> DataFrame:
+    """Dictionary tagging: occurrence counts of a fixed term list per
+    document — the keyword/PII-lexicon/blocklist pass (domain tagging,
+    compliance term sweeps) for dictionaries small enough to inline.
+    Counting is pure Catalyst string arithmetic per term
+    (``(len(text) - len(replace(text, term))) / len(term)`` — no regex,
+    no UDF), so the whole tag table falls out of ONE projection +
+    explode; rows emit only for terms that actually occur.
+
+    Columns: ``id, term, hits``.
+
+    Scale shape (100 TB): the dictionary is a literal expression (zero
+    joins, zero broadcast state); cost is O(len(text) * n_terms) scan
+    CPU inside whole-stage codegen; output is corpus x dictionary
+    bounded by occurrence.  Dictionaries beyond a few hundred terms
+    belong in an Aho-Corasick pandas UDF instead — this is the
+    inline-literal fast path."""
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    tagged = F.array(
+        *[
+            F.struct(
+                F.lit(term).alias("term"),
+                (
+                    (F.length(t) - F.length(F.replace(t, F.lit(term))))
+                    / F.lit(len(term))
+                )
+                .cast("int")
+                .alias("hits"),
+            )
+            for term in terms
+        ]
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(tagged).alias("_t"))
+        .select("id", F.col("_t.term").alias("term"), F.col("_t.hits").alias("hits"))
+        .filter(F.col("hits") > 0)
+    )

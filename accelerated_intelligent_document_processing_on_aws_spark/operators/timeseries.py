@@ -340,3 +340,46 @@ def time_weighted_mean(
             F.sum(F.col("v") * F.col("dt")) / F.sum("dt"), round_to
         ).alias("tw_mean"),
     )
+
+
+def ewma_days(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    value_col: str | None = None,
+    window_days: int = 16,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exponentially-weighted moving average of the daily series with
+    halflife = 1 day (alpha = 1/2), truncated at ``window_days`` lags —
+    the trend smoother whose weights ``2^-k`` are EXACT dyadic rationals:
+    every product ``count * 2^-k`` and their bounded sum are exact in
+    float64, so the smoothed numerator/denominator are engine-portable
+    with no rounding until the final division (a generic alpha's
+    ``(1-a)^k`` powers would drift across engines).
+
+    Per (key, day): ``ewma = Σ_k x_{t-k} 2^-k / Σ_k 2^-k`` over the lags
+    that exist (series start uses fewer terms — the standard adjusted
+    EWMA).  Columns: ``key, day, n, ewma``.
+
+    Scale shape: one (key, day) count aggregate (metadata-sized), then
+    ``window_days`` lag() terms under ONE key-ordered window — no
+    self-join, no state beyond the frame."""
+    # day as a yyyy-MM-dd string (the rolling_daily_metrics convention:
+    # ISO strings sort correctly and avoid date-dtype drift in oracles)
+    day = F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day")
+    base = (
+        df.groupBy(F.col(key_col).alias("key"), day)
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("key").orderBy("day")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for k in range(window_days):
+        wk = F.lit(float(2.0 ** -k))
+        x = F.lag(F.col("n"), k).over(w)
+        num = num + F.coalesce(x.cast("double") * wk, F.lit(0.0))
+        den = den + F.when(x.isNotNull(), wk).otherwise(F.lit(0.0))
+    return base.select(
+        "key", "day", "n", F.round(num / den, round_to).alias("ewma")
+    )

@@ -834,3 +834,18 @@ def test_exact_k_sample_sizes_and_stability(spark):
         for r in exact_k_sample(full.repartition(13), "doc_id", "s", k=10).collect()
     }
     assert a == b
+
+
+def test_dictionary_tag_counts(spark):
+    """Literal-dictionary occurrence counts; zero-hit terms emit no rows;
+    overlapping substrings count by non-overlapping replace semantics."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        dictionary_tag,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "spark shuffles spark data"), (2, "no keywords here"), (3, None)],
+        ["doc_id", "text"],
+    )
+    got = {(r.id, r.term): r.hits for r in dictionary_tag(df, "doc_id", "text", ["spark", "data", "zzz"]).collect()}
+    assert got == {(1, "spark"): 2, (1, "data"): 1}

@@ -198,3 +198,24 @@ def test_time_weighted_mean_hand_case(spark):
     assert got["a"].tw_mean == 12.5
     assert got["a"].n_intervals == 2 and got["a"].total_us == 40_000_000
     assert "b" not in got  # zero intervals -> no row
+
+
+def test_ewma_days_exact_dyadic(spark):
+    """Halflife-1 EWMA with exact 2^-k weights: hand-checkable values,
+    adjusted denominator at series start."""
+    import datetime as dt
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        ewma_days,
+    )
+
+    t0 = dt.datetime(2026, 1, 1, 12)
+    rows = []
+    for day, cnt in [(0, 4), (1, 8), (2, 2)]:
+        for i in range(cnt):
+            rows.append(("k", t0 + dt.timedelta(days=day, seconds=i)))
+    df = spark.createDataFrame(rows, ["k", "ts"])
+    got = {r.day: r for r in ewma_days(df, "k", "ts").collect()}
+    assert got["2026-01-01"].ewma == 4.0          # first day: itself
+    assert got["2026-01-02"].ewma == round((8 + 4 * 0.5) / 1.5, 6)
+    assert got["2026-01-03"].ewma == round((2 + 8 * 0.5 + 4 * 0.25) / 1.75, 6)
