@@ -8174,6 +8174,81 @@ ORDER BY key, day
 """
 
 
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust daily trend per event type
+    (timeseries.theil_sen_daily): median of all pairwise day slopes —
+    the outlier-proof companion to q_ols_trend (one corrupted day moves
+    OLS arbitrarily; the median tolerates ~29% corruption).  Slopes are
+    exact integer-difference ratios; pairs are days², never events²."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        theil_sen_daily,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return theil_sen_daily(e, "event_type", "ts").transform(_by("key"))
+
+
+Q_THEIL_SEN_SQL = """
+WITH d AS (
+  SELECT event_type AS key, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+dd AS (SELECT key, day, n,
+              CAST(CAST(day AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn
+       FROM d),
+pairs AS (
+  SELECT a.key,
+         CAST(b.n - a.n AS DOUBLE) / CAST(b.dn - a.dn AS DOUBLE) AS slope
+  FROM dd a JOIN dd b ON a.key = b.key AND a.dn < b.dn),
+sl AS (
+  SELECT key, COUNT(*) AS n_pairs, ROUND(median(slope), 6) AS slope
+  FROM pairs GROUP BY key),
+nd AS (SELECT key, COUNT(*) AS n_days FROM dd GROUP BY key)
+SELECT nd.key, nd.n_days, COALESCE(sl.n_pairs, 0) AS n_pairs, sl.slope
+FROM nd LEFT JOIN sl ON nd.key = sl.key
+ORDER BY nd.key
+"""
+
+
+def q_zonemap_audit(spark, sf_dir):
+    """Zone-map pruning audit (layout.zonemap_stats — q_zorder's
+    companion): per simulated file, n_chars min/max and whether the range
+    predicate [150, 250] could prune it, for BOTH a hash layout (doc_id
+    mod 16 — prunes nothing by construction) and a value-clustered layout
+    (n_chars div 100) — the before-the-rewrite comparison that justifies
+    a clustering key.  One map-side aggregate per layout, metadata-sized
+    output."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.layout import (
+        zonemap_stats,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    hash_l = zonemap_stats(
+        d, F.pmod(F.col("doc_id"), F.lit(16)), F.col("n_chars"), 150, 250
+    ).withColumn("layout", F.lit("hash"))
+    clus_l = zonemap_stats(
+        d, F.floor(F.col("n_chars") / 100), F.col("n_chars"), 150, 250
+    ).withColumn("layout", F.lit("clustered"))
+    return hash_l.unionByName(clus_l).transform(_by("layout", "fk"))
+
+
+Q_ZONEMAP_AUDIT_SQL = """
+WITH h AS (
+  SELECT doc_id % 16 AS fk, COUNT(*) AS n,
+         MIN(n_chars) AS vmin, MAX(n_chars) AS vmax
+  FROM documents GROUP BY 1),
+c AS (
+  SELECT CAST(floor(n_chars / 100) AS BIGINT) AS fk, COUNT(*) AS n,
+         MIN(n_chars) AS vmin, MAX(n_chars) AS vmax
+  FROM documents GROUP BY 1)
+SELECT fk, n, vmin, vmax, (vmax < 150 OR vmin > 250) AS pruned,
+       'hash' AS layout FROM h
+UNION ALL
+SELECT fk, n, vmin, vmax, (vmax < 150 OR vmin > 250) AS pruned,
+       'clustered' AS layout FROM c
+ORDER BY layout, fk
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -8384,6 +8459,8 @@ _QUERIES_PAST_WINDOW = [
     "q_evaluate_alignment",
     "q_dict_tags",
     "q_ewma_days",
+    "q_theil_sen",
+    "q_zonemap_audit",
 ]
 
 
@@ -8514,6 +8591,8 @@ def oracle_sql() -> dict[str, str]:
         "q_evaluate_alignment": Q_EVALUATE_ALIGNMENT_SQL,
         "q_dict_tags": _dict_tags_sql(),
         "q_ewma_days": _ewma_days_sql(),
+        "q_theil_sen": Q_THEIL_SEN_SQL,
+        "q_zonemap_audit": Q_ZONEMAP_AUDIT_SQL,
         "q_doc_scalar_suite": Q_DOC_SCALAR_SUITE_SQL,
         "q_line_repetition": Q_LINE_REPETITION_SQL,
         "q_mixture_weights": Q_MIXTURE_WEIGHTS_SQL,

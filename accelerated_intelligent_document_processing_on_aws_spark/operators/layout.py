@@ -57,3 +57,38 @@ def quantize_mod(c: Column, modulus: int) -> Column:
     Continuous dimensions should instead bucket via an explicit
     ``floor((x - lo) / width)`` with literal bounds."""
     return F.pmod(c.cast("long"), F.lit(modulus))
+
+
+def zonemap_stats(
+    df,
+    file_key: Column,
+    value: Column,
+    pred_lo: float,
+    pred_hi: float,
+):
+    """Zone-map (min/max pruning) effectiveness audit: per candidate file/
+    bucket, the value's min/max plus whether a ``[pred_lo, pred_hi]``
+    range predicate could PRUNE that file without reading it — the design
+    check behind choosing a clustering key (q_zorder's companion: z-order
+    exists to make these min/max ranges narrow).  At 100 TB the same
+    numbers come from parquet footer statistics; this computes them from
+    the rows so layouts can be compared BEFORE a rewrite.
+
+    Returns one row per file key: ``fk, n, vmin, vmax, pruned`` (pruned =
+    the file's whole range falls outside the predicate) — metadata-sized
+    output from ONE map-side-combined aggregate."""
+    from pyspark.sql import functions as F  # noqa: F811 (module-level alias)
+
+    return (
+        df.select(file_key.alias("fk"), value.alias("v"))
+        .groupBy("fk")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("v").alias("vmin"),
+            F.max("v").alias("vmax"),
+        )
+        .withColumn(
+            "pruned",
+            (F.col("vmax") < F.lit(pred_lo)) | (F.col("vmin") > F.lit(pred_hi)),
+        )
+    )

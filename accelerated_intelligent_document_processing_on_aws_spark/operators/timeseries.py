@@ -383,3 +383,58 @@ def ewma_days(
     return base.select(
         "key", "day", "n", F.round(num / den, round_to).alias("ewma")
     )
+
+
+def theil_sen_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Theil-Sen robust trend estimate of the daily event-count series per
+    key: the MEDIAN of all pairwise slopes ``(n_j - n_i)/(d_j - d_i)`` —
+    the outlier-proof companion to the OLS trend fit (one corrupted day
+    moves OLS arbitrarily; Theil-Sen tolerates ~29% corruption).
+
+    Columns: ``key, n_days, n_pairs, slope`` (slope rounded; NULL for
+    single-day series).
+
+    Portability: slopes are integer-difference ratios (exact IEEE
+    divisions), and the median of an ODD pair count is an element of
+    that set — identical in both engines; even counts average the two
+    middle elements (one addition + one halving — exact in f64 halving,
+    the addition is the only rounding site, absorbed by ``round_to``).
+
+    Scale shape: the corpus collapses to the daily series first (map-side
+    combine); the pairwise join runs on days-per-key-sized frames (d²
+    pairs of DAYS, never events), one key-partitioned median aggregate."""
+    daily = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("d", F.datediff(F.to_date("day"), F.lit("1970-01-01")))
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select("key", F.col("d").alias("da"), F.col("n").alias("na"))
+    b = daily.select("key", F.col("d").alias("db"), F.col("n").alias("nb"))
+    pairs = (
+        a.join(b, "key")
+        .filter(F.col("da") < F.col("db"))
+        .select(
+            "key",
+            (
+                (F.col("nb") - F.col("na")).cast("double")
+                / (F.col("db") - F.col("da")).cast("double")
+            ).alias("slope"),
+        )
+    )
+    slopes = pairs.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.median("slope"), round_to).alias("slope"),
+    )
+    n_days = daily.groupBy("key").agg(F.count(F.lit(1)).alias("n_days"))
+    return n_days.join(slopes, "key", "left").select(
+        "key", "n_days", F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"), "slope"
+    )

@@ -212,3 +212,26 @@ def test_psi_drift_identical_and_shifted(spark):
     bins = {r.bin for r in rows}
     assert bins == set(range(15))  # full outer: bins of either side
     assert all(r.p_ref >= 0 and r.p_cur >= 0 for r in rows)
+
+
+def test_zonemap_pruning_layouts(spark):
+    """A value-clustered layout prunes most files for a range predicate;
+    a hash layout prunes none — the audit quantifies exactly that."""
+    import pyspark.sql.functions as F
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.layout import (
+        zonemap_stats,
+    )
+
+    df = spark.range(1600).select(F.col("id"), (F.col("id") % 400).alias("v"))
+    hash_layout = zonemap_stats(
+        df, F.pmod(F.col("id"), F.lit(16)), F.col("v"), 100, 120
+    ).collect()
+    clustered = zonemap_stats(
+        df, F.floor(F.col("v") / 25), F.col("v"), 100, 120
+    ).collect()
+    assert sum(r.pruned for r in hash_layout) == 0
+    pruned = sum(r.pruned for r in clustered)
+    assert pruned >= len(clustered) - 2  # only overlapping zones survive
+    for r in clustered:
+        assert (not r.pruned) == (r.vmax >= 100 and r.vmin <= 120)

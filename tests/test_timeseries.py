@@ -219,3 +219,26 @@ def test_ewma_days_exact_dyadic(spark):
     assert got["2026-01-01"].ewma == 4.0          # first day: itself
     assert got["2026-01-02"].ewma == round((8 + 4 * 0.5) / 1.5, 6)
     assert got["2026-01-03"].ewma == round((2 + 8 * 0.5 + 4 * 0.25) / 1.75, 6)
+
+
+def test_theil_sen_robust_to_outlier(spark):
+    """A corrupted day barely moves the Theil-Sen slope while OLS would
+    chase it; exact hand case on a clean linear series."""
+    import datetime as dt
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        theil_sen_daily,
+    )
+
+    t0 = dt.datetime(2026, 1, 1)
+    rows = []
+    for d in range(6):
+        n = 2 + 3 * d  # clean slope 3
+        for i in range(n):
+            rows.append(("k", t0 + dt.timedelta(days=d, seconds=i)))
+    clean = {r.key: r for r in theil_sen_daily(spark.createDataFrame(rows, ["k", "ts"]), "k", "ts").collect()}
+    assert clean["k"].slope == 3.0 and clean["k"].n_days == 6
+    # corrupt one day with a 100x spike
+    rows2 = rows + [("k", t0 + dt.timedelta(days=3, seconds=10_000 + i)) for i in range(500)]
+    dirty = {r.key: r for r in theil_sen_daily(spark.createDataFrame(rows2, ["k", "ts"]), "k", "ts").collect()}
+    assert abs(dirty["k"].slope - 3.0) < 2.0  # median resists the spike
