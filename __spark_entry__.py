@@ -8249,6 +8249,83 @@ ORDER BY layout, fk
 """
 
 
+def q_survival(spark, sf_dir):
+    """Kaplan-Meier time-to-conversion curve (stats.survival_km): per
+    user, hours from first view to first subsequent purchase, censored at
+    the last observed event when no purchase follows — the retention/
+    conversion analysis that handles censoring correctly (dropping
+    censored users biases the curve down).  Durations are exact floored
+    integer-microsecond hour buckets; risk sets ride one reverse
+    cumulative window over the distinct-times frame."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        survival_km,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    t1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        e.join(t1, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    le = e.groupBy("user_id").agg(F.max("ts").alias("tl"))
+    hours = lambda a, b: F.floor(  # noqa: E731
+        (us(a) - us(b)) / F.lit(3600000000.0)
+    ).cast("double")
+    subj = (
+        t1.join(p, "user_id", "left")
+        .join(le, "user_id")
+        .select(
+            F.when(F.col("tp").isNotNull(), hours(F.col("tp"), F.col("t1")))
+            .otherwise(hours(F.col("tl"), F.col("t1")))
+            .alias("dur"),
+            F.col("tp").isNotNull().cast("int").alias("ev"),
+        )
+    )
+    return survival_km(subj, "dur", "ev").transform(_by("t"))
+
+
+Q_SURVIVAL_SQL = """
+WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+p AS (SELECT e.user_id, MIN(e.ts) AS tp FROM events e JOIN t1 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > t1.t1 GROUP BY 1),
+le AS (SELECT user_id, MAX(ts) AS tl FROM events GROUP BY 1),
+subj AS (
+  SELECT CASE WHEN p.tp IS NOT NULL
+              THEN floor((epoch_us(p.tp) - epoch_us(t1.t1)) / 3600000000.0)
+              ELSE floor((epoch_us(le.tl) - epoch_us(t1.t1)) / 3600000000.0)
+         END AS t,
+         CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS e
+  FROM t1 LEFT JOIN p USING (user_id) JOIN le USING (user_id)),
+pt AS (SELECT t, COUNT(*) AS n_at, SUM(e) AS d FROM subj GROUP BY t),
+ar AS (SELECT t, n_at, d,
+              SUM(n_at) OVER (ORDER BY t DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+       FROM pt),
+ev AS (SELECT * FROM ar WHERE d > 0),
+km AS (
+  SELECT t, n_risk, d,
+         SUM(CASE WHEN d < n_risk
+                  THEN ln(1.0 - d / CAST(n_risk AS DOUBLE)) END)
+           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS ls,
+         MAX(CASE WHEN d = n_risk THEN 1 ELSE 0 END)
+           OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING
+                 AND CURRENT ROW) AS hz
+  FROM ev)
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
+       CASE WHEN hz = 1 THEN 0.0 ELSE ROUND(exp(ls), 6) END AS surv
+FROM km ORDER BY t
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -8461,6 +8538,7 @@ _QUERIES_PAST_WINDOW = [
     "q_ewma_days",
     "q_theil_sen",
     "q_zonemap_audit",
+    "q_survival",
 ]
 
 
@@ -8593,6 +8671,7 @@ def oracle_sql() -> dict[str, str]:
         "q_ewma_days": _ewma_days_sql(),
         "q_theil_sen": Q_THEIL_SEN_SQL,
         "q_zonemap_audit": Q_ZONEMAP_AUDIT_SQL,
+        "q_survival": Q_SURVIVAL_SQL,
         "q_doc_scalar_suite": Q_DOC_SCALAR_SUITE_SQL,
         "q_line_repetition": Q_LINE_REPETITION_SQL,
         "q_mixture_weights": Q_MIXTURE_WEIGHTS_SQL,

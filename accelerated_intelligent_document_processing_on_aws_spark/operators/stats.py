@@ -691,3 +691,66 @@ def score_calibration(
             F.round(F.avg("s") - F.avg("y"), round_to).alias("gap"),
         )
     )
+
+
+def survival_km(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Kaplan-Meier survival estimator (Kaplan & Meier 1958) over
+    right-censored durations: one row per distinct OBSERVED-event time
+    with the risk-set size, event count, and the product-limit survival
+    estimate — the time-to-conversion / retention curve with censoring
+    done correctly (dropping censored users biases the curve down;
+    counting them as converted biases it up).
+
+    Input: one row per subject — ``duration_col`` (numeric time observed)
+    and ``event_col`` (1 = event occurred at that time, 0 = censored).
+    Columns: ``t, n_risk, d, surv`` where
+    ``surv(t) = Π_{t_i <= t} (1 - d_i / n_i)``.
+
+    Portability: n_risk/d are exact integer counts; the running product
+    is computed as ``exp(Σ ln(1 - d/n))`` in BOTH engines with the same
+    expression shape and rounded at the end (the JS-divergence ln
+    discipline).  A time where every at-risk subject fails (surv hits
+    exactly 0) emits 0 directly — ln(0) never evaluates.
+
+    Scale shape: subjects collapse to per-time counts first (map-side
+    combine, distinct-times-sized); risk sets come from ONE reverse
+    cumulative window over that metadata-sized frame."""
+    per_t = df.select(
+        F.col(duration_col).cast("double").alias("t"),
+        F.col(event_col).cast("int").alias("e"),
+    ).groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_at"),
+        F.sum("e").alias("d"),
+    )
+    # risk set at t = subjects with duration >= t: reverse cumulative sum
+    w_rev = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    at_risk = per_t.withColumn("n_risk", F.sum("n_at").over(w_rev))
+    ev = at_risk.filter(F.col("d") > 0)
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    # exact-zero guard: a step with d == n_risk zeroes the curve from
+    # there on; ln() only ever sees strictly positive survival factors
+    frac = F.lit(1.0) - F.col("d") / F.col("n_risk")
+    log_term = F.when(F.col("d") < F.col("n_risk"), F.log(frac)).otherwise(
+        F.lit(None)
+    )
+    hit_zero = F.max((F.col("d") == F.col("n_risk")).cast("int")).over(w_cum)
+    return (
+        ev.withColumn("_ls", F.sum(log_term).over(w_cum))
+        .select(
+            "t",
+            F.col("n_risk").cast("long").alias("n_risk"),
+            F.col("d").cast("long").alias("d"),
+            F.when(hit_zero == 1, F.lit(0.0))
+            .otherwise(F.round(F.exp(F.col("_ls")), round_to))
+            .alias("surv"),
+        )
+    )

@@ -345,3 +345,44 @@ def test_score_calibration_bins_and_gap(spark):
     for b in range(9):
         assert abs(out[b].gap) < 1e-6, (b, out[b])
     assert out[9].n == 101
+
+
+def test_survival_km_textbook(spark):
+    """Classic KM hand case: durations (6,e)(6,e)(6,c)(7,e)(10,c)(13,e) —
+    the textbook product-limit steps."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        survival_km,
+    )
+
+    rows = [(6.0, 1), (6.0, 1), (6.0, 0), (7.0, 1), (10.0, 0), (13.0, 1)]
+    df = spark.createDataFrame(rows, ["dur", "ev"])
+    got = {r.t: r for r in survival_km(df, "dur", "ev").collect()}
+    assert set(got) == {6.0, 7.0, 13.0}
+    assert (got[6.0].n_risk, got[6.0].d) == (6, 2)
+    assert got[6.0].surv == round(4 / 6, 6)
+    assert (got[7.0].n_risk, got[7.0].d) == (3, 1)
+    assert got[7.0].surv == round(4 / 6 * 2 / 3, 6)
+    # last subject fails: survival hits exactly zero
+    assert (got[13.0].n_risk, got[13.0].d) == (1, 1)
+    assert got[13.0].surv == 0.0
+
+
+def test_survival_km_all_censored_and_monotone(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        survival_km,
+    )
+
+    all_c = spark.createDataFrame([(5.0, 0), (9.0, 0)], ["dur", "ev"])
+    assert survival_km(all_c, "dur", "ev").count() == 0  # no event times
+
+    import random
+
+    random.seed(3)
+    rows = [(float(random.randint(1, 20)), random.randint(0, 1)) for _ in range(200)]
+    out = sorted(
+        survival_km(spark.createDataFrame(rows, ["dur", "ev"]), "dur", "ev").collect(),
+        key=lambda r: r.t,
+    )
+    survs = [r.surv for r in out]
+    assert all(a >= b for a, b in zip(survs, survs[1:]))  # non-increasing
+    assert all(0.0 <= s <= 1.0 for s in survs)
