@@ -294,3 +294,51 @@ def compact_partitions(
         shutil.rmtree(bak)
         done[entry.split("=", 1)[1]] = len(files)
     return done
+
+
+def remove_orphan_files(
+    table_path: str,
+    grace_seconds: float = 0.0,
+    dry_run: bool = False,
+) -> list:
+    """Delete data files under the table that NO committed snapshot
+    manifest references (Iceberg analog: ``remove_orphan_files``) — the
+    third maintenance op next to ``compact_partitions`` and
+    ``CheckpointStore.expire_snapshots``.  Orphans are the debris of
+    crashed writes: a task that wrote files but whose run never committed
+    a manifest (Spark's own _temporary cleanup handles most, but a kill
+    between file moves and the manifest commit leaves live-looking
+    parquet that read_table would happily include after a naive
+    recursive read).
+
+    Safety rules (the crash-safety contract the other maintenance ops
+    follow):
+
+    * a table with NO manifests is never touched (nothing can be proven
+      orphaned);
+    * files newer than ``grace_seconds`` are kept — an in-flight write's
+      files always get to outlive their own commit window;
+    * deletion is file-by-file (no directory wipes); a crash mid-GC just
+      leaves fewer orphans for the next pass.
+
+    Returns the (relative) paths removed — or, with ``dry_run``, the
+    paths that WOULD be removed."""
+    snaps = list_snapshots(table_path)
+    if not snaps:
+        return []
+    referenced = set()
+    for s in snaps:
+        for f, _sz in s.get("files", []):
+            referenced.add(f)
+    now = time.time()
+    removed = []
+    for rel, _sz in _data_files(table_path):
+        if rel in referenced:
+            continue
+        fp = os.path.join(table_path, rel)
+        if now - os.path.getmtime(fp) < grace_seconds:
+            continue
+        removed.append(rel)
+        if not dry_run:
+            os.remove(fp)
+    return removed

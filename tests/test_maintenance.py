@@ -195,3 +195,65 @@ def test_time_travel_read_as_of(spark, tmp_path):
         read_as_of(spark, outp, s1).count()
     with _pytest.raises(KeyError):
         read_as_of(spark, outp, "nonexistent")
+
+
+def test_remove_orphan_files_gc(spark, tmp_path):
+    """Only unreferenced data files die; manifested files, fresh files
+    (grace window), and manifest-less tables are untouched; read_as_of
+    still works afterwards."""
+    import os
+    import time
+
+    import pyspark.sql.functions as F
+
+    from accelerated_intelligent_document_processing_on_aws_spark.io.tables import (
+        read_as_of,
+        record_snapshot,
+        remove_orphan_files,
+        snapshot_id,
+    )
+
+    t = str(tmp_path / "tbl")
+    df = spark.range(100).select(F.col("id"), (F.col("id") % 4).alias("pt"))
+    df.write.partitionBy("pt").parquet(t)
+    snap = snapshot_id(t)
+    record_snapshot(t, snap)
+
+    # plant two orphans: a crashed write's leftover in an existing bucket
+    # and one in a novel directory
+    orphan1 = os.path.join(t, "pt=0", "part-orphan-1.parquet")
+    os.makedirs(os.path.join(t, "pt=99"), exist_ok=True)
+    orphan2 = os.path.join(t, "pt=99", "part-orphan-2.parquet")
+    spark.range(5).coalesce(1).write.mode("overwrite").parquet(str(tmp_path / "o"))
+    src = next(
+        f for f in os.listdir(str(tmp_path / "o")) if f.endswith(".parquet")
+    )
+    import shutil
+
+    shutil.copy(str(tmp_path / "o" / src), orphan1)
+    shutil.copy(str(tmp_path / "o" / src), orphan2)
+    old = time.time() - 3600
+    os.utime(orphan1, (old, old))
+
+    # dry run reports, deletes nothing
+    would = remove_orphan_files(t, grace_seconds=60, dry_run=True)
+    assert sorted(would) == [os.path.join("pt=0", "part-orphan-1.parquet")]
+    assert os.path.exists(orphan1) and os.path.exists(orphan2)
+
+    removed = remove_orphan_files(t, grace_seconds=60)
+    assert sorted(removed) == [os.path.join("pt=0", "part-orphan-1.parquet")]
+    assert not os.path.exists(orphan1)
+    assert os.path.exists(orphan2)  # inside the grace window
+
+    # grace expired -> second orphan goes too
+    os.utime(orphan2, (old, old))
+    assert remove_orphan_files(t, grace_seconds=60) == [
+        os.path.join("pt=99", "part-orphan-2.parquet")
+    ]
+    assert read_as_of(spark, t, snap).count() == 100
+
+    # manifest-less table: never touched
+    t2 = str(tmp_path / "bare")
+    spark.range(10).write.parquet(t2)
+    assert remove_orphan_files(t2) == []
+    assert spark.read.parquet(t2).count() == 10
