@@ -8326,6 +8326,129 @@ FROM km ORDER BY t
 """
 
 
+def q_wilson_rates(spark, sf_dir):
+    """Wilson 95% score intervals for each source's English rate
+    (stats.wilson_interval): the small-sample-safe rate CI dashboards
+    should use instead of Wald (which collapses to zero width at rates
+    of 0 or 1).  One map-side aggregate + constant arithmetic."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        wilson_interval,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return wilson_interval(d, "source", F.col("lang") == "en").transform(
+        _by("group")
+    )
+
+
+Q_WILSON_RATES_SQL = """
+WITH g AS (
+  SELECT source AS "group", COUNT(*) AS n,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS successes
+  FROM documents GROUP BY 1)
+SELECT "group", n, successes,
+       ROUND(CAST(successes AS DOUBLE) / n, 6) AS rate,
+       ROUND(((CAST(successes AS DOUBLE) / n) + 3.8416 / (2.0 * n))
+               / (1.0 + 3.8416 / n)
+             - 1.96 * sqrt((CAST(successes AS DOUBLE) / n)
+                           * (1.0 - CAST(successes AS DOUBLE) / n) / n
+                           + 3.8416 / (4.0 * n * n))
+               / (1.0 + 3.8416 / n), 6) AS lo,
+       ROUND(((CAST(successes AS DOUBLE) / n) + 3.8416 / (2.0 * n))
+               / (1.0 + 3.8416 / n)
+             + 1.96 * sqrt((CAST(successes AS DOUBLE) / n)
+                           * (1.0 - CAST(successes AS DOUBLE) / n) / n
+                           + 3.8416 / (4.0 * n * n))
+               / (1.0 + 3.8416 / n), 6) AS hi
+FROM g ORDER BY "group"
+"""
+
+
+def q_fdr_correction(spark, sf_dir):
+    """Benjamini-Hochberg FDR over the family of per-source-pair
+    two-proportion tests (stats.bh_fdr): 45 source pairs tested on the
+    English rate — at alpha=0.1, ~4 'significant' pairs are expected by
+    chance, which is exactly what BH guards against.  p-values come from
+    the CERTIFIED rounded z via the A&S 7.1.26 normal tail (the
+    documented closed form both engines evaluate identically)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        bh_fdr,
+        normal_sf,
+        prop_ztest_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    zt = prop_ztest_pairs(d, "source", F.col("lang") == "en").filter(
+        F.col("z").isNotNull()
+    )
+    withp = zt.select(
+        "group_a",
+        "group_b",
+        F.round(F.lit(2.0) * normal_sf(F.abs(F.col("z"))), 6).alias("p"),
+    )
+    return (
+        bh_fdr(withp, "p", ["group_a", "group_b"], alpha=0.1)
+        .select(
+            "group_a",
+            "group_b",
+            "p",
+            "p_rank",
+            "m",
+            F.round("crit", 6).alias("crit"),
+            "reject",
+        )
+        .transform(_by("group_a", "group_b"))
+    )
+
+
+Q_FDR_CORRECTION_SQL = """
+WITH g AS (
+  SELECT source AS g, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS s
+  FROM documents GROUP BY 1),
+pr AS (
+  SELECT a.g AS group_a, b.g AS group_b,
+         CAST(a.s AS DOUBLE) / a.n AS p1, CAST(b.s AS DOUBLE) / b.n AS p2,
+         CAST(a.s + b.s AS DOUBLE) / (a.n + b.n) AS pp,
+         a.n AS n_a, b.n AS n_b
+  FROM g a JOIN g b ON a.g < b.g),
+zt AS (
+  SELECT group_a, group_b,
+         ROUND(CASE WHEN pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b) > 0
+                    THEN (p1 - p2)
+                         / sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b))
+               END, 6) AS z
+  FROM pr),
+pv AS (
+  SELECT group_a, group_b,
+         ROUND(2 * (exp(-0.5 * abs(z) * abs(z)) / 2.5066282746310002)
+                 * ((1.0 / (1.0 + 0.2316419 * abs(z)))
+                    * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                       * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                          * (1.781477937
+                             + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                               * (-1.821255978
+                                  + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                                    * 1.330274429))))), 6) AS p
+  FROM zt WHERE z IS NOT NULL),
+rk AS (
+  SELECT group_a, group_b, p,
+         CAST(ROW_NUMBER() OVER (ORDER BY p, group_a, group_b) AS INT)
+           AS p_rank,
+         COUNT(*) OVER () AS m
+  FROM pv),
+cz AS (
+  SELECT *, p_rank * 0.1 / m AS crit FROM rk),
+fin AS (
+  SELECT *, MAX(CASE WHEN p <= crit THEN p_rank END) OVER () AS cutoff
+  FROM cz)
+SELECT group_a, group_b, p, p_rank, m, ROUND(crit, 6) AS crit,
+       COALESCE(p_rank <= cutoff, FALSE) AS reject
+FROM fin ORDER BY group_a, group_b
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -8539,6 +8662,8 @@ _QUERIES_PAST_WINDOW = [
     "q_theil_sen",
     "q_zonemap_audit",
     "q_survival",
+    "q_wilson_rates",
+    "q_fdr_correction",
 ]
 
 
@@ -8672,6 +8797,8 @@ def oracle_sql() -> dict[str, str]:
         "q_theil_sen": Q_THEIL_SEN_SQL,
         "q_zonemap_audit": Q_ZONEMAP_AUDIT_SQL,
         "q_survival": Q_SURVIVAL_SQL,
+        "q_wilson_rates": Q_WILSON_RATES_SQL,
+        "q_fdr_correction": Q_FDR_CORRECTION_SQL,
         "q_doc_scalar_suite": Q_DOC_SCALAR_SUITE_SQL,
         "q_line_repetition": Q_LINE_REPETITION_SQL,
         "q_mixture_weights": Q_MIXTURE_WEIGHTS_SQL,

@@ -754,3 +754,106 @@ def survival_km(
             .alias("surv"),
         )
     )
+
+
+def normal_sf(z: Column) -> Column:
+    """Upper-tail normal survival function via the Abramowitz & Stegun
+    7.1.26 polynomial (|error| < 7.5e-8 — beyond the 6-dp rounding every
+    p-value here carries).  Spark has no erf builtin; this closed form
+    is the documented operator contract and is written IDENTICALLY in
+    the SQL oracles, so both engines evaluate the same expression tree.
+    Input must be >= 0 (callers pass |z|)."""
+    t = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * z)
+    poly = t * (
+        F.lit(0.319381530)
+        + t
+        * (
+            F.lit(-0.356563782)
+            + t
+            * (
+                F.lit(1.781477937)
+                + t * (F.lit(-1.821255978) + t * F.lit(1.330274429))
+            )
+        )
+    )
+    phi = F.exp(F.lit(-0.5) * z * z) / F.lit(2.5066282746310002)
+    return phi * poly
+
+
+def bh_fdr(
+    df: DataFrame,
+    p_col: str,
+    tiebreak_cols: list[str],
+    alpha: float = 0.1,
+) -> DataFrame:
+    """Benjamini-Hochberg false-discovery-rate correction (Benjamini &
+    Hochberg 1995) over a family of m hypotheses: rank p-values
+    ascending, find the largest rank i with ``p_(i) <= (i/m) * alpha``,
+    reject everything at or below it — the multiple-testing guard a
+    platform applies before acting on a dashboard full of per-source
+    test p-values (at alpha=0.1 and 50 sources, ~5 'significant' results
+    are expected by chance alone).
+
+    Columns: input + ``p_rank, m, crit, reject``.
+
+    Portability: ranks are row_number over (p, tiebreaks); ``crit =
+    rank * alpha / m`` is one multiply + one divide of exact inputs;
+    callers pass ALREADY-ROUNDED p-values so the comparisons see
+    identical doubles in both engines.
+
+    Scale shape: the hypothesis family is groups-sized (never
+    corpus-sized) — one unpartitioned window over that metadata frame."""
+    w = Window.orderBy(F.col(p_col).asc(), *[F.col(c) for c in tiebreak_cols])
+    wall = Window.partitionBy()
+    ranked = (
+        df.withColumn("p_rank", F.row_number().over(w))
+        .withColumn("m", F.count(F.lit(1)).over(wall))
+        .withColumn(
+            "crit",
+            F.col("p_rank") * F.lit(float(alpha)) / F.col("m"),
+        )
+    )
+    cutoff = F.max(
+        F.when(F.col(p_col) <= F.col("crit"), F.col("p_rank"))
+    ).over(wall)
+    return ranked.withColumn(
+        "reject", F.coalesce(F.col("p_rank") <= cutoff, F.lit(False))
+    )
+
+
+def wilson_interval(
+    df: DataFrame,
+    group_col: str,
+    success: Column,
+    z: float = 1.96,
+    round_to: int = 6,
+) -> DataFrame:
+    """Wilson score 95% confidence interval for a per-group success rate
+    (Wilson 1927) — the small-sample-safe rate interval dashboards should
+    use instead of the Wald interval (which collapses to width 0 at rates
+    of 0 or 1).  Columns: ``group, n, successes, rate, lo, hi``.
+
+    One map-side-combined aggregate to (group, n, s); the interval is
+    constant arithmetic over exact integer counts, rounded at the end."""
+    g = df.groupBy(F.col(group_col).alias("group")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(success.cast("long")).alias("successes"),
+    )
+    zz = F.lit(float(z) * float(z))
+    n = F.col("n").cast("double")
+    p = F.col("successes").cast("double") / n
+    denom = F.lit(1.0) + zz / n
+    center = (p + zz / (F.lit(2.0) * n)) / denom
+    half = (
+        F.lit(float(z))
+        * F.sqrt(p * (F.lit(1.0) - p) / n + zz / (F.lit(4.0) * n * n))
+        / denom
+    )
+    return g.select(
+        "group",
+        "n",
+        "successes",
+        F.round(p, round_to).alias("rate"),
+        F.round(center - half, round_to).alias("lo"),
+        F.round(center + half, round_to).alias("hi"),
+    )

@@ -266,6 +266,9 @@ def test_no_query_plans_nested_loop_or_rowwise_python(spark):
         # one-row distinct-bigram total attached to the types-sized
         # stats frame (the q_assoc_rules constant-attach shape)
         "q_kn_bigrams",
+        # inherits q_prop_ztest's group-pair join (both sides per-group
+        # aggregates — group-cardinality² rows regardless of corpus size)
+        "q_fdr_correction",
     }
     for name, f in em.queries().items():
         p = plan_of(f(spark, "/root/testdata/sf0.001"))

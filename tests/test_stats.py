@@ -386,3 +386,62 @@ def test_survival_km_all_censored_and_monotone(spark):
     survs = [r.surv for r in out]
     assert all(a >= b for a, b in zip(survs, survs[1:]))  # non-increasing
     assert all(0.0 <= s <= 1.0 for s in survs)
+
+
+def test_normal_sf_accuracy(spark):
+    """A&S 7.1.26 vs scipy-free exact reference values (math.erfc)."""
+    import math
+
+    import pyspark.sql.functions as F
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        normal_sf,
+    )
+
+    zs = [0.0, 0.5, 1.0, 1.645, 1.96, 2.575, 3.5]
+    df = spark.createDataFrame([(z,) for z in zs], ["z"])
+    got = {r.z: r.sf for r in df.select("z", normal_sf(F.col("z")).alias("sf")).collect()}
+    for z in zs:
+        want = 0.5 * math.erfc(z / math.sqrt(2))
+        assert abs(got[z] - want) < 1e-7, (z, got[z], want)
+
+
+def test_bh_fdr_textbook(spark):
+    """Classic BH example: the largest rank with p <= (i/m)a gates ALL
+    smaller ranks, including ones whose own p exceeds their crit."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        bh_fdr,
+    )
+
+    ps = [0.001, 0.008, 0.039, 0.041, 0.042, 0.06, 0.074, 0.205, 0.212, 0.216]
+    df = spark.createDataFrame(
+        [(f"h{i}", p) for i, p in enumerate(ps)], ["h", "p"]
+    )
+    got = {r.h: r for r in bh_fdr(df, "p", ["h"], alpha=0.05).collect()}
+    # m=10, a=0.05: crit_i = 0.005i -> largest passing rank is 4
+    # (p=0.041 <= 0.020 is false... check: 0.039 <= 0.015 F, 0.008 <= 0.010 T)
+    rejected = {h for h, r in got.items() if r.reject}
+    assert rejected == {"h0", "h1"}
+    assert got["h0"].m == 10 and got["h0"].p_rank == 1
+
+
+def test_wilson_interval_bounds(spark):
+    """Wilson CI stays inside [0,1], covers the rate, and is non-degenerate
+    at rate 0 and 1 (where Wald collapses)."""
+    import pyspark.sql.functions as F
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        wilson_interval,
+    )
+
+    rows = (
+        [("a", 1)] * 30 + [("a", 0)] * 10
+        + [("b", 1)] * 20                      # rate exactly 1
+        + [("c", 0)] * 15                      # rate exactly 0
+    )
+    df = spark.createDataFrame(rows, ["g", "s"])
+    got = {r.group: r for r in wilson_interval(df, "g", F.col("s") == 1).collect()}
+    a = got["a"]
+    assert a.lo < a.rate < a.hi and 0 < a.lo and a.hi < 1
+    assert got["b"].rate == 1.0 and got["b"].lo < 1.0 and got["b"].hi <= 1.0
+    assert got["c"].rate == 0.0 and got["c"].hi > 0.0 and got["c"].lo >= 0.0
