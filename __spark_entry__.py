@@ -8448,6 +8448,170 @@ SELECT group_a, group_b, p, p_rank, m, ROUND(crit, 6) AS crit,
 FROM fin ORDER BY group_a, group_b
 """
 
+# A&S 7.1.26 two-sided normal tail over an already-rounded z column —
+# the identical expression tree stats.normal_sf evaluates (see
+# q_fdr_correction); kept as one fragment so new tests reuse it.
+_NORM_TAIL2_SQL = """LEAST(ROUND(2 * (exp(-0.5 * abs(z) * abs(z)) / 2.5066282746310002)
+                 * ((1.0 / (1.0 + 0.2316419 * abs(z)))
+                    * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                       * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                          * (1.781477937
+                             + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                               * (-1.821255978
+                                  + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                                    * 1.330274429))))), 6), 1.0)"""
+
+
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotone-trend test on daily event counts per type
+    (timeseries.mann_kendall_daily) — q_theil_sen's significance
+    companion: Theil-Sen estimates the slope, MK says whether a
+    monotone trend exists at all, distribution-free, with the
+    tie-corrected variance and continuity correction.  S and Var(S)
+    are pure integer arithmetic over days²-sized pair frames; p comes
+    from the CERTIFIED rounded z via the A&S 7.1.26 tail (the
+    q_fdr_correction discipline)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        mann_kendall_daily,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return mann_kendall_daily(e, "event_type", "ts").transform(_by("key"))
+
+
+Q_MANN_KENDALL_SQL = f"""
+WITH d AS (
+  SELECT event_type AS key, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+dd AS (SELECT key, day, n,
+              CAST(CAST(day AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn
+       FROM d),
+s AS (
+  SELECT a.key, CAST(SUM(sign(b.n - a.n)) AS BIGINT) AS s_stat
+  FROM dd a JOIN dd b ON a.key = b.key AND a.dn < b.dn
+  GROUP BY a.key),
+nd AS (SELECT key, COUNT(*) AS n_days FROM dd GROUP BY key),
+tt AS (
+  SELECT key, SUM(t * (t - 1) * (2 * t + 5)) AS tie_term
+  FROM (SELECT key, n, COUNT(*) AS t FROM dd GROUP BY key, n)
+  GROUP BY key),
+base AS (
+  SELECT nd.key, CAST(nd.n_days AS INT) AS n_days,
+         COALESCE(s.s_stat, 0) AS s_stat,
+         ROUND((nd.n_days * (nd.n_days - 1) * (2 * nd.n_days + 5)
+                - tt.tie_term) / 18.0, 6) AS var_s
+  FROM nd LEFT JOIN s ON nd.key = s.key
+  LEFT JOIN tt ON nd.key = tt.key),
+zz AS (
+  SELECT *, ROUND(CASE WHEN var_s <= 0 THEN NULL
+                       WHEN s_stat > 0 THEN (s_stat - 1) / sqrt(var_s)
+                       WHEN s_stat < 0 THEN (s_stat + 1) / sqrt(var_s)
+                       ELSE 0.0 END, 6) AS z
+  FROM base),
+pv AS (
+  SELECT key, n_days, s_stat, var_s, z,
+         CASE WHEN z IS NULL THEN NULL ELSE {_NORM_TAIL2_SQL} END AS p
+  FROM zz)
+SELECT key, n_days, s_stat, var_s, z, p,
+       CASE WHEN p IS NULL OR p > 0.05 THEN 'none'
+            WHEN s_stat > 0 THEN 'increasing'
+            WHEN s_stat < 0 THEN 'decreasing'
+            ELSE 'none' END AS trend
+FROM pv ORDER BY key
+"""
+
+
+def q_roc_auc(spark, sf_dir):
+    """Per-source ROC AUC of the n_chars score against the lang='en'
+    label (stats.roc_auc): the rank-statistic identity AUC =
+    (R_pos - n_pos(n_pos+1)/2)/(n_pos*n_neg) with tie-averaged ranks —
+    the Mann-Whitney normalization, i.e. the probability a positive
+    outranks a negative.  The standard gate before a quality score is
+    trusted as a curation filter.  Doubled ranks keep the sum integral
+    until the single final division; one group-key shuffle, two shared
+    windows, no joins."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        roc_auc,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return roc_auc(
+        d, "source", F.col("n_chars"), F.col("lang") == "en"
+    ).transform(_by("group"))
+
+
+Q_ROC_AUC_SQL = """
+WITH r AS (
+  SELECT source AS "group",
+         CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         2 * RANK() OVER (PARTITION BY source ORDER BY n_chars ASC)
+           + (COUNT(*) OVER (PARTITION BY source, n_chars) - 1) AS r2
+  FROM documents),
+g AS (
+  SELECT "group", COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS n_pos,
+         SUM(CASE WHEN y = 1 THEN r2 END) AS r2pos
+  FROM r GROUP BY 1)
+SELECT "group", n, n_pos, n - n_pos AS n_neg,
+       ROUND(CASE WHEN n_pos > 0 AND n - n_pos > 0
+                  THEN (r2pos / 2.0 - n_pos * (n_pos + 1) / 2.0)
+                       / (CAST(n_pos AS DOUBLE) * (n - n_pos))
+             END, 6) AS auc
+FROM g ORDER BY "group"
+"""
+
+
+def q_link_prediction(spark, sf_dir):
+    """Adamic-Adar + resource-allocation link prediction over the
+    co-activity graph (graph.link_prediction): for every non-adjacent
+    user pair sharing a neighbor, common-neighbor count, sum 1/ln(deg)
+    and sum 1/deg — the graph-completion / recommendation backfill.
+    Wedges enumerate by the same middle-node adjacency join the
+    triangle census runs (hub cap available via max_middle_degree; the
+    certified path is exact), then one anti-join drops already-adjacent
+    pairs.  Top-200 by (common, aa) keeps the certification frame
+    bounded."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        coactivity_edges,
+        link_prediction,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    edges = coactivity_edges(e)
+    return (
+        link_prediction(edges)
+        .orderBy(
+            F.desc("common"), F.desc("aa_score"), F.asc("a"), F.asc("b")
+        )
+        .limit(200)
+    )
+
+
+Q_LINK_PREDICTION_SQL = """
+WITH b AS (SELECT DISTINCT date_trunc('minute', ts) AS _b, user_id AS _u FROM events),
+sized AS (SELECT _b, _u FROM (SELECT _b, _u, COUNT(*) OVER (PARTITION BY _b) AS _n FROM b)
+          WHERE _n <= 64),
+und AS (SELECT DISTINCT LEAST(l._u, r._u) AS a, GREATEST(l._u, r._u) AS b
+        FROM sized l JOIN sized r USING (_b) WHERE l._u <> r._u),
+dir AS (SELECT a AS src, b AS dst FROM und UNION ALL SELECT b, a FROM und),
+deg AS (SELECT src AS z, COUNT(*) AS deg FROM dir GROUP BY 1),
+adj AS (SELECT dst AS z, src AS n FROM dir),
+wedge AS (
+  SELECT l.z, l.n AS a, r.n AS b
+  FROM adj l JOIN adj r ON l.z = r.z AND l.n < r.n),
+scored AS (
+  SELECT w.a, w.b, COUNT(*) AS common,
+         ROUND(SUM(1.0 / ln(deg.deg)), 6) AS aa_score,
+         ROUND(SUM(1.0 / deg.deg), 6) AS ra_score
+  FROM wedge w JOIN deg ON w.z = deg.z
+  GROUP BY w.a, w.b),
+nonadj AS (
+  SELECT s.* FROM scored s
+  LEFT JOIN und e ON s.a = e.a AND s.b = e.b
+  WHERE e.a IS NULL)
+SELECT a, b, common, aa_score, ra_score
+FROM nonadj ORDER BY common DESC, aa_score DESC, a ASC, b ASC LIMIT 200
+"""
+
 
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
@@ -8664,6 +8828,9 @@ _QUERIES_PAST_WINDOW = [
     "q_survival",
     "q_wilson_rates",
     "q_fdr_correction",
+    "q_mann_kendall",
+    "q_roc_auc",
+    "q_link_prediction",
 ]
 
 
@@ -8799,6 +8966,9 @@ def oracle_sql() -> dict[str, str]:
         "q_survival": Q_SURVIVAL_SQL,
         "q_wilson_rates": Q_WILSON_RATES_SQL,
         "q_fdr_correction": Q_FDR_CORRECTION_SQL,
+        "q_mann_kendall": Q_MANN_KENDALL_SQL,
+        "q_roc_auc": Q_ROC_AUC_SQL,
+        "q_link_prediction": Q_LINK_PREDICTION_SQL,
         "q_doc_scalar_suite": Q_DOC_SCALAR_SUITE_SQL,
         "q_line_repetition": Q_LINE_REPETITION_SQL,
         "q_mixture_weights": Q_MIXTURE_WEIGHTS_SQL,

@@ -857,3 +857,64 @@ def wilson_interval(
         F.round(center - half, round_to).alias("lo"),
         F.round(center + half, round_to).alias("hi"),
     )
+
+
+def roc_auc(
+    df: DataFrame,
+    group_col: str,
+    score: Column,
+    label: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group ROC AUC of a score against a binary label via the
+    rank-statistic identity ``AUC = (R_pos - n_pos(n_pos+1)/2) /
+    (n_pos * n_neg)`` where ``R_pos`` is the sum of tie-averaged ranks
+    of the positives — exactly the Mann-Whitney U normalization, i.e.
+    P(score_pos > score_neg) + 0.5 * P(tie).  The one-number answer to
+    "does this quality score actually separate the class I care
+    about?", per source — the standard gate before a score is trusted
+    as a curation filter.
+
+    Columns: ``group, n, n_pos, n_neg, auc`` (auc NULL when either
+    class is empty).
+
+    Portability: tie-averaged rank = RANK() + (tie_count - 1)/2 —
+    rank and tie_count are exact integers, doubled-rank sums stay
+    integral in ``2*R_pos``, so the only float op is the final
+    division (then round) — identical in both engines regardless of
+    row order.
+
+    Scale shape: one shuffle on the group key; both windows (rank and
+    per-score tie count) share that partitioning; one aggregate ends
+    the stage.  No joins, nothing corpus-sized crosses a second
+    exchange."""
+    w_rank = Window.partitionBy(F.col(group_col)).orderBy(score.asc())
+    w_tie = Window.partitionBy(F.col(group_col), score)
+    lab = label.cast("long")
+    # 2 * tie-averaged rank keeps the sum integral until the division
+    rank2 = 2 * F.rank().over(w_rank) + (F.count(F.lit(1)).over(w_tie) - 1)
+    rows = df.select(
+        F.col(group_col).alias("group"),
+        lab.alias("_y"),
+        rank2.alias("_r2"),
+    )
+    g = rows.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_y").alias("n_pos"),
+        F.sum(F.when(F.col("_y") == 1, F.col("_r2"))).alias("_r2pos"),
+    )
+    n_pos = F.col("n_pos").cast("double")
+    n_neg = (F.col("n") - F.col("n_pos")).cast("double")
+    auc = (
+        F.col("_r2pos").cast("double") / F.lit(2.0)
+        - n_pos * (n_pos + 1) / F.lit(2.0)
+    ) / (n_pos * n_neg)
+    return g.select(
+        "group",
+        "n",
+        "n_pos",
+        (F.col("n") - F.col("n_pos")).alias("n_neg"),
+        F.round(
+            F.when((n_pos > 0) & (n_neg > 0), auc), round_to
+        ).alias("auc"),
+    )

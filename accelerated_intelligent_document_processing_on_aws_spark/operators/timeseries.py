@@ -438,3 +438,120 @@ def theil_sen_daily(
     return n_days.join(slopes, "key", "left").select(
         "key", "n_days", F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"), "slope"
     )
+
+
+def mann_kendall_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mann-Kendall trend TEST of the daily event-count series per key
+    (Mann 1945, Kendall 1975) — the significance companion to
+    ``theil_sen_daily``: Theil-Sen says how steep the trend is, MK says
+    whether a monotone trend exists at all, distribution-free.
+
+    ``S = sum over day pairs i<j of sign(n_j - n_i)``; the normal
+    approximation uses the tie-corrected variance
+    ``Var(S) = [d(d-1)(2d+5) - sum_t t(t-1)(2t+5)] / 18`` over
+    tie-groups ``t`` of equal counts, with the standard continuity
+    correction ``z = (S -/+ 1)/sqrt(Var)``.  p is the two-sided A&S
+    7.1.26 normal tail (the repo's documented closed form, evaluated
+    from the ALREADY-ROUNDED z so both engines compare identical
+    doubles — the q_fdr_correction discipline).
+
+    Columns: ``key, n_days, s_stat, var_s, z, p, trend`` where trend is
+    'increasing' / 'decreasing' / 'none' at p <= 0.05 on the rounded p.
+
+    Portability: S and Var(S) are pure BIGINT arithmetic until the one
+    division; z rounds at ``round_to`` before the tail evaluates.
+
+    Scale shape: identical to theil_sen_daily — the corpus collapses to
+    the daily series first (map-side combine), the pair join and the
+    tie histogram both run on days-per-key-sized frames (d² pairs of
+    DAYS, never events), so key-count × days² bounds every shuffle."""
+    from .stats import normal_sf
+
+    daily = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn("d", F.datediff(F.to_date("day"), F.lit("1970-01-01")))
+        .localCheckpoint(eager=False)
+    )
+    a = daily.select("key", F.col("d").alias("da"), F.col("n").alias("na"))
+    b = daily.select("key", F.col("d").alias("db"), F.col("n").alias("nb"))
+    s = (
+        a.join(b, "key")
+        .filter(F.col("da") < F.col("db"))
+        .groupBy("key")
+        .agg(
+            F.sum(
+                F.signum((F.col("nb") - F.col("na")).cast("double")).cast(
+                    "long"
+                )
+            ).alias("s_stat")
+        )
+    )
+    dd = daily.groupBy("key").agg(F.count(F.lit(1)).alias("n_days"))
+    ties = (
+        daily.groupBy("key", "n")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("key")
+        .agg(
+            F.sum(
+                F.col("t") * (F.col("t") - 1) * (2 * F.col("t") + 5)
+            ).alias("tie_term")
+        )
+    )
+    d_ = F.col("n_days").cast("long")
+    var_s = (
+        d_ * (d_ - 1) * (2 * d_ + 5) - F.col("tie_term")
+    ).cast("double") / F.lit(18.0)
+    base = (
+        dd.join(s, "key", "left")
+        .join(ties, "key", "left")
+        .select(
+            "key",
+            "n_days",
+            F.coalesce("s_stat", F.lit(0)).alias("s_stat"),
+            F.round(var_s, round_to).alias("var_s"),
+        )
+    )
+    z_raw = F.when(F.col("var_s") <= 0, F.lit(None).cast("double")).otherwise(
+        F.when(
+            F.col("s_stat") > 0,
+            (F.col("s_stat") - 1).cast("double") / F.sqrt("var_s"),
+        )
+        .when(
+            F.col("s_stat") < 0,
+            (F.col("s_stat") + 1).cast("double") / F.sqrt("var_s"),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    zed = base.withColumn("z", F.round(z_raw, round_to))
+    # least() skips NULLs in Spark (returns 1.0 for a NULL p), so the
+    # degenerate-z guard must come after the cap, not rely on NULL flow
+    withp = zed.withColumn(
+        "p",
+        F.when(
+            F.col("z").isNotNull(),
+            F.least(
+                F.round(
+                    F.lit(2.0) * normal_sf(F.abs(F.col("z"))), round_to
+                ),
+                F.lit(1.0),
+            ),
+        ),
+    )
+    return withp.withColumn(
+        "trend",
+        F.when(
+            F.col("p").isNull() | (F.col("p") > 0.05), F.lit("none")
+        )
+        .when(F.col("s_stat") > 0, F.lit("increasing"))
+        .when(F.col("s_stat") < 0, F.lit("decreasing"))
+        .otherwise(F.lit("none")),
+    )

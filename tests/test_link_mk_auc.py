@@ -1,0 +1,154 @@
+"""Closed-form hand cases for the round-4 additions mann_kendall_daily
+(timeseries), roc_auc (stats) and link_prediction (graph).  The DuckDB
+oracles certify engine parity; these pin the MATH against values worked
+by hand (and cross-checked against scipy/networkx conventions)."""
+
+import datetime
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import link_prediction
+from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import roc_auc
+from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+    mann_kendall_daily,
+)
+
+
+def _events(spark, rows):
+    # rows: (key, day-of-month, n copies)
+    data = [
+        ("k", datetime.datetime(2024, 1, d, 12, 0, 0))
+        for (d, n) in rows
+        for _ in range(n)
+    ]
+    return spark.createDataFrame(data, "event_type string, ts timestamp")
+
+
+def test_mk_strictly_increasing(spark):
+    # counts 1,2,3,4,5 over 5 days: every pair ascending -> S = 10 pairs
+    out = mann_kendall_daily(
+        _events(spark, [(1, 1), (2, 2), (3, 3), (4, 4), (5, 5)]),
+        "event_type",
+        "ts",
+    ).collect()[0]
+    assert out.s_stat == 10
+    # no ties: Var = d(d-1)(2d+5)/18 = 5*4*15/18
+    assert out.var_s == pytest.approx(50 / 3, abs=1e-6)
+    z = 9 / math.sqrt(50 / 3)
+    assert out.z == pytest.approx(z, abs=1e-6)
+    # z ~ 2.205 -> two-sided p ~ 0.0275 < 0.05
+    assert out.trend == "increasing"
+    assert 0.02 < out.p < 0.04
+
+
+def test_mk_tie_correction_and_no_trend(spark):
+    # counts 2,2,1,2 -> pairs: (1,2)0 (1,3)- (1,4)0 (2,3)- (2,4)0 (3,4)+
+    # S = -1; ties: one group of t=3 (count 2)
+    out = mann_kendall_daily(
+        _events(spark, [(1, 2), (2, 2), (3, 1), (4, 2)]),
+        "event_type",
+        "ts",
+    ).collect()[0]
+    assert out.s_stat == -1
+    var = (4 * 3 * 13 - 3 * 2 * 11) / 18.0  # = (156-66)/18 = 5.0
+    assert out.var_s == pytest.approx(var, abs=1e-6)
+    assert out.z == pytest.approx(0 / math.sqrt(var), abs=1e-6)
+    assert out.trend == "none"
+    assert out.p == pytest.approx(1.0, abs=1e-5)
+
+
+def test_mk_single_day_degenerate(spark):
+    out = mann_kendall_daily(
+        _events(spark, [(1, 3)]), "event_type", "ts"
+    ).collect()[0]
+    assert out.s_stat == 0 and out.var_s == 0.0
+    assert out.z is None and out.p is None and out.trend == "none"
+
+
+def _scores(spark, rows):
+    return spark.createDataFrame(rows, "g string, s double, y boolean")
+
+
+def test_auc_perfect_and_inverted(spark):
+    rows = [("a", float(i), i >= 3) for i in range(6)]  # top-3 scores positive
+    rows += [("b", float(i), i < 3) for i in range(6)]  # bottom-3 positive
+    out = {
+        r.group: r
+        for r in roc_auc(
+            _scores(spark, rows), "g", F.col("s"), F.col("y")
+        ).collect()
+    }
+    assert out["a"].auc == 1.0 and out["b"].auc == 0.0
+    assert out["a"].n_pos == 3 and out["a"].n_neg == 3
+
+
+def test_auc_ties_count_half(spark):
+    # all scores equal: AUC must be exactly 0.5 whatever the labels
+    rows = [("t", 1.0, i % 2 == 0) for i in range(10)]
+    out = roc_auc(_scores(spark, rows), "g", F.col("s"), F.col("y")).collect()[0]
+    assert out.auc == 0.5
+
+
+def test_auc_hand_case(spark):
+    # scores pos={3,1}, neg={2,0}: pairs won 3>2,3>0,1>0 = 3 of 4 -> 0.75
+    rows = [("h", 3.0, True), ("h", 1.0, True), ("h", 2.0, False), ("h", 0.0, False)]
+    out = roc_auc(_scores(spark, rows), "g", F.col("s"), F.col("y")).collect()[0]
+    assert out.auc == 0.75
+
+
+def test_auc_single_class_null(spark):
+    rows = [("o", 1.0, True), ("o", 2.0, True)]
+    out = roc_auc(_scores(spark, rows), "g", F.col("s"), F.col("y")).collect()[0]
+    assert out.auc is None and out.n_neg == 0
+
+
+def _both_dirs(pairs):
+    return [(a, b) for a, b in pairs] + [(b, a) for a, b in pairs]
+
+
+def test_link_prediction_path_graph(spark):
+    # path 1-2-3: only candidate pair (1,3) through middle 2 (deg 2)
+    e = spark.createDataFrame(
+        _both_dirs([(1, 2), (2, 3)]), "src long, dst long"
+    )
+    out = link_prediction(e).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.a, r.b, r.common) == (1, 3, 1)
+    assert r.aa_score == pytest.approx(1 / math.log(2), abs=1e-6)
+    assert r.ra_score == pytest.approx(0.5, abs=1e-6)
+
+
+def test_link_prediction_excludes_existing_edges(spark):
+    # triangle 1-2-3 plus leaf 4 on node 3: (1,2),(1,3),(2,3) adjacent ->
+    # only (1,4) and (2,4) survive, each via middle 3 (deg 3)
+    e = spark.createDataFrame(
+        _both_dirs([(1, 2), (1, 3), (2, 3), (3, 4)]), "src long, dst long"
+    )
+    out = {(r.a, r.b): r for r in link_prediction(e).collect()}
+    assert set(out) == {(1, 4), (2, 4)}
+    assert out[(1, 4)].aa_score == pytest.approx(1 / math.log(3), abs=1e-6)
+    assert out[(1, 4)].ra_score == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_link_prediction_two_common_neighbors(spark):
+    # square 1-2-3-4-1: (1,3) via middles 2 and 4 (both deg 2), (2,4) same
+    e = spark.createDataFrame(
+        _both_dirs([(1, 2), (2, 3), (3, 4), (4, 1)]), "src long, dst long"
+    )
+    out = {(r.a, r.b): r for r in link_prediction(e).collect()}
+    assert set(out) == {(1, 3), (2, 4)}
+    assert out[(1, 3)].common == 2
+    assert out[(1, 3)].aa_score == pytest.approx(2 / math.log(2), abs=1e-6)
+
+
+def test_link_prediction_middle_degree_cap(spark):
+    # star center 0 with leaves 1..4: all pairs share only middle 0
+    # (deg 4); cap at 3 removes every candidate
+    e = spark.createDataFrame(
+        _both_dirs([(0, i) for i in range(1, 5)]), "src long, dst long"
+    )
+    assert link_prediction(e).count() == 6  # C(4,2) leaf pairs
+    assert link_prediction(e, max_middle_degree=3).count() == 0
