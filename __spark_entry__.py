@@ -8613,6 +8613,189 @@ FROM nonadj ORDER BY common DESC, aa_score DESC, a ASC, b ASC LIMIT 200
 """
 
 
+def q_ccf(spark, sf_dir):
+    """Lagged cross-correlation between the 'click' and 'purchase'
+    daily series (timeseries.ccf_daily) — q_acf's two-series twin: does
+    click activity LEAD purchases?  Calendar-aligned day pairs, exact
+    int64 sufficient statistics (the acf_daily discipline), lags
+    -7..7 in one explode + one equi-join on the shifted epoch day."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        ccf_daily,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return ccf_daily(e, "event_type", "ts", "click", "purchase").transform(
+        _by("lag")
+    )
+
+
+Q_CCF_SQL = """
+WITH d AS (
+  SELECT event_type AS key, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+  FROM events WHERE event_type IN ('click', 'purchase') GROUP BY 1, 2),
+dd AS (SELECT key, n,
+              CAST(CAST(day AS DATE) - DATE '1970-01-01' AS BIGINT) AS dn
+       FROM d),
+a AS (SELECT dn, n AS x FROM dd WHERE key = 'click'),
+b AS (SELECT dn AS dy, n AS y FROM dd WHERE key = 'purchase'),
+lagged AS (
+  SELECT a.dn, a.x, l.lag FROM a
+  CROSS JOIN (SELECT UNNEST(range(-7, 8)) AS lag) l),
+pairs AS (
+  SELECT lg.lag, lg.x, b.y FROM lagged lg JOIN b ON lg.dn + lg.lag = b.dy),
+agg AS (
+  SELECT lag, COUNT(*) AS n_pairs,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM pairs GROUP BY lag)
+SELECT CAST(lag AS INT) AS lag, n_pairs,
+       ROUND(CASE WHEN n_pairs * sxx - sx * sx > 0
+                   AND n_pairs * syy - sy * sy > 0
+                  THEN (n_pairs * sxy - sx * sy)
+                       / sqrt((n_pairs * sxx - CAST(sx AS DOUBLE) * sx)
+                              * (n_pairs * syy - CAST(sy AS DOUBLE) * sy))
+             END, 6) AS r
+FROM agg ORDER BY lag
+"""
+
+
+def q_fleiss_kappa(spark, sf_dir):
+    """Fleiss' kappa over three heuristic document raters — two length
+    gates (n_chars > 200, > 150) and one language gate (lang = 'en')
+    (stats.fleiss_kappa): the n-rater generalization of
+    q_filter_agreement's Cohen kappa, certifying whether an ensemble of
+    curation filters agrees beyond chance before any of them is trusted
+    alone.  Every statistic is an integer sum before its one division
+    (agreeing pairs for P-bar; sum of squared category counts for P_e),
+    so kappa is the identical IEEE expression in both engines."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        fleiss_kappa,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    gate = lambda c: F.when(c, F.lit("pass")).otherwise(F.lit("fail"))  # noqa: E731
+    return fleiss_kappa(
+        d,
+        [
+            gate(F.col("n_chars") > 200),
+            gate(F.col("n_chars") > 150),
+            gate(F.col("lang") == "en"),
+        ],
+    )
+
+
+Q_FLEISS_KAPPA_SQL = """
+WITH lab AS (
+  SELECT CASE WHEN n_chars > 200 THEN 'pass' ELSE 'fail' END AS r0,
+         CASE WHEN n_chars > 150 THEN 'pass' ELSE 'fail' END AS r1,
+         CASE WHEN lang = 'en' THEN 'pass' ELSE 'fail' END AS r2
+  FROM documents),
+tot AS (
+  SELECT COUNT(*) AS n_items,
+         SUM(CAST(r0 = r1 AS BIGINT) + CAST(r0 = r2 AS BIGINT)
+             + CAST(r1 = r2 AS BIGINT)) AS t
+  FROM lab),
+cat AS (
+  SELECT SUM(c * c) AS c2
+  FROM (SELECT COUNT(*) AS c
+        FROM (SELECT UNNEST([r0, r1, r2]) AS lab FROM lab)
+        GROUP BY lab)),
+fin AS (
+  SELECT n_items, t, c2,
+         2.0 * t / (n_items * 6.0) AS p_bar,
+         c2 / (CAST(n_items AS DOUBLE) * 3.0 * n_items * 3.0) AS p_e
+  FROM tot CROSS JOIN cat)
+SELECT n_items, 3 AS n_raters, ROUND(p_bar, 6) AS p_bar,
+       ROUND(p_e, 6) AS p_e,
+       ROUND(CASE WHEN p_e < 1.0 THEN (p_bar - p_e) / (1.0 - p_e) END, 6)
+         AS kappa
+FROM fin
+"""
+
+
+def q_bradley_terry(spark, sf_dir):
+    """Bradley-Terry preference strengths over event types
+    (stats.bradley_terry): each user 'prefers' type a over type b when
+    they fired more a-events than b-events — one weighted match per
+    user-pair — then 8 Hunter-MM rounds with per-round 9-decimal
+    rounding (the q_pagerank fixed-iteration discipline) recover the
+    global strength ranking, Σ strength = 1.  The aggregation shape
+    behind RLHF preference data and arena-style model rankings: matches
+    collapse to the items² dimension before ANY iteration runs."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        bradley_terry,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    counts = e.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    a = counts.select(
+        "user_id", F.col("event_type").alias("win"), F.col("c").alias("ca")
+    )
+    b = counts.select(
+        "user_id", F.col("event_type").alias("lose"), F.col("c").alias("cb")
+    )
+    matches = (
+        a.join(b, "user_id")
+        .filter(F.col("ca") > F.col("cb"))
+        .groupBy("win", "lose")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    return bradley_terry(
+        matches, "win", "lose", weight_col="w", iterations=8
+    ).transform(_by("item"))
+
+
+def _bradley_terry_sql(iterations: int = 8) -> str:
+    """DuckDB twin: same match derivation, same unrolled MM iterations,
+    same per-round 9-decimal rounding after normalization."""
+    # every CTE is MATERIALIZED: each round references the previous one
+    # twice, so default CTE inlining would expand the chain (and the
+    # base scans under it) exponentially in the iteration count
+    its = []
+    prev = "r0"
+    for k in range(1, iterations + 1):
+        its.append(f"""
+d{k} AS MATERIALIZED (
+  SELECT s.i, SUM(s.n / (pi.p + pj.p)) AS d
+  FROM sym s JOIN {prev} pi ON s.i = pi.i JOIN {prev} pj ON s.j = pj.i
+  GROUP BY s.i),
+raw{k} AS MATERIALIZED (
+  SELECT it.i, it.wins / d{k}.d AS raw FROM items it JOIN d{k} ON it.i = d{k}.i),
+r{k} AS MATERIALIZED (
+  SELECT i, ROUND(raw / (SELECT SUM(raw) FROM raw{k}), 9) AS p FROM raw{k})""")
+        prev = f"r{k}"
+    return f"""
+WITH counts AS MATERIALIZED (
+  SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2),
+matches AS MATERIALIZED (
+  SELECT a.event_type AS win, b.event_type AS lose, COUNT(*) AS w
+  FROM counts a JOIN counts b
+    ON a.user_id = b.user_id AND a.c > b.c
+  GROUP BY 1, 2),
+directed AS MATERIALIZED (SELECT win AS i, lose AS j, SUM(w) AS w FROM matches GROUP BY 1, 2),
+sym AS MATERIALIZED (
+  SELECT i, j, SUM(w) AS n FROM (
+    SELECT i, j, w FROM directed
+    UNION ALL SELECT j, i, w FROM directed)
+  GROUP BY i, j),
+items AS MATERIALIZED (
+  SELECT s.i, COALESCE(d.wins, 0) AS wins
+  FROM (SELECT DISTINCT i FROM sym) s
+  LEFT JOIN (SELECT i, SUM(w) AS wins FROM directed GROUP BY i) d
+    ON s.i = d.i),
+r0 AS MATERIALIZED (
+  SELECT i, ROUND(1.0 / (SELECT COUNT(*) FROM items), 9) AS p FROM items),
+{",".join(its)},
+nm AS (SELECT i, SUM(n) AS matches FROM sym GROUP BY i)
+SELECT it.i AS item, CAST(it.wins AS BIGINT) AS wins,
+       CAST(nm.matches AS BIGINT) AS matches, {prev}.p AS strength
+FROM items it JOIN nm ON it.i = nm.i JOIN {prev} ON it.i = {prev}.i
+ORDER BY item
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -8831,6 +9014,9 @@ _QUERIES_PAST_WINDOW = [
     "q_mann_kendall",
     "q_roc_auc",
     "q_link_prediction",
+    "q_ccf",
+    "q_fleiss_kappa",
+    "q_bradley_terry",
 ]
 
 
@@ -8969,6 +9155,9 @@ def oracle_sql() -> dict[str, str]:
         "q_mann_kendall": Q_MANN_KENDALL_SQL,
         "q_roc_auc": Q_ROC_AUC_SQL,
         "q_link_prediction": Q_LINK_PREDICTION_SQL,
+        "q_ccf": Q_CCF_SQL,
+        "q_fleiss_kappa": Q_FLEISS_KAPPA_SQL,
+        "q_bradley_terry": _bradley_terry_sql(),
         "q_doc_scalar_suite": Q_DOC_SCALAR_SUITE_SQL,
         "q_line_repetition": Q_LINE_REPETITION_SQL,
         "q_mixture_weights": Q_MIXTURE_WEIGHTS_SQL,

@@ -918,3 +918,188 @@ def roc_auc(
             F.when((n_pos > 0) & (n_neg > 0), auc), round_to
         ).alias("auc"),
     )
+
+
+def fleiss_kappa(
+    df: DataFrame,
+    raters: list[Column],
+    round_to: int = 6,
+) -> DataFrame:
+    """Fleiss' kappa (Fleiss 1971) — chance-corrected agreement among
+    n >= 2 raters assigning one categorical label per item: the
+    annotation-QA gate before a labeling rubric (or an ensemble of
+    heuristic filters) is trusted at corpus scale.  Cohen's kappa (the
+    existing q_filter_agreement) stops at two raters; Fleiss is the
+    n-rater generalization.
+
+    ``raters`` are Columns producing a STRING category per item.
+    Output is ONE row: ``n_items, n_raters, p_bar, p_e, kappa``.
+
+    Portability: every statistic reduces to INTEGER sums before its one
+    division — observed agreement P̄ = 2·(agreeing rater pairs) /
+    (N·n·(n−1)) where the pair count is a plain int64 sum of pairwise
+    label equalities, and chance agreement P_e = Σ_j c_j² / (N·n)²
+    where c_j are integer global category counts (Σ c_j² is summed as
+    an int64, sidestepping float-order entirely).  kappa =
+    (P̄ − P_e)/(1 − P_e) is then an identical IEEE expression in both
+    engines, rounded once.
+
+    Scale shape: one corpus-sized projection computes the per-item
+    agreeing-pair count in whole-stage codegen (no explode for P̄), a
+    second map-side-combined aggregate over the exploded (item, label)
+    frame — N·n rows, still one pass — collapses to k category rows,
+    and the final arithmetic runs on a 1-row frame.  No joins except
+    the terminal 1×1 cross join."""
+    n = len(raters)
+    if n < 2:
+        raise ValueError("fleiss_kappa needs at least 2 raters")
+    labeled = df.select(
+        *[r.cast("string").alias(f"_r{i}") for i, r in enumerate(raters)]
+    )
+    agree = None
+    for i in range(n):
+        for j in range(i + 1, n):
+            term = (F.col(f"_r{i}") == F.col(f"_r{j}")).cast("long")
+            agree = term if agree is None else agree + term
+    per_item = labeled.select(agree.alias("_pairs"))
+    tot = per_item.agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum("_pairs").alias("_t"),
+    )
+    cats = (
+        labeled.select(
+            F.explode(
+                F.array(*[F.col(f"_r{i}") for i in range(n)])
+            ).alias("_lab")
+        )
+        .groupBy("_lab")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .agg(F.sum(F.col("_c") * F.col("_c")).alias("_c2"))
+    )
+    j = tot.crossJoin(cats)
+    big_n = F.col("n_items").cast("double")
+    p_bar = (
+        F.lit(2.0)
+        * F.col("_t").cast("double")
+        / (big_n * F.lit(float(n * (n - 1))))
+    )
+    p_e = F.col("_c2").cast("double") / (
+        (big_n * F.lit(float(n))) * (big_n * F.lit(float(n)))
+    )
+    return j.select(
+        "n_items",
+        F.lit(n).alias("n_raters"),
+        F.round(p_bar, round_to).alias("p_bar"),
+        F.round(p_e, round_to).alias("p_e"),
+        F.round(
+            F.when(p_e < 1.0, (p_bar - p_e) / (F.lit(1.0) - p_e)), round_to
+        ).alias("kappa"),
+    )
+
+
+def bradley_terry(
+    outcomes: DataFrame,
+    winner_col: str,
+    loser_col: str,
+    weight_col: str | None = None,
+    iterations: int = 8,
+    round_to: int = 9,
+) -> DataFrame:
+    """Bradley-Terry preference strengths (Bradley & Terry 1952) from
+    pairwise win/loss outcomes via Hunter's (2004) MM iteration — the
+    aggregation behind RLHF preference data, arena-style model
+    rankings, and A/B winner boards: ``P(i beats j) = p_i/(p_i+p_j)``.
+
+    ``outcomes`` rows are matches (``winner_col``, ``loser_col``,
+    optional integer ``weight_col`` for pre-aggregated counts).  Each
+    round applies ``p_i' = W_i / Σ_{j≠i} n_ij/(p_i+p_j)`` then
+    normalizes to Σp = 1, ROUNDING the normalized strength at
+    ``round_to`` decimals per round — the q_pagerank discipline that
+    makes a fixed-iteration result a pure function of the input in any
+    engine.  Items with zero wins decay toward 0 (the MLE boundary);
+    callers wanting regularization can append pseudo-matches.
+
+    Returns ``(item, wins, matches, strength)``.
+
+    Scale shape: matches aggregate once to the (i, j) dimension —
+    pairs-of-items-sized, NEVER match-count-sized — and every round
+    after that joins and aggregates only items²-bounded frames with
+    lineage truncated per round (localCheckpoint).  For LLM-eval use
+    the item set is models/policies: tiny by construction."""
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    directed = (
+        outcomes.select(
+            F.col(winner_col).cast("string").alias("i"),
+            F.col(loser_col).cast("string").alias("j"),
+            w.alias("_w"),
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("_w").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    sym = (
+        directed.select("i", "j", "w")
+        .union(
+            directed.select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "w"
+            )
+        )
+        .groupBy("i", "j")
+        .agg(F.sum("w").alias("n"))
+        .localCheckpoint(eager=False)
+    )
+    items = (
+        sym.select("i")
+        .distinct()
+        .join(
+            directed.groupBy("i").agg(F.sum("w").alias("wins")),
+            "i",
+            "left",
+        )
+        .select("i", F.coalesce("wins", F.lit(0)).alias("wins"))
+        .localCheckpoint(eager=True)
+    )
+    k = items.count()
+    p = items.select("i", F.lit(round(1.0 / k, round_to)).alias("p"))
+    for _ in range(int(iterations)):
+        pi = p.select(F.col("i"), F.col("p").alias("_pi"))
+        pj = p.select(F.col("i").alias("j"), F.col("p").alias("_pj"))
+        denom = (
+            sym.join(pi, "i")
+            .join(pj, "j")
+            .groupBy("i")
+            .agg(
+                F.sum(
+                    F.col("n").cast("double")
+                    / (F.col("_pi") + F.col("_pj"))
+                ).alias("_d")
+            )
+        )
+        raw = items.join(denom, "i").select(
+            "i",
+            (F.col("wins").cast("double") / F.col("_d")).alias("_raw"),
+        )
+        total = raw.agg(F.sum("_raw").alias("_s"))
+        p = (
+            raw.crossJoin(total)
+            .select(
+                "i",
+                F.round(F.col("_raw") / F.col("_s"), round_to).alias("p"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    n_match = sym.groupBy("i").agg(F.sum("n").alias("matches"))
+    return (
+        items.join(n_match, "i")
+        .join(p, "i")
+        .select(
+            F.col("i").alias("item"),
+            "wins",
+            "matches",
+            F.col("p").alias("strength"),
+        )
+    )

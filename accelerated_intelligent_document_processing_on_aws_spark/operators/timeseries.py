@@ -555,3 +555,80 @@ def mann_kendall_daily(
         .when(F.col("s_stat") < 0, F.lit("decreasing"))
         .otherwise(F.lit("none")),
     )
+
+
+def ccf_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    key_a: str,
+    key_b: str,
+    max_lag: int = 7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Lagged cross-correlation between two keys' daily event-count
+    series for lag = -max_lag..max_lag — acf_daily's two-series twin:
+    does activity in ``key_a`` LEAD activity in ``key_b`` (positive
+    lags) or LAG it (negative)?  The causality-screen behind funnel
+    ordering and alerting dependencies.
+
+    Per lag L, Pearson r over day pairs aligned on calendar days
+    (a at day t with b at day t−L; gap days produce no pair).  The five
+    sufficient statistics are exact int64 sums, so r is the identical
+    IEEE expression in both engines (the acf_daily discipline).
+
+    Columns: ``lag, n_pairs, r`` (r NULL when either side is constant
+    over the paired days).
+
+    Plan: one aggregate to the two daily series, one explode to
+    (day, lag) on the a-side — days×(2·max_lag+1) rows — and ONE
+    equi-join on the shifted epoch-day key.  Nothing corpus-sized
+    survives the first aggregate."""
+    daily = (
+        df.filter(F.col(key_col).isin([key_a, key_b]))
+        .groupBy(
+            F.col(key_col).alias("key"),
+            F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+        .withColumn(
+            "_d", F.datediff(F.to_date("day"), F.lit("1970-01-01"))
+        )
+        .localCheckpoint(eager=False)
+    )
+    a = daily.filter(F.col("key") == key_a).select(
+        "_d", F.col("n").alias("x")
+    )
+    b = daily.filter(F.col("key") == key_b).select(
+        F.col("_d").alias("_dy"), F.col("n").alias("y")
+    )
+    lags = a.select(
+        "_d",
+        "x",
+        F.explode(
+            F.sequence(F.lit(-int(max_lag)), F.lit(int(max_lag)))
+        ).alias("lag"),
+    )
+    # r(L) = corr(a_t, b_{t+L}): a LEADING b surfaces at positive L
+    pairs = lags.join(b, lags["_d"] + lags["lag"] == F.col("_dy"))
+    agg = pairs.groupBy("lag").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("x").alias("_sx"),
+        F.sum("y").alias("_sy"),
+        F.sum(F.col("x") * F.col("y")).alias("_sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("_sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("_syy"),
+    )
+    m = F.col("n_pairs").cast("double")
+    sx = F.col("_sx").cast("double")
+    sy = F.col("_sy").cast("double")
+    cov = m * F.col("_sxy").cast("double") - sx * sy
+    vx = m * F.col("_sxx").cast("double") - sx * sx
+    vy = m * F.col("_syy").cast("double") - sy * sy
+    return agg.select(
+        "lag",
+        "n_pairs",
+        F.round(
+            F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), round_to
+        ).alias("r"),
+    )

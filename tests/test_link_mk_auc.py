@@ -152,3 +152,103 @@ def test_link_prediction_middle_degree_cap(spark):
     )
     assert link_prediction(e).count() == 6  # C(4,2) leaf pairs
     assert link_prediction(e, max_middle_degree=3).count() == 0
+
+
+# ---- batch 2: ccf_daily / fleiss_kappa / bradley_terry hand cases ----
+
+def _two_series(spark, a_counts, b_counts, a_start=1, b_start=1):
+    rows = []
+    for off, n in enumerate(a_counts):
+        rows += [("A", datetime.datetime(2024, 1, a_start + off))] * n
+    for off, n in enumerate(b_counts):
+        rows += [("B", datetime.datetime(2024, 1, b_start + off))] * n
+    return spark.createDataFrame(rows, "event_type string, ts timestamp")
+
+
+def test_ccf_lead_convention(spark):
+    # B mirrors A one day LATER -> A leads B -> r = 1 at lag +1
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import ccf_daily
+
+    df = _two_series(spark, [1, 2, 3, 4], [1, 2, 3, 4], a_start=1, b_start=2)
+    out = {r.lag: r for r in ccf_daily(df, "event_type", "ts", "A", "B", max_lag=2).collect()}
+    assert out[1].r == 1.0 and out[1].n_pairs == 4
+    assert out[0].r == 1.0 and out[0].n_pairs == 3  # overlap days 2-4 ascending both
+    assert out[-1].n_pairs == 2
+
+
+def test_ccf_constant_side_null(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import ccf_daily
+
+    df = _two_series(spark, [2, 2, 2], [1, 2, 3])
+    out = {r.lag: r for r in ccf_daily(df, "event_type", "ts", "A", "B", max_lag=1).collect()}
+    assert out[0].r is None
+
+
+def test_fleiss_hand_case(spark):
+    # 4 items x 3 raters: aaa, aaa, aab, bbb
+    # T = 3+3+1+3 = 10; P_bar = 20/24 = 5/6; counts a=8 b=4;
+    # P_e = (64+16)/144 = 5/9; kappa = (5/6-5/9)/(4/9) = 0.625
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import fleiss_kappa
+
+    df = spark.createDataFrame(
+        [("a", "a", "a"), ("a", "a", "a"), ("a", "a", "b"), ("b", "b", "b")],
+        "x string, y string, z string",
+    )
+    out = fleiss_kappa(df, [F.col("x"), F.col("y"), F.col("z")]).collect()[0]
+    assert out.n_items == 4 and out.n_raters == 3
+    assert out.p_bar == pytest.approx(5 / 6, abs=1e-6)
+    assert out.p_e == pytest.approx(5 / 9, abs=1e-6)
+    assert out.kappa == pytest.approx(0.625, abs=1e-6)
+
+
+def test_fleiss_perfect_agreement(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import fleiss_kappa
+
+    df = spark.createDataFrame(
+        [("a", "a"), ("b", "b"), ("a", "a")], "x string, y string"
+    )
+    out = fleiss_kappa(df, [F.col("x"), F.col("y")]).collect()[0]
+    assert out.p_bar == 1.0 and out.kappa == 1.0
+
+
+def test_bradley_terry_two_items_closed_form(spark):
+    # A beats B 3x, B beats A 1x: MLE p_A = 3/4 (MM lands there in one
+    # round from the uniform start and stays)
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import bradley_terry
+
+    df = spark.createDataFrame(
+        [("A", "B")] * 3 + [("B", "A")], "w string, l string"
+    )
+    out = {r.item: r for r in bradley_terry(df, "w", "l").collect()}
+    assert out["A"].strength == pytest.approx(0.75, abs=1e-9)
+    assert out["B"].strength == pytest.approx(0.25, abs=1e-9)
+    assert out["A"].wins == 3 and out["A"].matches == 4
+
+
+def test_bradley_terry_transitive_ordering(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import bradley_terry
+
+    df = spark.createDataFrame(
+        [("A", "B")] * 2 + [("B", "C")] * 2 + [("A", "C")] * 2,
+        "w string, l string",
+    )
+    out = {r.item: r.strength for r in bradley_terry(df, "w", "l").collect()}
+    assert out["A"] > out["B"] > out["C"]
+    assert sum(out.values()) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_bradley_terry_weighted_equals_repeated(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import bradley_terry
+
+    rep = spark.createDataFrame(
+        [("A", "B")] * 5 + [("B", "A")] * 2, "w string, l string"
+    )
+    agg = spark.createDataFrame(
+        [("A", "B", 5), ("B", "A", 2)], "w string, l string, c int"
+    )
+    r1 = {r.item: r.strength for r in bradley_terry(rep, "w", "l").collect()}
+    r2 = {
+        r.item: r.strength
+        for r in bradley_terry(agg, "w", "l", weight_col="c").collect()
+    }
+    assert r1 == r2
