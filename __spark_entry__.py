@@ -8796,6 +8796,163 @@ ORDER BY item
 """
 
 
+def q_isotonic_fit(spark, sf_dir):
+    """Isotonic (PAV) recalibration of the quality_score deciles against
+    the lang=='en' label (stats.isotonic_calibration) —
+    q_score_calibration's monotone-repair twin, via the closed Ayer
+    minimax form: iso_i = max_{j<=i} min_{k>=i} pooled-rate(j..k), pure
+    join+aggregate algebra over the bins³ frame (no sequential PAV
+    loop, no driver round trip).  Every pooled rate is a ratio of int64
+    prefix sums — exact in any engine."""
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        quality_score,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        isotonic_calibration,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        quality_score(F.col("text")).alias("s"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    return isotonic_calibration(d, "s", "y", n_bins=10).transform(_by("bin"))
+
+
+def _isotonic_sql() -> str:
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        STOPWORDS,
+    )
+
+    stop = _stop_sql(STOPWORDS["en"])
+    q = (
+        f"ROUND(0.4 * least(CAST({_TOK_SQL} AS DOUBLE) / 100.0, 1.0)"
+        f" + 0.3 * (1.0 - least(CAST({_PUNCT_SQL} AS DOUBLE) * 4.0, 1.0))"
+        f" + 0.3 * least(CAST({stop} AS DOUBLE)"
+        f" / greatest({_TOK_SQL}, 1) * 5.0, 1.0), 4)"
+    )
+    return f"""
+WITH d AS (
+  SELECT {q} AS s, CAST(lang = 'en' AS BIGINT) AS y FROM documents),
+bins AS (
+  SELECT least(CAST(floor(s * 10) AS INT), 9) AS bin,
+         COUNT(*) AS n, SUM(y) AS s
+  FROM d GROUP BY 1),
+cum AS (
+  SELECT bin, n, s,
+         SUM(n) OVER (ORDER BY bin) AS cn, SUM(s) OVER (ORDER BY bin) AS cs
+  FROM bins),
+runs AS (
+  SELECT lo.bin AS j, hi.bin AS k,
+         CAST(hi.cs - (lo.cs - lo.s) AS DOUBLE)
+           / CAST(hi.cn - (lo.cn - lo.n) AS DOUBLE) AS avg
+  FROM cum lo JOIN cum hi ON lo.bin <= hi.bin),
+inner_min AS (
+  SELECT b.bin AS i, r.j, MIN(r.avg) AS m
+  FROM bins b JOIN runs r ON r.j <= b.bin AND r.k >= b.bin
+  GROUP BY b.bin, r.j),
+iso AS (SELECT i, MAX(m) AS iso FROM inner_min GROUP BY i)
+SELECT b.bin, b.n,
+       ROUND(CAST(b.s AS DOUBLE) / b.n, 6) AS pos_rate,
+       ROUND(iso.iso, 6) AS iso_rate
+FROM bins b JOIN iso ON b.bin = iso.i
+ORDER BY b.bin
+"""
+
+
+def q_effect_size(spark, sf_dir):
+    """Cohen's d + Hedges' g + Cliff's delta for src0 vs src1 document
+    lengths (stats.effect_sizes) — the magnitude companion to the test
+    family: q_welch_ttest / q_mann_whitney say WHETHER the sources
+    differ, this says HOW MUCH, parametric and ordinal.  Moments are
+    exact int64 sums (n_chars is integral); Cliff's delta reuses the
+    Mann-Whitney distinct-value rank algebra (2U/(n_a·n_b) − 1), so no
+    pair is ever enumerated."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        effect_sizes,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return effect_sizes(d, "source", "n_chars", "src0", "src1")
+
+
+Q_EFFECT_SIZE_SQL = """
+WITH d AS (
+  SELECT source = 'src0' AS a, CAST(n_chars AS DOUBLE) AS v
+  FROM documents WHERE source IN ('src0', 'src1')),
+mom AS (
+  SELECT a, COUNT(*) AS n, SUM(v) AS s1, SUM(v * v) AS s2 FROM d GROUP BY a),
+vc AS (
+  SELECT v, COUNT(*) AS t, SUM(CAST(a AS BIGINT)) AS ta FROM d GROUP BY v),
+pv AS (
+  SELECT t, ta, SUM(t) OVER (ORDER BY v) - t + 1 AS r0 FROM vc),
+rk AS (
+  SELECT SUM(ta * (r0 + (t - 1) / 2.0)) AS ra FROM pv),
+j AS (
+  SELECT ma.n AS n_a, mb.n AS n_b, ma.s1 AS s1a, ma.s2 AS s2a,
+         mb.s1 AS s1b, mb.s2 AS s2b, rk.ra
+  FROM (SELECT * FROM mom WHERE a) ma,
+       (SELECT * FROM mom WHERE NOT a) mb, rk),
+f AS (
+  SELECT n_a, n_b, s1a / n_a AS mean_a, s1b / n_b AS mean_b,
+         (s2a - s1a * s1a / n_a) / (n_a - 1) AS va,
+         (s2b - s1b * s1b / n_b) / (n_b - 1) AS vb,
+         ra
+  FROM j),
+g AS (
+  SELECT n_a, n_b, mean_a, mean_b,
+         sqrt(((n_a - 1) * va + (n_b - 1) * vb) / (n_a + n_b - 2)) AS sp,
+         ra - n_a * (n_a + 1.0) / 2.0 AS u_a
+  FROM f)
+SELECT n_a, n_b, ROUND(mean_a, 6) AS mean_a, ROUND(mean_b, 6) AS mean_b,
+       ROUND(CASE WHEN sp > 0 THEN (mean_a - mean_b) / sp END, 6) AS cohens_d,
+       ROUND(CASE WHEN sp > 0 THEN (mean_a - mean_b) / sp
+                  * (1.0 - 3.0 / (4.0 * (n_a + n_b) - 9.0)) END, 6) AS hedges_g,
+       ROUND(2.0 * u_a / (CAST(n_a AS DOUBLE) * n_b) - 1.0, 6) AS cliffs_delta
+FROM g
+"""
+
+
+def q_embedding_drift(spark, sf_dir):
+    """Pairwise cosine similarity between per-label embedding centroids
+    (similarity.centroid_drift): the vector-space drift monitor — which
+    clusters/sources/snapshots sit close in embedding space — computed
+    with NO per-row pair join.  Components quantize to int64
+    (floor(v·1e6 + 0.5)) before summation and the pair stage
+    accumulates in decimal(38,0)/HUGEINT, so the whole statistic is
+    exact integer algebra until one final cast-sqrt-divide — immune to
+    float summation order at any partitioning."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        centroid_drift,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return centroid_drift(e, "label", "embedding").transform(
+        _by("group_a", "group_b")
+    )
+
+
+Q_EMBEDDING_DRIFT_SQL = """
+WITH comp AS (
+  SELECT CAST(label AS VARCHAR) AS g, gg.i AS dim,
+         SUM(CAST(floor(CAST(embedding[gg.i + 1] AS DOUBLE) * 1000000.0 + 0.5)
+                  AS BIGINT)) AS sq
+  FROM embeddings, (SELECT UNNEST(range(64)) AS i) gg
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT a.g AS group_a, b.g AS group_b, COUNT(*) AS dim,
+         SUM(a.sq * b.sq) AS dot,
+         SUM(a.sq * a.sq) AS na2, SUM(b.sq * b.sq) AS nb2
+  FROM comp a JOIN comp b ON a.dim = b.dim AND a.g < b.g
+  GROUP BY 1, 2)
+SELECT group_a, group_b, CAST(dim AS BIGINT) AS dim,
+       ROUND(CASE WHEN na2 > 0 AND nb2 > 0
+                  THEN CAST(dot AS DOUBLE)
+                       / (sqrt(CAST(na2 AS DOUBLE)) * sqrt(CAST(nb2 AS DOUBLE)))
+             END, 6) AS cos_sim
+FROM pairs ORDER BY group_a, group_b
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -9017,6 +9174,9 @@ _QUERIES_PAST_WINDOW = [
     "q_ccf",
     "q_fleiss_kappa",
     "q_bradley_terry",
+    "q_isotonic_fit",
+    "q_effect_size",
+    "q_embedding_drift",
 ]
 
 
@@ -9158,6 +9318,9 @@ def oracle_sql() -> dict[str, str]:
         "q_ccf": Q_CCF_SQL,
         "q_fleiss_kappa": Q_FLEISS_KAPPA_SQL,
         "q_bradley_terry": _bradley_terry_sql(),
+        "q_isotonic_fit": _isotonic_sql(),
+        "q_effect_size": Q_EFFECT_SIZE_SQL,
+        "q_embedding_drift": Q_EMBEDDING_DRIFT_SQL,
         "q_doc_scalar_suite": Q_DOC_SCALAR_SUITE_SQL,
         "q_line_repetition": Q_LINE_REPETITION_SQL,
         "q_mixture_weights": Q_MIXTURE_WEIGHTS_SQL,

@@ -1054,3 +1054,85 @@ def mmr_select(
         "mmr_rank",
         "mmr_score",
     )
+
+
+def centroid_drift(
+    df: DataFrame,
+    group_col: str,
+    vec_col: str,
+    scale: int = 1_000_000,
+    round_to: int = 6,
+) -> DataFrame:
+    """Pairwise cosine similarity between per-group embedding CENTROIDS
+    — the embedding-space drift monitor: compare sources, snapshots, or
+    label clusters by where their mass sits, without any per-row pair
+    join (the q_psi_drift idea lifted from histograms to vector space).
+
+    Exactness at scale: float centroids are order-of-summation
+    dependent, so each component is first quantized to an int64
+    ``floor(v·scale + 0.5)`` and summed EXACTLY; the pair stage
+    accumulates dot/norm products of those integer sums in
+    decimal(38,0) (Spark) / HUGEINT (DuckDB) — still exact — and only
+    the final cosine casts to double: one sqrt-divide over identical
+    integers in any engine, at any partitioning, in any row order.
+
+    Columns: ``group_a, group_b, dim, cos_sim`` for every unordered
+    group pair (group_a < group_b lexically).
+
+    Scale shape: one posexplode to (group, dim, q) — corpus×dim rows
+    but map-side combinable — collapses to groups×dim integer sums;
+    the pair join runs on that metadata-sized frame (groups²·dim rows).
+    The corpus is touched exactly once."""
+    comp = (
+        df.select(
+            F.col(group_col).cast("string").alias("g"),
+            F.posexplode(F.col(vec_col)).alias("dim", "v"),
+        )
+        .select(
+            "g",
+            "dim",
+            F.floor(
+                F.col("v").cast("double") * F.lit(float(scale)) + F.lit(0.5)
+            ).alias("q"),
+        )
+        .groupBy("g", "dim")
+        .agg(F.sum("q").alias("sq"))
+        .localCheckpoint(eager=False)
+    )
+    a = comp.select(
+        F.col("g").alias("group_a"), "dim", F.col("sq").alias("qa")
+    )
+    b = comp.select(
+        F.col("g").alias("group_b"),
+        F.col("dim").alias("dim_b"),
+        F.col("sq").alias("qb"),
+    )
+    dec = "decimal(38,0)"
+    pairs = a.join(
+        b,
+        (F.col("dim") == F.col("dim_b"))
+        & (F.col("group_a") < F.col("group_b")),
+    ).groupBy("group_a", "group_b").agg(
+        F.count(F.lit(1)).alias("dim"),
+        F.sum(
+            (F.col("qa").cast(dec) * F.col("qb").cast(dec))
+        ).alias("_dot"),
+        F.sum(
+            (F.col("qa").cast(dec) * F.col("qa").cast(dec))
+        ).alias("_na"),
+        F.sum(
+            (F.col("qb").cast(dec) * F.col("qb").cast(dec))
+        ).alias("_nb"),
+    )
+    cos = F.col("_dot").cast("double") / (
+        F.sqrt(F.col("_na").cast("double"))
+        * F.sqrt(F.col("_nb").cast("double"))
+    )
+    return pairs.select(
+        "group_a",
+        "group_b",
+        "dim",
+        F.round(
+            F.when((F.col("_na") > 0) & (F.col("_nb") > 0), cos), round_to
+        ).alias("cos_sim"),
+    )

@@ -1103,3 +1103,181 @@ def bradley_terry(
             F.col("p").alias("strength"),
         )
     )
+
+
+def isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Isotonic (PAV) recalibration of a binned score against a boolean
+    label — score_calibration's monotone-repair twin: the reliability
+    table SHOWS the miscalibration, this returns the best monotone fit
+    of observed positive rate vs score bin (the pool-adjacent-violators
+    solution), i.e. the lookup table that turns a raw score into a
+    calibrated probability without ever inverting rank order.
+
+    PAV is usually presented as a sequential pooling loop; here it is
+    the closed MINIMAX form ``iso_i = max_{j<=i} min_{k>=i}
+    avg(y over bins j..k)`` (Ayer et al. 1955) — which is pure
+    join+aggregate algebra over the BINS frame, no iteration, no
+    driver-side loop.
+
+    Columns: ``bin, n, pos_rate, iso_rate`` (iso_rate is monotone
+    non-decreasing in bin by construction).
+
+    Portability: every pooled average is a ratio of two int64 prefix
+    sums (successes / rows over a contiguous bin run) — exact doubles —
+    and min/max never create new values, so iso_rate is bit-identical
+    in any engine before the final round.
+
+    Scale shape: ONE corpus-sized map-side-combined aggregate collapses
+    to n_bins rows; the j<=i<=k triple join runs on the bins³ frame
+    (10³ = 1000 rows at the default) — metadata algebra, like the
+    Hungarian and BH-FDR stages."""
+    b = F.least(
+        F.floor(F.col(score_col) * F.lit(n_bins)).cast("int"),
+        F.lit(n_bins - 1),
+    )
+    bins = (
+        df.select(b.alias("bin"), F.col(label_col).cast("long").alias("y"))
+        .groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("s"))
+        .localCheckpoint(eager=False)
+    )
+    w = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    cum = bins.select(
+        "bin",
+        "n",
+        "s",
+        F.sum("n").over(w).alias("cn"),
+        F.sum("s").over(w).alias("cs"),
+    )
+    lo = cum.select(
+        F.col("bin").alias("j"),
+        (F.col("cn") - F.col("n")).alias("cn0"),
+        (F.col("cs") - F.col("s")).alias("cs0"),
+    )
+    hi = cum.select(
+        F.col("bin").alias("k"), F.col("cn").alias("cn1"), F.col("cs").alias("cs1")
+    )
+    runs = (
+        lo.join(hi, lo["j"] <= hi["k"])
+        .select(
+            "j",
+            "k",
+            (
+                (F.col("cs1") - F.col("cs0")).cast("double")
+                / (F.col("cn1") - F.col("cn0")).cast("double")
+            ).alias("avg"),
+        )
+    )
+    i_frame = bins.select(F.col("bin").alias("i"))
+    inner = (
+        i_frame.join(runs, (runs["j"] <= F.col("i")) & (runs["k"] >= F.col("i")))
+        .groupBy("i", "j")
+        .agg(F.min("avg").alias("m"))
+        .groupBy("i")
+        .agg(F.max("m").alias("iso"))
+    )
+    return (
+        bins.join(inner, bins["bin"] == inner["i"])
+        .select(
+            "bin",
+            "n",
+            F.round(
+                F.col("s").cast("double") / F.col("n").cast("double"), round_to
+            ).alias("pos_rate"),
+            F.round("iso", round_to).alias("iso_rate"),
+        )
+    )
+
+
+def effect_sizes(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a: str,
+    group_b: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Standardized effect sizes between two groups — the magnitude
+    companion to the test family (q_welch_ttest / q_mann_whitney say
+    WHETHER the groups differ; at corpus scale everything is
+    'significant', so the decision variable is HOW MUCH):
+
+    - Cohen's d = (mean_a − mean_b) / pooled SD, with Hedges' g small-
+      sample correction ``g = d · (1 − 3/(4N−9))``;
+    - Cliff's delta = P(a > b) − P(a < b), the nonparametric ordinal
+      effect, computed EXACTLY from the Mann-Whitney per-distinct-value
+      algebra as ``2·U_a/(n_a·n_b) − 1`` (tie-averaged ranks; no pair
+      enumeration).
+
+    Returns ONE row: ``n_a, n_b, mean_a, mean_b, cohens_d, hedges_g,
+    cliffs_delta``.
+
+    Portability: for integer-valued columns all moment sums (Σv, Σv²)
+    and the rank algebra are exact int64/rational arithmetic; every
+    output is one closed-form expression over those exact sums.
+
+    Scale shape: one filtered corpus aggregate for the moments + one
+    per-distinct-value aggregate for the ranks (map-side combine both);
+    the rank window runs over value-cardinality rows only."""
+    d = (
+        df.filter(F.col(group_col).isin([group_a, group_b]))
+        .select(
+            (F.col(group_col) == group_a).alias("_a"),
+            F.col(value_col).cast("double").alias("_v"),
+        )
+        .filter(F.col("_v").isNotNull())
+        .localCheckpoint(eager=False)
+    )
+    mom = d.groupBy("_a").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_v").alias("s1"),
+        F.sum(F.col("_v") * F.col("_v")).alias("s2"),
+    )
+    a = mom.filter(F.col("_a")).select(
+        F.col("n").alias("n_a"), F.col("s1").alias("s1a"), F.col("s2").alias("s2a")
+    )
+    b = mom.filter(~F.col("_a")).select(
+        F.col("n").alias("n_b"), F.col("s1").alias("s1b"), F.col("s2").alias("s2b")
+    )
+    # Cliff's delta via the mann_whitney_u distinct-value rank algebra
+    vc = d.groupBy("_v").agg(
+        F.count(F.lit(1)).alias("_t"),
+        F.sum(F.col("_a").cast("long")).alias("_ta"),
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    per_val = vc.select(
+        "_t",
+        "_ta",
+        (F.sum("_t").over(w) - F.col("_t") + F.lit(1)).alias("_r0"),
+    )
+    t = F.col("_t").cast("double")
+    avg_rank = F.col("_r0").cast("double") + (t - F.lit(1.0)) / F.lit(2.0)
+    ranks = per_val.agg(
+        F.sum(F.col("_ta").cast("double") * avg_rank).alias("ra")
+    )
+    j = a.crossJoin(b).crossJoin(ranks)
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    mean_a = F.col("s1a") / na
+    mean_b = F.col("s1b") / nb
+    var_a = (F.col("s2a") - F.col("s1a") * F.col("s1a") / na) / (na - 1)
+    var_b = (F.col("s2b") - F.col("s1b") * F.col("s1b") / nb) / (nb - 1)
+    sp = F.sqrt(((na - 1) * var_a + (nb - 1) * var_b) / (na + nb - 2))
+    dd = (mean_a - mean_b) / sp
+    g = dd * (F.lit(1.0) - F.lit(3.0) / (F.lit(4.0) * (na + nb) - F.lit(9.0)))
+    u_a = F.col("ra") - na * (na + 1) / F.lit(2.0)
+    delta = F.lit(2.0) * u_a / (na * nb) - F.lit(1.0)
+    return j.select(
+        "n_a",
+        "n_b",
+        F.round(mean_a, round_to).alias("mean_a"),
+        F.round(mean_b, round_to).alias("mean_b"),
+        F.round(F.when(sp > 0, dd), round_to).alias("cohens_d"),
+        F.round(F.when(sp > 0, g), round_to).alias("hedges_g"),
+        F.round(delta, round_to).alias("cliffs_delta"),
+    )

@@ -252,3 +252,102 @@ def test_bradley_terry_weighted_equals_repeated(spark):
         for r in bradley_terry(agg, "w", "l", weight_col="c").collect()
     }
     assert r1 == r2
+
+
+# ---- batch 3: isotonic PAV / effect sizes / centroid drift ----
+
+def test_isotonic_pools_violator(spark):
+    # bins 0,1,2 with rates 0.2, 0.8, 0.5 and equal weight 10:
+    # PAV pools bins 1-2 -> (8+5)/20 = 0.65; bin 0 stays 0.2
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import isotonic_calibration
+
+    rows = []
+    for b, pos in [(0, 2), (1, 8), (2, 5)]:
+        score = b / 10.0 + 0.05
+        rows += [(score, i < pos) for i in range(10)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    out = {r.bin: r for r in isotonic_calibration(df, "s", "y", n_bins=10).collect()}
+    assert out[0].iso_rate == pytest.approx(0.2, abs=1e-9)
+    assert out[1].iso_rate == pytest.approx(0.65, abs=1e-9)
+    assert out[2].iso_rate == pytest.approx(0.65, abs=1e-9)
+    assert out[1].pos_rate == pytest.approx(0.8, abs=1e-9)
+
+
+def test_isotonic_monotone_identity(spark):
+    # already-monotone rates pass through untouched
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import isotonic_calibration
+
+    rows = []
+    for b, pos in [(0, 1), (1, 5), (2, 9)]:
+        rows += [(b / 10.0 + 0.05, i < pos) for i in range(10)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    out = {r.bin: r for r in isotonic_calibration(df, "s", "y", n_bins=10).collect()}
+    for b in (0, 1, 2):
+        assert out[b].iso_rate == out[b].pos_rate
+
+
+def test_isotonic_total_violation_pools_all(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import isotonic_calibration
+
+    rows = []
+    for b, pos in [(0, 9), (1, 5), (2, 1)]:
+        rows += [(b / 10.0 + 0.05, i < pos) for i in range(10)]
+    df = spark.createDataFrame(rows, "s double, y boolean")
+    out = {r.bin: r.iso_rate for r in isotonic_calibration(df, "s", "y", n_bins=10).collect()}
+    assert out == {0: 0.5, 1: 0.5, 2: 0.5}
+
+
+def test_effect_sizes_hand_case(spark):
+    # a = [2,4,6], b = [1,3,5]: means 4 vs 3, var 4 both, sp = 2,
+    # d = 0.5, g = 0.5*(1-3/15) = 0.4
+    # Cliff: wins a>b: 2>1;4>1,3;6>1,3,5 = 6; losses a<b: 2<3,5;4<5 = 3
+    # delta = (6-3)/9 = 1/3
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import effect_sizes
+
+    rows = [("a", v) for v in (2, 4, 6)] + [("b", v) for v in (1, 3, 5)]
+    df = spark.createDataFrame(rows, "g string, v int")
+    out = effect_sizes(df, "g", "v", "a", "b").collect()[0]
+    assert out.cohens_d == pytest.approx(0.5, abs=1e-9)
+    assert out.hedges_g == pytest.approx(0.4, abs=1e-9)
+    assert out.cliffs_delta == pytest.approx(1 / 3, abs=1e-6)
+
+
+def test_effect_sizes_ties_zero_delta(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import effect_sizes
+
+    rows = [("a", 5), ("a", 5), ("b", 5), ("b", 5)]
+    out = effect_sizes(
+        spark.createDataFrame(rows, "g string, v int"), "g", "v", "a", "b"
+    ).collect()[0]
+    assert out.cliffs_delta == 0.0 and out.cohens_d is None
+
+
+def test_centroid_drift_orthogonal_and_identical(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import centroid_drift
+
+    rows = [
+        ("g1", [1.0, 0.0]), ("g1", [1.0, 0.0]),
+        ("g2", [0.0, 1.0]),
+        ("g3", [2.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "g string, v array<float>")
+    out = {(r.group_a, r.group_b): r.cos_sim for r in centroid_drift(df, "g", "v").collect()}
+    assert out[("g1", "g2")] == 0.0
+    assert out[("g1", "g3")] == 1.0  # parallel centroids
+    assert out[("g2", "g3")] == 0.0
+
+
+def test_centroid_drift_partition_invariant(spark):
+    # exactness claim: result identical under different partitioning
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import centroid_drift
+
+    import random
+    rnd = random.Random(7)
+    rows = [
+        (f"g{i % 3}", [rnd.uniform(-1, 1) for _ in range(8)])
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "g string, v array<float>")
+    r1 = sorted(centroid_drift(df, "g", "v").collect())
+    r2 = sorted(centroid_drift(df.repartition(13), "g", "v").collect())
+    assert r1 == r2

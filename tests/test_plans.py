@@ -269,6 +269,18 @@ def test_no_query_plans_nested_loop_or_rowwise_python(spark):
         # inherits q_prop_ztest's group-pair join (both sides per-group
         # aggregates — group-cardinality² rows regardless of corpus size)
         "q_fdr_correction",
+        # 1-row scalar attaches (the q_assoc_rules constant-attach
+        # shape): Fleiss joins the 1-row pair-count total to the 1-row
+        # category-square total; effect-size joins three 1-row moment/
+        # rank frames; Bradley-Terry attaches the 1-row normalization
+        # total to the items-sized strengths each MM round
+        "q_fleiss_kappa",
+        "q_effect_size",
+        "q_bradley_terry",
+        # PAV minimax runs j<=i<=k interval joins over the BINS frame
+        # (n_bins³ = 1000 rows at the default — metadata algebra, the
+        # Hungarian/BH-FDR class, corpus-size-independent)
+        "q_isotonic_fit",
     }
     for name, f in em.queries().items():
         p = plan_of(f(spark, "/root/testdata/sf0.001"))
