@@ -8953,6 +8953,144 @@ FROM pairs ORDER BY group_a, group_b
 """
 
 
+def q_conformal(spark, sf_dir):
+    """Split-conformal threshold + held-out coverage per language
+    (stats.conformal_threshold): hash-split calibration/test halves
+    (the repo's md5(seed||id) convention), k-th smallest calibration
+    n_chars with k = ceil((n_cal+1)·0.9) in exact integer arithmetic,
+    the order statistic from per-distinct-value cumulative counts (the
+    mann_whitney_u discipline), and empirical coverage ≈ 0.9 on the
+    test half — the distribution-free guarantee check behind
+    'flag anything above the 90th percentile' rules."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        conformal_threshold,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return conformal_threshold(
+        d, "lang", "n_chars", "doc_id", alpha=0.1
+    ).transform(_by("group"))
+
+
+Q_CONFORMAL_SQL = """
+WITH d AS (
+  SELECT lang AS g, CAST(n_chars AS DOUBLE) AS v,
+         CAST(('0x' || substr(md5('s42' || CAST(doc_id AS VARCHAR)), 1, 8))
+              AS BIGINT) % 2 = 0 AS cal
+  FROM documents),
+vc AS (
+  SELECT g, v, COUNT(*) AS t FROM d WHERE cal GROUP BY g, v),
+cum AS (
+  SELECT g, v, SUM(t) OVER (PARTITION BY g ORDER BY v) AS c,
+         SUM(t) OVER (PARTITION BY g) AS n_cal
+  FROM vc),
+kk AS (
+  SELECT g, n_cal,
+         CAST(floor(((n_cal + 1) * 9 + 9) / 10.0) AS BIGINT) AS k
+  FROM cum GROUP BY g, n_cal),
+thr AS (
+  SELECT kk.g, kk.n_cal, kk.k, MIN(CASE WHEN cum.c >= kk.k THEN cum.v END)
+           AS threshold
+  FROM kk JOIN cum ON kk.g = cum.g
+  GROUP BY kk.g, kk.n_cal, kk.k),
+tst AS (
+  SELECT g, COUNT(*) AS n_test FROM d WHERE NOT cal GROUP BY g),
+cov AS (
+  SELECT d.g, SUM(CAST(d.v <= t.threshold AS BIGINT)) AS covered
+  FROM d JOIN thr t ON d.g = t.g WHERE NOT d.cal GROUP BY d.g)
+SELECT thr.g AS "group", CAST(thr.n_cal AS BIGINT) AS n_cal,
+       COALESCE(tst.n_test, 0) AS n_test, thr.k, thr.threshold,
+       ROUND(CAST(cov.covered AS DOUBLE) / tst.n_test, 6) AS coverage
+FROM thr LEFT JOIN tst ON thr.g = tst.g LEFT JOIN cov ON thr.g = cov.g
+ORDER BY "group"
+"""
+
+
+def q_jackknife(spark, sf_dir):
+    """Delete-one-source jackknife of the corpus English rate
+    (stats.jackknife_rate): each source's leave-it-out rate, influence
+    on the global metric, and the jackknife SE — the attribution that
+    turns 'the corpus metric moved' into 'source X moved it' and an
+    ablation decision.  Leave-one-out rates are exact integer-difference
+    ratios; one corpus aggregate, then units-sized window algebra."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        jackknife_rate,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return jackknife_rate(d, "source", F.col("lang") == "en").transform(
+        _by("unit")
+    )
+
+
+Q_JACKKNIFE_SQL = """
+WITH g AS (
+  SELECT source AS unit, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+           AS successes
+  FROM documents GROUP BY 1),
+t AS (
+  SELECT unit, n, successes,
+         SUM(n) OVER () AS nn, SUM(successes) OVER () AS tt,
+         COUNT(*) OVER () AS u,
+         CAST(SUM(successes) OVER () - successes AS DOUBLE)
+           / (SUM(n) OVER () - n) AS rwo
+  FROM g),
+m AS (
+  SELECT *, AVG(rwo) OVER () AS mrwo FROM t)
+SELECT unit, n, successes, ROUND(rwo, 6) AS rate_without,
+       ROUND(rwo - CAST(tt AS DOUBLE) / nn, 6) AS influence,
+       ROUND(sqrt((u - 1.0) / u
+                  * SUM((rwo - mrwo) * (rwo - mrwo)) OVER ()), 6) AS jk_se
+FROM m ORDER BY unit
+"""
+
+
+def q_quantile_norm(spark, sf_dir):
+    """Cross-source quantile normalization of document lengths
+    (curation.quantile_normalize): every doc's n_chars is replaced by
+    the GLOBAL value at its within-source quantile, giving all sources
+    the pooled distribution before one corpus-wide threshold applies —
+    exact order-statistic arithmetic end to end (integer k =
+    ceil(r·N/n_g); the k-th global value via the distinct-value
+    interval frame + the repo's bucketized range join, never a
+    nested loop)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        quantile_normalize,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return quantile_normalize(d, "source", "n_chars", "doc_id").transform(
+        _by("id")
+    )
+
+
+Q_QUANTILE_NORM_SQL = """
+WITH d AS (
+  SELECT doc_id AS id, source AS g, CAST(n_chars AS DOUBLE) AS v
+  FROM documents),
+rk AS (
+  SELECT id, g, v,
+         ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, id) AS r,
+         COUNT(*) OVER (PARTITION BY g) AS ng,
+         COUNT(*) OVER () AS nn
+  FROM d),
+pts AS (
+  SELECT id, g, v,
+         CAST(floor((r * nn + ng - 1) / CAST(ng AS DOUBLE)) AS BIGINT) AS k
+  FROM rk),
+vc AS (SELECT v, COUNT(*) AS t FROM d GROUP BY v),
+ivl AS (
+  SELECT v AS normalized,
+         SUM(t) OVER (ORDER BY v) - t + 1 AS lo,
+         SUM(t) OVER (ORDER BY v) AS hi
+  FROM vc)
+SELECT p.id, p.g AS "group", p.v AS value, p.k, i.normalized
+FROM pts p JOIN ivl i ON p.k BETWEEN i.lo AND i.hi
+ORDER BY p.id
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -9177,6 +9315,9 @@ _QUERIES_PAST_WINDOW = [
     "q_isotonic_fit",
     "q_effect_size",
     "q_embedding_drift",
+    "q_conformal",
+    "q_jackknife",
+    "q_quantile_norm",
 ]
 
 
@@ -9321,6 +9462,9 @@ def oracle_sql() -> dict[str, str]:
         "q_isotonic_fit": _isotonic_sql(),
         "q_effect_size": Q_EFFECT_SIZE_SQL,
         "q_embedding_drift": Q_EMBEDDING_DRIFT_SQL,
+        "q_conformal": Q_CONFORMAL_SQL,
+        "q_jackknife": Q_JACKKNIFE_SQL,
+        "q_quantile_norm": Q_QUANTILE_NORM_SQL,
         "q_doc_scalar_suite": Q_DOC_SCALAR_SUITE_SQL,
         "q_line_repetition": Q_LINE_REPETITION_SQL,
         "q_mixture_weights": Q_MIXTURE_WEIGHTS_SQL,

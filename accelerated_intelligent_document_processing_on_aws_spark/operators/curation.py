@@ -1170,3 +1170,80 @@ def dictionary_tag(
         .select("id", F.col("_t.term").alias("term"), F.col("_t.hits").alias("hits"))
         .filter(F.col("hits") > 0)
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    bin_width: float = 256.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cross-source score harmonization by quantile normalization: each
+    row's value is replaced by the GLOBAL value at the same within-group
+    quantile, so every source ends up with the pooled distribution —
+    the fix for 'source A's quality scores run hot' before a single
+    threshold is applied corpus-wide (the microarray-normalization
+    classic, applied to curation scores).
+
+    Mapping is exact order-statistic arithmetic, no interpolation:
+    within-group rank r (ties broken by ``id_col`` — deterministic),
+    global position ``k = ceil(r·N / n_g)`` computed as INTEGER
+    arithmetic ``(r·N + n_g − 1) div n_g``, and the normalized value is
+    the k-th smallest global value — found by joining k into the
+    per-distinct-value cumulative-count intervals ``[cum−t+1, cum]``
+    via the repo's bucketized range join (never a nested-loop).
+
+    Columns: ``id, group, value, k, normalized``.
+
+    Scale shape: one shuffle for the per-group rank window; the global
+    interval frame is value-cardinality (built with the mann_whitney_u
+    distinct-value discipline — the corpus never crosses an
+    unpartitioned window); the bin equi-join fans each interval to
+    ``~len/bin_width`` rows.  Pick bin_width near N/V (average run of
+    equal values)."""
+    from .rangejoin import range_join
+
+    d = df.select(
+        F.col(id_col).alias("id"),
+        F.col(group_col).alias("group"),
+        F.col(value_col).cast("double").alias("value"),
+    ).localCheckpoint(eager=False)
+    wg = Window.partitionBy("group")
+    wr = Window.partitionBy("group").orderBy("value", "id")
+    ranked = d.select(
+        "id",
+        "group",
+        "value",
+        F.row_number().over(wr).alias("_r"),
+        F.count(F.lit(1)).over(wg).alias("_ng"),
+    )
+    n_total = d.groupBy().agg(F.count(F.lit(1)).alias("_N"))
+    points = ranked.crossJoin(F.broadcast(n_total)).select(
+        "id",
+        "group",
+        "value",
+        F.floor(
+            (F.col("_r") * F.col("_N") + F.col("_ng") - 1) / F.col("_ng")
+        ).alias("k"),
+        F.lit(1).alias("_key"),
+    )
+    vc = d.groupBy("value").agg(F.count(F.lit(1)).alias("_t"))
+    wv = Window.orderBy("value").rowsBetween(Window.unboundedPreceding, 0)
+    intervals = vc.select(
+        F.col("value").alias("normalized"),
+        (F.sum("_t").over(wv) - F.col("_t") + 1).alias("_lo"),
+        F.sum("_t").over(wv).alias("_hi"),
+        F.lit(1).alias("_key"),
+    )
+    out = range_join(
+        points,
+        intervals,
+        on=["_key"],
+        point_col="k",
+        start_col="_lo",
+        end_col="_hi",
+        bin_width=float(bin_width),
+    )
+    return out.select("id", "group", "value", "k", "normalized")

@@ -1281,3 +1281,173 @@ def effect_sizes(
         F.round(F.when(sp > 0, g), round_to).alias("hedges_g"),
         F.round(delta, round_to).alias("cliffs_delta"),
     )
+
+
+def conformal_threshold(
+    df: DataFrame,
+    group_col: str,
+    score_col: str,
+    id_col: str,
+    alpha: float = 0.1,
+    seed: str = "s42",
+    round_to: int = 6,
+) -> DataFrame:
+    """Split-conformal prediction threshold per group (Vovk et al.;
+    Angelopoulos & Bates 2023 tutorial form): hash-split the rows into a
+    calibration and a test half, take the k-th smallest calibration
+    nonconformity score with ``k = ceil((n_cal + 1)(1 − alpha))``, and
+    report the EMPIRICAL coverage of that threshold on the held-out
+    half — the distribution-free guarantee check (coverage ≈ 1 − alpha)
+    a platform runs before shipping 'flag anything above the 90th
+    percentile' rules.
+
+    Columns: ``group, n_cal, n_test, k, threshold, coverage``
+    (threshold NULL when k > n_cal — alpha too small for the
+    calibration size; coverage NULL when the test half is empty).
+
+    Portability: the split is the repo's md5(seed||id) convention (a
+    pure function of the key); k is exact integer arithmetic; the k-th
+    smallest VALUE comes from per-distinct-value cumulative counts
+    (min v with cum ≥ k — the mann_whitney_u discipline, well-defined
+    under ties in any engine); coverage is an exact count ratio.
+
+    Scale shape: one corpus aggregate to (group, value) tie counts; the
+    order-statistic window runs over value-cardinality rows per group;
+    one broadcast-sized join attaches thresholds back to the test-half
+    counts."""
+    h = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit(seed), F.col(id_col).cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % 2
+    )
+    d = df.select(
+        F.col(group_col).alias("group"),
+        F.col(score_col).cast("double").alias("_v"),
+        (h == 0).alias("_cal"),
+    ).localCheckpoint(eager=False)
+    vc = d.filter("_cal").groupBy("group", "_v").agg(
+        F.count(F.lit(1)).alias("_t")
+    )
+    wg = Window.partitionBy("group")
+    w = Window.partitionBy("group").orderBy("_v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    cum = vc.select(
+        "group",
+        "_v",
+        F.sum("_t").over(w).alias("_cum"),
+        F.sum("_t").over(wg).alias("n_cal"),
+    )
+    # k = ceil((n_cal + 1) * (1 - alpha)) in exact integer arithmetic
+    # over the rational alpha = a_num/a_den
+    from fractions import Fraction
+
+    fr = Fraction(str(alpha))
+    num, den = (fr.denominator - fr.numerator), fr.denominator
+    k = F.floor(
+        ((F.col("n_cal") + 1) * F.lit(int(num)) + F.lit(int(den - 1)))
+        / F.lit(int(den))
+    )
+    thr = (
+        cum.withColumn("k", k)
+        .groupBy("group", "n_cal", "k")
+        .agg(
+            F.min(F.when(F.col("_cum") >= F.col("k"), F.col("_v"))).alias(
+                "threshold"
+            )
+        )
+    )
+    test = d.filter(~F.col("_cal")).groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_test"),
+    )
+    both = thr.join(test, "group", "left")
+    cov = d.filter(~F.col("_cal")).join(
+        thr.select("group", "threshold"), "group"
+    ).groupBy("group").agg(
+        F.sum(
+            (F.col("_v") <= F.col("threshold")).cast("long")
+        ).alias("_covered")
+    )
+    return (
+        both.join(cov, "group", "left")
+        .select(
+            "group",
+            "n_cal",
+            F.coalesce("n_test", F.lit(0)).alias("n_test"),
+            "k",
+            "threshold",
+            F.round(
+                F.col("_covered").cast("double")
+                / F.col("n_test").cast("double"),
+                round_to,
+            ).alias("coverage"),
+        )
+    )
+
+
+def jackknife_rate(
+    df: DataFrame,
+    unit_col: str,
+    success: Column,
+    round_to: int = 6,
+) -> DataFrame:
+    """Delete-one-unit jackknife sensitivity of a global success rate:
+    for each unit (source, shard, day) the rate WITHOUT it,
+    ``R₋ᵤ = (T − tᵤ)/(N − nᵤ)``, and its influence ``R₋ᵤ − R`` — the
+    'which source is dragging the corpus metric' attribution that turns
+    a dashboard number into an ablation decision, plus the jackknife
+    standard error ``√((U−1)/U · Σ(R₋ᵤ − R̄₋)²)`` of the rate itself.
+
+    Columns: ``unit, n, successes, rate_without, influence, jk_se``
+    (jk_se repeated on every row — the frame is units-sized).
+
+    Portability: every leave-one-out rate is a ratio of exact integer
+    differences; only the SE's sum of squared deviations floats (over
+    the UNITS-sized frame, rounded).
+
+    Scale shape: ONE corpus-sized map-side-combined aggregate to the
+    units frame; everything after is units-sized window algebra."""
+    g = df.groupBy(F.col(unit_col).alias("unit")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(success.cast("long")).alias("successes"),
+    )
+    wall = Window.partitionBy()
+    tot = g.select(
+        "unit",
+        "n",
+        "successes",
+        F.sum("n").over(wall).alias("_N"),
+        F.sum("successes").over(wall).alias("_T"),
+        F.count(F.lit(1)).over(wall).alias("_U"),
+    )
+    r_wo = (F.col("_T") - F.col("successes")).cast("double") / (
+        F.col("_N") - F.col("n")
+    ).cast("double")
+    r_all = F.col("_T").cast("double") / F.col("_N").cast("double")
+    with_r = tot.withColumn("_rwo", r_wo).withColumn(
+        "_mrwo", F.avg("_rwo").over(wall)
+    )
+    u = F.col("_U").cast("double")
+    se = F.sqrt(
+        (u - 1)
+        / u
+        * F.sum(
+            (F.col("_rwo") - F.col("_mrwo"))
+            * (F.col("_rwo") - F.col("_mrwo"))
+        ).over(wall)
+    )
+    return with_r.select(
+        "unit",
+        "n",
+        "successes",
+        F.round("_rwo", round_to).alias("rate_without"),
+        F.round(F.col("_rwo") - r_all, round_to).alias("influence"),
+        F.round(se, round_to).alias("jk_se"),
+    )

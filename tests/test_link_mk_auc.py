@@ -351,3 +351,87 @@ def test_centroid_drift_partition_invariant(spark):
     r1 = sorted(centroid_drift(df, "g", "v").collect())
     r2 = sorted(centroid_drift(df.repartition(13), "g", "v").collect())
     assert r1 == r2
+
+
+# ---- batch 4: conformal / jackknife / quantile normalization ----
+
+def test_conformal_order_statistic(spark):
+    # force everything into calibration impossible (hash split fixed),
+    # so instead pin the k arithmetic by checking invariants on a
+    # deterministic frame: coverage >= 0 and threshold is an observed
+    # calibration value, k = ceil((n_cal+1)*0.9)
+    import math
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import conformal_threshold
+
+    rows = [("g", float(i % 37), i) for i in range(400)]
+    df = spark.createDataFrame(rows, "g string, s double, id long")
+    out = conformal_threshold(df, "g", "s", "id", alpha=0.1).collect()[0]
+    assert out.k == math.ceil((out.n_cal + 1) * 0.9)
+    assert out.n_cal + out.n_test == 400
+    vals = {r % 37 for r in range(400)}
+    assert out.threshold in {float(v) for v in vals}
+    # coverage should be near 0.9 for an iid-ish split
+    assert 0.8 <= out.coverage <= 1.0
+
+
+def test_conformal_alpha_too_small_null_threshold(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import conformal_threshold
+
+    rows = [("g", float(i), i) for i in range(6)]
+    df = spark.createDataFrame(rows, "g string, s double, id long")
+    out = conformal_threshold(df, "g", "s", "id", alpha=0.001).collect()[0]
+    # k = ceil((n_cal+1)*0.999) > n_cal for tiny n_cal -> no threshold
+    assert out.k > out.n_cal and out.threshold is None
+
+
+def test_jackknife_hand_case(spark):
+    # units: a = 2/4 successes, b = 3/6: global 5/10
+    # without a: 3/6 = 0.5; without b: 2/4 = 0.5 -> influences 0, se 0
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import jackknife_rate
+
+    rows = [("a", i < 2) for i in range(4)] + [("b", i < 3) for i in range(6)]
+    df = spark.createDataFrame(rows, "u string, y boolean")
+    out = {r.unit: r for r in jackknife_rate(df, "u", F.col("y")).collect()}
+    assert out["a"].rate_without == 0.5 and out["b"].rate_without == 0.5
+    assert out["a"].influence == 0.0 and out["a"].jk_se == 0.0
+
+
+def test_jackknife_influence_sign(spark):
+    # an all-success unit removed -> rate drops -> negative-leaning rest
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import jackknife_rate
+
+    rows = [("good", True)] * 5 + [("bad", False)] * 5
+    out = {r.unit: r for r in jackknife_rate(
+        spark.createDataFrame(rows, "u string, y boolean"), "u", F.col("y")
+    ).collect()}
+    assert out["good"].rate_without == 0.0   # only bad remains
+    assert out["bad"].rate_without == 1.0
+    assert out["good"].influence == -0.5 and out["bad"].influence == 0.5
+
+
+def test_quantile_normalize_pools_distributions(spark):
+    # group A values {1,2,3}, group B values {101,102,103}; global sorted
+    # = [1,2,3,101,102,103]; A's ranks 1..3 of 3 -> k = 2,4,6 ->
+    # normalized 2,101,103; B likewise -> both groups land on the SAME
+    # global values
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import quantile_normalize
+
+    rows = [(i, "A", float(v)) for i, v in enumerate([1, 2, 3])] + [
+        (10 + i, "B", float(v)) for i, v in enumerate([101, 102, 103])
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = quantile_normalize(df, "g", "v", "id", bin_width=2.0)
+    got = {(r.group, r.value): r.normalized for r in out.collect()}
+    assert got[("A", 1.0)] == 2.0 and got[("B", 101.0)] == 2.0
+    assert got[("A", 2.0)] == 101.0 and got[("B", 102.0)] == 101.0
+    assert got[("A", 3.0)] == 103.0 and got[("B", 103.0)] == 103.0
+
+
+def test_quantile_normalize_identity_single_group(spark):
+    # one group: within-group quantile == global quantile -> identity
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import quantile_normalize
+
+    rows = [(i, "only", float(v)) for i, v in enumerate([5, 3, 9, 7, 1])]
+    df = spark.createDataFrame(rows, "id long, g string, v double")
+    out = quantile_normalize(df, "g", "v", "id", bin_width=2.0).collect()
+    assert all(r.normalized == r.value for r in out)

@@ -281,6 +281,9 @@ def test_no_query_plans_nested_loop_or_rowwise_python(spark):
         # (n_bins³ = 1000 rows at the default — metadata algebra, the
         # Hungarian/BH-FDR class, corpus-size-independent)
         "q_isotonic_fit",
+        # 1-row global-count broadcast onto the ranked frame (the value
+        # lookup itself is the bucketized range join — bin EQUI-join)
+        "q_quantile_norm",
     }
     for name, f in em.queries().items():
         p = plan_of(f(spark, "/root/testdata/sf0.001"))
