@@ -530,3 +530,55 @@ def psi_drift(
             round_to,
         ).alias("psi_term"),
     )
+
+
+def k_anonymity_profile(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    k: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Privacy-risk profile of a release candidate under k-anonymity:
+    rows sharing a quasi-identifier combination form an equivalence
+    class; a class smaller than ``k`` re-identifies its members, and a
+    class whose ``sensitive_col`` carries one distinct value leaks the
+    attribute even at large k (l-diversity = 1).  The corpus-level
+    companion to the row-level PII redaction operator
+    (curation.pii_redact): redaction scrubs surface strings, this audits
+    whether the released SCHEMA still identifies people — the check a
+    training-data release runs before publishing per-source metadata.
+
+    Output is a class-SIZE histogram, not per-class rows (bounded by
+    the number of distinct class sizes, never corpus-sized):
+    ``class_size, n_classes, rows, at_risk, min_ldiv, avg_ldiv`` where
+    at_risk marks sizes below k.
+
+    Scale shape: first aggregate collapses the corpus to one row per
+    equivalence class (map-side combine on the quasi key; distinct
+    sensitive values via a two-level exact count-distinct), second
+    aggregate is class-count-sized.  No joins."""
+    cls = df.groupBy(
+        *[F.col(c) for c in quasi_cols], F.col(sensitive_col)
+    ).agg(F.count(F.lit(1)).alias("_n"))
+    per_class = cls.groupBy(*[F.col(c) for c in quasi_cols]).agg(
+        F.sum("_n").alias("_size"),
+        F.count(F.lit(1)).alias("_ldiv"),
+    )
+    return (
+        per_class.groupBy(F.col("_size").alias("class_size"))
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("_size").alias("rows"),
+            F.min("_ldiv").alias("min_ldiv"),
+            F.round(F.avg("_ldiv"), round_to).alias("avg_ldiv"),
+        )
+        .select(
+            "class_size",
+            "n_classes",
+            "rows",
+            (F.col("class_size") < k).alias("at_risk"),
+            "min_ldiv",
+            "avg_ldiv",
+        )
+    )

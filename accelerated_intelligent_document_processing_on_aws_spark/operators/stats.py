@@ -1451,3 +1451,89 @@ def jackknife_rate(
         F.round(F.col("_rwo") - r_all, round_to).alias("influence"),
         F.round(se, round_to).alias("jk_se"),
     )
+
+
+def ranking_metrics(
+    df: DataFrame,
+    group_col: str,
+    score: Column,
+    label: Column,
+    tiebreak: Column,
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group retrieval-ranking metrics of a score against a binary
+    relevance label: Precision@k, Recall@k, MRR (reciprocal rank of the
+    first relevant item) and binary NDCG@k — the standard report card
+    for any ranked retrieval stage (BM25, ANN, RRF fusion) before its
+    output is trusted to select training data.  The reference pipeline's
+    evaluation service reports per-document accuracy rollups
+    (idp_common/evaluation/service.py); this is the ranked-retrieval
+    analog of that rollup for the engine's search operators.
+
+    ``tiebreak`` MUST be a group-unique column: score ties are broken
+    deterministically so the ranking (and therefore every metric) is
+    identical across engines and partitionings.
+
+    IDCG@k is computed from the SAME ranked frame via the relevant-rank
+    window (the j-th relevant item would ideally sit at position j), so
+    no per-group ideal-table join is needed: ``ndcg = dcg / idcg`` where
+    ``dcg = Σ_{pos≤k, rel} 1/log2(pos+1)`` and ``idcg = Σ_{j≤k, rel}
+    1/log2(j+1)``.
+
+    Columns: ``group, n, n_rel, p_at_k, r_at_k, mrr, ndcg`` (metric
+    columns NULL when the group has no relevant items, except p_at_k
+    which is 0 then).
+
+    Scale shape: one shuffle on the group key; the position window and
+    the relevant-index window share that partitioning; one aggregate
+    ends the stage.  No joins, output is group-count-sized."""
+    w_pos = Window.partitionBy(F.col(group_col)).orderBy(
+        score.desc(), tiebreak.asc()
+    )
+    rel = label.cast("long")
+    rows = df.select(
+        F.col(group_col).alias("group"),
+        rel.alias("_rel"),
+        F.row_number().over(w_pos).alias("_pos"),
+    )
+    w_relidx = (
+        Window.partitionBy("group")
+        .orderBy("_pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rows = rows.withColumn("_relidx", F.sum("_rel").over(w_relidx))
+    is_rel = F.col("_rel") == 1
+    dcg_term = F.when(
+        is_rel & (F.col("_pos") <= k),
+        F.lit(1.0) / F.log2(F.col("_pos") + F.lit(1.0)),
+    )
+    idcg_term = F.when(
+        is_rel & (F.col("_relidx") <= k),
+        F.lit(1.0) / F.log2(F.col("_relidx") + F.lit(1.0)),
+    )
+    g = rows.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_rel").alias("n_rel"),
+        F.sum(F.when(is_rel & (F.col("_pos") <= k), 1).otherwise(0)).alias(
+            "_hits_k"
+        ),
+        F.max(F.when(is_rel, F.lit(1.0) / F.col("_pos"))).alias("_mrr"),
+        F.sum(dcg_term).alias("_dcg"),
+        F.sum(idcg_term).alias("_idcg"),
+    )
+    has_rel = F.col("n_rel") > 0
+    return g.select(
+        "group",
+        "n",
+        "n_rel",
+        F.round(F.col("_hits_k") / F.lit(float(k)), round_to).alias("p_at_k"),
+        F.round(
+            F.when(has_rel, F.col("_hits_k") / F.col("n_rel").cast("double")),
+            round_to,
+        ).alias("r_at_k"),
+        F.round(F.when(has_rel, F.col("_mrr")), round_to).alias("mrr"),
+        F.round(
+            F.when(has_rel, F.col("_dcg") / F.col("_idcg")), round_to
+        ).alias("ndcg"),
+    )
