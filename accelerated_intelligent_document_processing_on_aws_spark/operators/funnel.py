@@ -167,3 +167,83 @@ def sequence_ngrams(
         )
         .filter(F.col("support") >= F.lit(min_support))
     )
+
+
+def attribution_credit(
+    events: DataFrame,
+    touch_types: Sequence[str] = ("click", "view"),
+    conv_type: str = "purchase",
+    lookback_hours: float = 2.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Multi-touch attribution: each conversion's value is credited to
+    the same user's touch events (clicks/views) inside the lookback
+    window ``[conv_ts − lookback, conv_ts]`` under two standard models —
+    LINEAR (value split equally across all window touches) and
+    LAST-TOUCH (full value to the latest touch; ties broken by
+    event_id so the winner is engine- and partition-deterministic).
+    The marketing-analytics dual of the funnel operator: the funnel says
+    how far users get, attribution says which channel gets paid.
+
+    Columns: ``channel, touches, conversions_touched, linear_credit,
+    last_touch_credit`` — channel = the touch event_type.  Conversions
+    with zero window touches carry no credit (they appear in neither
+    model; report them via funnel_conversion).
+
+    Scale shape: the window match is the repo's bucketized range join
+    (operators/rangejoin.py) — interval rows explode into
+    lookback-sized bins and candidates meet on a (user_id, bin)
+    EQUI-join (AQE/skew-eligible), never a nested loop; both credit
+    windows share one conversion-keyed partitioning; the final rollup
+    is channel-count-sized."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.rangejoin import (
+        range_join,
+    )
+
+    touches = events.filter(
+        F.col("event_type").isin(*list(touch_types))
+    ).select(
+        "user_id",
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("channel"),
+        F.col("ts").alias("touch_ts"),
+    )
+    secs = int(lookback_hours * 3600)
+    convs = events.filter(F.col("event_type") == conv_type).select(
+        "user_id",
+        F.col("event_id").alias("conv_id"),
+        F.col("value").alias("conv_value"),
+        (F.col("ts") - F.expr(f"INTERVAL {secs} SECONDS")).alias("w_start"),
+        F.col("ts").alias("w_end"),
+    )
+    pairs = range_join(
+        touches,
+        convs,
+        on=["user_id"],
+        point_col="touch_ts",
+        start_col="w_start",
+        end_col="w_end",
+        bin_width=float(secs),
+    )
+    w_n = Window.partitionBy("conv_id")
+    w_last = Window.partitionBy("conv_id").orderBy(
+        F.desc("touch_ts"), F.desc("touch_id")
+    )
+    enriched = pairs.withColumn(
+        "_n", F.count(F.lit(1)).over(w_n)
+    ).withColumn("_rk", F.row_number().over(w_last))
+    return enriched.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("touches"),
+        F.countDistinct("conv_id").alias("conversions_touched"),
+        F.round(
+            F.sum(F.col("conv_value") / F.col("_n")), round_to
+        ).alias("linear_credit"),
+        F.round(
+            F.sum(
+                F.when(F.col("_rk") == 1, F.col("conv_value")).otherwise(
+                    F.lit(0.0)
+                )
+            ),
+            round_to,
+        ).alias("last_touch_credit"),
+    )

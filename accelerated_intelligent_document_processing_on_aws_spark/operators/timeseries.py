@@ -632,3 +632,131 @@ def ccf_daily(
             F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy)), round_to
         ).alias("r"),
     )
+
+
+def changepoint_daily(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Best single changepoint in each group's daily-count series by
+    exact least-squares segmentation (the one-split special case of
+    binary segmentation / Scruton-Page): split the ordered series
+    v_1..v_n after position i to maximize the SSE reduction
+
+        gain(i) = s_i²/i + (S-s_i)²/(n-i) − S²/n
+
+    (s_i = prefix sum; identical to the two-segment ANOVA between-group
+    sum of squares).  The day-resolution answer to "WHEN did this feed
+    change?", sharper than CUSUM's drift alarm (cusum_days flags that a
+    shift happened; this pins the boundary and sizes the level jump).
+
+    Columns: ``*key_cols, n_days, split_day (last day of the left
+    regime), mean_left, mean_right, gain`` — one row per group (groups
+    with <2 observed days are dropped: no split exists).
+
+    Portability: counts, prefix sums and squares stay integral; the
+    only floats are the three divisions inside gain and the means,
+    rounded once.  Ties on gain break to the earliest day.
+
+    Scale shape: one aggregate to the daily series, one exchange on the
+    group key — the prefix window, the total window and the argmax
+    window all share that partitioning; output is group-sized."""
+    daily = df.groupBy(
+        *key_cols, F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w_pre = (
+        Window.partitionBy(*key_cols)
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_all = Window.partitionBy(*key_cols)
+    pre = daily.select(
+        *key_cols,
+        "day",
+        F.row_number()
+        .over(Window.partitionBy(*key_cols).orderBy("day"))
+        .alias("_i"),
+        F.sum("n").over(w_pre).alias("_s"),
+        F.sum("n").over(w_all).alias("_tot"),
+        F.count(F.lit(1)).over(w_all).alias("_n"),
+    )
+    cand = pre.filter((F.col("_i") < F.col("_n")) & (F.col("_n") >= 2))
+    i = F.col("_i").cast("double")
+    s = F.col("_s").cast("double")
+    tot = F.col("_tot").cast("double")
+    n = F.col("_n").cast("double")
+    gain = s * s / i + (tot - s) * (tot - s) / (n - i) - tot * tot / n
+    scored = cand.withColumn("_gain", gain)
+    w_best = Window.partitionBy(*key_cols).orderBy(
+        F.desc("_gain"), F.asc("day")
+    )
+    return (
+        scored.withColumn("_rk", F.row_number().over(w_best))
+        .filter(F.col("_rk") == 1)
+        .select(
+            *key_cols,
+            F.col("_n").alias("n_days"),
+            F.col("day").alias("split_day"),
+            F.round(s / i, round_to).alias("mean_left"),
+            F.round((tot - s) / (n - i), round_to).alias("mean_right"),
+            F.round(F.col("_gain"), round_to).alias("gain"),
+        )
+    )
+
+
+def burstiness_daily(
+    df: DataFrame,
+    key_cols: list[str],
+    ts_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Dispersion profile of each group's daily-count series: Fano
+    factor (population variance / mean — 1 for a Poisson arrival
+    process, >1 means clumped crawling/batch replays, <1 means
+    rate-limited feeds), the Goh-Barabási burstiness coefficient
+    B = (σ−μ)/(σ+μ) ∈ [−1, 1), and peak-to-mean ratio.  The one-line
+    triage between "organic traffic" and "a scheduler wrote this" that
+    decides whether time-based sampling of a source is safe.
+
+    Columns: ``*key_cols, n_days, total, mean_daily, fano, burstiness,
+    peak_to_mean`` — one row per group.
+
+    Portability: daily counts are integers; population variance is
+    computed from exact integral Σv and Σv² (var = (nΣv² − (Σv)²)/n²),
+    so both engines divide the same integers — floats appear only in
+    the final divisions, rounded once.
+
+    Scale shape: one aggregate to the daily series (map-side combined),
+    one group-sized aggregate — no windows, no joins."""
+    daily = df.groupBy(
+        *key_cols, F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    g = daily.groupBy(*key_cols).agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("n").alias("total"),
+        F.sum(F.col("n") * F.col("n")).alias("_sq"),
+        F.max("n").alias("_peak"),
+    )
+    nd = F.col("n_days").cast("double")
+    s = F.col("total").cast("double")
+    q = F.col("_sq").cast("double")
+    mean = s / nd
+    var = (nd * q - s * s) / (nd * nd)
+    sd = F.sqrt(var)
+    return g.select(
+        *key_cols,
+        "n_days",
+        "total",
+        F.round(mean, round_to).alias("mean_daily"),
+        F.round(
+            F.when(s > 0, var / mean), round_to
+        ).alias("fano"),
+        F.round(
+            F.when((sd + mean) > 0, (sd - mean) / (sd + mean)), round_to
+        ).alias("burstiness"),
+        F.round(
+            F.when(s > 0, F.col("_peak").cast("double") / mean), round_to
+        ).alias("peak_to_mean"),
+    )
