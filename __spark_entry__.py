@@ -9316,6 +9316,179 @@ FROM m ORDER BY event_type
 """
 
 
+def q_turn_taking(spark, sf_dir):
+    """Per-conversation turn-taking cadence (sessions.turn_taking_stats)
+    over a transcript-shaped feed synthesized from events (conv_id =
+    user_id, turn_idx = per-user ts order, role = click/view → user
+    else assistant): alternation rate between consecutive roles,
+    mean/max inter-turn gap (integral-microsecond sums — exact in both
+    engines), and the user-role share.  The conversation-dynamics audit
+    a dialogue corpus runs before trusting multi-turn structure; one
+    conv-keyed exchange shared by the lag window and the aggregate."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.sessions import (
+        turn_taking_stats,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    feed = e.select(
+        F.col("user_id").cast("string").alias("conv_id"),
+        F.row_number().over(w).alias("turn_idx"),
+        F.when(F.col("event_type").isin("click", "view"), F.lit("user"))
+        .otherwise(F.lit("assistant"))
+        .alias("role"),
+        F.col("ts"),
+    )
+    return turn_taking_stats(feed).transform(_by("conv_id"))
+
+
+Q_TURN_TAKING_SQL = """
+WITH t AS (
+  SELECT CAST(user_id AS VARCHAR) AS conv_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS turn_idx,
+         CASE WHEN event_type IN ('click', 'view') THEN 'user'
+              ELSE 'assistant' END AS role,
+         ts
+  FROM events),
+r AS (
+  SELECT conv_id, role,
+         LAG(role) OVER w AS prev,
+         epoch_us(ts) - LAG(epoch_us(ts)) OVER w AS gap_us
+  FROM t WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)),
+g AS (
+  SELECT conv_id, COUNT(*) AS n_turns,
+         CAST(SUM(CASE WHEN prev IS NOT NULL AND role <> prev
+                       THEN 1 ELSE 0 END) AS BIGINT) AS role_changes,
+         CAST(SUM(gap_us) AS BIGINT) AS gap_sum_us,
+         CAST(MAX(gap_us) AS BIGINT) AS gap_max_us,
+         SUM(CASE WHEN role = 'user' THEN 1 ELSE 0 END) AS lead_
+  FROM r GROUP BY 1)
+SELECT conv_id, n_turns, role_changes,
+       ROUND(CASE WHEN n_turns > 1
+                  THEN role_changes / CAST(n_turns - 1 AS DOUBLE) END, 6)
+         AS alternation_rate,
+       ROUND(CAST(gap_sum_us AS DOUBLE)
+             / CAST(n_turns - 1 AS DOUBLE) / 1e6, 6) AS mean_gap_s,
+       ROUND(CAST(gap_max_us AS DOUBLE) / 1e6, 6) AS max_gap_s,
+       ROUND(lead_ / CAST(n_turns AS DOUBLE), 6) AS lead_share
+FROM g ORDER BY conv_id
+"""
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Per-source OOV rates against the corpus's own top-500 vocabulary
+    (corpus.vocab_coverage): token-level and type-level coverage — the
+    tokenizer health check before a fixed vocab/merge-table is trusted
+    on a source.  Tokens collapse to (source, term) counts map-side;
+    the top-500 vocabulary plans TakeOrderedAndProject and BROADCASTS
+    to the left join, so the corpus-sized side never reshuffles."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        vocab_coverage,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return vocab_coverage(d, "source", "text", vocab_size=500).transform(
+        _by("group")
+    )
+
+
+Q_VOCAB_COVERAGE_SQL = f"""
+WITH nm AS (SELECT source, {_NORM_SQL} AS nt FROM documents),
+arr AS (SELECT source, list_filter(str_split(nt, ' '), t -> t <> '') AS w
+        FROM nm),
+toks AS (SELECT source AS "group", u.tok AS term
+         FROM arr, UNNEST(w) AS u(tok)),
+gt AS (SELECT "group", term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+vocab AS (
+  SELECT term FROM (SELECT term, SUM(tf) AS c FROM gt GROUP BY term)
+  ORDER BY c DESC, term ASC LIMIT 500),
+j AS (
+  SELECT gt.*, v.term IS NOT NULL AS inv
+  FROM gt LEFT JOIN vocab v USING (term))
+SELECT "group",
+       CAST(SUM(tf) AS BIGINT) AS tokens,
+       CAST(SUM(CASE WHEN NOT inv THEN tf ELSE 0 END) AS BIGINT)
+         AS oov_tokens,
+       ROUND(SUM(CASE WHEN NOT inv THEN tf ELSE 0 END)
+             / CAST(SUM(tf) AS DOUBLE), 6) AS oov_rate,
+       COUNT(*) AS types,
+       CAST(SUM(CASE WHEN NOT inv THEN 1 ELSE 0 END) AS BIGINT)
+         AS oov_types,
+       ROUND(SUM(CASE WHEN NOT inv THEN 1 ELSE 0 END)
+             / CAST(COUNT(*) AS DOUBLE), 6) AS type_oov_rate
+FROM j GROUP BY "group" ORDER BY "group"
+"""
+
+
+def q_krippendorff(spark, sf_dir):
+    """Krippendorff's alpha, nominal metric, with MISSING ratings
+    (stats.krippendorff_alpha): three heuristic raters over documents —
+    two length gates and a language gate that ABSTAINS (NULL) on the
+    md5(doc_id) quarter of items, exactly the case Fleiss' kappa
+    (q_fleiss_kappa) cannot score.  Coincidence-matrix arithmetic stays
+    integral (per-unit division by m_u−1 ∈ {1,2} is exact dyadic);
+    one exploded (unit, label) aggregate, unit-sized frames after."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        krippendorff_alpha,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    gate = lambda c: F.when(c, F.lit("pass")).otherwise(F.lit("fail"))  # noqa: E731
+    abstain = F.substring(
+        F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 1
+    ).isin("0", "1", "2", "3")
+    return krippendorff_alpha(
+        d,
+        F.col("doc_id"),
+        [
+            gate(F.col("n_chars") > 200),
+            gate(F.col("n_chars") > 150),
+            F.when(abstain, F.lit(None).cast("string")).otherwise(
+                gate(F.col("lang") == "en")
+            ),
+        ],
+    )
+
+
+Q_KRIPPENDORFF_SQL = """
+WITH lab AS (
+  SELECT doc_id,
+         CASE WHEN n_chars > 200 THEN 'pass' ELSE 'fail' END AS r0,
+         CASE WHEN n_chars > 150 THEN 'pass' ELSE 'fail' END AS r1,
+         CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)
+                   IN ('0', '1', '2', '3') THEN NULL
+              WHEN lang = 'en' THEN 'pass' ELSE 'fail' END AS r2
+  FROM documents),
+rows_ AS (
+  SELECT doc_id AS u, c
+  FROM (SELECT doc_id, UNNEST([r0, r1, r2]) AS c FROM lab)
+  WHERE c IS NOT NULL),
+k AS (SELECT u, c, COUNT(*) AS k FROM rows_ GROUP BY 1, 2),
+per_u AS (
+  SELECT u, SUM(k) AS m, SUM(k * k) AS k2
+  FROM k GROUP BY 1 HAVING SUM(k) >= 2),
+nc AS (
+  SELECT c, SUM(k.k) AS nc
+  FROM k JOIN per_u USING (u) GROUP BY c),
+tot AS (
+  SELECT (SELECT COUNT(*) FROM per_u) AS n_units,
+         (SELECT CAST(SUM(m) AS BIGINT) FROM per_u) AS n_ratings,
+         (SELECT SUM(CAST(m * m - k2 AS DOUBLE) / (m - 1)) FROM per_u)
+           AS su,
+         (SELECT CAST(SUM(nc * nc) AS DOUBLE) FROM nc) AS nc2)
+SELECT n_units, n_ratings,
+       ROUND(su / n_ratings, 6) AS d_o,
+       ROUND((CAST(n_ratings AS DOUBLE) * n_ratings - nc2)
+             / (CAST(n_ratings AS DOUBLE) * (n_ratings - 1)), 6) AS d_e,
+       ROUND(1.0 - (su / n_ratings)
+             / ((CAST(n_ratings AS DOUBLE) * n_ratings - nc2)
+                / (CAST(n_ratings AS DOUBLE) * (n_ratings - 1))), 6)
+         AS alpha
+FROM tot
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -9548,6 +9721,9 @@ _QUERIES_PAST_WINDOW = [
     "q_attribution",
     "q_changepoint",
     "q_burstiness",
+    "q_turn_taking",
+    "q_vocab_coverage",
+    "q_krippendorff",
 ]
 
 
@@ -9700,6 +9876,9 @@ def oracle_sql() -> dict[str, str]:
         "q_attribution": Q_ATTRIBUTION_SQL,
         "q_changepoint": Q_CHANGEPOINT_SQL,
         "q_burstiness": Q_BURSTINESS_SQL,
+        "q_turn_taking": Q_TURN_TAKING_SQL,
+        "q_vocab_coverage": Q_VOCAB_COVERAGE_SQL,
+        "q_krippendorff": Q_KRIPPENDORFF_SQL,
         "q_doc_scalar_suite": Q_DOC_SCALAR_SUITE_SQL,
         "q_line_repetition": Q_LINE_REPETITION_SQL,
         "q_mixture_weights": Q_MIXTURE_WEIGHTS_SQL,

@@ -577,3 +577,70 @@ def kneser_ney_bigrams(
             ).alias("pkn"),
         )
     )
+
+
+def vocab_coverage(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    vocab_size: int = 500,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group vocabulary coverage against the corpus's own top-K
+    term list: token-level and type-level OOV rates — the tokenizer
+    health check a pretraining mix runs per source (a source whose
+    token OOV rate spikes against the corpus vocabulary is in the wrong
+    language, the wrong domain, or broken extraction, and will shred a
+    fixed vocab/merge-table downstream; the reference has no corpus
+    surface — this generalizes its per-document confidence gates the
+    way audit.zipf_fit does).
+
+    Vocabulary = the ``vocab_size`` most frequent terms corpus-wide
+    (count-desc, term-asc tiebreak — deterministic in both engines).
+
+    Columns: ``group, tokens, oov_tokens, oov_rate, types, oov_types,
+    type_oov_rate``.
+
+    Scale shape: tokens collapse to (group, term) counts in the first
+    map-side-combined aggregate; the vocabulary is a top-K
+    (TakeOrderedAndProject, never a global sort) BROADCAST to the
+    left-join — the corpus-sized side never reshuffles; final rollup is
+    group-sized."""
+    toks = ensure_min_partitions(df).select(
+        F.col(group_col).alias("group"),
+        F.split(normalized_for_compare(F.col(text_col)), " ").alias("_w"),
+    ).select(
+        "group",
+        F.explode(
+            F.filter(F.col("_w"), lambda t: t != F.lit(""))
+        ).alias("term"),
+    )
+    gt = toks.groupBy("group", "term").agg(F.count(F.lit(1)).alias("tf"))
+    vocab = (
+        gt.groupBy("term")
+        .agg(F.sum("tf").alias("_c"))
+        .orderBy(F.desc("_c"), F.asc("term"))
+        .limit(vocab_size)
+        .select("term", F.lit(1).alias("_inv"))
+    )
+    j = gt.join(F.broadcast(vocab), "term", "left")
+    oov = F.col("_inv").isNull()
+    g = j.groupBy("group").agg(
+        F.sum("tf").alias("tokens"),
+        F.sum(F.when(oov, F.col("tf")).otherwise(0)).alias("oov_tokens"),
+        F.count(F.lit(1)).alias("types"),
+        F.sum(F.when(oov, 1).otherwise(0)).alias("oov_types"),
+    )
+    return g.select(
+        "group",
+        "tokens",
+        "oov_tokens",
+        F.round(
+            F.col("oov_tokens") / F.col("tokens").cast("double"), round_to
+        ).alias("oov_rate"),
+        "types",
+        "oov_types",
+        F.round(
+            F.col("oov_types") / F.col("types").cast("double"), round_to
+        ).alias("type_oov_rate"),
+    )

@@ -97,3 +97,90 @@ def run_length_stats(
         F.max("_len").alias("max_run"),
         F.round(F.avg("_len"), 6).alias("mean_run"),
     )
+
+
+def turn_taking_stats(
+    df: DataFrame,
+    conv_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    role_col: str = "role",
+    ts_col: str = "ts",
+    lead_role: str = "user",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-conversation turn-taking cadence over a transcript-shaped
+    feed (conv_id, turn_idx, role, ts — the input_hint table): how many
+    turns, how often the speaker actually changes between consecutive
+    turns (alternation rate — monologue dumps and agent retry storms
+    both crater it), the mean/max gap between turns in seconds, and the
+    share of turns held by ``lead_role``.  The conversation-dynamics
+    audit a dialogue-training pipeline runs per source before trusting
+    multi-turn structure (a corpus whose "conversations" never
+    alternate is mislabeled single-turn text).
+
+    Columns: ``conv_id, n_turns, role_changes, alternation_rate,
+    mean_gap_s, max_gap_s, lead_share`` (rate/gaps NULL for single-turn
+    conversations).
+
+    Scale shape: one conv-keyed exchange; the lag window runs under
+    stable (conv_id, turn_idx) ordering — the same ordering contract
+    the extraction pipeline pins — and the aggregate shares its
+    partitioning.  State per conversation is O(1); mega-conversation
+    skew lives in the window sort, which AQE skew-split handles because
+    nothing here joins.
+
+    Portability: gaps accumulate as integral MICROSECONDS (exact int64
+    sums — a float-summed seconds mean drifts by summation order across
+    engines); seconds appear only in the terminal divisions."""
+    w = Window.partitionBy(conv_col).orderBy(idx_col)
+    ax = F.unix_micros(F.col(ts_col).cast("timestamp_ltz"))
+    prev_role = F.lag(F.col(role_col)).over(w)
+    gap_us = ax - F.lag(ax).over(w)
+    rows = df.select(
+        F.col(conv_col).alias("conv_id"),
+        F.col(role_col).alias("_role"),
+        prev_role.alias("_prev"),
+        gap_us.alias("_gap_us"),
+    )
+    n = F.count(F.lit(1))
+    changes = F.sum(
+        F.when(
+            F.col("_prev").isNotNull()
+            & (F.col("_role") != F.col("_prev")),
+            1,
+        ).otherwise(0)
+    )
+    g = rows.groupBy("conv_id").agg(
+        n.alias("n_turns"),
+        changes.alias("role_changes"),
+        F.sum("_gap_us").alias("_gap_sum_us"),
+        F.max("_gap_us").alias("_gap_max_us"),
+        F.sum(
+            F.when(F.col("_role") == lead_role, 1).otherwise(0)
+        ).alias("_lead"),
+    )
+    return g.select(
+        "conv_id",
+        "n_turns",
+        "role_changes",
+        F.round(
+            F.when(
+                F.col("n_turns") > 1,
+                F.col("role_changes")
+                / (F.col("n_turns") - 1).cast("double"),
+            ),
+            round_to,
+        ).alias("alternation_rate"),
+        F.round(
+            F.col("_gap_sum_us").cast("double")
+            / (F.col("n_turns") - 1).cast("double")
+            / F.lit(1e6),
+            round_to,
+        ).alias("mean_gap_s"),
+        F.round(
+            F.col("_gap_max_us").cast("double") / F.lit(1e6), round_to
+        ).alias("max_gap_s"),
+        F.round(
+            F.col("_lead") / F.col("n_turns").cast("double"), round_to
+        ).alias("lead_share"),
+    )

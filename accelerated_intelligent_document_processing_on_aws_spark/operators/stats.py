@@ -1537,3 +1537,68 @@ def ranking_metrics(
             F.when(has_rel, F.col("_dcg") / F.col("_idcg")), round_to
         ).alias("ndcg"),
     )
+
+
+def krippendorff_alpha(
+    df: DataFrame,
+    unit: Column,
+    raters: list[Column],
+    round_to: int = 6,
+) -> DataFrame:
+    """Krippendorff's alpha (nominal metric) for inter-rater
+    reliability WITH missing ratings — the generalization Fleiss' kappa
+    (fleiss_kappa) cannot make: a NULL rater column simply drops out of
+    the unit's coincidence counts instead of invalidating the item, so
+    an abstaining heuristic gate (e.g. a language filter that only
+    fires on text above a length floor) can still be scored against the
+    panel.  alpha = 1 − D_o/D_e over the coincidence matrix:
+
+        D_o = (1/n) Σ_u (m_u² − Σ_c k_uc²)/(m_u − 1)
+        D_e = (n² − Σ_c n_c²) / (n (n − 1))
+
+    with k_uc = ratings of category c on unit u, m_u = Σ_c k_uc
+    (units with m_u < 2 are excluded per the estimator), n = Σ m_u,
+    n_c = Σ_u k_uc.
+
+    Columns: one row — ``n_units, n_ratings, d_o, d_e, alpha``.
+
+    Portability: k, m, n, n_c and their squares are exact integers; the
+    per-unit division is by (m_u − 1) ∈ {1..n_raters−1} (exact dyadic
+    for ≤3 raters), then two final float divisions, rounded once.
+
+    Scale shape: the unpivoted ratings collapse to (unit, category)
+    counts in one map-side-combined aggregate; everything after is
+    unit-sized then scalar.  No joins."""
+    lab = F.explode(F.array(*raters)).alias("_c")
+    rows = df.select(unit.alias("_u"), lab).filter(F.col("_c").isNotNull())
+    k = rows.groupBy("_u", "_c").agg(F.count(F.lit(1)).alias("_k"))
+    per_u = k.groupBy("_u").agg(
+        F.sum("_k").alias("_m"),
+        F.sum(F.col("_k") * F.col("_k")).alias("_k2"),
+    )
+    per_u = per_u.filter(F.col("_m") >= 2)
+    # n_c must count only ratings on retained units
+    kk = k.join(per_u.select("_u"), "_u")
+    n_c = kk.groupBy("_c").agg(F.sum("_k").alias("_nc"))
+    tot_c = n_c.agg(
+        F.sum(F.col("_nc") * F.col("_nc")).alias("_nc2")
+    )
+    tot_u = per_u.agg(
+        F.count(F.lit(1)).alias("n_units"),
+        F.sum("_m").alias("n_ratings"),
+        F.sum(
+            (F.col("_m") * F.col("_m") - F.col("_k2")).cast("double")
+            / (F.col("_m") - 1).cast("double")
+        ).alias("_su"),
+    )
+    j = tot_u.crossJoin(tot_c)
+    n = F.col("n_ratings").cast("double")
+    d_o = F.col("_su") / n
+    d_e = (n * n - F.col("_nc2").cast("double")) / (n * (n - 1))
+    return j.select(
+        "n_units",
+        "n_ratings",
+        F.round(d_o, round_to).alias("d_o"),
+        F.round(d_e, round_to).alias("d_e"),
+        F.round(F.lit(1.0) - d_o / d_e, round_to).alias("alpha"),
+    )

@@ -277,6 +277,9 @@ def test_no_query_plans_nested_loop_or_rowwise_python(spark):
         "q_fleiss_kappa",
         "q_effect_size",
         "q_bradley_terry",
+        # same 1-row scalar-attach shape: Krippendorff joins the 1-row
+        # unit-sums total to the 1-row category-square total
+        "q_krippendorff",
         # PAV minimax runs j<=i<=k interval joins over the BINS frame
         # (n_bins³ = 1000 rows at the default — metadata algebra, the
         # Hungarian/BH-FDR class, corpus-size-independent)
