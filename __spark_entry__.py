@@ -9489,6 +9489,158 @@ FROM tot
 """
 
 
+def q_hits(spark, sf_dir):
+    """HITS hubs-and-authorities (graph.hits, Kleinberg 1999) over the
+    bipartite user→event-type graph (distinct edges 'u<id>' →
+    't:<type>'): 5 L1-normalized mutual-reinforcement rounds with the
+    q_pagerank per-round 9-decimal rounding contract — hubs rank users
+    who explore broadly, authorities rank event types that concentrate
+    activity, the two-sided centrality PageRank's single score
+    conflates.  Edge list partitioned/persisted once per join
+    direction; per-round frames localCheckpointed (1 join + 1 agg +
+    1 broadcast-normalization per direction per round)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        hits,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    edges = e.select(
+        F.concat(F.lit("u"), F.col("user_id").cast("string")).alias("src"),
+        F.concat(F.lit("t:"), F.col("event_type")).alias("dst"),
+    ).distinct()
+    return hits(edges, iterations=5).transform(_by("node"))
+
+
+def _hits_sql(iterations: int = 5) -> str:
+    """DuckDB twin of graph.hits: same edge derivation, same unrolled
+    L1-normalized rounds, same per-round 9-decimal rounding.  Every CTE
+    is ``AS MATERIALIZED``: the round-k frames are each referenced
+    twice (join + normalization scalar subquery), so inlining would
+    recompute the whole chain ~4^k times — materialization keeps the
+    oracle linear in rounds, mirroring the Spark side's
+    localCheckpoint-per-round discipline."""
+    its = []
+    prev_h = "h0"
+    for i in range(1, iterations + 1):
+        its.append(f"""
+ar{i} AS MATERIALIZED (
+          SELECT e.dst AS node, SUM(h.hub) AS s
+          FROM edges e JOIN {prev_h} h ON e.src = h.node GROUP BY e.dst),
+a{i} AS MATERIALIZED (
+         SELECT n.node,
+                ROUND(COALESCE(r.s, 0.0) / (SELECT SUM(s) FROM ar{i}), 9)
+                  AS auth
+         FROM nodes n LEFT JOIN ar{i} r ON n.node = r.node),
+hr{i} AS MATERIALIZED (
+          SELECT e.src AS node, SUM(a.auth) AS s
+          FROM edges e JOIN a{i} a ON e.dst = a.node GROUP BY e.src),
+h{i} AS MATERIALIZED (
+         SELECT n.node,
+                ROUND(COALESCE(r.s, 0.0) / (SELECT SUM(s) FROM hr{i}), 9)
+                  AS hub
+         FROM nodes n LEFT JOIN hr{i} r ON n.node = r.node)""")
+        prev_h = f"h{i}"
+    k = iterations
+    return f"""
+WITH edges AS MATERIALIZED (
+  SELECT DISTINCT 'u' || CAST(user_id AS VARCHAR) AS src,
+         't:' || event_type AS dst
+  FROM events),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+h0 AS MATERIALIZED (SELECT node, 1.0 AS hub FROM nodes),
+{",".join(its)}
+SELECT h{k}.node, h{k}.hub, a{k}.auth
+FROM h{k} JOIN a{k} USING (node) ORDER BY node
+"""
+
+
+def q_smith_waterman(spark, sf_dir):
+    """Local-alignment evaluation (evaluate.evaluate_local_alignment —
+    Smith-Waterman, integer scoring): per user, the first-8 event-type
+    sequence vs the same sequence with every event_id%4==0 token
+    corrupted — the best CLEAN contiguous region scores, while global
+    NW (q_evaluate_alignment) charges every corruption.  Zero-floored
+    DP stays integral; the oracle reproduces it in a recursive CTE via
+    the same running-max linear-gap identity with a 0 floor and a
+    global max over all cells."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.evaluate import (
+        evaluate_local_alignment,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    base = (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 8)
+        .select(
+            F.col("user_id").alias("conv_id"),
+            F.col("rn").alias("turn_idx"),
+            F.col("event_type"),
+            F.col("event_id"),
+        )
+    )
+    actual = base.select(
+        "conv_id", "turn_idx", F.col("event_type").alias("extracted_text")
+    )
+    golden = base.select(
+        "conv_id",
+        "turn_idx",
+        F.when(F.col("event_id") % 4 == 0, F.lit("corrupt"))
+        .otherwise(F.col("event_type"))
+        .alias("extracted_text"),
+    )
+    return evaluate_local_alignment(actual, golden).transform(_by("id"))
+
+
+Q_SMITH_WATERMAN_SQL = """
+WITH ea AS (
+  SELECT user_id AS key, event_type AS tok, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS i
+  FROM events),
+a AS (SELECT key, CAST(i AS INT) AS i, tok FROM ea WHERE i <= 8),
+b AS (SELECT key, CAST(i AS INT) AS j,
+             CASE WHEN event_id % 4 = 0 THEN 'corrupt' ELSE tok END AS tok
+      FROM ea WHERE i <= 8),
+alen AS (SELECT key, MAX(i) AS n FROM a GROUP BY key),
+blen AS (SELECT key, MAX(j) AS m FROM b GROUP BY key),
+nm AS (
+  SELECT COALESCE(alen.key, blen.key) AS key,
+         COALESCE(n, 0) AS n, COALESCE(m, 0) AS m
+  FROM alen FULL OUTER JOIN blen ON alen.key = blen.key),
+dp AS (
+  WITH RECURSIVE t AS (
+    SELECT nm.key, 0 AS i, CAST(r.range AS INT) AS j, 0 AS f
+    FROM nm CROSS JOIN range(9) r WHERE r.range <= nm.m
+    UNION ALL
+    SELECT key, i, j,
+           CAST(MAX(g + j) OVER (PARTITION BY key ORDER BY j
+                                 ROWS UNBOUNDED PRECEDING) - j AS INT) AS f
+    FROM (
+      SELECT t.key, t.i + 1 AS i, t.j,
+             CASE WHEN t.j = 0 THEN 0
+                  ELSE greatest(
+                    0,
+                    LAG(t.f) OVER (PARTITION BY t.key ORDER BY t.j)
+                      + CASE WHEN att.tok = bt.tok THEN 2 ELSE -1 END,
+                    t.f - 1)
+             END AS g
+      FROM t
+      JOIN nm ON nm.key = t.key AND t.i < nm.n
+      JOIN a att ON att.key = t.key AND att.i = t.i + 1
+      LEFT JOIN b bt ON bt.key = t.key AND bt.j = t.j
+    ) s
+  )
+  SELECT key, MAX(f) AS sw FROM t GROUP BY key)
+SELECT nm.key AS id, CAST(nm.n AS INT) AS n_actual,
+       CAST(nm.m AS INT) AS n_golden, d.sw AS sw_score,
+       ROUND(CASE WHEN least(nm.n, nm.m) > 0
+                  THEN d.sw / (2.0 * least(nm.n, nm.m))
+                  ELSE 0.0 END, 6) AS sim
+FROM nm JOIN dp d ON d.key = nm.key
+ORDER BY id
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -9724,6 +9876,8 @@ _QUERIES_PAST_WINDOW = [
     "q_turn_taking",
     "q_vocab_coverage",
     "q_krippendorff",
+    "q_hits",
+    "q_smith_waterman",
 ]
 
 
@@ -9879,6 +10033,8 @@ def oracle_sql() -> dict[str, str]:
         "q_turn_taking": Q_TURN_TAKING_SQL,
         "q_vocab_coverage": Q_VOCAB_COVERAGE_SQL,
         "q_krippendorff": Q_KRIPPENDORFF_SQL,
+        "q_hits": _hits_sql(),
+        "q_smith_waterman": Q_SMITH_WATERMAN_SQL,
         "q_doc_scalar_suite": Q_DOC_SCALAR_SUITE_SQL,
         "q_line_repetition": Q_LINE_REPETITION_SQL,
         "q_mixture_weights": Q_MIXTURE_WEIGHTS_SQL,

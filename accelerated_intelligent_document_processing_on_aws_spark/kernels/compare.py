@@ -388,3 +388,37 @@ def nw_score(
             cur[j] = max(prev[j - 1] + s, prev[j] + gap, cur[j - 1] + gap)
         prev = cur
     return prev[m]
+
+
+def sw_score(
+    a: List[str],
+    b: List[str],
+    match: int = 2,
+    mismatch: int = -1,
+    gap: int = -1,
+) -> int:
+    """Smith-Waterman LOCAL alignment score (Smith & Waterman 1981) with
+    integer linear-gap scoring: the zero-floored DP
+
+        h(i,j) = max(0, h(i-1,j-1)+s, h(i-1,j)+gap, h(i,j-1)+gap)
+
+    maximized over ALL cells — the best-matching contiguous region,
+    where Needleman-Wunsch (nw_score) charges a corrupted prefix/suffix
+    against the whole sequence.  The comparator for "does the golden
+    transcript appear INSIDE this noisy capture?".  Integer scores keep
+    it bit-portable for the recursive-CTE oracle."""
+    n, m = len(a), len(b)
+    best = 0
+    prev = [0] * (m + 1)
+    for i in range(1, n + 1):
+        cur = [0] * (m + 1)
+        ai = a[i - 1]
+        for j in range(1, m + 1):
+            s = match if ai == b[j - 1] else mismatch
+            cur[j] = max(
+                0, prev[j - 1] + s, prev[j] + gap, cur[j - 1] + gap
+            )
+            if cur[j] > best:
+                best = cur[j]
+        prev = cur
+    return best

@@ -746,3 +746,81 @@ def evaluate_alignment(
             6,
         ),
     )
+
+
+def evaluate_local_alignment(
+    actual: DataFrame,
+    golden: DataFrame,
+    id_col: str = "conv_id",
+    idx_col: str = "turn_idx",
+    text_col: str = "extracted_text",
+    match: int = 2,
+    mismatch: int = -1,
+    gap: int = -1,
+) -> DataFrame:
+    """Local-alignment sequence evaluation: per id, the Smith-Waterman
+    score of the best-matching CONTIGUOUS region between the actual and
+    golden turn sequences (kernels.compare.sw_score) — the comparator
+    when a clean golden excerpt should be found INSIDE a noisy capture
+    (corrupted prefix/suffix, injected turns), where global alignment
+    (evaluate_alignment) charges the noise against the whole sequence.
+
+    Columns: ``id, n_actual, n_golden, sw_score`` (exact integer) and
+    ``sim = sw_score / (match * min(n, m))`` rounded 6 (1.0 = one side
+    contains the other verbatim; 0 = no positive-scoring region).
+
+    Scale shape: identical to evaluate_alignment — each side collapses
+    to one ordered array per id, ONE id-keyed full-outer join, then an
+    Arrow-batched kernel bounded by conversation length."""
+    import pandas as pd
+
+    from ..kernels.compare import sw_score
+
+    def side(df: DataFrame, name: str) -> DataFrame:
+        return df.groupBy(F.col(id_col).alias("id")).agg(
+            F.transform(
+                F.sort_array(
+                    F.collect_list(F.struct(F.col(idx_col), F.col(text_col)))
+                ),
+                lambda s: s[text_col],
+            ).alias(name)
+        )
+
+    joined = side(actual, "_a").join(side(golden, "_g"), "id", "full_outer")
+
+    @F.pandas_udf("int")
+    def _sw(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                sw_score(
+                    list(x) if x is not None else [],
+                    list(y) if y is not None else [],
+                    match,
+                    mismatch,
+                    gap,
+                )
+                for x, y in zip(a, b)
+            ],
+            dtype="int32",
+        )
+
+    na = F.coalesce(F.size("_a"), F.lit(0))
+    ng = F.coalesce(F.size("_g"), F.lit(0))
+    out = joined.select(
+        "id",
+        na.alias("n_actual"),
+        ng.alias("n_golden"),
+        _sw(F.col("_a"), F.col("_g")).alias("sw_score"),
+    )
+    denom = F.lit(float(match)) * F.least(
+        F.col("n_actual"), F.col("n_golden")
+    )
+    return out.withColumn(
+        "sim",
+        F.round(
+            F.when(denom > 0, F.col("sw_score") / denom).otherwise(
+                F.lit(0.0)
+            ),
+            6,
+        ),
+    )

@@ -531,3 +531,94 @@ def link_prediction(
         F.col("src").alias("a"), F.col("dst").alias("b")
     )
     return scored.join(existing, ["a", "b"], "left_anti")
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 5,
+    round_to: int = 9,
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999, JACM 46(5)) over a
+    directed edge list ``(src, dst)``: fixed ``iterations`` of the
+    mutual-reinforcement power method with L1 normalization —
+    ``auth(v) = Σ_{u→v} hub(u)``, ``hub(u) = Σ_{u→v} auth(v)``, each
+    vector divided by its sum and rounded to ``round_to`` per round
+    (the pagerank fixed-iteration rounding contract: reproducible
+    across engines and FP sum orders).  On a bipartite actor→resource
+    graph this ranks which actors explore broadly (hubs) and which
+    resources concentrate activity (authorities) — the two-sided
+    centrality PageRank's single score conflates.
+
+    Returns ``(node, hub, auth)`` for every node (0.0 on the sides a
+    node does not participate in).
+
+    Scale shape: the edge list is the 100 TB side — hash-partitioned
+    and persisted ONCE per join direction (src for the auth step, dst
+    for the hub step), so each iteration shuffles only the node-sized
+    score frame; per-round frames are localCheckpointed so round k's
+    plan does not nest rounds 1..k-1 (the connected-components
+    discipline in dedup.py); normalization totals attach as broadcast
+    one-row frames, never a driver collect."""
+    base = edges.select(
+        F.col("src").cast("string").alias("src"),
+        F.col("dst").cast("string").alias("dst"),
+    )
+    e_src = base.repartition("src").persist()
+    e_dst = base.repartition("dst").persist()
+    nodes = (
+        e_src.select(F.col("src").alias("node"))
+        .union(e_src.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    h = nodes.select("node", F.lit(1.0).alias("hub"))
+    a = nodes.select("node", F.lit(0.0).alias("auth"))
+    for _ in range(iterations):
+        a_raw = (
+            e_src.join(
+                h.select(F.col("node").alias("src"), "hub"), "src"
+            )
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("hub").alias("_raw"))
+        )
+        a_z = a_raw.agg(F.sum("_raw").alias("_z"))
+        a = (
+            nodes.join(a_raw, "node", "left")
+            .crossJoin(F.broadcast(a_z))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("_raw"), F.lit(0.0)) / F.col("_z"),
+                    round_to,
+                ).alias("auth"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        h_raw = (
+            e_dst.join(
+                a.select(F.col("node").alias("dst"), "auth"), "dst"
+            )
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("auth").alias("_raw"))
+        )
+        h_z = h_raw.agg(F.sum("_raw").alias("_z"))
+        h = (
+            nodes.join(h_raw, "node", "left")
+            .crossJoin(F.broadcast(h_z))
+            .select(
+                "node",
+                F.round(
+                    F.coalesce(F.col("_raw"), F.lit(0.0)) / F.col("_z"),
+                    round_to,
+                ).alias("hub"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = (
+        h.join(a, "node")
+        .select("node", "hub", "auth")
+        .localCheckpoint(eager=True)
+    )
+    e_src.unpersist()
+    e_dst.unpersist()
+    return out

@@ -280,3 +280,40 @@ def test_label_propagation_isolated_nodes_keep_id(spark):
     out = {r.node: r.label for r in label_propagation(edges, 3).collect()}
     assert out[1] == 1
     assert out[2] == 1  # adopts its only in-neighbor's label
+
+
+def test_hits_bipartite_hand_case(spark):
+    """Star bipartite graph u1->{t1,t2}, u2->{t1}: pinned exactly
+    against a hand-rolled power iteration using the operator's own
+    rounding contract (L1 normalize + round 9dp per round)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        hits,
+    )
+
+    edges = spark.createDataFrame(
+        [("u1", "t1"), ("u1", "t2"), ("u2", "t1")], ["src", "dst"]
+    )
+    out = {r.node: r for r in hits(edges, iterations=3).collect()}
+    # hand power iteration (L1-normalized, rounded 9dp per round)
+    h = {"u1": 1.0, "u2": 1.0, "t1": 1.0, "t2": 1.0}
+    a = {}
+    adj = [("u1", "t1"), ("u1", "t2"), ("u2", "t1")]
+    nodes = ["u1", "u2", "t1", "t2"]
+    for _ in range(3):
+        raw_a = {n: 0.0 for n in nodes}
+        for s, d in adj:
+            raw_a[d] += h[s]
+        z = sum(raw_a.values())
+        a = {n: round(v / z, 9) for n, v in raw_a.items()}
+        raw_h = {n: 0.0 for n in nodes}
+        for s, d in adj:
+            raw_h[s] += a[d]
+        z = sum(raw_h.values())
+        h = {n: round(v / z, 9) for n, v in raw_h.items()}
+    for n in nodes:
+        assert out[n].hub == h[n], (n, out[n].hub, h[n])
+        assert out[n].auth == a[n], (n, out[n].auth, a[n])
+    # authorities concentrate on t1; hubs on the broad explorer u1
+    assert out["t1"].auth > out["t2"].auth
+    assert out["u1"].hub > out["u2"].hub
+    assert out["u1"].auth == 0.0 and out["t1"].hub == 0.0

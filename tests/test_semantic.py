@@ -98,3 +98,42 @@ def test_evaluate_alignment_shifted_turns(spark):
     assert got["c1"].nw_score == 3  # 2 matches + 1 gap
     assert got["c3"].n_golden == 0 and got["c3"].nw_score == -1
     assert got["c4"].n_actual == 0 and got["c4"].nw_score == -1
+
+
+def test_sw_score_hand_cases():
+    """Local alignment: corrupted prefix/suffix is free, the best clean
+    region scores; empty sides floor at 0 (never negative)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.kernels.compare import (
+        sw_score,
+    )
+
+    assert sw_score(["a", "b", "c"], ["a", "b", "c"]) == 6
+    assert sw_score([], ["a", "b"]) == 0
+    assert sw_score(["a"], []) == 0
+    # golden excerpt inside a noisy capture: NW charges the noise, SW doesn't
+    assert sw_score(["x", "a", "b", "c", "y"], ["a", "b", "c"]) == 6
+    # total mismatch: best region is empty -> 0 (NW would be -3)
+    assert sw_score(["x", "y", "z"], ["p", "q", "r"]) == 0
+    # one interior mismatch: match-mismatch-match beats split regions
+    assert sw_score(["a", "q", "c"], ["a", "b", "c"]) == 3
+
+
+def test_evaluate_local_alignment_excerpt(spark):
+    """The golden sequence embedded in a noisy actual scores sim=1.0
+    (one side contains the other); disjoint sequences score 0."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.evaluate import (
+        evaluate_local_alignment,
+    )
+
+    actual = spark.createDataFrame(
+        [("c1", 0, "junk"), ("c1", 1, "hi"), ("c1", 2, "bye"),
+         ("c1", 3, "junk2"), ("c2", 0, "p")],
+        ["conv_id", "turn_idx", "extracted_text"],
+    )
+    golden = spark.createDataFrame(
+        [("c1", 0, "hi"), ("c1", 1, "bye"), ("c2", 0, "z")],
+        ["conv_id", "turn_idx", "extracted_text"],
+    )
+    got = {r.id: r for r in evaluate_local_alignment(actual, golden).collect()}
+    assert got["c1"].sw_score == 4 and got["c1"].sim == 1.0
+    assert got["c2"].sw_score == 0 and got["c2"].sim == 0.0
