@@ -9641,6 +9641,143 @@ ORDER BY id
 """
 
 
+def q_ql_retrieval(spark, sf_dir):
+    """Query-likelihood retrieval with Dirichlet smoothing (curation.
+    ql_dirichlet_scores, Zhai & Lafferty 2001) against the same fixed
+    query as q_bm25 ({spark, query, merge}): the language-modeling
+    ranking twin — absent query terms contribute smoothed background
+    mass, so scores are comparable across documents of any length.
+    Collection stats fold in as eager literals; one groupBy over the
+    query-term-filtered token stream."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        ql_dirichlet_scores,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return ql_dirichlet_scores(
+        d, "doc_id", "text", ["spark", "query", "merge"], mu=2000.0
+    ).transform(_by("doc_id"))
+
+
+Q_QL_RETRIEVAL_SQL = """
+WITH tl AS (SELECT doc_id,
+  list_filter(str_split(coalesce(text, ''), ' '), x -> x <> '') AS ts
+  FROM documents),
+dls AS (SELECT doc_id, len(ts) AS dl FROM tl),
+total AS (SELECT SUM(dl) AS n FROM dls),
+qt AS (SELECT * FROM (VALUES ('spark'), ('query'), ('merge')) v(term)),
+cf AS (
+  SELECT qt.term,
+         2000.0 * (CAST(COUNT(t.term) AS DOUBLE) / (SELECT n FROM total))
+           AS mup
+  FROM qt LEFT JOIN (
+    SELECT t.term FROM tl, UNNEST(tl.ts) AS t(term)
+    WHERE t.term IN ('spark', 'query', 'merge')) t
+    ON t.term = qt.term
+  GROUP BY qt.term HAVING COUNT(t.term) > 0),
+hits AS (
+  SELECT tl.doc_id, dls.dl, t.term
+  FROM tl JOIN dls USING (doc_id), UNNEST(tl.ts) AS t(term)
+  WHERE t.term IN (SELECT term FROM cf)),
+tf AS (SELECT doc_id, term, COUNT(*) AS tf, MIN(dl) AS dl
+       FROM hits GROUP BY doc_id, term),
+per_doc AS (
+  SELECT tf.doc_id, CAST(COUNT(*) AS BIGINT) AS n_hits, MIN(tf.dl) AS dl,
+         SUM(ln((tf.tf + cf.mup) / (tf.dl + 2000.0))
+             - ln(cf.mup / (tf.dl + 2000.0))) AS delta
+  FROM tf JOIN cf USING (term) GROUP BY tf.doc_id),
+bg AS (
+  SELECT p.doc_id,
+         SUM(ln(cf.mup / (p.dl + 2000.0))) AS b
+  FROM per_doc p, cf GROUP BY p.doc_id)
+SELECT p.doc_id, p.n_hits, ROUND(p.delta + bg.b, 6) AS ql
+FROM per_doc p JOIN bg USING (doc_id) ORDER BY doc_id
+"""
+
+
+def q_good_turing(spark, sf_dir):
+    """Simple Good-Turing frequency-of-frequencies over the normalized
+    documents corpus (corpus.good_turing_counts, Good 1953): per
+    observed term frequency r, the type count n_r and the Turing
+    estimate r* = (r+1)n_{r+1}/n_r — the unseen-mass / tokenizer-health
+    audit.  Frequency table is metadata-sized; the r+1 lookup is a
+    broadcast self-join; N folds in as an eager literal."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        good_turing_counts,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return good_turing_counts(d, "doc_id", "text").transform(_by("r"))
+
+
+Q_GOOD_TURING_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(str_split({_NORM_SQL}, ' '), x -> x <> ''))
+           AS term
+  FROM documents),
+tc AS (SELECT term, COUNT(*) AS c FROM tok GROUP BY term),
+ff AS (SELECT c AS r, CAST(COUNT(*) AS BIGINT) AS n_r FROM tc GROUP BY c),
+tot AS (SELECT SUM(r * n_r) AS n FROM ff)
+SELECT ff.r, ff.n_r,
+       ROUND((ff.r + 1) * nx.n_r / ff.n_r, 6) AS r_star,
+       ROUND(((ff.r + 1) * nx.n_r / ff.n_r)
+             / CAST((SELECT n FROM tot) AS DOUBLE), 6) AS p_gt
+FROM ff LEFT JOIN ff nx ON nx.r = ff.r + 1
+ORDER BY ff.r
+"""
+
+
+def q_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth fit over the documents corpus in
+    doc_id order (corpus.heaps_law_fit): ln V = ln K + beta ln N
+    regressed over per-document cumulative (tokens, distinct types)
+    points.  The cumulative curve is a DISTRIBUTED prefix sum (order-
+    preserving id ranges + per-range offsets), never one global window
+    task; the fit is single-aggregate moment algebra."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        heaps_law_fit,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return heaps_law_fit(d, "doc_id", "text")
+
+
+Q_HEAPS_LAW_SQL = f"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(list_filter(str_split({_NORM_SQL}, ' '), x -> x <> ''))
+           AS term
+  FROM documents),
+pd AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY doc_id),
+fs AS (SELECT MIN(doc_id) AS doc_id FROM tok GROUP BY term),
+nw AS (SELECT doc_id, COUNT(*) AS nn FROM fs GROUP BY doc_id),
+d AS (SELECT pd.doc_id, pd.dl, COALESCE(nw.nn, 0) AS nn
+      FROM pd LEFT JOIN nw USING (doc_id)),
+c AS (SELECT SUM(dl) OVER w AS n_cum, SUM(nn) OVER w AS v_cum FROM d
+      WINDOW w AS (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)),
+p AS (SELECT n_cum, v_cum,
+             ln(CAST(n_cum AS DOUBLE)) AS x, ln(CAST(v_cum AS DOUBLE)) AS y
+      FROM c WHERE n_cum > 0 AND v_cum > 0),
+m AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+             MAX(n_cum) AS total_tokens, MAX(v_cum) AS vocab,
+             SUM(x) AS sx, SUM(y) AS sy, SUM(x * y) AS sxy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy
+      FROM p)
+SELECT CAST(n AS BIGINT) AS n_docs,
+       CAST(total_tokens AS BIGINT) AS total_tokens,
+       CAST(vocab AS BIGINT) AS vocab,
+       ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS beta,
+       ROUND(exp(sy / n - ((sxy - sx * sy / n) / (sxx - sx * sx / n))
+                 * sx / n), 6) AS k,
+       ROUND(CASE WHEN (syy - sy * sy / n) > 0
+                  THEN (sxy - sx * sy / n) * (sxy - sx * sy / n)
+                       / ((sxx - sx * sx / n) * (syy - sy * sy / n))
+             END, 6) AS r2
+FROM m
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -9878,6 +10015,9 @@ _QUERIES_PAST_WINDOW = [
     "q_krippendorff",
     "q_hits",
     "q_smith_waterman",
+    "q_ql_retrieval",
+    "q_good_turing",
+    "q_heaps_law",
 ]
 
 
@@ -10035,6 +10175,9 @@ def oracle_sql() -> dict[str, str]:
         "q_krippendorff": Q_KRIPPENDORFF_SQL,
         "q_hits": _hits_sql(),
         "q_smith_waterman": Q_SMITH_WATERMAN_SQL,
+        "q_ql_retrieval": Q_QL_RETRIEVAL_SQL,
+        "q_good_turing": Q_GOOD_TURING_SQL,
+        "q_heaps_law": Q_HEAPS_LAW_SQL,
         "q_doc_scalar_suite": Q_DOC_SCALAR_SUITE_SQL,
         "q_line_repetition": Q_LINE_REPETITION_SQL,
         "q_mixture_weights": Q_MIXTURE_WEIGHTS_SQL,

@@ -644,3 +644,156 @@ def vocab_coverage(
             F.col("oov_types") / F.col("types").cast("double"), round_to
         ).alias("type_oov_rate"),
     )
+
+
+def good_turing_counts(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Simple Good-Turing frequency-of-frequencies table (Good 1953;
+    the Katz-backoff building block): for every observed term frequency
+    ``r``, the number of types ``n_r`` seen exactly r times and the
+    Turing-smoothed count ``r* = (r+1)·n_{r+1}/n_r`` — the corpus-level
+    estimate of how much probability mass the empirical counts steal
+    from unseen events (the unseen mass itself is row r=1's
+    ``n_r / N``).  A vocabulary whose n_1 share balloons after an
+    extraction change signals shredded tokenization long before
+    downstream perplexity does.
+
+    Columns: ``r, n_r, r_star, p_gt`` — ``r_star``/``p_gt`` are NULL
+    where no r+1 class exists (the simple-GT convention; production
+    smoothers regress log n_r vs log r to fill the gaps).  ``p_gt =
+    r*/N`` with N = total corpus tokens.
+
+    Scale shape: tokens → (term, count) with map-side combine → the
+    frequency-of-frequencies aggregate collapses to at most
+    max-frequency rows (metadata-sized); the r+1 lookup is a broadcast
+    self-join on that tiny frame; N folds in as an eager literal (the
+    tf-idf n_docs pattern — no one-row cross join)."""
+    tc = _token_rows(df, id_col, text_col).groupBy("term").agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    ff = tc.groupBy(F.col("_c").alias("r")).agg(
+        F.count(F.lit(1)).alias("n_r")
+    )
+    ff = ff.localCheckpoint(eager=True)  # fans out to total + both join sides
+    total = ff.agg(F.sum(F.col("r") * F.col("n_r"))).first()[0]
+    if not total:
+        return ff.select(
+            "r", "n_r", F.lit(None).cast("double").alias("r_star"),
+            F.lit(None).cast("double").alias("p_gt"),
+        )
+    nxt = ff.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("_n_next"))
+    j = ff.join(F.broadcast(nxt), "r", "left")
+    r_star = (F.col("r") + 1) * F.col("_n_next") / F.col("n_r")
+    return j.select(
+        "r",
+        "n_r",
+        F.round(r_star, round_to).alias("r_star"),
+        F.round(r_star / F.lit(float(total)), round_to).alias("p_gt"),
+    )
+
+
+def heaps_law_fit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_ranges: int = 64,
+    round_to: int = 6,
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth fit (Heaps 1978): regress
+    ``ln V(N) = ln K + β·ln N`` over the per-document cumulative
+    (tokens-so-far N_i, distinct-types-so-far V_i) curve in ``id_col``
+    order — the corpus-health scalar that tells a pretraining mix
+    whether vocabulary is still growing sub-linearly as expected
+    (β ≈ 0.4-0.6 for natural text) or has gone flat (mass duplication)
+    / linear (gibberish or id-like tokens).
+
+    Returns ONE row: ``n_docs, total_tokens, vocab, beta, k, r2``.
+
+    Scale shape — the cumulative curve is a DISTRIBUTED prefix sum,
+    never a single global window: each term contributes one row at its
+    first-occurrence document (min(id) per term — map-side-combined);
+    per-doc (new_types, tokens) rows are bucketed into ``n_ranges``
+    order-preserving id ranges (floor over the id span — monotonic in
+    id, so range order IS id order); partial sums per range cumulate
+    over the metadata-sized range list, and the within-range window is
+    partitioned BY range — no stage ever moves the corpus through one
+    task.  The regression itself is moment algebra (Σx, Σy, Σxy, Σx²)
+    in one final aggregate, the ols_fit_groups pattern."""
+    toks = _token_rows(df, id_col, text_col)
+    per_doc = toks.groupBy("id").agg(F.count(F.lit(1)).alias("_dl"))
+    firsts = (
+        toks.groupBy("term")
+        .agg(F.min("id").alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("_new"))
+    )
+    docs = per_doc.join(firsts, "id", "left").select(
+        "id", "_dl", F.coalesce(F.col("_new"), F.lit(0)).alias("_new")
+    )
+    lo, hi = docs.agg(F.min("id"), F.max("id")).first()
+    if lo is None:
+        return docs.limit(0).select(
+            F.lit(0).cast("long").alias("n_docs"),
+            F.lit(0).cast("long").alias("total_tokens"),
+            F.lit(0).cast("long").alias("vocab"),
+            F.lit(None).cast("double").alias("beta"),
+            F.lit(None).cast("double").alias("k"),
+            F.lit(None).cast("double").alias("r2"),
+        )
+    width = max(1, (int(hi) - int(lo) + 1) // n_ranges + 1)
+    docs = docs.withColumn(
+        "_rng", ((F.col("id") - F.lit(int(lo))) / F.lit(width)).cast("long")
+    )
+    rng = docs.groupBy("_rng").agg(
+        F.sum("_dl").alias("_sdl"), F.sum("_new").alias("_snew")
+    )
+    w = Window.orderBy("_rng").rowsBetween(Window.unboundedPreceding, -1)
+    offs = rng.select(
+        "_rng",
+        F.coalesce(F.sum("_sdl").over(w), F.lit(0)).alias("_odl"),
+        F.coalesce(F.sum("_snew").over(w), F.lit(0)).alias("_onew"),
+    )
+    win = Window.partitionBy("_rng").orderBy("id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = docs.join(F.broadcast(offs), "_rng").select(
+        "id",
+        (F.sum("_dl").over(win) + F.col("_odl")).alias("_N"),
+        (F.sum("_new").over(win) + F.col("_onew")).alias("_V"),
+    ).filter((F.col("_N") > 0) & (F.col("_V") > 0))
+    pts = cum.select(
+        "_N", "_V",
+        F.log(F.col("_N").cast("double")).alias("_x"),
+        F.log(F.col("_V").cast("double")).alias("_y"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.max("_N").alias("total_tokens"),
+        F.max("_V").alias("vocab"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / n
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    beta = cxy / vx
+    return m.select(
+        F.col("n").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.col("vocab").cast("long").alias("vocab"),
+        F.round(beta, round_to).alias("beta"),
+        F.round(F.exp(F.col("sy") / n - beta * F.col("sx") / n), round_to)
+        .alias("k"),
+        F.round(
+            F.when(vy > 0, cxy * cxy / (vx * vy)).otherwise(F.lit(None)),
+            round_to,
+        ).alias("r2"),
+    )

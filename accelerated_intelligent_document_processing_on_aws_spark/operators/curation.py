@@ -1038,6 +1038,114 @@ def bm25_scores(
     )
 
 
+def ql_dirichlet_scores(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    query_terms: list,
+    mu: float = 2000.0,
+) -> DataFrame:
+    """Query-likelihood retrieval with Dirichlet-prior smoothing (Zhai &
+    Lafferty 2001, SIGIR) — the language-modeling counterpart to
+    ``bm25_scores``: each document is scored by the log-likelihood of
+    the query under the document's smoothed unigram LM,
+
+        score(d) = Σ_{t∈Q} ln( (tf_{t,d} + μ·P(t|C)) / (dl_d + μ) )
+
+    with collection model ``P(t|C) = cf_t / |C|`` (collection term
+    frequency over total corpus tokens).  Unlike BM25 the sum runs over
+    EVERY query term — absent terms contribute the background
+    ``ln(μ·P(t|C) / (dl+μ))`` — so two docs differ only through their
+    tf vector and length, the property that makes QL rank-equivalent to
+    a KL-divergence retrieval model.
+
+    Output: ``(id_col, n_hits, ql)`` for documents containing at least
+    one query term (docs with zero hits score pure background — a
+    length-only function, omitted by contract like bm25's absent docs);
+    ql rounded 6 dp.  Query terms with cf=0 are skipped (their smoothed
+    probability is 0 for every doc — undefined log, and they cannot
+    discriminate).
+
+    Plan shape (100 TB): identical to bm25_scores — the query-term
+    filter shrinks the token stream at the scan; collection stats
+    (cf_t, |C|) are ONE eager metadata action folded into the plan as
+    literals (exact integer counts, one double division each — cross-
+    engine-deterministic); the per-doc score is then a single groupBy
+    over the hits frame with the absent-term background added as a
+    closed-form expression of dl (no doc×term expansion, no second
+    shuffle)."""
+    terms = sorted(set(query_terms))
+    pre = df.select(
+        F.col(id_col),
+        F.filter(_words(text_col), lambda x: x != F.lit("")).alias("_tk"),
+    )
+    # one eager metadata action: total corpus tokens + per-term cf.
+    # NB the lambda factory: a 2-arg lambda (x, t=term) would make
+    # PySpark bind the ARRAY INDEX to the second parameter (HOF lambdas
+    # dispatch on arity), silently comparing tokens to positions
+    def _eq(term):
+        return lambda x: x == F.lit(term)
+
+    stats_row = pre.select(
+        F.size("_tk").alias("_dl"),
+        *[
+            F.size(F.filter("_tk", _eq(t))).alias(f"_cf_{i}")
+            for i, t in enumerate(terms)
+        ],
+    ).agg(
+        F.sum("_dl").alias("_total"),
+        *[F.sum(f"_cf_{i}").alias(f"_cf_{i}") for i in range(len(terms))],
+    ).first()
+    total = int(stats_row["_total"] or 0)
+    cf = {t: int(stats_row[f"_cf_{i}"] or 0) for i, t in enumerate(terms)}
+    live = [t for t in terms if cf[t] > 0]
+    if not live or total == 0:
+        return (
+            df.select(F.col(id_col))
+            .limit(0)
+            .select(
+                id_col,
+                F.lit(0).cast("long").alias("n_hits"),
+                F.lit(0.0).alias("ql"),
+            )
+        )
+    p_c = {t: cf[t] / total for t in live}
+    hits = (
+        pre.select(
+            F.col(id_col),
+            F.size("_tk").alias("_dl"),
+            F.explode("_tk").alias("_term"),
+        )
+        .filter(F.col("_term").isin(live))
+    )
+    tf = hits.groupBy(id_col, "_term").agg(
+        F.count(F.lit(1)).alias("_tf"), F.first("_dl").alias("_dl")
+    )
+    den = F.col("_dl") + F.lit(float(mu))
+    # present-term contribution minus the background it replaces, so the
+    # full Σ over all query terms = Σ_present delta + Σ_all background —
+    # the background sum is a closed form of dl alone
+    mu_p = F.create_map(
+        *[x for t in live for x in (F.lit(t), F.lit(mu * p_c[t]))]
+    )[F.col("_term")]
+    delta = F.log((F.col("_tf") + mu_p) / den) - F.log(mu_p / den)
+    bg_terms = [mu * p_c[t] for t in live]
+    per_doc = tf.groupBy(id_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_hits"),
+        F.sum(delta).alias("_delta"),
+        F.first("_dl").alias("_dl"),
+    )
+    bg = sum(
+        (F.log(F.lit(c) / (F.col("_dl") + F.lit(float(mu)))) for c in bg_terms),
+        F.lit(0.0),
+    )
+    return per_doc.select(
+        id_col,
+        "n_hits",
+        F.round(F.col("_delta") + bg, 6).alias("ql"),
+    )
+
+
 def curriculum_buckets(
     df: DataFrame,
     id_col: str,

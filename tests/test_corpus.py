@@ -451,3 +451,81 @@ def test_kneser_ney_min_count_bounds_output_not_stats(spark):
     xy = next(r for r in out if (r.v, r.w) == ("x", "y"))
     # x continues into BOTH y and z even though (x,z) is below min_count
     assert xy.n1_fwd == 2 and xy.c_v == 4
+
+
+def test_good_turing_hand_case(spark):
+    """corpus 'a a a b b c': counts a=3,b=2,c=1 -> n_1=1,n_2=1,n_3=1;
+    r*=2*1/1=2 for r=1, 3*1/1=3 for r=2, NULL for r=3 (no n_4)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        good_turing_counts,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "b c")], ["doc_id", "text"]
+    )
+    got = {r.r: r for r in good_turing_counts(df, "doc_id", "text").collect()}
+    assert {r: got[r].n_r for r in got} == {1: 1, 2: 1, 3: 1}
+    assert got[1].r_star == 2.0 and got[1].p_gt == round(2 / 6, 6)
+    assert got[2].r_star == 3.0
+    assert got[3].r_star is None and got[3].p_gt is None
+
+
+def test_heaps_law_pure_power_curve(spark):
+    """Construct docs whose cumulative (N, V) points lie EXACTLY on
+    V = N (each token globally unique): the log-log fit must return
+    beta=1, k=1, r2=1."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        heaps_law_fit,
+    )
+
+    rows = []
+    tok = 0
+    for d in range(1, 9):
+        words = " ".join(f"w{tok + i}" for i in range(3))
+        tok += 3
+        rows.append((d, words))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    (r,) = heaps_law_fit(df, "doc_id", "text").collect()
+    assert (r.n_docs, r.total_tokens, r.vocab) == (8, 24, 24)
+    assert r.beta == 1.0 and r.k == 1.0 and r.r2 == 1.0
+
+
+def test_heaps_law_matches_numpy_moments(spark):
+    """Mixed-novelty corpus: the fitted beta/k/r2 equal a numpy lstsq
+    over the same cumulative log-log points (round-6 contract), and the
+    distributed prefix sum is partitioning-invariant."""
+    import math
+
+    import numpy as np
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        heaps_law_fit,
+    )
+
+    rows = [
+        (1, "a b c"), (2, "a b d e"), (3, "a c f"), (4, "g g g a"),
+        (5, "h i"), (6, "a b c d"), (7, "j"), (8, "k l a b m"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    (r,) = heaps_law_fit(df, "doc_id", "text", n_ranges=3).collect()
+    # hand cumulative curve
+    seen, N, V, xs, ys = set(), 0, 0, [], []
+    for _, text in rows:
+        ws = text.split()
+        N += len(ws)
+        for w in ws:
+            if w not in seen:
+                seen.add(w)
+        V = len(seen)
+        xs.append(math.log(N))
+        ys.append(math.log(V))
+    x, y = np.array(xs), np.array(ys)
+    n = len(x)
+    beta = ((x * y).sum() - x.sum() * y.sum() / n) / (
+        (x * x).sum() - x.sum() ** 2 / n
+    )
+    k = math.exp(y.sum() / n - beta * x.sum() / n)
+    assert r.beta == round(beta, 6)
+    assert r.k == round(k, 6)
+    (r2_,) = heaps_law_fit(df.repartition(5), "doc_id", "text", n_ranges=2).collect()
+    assert (r2_.beta, r2_.k, r2_.r2) == (r.beta, r.k, r.r2)

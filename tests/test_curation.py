@@ -849,3 +849,70 @@ def test_dictionary_tag_counts(spark):
     )
     got = {(r.id, r.term): r.hits for r in dictionary_tag(df, "doc_id", "text", ["spark", "data", "zzz"]).collect()}
     assert got == {(1, "spark"): 2, (1, "data"): 1}
+
+
+def test_ql_dirichlet_hand_case(spark):
+    """Two-doc corpus, query {a, z} (z unseen -> dropped): score is the
+    exact Dirichlet-smoothed log-likelihood; doc without any query term
+    is omitted; higher-tf doc ranks higher at equal length."""
+    import math
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        ql_dirichlet_scores,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a a b"), (2, "a c d"), (3, "e f g")], ["doc_id", "text"]
+    )
+    mu = 10.0
+    got = {
+        r.doc_id: r
+        for r in ql_dirichlet_scores(
+            df, "doc_id", "text", ["a", "z"], mu=mu
+        ).collect()
+    }
+    assert set(got) == {1, 2}
+    p_a = 3 / 9  # cf(a)=3, total=9
+    s1 = math.log((2 + mu * p_a) / (3 + mu))
+    s2 = math.log((1 + mu * p_a) / (3 + mu))
+    assert got[1].ql == round(s1, 6)
+    assert got[2].ql == round(s2, 6)
+    assert got[1].ql > got[2].ql
+    assert got[1].n_hits == 1 and got[2].n_hits == 1
+
+
+def test_ql_dirichlet_absent_term_background(spark):
+    """Query {a, b} against a doc containing only a: the absent term
+    contributes the background ln(mu p_b / (dl+mu)) — matching the
+    direct formula summed over BOTH terms."""
+    import math
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        ql_dirichlet_scores,
+    )
+
+    df = spark.createDataFrame([(1, "a a"), (2, "b b")], ["doc_id", "text"])
+    mu = 4.0
+    got = {
+        r.doc_id: r
+        for r in ql_dirichlet_scores(
+            df, "doc_id", "text", ["a", "b"], mu=mu
+        ).collect()
+    }
+    p = 2 / 4
+    want1 = math.log((2 + mu * p) / (2 + mu)) + math.log((0 + mu * p) / (2 + mu))
+    assert got[1].ql == round(want1, 6)
+    assert got[1].ql == got[2].ql  # symmetric corpus
+    assert got[1].n_hits == 1
+
+
+def test_ql_dirichlet_no_live_terms_empty(spark):
+    """All query terms unseen -> empty result with the right schema."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        ql_dirichlet_scores,
+    )
+
+    df = spark.createDataFrame([(1, "a b")], ["doc_id", "text"])
+    out = ql_dirichlet_scores(df, "doc_id", "text", ["zz"])
+    assert out.columns == ["doc_id", "n_hits", "ql"]
+    assert out.count() == 0
