@@ -9778,6 +9778,156 @@ FROM m
 """
 
 
+def q_katz(spark, sf_dir):
+    """Katz centrality (graph.katz_centrality, Katz 1953) over the same
+    co-activity graph as q_pagerank: 4 fixed rounds of x' = 1 + 0.1·Aᵀx
+    with the per-round 9-decimal rounding contract — walk-counting
+    centrality that credits all damped paths, where PageRank only
+    tracks stationary visit mass.  Edges src-partitioned + persisted
+    once; per-round score frame is the only shuffle."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        coactivity_edges,
+        katz_centrality,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    edges = coactivity_edges(e, "user_id", "ts", "minute", 64)
+    kz = katz_centrality(edges, iterations=4, alpha=0.1, beta=1.0, round_to=9)
+    return kz.select(
+        "node", F.round(F.col("katz"), 6).alias("katz")
+    ).transform(_by("node"))
+
+
+def _katz_sql(iterations: int = 4, alpha: float = 0.1, beta: float = 1.0) -> str:
+    """DuckDB twin of graph.katz_centrality over the q_pagerank edge
+    CTE: same unrolled rounds, same per-round 9-decimal rounding, all
+    CTEs MATERIALIZED (each round is referenced by the next — inlining
+    would recompute the chain combinatorially, the hits-oracle trap)."""
+    a, b = repr(alpha), repr(beta)
+    its = []
+    prev = "x0"
+    for i in range(1, iterations + 1):
+        its.append(f"""
+x{i} AS MATERIALIZED (
+  SELECT n.node, ROUND({b} + {a} * COALESCE(c.s, 0.0), 9) AS katz
+  FROM nodes n LEFT JOIN (
+    SELECT e.dst AS node, SUM(x.katz) AS s
+    FROM edges e JOIN {prev} x ON e.src = x.node GROUP BY e.dst) c
+  ON n.node = c.node)""")
+        prev = f"x{i}"
+    return f"""
+WITH b AS MATERIALIZED (
+  SELECT DISTINCT date_trunc('minute', ts) AS _b, user_id AS _u FROM events),
+sized AS MATERIALIZED (
+  SELECT _b, _u FROM (
+    SELECT _b, _u, COUNT(*) OVER (PARTITION BY _b) AS _n FROM b)
+  WHERE _n <= 64),
+edges AS MATERIALIZED (
+  SELECT DISTINCT l._u AS src, r._u AS dst
+  FROM sized l JOIN sized r USING (_b) WHERE l._u <> r._u),
+nodes AS MATERIALIZED (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+x0 AS MATERIALIZED (SELECT node, {b} AS katz FROM nodes),
+{",".join(its)}
+SELECT node, ROUND(katz, 6) AS katz FROM {prev} ORDER BY node
+"""
+
+
+def q_bfs_landmarks(spark, sf_dir):
+    """Multi-source BFS hop distances (graph.bfs_distances) from the 3
+    smallest user ids over the co-activity graph, bounded to 3 hops —
+    the landmark-distance sketch (Potamias et al. 2009).  Frontier-
+    based: each round joins only the newly discovered layer against the
+    src-partitioned persisted edges; the oracle is a recursive CTE with
+    the same hop bound."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        bfs_distances,
+        coactivity_edges,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    edges = coactivity_edges(e, "user_id", "ts", "minute", 64)
+    return bfs_distances(edges, n_landmarks=3, max_hops=3).transform(
+        _by("landmark", "node")
+    )
+
+
+Q_BFS_LANDMARKS_SQL = """
+WITH RECURSIVE b AS MATERIALIZED (
+  SELECT DISTINCT date_trunc('minute', ts) AS _b, user_id AS _u FROM events),
+sized AS MATERIALIZED (
+  SELECT _b, _u FROM (
+    SELECT _b, _u, COUNT(*) OVER (PARTITION BY _b) AS _n FROM b)
+  WHERE _n <= 64),
+edges AS MATERIALIZED (
+  SELECT DISTINCT l._u AS src, r._u AS dst
+  FROM sized l JOIN sized r USING (_b) WHERE l._u <> r._u),
+lm AS MATERIALIZED (
+  SELECT node FROM (SELECT src AS node FROM edges UNION SELECT dst FROM edges)
+  ORDER BY node LIMIT 3),
+walk AS (
+  SELECT node, node AS landmark, 0 AS dist FROM lm
+  UNION
+  SELECT e.dst AS node, w.landmark, w.dist + 1 AS dist
+  FROM walk w JOIN edges e ON e.src = w.node
+  WHERE w.dist < 3)
+SELECT node, landmark, CAST(MIN(dist) AS INT) AS dist
+FROM walk GROUP BY node, landmark
+ORDER BY landmark, node
+"""
+
+
+def q_burrows_delta(spark, sf_dir):
+    """Burrows' Delta stylometric distance (corpus.burrows_delta,
+    Burrows 2002) between document sources over the corpus's 50 most
+    frequent terms: per-source relative frequencies z-scored across
+    sources (absent terms count 0), Delta = mean |z1-z2| per source
+    pair — the relabeled-crawl detector.  One corpus-scale aggregate;
+    the z grid and pair join are vocabulary×sources-sized metadata."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        burrows_delta,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return burrows_delta(d, "source", "text", top_terms=50).transform(
+        _by("g1", "g2")
+    )
+
+
+Q_BURROWS_DELTA_SQL = f"""
+WITH tok AS (
+  SELECT source AS grp,
+         unnest(list_filter(str_split({_NORM_SQL}, ' '), x -> x <> ''))
+           AS term
+  FROM documents),
+gt AS (SELECT grp, term, COUNT(*) AS c FROM tok GROUP BY grp, term),
+totals AS (SELECT grp, SUM(c) AS tot FROM gt GROUP BY grp),
+ng AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM totals),
+vocab AS (SELECT term FROM (SELECT term, SUM(c) AS cc FROM gt GROUP BY term)
+          ORDER BY cc DESC, term LIMIT 50),
+grid AS (
+  SELECT t.grp, v.term,
+         CAST(COALESCE(gt.c, 0) AS DOUBLE) / t.tot AS f
+  FROM totals t CROSS JOIN vocab v
+  LEFT JOIN gt ON gt.grp = t.grp AND gt.term = v.term),
+stats AS (
+  SELECT term, SUM(f) / (SELECT n FROM ng) AS mean,
+         sqrt(greatest(
+           SUM(f * f) / (SELECT n FROM ng)
+           - (SUM(f) / (SELECT n FROM ng)) * (SUM(f) / (SELECT n FROM ng)),
+           0.0)) AS std
+  FROM grid GROUP BY term),
+z AS (
+  SELECT g.term, g.grp, (g.f - s.mean) / s.std AS z
+  FROM grid g JOIN stats s USING (term) WHERE s.std > 0)
+SELECT a.grp AS g1, b.grp AS g2,
+       CAST(COUNT(*) AS BIGINT) AS n_terms,
+       ROUND(SUM(abs(a.z - b.z)) / COUNT(*), 6) AS delta
+FROM z a JOIN z b ON a.term = b.term AND a.grp < b.grp
+GROUP BY a.grp, b.grp
+ORDER BY g1, g2
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -10018,6 +10168,9 @@ _QUERIES_PAST_WINDOW = [
     "q_ql_retrieval",
     "q_good_turing",
     "q_heaps_law",
+    "q_katz",
+    "q_bfs_landmarks",
+    "q_burrows_delta",
 ]
 
 
@@ -10176,6 +10329,9 @@ def oracle_sql() -> dict[str, str]:
         "q_hits": _hits_sql(),
         "q_smith_waterman": Q_SMITH_WATERMAN_SQL,
         "q_ql_retrieval": Q_QL_RETRIEVAL_SQL,
+        "q_katz": _katz_sql(),
+        "q_bfs_landmarks": Q_BFS_LANDMARKS_SQL,
+        "q_burrows_delta": Q_BURROWS_DELTA_SQL,
         "q_good_turing": Q_GOOD_TURING_SQL,
         "q_heaps_law": Q_HEAPS_LAW_SQL,
         "q_doc_scalar_suite": Q_DOC_SCALAR_SUITE_SQL,

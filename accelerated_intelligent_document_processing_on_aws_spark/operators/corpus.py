@@ -797,3 +797,102 @@ def heaps_law_fit(
             round_to,
         ).alias("r2"),
     )
+
+
+def burrows_delta(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    top_terms: int = 50,
+    round_to: int = 6,
+) -> DataFrame:
+    """Burrows' Delta stylometric distance between corpus groups
+    (Burrows 2002; the standard authorship-attribution measure): over
+    the ``top_terms`` most frequent terms corpus-wide, each group's
+    relative term frequency is z-scored ACROSS groups (population
+    mean/std, groups missing a term counting as frequency 0), and
+
+        Delta(g1, g2) = mean_t | z_{t,g1} - z_{t,g2} |
+
+    — two sources with the same topical vocabulary but different
+    function-word rhythm separate here when plain TF-IDF cosine
+    cannot.  The corpus-mix audit: a "new" source whose Delta to an
+    existing source is near zero is the same crawl relabeled.
+
+    Columns: ``g1, g2, n_terms, delta`` (one row per unordered group
+    pair, g1 < g2; terms with zero cross-group variance are excluded
+    from the mean — n_terms reports how many survived).
+
+    Scale shape: the corpus collapses to (group, term) counts in one
+    map-side-combined aggregate; the top-K vocabulary is a
+    TakeOrderedAndProject broadcast back; everything after the join is
+    vocabulary×groups-sized (metadata) — the z-score grid, the pair
+    join, and the final mean never touch corpus-scale rows."""
+    toks = _token_rows(df, group_col, text_col).withColumnRenamed(
+        "id", "group"
+    )
+    gt = toks.groupBy("group", "term").agg(F.count(F.lit(1)).alias("_c"))
+    gt = gt.localCheckpoint(eager=True)  # fans out: totals, vocab, grid
+    totals = gt.groupBy("group").agg(F.sum("_c").alias("_tot"))
+    vocab = (
+        gt.groupBy("term")
+        .agg(F.sum("_c").alias("_cc"))
+        .orderBy(F.desc("_cc"), F.asc("term"))
+        .limit(top_terms)
+        .select("term")
+    )
+    # full vocab × group grid (metadata-sized): absent terms are f=0
+    grid = (
+        totals.crossJoin(F.broadcast(vocab))
+        .join(gt, ["group", "term"], "left")
+        .select(
+            "group",
+            "term",
+            (
+                F.coalesce(F.col("_c"), F.lit(0)).cast("double")
+                / F.col("_tot")
+            ).alias("_f"),
+        )
+    )
+    n_groups = totals.count()
+    stats = grid.groupBy("term").agg(
+        (F.sum("_f") / F.lit(float(n_groups))).alias("_mean"),
+        F.sum(F.col("_f") * F.col("_f")).alias("_sf2"),
+    ).select(
+        "term",
+        "_mean",
+        # greatest(.,0) guards the FP-cancellation case where the
+        # population variance of an (all-equal) column lands at -1e-18:
+        # sqrt would return NaN in Spark but NULL/error in other engines
+        F.sqrt(
+            F.greatest(
+                F.col("_sf2") / F.lit(float(n_groups))
+                - F.col("_mean") * F.col("_mean"),
+                F.lit(0.0),
+            )
+        ).alias("_std"),
+    )
+    z = (
+        grid.join(F.broadcast(stats), "term")
+        .filter(F.col("_std") > 0)
+        .select(
+            "term",
+            "group",
+            ((F.col("_f") - F.col("_mean")) / F.col("_std")).alias("_z"),
+        )
+    )
+    a = z.select("term", F.col("group").alias("g1"), F.col("_z").alias("_z1"))
+    b = z.select("term", F.col("group").alias("g2"), F.col("_z").alias("_z2"))
+    return (
+        a.join(b, "term")
+        .filter(F.col("g1") < F.col("g2"))
+        .groupBy("g1", "g2")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+            F.round(
+                F.sum(F.abs(F.col("_z1") - F.col("_z2")))
+                / F.count(F.lit(1)),
+                round_to,
+            ).alias("delta"),
+        )
+    )

@@ -622,3 +622,130 @@ def hits(
     e_src.unpersist()
     e_dst.unpersist()
     return out
+
+
+def katz_centrality(
+    edges: DataFrame,
+    iterations: int = 4,
+    alpha: float = 0.1,
+    beta: float = 1.0,
+    round_to: int = 9,
+) -> DataFrame:
+    """Katz centrality (Katz 1953) over a directed edge list
+    ``(src, dst)``: fixed ``iterations`` of
+
+        x'(v) = beta + alpha * sum_{u->v} x(u),   x_0 = beta
+
+    with each round's vector rounded to ``round_to`` decimals — the
+    pagerank/hits fixed-iteration rounding contract that makes the
+    result reproducible across engines and FP sum orders.  Unlike
+    PageRank, Katz credits a node for ALL walks reaching it (damped by
+    length), not just the stationary visit rate — the centrality of
+    choice when edge counts are small and direction matters (who gets
+    referenced, not who gets visited).  ``alpha`` must stay below the
+    reciprocal spectral radius for the truncated series to be a stable
+    approximation; the fixed-round contract certifies the truncation
+    itself.
+
+    Returns ``(node, katz)``.
+
+    Scale shape: the edge list is the 100 TB side — hash-partitioned on
+    ``src`` and persisted ONCE, so each round shuffles only the
+    node-sized score frame; per-round frames localCheckpointed (plan
+    depth O(1) per round, the pagerank discipline)."""
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).repartition("src").persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    x = nodes.select("node", F.lit(float(beta)).alias("katz"))
+    for _ in range(iterations):
+        inc = (
+            e.join(x.select(F.col("node").alias("src"), "katz"), "src")
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("katz").alias("_in"))
+        )
+        x = (
+            nodes.join(inc, "node", "left")
+            .select(
+                "node",
+                F.round(
+                    F.lit(float(beta))
+                    + F.lit(float(alpha))
+                    * F.coalesce(F.col("_in"), F.lit(0.0)),
+                    round_to,
+                ).alias("katz"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    out = x.localCheckpoint(eager=True)
+    e.unpersist()
+    return out
+
+
+def bfs_distances(
+    edges: DataFrame,
+    landmarks: list | None = None,
+    n_landmarks: int = 3,
+    max_hops: int = 4,
+) -> DataFrame:
+    """Multi-source unweighted BFS: exact shortest-path hop counts from
+    each landmark to every node within ``max_hops`` — the
+    landmark-distance sketch behind graph-distance estimation
+    (Potamias et al. 2009) and the reachability audit a co-activity
+    graph runs to find isolated pods.  ``landmarks`` defaults to the
+    ``n_landmarks`` smallest node ids (deterministic in any engine).
+
+    Returns ``(node, landmark, dist)`` — one row per landmark per node
+    reached within the hop budget (0 = the landmark itself).
+
+    Scale shape: frontier-based — round k joins ONLY the nodes first
+    discovered at round k-1 against the src-partitioned persisted edge
+    list (never the whole distance table), then one left-anti against
+    the accumulated distances dedupes re-discoveries.  Work per round
+    is frontier-sized; rounds are bounded by ``max_hops``; per-round
+    frames localCheckpointed.  BFS layers are min-distance by
+    construction, so no min() aggregate is ever needed."""
+    e = edges.select(
+        F.col("src").cast("long").alias("src"),
+        F.col("dst").cast("long").alias("dst"),
+    ).repartition("src").persist()
+    if landmarks is None:
+        lm_rows = (
+            e.select(F.col("src").alias("node"))
+            .union(e.select(F.col("dst").alias("node")))
+            .distinct()
+            .orderBy("node")
+            .limit(n_landmarks)
+            .collect()
+        )
+        landmarks = [r.node for r in lm_rows]
+    spark = edges.sparkSession
+    dist = spark.createDataFrame(
+        [(int(v), int(v), 0) for v in landmarks],
+        "node long, landmark long, dist int",
+    ).localCheckpoint(eager=False)
+    frontier = dist
+    for k in range(1, max_hops + 1):
+        cand = (
+            frontier.join(e, frontier.node == e.src)
+            .select(
+                F.col("dst").alias("node"),
+                "landmark",
+                F.lit(k).cast("int").alias("dist"),
+            )
+            .distinct()
+        )
+        new = cand.join(
+            dist.select("node", "landmark"), ["node", "landmark"], "left_anti"
+        ).localCheckpoint(eager=False)
+        dist = dist.union(new).localCheckpoint(eager=False)
+        frontier = new
+    out = dist.localCheckpoint(eager=True)
+    e.unpersist()
+    return out

@@ -529,3 +529,39 @@ def test_heaps_law_matches_numpy_moments(spark):
     assert r.k == round(k, 6)
     (r2_,) = heaps_law_fit(df.repartition(5), "doc_id", "text", n_ranges=2).collect()
     assert (r2_.beta, r2_.k, r2_.r2) == (r.beta, r.k, r.r2)
+
+
+def test_burrows_delta_hand_case(spark):
+    """Three single-doc sources over a 2-term vocabulary: Delta equals
+    the hand-computed mean |z1-z2| with population std and absent
+    terms at frequency 0; identical styles give Delta 0."""
+    import math
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        burrows_delta,
+    )
+
+    df = spark.createDataFrame(
+        [("s1", "a a b"), ("s2", "a a b"), ("s3", "b b b")],
+        ["source", "text"],
+    )
+    out = {
+        (r.g1, r.g2): r
+        for r in burrows_delta(df, "source", "text", top_terms=2).collect()
+    }
+    # freqs: a -> (2/3, 2/3, 0); b -> (1/3, 1/3, 1)
+    fa = [2 / 3, 2 / 3, 0.0]
+    fb = [1 / 3, 1 / 3, 1.0]
+
+    def zs(f):
+        m = sum(f) / 3
+        sd = math.sqrt(sum(x * x for x in f) / 3 - m * m)
+        return [(x - m) / sd for x in f]
+
+    za, zb = zs(fa), zs(fb)
+    want_12 = 0.0
+    want_13 = (abs(za[0] - za[2]) + abs(zb[0] - zb[2])) / 2
+    assert out[("s1", "s2")].delta == round(want_12, 6)
+    assert out[("s1", "s3")].delta == round(want_13, 6)
+    assert out[("s2", "s3")].delta == out[("s1", "s3")].delta
+    assert all(r.n_terms == 2 for r in out.values())

@@ -317,3 +317,63 @@ def test_hits_bipartite_hand_case(spark):
     assert out["t1"].auth > out["t2"].auth
     assert out["u1"].hub > out["u2"].hub
     assert out["u1"].auth == 0.0 and out["t1"].hub == 0.0
+
+
+def test_katz_chain_hand_case(spark):
+    """Path 1->2->3 with alpha=0.5, beta=1, 3 rounds: x(1)=1 always;
+    x(2)=1+.5*x(1); x(3)=1+.5*x(2) — hand-unrolled."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        katz_centrality,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 3)], ["src", "dst"])
+    got = {
+        r.node: r.katz
+        for r in katz_centrality(
+            edges, iterations=3, alpha=0.5, beta=1.0
+        ).collect()
+    }
+    x = {1: 1.0, 2: 1.0, 3: 1.0}
+    for _ in range(3):
+        x = {
+            1: 1.0,
+            2: round(1.0 + 0.5 * x[1], 9),
+            3: round(1.0 + 0.5 * x[2], 9),
+        }
+    assert got == x
+    assert got[3] > got[2] > got[1]  # downstream accumulates walks
+
+
+def test_bfs_distances_layers_and_bound(spark):
+    """Chain 1->2->3->4->5 from landmark 1 with max_hops=3: nodes 2,3,4
+    get exact hop counts, node 5 is beyond the budget; explicit
+    landmark list respected; frontier never rediscovers (dist unique)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (2, 1)], ["src", "dst"]
+    )
+    out = bfs_distances(edges, landmarks=[1], max_hops=3).collect()
+    got = {(r.node, r.landmark): r.dist for r in out}
+    assert len(out) == len(got)  # one row per (node, landmark)
+    assert got == {(1, 1): 0, (2, 1): 1, (3, 1): 2, (4, 1): 3}
+
+
+def test_bfs_distances_default_landmarks_multi_source(spark):
+    """Default landmarks = smallest node ids; a triangle reaches all
+    nodes within 1 hop of each landmark."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        bfs_distances,
+    )
+
+    tri = [(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2)]
+    out = bfs_distances(
+        spark.createDataFrame(tri, ["src", "dst"]), n_landmarks=2, max_hops=2
+    ).collect()
+    lms = {r.landmark for r in out}
+    assert lms == {1, 2}
+    d = {(r.landmark, r.node): r.dist for r in out}
+    assert d[(1, 1)] == 0 and d[(1, 2)] == 1 and d[(1, 3)] == 1
+    assert d[(2, 2)] == 0 and d[(2, 1)] == 1 and d[(2, 3)] == 1
