@@ -9928,6 +9928,167 @@ ORDER BY g1, g2
 """
 
 
+def q_l_diversity(spark, sf_dir):
+    """Per-equivalence-class l-diversity and t-closeness release audit
+    (audit.l_diversity_tcloseness; Machanavajjhala 2007, Li 2007) over
+    the q_k_anonymity quasi-identifiers (source, 200-char length
+    bucket) with lang sensitive: distinct-l, entropy-l (effective
+    number of sensitive values) and total-variation distance to the
+    corpus lang distribution — absent-value mass folded closed-form so
+    no class×domain grid exists."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.audit import (
+        l_diversity_tcloseness,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "len_bucket", (F.col("n_chars") / F.lit(200)).cast("long")
+    )
+    return l_diversity_tcloseness(
+        d, ["source", "len_bucket"], "lang"
+    ).transform(_by("source", "len_bucket"))
+
+
+Q_L_DIVERSITY_SQL = """
+WITH cs AS (
+  SELECT source, CAST(floor(n_chars / 200.0) AS BIGINT) AS len_bucket,
+         lang AS s, COUNT(*) AS n
+  FROM documents GROUP BY 1, 2, 3),
+tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM cs),
+gl AS (SELECT s, SUM(n) / (SELECT t FROM tot) AS gp FROM cs GROUP BY s),
+sized AS (
+  SELECT cs.*, SUM(n) OVER (PARTITION BY source, len_bucket) AS size
+  FROM cs)
+SELECT source, len_bucket,
+       CAST(MAX(size) AS BIGINT) AS size,
+       CAST(COUNT(*) AS BIGINT) AS l_distinct,
+       ROUND(exp(-SUM((n / CAST(size AS DOUBLE))
+                      * ln(n / CAST(size AS DOUBLE)))), 6) AS entropy_l,
+       ROUND(0.5 * (1.0 + SUM(abs(n / CAST(size AS DOUBLE) - g.gp)
+                              - g.gp)), 6) AS tvd
+FROM sized JOIN gl g USING (s)
+GROUP BY source, len_bucket
+ORDER BY source, len_bucket
+"""
+
+
+def q_cuped(spark, sf_dir):
+    """CUPED variance-reduced experiment readout (stats.
+    cuped_adjustment, Deng et al. 2013): per-user pre-period covariate
+    x = view count, metric y = purchase count, arms = user_id parity;
+    θ = pooled cov/var folds in as an exact literal (integer-valued
+    double sums are order-independent, so θ is bit-identical across
+    engines).  Two map-side-combined passes, zero joins."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        cuped_adjustment,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "view").cast("long")).alias("pre_views"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias(
+            "purchases"
+        ),
+    ).withColumn(
+        "arm",
+        F.when(F.col("user_id") % 2 == 0, F.lit("A")).otherwise(F.lit("B")),
+    )
+    return cuped_adjustment(
+        per_user, "arm", "pre_views", "purchases"
+    ).transform(_by("group"))
+
+
+Q_CUPED_SQL = """
+WITH u AS (
+  SELECT user_id,
+         CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS y,
+         CASE WHEN user_id % 2 = 0 THEN 'A' ELSE 'B' END AS arm
+  FROM events GROUP BY user_id),
+pooled AS (
+  SELECT SUM(x) / COUNT(*) AS xbar,
+         (SUM(x * y) - SUM(x) * SUM(y) / COUNT(*))
+           / (SUM(x * x) - SUM(x) * SUM(x) / COUNT(*)) AS theta
+  FROM u),
+adj AS (
+  SELECT arm, x, y,
+         y - (SELECT theta FROM pooled) * (x - (SELECT xbar FROM pooled))
+           AS ya
+  FROM u)
+SELECT arm AS "group",
+       CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(x), 6) AS mean_pre,
+       ROUND(AVG(y), 6) AS mean_y,
+       ROUND(AVG(ya), 6) AS mean_y_adj,
+       ROUND((SUM(y * y) - SUM(y) * SUM(y) / CAST(COUNT(*) AS DOUBLE))
+             / (CAST(COUNT(*) AS DOUBLE) - 1), 6) AS var_y,
+       ROUND((SUM(ya * ya) - SUM(ya) * SUM(ya) / CAST(COUNT(*) AS DOUBLE))
+             / (CAST(COUNT(*) AS DOUBLE) - 1), 6) AS var_y_adj,
+       ROUND(1.0 - ((SUM(ya * ya) - SUM(ya) * SUM(ya)
+                     / CAST(COUNT(*) AS DOUBLE))
+                    / (CAST(COUNT(*) AS DOUBLE) - 1))
+                 / ((SUM(y * y) - SUM(y) * SUM(y)
+                     / CAST(COUNT(*) AS DOUBLE))
+                    / (CAST(COUNT(*) AS DOUBLE) - 1)), 6)
+         AS var_reduction
+FROM adj GROUP BY arm ORDER BY arm
+"""
+
+
+def q_naive_bayes(spark, sf_dir):
+    """Multinomial Naive Bayes resubstitution audit (curation.
+    naive_bayes_classify): train bag-of-words lang models with Laplace
+    smoothing over the documents corpus and reclassify the same rows —
+    label-separability as a data-quality gate.  The smoothed
+    absent-term mass folds closed-form (score = ln prior − dl·ln(N_c+V)
+    + hit sum), so the one corpus-scale join is doc-term ⋈ class-term
+    on term; argmax is the round-9 contract, ties by label asc."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        naive_bayes_classify,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return naive_bayes_classify(d, "doc_id", "text", "lang").transform(
+        _by("id")
+    )
+
+
+Q_NAIVE_BAYES_SQL = """
+WITH tl AS (SELECT doc_id, lang,
+  list_filter(str_split(coalesce(text, ''), ' '), x -> x <> '') AS ts
+  FROM documents),
+tok AS (SELECT doc_id, lang, t.term
+        FROM tl, UNNEST(tl.ts) AS t(term)),
+dt AS (SELECT doc_id, term, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+ct AS (SELECT lang, term, COUNT(*) AS ntc FROM tok GROUP BY 1, 2),
+v AS (SELECT CAST(COUNT(DISTINCT term) AS DOUBLE) AS v FROM ct),
+cls AS (SELECT lang, COUNT(*) AS docs FROM documents GROUP BY lang),
+nd AS (SELECT CAST(SUM(docs) AS DOUBLE) AS n FROM cls),
+tpc AS (SELECT lang, SUM(ntc) AS nc FROM ct GROUP BY lang),
+hits AS (
+  SELECT dt.doc_id, ct.lang, SUM(dt.tf * ln(ct.ntc + 1)) AS h
+  FROM dt JOIN ct USING (term) GROUP BY 1, 2),
+base AS (SELECT doc_id, lang AS label, len(ts) AS dl FROM tl),
+scores AS (
+  SELECT b.doc_id, b.label, c.lang AS cand,
+         ln(CAST(c.docs AS DOUBLE) / (SELECT n FROM nd))
+           - b.dl * ln(t.nc + (SELECT v FROM v))
+           + COALESCE(h.h, 0.0) AS s
+  FROM base b
+  CROSS JOIN cls c
+  JOIN tpc t ON t.lang = c.lang
+  LEFT JOIN hits h ON h.doc_id = b.doc_id AND h.lang = c.lang),
+pick AS (
+  SELECT doc_id AS id, label, cand AS predicted, s,
+         ROW_NUMBER() OVER (PARTITION BY doc_id
+                            ORDER BY ROUND(s, 9) DESC, cand ASC) AS rn
+  FROM scores)
+SELECT id, label, predicted, ROUND(s, 6) AS score
+FROM pick WHERE rn = 1 ORDER BY id
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -10171,6 +10332,9 @@ _QUERIES_PAST_WINDOW = [
     "q_katz",
     "q_bfs_landmarks",
     "q_burrows_delta",
+    "q_l_diversity",
+    "q_cuped",
+    "q_naive_bayes",
 ]
 
 
@@ -10332,6 +10496,9 @@ def oracle_sql() -> dict[str, str]:
         "q_katz": _katz_sql(),
         "q_bfs_landmarks": Q_BFS_LANDMARKS_SQL,
         "q_burrows_delta": Q_BURROWS_DELTA_SQL,
+        "q_l_diversity": Q_L_DIVERSITY_SQL,
+        "q_cuped": Q_CUPED_SQL,
+        "q_naive_bayes": Q_NAIVE_BAYES_SQL,
         "q_good_turing": Q_GOOD_TURING_SQL,
         "q_heaps_law": Q_HEAPS_LAW_SQL,
         "q_doc_scalar_suite": Q_DOC_SCALAR_SUITE_SQL,

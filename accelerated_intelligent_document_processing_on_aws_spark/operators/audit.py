@@ -582,3 +582,82 @@ def k_anonymity_profile(
             "avg_ldiv",
         )
     )
+
+
+def l_diversity_tcloseness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-equivalence-class l-diversity and t-closeness — the two
+    release-audit criteria that catch what plain k-anonymity misses
+    (Machanavajjhala et al. 2007; Li et al. 2007): a large class whose
+    sensitive attribute is homogeneous (l-diversity 1) or whose
+    sensitive DISTRIBUTION is far from the corpus-wide one (high
+    t-closeness distance) still leaks, no matter how many rows share
+    the quasi key.  Completes the privacy family next to
+    ``k_anonymity_profile``'s class-size histogram.
+
+    Per class (one row per distinct quasi-identifier combination):
+    ``size, l_distinct, entropy_l`` (``exp`` of the Shannon entropy of
+    the class's sensitive distribution — the effective number of
+    sensitive values) and ``tvd``, the total-variation distance to the
+    global sensitive distribution.
+
+    TVD over the full sensitive domain needs NO class×domain grid:
+    values absent from the class contribute ``P_s/2`` each, so
+
+        tvd = 0.5 * (1 + Σ_{s∈class} (|p_cs − P_s| − P_s))
+
+    — one broadcast join of per-(class, s) rows against the
+    domain-sized global frequency frame.
+
+    Scale shape: corpus → (class, sensitive) counts in one map-side-
+    combined aggregate; everything downstream is class- or
+    domain-sized."""
+    qc = [F.col(c) for c in quasi_cols]
+    cs = df.groupBy(*qc, F.col(sensitive_col).alias("_s")).agg(
+        F.count(F.lit(1)).alias("_n")
+    )
+    cs = cs.localCheckpoint(eager=True)  # fans out: global freq + class rows
+    total = cs.agg(F.sum("_n")).first()[0] or 0
+    if total == 0:
+        return cs.select(
+            *quasi_cols,
+            F.lit(0).cast("long").alias("size"),
+            F.lit(0).cast("long").alias("l_distinct"),
+            F.lit(None).cast("double").alias("entropy_l"),
+            F.lit(None).cast("double").alias("tvd"),
+        )
+    glob = cs.groupBy("_s").agg(
+        (F.sum("_n") / F.lit(float(total))).alias("_gp")
+    )
+    w_size = F.sum("_n").over(
+        Window.partitionBy(*[F.col(c) for c in quasi_cols])
+    )
+    j = cs.withColumn("_size", w_size).join(F.broadcast(glob), "_s")
+    p = F.col("_n") / F.col("_size").cast("double")
+    return (
+        j.groupBy(*[F.col(c) for c in quasi_cols])
+        .agg(
+            F.max("_size").alias("size"),
+            F.count(F.lit(1)).alias("l_distinct"),
+            F.round(F.exp(-F.sum(p * F.log(p))), round_to).alias("entropy_l"),
+            F.round(
+                F.lit(0.5)
+                * (
+                    F.lit(1.0)
+                    + F.sum(F.abs(p - F.col("_gp")) - F.col("_gp"))
+                ),
+                round_to,
+            ).alias("tvd"),
+        )
+        .select(
+            *quasi_cols,
+            F.col("size").cast("long").alias("size"),
+            F.col("l_distinct").cast("long").alias("l_distinct"),
+            "entropy_l",
+            "tvd",
+        )
+    )

@@ -235,3 +235,33 @@ def test_zonemap_pruning_layouts(spark):
     assert pruned >= len(clustered) - 2  # only overlapping zones survive
     for r in clustered:
         assert (not r.pruned) == (r.vmax >= 100 and r.vmin <= 120)
+
+
+def test_l_diversity_tcloseness_hand_case(spark):
+    """Two classes over sensitive domain {x, y}: entropy-l and TVD match
+    the hand formulas; a homogeneous class has l=1, entropy_l=1, and
+    TVD = 1 - P(its value)."""
+    import math
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.audit import (
+        l_diversity_tcloseness,
+    )
+
+    rows = (
+        [("a", "x")] * 3 + [("a", "y")] * 1   # class a: 3x,1y
+        + [("b", "x")] * 4                     # class b: all x
+    )
+    df = spark.createDataFrame(rows, ["q", "s"])
+    got = {r.q: r for r in l_diversity_tcloseness(df, ["q"], "s").collect()}
+    # global: P(x)=7/8, P(y)=1/8
+    px, py = 7 / 8, 1 / 8
+    a = got["a"]
+    assert (a.size, a.l_distinct) == (4, 2)
+    h = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert a.entropy_l == round(math.exp(h), 6)
+    assert a.tvd == round(0.5 * (abs(0.75 - px) + abs(0.25 - py)), 6)
+    b = got["b"]
+    assert (b.size, b.l_distinct) == (4, 1)
+    assert b.entropy_l == 1.0
+    # class b misses y entirely: TVD = 0.5(|1-Px| + Py)
+    assert b.tvd == round(0.5 * (abs(1 - px) + py), 6)

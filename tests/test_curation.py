@@ -916,3 +916,43 @@ def test_ql_dirichlet_no_live_terms_empty(spark):
     out = ql_dirichlet_scores(df, "doc_id", "text", ["zz"])
     assert out.columns == ["doc_id", "n_hits", "ql"]
     assert out.count() == 0
+
+
+def test_naive_bayes_separable_labels(spark):
+    """Two cleanly separable vocabularies reclassify perfectly; the
+    winning score equals the hand-computed smoothed log-likelihood."""
+    import math
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        naive_bayes_classify,
+    )
+
+    df = spark.createDataFrame(
+        [
+            (1, "cat cat dog", "pets"),
+            (2, "dog cat", "pets"),
+            (3, "tax form fee", "forms"),
+            (4, "fee tax tax", "forms"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    out = {r.id: r for r in naive_bayes_classify(df, "doc_id", "text", "lang").collect()}
+    assert all(out[i].predicted == out[i].label for i in (1, 2, 3, 4))
+    # doc 2 under 'pets': V=5, N_pets=5, prior .5
+    # p(dog)=(2+1)/10, p(cat)=(3+1)/10
+    want = math.log(0.5) + math.log(3 / 10) + math.log(4 / 10)
+    assert out[2].score == round(want, 6)
+
+
+def test_naive_bayes_tie_breaks_ascending_label(spark):
+    """Symmetric corpus: identical scores resolve to the ascending
+    label in every row (the engine-portable contract)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        naive_bayes_classify,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "x", "a"), (2, "x", "b")], ["doc_id", "text", "lang"]
+    )
+    out = {r.id: r for r in naive_bayes_classify(df, "doc_id", "text", "lang").collect()}
+    assert out[1].predicted == "a" and out[2].predicted == "a"

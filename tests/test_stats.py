@@ -445,3 +445,48 @@ def test_wilson_interval_bounds(spark):
     assert a.lo < a.rate < a.hi and 0 < a.lo and a.hi < 1
     assert got["b"].rate == 1.0 and got["b"].lo < 1.0 and got["b"].hi <= 1.0
     assert got["c"].rate == 0.0 and got["c"].hi > 0.0 and got["c"].lo >= 0.0
+
+
+def test_cuped_matches_numpy_and_reduces_variance(spark):
+    """theta/xbar from pooled moments; adjusted variance equals numpy's
+    and shrinks when x correlates with y; mean treatment diff is
+    preserved up to the covariate imbalance term."""
+    import numpy as np
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        cuped_adjustment,
+    )
+
+    rng = np.random.RandomState(7)
+    x = rng.poisson(10, 200).astype(float)
+    y = 2 * x + rng.poisson(3, 200)
+    arm = np.where(np.arange(200) % 2 == 0, "A", "B")
+    rows = [(str(a), float(xi), float(yi)) for a, xi, yi in zip(arm, x, y)]
+    df = spark.createDataFrame(rows, ["arm", "x", "y"])
+    got = {r.group: r for r in cuped_adjustment(df, "arm", "x", "y").collect()}
+    theta = ((x * y).sum() - x.sum() * y.sum() / 200) / (
+        (x * x).sum() - x.sum() ** 2 / 200
+    )
+    ya = y - theta * (x - x.mean())
+    for g in ("A", "B"):
+        m = arm == g
+        assert got[g].n == int(m.sum())
+        assert got[g].mean_y_adj == round(float(ya[m].mean()), 6)
+        assert got[g].var_y_adj == round(float(ya[m].var(ddof=1)), 6)
+        assert got[g].var_reduction > 0.9  # strong covariate
+
+
+def test_cuped_zero_variance_covariate_noop(spark):
+    """Constant x: theta degenerates to 0 and adjusted = raw."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        cuped_adjustment,
+    )
+
+    df = spark.createDataFrame(
+        [("A", 1.0, 2.0), ("A", 1.0, 4.0), ("B", 1.0, 6.0), ("B", 1.0, 8.0)],
+        ["arm", "x", "y"],
+    )
+    got = {r.group: r for r in cuped_adjustment(df, "arm", "x", "y").collect()}
+    assert got["A"].mean_y_adj == got["A"].mean_y == 3.0
+    assert got["A"].var_y_adj == got["A"].var_y
+    assert got["A"].var_reduction == 0.0
