@@ -10089,6 +10089,129 @@ FROM pick WHERE rn = 1 ORDER BY id
 """
 
 
+def q_incremental_agg(spark, sf_dir):
+    """Incremental view maintenance (operators/cdc.py incremental_agg):
+    a per-event_type count+sum view materialized over a base snapshot
+    (event_id%10 != 0) is folded forward with a signed CDC delta batch
+    (inserts: the held-out %10 rows; deletes: base rows with
+    event_id%7 == 0) WITHOUT rescanning the base — one map-side-combined
+    delta aggregate plus one full-outer merge on the group key, groups
+    dropping when their maintained count hits zero.  Decimal measures
+    keep the merge bit-exact regardless of add order.  The oracle is the
+    IVM correctness statement itself: apply(view, delta) must equal a
+    full recompute over the net table."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.cdc import (
+        incremental_agg,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    val = F.col("value").cast("decimal(18,4)")
+    base = e.filter(F.col("event_id") % 10 != 0)
+    view = base.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(val).alias("sum_value"),
+    )
+    inserts = e.filter(F.col("event_id") % 10 == 0).select(
+        "event_type", val.alias("sum_value"), F.lit("insert").alias("op")
+    )
+    deletes = base.filter(F.col("event_id") % 7 == 0).select(
+        "event_type", val.alias("sum_value"), F.lit("delete").alias("op")
+    )
+    out = incremental_agg(
+        view, inserts.unionAll(deletes), ["event_type"], ["sum_value"]
+    )
+    return out.select(
+        "event_type",
+        "n_rows",
+        F.col("sum_value").cast("double").alias("sum_value"),
+    ).transform(_by("event_type"))
+
+
+Q_INCREMENTAL_AGG_SQL = """
+WITH net AS (
+  SELECT event_type, value FROM events
+  WHERE event_id % 10 <> 0 AND event_id % 7 <> 0
+  UNION ALL
+  SELECT event_type, value FROM events WHERE event_id % 10 = 0)
+SELECT event_type, COUNT(*) AS n_rows,
+       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+FROM net GROUP BY event_type ORDER BY event_type
+"""
+
+
+def q_table_diff(spark, sf_dir):
+    """Snapshot diff audit (operators/cdc.py table_diff): documents
+    version A vs a deterministically mutated version B (doc_id%7
+    removed, doc_id%3 retexted + relabeled, doc_id%50 inserted at a
+    shifted key) classified per key into added/removed/changed/unchanged
+    with the differing column names — ONE full-outer join on the key,
+    null-safe column compares, no second scan.  The snapshot-
+    reconciliation primitive for CDC validation and replication drift.
+    The oracle rebuilds version B and the same classification in SQL."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.cdc import (
+        table_diff,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    upd = F.col("doc_id") % 3 == 0
+    new = d.filter(F.col("doc_id") % 7 != 0).select(
+        "doc_id",
+        F.when(upd, F.concat(F.lit("v2:"), F.substring("text", 1, 60)))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        F.when(upd, F.lit("xx")).otherwise(F.col("lang")).alias("lang"),
+        "n_chars",
+    ).unionAll(
+        d.filter(F.col("doc_id") % 50 == 0).select(
+            (F.col("doc_id") + 1000000).alias("doc_id"),
+            F.concat(F.lit("new:"), F.col("source")).alias("text"),
+            F.col("lang"),
+            F.lit(None).cast("long").alias("n_chars"),
+        )
+    )
+    diff = table_diff(
+        d.select("doc_id", "text", "lang", "n_chars"),
+        new,
+        "doc_id",
+        ["text", "lang", "n_chars"],
+    )
+    return diff.select(
+        "doc_id",
+        "status",
+        F.array_join("changed_cols", ",").alias("changed_cols"),
+    ).transform(_by("doc_id"))
+
+
+Q_TABLE_DIFF_SQL = """
+WITH newv AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0 THEN 'v2:' || substr(text, 1, 60)
+              ELSE text END AS text,
+         CASE WHEN doc_id % 3 = 0 THEN 'xx' ELSE lang END AS lang,
+         n_chars
+  FROM documents WHERE doc_id % 7 <> 0
+  UNION ALL
+  SELECT doc_id + 1000000, 'new:' || source, lang, NULL
+  FROM documents WHERE doc_id % 50 = 0),
+j AS (
+  SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id,
+         o.doc_id IS NOT NULL AS in_old, n.doc_id IS NOT NULL AS in_new,
+         CASE WHEN o.text IS DISTINCT FROM n.text THEN 'text' END AS c1,
+         CASE WHEN o.lang IS DISTINCT FROM n.lang THEN 'lang' END AS c2,
+         CASE WHEN o.n_chars IS DISTINCT FROM n.n_chars THEN 'n_chars' END AS c3
+  FROM documents o FULL OUTER JOIN newv n ON o.doc_id = n.doc_id)
+SELECT doc_id,
+       CASE WHEN NOT in_old THEN 'added'
+            WHEN NOT in_new THEN 'removed'
+            WHEN c1 IS NOT NULL OR c2 IS NOT NULL OR c3 IS NOT NULL
+                 THEN 'changed'
+            ELSE 'unchanged' END AS status,
+       CASE WHEN in_old AND in_new
+            THEN concat_ws(',', c1, c2, c3) ELSE '' END AS changed_cols
+FROM j ORDER BY doc_id
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -10335,6 +10458,8 @@ _QUERIES_PAST_WINDOW = [
     "q_l_diversity",
     "q_cuped",
     "q_naive_bayes",
+    "q_incremental_agg",
+    "q_table_diff",
 ]
 
 
@@ -10525,6 +10650,8 @@ def oracle_sql() -> dict[str, str]:
         "q_anomaly_days": Q_ANOMALY_DAYS_SQL,
         "q_event_transitions": Q_EVENT_TRANSITIONS_SQL,
         "q_merge_upsert": Q_MERGE_UPSERT_SQL,
+        "q_incremental_agg": Q_INCREMENTAL_AGG_SQL,
+        "q_table_diff": Q_TABLE_DIFF_SQL,
         "q_scd2": Q_SCD2_SQL,
         "q_revenue_rollup": Q_REVENUE_ROLLUP_SQL,
         "q_kmv_distinct": Q_KMV_DISTINCT_SQL,

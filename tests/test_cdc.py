@@ -84,3 +84,64 @@ def test_scd2_tiebreak_determinism(spark):
     out = scd2_intervals(df, "k", "ts", ["a"], tiebreak=["eid"])
     first = out.orderBy("valid_from", F.col("is_current").desc()).first()
     assert out.count() == 3 and first.a == "a"
+
+
+def test_incremental_agg_matches_recompute(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.cdc import (
+        incremental_agg,
+    )
+
+    base = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("b", 5.0), ("c", 7.0)], "g string, v double"
+    )
+    view = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("v")
+    )
+    # delete both 'a' rows (group drops), delete one 'b'-insert pair that
+    # cancels, insert a brand-new group 'd'
+    delta = spark.createDataFrame(
+        [
+            ("a", 1.0, "delete"), ("a", 2.0, "delete"),
+            ("b", 9.0, "insert"), ("b", 9.0, "delete"),
+            ("d", 4.0, "insert"),
+        ],
+        "g string, v double, op string",
+    )
+    out = {r.g: (r.n_rows, r.v) for r in incremental_agg(view, delta, ["g"], ["v"]).collect()}
+    assert out == {"b": (1, 5.0), "c": (1, 7.0), "d": (1, 4.0)}
+
+
+def test_incremental_agg_empty_delta_is_identity(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.cdc import (
+        incremental_agg,
+    )
+
+    base = spark.createDataFrame([("a", 1.0)], "g string, v double")
+    view = base.groupBy("g").agg(
+        F.count(F.lit(1)).alias("n_rows"), F.sum("v").alias("v")
+    )
+    delta = spark.createDataFrame([], "g string, v double, op string")
+    out = incremental_agg(view, delta, ["g"], ["v"]).collect()
+    assert [(r.g, r.n_rows, r.v) for r in out] == [("a", 1, 1.0)]
+
+
+def test_table_diff_statuses(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.cdc import (
+        table_diff,
+    )
+
+    old = spark.createDataFrame(
+        [(1, "x", 10), (2, "y", 20), (3, "z", 30), (4, None, 40)],
+        "k long, a string, b long",
+    )
+    new = spark.createDataFrame(
+        [(1, "x", 10), (2, "Y", 21), (4, "w", 40), (5, "n", 50)],
+        "k long, a string, b long",
+    )
+    out = {r.k: (r.status, list(r.changed_cols)) for r in
+           table_diff(old, new, "k", ["a", "b"]).collect()}
+    assert out[1] == ("unchanged", [])
+    assert out[2] == ("changed", ["a", "b"])
+    assert out[3] == ("removed", [])
+    assert out[4] == ("changed", ["a"])  # NULL -> value counts as a change
+    assert out[5] == ("added", [])

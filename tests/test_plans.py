@@ -287,6 +287,11 @@ def test_no_query_plans_nested_loop_or_rowwise_python(spark):
         # 1-row global-count broadcast onto the ranked frame (the value
         # lookup itself is the bucketized range join — bin EQUI-join)
         "q_quantile_norm",
+        # groups×top-50-vocab grid materialization (absent terms must
+        # count as frequency 0 for the z-scores): both sides are
+        # aggregate outputs — n_groups rows × top_terms rows, metadata-
+        # sized by construction, corpus-size-independent
+        "q_burrows_delta",
     }
     for name, f in em.queries().items():
         p = plan_of(f(spark, "/root/testdata/sf0.001"))
