@@ -10212,6 +10212,162 @@ FROM j ORDER BY doc_id
 """
 
 
+def q_mutual_info(spark, sf_dir):
+    """Categorical association audit (operators/stats.py
+    categorical_association): mutual information, normalized MI,
+    chi-square and Cramér's V between documents.lang and
+    documents.source in ONE pass — the corpus collapses to the observed
+    (lang, source) cell frame map-side, marginals/entropies are
+    aggregates of that frame, and chi-square uses the marginal-product
+    identity n·(Σ o²/(r·c) − 1) so zero cells are exact without a full
+    category grid.  The feature-relevance gate run before trusting a
+    cheap proxy label.  The oracle replays the identical algebra in
+    SQL."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        categorical_association,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return categorical_association(d, "lang", "source")
+
+
+Q_MUTUAL_INFO_SQL = """
+WITH cells AS (
+  SELECT lang AS a, source AS b, CAST(COUNT(*) AS DOUBLE) AS o
+  FROM documents WHERE lang IS NOT NULL AND source IS NOT NULL
+  GROUP BY 1, 2),
+tot AS (SELECT SUM(o) AS n FROM cells),
+ra AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY a),
+cb AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY b),
+core AS (
+  SELECT SUM((o / n) * ln(o * n / (ra.ra * cb.cb))) AS mi,
+         SUM(o * o / (ra.ra * cb.cb)) AS s
+  FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot),
+ea AS (SELECT -SUM((ra / n) * ln(ra / n)) AS ha,
+              COUNT(*) AS r_levels FROM ra CROSS JOIN tot),
+eb AS (SELECT -SUM((cb / n) * ln(cb / n)) AS hb,
+              COUNT(*) AS c_levels FROM cb CROSS JOIN tot)
+SELECT CAST(n AS BIGINT) AS n, r_levels, c_levels,
+       ROUND(mi, 6) AS mi,
+       ROUND(CASE WHEN ha > 0 AND hb > 0 THEN mi / sqrt(ha * hb)
+                  ELSE 0.0 END, 6) AS nmi,
+       ROUND(n * (s - 1.0), 6) AS chi2,
+       CAST((r_levels - 1) * (c_levels - 1) AS BIGINT) AS dof,
+       ROUND(CASE WHEN LEAST(r_levels, c_levels) > 1 AND n > 0
+                  THEN sqrt(GREATEST(n * (s - 1.0), 0.0)
+                            / (n * (LEAST(r_levels, c_levels) - 1)))
+                  ELSE 0.0 END, 6) AS cramers_v
+FROM core CROSS JOIN tot CROSS JOIN ea CROSS JOIN eb
+"""
+
+
+def q_kendall_tau(spark, sf_dir):
+    """Kendall's tau-b between the daily click and purchase counts
+    (operators/stats.py kendall_tau_groups): the corpus collapses to a
+    ~30-row day frame in one aggregate; the i<j pair comparison runs
+    over that frame only (days² pairs, corpus-size-independent) and one
+    aggregate yields concordant/discordant/tie counts and the
+    tie-corrected tau_b.  The oracle is the identical pair algebra in
+    SQL."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        kendall_tau_groups,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    days = e.groupBy(F.to_date("ts").alias("day")).agg(
+        F.sum((F.col("event_type") == "click").cast("long")).alias("x"),
+        F.sum((F.col("event_type") == "purchase").cast("long")).alias("y"),
+    )
+    return kendall_tau_groups(days, "day", "x", "y")
+
+
+Q_KENDALL_TAU_SQL = """
+WITH days AS (
+  SELECT CAST(ts AS DATE) AS day,
+         CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS x,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS y
+  FROM events GROUP BY 1),
+pairs AS (
+  SELECT a.x AS x1, a.y AS y1, b.x AS x2, b.y AS y2
+  FROM days a JOIN days b ON a.day < b.day),
+agg AS (
+  SELECT COUNT(*) AS n0,
+         CAST(SUM(CASE WHEN (x1-x2)*(y1-y2) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS concordant,
+         CAST(SUM(CASE WHEN (x1-x2)*(y1-y2) < 0 THEN 1 ELSE 0 END) AS BIGINT) AS discordant,
+         CAST(SUM(CASE WHEN x1 = x2 THEN 1 ELSE 0 END) AS BIGINT) AS ties_x,
+         CAST(SUM(CASE WHEN y1 = y2 THEN 1 ELSE 0 END) AS BIGINT) AS ties_y
+  FROM pairs)
+SELECT CAST(ROUND((1.0 + sqrt(1.0 + 8.0 * n0)) / 2.0) AS BIGINT) AS n,
+       concordant, discordant, ties_x, ties_y,
+       ROUND(CASE WHEN (n0 - ties_x) > 0 AND (n0 - ties_y) > 0
+                  THEN (concordant - discordant)
+                       / sqrt(CAST((n0 - ties_x) AS DOUBLE) * (n0 - ties_y))
+             END, 6) AS tau_b
+FROM agg
+"""
+
+
+def q_sprt(spark, sf_dir):
+    """Wald SPRT early-stopping monitor (operators/stats.py
+    sprt_decision): four experiment arms (user_id % 4) walk their
+    purchase-indicator stream in (ts, event_id) order accumulating the
+    H1(p=0.25)-vs-H0(p=0.15) log-likelihood ratio; each arm reports the
+    FIRST boundary crossing (accept/reject/continue) and when it could
+    have stopped.  The llr is reconstructed from the integer success
+    cumsum (k·w₁ + (i−k)·w₀), so the walk is bit-identical across
+    engines.  The oracle replays the same walk with the same float
+    literals in SQL."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        sprt_decision,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    arms = e.select(
+        (F.col("user_id") % 4).alias("arm"),
+        (F.col("event_type") == "purchase").alias("success"),
+        "ts",
+        "event_id",
+    )
+    out = sprt_decision(
+        arms, "arm", "success", ["ts", "event_id"], p0=0.15, p1=0.25
+    )
+    return out.withColumnRenamed("group", "arm").transform(_by("arm"))
+
+
+import math as _math  # noqa: E402
+
+_SPRT_WS = repr(_math.log(0.25 / 0.15))
+_SPRT_WF = repr(_math.log(0.75 / 0.85))
+_SPRT_LA = repr(_math.log(0.95 / 0.05))
+_SPRT_LB = repr(_math.log(0.05 / 0.95))
+
+Q_SPRT_SQL = f"""
+WITH walk AS (
+  SELECT user_id % 4 AS arm,
+         ROW_NUMBER() OVER w AS i,
+         CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              OVER w AS DOUBLE) AS k
+  FROM events
+  WINDOW w AS (PARTITION BY user_id % 4 ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING)),
+llr AS (
+  SELECT arm, i,
+         k * ({_SPRT_WS}) + (i - k) * ({_SPRT_WF}) AS llr,
+         CASE WHEN k * ({_SPRT_WS}) + (i - k) * ({_SPRT_WF}) >= {_SPRT_LA}
+                   THEN 'accept_h1'
+              WHEN k * ({_SPRT_WS}) + (i - k) * ({_SPRT_WF}) <= {_SPRT_LB}
+                   THEN 'accept_h0' END AS crossed
+  FROM walk)
+SELECT arm,
+       MAX(i) AS n_total,
+       ROUND(MAX_BY(llr, i), 6) AS llr_final,
+       COALESCE(MIN_BY(crossed, CASE WHEN crossed IS NOT NULL THEN i END),
+                'continue') AS decision,
+       MIN(CASE WHEN crossed IS NOT NULL THEN i END) AS n_at_decision
+FROM llr GROUP BY arm ORDER BY arm
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -10460,6 +10616,9 @@ _QUERIES_PAST_WINDOW = [
     "q_naive_bayes",
     "q_incremental_agg",
     "q_table_diff",
+    "q_mutual_info",
+    "q_kendall_tau",
+    "q_sprt",
 ]
 
 
@@ -10652,6 +10811,9 @@ def oracle_sql() -> dict[str, str]:
         "q_merge_upsert": Q_MERGE_UPSERT_SQL,
         "q_incremental_agg": Q_INCREMENTAL_AGG_SQL,
         "q_table_diff": Q_TABLE_DIFF_SQL,
+        "q_mutual_info": Q_MUTUAL_INFO_SQL,
+        "q_kendall_tau": Q_KENDALL_TAU_SQL,
+        "q_sprt": Q_SPRT_SQL,
         "q_scd2": Q_SCD2_SQL,
         "q_revenue_rollup": Q_REVENUE_ROLLUP_SQL,
         "q_kmv_distinct": Q_KMV_DISTINCT_SQL,

@@ -1672,3 +1672,222 @@ def cuped_adjustment(
             "var_reduction"
         ),
     )
+
+
+def categorical_association(
+    df: DataFrame,
+    a_col,
+    b_col,
+    round_to: int = 6,
+) -> DataFrame:
+    """Association strength between two categorical columns in one row:
+    mutual information (nats), normalized MI (÷ sqrt(H_a·H_b)), the
+    chi-square statistic, its degrees of freedom and Cramér's V — the
+    feature-relevance readout a curation pipeline runs before trusting
+    a cheap label ("does source predict quality class?").
+
+    Chi-square uses the marginal-product identity
+    ``chi2 = n · (Σ_cells o²/(r_a·c_b) − 1)`` so zero-observation cells
+    (which contribute exactly their expected count under the classical
+    (o−e)²/e form, via o=0) are accounted for WITHOUT materializing the
+    full category grid — only observed cells are touched.  MI's zero
+    cells contribute 0 by continuity, so the same cells frame serves
+    both.
+
+    Scale shape: ONE map-side-combined (a, b) count collapses the corpus
+    to the observed-cell frame; marginals are two aggregates of that
+    frame and join back cell-side (cells ≪ corpus).  The only row count
+    that matters after the first shuffle is the number of distinct
+    (a, b) pairs.  The scalar total rides as a literal via a driver
+    count of the cells frame's sums — metadata-sized by construction.
+
+    Columns: ``n, r_levels, c_levels, mi, nmi, chi2, dof, cramers_v``.
+    """
+    a = a_col if isinstance(a_col, Column) else F.col(a_col)
+    b = b_col if isinstance(b_col, Column) else F.col(b_col)
+    cells = (
+        df.filter(a.isNotNull() & b.isNotNull())
+        .select(a.alias("_a"), b.alias("_b"))
+        .groupBy("_a", "_b")
+        .agg(F.count(F.lit(1)).alias("o"))
+    )
+    cells = cells.localCheckpoint(eager=True)  # fans out 3 ways below
+    ra = cells.groupBy("_a").agg(F.sum("o").alias("ra"))
+    cb = cells.groupBy("_b").agg(F.sum("o").alias("cb"))
+    n = cells.agg(F.sum("o")).first()[0]
+    if n is None:
+        n = 0
+    nf = F.lit(float(n))
+    j = cells.join(F.broadcast(ra), "_a").join(F.broadcast(cb), "_b")
+    o = F.col("o").cast("double")
+    raf = F.col("ra").cast("double")
+    cbf = F.col("cb").cast("double")
+    agg = j.agg(
+        F.sum((o / nf) * F.log((o * nf) / (raf * cbf))).alias("mi"),
+        F.sum((o * o) / (raf * cbf)).alias("_s"),
+        F.count(F.lit(1)).alias("_cells"),
+    )
+    ha = ra.agg(
+        (-F.sum((F.col("ra") / nf) * F.log(F.col("ra") / nf))).alias("ha"),
+        F.count(F.lit(1)).alias("r_levels"),
+    )
+    hb = cb.agg(
+        (-F.sum((F.col("cb") / nf) * F.log(F.col("cb") / nf))).alias("hb"),
+        F.count(F.lit(1)).alias("c_levels"),
+    )
+    out = agg.join(F.broadcast(ha)).join(F.broadcast(hb))
+    chi2 = nf * (F.col("_s") - F.lit(1.0))
+    dof = (F.col("r_levels") - 1) * (F.col("c_levels") - 1)
+    mink = F.least(F.col("r_levels"), F.col("c_levels")).cast("double")
+    return out.select(
+        F.lit(int(n)).alias("n"),
+        "r_levels",
+        "c_levels",
+        F.round(F.col("mi"), round_to).alias("mi"),
+        F.round(
+            F.when(
+                (F.col("ha") > 0) & (F.col("hb") > 0),
+                F.col("mi") / F.sqrt(F.col("ha") * F.col("hb")),
+            ).otherwise(F.lit(0.0)),
+            round_to,
+        ).alias("nmi"),
+        F.round(chi2, round_to).alias("chi2"),
+        dof.cast("long").alias("dof"),
+        F.round(
+            F.when(
+                (mink > 1) & (nf > 0), F.sqrt(F.greatest(chi2, F.lit(0.0)) / (nf * (mink - 1)))
+            ).otherwise(F.lit(0.0)),
+            round_to,
+        ).alias("cramers_v"),
+    )
+
+
+def kendall_tau_groups(
+    df: DataFrame,
+    key_col: str,
+    x_col,
+    y_col,
+    round_to: int = 6,
+) -> DataFrame:
+    """Kendall's tau-b rank correlation between two aligned series —
+    the tie-corrected concordance measure; unlike Spearman it is a
+    direct probability statement (P(concordant) − P(discordant)) and is
+    robust to a single wild rank.
+
+    Input is one row per key (e.g. per day) with the two measures; the
+    all-pairs i<j comparison runs over THAT frame, so the join is
+    keys², corpus-size-independent (the corpus collapsed to the keyed
+    frame upstream).  tau_b = (C−D)/sqrt((n0−t_x)(n0−t_y)) with
+    n0 = n(n−1)/2 and t_x/t_y the tied-pair counts, all from one
+    aggregate over the pair frame.
+
+    Columns: one row — ``n, concordant, discordant, ties_x, ties_y,
+    tau_b``.
+    """
+    x = x_col if isinstance(x_col, Column) else F.col(x_col)
+    y = y_col if isinstance(y_col, Column) else F.col(y_col)
+    s = df.select(F.col(key_col).alias("_k"), x.alias("_x"), y.alias("_y"))
+    a = s.select(
+        F.col("_k").alias("k1"), F.col("_x").alias("x1"), F.col("_y").alias("y1")
+    )
+    b = s.select(
+        F.col("_k").alias("k2"), F.col("_x").alias("x2"), F.col("_y").alias("y2")
+    )
+    pairs = a.join(F.broadcast(b), F.col("k1") < F.col("k2"))
+    dx = F.col("x1") - F.col("x2")
+    dy = F.col("y1") - F.col("y2")
+    agg = pairs.agg(
+        F.count(F.lit(1)).alias("n0"),
+        F.sum((dx * dy > 0).cast("long")).alias("concordant"),
+        F.sum((dx * dy < 0).cast("long")).alias("discordant"),
+        F.sum((dx == 0).cast("long")).alias("ties_x"),
+        F.sum((dy == 0).cast("long")).alias("ties_y"),
+    )
+    n0 = F.col("n0").cast("double")
+    cd = (F.col("concordant") - F.col("discordant")).cast("double")
+    denom = F.sqrt(
+        (n0 - F.col("ties_x").cast("double"))
+        * (n0 - F.col("ties_y").cast("double"))
+    )
+    # n from n0 = n(n-1)/2
+    nn = (F.lit(1.0) + F.sqrt(F.lit(1.0) + 8.0 * n0)) / 2.0
+    return agg.select(
+        F.round(nn).cast("long").alias("n"),
+        "concordant",
+        "discordant",
+        "ties_x",
+        "ties_y",
+        F.round(F.when(denom > 0, cd / denom), round_to).alias("tau_b"),
+    )
+
+
+def sprt_decision(
+    df: DataFrame,
+    group_col: str,
+    success_col,
+    order_cols,
+    p0: float,
+    p1: float,
+    alpha: float = 0.05,
+    beta: float = 0.05,
+    round_to: int = 6,
+) -> DataFrame:
+    """Wald's sequential probability ratio test per group: walk the
+    Bernoulli stream in ``order_cols`` order accumulating the
+    log-likelihood ratio of H1(p=p1) vs H0(p=p0); the decision fires at
+    the FIRST crossing of ln((1−β)/α) (accept H1) or ln(β/(1−α))
+    (accept H0).  The early-stopping monitor for filter rollouts —
+    at 10^12 events the whole point is deciding after the first few
+    thousand, and the operator reports exactly when each group could
+    have stopped.
+
+    One cumulative-sum window per group + one conditional aggregate; the
+    crossing row is found with a min-over-filtered aggregate, not a
+    driver loop.  Deterministic under parallelism iff ``order_cols`` is
+    a total order within each group (same contract as sectionize).
+
+    Columns: ``group, n_total, llr_final, decision ('accept_h1' /
+    'accept_h0' / 'continue'), n_at_decision`` (NULL when continuing).
+    """
+    import math
+
+    s = success_col if isinstance(success_col, Column) else F.col(success_col)
+    la = math.log((1.0 - beta) / alpha)
+    lb = math.log(beta / (1.0 - alpha))
+    w_succ = math.log(p1 / p0)
+    w_fail = math.log((1.0 - p1) / (1.0 - p0))
+    w = Window.partitionBy(group_col).orderBy(*order_cols)
+    # llr is reconstructed from the INTEGER success cumsum k as
+    # k·w_succ + (i−k)·w_fail — one multiply-add per row instead of a
+    # float cumsum, so the walk is bit-identical across engines
+    # regardless of how a windowed float SUM associates its additions
+    walked = df.select(
+        F.col(group_col).alias("group"),
+        F.sum(s.cast("long")).over(w).alias("_k"),
+        F.row_number().over(w).alias("_i"),
+    ).select(
+        "group",
+        "_i",
+        (
+            F.col("_k").cast("double") * F.lit(w_succ)
+            + (F.col("_i") - F.col("_k")).cast("double") * F.lit(w_fail)
+        ).alias("_llr"),
+    )
+    crossed = F.when(F.col("_llr") >= la, F.lit("accept_h1")).when(
+        F.col("_llr") <= lb, F.lit("accept_h0")
+    )
+    agg = walked.groupBy("group").agg(
+        F.max("_i").alias("n_total"),
+        F.round(F.max_by("_llr", "_i"), round_to).alias("llr_final"),
+        F.min(F.when(crossed.isNotNull(), F.col("_i"))).alias("n_at_decision"),
+        F.min_by(crossed, F.when(crossed.isNotNull(), F.col("_i"))).alias(
+            "_dec"
+        ),
+    )
+    return agg.select(
+        "group",
+        "n_total",
+        "llr_final",
+        F.coalesce(F.col("_dec"), F.lit("continue")).alias("decision"),
+        "n_at_decision",
+    )

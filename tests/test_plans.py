@@ -292,6 +292,13 @@ def test_no_query_plans_nested_loop_or_rowwise_python(spark):
         # aggregate outputs — n_groups rows × top_terms rows, metadata-
         # sized by construction, corpus-size-independent
         "q_burrows_delta",
+        # 1-row scalar attaches (the q_fleiss_kappa shape): the MI/chi2
+        # aggregate joins the 1-row entropy frames
+        "q_mutual_info",
+        # i<j pair join over the ~30-row day frame (the q_prop_ztest
+        # group-pair class — both sides per-day aggregates, days² pairs
+        # regardless of corpus size)
+        "q_kendall_tau",
     }
     for name, f in em.queries().items():
         p = plan_of(f(spark, "/root/testdata/sf0.001"))

@@ -490,3 +490,72 @@ def test_cuped_zero_variance_covariate_noop(spark):
     assert got["A"].mean_y_adj == got["A"].mean_y == 3.0
     assert got["A"].var_y_adj == got["A"].var_y
     assert got["A"].var_reduction == 0.0
+
+
+def test_categorical_association_hand(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        categorical_association,
+    )
+
+    # 2x2 perfectly-associated table: MI = ln 2, V = 1, chi2 = n
+    rows = [("a", "x")] * 5 + [("b", "y")] * 5
+    df = spark.createDataFrame(rows, "u string, v string")
+    r = categorical_association(df, "u", "v").first()
+    import math
+
+    assert r.n == 10 and r.r_levels == 2 and r.c_levels == 2
+    assert abs(r.mi - math.log(2)) < 1e-6
+    assert abs(r.nmi - 1.0) < 1e-6
+    assert abs(r.chi2 - 10.0) < 1e-6 and r.dof == 1
+    assert abs(r.cramers_v - 1.0) < 1e-6
+
+    # independent uniform 2x2: everything 0
+    rows = [("a", "x"), ("a", "y"), ("b", "x"), ("b", "y")]
+    r = categorical_association(
+        spark.createDataFrame(rows, "u string, v string"), "u", "v"
+    ).first()
+    assert abs(r.mi) < 1e-9 and abs(r.chi2) < 1e-9 and abs(r.cramers_v) < 1e-9
+
+
+def test_kendall_tau_hand(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        kendall_tau_groups,
+    )
+
+    # perfectly concordant
+    df = spark.createDataFrame(
+        [(1, 1.0, 10.0), (2, 2.0, 20.0), (3, 3.0, 30.0)], "k int, x double, y double"
+    )
+    r = kendall_tau_groups(df, "k", "x", "y").first()
+    assert (r.n, r.concordant, r.discordant, r.tau_b) == (3, 3, 0, 1.0)
+
+    # one tie in x: scipy.stats.kendalltau([1,1,2],[1,2,3]) = 0.816497
+    df = spark.createDataFrame(
+        [(1, 1.0, 1.0), (2, 1.0, 2.0), (3, 2.0, 3.0)], "k int, x double, y double"
+    )
+    r = kendall_tau_groups(df, "k", "x", "y").first()
+    assert r.ties_x == 1 and abs(r.tau_b - 0.816497) < 1e-6
+
+
+def test_sprt_decision_hand(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        sprt_decision,
+    )
+
+    # all-success stream must accept H1, and at the earliest index where
+    # k*ln(p1/p0) >= ln((1-b)/a): ln(2) per step, boundary 2.944 -> i=5
+    rows = [("g", True, i) for i in range(1, 21)]
+    df = spark.createDataFrame(rows, "g string, s boolean, i int")
+    r = sprt_decision(df, "g", "s", ["i"], p0=0.25, p1=0.5).first()
+    assert r.decision == "accept_h1" and r.n_at_decision == 5
+
+    # all-failure stream accepts H0
+    rows = [("g", False, i) for i in range(1, 41)]
+    df = spark.createDataFrame(rows, "g string, s boolean, i int")
+    r = sprt_decision(df, "g", "s", ["i"], p0=0.25, p1=0.5).first()
+    assert r.decision == "accept_h0" and r.n_at_decision is not None
+
+    # tiny stream stays undecided
+    df = spark.createDataFrame([("g", True, 1)], "g string, s boolean, i int")
+    r = sprt_decision(df, "g", "s", ["i"], p0=0.25, p1=0.5).first()
+    assert r.decision == "continue" and r.n_at_decision is None and r.n_total == 1
