@@ -10368,6 +10368,87 @@ FROM llr GROUP BY arm ORDER BY arm
 """
 
 
+def q_holt_forecast(spark, sf_dir):
+    """Holt double-exponential smoothing (operators/timeseries.py
+    holt_linear_daily) over each event_type's daily count series:
+    level+trend state with α=γ=1/2, one-step forecast = level+trend.
+    The corpus collapses to the (key, day) frame map-side; the
+    sequential recursion runs per key in ONE Arrow-batched
+    applyInPandas over that metadata-sized series.  Portability comes
+    from fixing the op ORDER: the DuckDB oracle walks the identical
+    recursion in a recursive CTE, so state is bit-identical at every
+    step."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        holt_linear_daily,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return holt_linear_daily(e, "event_type", "ts").transform(
+        _by("key", "day")
+    )
+
+
+Q_HOLT_FORECAST_SQL = """
+WITH RECURSIVE daily AS (
+  SELECT event_type AS key, strftime(ts, '%Y-%m-%d') AS day,
+         COUNT(*) AS n,
+         ROW_NUMBER() OVER (PARTITION BY event_type
+                            ORDER BY strftime(ts, '%Y-%m-%d')) AS i
+  FROM events GROUP BY 1, 2),
+holt AS (
+  -- e-notation literals: DuckDB types bare 0.5/0.0 as DECIMAL, which
+  -- would pin the recursive union's column type to scale-1 decimal and
+  -- quantize the state each step
+  SELECT key, i, day, n, CAST(n AS DOUBLE) AS level, 0.0e0 AS trend
+  FROM daily WHERE i = 1
+  UNION ALL
+  SELECT d.key, d.i, d.day, d.n,
+         0.5e0 * d.n + 0.5e0 * (h.level + h.trend),
+         0.5e0 * ((0.5e0 * d.n + 0.5e0 * (h.level + h.trend)) - h.level)
+           + 0.5e0 * h.trend
+  FROM holt h JOIN daily d ON d.key = h.key AND d.i = h.i + 1)
+SELECT key, day, n, ROUND(level, 6) AS level, ROUND(trend, 6) AS trend,
+       ROUND(level + trend, 6) AS forecast_next
+FROM holt ORDER BY key, day
+"""
+
+
+def q_mase_forecast(spark, sf_dir):
+    """Forecast-accuracy scoreboard (operators/timeseries.py
+    mase_daily): MAE of the naive (yesterday) and seasonal-naive
+    (same weekday) forecasts per event_type daily series, plus
+    MASE = MAE_naive/MAE_snaive over rows where both lags exist —
+    one ordered window for both lags, one aggregate.  Integer error
+    sums keep both engines exact until the final divisions."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        mase_daily,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return mase_daily(e, "event_type", "ts").transform(_by("key"))
+
+
+Q_MASE_FORECAST_SQL = """
+WITH daily AS (
+  SELECT event_type AS key, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2),
+lagged AS (
+  SELECT key,
+         ABS(n - LAG(n, 1) OVER w) AS e1,
+         ABS(n - LAG(n, 7) OVER w) AS es
+  FROM daily WINDOW w AS (PARTITION BY key ORDER BY day)),
+agg AS (
+  SELECT key, COUNT(*) AS n_eval,
+         CAST(SUM(e1) AS DOUBLE) AS s1, CAST(SUM(es) AS DOUBLE) AS ss
+  FROM lagged WHERE e1 IS NOT NULL AND es IS NOT NULL GROUP BY key)
+SELECT key, n_eval,
+       ROUND(s1 / n_eval, 6) AS mae_naive,
+       ROUND(ss / n_eval, 6) AS mae_snaive,
+       ROUND(CASE WHEN ss > 0 THEN s1 / ss END, 6) AS mase_naive
+FROM agg ORDER BY key
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -10619,6 +10700,8 @@ _QUERIES_PAST_WINDOW = [
     "q_mutual_info",
     "q_kendall_tau",
     "q_sprt",
+    "q_holt_forecast",
+    "q_mase_forecast",
 ]
 
 
@@ -10814,6 +10897,8 @@ def oracle_sql() -> dict[str, str]:
         "q_mutual_info": Q_MUTUAL_INFO_SQL,
         "q_kendall_tau": Q_KENDALL_TAU_SQL,
         "q_sprt": Q_SPRT_SQL,
+        "q_holt_forecast": Q_HOLT_FORECAST_SQL,
+        "q_mase_forecast": Q_MASE_FORECAST_SQL,
         "q_scd2": Q_SCD2_SQL,
         "q_revenue_rollup": Q_REVENUE_ROLLUP_SQL,
         "q_kmv_distinct": Q_KMV_DISTINCT_SQL,

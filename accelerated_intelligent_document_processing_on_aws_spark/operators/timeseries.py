@@ -760,3 +760,126 @@ def burstiness_daily(
             F.when(s > 0, F.col("_peak").cast("double") / mean), round_to
         ).alias("peak_to_mean"),
     )
+
+
+def holt_linear_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    alpha: float = 0.5,
+    gamma: float = 0.5,
+    round_to: int = 6,
+) -> DataFrame:
+    """Holt double-exponential smoothing of the daily event-count series
+    per key — level + trend state, the forecaster EWMA cannot be (EWMA
+    lags a trending series by a constant; Holt's trend term removes the
+    lag).  ``forecast_next`` is the one-step-ahead prediction
+    ``level + trend`` the alerting layer compares tomorrow's actual
+    against.
+
+        l_t = α·y_t + (1−α)(l_{t−1} + b_{t−1})
+        b_t = γ(l_t − l_{t−1}) + (1−γ)·b_{t−1}      (l_1 = y_1, b_1 = 0)
+
+    The recursion is SEQUENTIAL by construction, so engine portability
+    comes from fixing the operation ORDER, not from dyadic weights: both
+    this implementation and the SQL oracle evaluate the identical IEEE
+    expression sequence per step, giving bit-identical state at every t.
+
+    Scale shape: the corpus collapses to the (key, day) count frame in
+    one map-side-combined aggregate; the recursion runs per key over
+    that metadata-sized series inside ONE applyInPandas (Arrow-batched;
+    a group is #days rows, never corpus rows).  Columns: ``key, day, n,
+    level, trend, forecast_next``.
+    """
+    import pandas as pd
+
+    daily = (
+        df.groupBy(
+            F.col(key_col).alias("key"),
+            F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+    def _holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("day").reset_index(drop=True)
+        lvl, trd = [], []
+        l = b = None
+        for y in pdf["n"].astype("float64"):
+            if l is None:
+                l, b = float(y), 0.0
+            else:
+                l_new = alpha * y + (1.0 - alpha) * (l + b)
+                b = gamma * (l_new - l) + (1.0 - gamma) * b
+                l = l_new
+            lvl.append(l)
+            trd.append(b)
+        pdf["level"] = lvl
+        pdf["trend"] = trd
+        pdf["forecast_next"] = [a + c for a, c in zip(lvl, trd)]
+        return pdf
+
+    out = daily.groupBy("key").applyInPandas(
+        _holt,
+        "key string, day string, n long, level double, trend double, "
+        "forecast_next double",
+    )
+    # rounding happens JVM-side: F.round's tie rule (half away from zero)
+    # matches SQL ROUND, while Python's round() is banker's — Holt state
+    # is dyadic-rational early on and CAN land exactly on a 6-dp tie
+    return out.select(
+        "key",
+        "day",
+        "n",
+        F.round("level", round_to).alias("level"),
+        F.round("trend", round_to).alias("trend"),
+        F.round("forecast_next", round_to).alias("forecast_next"),
+    )
+
+
+def mase_daily(
+    df: DataFrame,
+    key_col: str,
+    ts_col: str,
+    season: int = 7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Forecast-accuracy scoreboard on the daily series per key: MAE of
+    the naive (yesterday) and seasonal-naive (same weekday) forecasts,
+    and the Mean Absolute Scaled Error of the naive forecaster —
+    ``MASE = MAE_naive / MAE_seasonal-naive`` over the rows where BOTH
+    forecasts exist (Hyndman & Koehler 2006; MASE < 1 means the method
+    beats the seasonal baseline it is scaled by).  The sanity gate run
+    before trusting any fancier forecaster on pipeline-volume series.
+
+    One (key ORDER BY day) window provides both lags; one aggregate per
+    key finishes.  Columns: ``key, n_eval, mae_naive, mae_snaive,
+    mase_naive`` (NULL mase when the seasonal MAE is 0).
+    """
+    daily = df.groupBy(
+        F.col(key_col).alias("key"),
+        F.date_format(F.col(ts_col), "yyyy-MM-dd").alias("day"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("key").orderBy("day")
+    lag1 = F.lag("n", 1).over(w)
+    lags = F.lag("n", season).over(w)
+    scored = daily.select(
+        "key",
+        F.abs(F.col("n") - lag1).cast("double").alias("e1"),
+        F.abs(F.col("n") - lags).cast("double").alias("es"),
+    ).filter(F.col("e1").isNotNull() & F.col("es").isNotNull())
+    agg = scored.groupBy("key").agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.sum("e1").alias("s1"),
+        F.sum("es").alias("ss"),
+    )
+    ne = F.col("n_eval").cast("double")
+    return agg.select(
+        "key",
+        "n_eval",
+        F.round(F.col("s1") / ne, round_to).alias("mae_naive"),
+        F.round(F.col("ss") / ne, round_to).alias("mae_snaive"),
+        F.round(
+            F.when(F.col("ss") > 0, F.col("s1") / F.col("ss")), round_to
+        ).alias("mase_naive"),
+    )

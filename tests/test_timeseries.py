@@ -242,3 +242,47 @@ def test_theil_sen_robust_to_outlier(spark):
     rows2 = rows + [("k", t0 + dt.timedelta(days=3, seconds=10_000 + i)) for i in range(500)]
     dirty = {r.key: r for r in theil_sen_daily(spark.createDataFrame(rows2, ["k", "ts"]), "k", "ts").collect()}
     assert abs(dirty["k"].slope - 3.0) < 2.0  # median resists the spike
+
+
+def test_holt_linear_hand(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        holt_linear_daily,
+    )
+    from datetime import datetime
+
+    # one event per (day, count) spec: day i gets counts[i] events
+    counts = [4, 8, 6]
+    rows = [
+        ("k", datetime(2024, 1, 1 + i, 12, 0, 0))
+        for i, c in enumerate(counts)
+        for _ in range(c)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    out = {r.day: r for r in holt_linear_daily(df, "k", "ts").collect()}
+    # l1=4, b1=0; l2=.5*8+.5*4=6, b2=.5*(6-4)=1; l3=.5*6+.5*7=6.5,
+    # b3=.5*(6.5-6)+.5*1=0.75
+    assert out["2024-01-01"].level == 4.0 and out["2024-01-01"].trend == 0.0
+    assert out["2024-01-02"].level == 6.0 and out["2024-01-02"].trend == 1.0
+    assert out["2024-01-03"].level == 6.5 and out["2024-01-03"].trend == 0.75
+    assert out["2024-01-03"].forecast_next == 7.25
+
+
+def test_mase_hand(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        mase_daily,
+    )
+    from datetime import datetime
+
+    # 4-day series with season=2: counts 1,2,3,5
+    counts = [1, 2, 3, 5]
+    rows = [
+        ("k", datetime(2024, 1, 1 + i, 12, 0, 0))
+        for i, c in enumerate(counts)
+        for _ in range(c)
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp")
+    r = mase_daily(df, "k", "ts", season=2).first()
+    # rows with both lags: days 3,4 -> e1 = |3-2|,|5-3| = 1,2; es = |3-1|,|5-2| = 2,3
+    assert r.n_eval == 2
+    assert r.mae_naive == 1.5 and r.mae_snaive == 2.5
+    assert r.mase_naive == 0.6
