@@ -10449,6 +10449,102 @@ FROM agg ORDER BY key
 """
 
 
+def q_random_projection(spark, sf_dir):
+    """JL random projection + distortion audit (operators/similarity.py
+    random_projection_audit): 64-dim embeddings project through a
+    deterministic md5-parity ±1 sign matrix to 8 dims via posexplode +
+    broadcast sign join + one (id, j) aggregate; adjacent-id pairs
+    report d² before/after and the JL ratio.  Integer-quantized domain
+    keeps both distances exact under any summation order.  The oracle
+    derives the SAME sign matrix from md5 in SQL."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        random_projection_audit,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return random_projection_audit(e).transform(_by("id_a"))
+
+
+Q_RANDOM_PROJECTION_SQL = """
+WITH q AS (
+  SELECT vec_id AS id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> floor(x * 1048576.0)) AS qv
+  FROM embeddings),
+cells AS (
+  SELECT id, generate_subscripts(qv, 1) - 1 AS i, unnest(qv) AS x FROM q),
+signs AS (
+  SELECT CAST(t.i AS INT) AS i, CAST(u.j AS INT) AS j,
+         CASE WHEN substr(md5(t.i || ':' || u.j), 32, 1)
+                   IN ('0','2','4','6','8','a','c','e')
+              THEN 1.0e0 ELSE -1.0e0 END AS s
+  FROM range(64) t(i) CROSS JOIN range(8) u(j)),
+proj AS (
+  SELECT id, j, SUM(x * s) AS p FROM cells JOIN signs USING (i)
+  GROUP BY 1, 2),
+d2p AS (
+  SELECT a.id AS id_a, SUM((a.p - b.p) * (a.p - b.p)) AS d2_proj
+  FROM proj a JOIN proj b ON b.id = a.id + 1 AND b.j = a.j
+  GROUP BY 1),
+d2o AS (
+  SELECT a.id AS id_a, b.id AS id_b,
+         list_sum(list_transform(range(1, 65),
+                  i -> (a.qv[i] - b.qv[i]) * (a.qv[i] - b.qv[i]))) AS d2_orig
+  FROM q a JOIN q b ON b.id = a.id + 1)
+SELECT id_a, id_b, CAST(d2_orig AS DOUBLE) AS d2_orig, d2_proj,
+       ROUND(CASE WHEN d2_orig > 0 THEN d2_proj / (8.0 * d2_orig) END, 6)
+         AS jl_ratio
+FROM d2o JOIN d2p USING (id_a) ORDER BY id_a
+"""
+
+
+def q_scalar_quant(spark, sf_dir):
+    """int8 scalar quantization audit (operators/similarity.py
+    scalar_quantize_audit): per-vector min/max codes, position-weighted
+    code checksum, exact scaled squared reconstruction error and MSE in
+    ppm — pure higher-order-function algebra, zero shuffles.  The
+    integer-domain error identity err·L = q·L − (min·L + code·(max−min))
+    keeps both engines bit-exact until the final division."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        scalar_quantize_audit,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return scalar_quantize_audit(e).transform(_by("id"))
+
+
+Q_SCALAR_QUANT_SQL = """
+WITH q AS (
+  SELECT vec_id AS id,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> floor(x * 1048576.0)) AS qv
+  FROM embeddings),
+st AS (
+  SELECT id, qv,
+         list_aggregate(qv, 'min') AS mn,
+         list_aggregate(qv, 'max') AS mx,
+         list_aggregate(qv, 'max') - list_aggregate(qv, 'min') AS rng
+  FROM q),
+coded AS (
+  SELECT id, qv, mn, mx, rng,
+         CASE WHEN rng > 0
+              THEN list_transform(qv, x -> floor((x - mn) * 255.0e0 / rng))
+              ELSE list_transform(qv, x -> 0.0e0) END AS codes
+  FROM st)
+SELECT id, mn AS qmin, mx AS qmax,
+       list_sum(list_transform(range(1, 65), i -> codes[i] * i)) AS code_checksum,
+       list_sum(list_transform(range(1, 65),
+         i -> (qv[i] * 255.0e0 - (mn * 255.0e0 + codes[i] * rng))
+            * (qv[i] * 255.0e0 - (mn * 255.0e0 + codes[i] * rng)))) AS sse_scaled,
+       ROUND(list_sum(list_transform(range(1, 65),
+         i -> (qv[i] * 255.0e0 - (mn * 255.0e0 + codes[i] * rng))
+            * (qv[i] * 255.0e0 - (mn * 255.0e0 + codes[i] * rng))))
+         * 1.0e6 / (64.0e0 * 1048576.0e0 * 1048576.0e0 * 255.0e0 * 255.0e0),
+         6) AS mse_ppm
+FROM coded ORDER BY id
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -10702,6 +10798,8 @@ _QUERIES_PAST_WINDOW = [
     "q_sprt",
     "q_holt_forecast",
     "q_mase_forecast",
+    "q_random_projection",
+    "q_scalar_quant",
 ]
 
 
@@ -10899,6 +10997,8 @@ def oracle_sql() -> dict[str, str]:
         "q_sprt": Q_SPRT_SQL,
         "q_holt_forecast": Q_HOLT_FORECAST_SQL,
         "q_mase_forecast": Q_MASE_FORECAST_SQL,
+        "q_random_projection": Q_RANDOM_PROJECTION_SQL,
+        "q_scalar_quant": Q_SCALAR_QUANT_SQL,
         "q_scd2": Q_SCD2_SQL,
         "q_revenue_rollup": Q_REVENUE_ROLLUP_SQL,
         "q_kmv_distinct": Q_KMV_DISTINCT_SQL,

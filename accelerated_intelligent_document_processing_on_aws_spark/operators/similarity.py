@@ -1136,3 +1136,178 @@ def centroid_drift(
             F.when((F.col("_na") > 0) & (F.col("_nb") > 0), cos), round_to
         ).alias("cos_sim"),
     )
+
+
+def random_projection_audit(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_dim: int = 8,
+    quantize_bits: int = 20,
+    round_to: int = 6,
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection with a built-in distortion
+    audit: project each vector through a DETERMINISTIC ±1 sign matrix
+    (sign(i,j) = parity of the last md5 hex digit of "i:j" — a portable
+    seeded matrix no engine has to ship) and report, for each adjacent
+    id pair, the squared L2 distance before and after projection plus
+    the JL ratio ``d²_proj / (k · d²_orig)`` (≈1 when the projection
+    preserves geometry; E[‖Sx‖²] = k‖x‖² for ±1 entries).
+
+    Exactness: vectors are floor-quantized to integers
+    (``quantized_vec``), so projections are ±1 integer sums and both
+    distances are integer-exact in float64 under ANY summation order —
+    the ratio is the only rounding site.
+
+    Scale shape: one posexplode (dim rows per vector) + a broadcast join
+    against the dim×k sign table + one (id, j) aggregate — the shape a
+    10^12-row projection job wants (no per-row Python, no driver matrix
+    shipping); the audit pair join is id-adjacent equi.
+
+    Columns: ``id_a, id_b, d2_orig, d2_proj, jl_ratio``.
+    """
+    spark = emb.sparkSession
+    q = emb.select(
+        F.col(id_col).alias("id"), quantized_vec(F.col(vec_col), quantize_bits).alias("q")
+    )
+    q = q.localCheckpoint(eager=False)  # fans out: cells + orig distances
+    dim = len(emb.select(vec_col).first()[0])
+    even = [str(c) for c in "02468ace"]
+    signs = (
+        spark.range(dim)
+        .select(F.col("id").cast("int").alias("i"))
+        .select("i", F.explode(F.sequence(F.lit(0), F.lit(out_dim - 1))).alias("j"))
+        .withColumn(
+            "s",
+            F.when(
+                F.substring(F.md5(F.concat_ws(":", "i", "j")), 32, 1).isin(even),
+                F.lit(1.0),
+            ).otherwise(F.lit(-1.0)),
+        )
+    )
+    cells = q.select("id", F.posexplode("q").alias("i", "x"))
+    proj = (
+        cells.join(F.broadcast(signs), "i")
+        .groupBy("id", "j")
+        .agg(F.sum(F.col("x") * F.col("s")).alias("p"))
+    )
+    pa = proj.select(F.col("id").alias("id_a"), "j", F.col("p").alias("pa"))
+    pb = proj.select((F.col("id") - 1).alias("id_a"), "j", F.col("p").alias("pb"))
+    d2p = (
+        pa.join(pb, ["id_a", "j"])
+        .groupBy("id_a")
+        .agg(F.sum((F.col("pa") - F.col("pb")) * (F.col("pa") - F.col("pb"))).alias("d2_proj"))
+    )
+    qa = q.select(F.col("id").alias("id_a"), F.col("q").alias("qa"))
+    qb = q.select((F.col("id") - 1).alias("id_a"), F.col("q").alias("qb"))
+    d2o = qa.join(qb, "id_a").select(
+        "id_a",
+        (F.col("id_a") + 1).alias("id_b"),
+        F.aggregate(
+            F.zip_with("qa", "qb", lambda a, b: (a - b) * (a - b)),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("d2_orig"),
+    )
+    return d2o.join(d2p, "id_a").select(
+        "id_a",
+        "id_b",
+        "d2_orig",
+        "d2_proj",
+        F.round(
+            F.when(
+                F.col("d2_orig") > 0,
+                F.col("d2_proj") / (F.lit(float(out_dim)) * F.col("d2_orig")),
+            ),
+            round_to,
+        ).alias("jl_ratio"),
+    )
+
+
+def scalar_quantize_audit(
+    emb: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    levels: int = 255,
+    quantize_bits: int = 20,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-vector int8 scalar quantization with reconstruction-error
+    audit — the 4×-compression baseline every vector store offers
+    (codes = floor((x−min)·L/(max−min)) against the vector's own
+    min/max).  Reports the exact scaled squared error and the MSE in
+    original units, plus a position-weighted code checksum that pins the
+    code vector itself.
+
+    Exactness: everything runs in the floor-quantized integer domain —
+    ``err·L = q·L − (min·L + code·(max−min))`` is an integer, so the
+    error sum is exact in float64 under any order; MSE is the single
+    final division.  Constant vectors quantize to code 0 with zero
+    error.
+
+    Scale shape: pure per-row higher-order-function algebra (transform /
+    aggregate / zip_with) — no shuffle at all; the 10^12-row case is
+    embarrassingly parallel scan work.
+
+    Columns: ``id, qmin, qmax, code_checksum, sse_scaled, mse_ppm``.
+    """
+    L = float(levels)
+    q = emb.select(
+        F.col(id_col).alias("id"),
+        quantized_vec(F.col(vec_col), quantize_bits).alias("q"),
+    )
+    mn, mx = F.array_min("q"), F.array_max("q")
+    rng = (mx - mn).alias("rng")
+    base = q.select("id", "q", mn.alias("mn"), mx.alias("mx"), rng)
+    codes = F.when(
+        F.col("rng") > 0,
+        F.transform(
+            "q",
+            lambda x: F.floor((x - F.col("mn")) * F.lit(L) / F.col("rng")).cast(
+                "double"
+            ),
+        ),
+    ).otherwise(F.transform("q", lambda x: F.lit(0.0)))
+    scored = base.withColumn("codes", codes).select(
+        "id",
+        F.col("mn").alias("qmin"),
+        F.col("mx").alias("qmax"),
+        F.aggregate(
+            F.zip_with(
+                "codes",
+                F.sequence(F.lit(1), F.size("codes")),
+                lambda c, i: c * i.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("code_checksum"),
+        F.aggregate(
+            F.zip_with(
+                "q",
+                "codes",
+                lambda x, c: (
+                    x * F.lit(L) - (F.col("mn") * F.lit(L) + c * F.col("rng"))
+                )
+                * (x * F.lit(L) - (F.col("mn") * F.lit(L) + c * F.col("rng"))),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        ).alias("sse_scaled"),
+        F.size("q").alias("_d"),
+    )
+    scale = float((1 << quantize_bits)) ** 2 * L * L
+    return scored.select(
+        "id",
+        "qmin",
+        "qmax",
+        "code_checksum",
+        "sse_scaled",
+        # MSE reported in parts-per-million of original units² (raw MSE is
+        # ~1e-6 for unit-norm vectors — ppm keeps 6-dp rounding meaningful)
+        F.round(
+            F.col("sse_scaled")
+            * F.lit(1e6)
+            / (F.col("_d").cast("double") * F.lit(scale)),
+            round_to,
+        ).alias("mse_ppm"),
+    )

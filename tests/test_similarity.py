@@ -464,3 +464,44 @@ def test_hard_negative_band_and_collision(spark, emb):
     assert len(got) > 0
     assert all(0.20 <= r.sim < 0.35 for r in got)
     assert all(r.id_a < r.id_b for r in got)
+
+
+def test_random_projection_audit_jl_ratio(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        random_projection_audit,
+    )
+
+    # orthogonal unit-ish vectors: ratios concentrate around 1 (JL)
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    rows = [(i, [float(x) for x in rng.randn(64) * 0.1]) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = random_projection_audit(df).collect()
+    assert len(out) == 39
+    ratios = [r.jl_ratio for r in out]
+    assert all(r is not None and 0.05 < r < 5.0 for r in ratios)
+    # mean ratio near 1 (expectation is exactly 1 for +-1 projections)
+    assert 0.6 < sum(ratios) / len(ratios) < 1.6
+    # distances are integer-exact in the quantized domain
+    assert all(float(r.d2_orig).is_integer() and float(r.d2_proj).is_integer() for r in out)
+
+
+def test_scalar_quantize_audit_hand(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        scalar_quantize_audit,
+    )
+
+    # constant vector: zero error, all codes 0
+    rows = [(1, [0.5] * 64), (2, [float(i) / 64.0 for i in range(64)])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = {r.id: r for r in scalar_quantize_audit(df).collect()}
+    assert out[1].sse_scaled == 0.0 and out[1].code_checksum == 0.0
+    assert out[1].mse_ppm == 0.0
+    # ramp vector: codes are a monotone ramp 0..255-ish; floor
+    # quantization error is one-sided, bounded by one full step, and
+    # sse_scaled is in err*L units: per-element bound (step*255)^2
+    r = out[2]
+    step = (r.qmax - r.qmin) / 255.0
+    assert 0 < r.sse_scaled <= 64 * (step * 255.0 + 255.0) ** 2
+    assert r.code_checksum > 0
