@@ -10545,6 +10545,62 @@ FROM coded ORDER BY id
 """
 
 
+def q_rake_keywords(spark, sf_dir):
+    """RAKE keyphrase extraction (operators/corpus.py rake_keywords):
+    stopword-free token runs become candidate phrases via ONE
+    gaps-and-islands window; word degree/frequency scores aggregate
+    map-side and broadcast back; per-doc top-2 phrases by summed word
+    score with deterministic tie-break.  The document-local keyphrase
+    labeler (TextRank's cheap sibling).  The oracle replays islands +
+    scoring with the same stopword literal in SQL."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        rake_keywords,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return rake_keywords(d, "doc_id", "text").transform(_by("id", "rank"))
+
+
+from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (  # noqa: E402
+    RAKE_STOPWORDS as _RAKE_SW,
+)
+
+_RAKE_SW_SQL = ", ".join(f"'{s}'" for s in _RAKE_SW)
+
+Q_RAKE_KEYWORDS_SQL = f"""
+WITH nm AS (SELECT doc_id AS id, {_NORM_SQL} AS nt FROM documents),
+arr AS (SELECT id, list_filter(str_split(nt, ' '), t -> t <> '') AS w FROM nm),
+toks AS (
+  SELECT id, i - 1 AS pos, w[i] AS term
+  FROM arr, UNNEST(range(1, len(w) + 1)) t(i)),
+marked AS (
+  SELECT id, pos, term, term IN ({_RAKE_SW_SQL}) AS stop FROM toks),
+islands AS (
+  SELECT id, pos, term,
+         SUM(CASE WHEN stop THEN 1 ELSE 0 END)
+           OVER (PARTITION BY id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS isl
+  FROM marked QUALIFY NOT stop),
+phrases AS (
+  SELECT id, isl, string_agg(term, ' ' ORDER BY pos) AS phrase,
+         CAST(COUNT(*) AS BIGINT) AS n_words
+  FROM islands GROUP BY id, isl),
+scores AS (
+  SELECT i.term,
+         CAST(SUM(p.n_words) AS DOUBLE) / COUNT(*) AS wscore
+  FROM islands i JOIN phrases p USING (id, isl) GROUP BY i.term),
+pscore AS (
+  SELECT i.id, i.isl, SUM(s.wscore) AS raw
+  FROM islands i JOIN scores s USING (term) GROUP BY i.id, i.isl),
+ranked AS (
+  SELECT p.id, p.phrase, p.n_words, ROUND(ps.raw, 6) AS score
+  FROM phrases p JOIN pscore ps USING (id, isl))
+SELECT id, phrase, n_words, score,
+       CAST(ROW_NUMBER() OVER (PARTITION BY id
+                               ORDER BY score DESC, phrase ASC) AS INT) AS rank
+FROM ranked QUALIFY rank <= 2 ORDER BY id, rank
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -10800,6 +10856,7 @@ _QUERIES_PAST_WINDOW = [
     "q_mase_forecast",
     "q_random_projection",
     "q_scalar_quant",
+    "q_rake_keywords",
 ]
 
 
@@ -10999,6 +11056,7 @@ def oracle_sql() -> dict[str, str]:
         "q_mase_forecast": Q_MASE_FORECAST_SQL,
         "q_random_projection": Q_RANDOM_PROJECTION_SQL,
         "q_scalar_quant": Q_SCALAR_QUANT_SQL,
+        "q_rake_keywords": Q_RAKE_KEYWORDS_SQL,
         "q_scd2": Q_SCD2_SQL,
         "q_revenue_rollup": Q_REVENUE_ROLLUP_SQL,
         "q_kmv_distinct": Q_KMV_DISTINCT_SQL,

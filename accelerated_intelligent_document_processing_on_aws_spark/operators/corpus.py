@@ -896,3 +896,90 @@ def burrows_delta(
             ).alias("delta"),
         )
     )
+
+
+#: RAKE phrase-boundary stopwords (fixed, deliberately small — the
+#: operator takes any set; oracles embed the same literal list)
+RAKE_STOPWORDS = (
+    "the", "of", "and", "a", "an", "to", "in", "is", "it", "that",
+    "this", "for", "on", "with", "as", "are", "was", "be", "by", "at",
+    "or", "from", "not", "but", "we",
+)
+
+
+def rake_keywords(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    stopwords: tuple = RAKE_STOPWORDS,
+    top_k: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """RAKE keyword extraction (Rose et al. 2010): candidate phrases are
+    maximal stopword-free token runs; each word scores
+    ``degree/frequency`` where degree sums the lengths of every phrase
+    the word occurs in (co-occurrence incl. self) and frequency counts
+    its phrase occurrences; a phrase scores the sum of its words'
+    scores.  Returns each document's ``top_k`` phrases.
+
+    Unlike TF-IDF/TextRank (corpus- or graph-relative), RAKE is
+    document-local and phrase-shaped — the cheap keyphrase extractor for
+    corpus labeling at 10^12 turns.
+
+    Plan shape: tokens explode once; phrase runs come from the
+    gaps-and-islands cumsum over ONE (doc ORDER BY pos) window; word
+    stats are a map-side-combined aggregate of the phrase-token frame,
+    broadcast back onto it; per-doc top-k is a bounded row_number.
+    Ties break (score DESC, phrase ASC) for determinism.
+
+    Columns: ``id, phrase, n_words, score, rank``.
+    """
+    toks = _token_rows(df, id_col, text_col)
+    sw = F.array(*[F.lit(s) for s in stopwords])
+    w = Window.partitionBy("id").orderBy("pos")
+    marked = toks.withColumn("_stop", F.array_contains(sw, F.col("term")))
+    islands = marked.withColumn(
+        "_isl", F.sum(F.col("_stop").cast("int")).over(w)
+    ).filter(~F.col("_stop"))
+    phrases = islands.groupBy("id", "_isl").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("pos", "term"))),
+                lambda s: s["term"],
+            ),
+            " ",
+        ).alias("phrase"),
+        F.count(F.lit(1)).alias("n_words"),
+    )
+    # word stats over phrase-member tokens: freq = occurrences, degree =
+    # sum of owning-phrase lengths (needs the phrase length per token)
+    ptoks = islands.join(
+        phrases.select("id", "_isl", "n_words"), ["id", "_isl"]
+    ).select("term", "n_words")
+    scores = ptoks.groupBy("term").agg(
+        F.count(F.lit(1)).alias("_freq"),
+        F.sum("n_words").alias("_deg"),
+    ).select(
+        "term",
+        (F.col("_deg").cast("double") / F.col("_freq").cast("double")).alias(
+            "_wscore"
+        ),
+    )
+    pscore = (
+        islands.join(F.broadcast(scores), "term")
+        .groupBy("id", "_isl")
+        .agg(F.sum("_wscore").alias("_raw"))
+    )
+    ranked = phrases.join(pscore, ["id", "_isl"]).select(
+        "id",
+        "phrase",
+        "n_words",
+        F.round("_raw", round_to).alias("score"),
+    )
+    wr = Window.partitionBy("id").orderBy(
+        F.desc("score"), F.asc("phrase")
+    )
+    return (
+        ranked.withColumn("rank", F.row_number().over(wr))
+        .filter(F.col("rank") <= top_k)
+    )

@@ -565,3 +565,41 @@ def test_burrows_delta_hand_case(spark):
     assert out[("s1", "s3")].delta == round(want_13, 6)
     assert out[("s2", "s3")].delta == out[("s1", "s3")].delta
     assert all(r.n_terms == 2 for r in out.values())
+
+
+def test_rake_keywords_hand_case(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        rake_keywords,
+    )
+
+    # one doc: "deep learning systems and deep learning" →
+    # phrases: "deep learning systems" (3) and "deep learning" (2).
+    # freq: deep=2, learning=2, systems=1; degree: deep=3+2=5,
+    # learning=5, systems=3. wscore: deep=2.5, learning=2.5, systems=3.
+    # phrase scores: DLS = 2.5+2.5+3 = 8, DL = 5.
+    d = _docs(spark, ["deep learning systems and deep learning"])
+    rows = rake_keywords(d, "doc_id", "text", top_k=2).collect()
+    got = {r.rank: r for r in rows}
+    assert got[1].phrase == "deep learning systems"
+    assert got[1].score == 8.0
+    assert got[1].n_words == 3
+    assert got[2].phrase == "deep learning"
+    assert got[2].score == 5.0
+
+
+def test_rake_keywords_tie_break_and_stopword_only(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        rake_keywords,
+    )
+
+    # doc 0: two singleton phrases with equal scores → phrase ASC breaks
+    # the tie; doc 1 is all stopwords → no rows at all.
+    d = _docs(spark, ["zebra and apple", "the of and a"])
+    rows = rake_keywords(d, "doc_id", "text", top_k=2).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.id, []).append(r)
+    assert 1 not in by_doc
+    d0 = sorted(by_doc[0], key=lambda r: r.rank)
+    assert [r.phrase for r in d0] == ["apple", "zebra"]
+    assert d0[0].score == d0[1].score == 1.0
