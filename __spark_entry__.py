@@ -10681,6 +10681,182 @@ ORDER BY stratum
 """
 
 
+def q_ridge(spark, sf_dir):
+    """Distributed ridge regression (operators/mlfit.py ridge_fit):
+    event value against hour-of-day and the props payload, lam=0.5.  ONE
+    map-side-combining aggregate collects the 9 second-order moments;
+    Cramer's rule solves the 3x3 normal equations in closed form and R²
+    falls out of the same moments — a single pass at any scale.  The
+    oracle replays the identical moment algebra in SQL."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        ridge_fit,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    base = e.select(
+        (F.col("value") / 100).alias("yv"),
+        (F.hour("ts") / F.lit(24.0)).alias("xa"),
+        (F.get_json_object("props", "$.k").cast("long") / F.lit(100.0)).alias(
+            "xb"
+        ),
+    )
+    return ridge_fit(base, "yv", "xa", "xb", lam=0.5, round_to=6)
+
+
+Q_RIDGE_SQL = """
+WITH base AS (
+  SELECT value / 100 AS yv,
+         EXTRACT(HOUR FROM ts) / 24.0 AS xa,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) / 100.0 AS xb
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+    AND json_extract_string(props, '$.k') IS NOT NULL),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(xa) AS s1, SUM(xb) AS s2, SUM(yv) AS sy,
+         SUM(xa * xa) AS s11, SUM(xa * xb) AS s12, SUM(xb * xb) AS s22,
+         SUM(xa * yv) AS s1y, SUM(xb * yv) AS s2y, SUM(yv * yv) AS syy
+  FROM base),
+d AS (
+  SELECT *,
+         n * ((s11 + 0.5) * (s22 + 0.5) - s12 * s12)
+         - s1 * (s1 * (s22 + 0.5) - s12 * s2)
+         + s2 * (s1 * s12 - (s11 + 0.5) * s2) AS det
+  FROM m),
+sol AS (
+  SELECT *,
+         (sy * ((s11 + 0.5) * (s22 + 0.5) - s12 * s12)
+          - s1 * (s1y * (s22 + 0.5) - s12 * s2y)
+          + s2 * (s1y * s12 - (s11 + 0.5) * s2y)) / det AS rb0,
+         (n * (s1y * (s22 + 0.5) - s12 * s2y)
+          - sy * (s1 * (s22 + 0.5) - s12 * s2)
+          + s2 * (s1 * s2y - s1y * s2)) / det AS rb1,
+         (n * ((s11 + 0.5) * s2y - s1y * s12)
+          - s1 * (s1 * s2y - s1y * s2)
+          + sy * (s1 * s12 - (s11 + 0.5) * s2)) / det AS rb2
+  FROM d),
+r AS (
+  SELECT *, ROUND(rb0, 6) AS b0, ROUND(rb1, 6) AS b1, ROUND(rb2, 6) AS b2
+  FROM sol)
+SELECT CAST(n AS BIGINT) AS n, b0, b1, b2,
+       ROUND(1.0 - (syy - 2 * (b0 * sy + b1 * s1y + b2 * s2y)
+                    + (b0 * b0 * n + b1 * b1 * s11 + b2 * b2 * s22
+                       + 2 * b0 * b1 * s1 + 2 * b0 * b2 * s2
+                       + 2 * b1 * b2 * s12))
+                   / (syy - sy * sy / n), 6) AS r2
+FROM r
+"""
+
+
+def q_platt(spark, sf_dir):
+    """Platt sigmoid calibration (operators/mlfit.py logistic_platt):
+    P(purchase | value) by 6 Newton steps, each ONE aggregate over the
+    data with the current (a, b) broadcast in and the 2x2 Hessian solved
+    in closed form; parameters are rounded per step so the trajectory is
+    engine-portable.  The oracle chains the identical steps as CTEs."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        logistic_platt,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return logistic_platt(
+        e,
+        F.col("value") / 100,
+        F.col("event_type") == "purchase",
+        iterations=6,
+        round_to=7,
+    )
+
+
+def _platt_oracle_sql(iters: int = 6, rt: int = 7) -> str:
+    sql = """WITH base AS (
+  SELECT value / 100 AS s, CAST(event_type = 'purchase' AS INT) AS y
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+p0 AS (SELECT CAST(0.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+g{i} AS (
+  SELECT a, b,
+         SUM((p - y) * s) AS g1, SUM(p - y) AS g2,
+         SUM(p * (1.0 - p) * s * s) AS h11,
+         SUM(p * (1.0 - p) * s) AS h12,
+         SUM(p * (1.0 - p)) AS h22
+  FROM (SELECT s, y, 1.0 / (1.0 + exp(-(a * s + b))) AS p, a, b
+        FROM base CROSS JOIN p{i - 1})
+  GROUP BY a, b),
+p{i} AS (
+  SELECT ROUND(a - (h22 * g1 - h12 * g2) / (h11 * h22 - h12 * h12), {rt}) AS a,
+         ROUND(b - (h11 * g2 - h12 * g1) / (h11 * h22 - h12 * h12), {rt}) AS b
+  FROM g{i})"""
+    sql += f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos, a, b,
+       ROUND(-AVG(y * ln(p) + (1 - y) * ln(1.0 - p)), 6) AS log_loss
+FROM (SELECT y, a, b, 1.0 / (1.0 + exp(-(a * s + b))) AS p
+      FROM base CROSS JOIN p{iters})
+GROUP BY a, b"""
+    return sql
+
+
+Q_PLATT_SQL = _platt_oracle_sql()
+
+
+def q_stump(spark, sf_dir):
+    """Gini decision stump (operators/mlfit.py gini_stump): the best
+    single threshold of the props payload against purchase events.  The
+    input aggregates once to per-distinct-value counts; a running-sum
+    window over that bounded frame scores every candidate split and a
+    top-1 picks the argmin — the raw data is never re-scanned.  Integer
+    feature, so cumulative counts are exact in both engines."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        gini_stump,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return gini_stump(
+        e,
+        F.get_json_object("props", "$.k").cast("long"),
+        F.col("event_type") == "purchase",
+    )
+
+
+Q_STUMP_SQL = """
+WITH base AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS v,
+         CAST(event_type = 'purchase' AS INT) AS y
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+    AND event_type IS NOT NULL),
+per AS (SELECT v, COUNT(*) AS c, SUM(y) AS p FROM base GROUP BY v),
+cum AS (
+  SELECT v,
+         SUM(c) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS nl,
+         SUM(p) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS pl
+  FROM per),
+tot AS (SELECT SUM(c) AS nt, SUM(p) AS pt FROM per),
+scored AS (
+  SELECT v AS threshold,
+         CAST(nl AS BIGINT) AS n_left,
+         CAST(nt - nl AS BIGINT) AS n_right,
+         ROUND(1.0 - (pl / CAST(nl AS DOUBLE)) * (pl / nl)
+               - ((nl - pl) / CAST(nl AS DOUBLE)) * ((nl - pl) / nl),
+               6) AS gini_left,
+         ROUND(1.0 - ((pt - pl) / CAST(nt - nl AS DOUBLE)) * ((pt - pl) / (nt - nl))
+               - ((nt - nl - pt + pl) / CAST(nt - nl AS DOUBLE))
+                 * ((nt - nl - pt + pl) / (nt - nl)),
+               6) AS gini_right,
+         ROUND(((nl * (1.0 - (pl / CAST(nl AS DOUBLE)) * (pl / nl)
+                       - ((nl - pl) / CAST(nl AS DOUBLE)) * ((nl - pl) / nl)))
+                + ((nt - nl) * (1.0
+                       - ((pt - pl) / CAST(nt - nl AS DOUBLE)) * ((pt - pl) / (nt - nl))
+                       - ((nt - nl - pt + pl) / CAST(nt - nl AS DOUBLE))
+                         * ((nt - nl - pt + pl) / (nt - nl))))) / nt,
+               9) AS wgini
+  FROM cum CROSS JOIN tot
+  WHERE nl < nt)
+SELECT * FROM scored ORDER BY wgini ASC, threshold ASC LIMIT 1
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -10939,6 +11115,9 @@ _QUERIES_PAST_WINDOW = [
     "q_rake_keywords",
     "q_skyline",
     "q_simpsons",
+    "q_ridge",
+    "q_platt",
+    "q_stump",
 ]
 
 
@@ -11141,6 +11320,9 @@ def oracle_sql() -> dict[str, str]:
         "q_rake_keywords": Q_RAKE_KEYWORDS_SQL,
         "q_skyline": Q_SKYLINE_SQL,
         "q_simpsons": Q_SIMPSONS_SQL,
+        "q_ridge": Q_RIDGE_SQL,
+        "q_platt": Q_PLATT_SQL,
+        "q_stump": Q_STUMP_SQL,
         "q_scd2": Q_SCD2_SQL,
         "q_revenue_rollup": Q_REVENUE_ROLLUP_SQL,
         "q_kmv_distinct": Q_KMV_DISTINCT_SQL,

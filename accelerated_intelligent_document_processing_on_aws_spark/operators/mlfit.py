@@ -1,0 +1,275 @@
+"""Distributed model fitting as pure aggregation algebra.
+
+Three classic fits a curation pipeline runs over scored corpora, each
+expressed so the 100 TB side is touched only by map-side-combining
+aggregates — no gradient loops over collected data, no Python in the hot
+path, and every trajectory pinned to a per-iteration rounding grid (the
+``bradley_terry``/``pagerank`` discipline) so a fixed-iteration result is
+a pure function of the input in ANY engine:
+
+* ``ridge_fit`` — 2-feature ridge regression via the normal equations:
+  ONE aggregate collects the 9 second-order moments, Cramer's rule
+  solves the 3x3 system in closed form, and R² comes from the same
+  moments — the whole fit is a single pass however large the input.
+* ``logistic_platt`` — Platt-style sigmoid calibration (Platt 1999)
+  ``P(y=1|s) = sigmoid(a*s + b)`` by Newton-Raphson with a closed-form
+  2x2 Hessian solve; each iteration is one aggregate over the data with
+  the current ``(a, b)`` broadcast in.
+* ``gini_stump`` — the best single-threshold split of a numeric feature
+  against a binary label (CART's unit step): per-distinct-value counts
+  aggregate once, a running-sum window over that BOUNDED frame scores
+  every candidate threshold, and the argmin is a top-1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def ridge_fit(
+    df: DataFrame,
+    y_col,
+    x1_col,
+    x2_col,
+    lam: float = 1.0,
+    round_to: int = 9,
+) -> DataFrame:
+    """Ridge regression ``y ~ b0 + b1*x1 + b2*x2`` with L2 penalty
+    ``lam`` on the slopes (never the intercept).  Returns one row:
+    ``n, b0, b1, b2, r2``.
+
+    Coefficients are rounded at ``round_to`` BEFORE the R² algebra so
+    both halves of a differential check score the identical model.
+    Plan: one map-side-combining aggregate over the input; everything
+    after operates on that single row.
+    """
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    x1 = F.col(x1_col) if isinstance(x1_col, str) else x1_col
+    x2 = F.col(x2_col) if isinstance(x2_col, str) else x2_col
+    base = df.select(
+        y.cast("double").alias("_y"),
+        x1.cast("double").alias("_x1"),
+        x2.cast("double").alias("_x2"),
+    ).filter(
+        F.col("_y").isNotNull()
+        & F.col("_x1").isNotNull()
+        & F.col("_x2").isNotNull()
+    )
+    m = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("_x1").alias("s1"),
+        F.sum("_x2").alias("s2"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.expr("_x1 * _x1")).alias("s11"),
+        F.sum(F.expr("_x1 * _x2")).alias("s12"),
+        F.sum(F.expr("_x2 * _x2")).alias("s22"),
+        F.sum(F.expr("_x1 * _y")).alias("s1y"),
+        F.sum(F.expr("_x2 * _y")).alias("s2y"),
+        F.sum(F.expr("_y * _y")).alias("syy"),
+    )
+    lam_s = repr(float(lam))
+    # Cramer's rule on [[n,s1,s2],[s1,s11+lam,s12],[s2,s12,s22+lam]]
+    solved = m.select(
+        "*",
+        F.expr(
+            f"n * ((s11 + {lam_s}) * (s22 + {lam_s}) - s12 * s12)"
+            f" - s1 * (s1 * (s22 + {lam_s}) - s12 * s2)"
+            f" + s2 * (s1 * s12 - (s11 + {lam_s}) * s2)"
+        ).alias("_det"),
+    ).select(
+        "*",
+        F.expr(
+            f"(sy * ((s11 + {lam_s}) * (s22 + {lam_s}) - s12 * s12)"
+            f" - s1 * (s1y * (s22 + {lam_s}) - s12 * s2y)"
+            f" + s2 * (s1y * s12 - (s11 + {lam_s}) * s2y)) / _det"
+        ).alias("_b0"),
+        F.expr(
+            f"(n * (s1y * (s22 + {lam_s}) - s12 * s2y)"
+            f" - sy * (s1 * (s22 + {lam_s}) - s12 * s2)"
+            f" + s2 * (s1 * s2y - s1y * s2)) / _det"
+        ).alias("_b1"),
+        F.expr(
+            f"(n * ((s11 + {lam_s}) * s2y - s1y * s12)"
+            f" - s1 * (s1 * s2y - s1y * s2)"
+            f" + sy * (s1 * s12 - (s11 + {lam_s}) * s2)) / _det"
+        ).alias("_b2"),
+    )
+    rounded = solved.select(
+        "*",
+        F.round("_b0", round_to).alias("b0"),
+        F.round("_b1", round_to).alias("b1"),
+        F.round("_b2", round_to).alias("b2"),
+    )
+    return rounded.select(
+        F.col("n").cast("long").alias("n"),
+        "b0",
+        "b1",
+        "b2",
+        F.round(
+            F.lit(1.0)
+            - (
+                F.expr(
+                    "syy - 2 * (b0 * sy + b1 * s1y + b2 * s2y)"
+                    " + (b0 * b0 * n + b1 * b1 * s11 + b2 * b2 * s22"
+                    "    + 2 * b0 * b1 * s1 + 2 * b0 * b2 * s2"
+                    "    + 2 * b1 * b2 * s12)"
+                )
+            )
+            / F.expr("syy - sy * sy / n"),
+            6,
+        ).alias("r2"),
+    )
+
+
+def logistic_platt(
+    df: DataFrame,
+    score_col,
+    label_col,
+    iterations: int = 6,
+    round_to: int = 7,
+) -> DataFrame:
+    """Fit ``P(y=1|s) = 1/(1+exp(-(a*s+b)))`` by ``iterations`` Newton
+    steps from ``(a, b) = (0, 0)``, rounding the parameters at
+    ``round_to`` decimals after every step so the trajectory is
+    engine-portable (sub-rounding float noise from differing ``exp``
+    ULPs cannot accumulate).  Returns one row:
+    ``n, n_pos, a, b, log_loss`` (log-loss of the final model, natural
+    log, rounded at 6).
+
+    Each step is one aggregate over the data — gradient and 2x2 Hessian
+    entries — with the current parameters broadcast in; the solve is
+    closed-form.  Lineage is truncated per step.
+    """
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    base = df.select(
+        s.cast("double").alias("_s"), y.cast("int").alias("_y")
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    params = base.sparkSession.createDataFrame(
+        [(0.0, 0.0)], "a double, b double"
+    )
+    for _ in range(int(iterations)):
+        scored = base.crossJoin(F.broadcast(params)).select(
+            "_s",
+            "_y",
+            F.expr("1.0 / (1.0 + exp(-(a * _s + b)))").alias("_p"),
+            "a",
+            "b",
+        )
+        g = scored.groupBy("a", "b").agg(
+            F.sum(F.expr("(_p - _y) * _s")).alias("g1"),
+            F.sum(F.expr("_p - _y")).alias("g2"),
+            F.sum(F.expr("_p * (1.0 - _p) * _s * _s")).alias("h11"),
+            F.sum(F.expr("_p * (1.0 - _p) * _s")).alias("h12"),
+            F.sum(F.expr("_p * (1.0 - _p)")).alias("h22"),
+        )
+        params = (
+            g.select(
+                "*",
+                F.expr("h11 * h22 - h12 * h12").alias("_det"),
+            )
+            .select(
+                F.round(
+                    F.expr("a - (h22 * g1 - h12 * g2) / _det"), round_to
+                ).alias("a"),
+                F.round(
+                    F.expr("b - (h11 * g2 - h12 * g1) / _det"), round_to
+                ).alias("b"),
+            )
+            .localCheckpoint(eager=False)
+        )
+    return (
+        base.crossJoin(F.broadcast(params))
+        .select(
+            "_y",
+            "a",
+            "b",
+            F.expr("1.0 / (1.0 + exp(-(a * _s + b)))").alias("_p"),
+        )
+        .groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("_y").cast("long").alias("n_pos"),
+            F.round(
+                -F.avg(
+                    F.expr("_y * ln(_p) + (1 - _y) * ln(1.0 - _p)")
+                ),
+                6,
+            ).alias("log_loss"),
+        )
+        .select("n", "n_pos", "a", "b", "log_loss")
+    )
+
+
+def gini_stump(
+    df: DataFrame,
+    feature_col,
+    label_col,
+) -> DataFrame:
+    """The best single split ``feature <= t`` of a numeric feature
+    against a binary label by weighted Gini impurity — CART's unit
+    decision, the fastest signal for "does this scalar separate good
+    from bad documents".  Candidate thresholds are the distinct feature
+    values (bin continuous features upstream; the per-value aggregate
+    must stay bounded).  Returns one row:
+    ``threshold, n_left, n_right, gini_left, gini_right, wgini``
+    with ties broken toward the smallest threshold.
+
+    Plan: one groupBy(value) aggregate over the input, then a running
+    sum over the distinct-value frame (bounded, single partition by
+    construction) and a top-1 — the raw data is never re-scanned.
+    """
+    x = F.col(feature_col) if isinstance(feature_col, str) else feature_col
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    per = (
+        df.select(x.alias("_v"), y.cast("int").alias("_y"))
+        .filter(F.col("_v").isNotNull() & F.col("_y").isNotNull())
+        .groupBy("_v")
+        .agg(F.count(F.lit(1)).alias("_c"), F.sum("_y").alias("_p"))
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per.select(
+        "_v",
+        F.sum("_c").over(w).alias("nl"),
+        F.sum("_p").over(w).alias("pl"),
+    )
+    tot = per.agg(
+        F.sum("_c").alias("nt"), F.sum("_p").alias("pt")
+    )
+    scored = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("nl") < F.col("nt"))  # right side must be nonempty
+        .select(
+            F.col("_v").alias("threshold"),
+            F.col("nl").alias("n_left"),
+            (F.col("nt") - F.col("nl")).alias("n_right"),
+            F.round(
+                F.expr(
+                    "1.0 - (pl / CAST(nl AS DOUBLE)) * (pl / nl)"
+                    " - ((nl - pl) / CAST(nl AS DOUBLE)) * ((nl - pl) / nl)"
+                ),
+                6,
+            ).alias("gini_left"),
+            F.round(
+                F.expr(
+                    "1.0 - ((pt - pl) / CAST(nt - nl AS DOUBLE)) * ((pt - pl) / (nt - nl))"
+                    " - ((nt - nl - pt + pl) / CAST(nt - nl AS DOUBLE))"
+                    "   * ((nt - nl - pt + pl) / (nt - nl))"
+                ),
+                6,
+            ).alias("gini_right"),
+            F.round(
+                F.expr(
+                    "((nl * (1.0 - (pl / CAST(nl AS DOUBLE)) * (pl / nl)"
+                    "        - ((nl - pl) / CAST(nl AS DOUBLE)) * ((nl - pl) / nl)))"
+                    " + ((nt - nl) * (1.0"
+                    "        - ((pt - pl) / CAST(nt - nl AS DOUBLE)) * ((pt - pl) / (nt - nl))"
+                    "        - ((nt - nl - pt + pl) / CAST(nt - nl AS DOUBLE))"
+                    "          * ((nt - nl - pt + pl) / (nt - nl))))) / nt"
+                ),
+                9,
+            ).alias("wgini"),
+        )
+    )
+    return scored.orderBy(F.asc("wgini"), F.asc("threshold")).limit(1)

@@ -1,0 +1,117 @@
+"""Unit tests for operators/mlfit.py (ridge, Platt calibration, stump)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+    gini_stump,
+    logistic_platt,
+    ridge_fit,
+)
+
+
+def test_ridge_matches_numpy_normal_equations(spark):
+    rng = np.random.RandomState(7)
+    x1 = rng.rand(200)
+    x2 = rng.rand(200)
+    y = 1.5 + 2.0 * x1 - 0.5 * x2 + 0.01 * rng.randn(200)
+    df = spark.createDataFrame(
+        [Row(y=float(a), x1=float(b), x2=float(c)) for a, b, c in zip(y, x1, x2)]
+    )
+    lam = 0.3
+    r = ridge_fit(df, "y", "x1", "x2", lam=lam).collect()[0]
+    X = np.column_stack([np.ones(200), x1, x2])
+    A = X.T @ X + lam * np.diag([0.0, 1.0, 1.0])
+    b = np.linalg.solve(A, X.T @ y)
+    assert r.n == 200
+    assert abs(r.b0 - b[0]) < 1e-6
+    assert abs(r.b1 - b[1]) < 1e-6
+    assert abs(r.b2 - b[2]) < 1e-6
+    pred = X @ np.round(b, 9)
+    r2 = 1 - ((y - pred) ** 2).sum() / ((y - y.mean()) ** 2).sum()
+    assert abs(r.r2 - r2) < 1e-5
+
+
+def test_ridge_lambda_shrinks_slopes(spark):
+    rng = np.random.RandomState(1)
+    x1, x2 = rng.rand(100), rng.rand(100)
+    y = 3.0 * x1 + 3.0 * x2
+    df = spark.createDataFrame(
+        [Row(y=float(a), x1=float(b), x2=float(c)) for a, b, c in zip(y, x1, x2)]
+    )
+    small = ridge_fit(df, "y", "x1", "x2", lam=0.001).collect()[0]
+    big = ridge_fit(df, "y", "x1", "x2", lam=100.0).collect()[0]
+    assert abs(big.b1) < abs(small.b1)
+    assert abs(big.b2) < abs(small.b2)
+
+
+def test_platt_matches_numpy_newton(spark):
+    rng = np.random.RandomState(3)
+    s = rng.rand(300)
+    y = (rng.rand(300) < 1 / (1 + np.exp(-(3 * s - 1.5)))).astype(int)
+    df = spark.createDataFrame(
+        [Row(s=float(a), y=int(b)) for a, b in zip(s, y)]
+    )
+    got = logistic_platt(df, "s", "y", iterations=6, round_to=7).collect()[0]
+
+    a = b = 0.0
+    for _ in range(6):
+        p = 1 / (1 + np.exp(-(a * s + b)))
+        g1, g2 = ((p - y) * s).sum(), (p - y).sum()
+        h11, h12, h22 = (p * (1 - p) * s * s).sum(), (p * (1 - p) * s).sum(), (
+            p * (1 - p)
+        ).sum()
+        det = h11 * h22 - h12 * h12
+        a = round(a - (h22 * g1 - h12 * g2) / det, 7)
+        b = round(b - (h11 * g2 - h12 * g1) / det, 7)
+    assert got.a == a and got.b == b
+    assert got.n == 300 and got.n_pos == int(y.sum())
+    p = 1 / (1 + np.exp(-(a * s + b)))
+    ll = -np.mean(y * np.log(p) + (1 - y) * np.log(1 - p))
+    assert abs(got.log_loss - ll) < 1e-6
+
+
+def test_platt_separable_direction(spark):
+    # high scores all positive, low all negative -> a must be positive
+    rows = [Row(s=0.9 + 0.01 * i, y=1) for i in range(10)] + [
+        Row(s=0.1 + 0.01 * i, y=0) for i in range(10)
+    ]
+    got = logistic_platt(spark.createDataFrame(rows), "s", "y").collect()[0]
+    assert got.a > 0
+
+
+def test_gini_stump_hand_case(spark):
+    # feature 1,2,3,4 with labels 0,0,1,1 -> perfect split at v<=2
+    rows = [Row(v=1, y=0), Row(v=2, y=0), Row(v=3, y=1), Row(v=4, y=1)]
+    r = gini_stump(spark.createDataFrame(rows), "v", "y").collect()[0]
+    assert r.threshold == 2
+    assert r.n_left == 2 and r.n_right == 2
+    assert r.gini_left == 0.0 and r.gini_right == 0.0 and r.wgini == 0.0
+
+
+def test_gini_stump_tie_breaks_smallest_threshold(spark):
+    # all labels equal: every split has wgini 0 -> smallest threshold wins
+    rows = [Row(v=i, y=1) for i in range(5)]
+    r = gini_stump(spark.createDataFrame(rows), "v", "y").collect()[0]
+    assert r.threshold == 0
+    assert r.wgini == 0.0
+
+
+def test_gini_stump_weighted_impurity_value(spark):
+    # v=1: 3 rows 1 pos; v=2: 2 rows 2 pos.  split at 1:
+    # left gini = 1 - (1/3)^2 - (2/3)^2 = 4/9; right gini = 0
+    # weighted = 3/5 * 4/9 = 4/15
+    rows = (
+        [Row(v=1, y=1), Row(v=1, y=0), Row(v=1, y=0)]
+        + [Row(v=2, y=1), Row(v=2, y=1)]
+    )
+    r = gini_stump(spark.createDataFrame(rows), "v", "y").collect()[0]
+    assert r.threshold == 1
+    assert abs(r.gini_left - 4 / 9) < 1e-6
+    assert r.gini_right == 0.0
+    assert abs(r.wgini - 4 / 15) < 1e-8

@@ -280,6 +280,13 @@ def test_no_query_plans_nested_loop_or_rowwise_python(spark):
         # same 1-row scalar-attach shape: Krippendorff joins the 1-row
         # unit-sums total to the 1-row category-square total
         "q_krippendorff",
+        # 1-row attaches again: Simpson joins the pooled-diff row to the
+        # strata frame; Platt broadcasts the 1-row (a, b) params onto the
+        # data each Newton step; the stump attaches the 1-row total to
+        # the bounded distinct-value frame
+        "q_simpsons",
+        "q_platt",
+        "q_stump",
         # PAV minimax runs j<=i<=k interval joins over the BINS frame
         # (n_bins³ = 1000 rows at the default — metadata algebra, the
         # Hungarian/BH-FDR class, corpus-size-independent)
