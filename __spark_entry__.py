@@ -10857,6 +10857,158 @@ SELECT * FROM scored ORDER BY wgini ASC, threshold ASC LIMIT 1
 """
 
 
+def q_bootstrap_ci(spark, sf_dir):
+    """Poisson-bootstrap CI for the mean (operators/stats.py
+    poisson_bootstrap_ci, Chamandy et al. 2012): 40 replicates reweight
+    every event by an inverse-CDF Poisson(1) count drawn from an
+    md5(seed, replicate, id) uniform — resampling with no global n, no
+    reshuffle, pure function of the input.  One exploding pass with
+    map-side combine; the percentile interval comes from the 40-row
+    replicate-mean frame.  The oracle replays the identical hash
+    arithmetic in SQL."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        poisson_bootstrap_ci,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return poisson_bootstrap_ci(
+        e, "event_id", "value", b=40, seed="bs1", alpha=0.05
+    )
+
+
+def _bootstrap_oracle_sql(b: int = 40, seed: str = "bs1") -> str:
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        POISSON1_CDF,
+    )
+
+    c = POISSON1_CDF
+    u = (
+        "(CAST(('0x' || substr(md5('" + seed + "' || CAST(i AS VARCHAR)"
+        " || ':' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT)"
+        " + 1.0) / 1152921504606846976.0"
+    )
+    w = (
+        f"CAST(CASE WHEN {u} < {c[0]} THEN 0 WHEN {u} < {c[1]} THEN 1"
+        f" WHEN {u} < {c[2]} THEN 2 WHEN {u} < {c[3]} THEN 3"
+        f" WHEN {u} < {c[4]} THEN 4 WHEN {u} < {c[5]} THEN 5"
+        f" ELSE 6 END AS DOUBLE)"
+    )
+    # lo/hi replicate ranks: floor(alpha/2*b)+1 and ceil((1-alpha/2)*b)
+    lo_rn, hi_rn = int(0.025 * b) + 1, -int(-(0.975 * b) // 1)
+    return f"""
+WITH rep AS (
+  SELECT i, {w} AS w, value AS v
+  FROM events, range({b}) t(i)
+  WHERE value IS NOT NULL),
+means AS (
+  SELECT i, ROUND(SUM(w * v) / SUM(w), 9) AS m FROM rep GROUP BY i),
+ranked AS (
+  SELECT m, ROW_NUMBER() OVER (ORDER BY m ASC, i ASC) AS rn FROM means),
+bounds AS (
+  SELECT MIN(CASE WHEN rn = {lo_rn} THEN m END) AS lo,
+         MIN(CASE WHEN rn = {hi_rn} THEN m END) AS hi
+  FROM ranked WHERE rn IN ({lo_rn}, {hi_rn})),
+est AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n, ROUND(AVG(value), 9) AS est
+  FROM events WHERE value IS NOT NULL)
+SELECT n, est, lo, hi, {b} AS b FROM est CROSS JOIN bounds
+"""
+
+
+Q_BOOTSTRAP_CI_SQL = _bootstrap_oracle_sql()
+
+
+def q_pca_power(spark, sf_dir):
+    """Leading principal component of four lineitem measures
+    (operators/mlfit.py pca_power_top1): ONE pass aggregates the 14
+    moments, the covariance is closed-form algebra on that row, and 8
+    power-iteration steps run on the 1-row frame — no further data
+    passes at any scale.  Per-step L2-normalize + round pins the
+    trajectory; the oracle chains the identical steps as CTEs."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        pca_power_top1,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return pca_power_top1(
+        li,
+        [
+            F.col("l_quantity") / 50,
+            F.col("l_extendedprice") / 100000,
+            F.col("l_discount"),
+            F.col("l_tax"),
+        ],
+        iterations=8,
+    )
+
+
+def _pca_oracle_sql(d: int = 4, iters: int = 8, rt: int = 9) -> str:
+    feats = [
+        "l_quantity / 50",
+        "l_extendedprice / 100000",
+        "l_discount",
+        "l_tax",
+    ]
+    xs = [f"_x{i}" for i in range(d)]
+    sel = ", ".join(f"{f} AS {x}" for f, x in zip(feats, xs))
+    notnull = " AND ".join(f"{x} IS NOT NULL" for x in xs)
+    moments = ["CAST(COUNT(*) AS DOUBLE) AS n"]
+    moments += [f"SUM(_x{i}) AS s{i}" for i in range(d)]
+    moments += [
+        f"SUM(_x{i} * _x{j}) AS s{i}{j}"
+        for i in range(d)
+        for j in range(i, d)
+    ]
+    cov = ["n"] + [
+        f"(s{i}{j} - s{i} * s{j} / n) / n AS c{i}{j}"
+        for i in range(d)
+        for j in range(i, d)
+    ]
+
+    def c(i, j):
+        return f"c{min(i, j)}{max(i, j)}"
+
+    keep = "n, " + ", ".join(
+        c(i, j) for i in range(d) for j in range(i, d)
+    )
+    start = repr(round(1.0 / d**0.5, rt))
+    sql = f"""WITH base AS (SELECT {sel} FROM lineitem),
+flt AS (SELECT * FROM base WHERE {notnull}),
+m AS (SELECT {', '.join(moments)} FROM flt),
+it0 AS (SELECT {', '.join(cov)}, {', '.join(f'{start} AS v{i}' for i in range(d))} FROM m)"""
+    for k in range(1, iters + 1):
+        mv = ", ".join(
+            " + ".join(f"{c(i, j)} * v{j}" for j in range(d))
+            + f" AS _w{i}"
+            for i in range(d)
+        )
+        nrm = "sqrt(" + " + ".join(f"_w{i} * _w{i}" for i in range(d)) + ")"
+        vs = ", ".join(
+            f"ROUND(_w{i} / _nrm, {rt}) AS v{i}" for i in range(d)
+        )
+        sql += f""",
+it{k} AS (
+  SELECT {keep}, {vs}
+  FROM (SELECT *, {nrm} AS _nrm
+        FROM (SELECT *, {mv} FROM it{k - 1})))"""
+    quad = " + ".join(
+        f"{'2 * ' if i != j else ''}{c(i, j)} * v{i} * v{j}"
+        for i in range(d)
+        for j in range(i, d)
+    )
+    outs = ", ".join(
+        f"ROUND(CASE WHEN v0 < 0 THEN -v{i} ELSE v{i} END, 6) AS v{i + 1}"
+        for i in range(d)
+    )
+    sql += f"""
+SELECT CAST(n AS BIGINT) AS n, ROUND({quad}, 6) AS eig, {outs}
+FROM it{iters}"""
+    return sql
+
+
+Q_PCA_POWER_SQL = _pca_oracle_sql()
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -11118,6 +11270,8 @@ _QUERIES_PAST_WINDOW = [
     "q_ridge",
     "q_platt",
     "q_stump",
+    "q_bootstrap_ci",
+    "q_pca_power",
 ]
 
 
@@ -11323,6 +11477,8 @@ def oracle_sql() -> dict[str, str]:
         "q_ridge": Q_RIDGE_SQL,
         "q_platt": Q_PLATT_SQL,
         "q_stump": Q_STUMP_SQL,
+        "q_bootstrap_ci": Q_BOOTSTRAP_CI_SQL,
+        "q_pca_power": Q_PCA_POWER_SQL,
         "q_scd2": Q_SCD2_SQL,
         "q_revenue_rollup": Q_REVENUE_ROLLUP_SQL,
         "q_kmv_distinct": Q_KMV_DISTINCT_SQL,

@@ -273,3 +273,109 @@ def gini_stump(
         )
     )
     return scored.orderBy(F.asc("wgini"), F.asc("threshold")).limit(1)
+
+
+def pca_power_top1(
+    df: DataFrame,
+    cols: list,
+    iterations: int = 8,
+    round_to: int = 9,
+) -> DataFrame:
+    """Leading principal component of up to a handful of numeric columns
+    by power iteration over the AGGREGATED covariance matrix: one
+    map-side-combining pass collects the d + d(d+1)/2 moments (d = number
+    of columns), the covariance is closed-form algebra on that single
+    row, and the d-vector iteration runs entirely on the 1-row frame —
+    zero further passes over the data, however many iterations.
+
+    The trajectory is engine-portable: the iterate is L2-normalized and
+    rounded at ``round_to`` after every step (the ``bradley_terry``
+    discipline), starting from the all-equal unit vector; the sign is
+    fixed by making the first component non-negative at the end.
+
+    Returns one row: ``n``, ``eig`` (Rayleigh quotient of the final
+    iterate, rounded at 6) and ``v1..vd`` (components, rounded at 6).
+    Callers should pre-scale columns to comparable magnitude — PCA is
+    not scale-invariant and huge moments cost float precision.
+    """
+    d = len(cols)
+    names = [f"_x{i}" for i in range(d)]
+    base = df.select(
+        *[
+            (F.col(c) if isinstance(c, str) else c)
+            .cast("double")
+            .alias(n)
+            for c, n in zip(cols, names)
+        ]
+    )
+    base = base.filter(
+        F.lit(True)
+        if d == 0
+        else F.expr(" AND ".join(f"{n} IS NOT NULL" for n in names))
+    )
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    aggs += [F.sum(n).alias(f"s{i}") for i, n in enumerate(names)]
+    for i in range(d):
+        for j in range(i, d):
+            aggs.append(
+                F.sum(F.expr(f"_x{i} * _x{j}")).alias(f"s{i}{j}")
+            )
+    m = base.agg(*aggs)
+    # covariance entries (population normalization, n not n-1)
+    cov_cols = []
+    for i in range(d):
+        for j in range(i, d):
+            cov_cols.append(
+                F.expr(f"(s{i}{j} - s{i} * s{j} / n) / n").alias(f"c{i}{j}")
+            )
+    cur = m.select("n", *cov_cols)
+
+    def c(i: int, j: int) -> str:
+        return f"c{min(i, j)}{max(i, j)}"
+
+    start = repr(round(1.0 / d**0.5, round_to))
+    cur = cur.select(
+        "*", *[F.expr(start).alias(f"v{i}") for i in range(d)]
+    )
+    for _ in range(int(iterations)):
+        mv = [
+            " + ".join(f"{c(i, j)} * v{j}" for j in range(d))
+            for i in range(d)
+        ]
+        stepped = cur.select(
+            "*", *[F.expr(e).alias(f"_w{i}") for i, e in enumerate(mv)]
+        ).select(
+            "*",
+            F.expr(
+                "sqrt(" + " + ".join(f"_w{i} * _w{i}" for i in range(d)) + ")"
+            ).alias("_nrm"),
+        )
+        keep = ["n"] + [c(i, j) for i in range(d) for j in range(i, d)]
+        cur = stepped.select(
+            *keep,
+            *[
+                F.round(F.expr(f"_w{i} / _nrm"), round_to).alias(f"v{i}")
+                for i in range(d)
+            ],
+        )
+    # Rayleigh quotient + sign convention (first component >= 0)
+    quad = " + ".join(
+        f"{'2 * ' if i != j else ''}{c(i, j)} * v{i} * v{j}"
+        for i in range(d)
+        for j in range(i, d)
+    )
+    signed = cur.select(
+        "n",
+        F.round(F.expr(quad), 6).alias("eig"),
+        *[
+            F.round(
+                F.expr(f"CASE WHEN v0 < 0 THEN -v{i} ELSE v{i} END"), 6
+            ).alias(f"v{i + 1}")
+            for i in range(d)
+        ],
+    )
+    return signed.select(
+        F.col("n").cast("long").alias("n"),
+        "eig",
+        *[f"v{i + 1}" for i in range(d)],
+    )

@@ -1891,3 +1891,101 @@ def sprt_decision(
         F.coalesce(F.col("_dec"), F.lit("continue")).alias("decision"),
         "n_at_decision",
     )
+
+
+#: cumulative Poisson(1) CDF at 0..5 — shared literals of the Poisson
+#: bootstrap inverse-CDF in both the Spark operator and its SQL oracle
+POISSON1_CDF = (
+    "0.36787944117144233",
+    "0.7357588823428847",
+    "0.9196986029286058",
+    "0.9810118431238462",
+    "0.9963401531726563",
+    "0.9994058151824183",
+)
+
+
+def _md5_uniform_sql(seed_expr: str) -> str:
+    """Engine-portable uniform in (0, 1]: first 15 md5 hex chars (60
+    bits) of ``seed_expr`` as an integer, shifted by one and scaled —
+    the q_weighted_sample idiom, valid Spark SQL and DuckDB SQL alike
+    given each engine's hex-to-int spelling is substituted upstream."""
+    return (
+        f"(CAST(conv(substr(md5({seed_expr}), 1, 15), 16, 10) AS BIGINT)"
+        " + 1.0) / 1152921504606846976.0"
+    )
+
+
+def poisson_bootstrap_ci(
+    df: DataFrame,
+    id_col: str,
+    value_col,
+    b: int = 40,
+    seed: str = "bs",
+    alpha: float = 0.05,
+    round_to: int = 9,
+) -> DataFrame:
+    """Bootstrap confidence interval for the mean via the POISSON
+    bootstrap (Chamandy et al. 2012; Kleiner et al.'s scale rationale):
+    each of ``b`` replicates reweights every row by an independent
+    Poisson(1) count, so resampling needs no global n, no shuffle of the
+    data, and — with the count drawn by inverse CDF from an
+    md5(seed, replicate, id) uniform — is a pure function of the input,
+    identical in any engine, on reruns, and under resume.
+
+    Returns one row: ``n, est, lo, hi, b`` — the plain mean and the
+    percentile interval (indices ``floor(alpha/2*b)`` and
+    ``ceil((1-alpha/2)*b)-1`` of the sorted replicate means, ties broken
+    by replicate id).
+
+    Plan: ONE pass over the data exploding the ``b`` replicate ids;
+    map-side combine collapses each task's contribution to ``b`` partial
+    rows before the (b-row) shuffle, so the 40x intermediate never hits
+    the wire.  Everything after operates on ``b`` rows.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    base = df.select(
+        F.col(id_col).cast("string").alias("_id"),
+        v.cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    rep = base.withColumn(
+        "i", F.explode(F.array(*[F.lit(j) for j in range(int(b))]))
+    )
+    u = F.expr(
+        _md5_uniform_sql(f"'{seed}' || CAST(i AS STRING) || ':' || _id")
+    )
+    c = POISSON1_CDF
+    w = (
+        F.when(u < float(c[0]), 0)
+        .when(u < float(c[1]), 1)
+        .when(u < float(c[2]), 2)
+        .when(u < float(c[3]), 3)
+        .when(u < float(c[4]), 4)
+        .when(u < float(c[5]), 5)
+        .otherwise(6)
+    ).cast("double")
+    means = (
+        rep.select("i", (w * F.col("_v")).alias("_wv"), w.alias("_w"))
+        .groupBy("i")
+        .agg(
+            F.round(F.sum("_wv") / F.sum("_w"), round_to).alias("m")
+        )
+    )
+    lo_rn = int(alpha / 2 * b) + 1  # 1-indexed floor
+    hi_rn = -(-(1 - alpha / 2) * b // 1)  # ceil, 1-indexed
+    rn = F.row_number().over(Window.orderBy(F.asc("m"), F.asc("i")))
+    bounds = (
+        means.withColumn("_rn", rn)
+        .filter(F.col("_rn").isin(int(lo_rn), int(hi_rn)))
+        .agg(
+            F.min(F.when(F.col("_rn") == int(lo_rn), F.col("m"))).alias("lo"),
+            F.min(F.when(F.col("_rn") == int(hi_rn), F.col("m"))).alias("hi"),
+        )
+    )
+    est = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.avg("_v"), round_to).alias("est"),
+    )
+    return est.join(F.broadcast(bounds), F.lit(True)).select(
+        "n", "est", "lo", "hi", F.lit(int(b)).alias("b")
+    )

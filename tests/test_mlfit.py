@@ -115,3 +115,41 @@ def test_gini_stump_weighted_impurity_value(spark):
     assert abs(r.gini_left - 4 / 9) < 1e-6
     assert r.gini_right == 0.0
     assert abs(r.wgini - 4 / 15) < 1e-8
+
+
+def test_pca_power_matches_numpy(spark):
+    rng = np.random.RandomState(11)
+    # correlated 3-col data with a dominant direction
+    z = rng.randn(400)
+    data = np.column_stack(
+        [z + 0.1 * rng.randn(400), 2 * z + 0.1 * rng.randn(400), rng.randn(400)]
+    )
+    df = spark.createDataFrame(
+        [Row(a=float(r[0]), b=float(r[1]), c=float(r[2])) for r in data]
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        pca_power_top1,
+    )
+
+    got = pca_power_top1(df, ["a", "b", "c"], iterations=12).collect()[0]
+    cov = np.cov(data.T, bias=True)
+    vals, vecs = np.linalg.eigh(cov)
+    v = vecs[:, -1]
+    v = v if v[0] >= 0 else -v
+    assert got.n == 400
+    assert abs(got.eig - vals[-1]) < 1e-4
+    for gi, wi in zip((got.v1, got.v2, got.v3), v):
+        assert abs(gi - wi) < 1e-3
+
+
+def test_pca_power_unit_norm_and_sign(spark):
+    rng = np.random.RandomState(2)
+    data = rng.randn(100, 2) * np.array([3.0, 0.5])
+    df = spark.createDataFrame([Row(a=float(r[0]), b=float(r[1])) for r in data])
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        pca_power_top1,
+    )
+
+    got = pca_power_top1(df, ["a", "b"], iterations=10).collect()[0]
+    assert abs(got.v1**2 + got.v2**2 - 1.0) < 1e-5
+    assert got.v1 >= 0

@@ -559,3 +559,25 @@ def test_sprt_decision_hand(spark):
     df = spark.createDataFrame([("g", True, 1)], "g string, s boolean, i int")
     r = sprt_decision(df, "g", "s", ["i"], p0=0.25, p1=0.5).first()
     assert r.decision == "continue" and r.n_at_decision is None and r.n_total == 1
+
+
+def test_poisson_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
+    from pyspark.sql import Row as _Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        poisson_bootstrap_ci,
+    )
+
+    df = spark.createDataFrame(
+        [_Row(id=i, v=float((i * 37) % 100)) for i in range(500)]
+    )
+    r1 = poisson_bootstrap_ci(df, "id", "v", b=40, seed="t").collect()[0]
+    r2 = poisson_bootstrap_ci(df, "id", "v", b=40, seed="t").collect()[0]
+    assert (r1.lo, r1.hi, r1.est) == (r2.lo, r2.hi, r2.est)  # pure function
+    assert r1.n == 500 and r1.b == 40
+    assert r1.lo <= r1.est <= r1.hi
+    # interval should be reasonably tight around the mean for n=500
+    assert (r1.hi - r1.lo) < 20.0
+    # a different seed moves the replicate draw
+    r3 = poisson_bootstrap_ci(df, "id", "v", b=40, seed="u").collect()[0]
+    assert (r3.lo, r3.hi) != (r1.lo, r1.hi)
