@@ -11009,6 +11009,127 @@ FROM it{iters}"""
 Q_PCA_POWER_SQL = _pca_oracle_sql()
 
 
+def q_next_conversion(spark, sf_dir):
+    """View-to-purchase latency (operators/funnel.py next_conversion):
+    every view pairs with its user's NEXT purchase via one running min
+    over a descending per-user window — no self-join, no pair blowup —
+    then a single aggregate computes the within-1-hour conversion rate
+    and mean latency.  The survival-curve companion (q_survival bins the
+    censored distribution; this scores the hop)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.funnel import (
+        next_conversion,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return next_conversion(
+        e, "user_id", "ts", "event_type", "view", "purchase", 3600,
+        tiebreak_col="event_id",
+    )
+
+
+Q_NEXT_CONVERSION_SQL = """
+WITH nxt AS (
+  SELECT event_type, ts,
+         MIN(CASE WHEN event_type = 'purchase' THEN ts END)
+           OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS next_to
+  FROM events),
+f AS (
+  SELECT CASE WHEN date_diff('microsecond', ts, next_to) / 1000000.0 > 0
+               AND date_diff('microsecond', ts, next_to) / 1000000.0 <= 3600
+              THEN date_diff('microsecond', ts, next_to) / 1000000.0 END AS lat
+  FROM nxt WHERE event_type = 'view')
+SELECT CAST(COUNT(*) AS BIGINT) AS n_from,
+       CAST(COUNT(lat) AS BIGINT) AS n_converted,
+       ROUND(COUNT(lat) * 1.0 / COUNT(*), 6) AS conv_rate,
+       ROUND(AVG(lat), 6) AS avg_latency_sec
+FROM f
+"""
+
+
+def q_weighted_quantiles(spark, sf_dir):
+    """EXACT weighted quantiles per event type (operators/stats.py
+    weighted_quantiles): smallest value whose cumulative props-payload
+    weight reaches q of the group total — integer weights make the
+    cumulative comparison exact in any engine.  One cumulative window
+    per group plus one aggregate; no join back."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        weighted_quantiles,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    out = weighted_quantiles(
+        e,
+        "event_type",
+        F.col("value"),
+        F.get_json_object("props", "$.k").cast("long"),
+        qs=(0.25, 0.5, 0.9),
+    )
+    return out.transform(_by("group", "q"))
+
+
+Q_WEIGHTED_QUANTILES_SQL = """
+WITH base AS (
+  SELECT event_type AS grp, value AS v,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS w
+  FROM events
+  WHERE value IS NOT NULL AND json_extract_string(props, '$.k') IS NOT NULL),
+cum AS (
+  SELECT grp, v,
+         SUM(w) OVER (PARTITION BY grp ORDER BY v
+                      ROWS UNBOUNDED PRECEDING) AS cw,
+         SUM(w) OVER (PARTITION BY grp) AS tw
+  FROM base),
+agg AS (
+  SELECT grp,
+         MIN(CASE WHEN CAST(cw AS DOUBLE) >= 0.25 * tw THEN v END) AS q0,
+         MIN(CASE WHEN CAST(cw AS DOUBLE) >= 0.5 * tw THEN v END) AS q1,
+         MIN(CASE WHEN CAST(cw AS DOUBLE) >= 0.9 * tw THEN v END) AS q2
+  FROM cum GROUP BY grp)
+SELECT grp AS "group", q, wq FROM (
+  SELECT grp, CAST(0.25 AS DOUBLE) AS q, q0 AS wq FROM agg
+  UNION ALL
+  SELECT grp, CAST(0.5 AS DOUBLE) AS q, q1 AS wq FROM agg
+  UNION ALL
+  SELECT grp, CAST(0.9 AS DOUBLE) AS q, q2 AS wq FROM agg)
+ORDER BY "group", q
+"""
+
+
+def q_trimmed_mean(spark, sf_dir):
+    """10% two-sided trimmed mean per event type (operators/stats.py
+    trimmed_mean): one ranking window with an id tiebreak (total order,
+    pure function of the input) and one aggregate — the robust
+    scoreboard mean that shrugs off corrupt outliers."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        trimmed_mean,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return trimmed_mean(
+        e, "event_type", "event_id", "value", trim=0.1
+    ).transform(_by("group"))
+
+
+Q_TRIMMED_MEAN_SQL = """
+WITH base AS (
+  SELECT event_type AS grp, event_id AS id, value AS v
+  FROM events WHERE value IS NOT NULL),
+ranked AS (
+  SELECT grp, v,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, id) AS rn,
+         COUNT(*) OVER (PARTITION BY grp) AS n
+  FROM base),
+kept AS (
+  SELECT grp, v, n FROM ranked
+  WHERE rn > FLOOR(0.1 * n) AND rn <= n - FLOOR(0.1 * n))
+SELECT grp AS "group", CAST(MAX(n) AS BIGINT) AS n,
+       CAST(COUNT(*) AS BIGINT) AS n_used,
+       ROUND(AVG(v), 9) AS tmean
+FROM kept GROUP BY grp ORDER BY "group"
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -11272,6 +11393,9 @@ _QUERIES_PAST_WINDOW = [
     "q_stump",
     "q_bootstrap_ci",
     "q_pca_power",
+    "q_next_conversion",
+    "q_weighted_quantiles",
+    "q_trimmed_mean",
 ]
 
 
@@ -11479,6 +11603,9 @@ def oracle_sql() -> dict[str, str]:
         "q_stump": Q_STUMP_SQL,
         "q_bootstrap_ci": Q_BOOTSTRAP_CI_SQL,
         "q_pca_power": Q_PCA_POWER_SQL,
+        "q_next_conversion": Q_NEXT_CONVERSION_SQL,
+        "q_weighted_quantiles": Q_WEIGHTED_QUANTILES_SQL,
+        "q_trimmed_mean": Q_TRIMMED_MEAN_SQL,
         "q_scd2": Q_SCD2_SQL,
         "q_revenue_rollup": Q_REVENUE_ROLLUP_SQL,
         "q_kmv_distinct": Q_KMV_DISTINCT_SQL,

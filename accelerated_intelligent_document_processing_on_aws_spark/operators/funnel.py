@@ -247,3 +247,65 @@ def attribution_credit(
             round_to,
         ).alias("last_touch_credit"),
     )
+
+
+def next_conversion(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    from_event: str,
+    to_event: str,
+    within_sec: int,
+    tiebreak_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Time-to-convert between two event types: for every ``from_event``
+    row, the NEXT ``to_event`` by the same user, counted as converted iff
+    it lands within ``within_sec`` seconds (strictly after).  Returns one
+    row: ``n_from, n_converted, conv_rate, avg_latency_sec`` (latency
+    averaged over converted pairs only).
+
+    Unlike ``funnel_conversion`` (per-user step reach) this measures the
+    latency distribution of a single hop — the survival-curve companion
+    for "how fast does a view become a purchase".
+
+    Plan shape: the next-match is a running ``min`` over a DESCENDING
+    per-user window (no self-join, no pair blowup — each row pairs with
+    at most one successor), then one global aggregate.
+
+    ``tiebreak_col`` makes the window order total when (user, ts) can
+    repeat, so the result is a pure function of the input; an equal-
+    timestamp ``to_event`` is "not after" (the ``> 0`` gate) and may
+    shadow a later in-window match — the documented tie convention.
+    """
+    order = [F.col(ts_col).desc()]
+    if tiebreak_col is not None:
+        order.append(F.col(tiebreak_col).desc())
+    w = (
+        Window.partitionBy(user_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nxt = df.withColumn(
+        "_next_to",
+        F.min(
+            F.when(F.col(event_col) == to_event, F.col(ts_col))
+        ).over(w),
+    )
+    # exact integer microseconds -> identical doubles in any engine
+    lat = F.expr(
+        f"timestampdiff(MICROSECOND, {ts_col}, _next_to)"
+        " / CAST(1000000 AS DOUBLE)"
+    )
+    froms = nxt.filter(F.col(event_col) == from_event).select(
+        F.when((lat > 0) & (lat <= within_sec), lat).alias("_lat")
+    )
+    return froms.agg(
+        F.count(F.lit(1)).alias("n_from"),
+        F.count("_lat").alias("n_converted"),
+        F.round(
+            F.count("_lat") / F.count(F.lit(1)).cast("double"), round_to
+        ).alias("conv_rate"),
+        F.round(F.avg("_lat"), round_to).alias("avg_latency_sec"),
+    )

@@ -1989,3 +1989,103 @@ def poisson_bootstrap_ci(
     return est.join(F.broadcast(bounds), F.lit(True)).select(
         "n", "est", "lo", "hi", F.lit(int(b)).alias("b")
     )
+
+
+def weighted_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col,
+    weight_col,
+    qs: tuple = (0.25, 0.5, 0.9),
+) -> DataFrame:
+    """EXACT weighted quantiles per group: the smallest value whose
+    cumulative weight reaches ``q`` of the group's total — the
+    token-budget question ("which doc length covers half the tokens")
+    that ``approx_percentile`` can only approximate and plain percentiles
+    get wrong under weighting.
+
+    Returns ``(group, q, wq)``, one row per group and requested quantile.
+    Deterministic under value ties regardless of their internal order:
+    every ordering of tied rows yields the same smallest qualifying
+    value.  Plan: ONE cumulative-weight window per group (the total rides
+    the same window, full-frame) and one aggregate — no join back.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    w = F.col(weight_col) if isinstance(weight_col, str) else weight_col
+    base = df.select(
+        F.col(group_col).alias("group"),
+        v.alias("_v"),
+        w.cast("long").alias("_w"),
+    ).filter(F.col("_v").isNotNull() & F.col("_w").isNotNull())
+    win = (
+        Window.partitionBy("group")
+        .orderBy("_v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    tot = Window.partitionBy("group")
+    cum = base.select(
+        "group",
+        "_v",
+        F.sum("_w").over(win).alias("_cw"),
+        F.sum("_w").over(tot).alias("_tw"),
+    )
+    per_q = [
+        F.min(
+            F.when(
+                F.col("_cw").cast("double") >= F.lit(float(q)) * F.col("_tw"),
+                F.col("_v"),
+            )
+        ).alias(f"_q{i}")
+        for i, q in enumerate(qs)
+    ]
+    agg = cum.groupBy("group").agg(*per_q)
+    stack = ", ".join(
+        f"CAST({repr(float(q))} AS DOUBLE), _q{i}" for i, q in enumerate(qs)
+    )
+    return agg.select(
+        "group",
+        F.expr(f"stack({len(qs)}, {stack}) AS (q, wq)"),
+    )
+
+
+def trimmed_mean(
+    df: DataFrame,
+    group_col: str,
+    id_col: str,
+    value_col,
+    trim: float = 0.1,
+    round_to: int = 9,
+) -> DataFrame:
+    """Per-group mean after dropping the lowest and highest
+    ``floor(trim * n)`` rows — the robust scoreboard statistic that
+    survives a few corrupt outliers where the plain mean doesn't.
+    ``id_col`` breaks value ties so the trim boundary is a total order
+    (pure function of the input).  Returns
+    ``(group, n, n_used, tmean)``.
+
+    Plan: one ranking window per group plus the group count on the same
+    partitioning, then one aggregate — no join back, no second pass.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    base = df.select(
+        F.col(group_col).alias("group"),
+        F.col(id_col).alias("_id"),
+        v.cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    w = Window.partitionBy("group").orderBy("_v", "_id")
+    cnt = Window.partitionBy("group")
+    ranked = base.select(
+        "group",
+        "_v",
+        F.row_number().over(w).alias("_rn"),
+        F.count(F.lit(1)).over(cnt).alias("_n"),
+    )
+    k = F.floor(F.lit(float(trim)) * F.col("_n"))
+    kept = ranked.filter(
+        (F.col("_rn") > k) & (F.col("_rn") <= F.col("_n") - k)
+    )
+    return kept.groupBy("group").agg(
+        F.max("_n").alias("n"),
+        F.count(F.lit(1)).alias("n_used"),
+        F.round(F.avg("_v"), round_to).alias("tmean"),
+    )

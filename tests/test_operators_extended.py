@@ -214,3 +214,41 @@ class TestIncrementalDedupAndStratifiedSample:
             ).collect()
         )
         assert re == sorted(r.id for r in kept25.collect())
+
+
+def test_next_conversion_hand_case(spark):
+    import datetime as _dt
+
+    from pyspark.sql import Row as _Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.funnel import (
+        next_conversion,
+    )
+
+    t0 = _dt.datetime(2024, 1, 1, 0, 0, 0)
+
+    def ts(sec):
+        return t0 + _dt.timedelta(seconds=sec)
+
+    rows = [
+        # user 1: view at 0 -> purchase at 100 (converted, lat 100)
+        _Row(user_id=1, event_id=1, ts=ts(0), event_type="view"),
+        _Row(user_id=1, event_id=2, ts=ts(100), event_type="purchase"),
+        # user 2: view at 0 -> purchase at 5000 (outside 3600 window)
+        _Row(user_id=2, event_id=3, ts=ts(0), event_type="view"),
+        _Row(user_id=2, event_id=4, ts=ts(5000), event_type="purchase"),
+        # user 3: purchase BEFORE the view only -> not converted
+        _Row(user_id=3, event_id=5, ts=ts(0), event_type="purchase"),
+        _Row(user_id=3, event_id=6, ts=ts(10), event_type="view"),
+        # user 1 second view at 50 -> same purchase at 100 (lat 50)
+        _Row(user_id=1, event_id=7, ts=ts(50), event_type="view"),
+    ]
+    r = next_conversion(
+        spark.createDataFrame(rows),
+        "user_id", "ts", "event_type", "view", "purchase", 3600,
+        tiebreak_col="event_id",
+    ).collect()[0]
+    assert r.n_from == 4
+    assert r.n_converted == 2
+    assert r.conv_rate == 0.5
+    assert r.avg_latency_sec == 75.0

@@ -581,3 +581,69 @@ def test_poisson_bootstrap_ci_brackets_mean_and_is_deterministic(spark):
     # a different seed moves the replicate draw
     r3 = poisson_bootstrap_ci(df, "id", "v", b=40, seed="u").collect()[0]
     assert (r3.lo, r3.hi) != (r1.lo, r1.hi)
+
+
+def test_weighted_quantiles_hand_case(spark):
+    from pyspark.sql import Row as _Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        weighted_quantiles,
+    )
+
+    # values 1..4 with weights 1,1,6,2 (total 10):
+    # cum: 1->1, 2->2, 3->8, 4->10
+    # q=.25 -> first cum>=2.5 -> 3; q=.5 -> 3; q=.9 -> 4
+    df = spark.createDataFrame(
+        [_Row(g="a", v=1.0, w=1), _Row(g="a", v=2.0, w=1),
+         _Row(g="a", v=3.0, w=6), _Row(g="a", v=4.0, w=2)]
+    )
+    got = {
+        r.q: r.wq
+        for r in weighted_quantiles(df, "g", "v", "w", qs=(0.25, 0.5, 0.9)).collect()
+    }
+    assert got == {0.25: 3.0, 0.5: 3.0, 0.9: 4.0}
+
+
+def test_weighted_quantiles_tie_safe(spark):
+    from pyspark.sql import Row as _Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        weighted_quantiles,
+    )
+
+    # duplicated values: any internal order of the ties yields the same
+    # smallest qualifying value
+    df = spark.createDataFrame(
+        [_Row(g="a", v=5.0, w=1)] * 4 + [_Row(g="a", v=9.0, w=1)]
+    )
+    got = {r.q: r.wq for r in weighted_quantiles(df, "g", "v", "w", qs=(0.5, 1.0)).collect()}
+    assert got == {0.5: 5.0, 1.0: 9.0}
+
+
+def test_trimmed_mean_drops_extremes(spark):
+    from pyspark.sql import Row as _Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        trimmed_mean,
+    )
+
+    # 10 rows: outliers -1000 and 1000 trimmed at 10% -> mean of middle 8
+    vals = [-1000.0, 1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 1000.0]
+    df = spark.createDataFrame(
+        [_Row(g="x", id=i, v=v) for i, v in enumerate(vals)]
+    )
+    r = trimmed_mean(df, "g", "id", "v", trim=0.1).collect()[0]
+    assert r.n == 10 and r.n_used == 8
+    assert r.tmean == 4.5
+
+
+def test_trimmed_mean_zero_trim_is_plain_mean(spark):
+    from pyspark.sql import Row as _Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        trimmed_mean,
+    )
+
+    df = spark.createDataFrame([_Row(g="x", id=i, v=float(i)) for i in range(5)])
+    r = trimmed_mean(df, "g", "id", "v", trim=0.0).collect()[0]
+    assert r.n_used == 5 and r.tmean == 2.0
