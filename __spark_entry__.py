@@ -11130,6 +11130,99 @@ FROM kept GROUP BY grp ORDER BY "group"
 """
 
 
+def q_chao1(spark, sf_dir):
+    """Chao1 vocabulary-asymptote estimate (operators/corpus.py
+    chao1_richness): distinct terms + singleton/doubleton correction.
+    Token explode -> map-side term counts -> one aggregate over the
+    vocabulary-bounded frame.  Pairs with q_heaps_law (curve fit) as the
+    crawl-coverage audit."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        chao1_richness,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return chao1_richness(d, "doc_id", "text")
+
+
+Q_CHAO1_SQL = f"""
+WITH nm AS (SELECT doc_id AS id, {_NORM_SQL} AS nt FROM documents),
+toks AS (
+  SELECT id, t.term
+  FROM nm, UNNEST(list_filter(str_split(nt, ' '), x -> x <> '')) t(term)),
+counts AS (SELECT term, COUNT(*) AS c FROM toks GROUP BY term),
+f AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS d,
+         CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS f1,
+         CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS f2
+  FROM counts)
+SELECT d, f1, f2,
+       ROUND(d + f1 * (f1 - 1) / (2.0 * (f2 + 1)), 6) AS chao1
+FROM f
+"""
+
+
+def q_diversity(spark, sf_dir):
+    """Per-source lexical diversity (operators/corpus.py
+    diversity_index): Shannon entropy, Simpson diversity, richness and
+    Pielou evenness of each source's token distribution — the template-
+    spam detector for corpus mixes.  One explode, one (group, term)
+    map-side aggregate, the group total riding a window on the same
+    partitioning; no join back."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        diversity_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return diversity_index(d, "source", "text").transform(_by("group"))
+
+
+Q_DIVERSITY_SQL = f"""
+WITH nm AS (SELECT source AS grp, {_NORM_SQL} AS nt FROM documents),
+tok AS (
+  SELECT grp, t.term
+  FROM nm, UNNEST(list_filter(str_split(nt, ' '), x -> x <> '')) t(term)),
+per AS (SELECT grp, term, COUNT(*) AS c FROM tok GROUP BY grp, term),
+sc AS (SELECT grp, c, SUM(c) OVER (PARTITION BY grp) AS n FROM per),
+agg AS (
+  SELECT grp, CAST(MAX(n) AS BIGINT) AS n_tokens,
+         CAST(COUNT(*) AS BIGINT) AS richness,
+         ROUND(-SUM((c / CAST(n AS DOUBLE)) * ln(c / CAST(n AS DOUBLE))),
+               6) AS shannon,
+         ROUND(1.0 - SUM((c / CAST(n AS DOUBLE)) * (c / n)), 6) AS simpson
+  FROM sc GROUP BY grp)
+SELECT grp AS "group", n_tokens, richness, shannon, simpson,
+       ROUND(CASE WHEN richness > 1
+                  THEN shannon / ln(CAST(richness AS DOUBLE))
+                  ELSE 0.0 END, 6) AS evenness
+FROM agg ORDER BY "group"
+"""
+
+
+def q_hill_tail(spark, sf_dir):
+    """Hill tail-index over document sizes (operators/corpus.py
+    hill_tail_index): 1/alpha = mean log-excess over the top-k order
+    statistics — the finite-variance audit behind partitioner sizing.
+    TakeOrderedAndProject of k+1 rows; the table never shuffles."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        hill_tail_index,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return hill_tail_index(d, "doc_id", "n_chars", k=100)
+
+
+Q_HILL_TAIL_SQL = """
+WITH top AS (
+  SELECT doc_id AS id, CAST(n_chars AS DOUBLE) AS v
+  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+  ORDER BY v DESC, id ASC LIMIT 101),
+thr AS (SELECT MIN(v) AS x_kth FROM top)
+SELECT CAST(COUNT(*) AS BIGINT) AS k, MAX(x_kth) AS x_kth,
+       ROUND(1.0 / AVG(ln(v / x_kth)), 6) AS alpha
+FROM top CROSS JOIN thr WHERE v > x_kth
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -11396,6 +11489,9 @@ _QUERIES_PAST_WINDOW = [
     "q_next_conversion",
     "q_weighted_quantiles",
     "q_trimmed_mean",
+    "q_chao1",
+    "q_diversity",
+    "q_hill_tail",
 ]
 
 
@@ -11606,6 +11702,9 @@ def oracle_sql() -> dict[str, str]:
         "q_next_conversion": Q_NEXT_CONVERSION_SQL,
         "q_weighted_quantiles": Q_WEIGHTED_QUANTILES_SQL,
         "q_trimmed_mean": Q_TRIMMED_MEAN_SQL,
+        "q_chao1": Q_CHAO1_SQL,
+        "q_diversity": Q_DIVERSITY_SQL,
+        "q_hill_tail": Q_HILL_TAIL_SQL,
         "q_scd2": Q_SCD2_SQL,
         "q_revenue_rollup": Q_REVENUE_ROLLUP_SQL,
         "q_kmv_distinct": Q_KMV_DISTINCT_SQL,

@@ -983,3 +983,160 @@ def rake_keywords(
         ranked.withColumn("rank", F.row_number().over(wr))
         .filter(F.col("rank") <= top_k)
     )
+
+
+def chao1_richness(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Chao1 nonparametric vocabulary-size estimate (Chao 1984): how many
+    distinct terms the corpus WOULD show with unbounded sampling, from
+    the singleton/doubleton counts alone -- the "how much vocabulary is
+    the crawl still missing" audit that complements the Heaps-law fit
+    (which extrapolates the curve; Chao1 bounds the asymptote).
+
+    Bias-corrected estimator (defined even when no doubletons exist):
+    ``chao1 = d + f1 * (f1 - 1) / (2 * (f2 + 1))``.
+
+    Returns one row: ``d, f1, f2, chao1``.  Plan: tokens explode once,
+    term counts aggregate map-side to the vocabulary dimension, and the
+    f-statistics are one aggregate over that bounded frame.
+    """
+    counts = (
+        _token_rows(df, id_col, text_col)
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return counts.agg(
+        F.count(F.lit(1)).alias("d"),
+        F.sum((F.col("c") == 1).cast("long")).alias("f1"),
+        F.sum((F.col("c") == 2).cast("long")).alias("f2"),
+    ).select(
+        "d",
+        "f1",
+        "f2",
+        F.round(
+            F.col("d")
+            + F.col("f1") * (F.col("f1") - 1) / (2.0 * (F.col("f2") + 1)),
+            round_to,
+        ).alias("chao1"),
+    )
+
+
+def diversity_index(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-group lexical diversity: Shannon entropy (nats), Simpson's
+    diversity ``1 - sum(p^2)``, distinct-term richness, and Pielou
+    evenness ``shannon / ln(richness)`` over the group's token
+    distribution -- the ecology indices applied to corpus sources,
+    flagging domains whose text is template spam (low entropy) before
+    they flood a training mix.
+
+    Returns ``(group, n_tokens, richness, shannon, simpson, evenness)``.
+    Plan: one token explode carrying the group, one (group, term)
+    aggregate with map-side combine -- vocabulary-bounded after it --
+    then the per-group total rides a window on the same partitioning
+    (no join back) and one final aggregate.
+    """
+    w = ensure_min_partitions(df).select(
+        F.col(group_col).alias("group"),
+        F.split(normalized_for_compare(F.col(text_col)), " ").alias("_w"),
+    )
+    rows = w.select(
+        "group",
+        F.explode(
+            F.filter(F.col("_w"), lambda t: t != F.lit(""))
+        ).alias("term"),
+    )
+    per_term = rows.groupBy("group", "term").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    win = Window.partitionBy("group")
+    scored = per_term.select(
+        "group", "c", F.sum("c").over(win).alias("_n")
+    )
+    agg = scored.groupBy("group").agg(
+        F.max("_n").alias("n_tokens"),
+        F.count(F.lit(1)).alias("richness"),
+        F.round(
+            -F.sum(
+                (F.col("c") / F.col("_n").cast("double"))
+                * F.log(F.col("c") / F.col("_n").cast("double"))
+            ),
+            round_to,
+        ).alias("shannon"),
+        F.round(
+            1.0
+            - F.sum(
+                (F.col("c") / F.col("_n").cast("double"))
+                * (F.col("c") / F.col("_n"))
+            ),
+            round_to,
+        ).alias("simpson"),
+    )
+    return agg.select(
+        "group",
+        "n_tokens",
+        "richness",
+        "shannon",
+        "simpson",
+        F.round(
+            F.when(
+                F.col("richness") > 1,
+                F.col("shannon") / F.log(F.col("richness").cast("double")),
+            ).otherwise(F.lit(0.0)),
+            round_to,
+        ).alias("evenness"),
+    )
+
+
+def hill_tail_index(
+    df: DataFrame,
+    id_col: str,
+    value_col,
+    k: int = 100,
+    round_to: int = 6,
+) -> DataFrame:
+    """Hill estimator of the power-law tail index (Hill 1975) from the
+    top ``k`` order statistics: ``1/alpha = mean(ln(x_i / x_kth))`` over
+    the values strictly above the (k+1)-th largest -- the heavy-tail
+    audit that says whether document sizes (or user activity) have
+    finite variance before a partitioner bets on it.  Complements
+    q_zipf (rank-frequency slope on the whole distribution; Hill uses
+    only the tail, where it counts).
+
+    Returns one row: ``k, x_kth, alpha`` (``x_kth`` = the smallest of
+    the top k+1 values, the conditioning threshold; ``k`` = rows
+    strictly above it, < the requested k under boundary ties).  Ties
+    break by id so the cut is a total order.  Plan:
+    TakeOrderedAndProject of k+1 rows -- the data is scanned once and
+    never shuffled.
+    """
+    v = F.col(value_col) if isinstance(value_col, str) else value_col
+    top = (
+        df.select(
+            F.col(id_col).alias("_id"), v.cast("double").alias("_v")
+        )
+        .filter(F.col("_v").isNotNull() & (F.col("_v") > 0))
+        .orderBy(F.desc("_v"), F.asc("_id"))
+        .limit(int(k) + 1)
+    )
+    thr = top.agg(F.min("_v").alias("x_kth"))
+    return (
+        top.join(F.broadcast(thr), F.lit(True))
+        .filter(F.col("_v") > F.col("x_kth"))
+        .agg(
+            F.count(F.lit(1)).alias("k"),
+            F.max("x_kth").alias("x_kth"),
+            F.round(
+                1.0 / F.avg(F.log(F.col("_v") / F.col("x_kth"))), round_to
+            ).alias("alpha"),
+        )
+        .select("k", "x_kth", "alpha")
+    )

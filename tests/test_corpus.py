@@ -603,3 +603,96 @@ def test_rake_keywords_tie_break_and_stopword_only(spark):
     d0 = sorted(by_doc[0], key=lambda r: r.rank)
     assert [r.phrase for r in d0] == ["apple", "zebra"]
     assert d0[0].score == d0[1].score == 1.0
+
+
+def test_chao1_hand_counts(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        chao1_richness,
+    )
+
+    # corpus: a a a b b c d -> counts a=3, b=2, c=1, d=1
+    # d=4, f1=2, f2=1 -> chao1 = 4 + 2*1/(2*2) = 4.5
+    d = _docs(spark, ["a a a b", "b c d"])
+    r = chao1_richness(d, "doc_id", "text").collect()[0]
+    assert (r.d, r.f1, r.f2) == (4, 2, 1)
+    assert r.chao1 == 4.5
+
+
+def test_chao1_no_doubletons_defined(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        chao1_richness,
+    )
+
+    # all singletons: d=3, f1=3, f2=0 -> 3 + 3*2/2 = 6
+    r = chao1_richness(_docs(spark, ["x y z"]), "doc_id", "text").collect()[0]
+    assert (r.d, r.f1, r.f2) == (3, 3, 0)
+    assert r.chao1 == 6.0
+
+
+def test_diversity_uniform_vs_skewed(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        diversity_index,
+    )
+
+    rows = spark.createDataFrame(
+        [("u", "a b c d"), ("s", "a a a b")], "source string, text string"
+    )
+    out = {r.group: r for r in diversity_index(rows, "source", "text").collect()}
+    u, s = out["u"], out["s"]
+    assert u.n_tokens == 4 and u.richness == 4
+    assert abs(u.shannon - math.log(4)) < 1e-6
+    assert u.evenness == 1.0
+    assert abs(u.simpson - 0.75) < 1e-6
+    # skewed group: H = -(3/4 ln 3/4 + 1/4 ln 1/4), simpson = 1 - (9+1)/16
+    hs = -(0.75 * math.log(0.75) + 0.25 * math.log(0.25))
+    assert abs(s.shannon - hs) < 1e-6
+    assert abs(s.simpson - 0.375) < 1e-6
+    assert s.shannon < u.shannon and s.evenness < 1.0
+
+
+def test_diversity_single_term_group(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        diversity_index,
+    )
+
+    rows = spark.createDataFrame([("m", "same same same")], "source string, text string")
+    r = diversity_index(rows, "source", "text").collect()[0]
+    assert r.richness == 1 and r.shannon == 0.0 and r.evenness == 0.0
+
+
+def test_hill_tail_exact_pareto(spark):
+    from pyspark.sql import Row as _Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        hill_tail_index,
+    )
+
+    # exact Pareto quantiles x_i = (n/i)^(1/alpha) with alpha=2:
+    # Hill over the top k recovers alpha closely
+    alpha = 2.0
+    n = 2000
+    rows = [
+        _Row(id=i, v=float((n / i) ** (1 / alpha))) for i in range(1, n + 1)
+    ]
+    r = hill_tail_index(
+        spark.createDataFrame(rows), "id", "v", k=200
+    ).collect()[0]
+    assert r.k == 200
+    assert abs(r.alpha - alpha) < 0.15
+
+
+def test_hill_tail_boundary_ties_excluded(spark):
+    from pyspark.sql import Row as _Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        hill_tail_index,
+    )
+
+    # values: 10, 9, and eight 5s; k=3 -> top4 = 10,9,5,5; threshold 5,
+    # only the two rows strictly above it count
+    rows = [_Row(id=1, v=10.0), _Row(id=2, v=9.0)] + [
+        _Row(id=10 + i, v=5.0) for i in range(8)
+    ]
+    r = hill_tail_index(spark.createDataFrame(rows), "id", "v", k=3).collect()[0]
+    assert r.x_kth == 5.0
+    assert r.k == 2

@@ -289,6 +289,8 @@ def test_no_query_plans_nested_loop_or_rowwise_python(spark):
         "q_stump",
         # 1-row estimate joined to the 1-row percentile-bounds frame
         "q_bootstrap_ci",
+        # 1-row threshold attached to the (k+1)-row top frame
+        "q_hill_tail",
         # PAV minimax runs j<=i<=k interval joins over the BINS frame
         # (n_bins³ = 1000 rows at the default — metadata algebra, the
         # Hungarian/BH-FDR class, corpus-size-independent)
