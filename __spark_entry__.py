@@ -11223,6 +11223,125 @@ FROM top CROSS JOIN thr WHERE v > x_kth
 """
 
 
+def q_cmh(spark, sf_dir):
+    """Cochran-Mantel-Haenszel pooled odds ratio over the same strata as
+    q_simpsons (operators/stats.py cmh_pooled_odds) — the correct pooled
+    effect after q_simpsons shows naive pooling lies.  One stratum
+    aggregate + one strata-frame aggregate."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        cmh_pooled_odds,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return cmh_pooled_odds(
+        e, "event_type", F.expr("user_id % 2 = 1"), F.expr("value > 50")
+    )
+
+
+Q_CMH_SQL = """
+WITH base AS (
+  SELECT event_type AS stratum,
+         CAST(user_id % 2 = 1 AS INT) AS t,
+         CAST(value > 50 AS INT) AS y
+  FROM events),
+per AS (
+  SELECT stratum,
+         CAST(SUM(t * y) AS DOUBLE) AS a,
+         CAST(SUM(t * (1 - y)) AS DOUBLE) AS b,
+         CAST(SUM((1 - t) * y) AS DOUBLE) AS c,
+         CAST(SUM((1 - t) * (1 - y)) AS DOUBLE) AS d
+  FROM base GROUP BY stratum),
+per2 AS (SELECT *, a + b + c + d AS nk FROM per)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_strata,
+       ROUND(SUM(a * d / nk) / SUM(b * c / nk), 6) AS or_mh,
+       ROUND(POW(SUM(a - (a + b) * (a + c) / nk), 2.0)
+             / SUM((a + b) * (c + d) * (a + c) * (b + d)
+                   / (nk * nk * (nk - 1))), 6) AS chi2
+FROM per2
+"""
+
+
+def q_mcnemar(spark, sf_dir):
+    """McNemar discordance between two deterministic document filters
+    (operators/stats.py mcnemar_test): length rule vs stopword rule on
+    the SAME documents — the paired filter-migration gate.  One
+    map-side-combined aggregate."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        mcnemar_test,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return mcnemar_test(
+        d,
+        F.col("n_chars") > 1000,
+        F.lower(F.col("text")).contains("the"),
+    )
+
+
+Q_MCNEMAR_SQL = """
+WITH base AS (
+  SELECT CAST(n_chars > 1000 AS INT) AS a,
+         CAST(contains(lower(text), 'the') AS INT) AS b
+  FROM documents)
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(a * b) AS BIGINT) AS both,
+       CAST(SUM((1 - a) * (1 - b)) AS BIGINT) AS neither,
+       CAST(SUM(a * (1 - b)) AS BIGINT) AS b,
+       CAST(SUM((1 - a) * b) AS BIGINT) AS c,
+       ROUND(CASE WHEN SUM(a * (1 - b)) + SUM((1 - a) * b) > 0
+                  THEN POW(SUM(a * (1 - b)) - SUM((1 - a) * b), 2.0)
+                       / CAST(SUM(a * (1 - b)) + SUM((1 - a) * b) AS DOUBLE)
+                  ELSE 0.0 END, 6) AS mcnemar
+FROM base
+"""
+
+
+def q_brier(spark, sf_dir):
+    """Murphy decomposition of the Brier score (operators/stats.py
+    brier_decomposition): clamped event value as purchase forecast —
+    reliability / resolution / uncertainty over 10 equal-width bins.
+    One bin aggregate + one n_bins-frame aggregate with the base rate
+    riding a window."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        brier_decomposition,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return brier_decomposition(
+        e,
+        F.least(F.col("value") / 100, F.lit(1.0)),
+        F.col("event_type") == "purchase",
+        n_bins=10,
+    )
+
+
+Q_BRIER_SQL = """
+WITH base AS (
+  SELECT LEAST(value / 100, 1.0) AS s,
+         CAST(event_type = 'purchase' AS INT) AS y
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+binned AS (
+  SELECT LEAST(CAST(FLOOR(s * 10) AS INT), 9) AS bin, s, y FROM base),
+per AS (
+  SELECT bin, CAST(COUNT(*) AS DOUBLE) AS nk, AVG(s) AS sbar,
+         AVG(CAST(y AS DOUBLE)) AS ybar,
+         SUM((s - y) * (s - y)) AS se
+  FROM binned GROUP BY bin),
+tot AS (
+  SELECT *, SUM(nk) OVER () AS n,
+         SUM(nk * ybar) OVER () / SUM(nk) OVER () AS yb
+  FROM per)
+SELECT CAST(MAX(n) AS BIGINT) AS n,
+       ROUND(SUM(se) / MAX(n), 6) AS brier,
+       ROUND(SUM(nk * (sbar - ybar) * (sbar - ybar)) / MAX(n), 6)
+         AS reliability,
+       ROUND(SUM(nk * (ybar - yb) * (ybar - yb)) / MAX(n), 6)
+         AS resolution,
+       ROUND(MAX(yb * (1.0 - yb)), 6) AS uncertainty
+FROM tot
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -11492,6 +11611,9 @@ _QUERIES_PAST_WINDOW = [
     "q_chao1",
     "q_diversity",
     "q_hill_tail",
+    "q_cmh",
+    "q_mcnemar",
+    "q_brier",
 ]
 
 
@@ -11705,6 +11827,9 @@ def oracle_sql() -> dict[str, str]:
         "q_chao1": Q_CHAO1_SQL,
         "q_diversity": Q_DIVERSITY_SQL,
         "q_hill_tail": Q_HILL_TAIL_SQL,
+        "q_cmh": Q_CMH_SQL,
+        "q_mcnemar": Q_MCNEMAR_SQL,
+        "q_brier": Q_BRIER_SQL,
         "q_scd2": Q_SCD2_SQL,
         "q_revenue_rollup": Q_REVENUE_ROLLUP_SQL,
         "q_kmv_distinct": Q_KMV_DISTINCT_SQL,

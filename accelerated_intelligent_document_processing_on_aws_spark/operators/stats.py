@@ -2089,3 +2089,170 @@ def trimmed_mean(
         F.count(F.lit(1)).alias("n_used"),
         F.round(F.avg("_v"), round_to).alias("tmean"),
     )
+
+
+def cmh_pooled_odds(
+    df: DataFrame,
+    stratum_col: str,
+    treat_col,
+    outcome_col,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cochran-Mantel-Haenszel pooled odds ratio and test statistic over
+    stratified 2x2 tables (Mantel & Haenszel 1959) -- the OTHER half of
+    the Simpson's-paradox story: ``simpson_reversals`` detects that
+    pooling lies; CMH pools CORRECTLY, weighting each stratum's odds
+    ratio so confounding by the stratum variable cancels.
+
+    ``or_mh = sum_k(a_k d_k / n_k) / sum_k(b_k c_k / n_k)`` with the
+    (uncorrected) CMH chi-square from the usual hypergeometric moments.
+    Returns one row: ``n_strata, or_mh, chi2``.
+
+    Plan: one stratum aggregate over the data, one aggregate over the
+    strata-bounded frame.
+    """
+    t = F.col(treat_col) if isinstance(treat_col, str) else treat_col
+    y = F.col(outcome_col) if isinstance(outcome_col, str) else outcome_col
+    base = df.select(
+        F.col(stratum_col).alias("stratum"),
+        t.cast("int").alias("_t"),
+        y.cast("int").alias("_y"),
+    )
+    per = base.groupBy("stratum").agg(
+        F.sum(F.expr("_t * _y")).cast("double").alias("a"),
+        F.sum(F.expr("_t * (1 - _y)")).cast("double").alias("b"),
+        F.sum(F.expr("(1 - _t) * _y")).cast("double").alias("c"),
+        F.sum(F.expr("(1 - _t) * (1 - _y)")).cast("double").alias("d"),
+    ).select(
+        "*", F.expr("a + b + c + d").alias("nk")
+    )
+    return per.agg(
+        F.count(F.lit(1)).alias("n_strata"),
+        F.round(
+            F.sum(F.expr("a * d / nk")) / F.sum(F.expr("b * c / nk")),
+            round_to,
+        ).alias("or_mh"),
+        F.round(
+            F.pow(
+                F.sum(F.expr("a - (a + b) * (a + c) / nk")), F.lit(2.0)
+            )
+            / F.sum(
+                F.expr(
+                    "(a + b) * (c + d) * (a + c) * (b + d)"
+                    " / (nk * nk * (nk - 1))"
+                )
+            ),
+            round_to,
+        ).alias("chi2"),
+    )
+
+
+def mcnemar_test(
+    df: DataFrame,
+    rule_a_col,
+    rule_b_col,
+    round_to: int = 6,
+) -> DataFrame:
+    """McNemar's paired test for two binary judges on the SAME rows
+    (McNemar 1947): only the discordant counts matter -- ``b`` (A fires,
+    B doesn't) vs ``c`` (B fires, A doesn't); the statistic
+    ``(b - c)^2 / (b + c)`` asks whether two filter versions disagree
+    symmetrically or one is systematically stricter.  The filter-
+    migration gate a curation pipeline runs before swapping quality
+    rules.
+
+    Returns one row: ``n, both, neither, b, c, mcnemar`` (0 when no
+    discordant pairs).  ONE aggregate, map-side combined.
+    """
+    a = F.col(rule_a_col) if isinstance(rule_a_col, str) else rule_a_col
+    b = F.col(rule_b_col) if isinstance(rule_b_col, str) else rule_b_col
+    base = df.select(a.cast("int").alias("_a"), b.cast("int").alias("_b"))
+    return base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("_a * _b")).cast("long").alias("both"),
+        F.sum(F.expr("(1 - _a) * (1 - _b)")).cast("long").alias("neither"),
+        F.sum(F.expr("_a * (1 - _b)")).cast("long").alias("b"),
+        F.sum(F.expr("(1 - _a) * _b")).cast("long").alias("c"),
+    ).select(
+        "n",
+        "both",
+        "neither",
+        "b",
+        "c",
+        F.round(
+            F.when(
+                F.col("b") + F.col("c") > 0,
+                F.pow(F.col("b") - F.col("c"), F.lit(2.0))
+                / (F.col("b") + F.col("c")).cast("double"),
+            ).otherwise(F.lit(0.0)),
+            round_to,
+        ).alias("mcnemar"),
+    )
+
+
+def brier_decomposition(
+    df: DataFrame,
+    score_col,
+    outcome_col,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score over equal-width
+    forecast bins: ``brier``, ``reliability`` (calibration error --
+    penalizes bins whose mean forecast strays from their hit rate),
+    ``resolution`` (how much the bins separate outcomes; higher is
+    better), ``uncertainty`` (base-rate variance, forecast-independent).
+    The one-line health check of a quality classifier's probabilities:
+    brier ~= reliability - resolution + uncertainty (exact when bin mean
+    forecasts are the forecast).
+
+    Scores must lie in [0, 1]; the top edge closes (score 1.0 lands in
+    the last bin).  Returns one row:
+    ``n, brier, reliability, resolution, uncertainty``.
+
+    Plan: one bin aggregate over the data, one aggregate over the
+    n_bins frame with the global base rate riding a window.
+    """
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    y = F.col(outcome_col) if isinstance(outcome_col, str) else outcome_col
+    base = df.select(
+        s.cast("double").alias("_s"), y.cast("int").alias("_y")
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    binned = base.select(
+        F.least(
+            F.floor(F.col("_s") * n_bins).cast("int"), F.lit(n_bins - 1)
+        ).alias("bin"),
+        "_s",
+        "_y",
+    )
+    per = binned.groupBy("bin").agg(
+        F.count(F.lit(1)).cast("double").alias("nk"),
+        F.avg("_s").alias("sbar"),
+        F.avg(F.col("_y").cast("double")).alias("ybar"),
+        F.sum(F.expr("(_s - _y) * (_s - _y)")).alias("se"),
+    )
+    w = Window.partitionBy()
+    tot = per.select(
+        "*",
+        F.sum("nk").over(w).alias("_n"),
+        (F.sum(F.expr("nk * ybar")).over(w) / F.sum("nk").over(w)).alias(
+            "_ybar"
+        ),
+    )
+    return tot.agg(
+        F.max("_n").cast("long").alias("n"),
+        F.round(F.sum("se") / F.max("_n"), round_to).alias("brier"),
+        F.round(
+            F.sum(F.expr("nk * (sbar - ybar) * (sbar - ybar)"))
+            / F.max("_n"),
+            round_to,
+        ).alias("reliability"),
+        F.round(
+            F.sum(F.expr("nk * (ybar - _ybar) * (ybar - _ybar)"))
+            / F.max("_n"),
+            round_to,
+        ).alias("resolution"),
+        F.round(
+            F.max(F.expr("_ybar * (1.0 - _ybar)")), round_to
+        ).alias("uncertainty"),
+    )

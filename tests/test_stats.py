@@ -647,3 +647,101 @@ def test_trimmed_mean_zero_trim_is_plain_mean(spark):
     df = spark.createDataFrame([_Row(g="x", id=i, v=float(i)) for i in range(5)])
     r = trimmed_mean(df, "g", "id", "v", trim=0.0).collect()[0]
     assert r.n_used == 5 and r.tmean == 2.0
+
+
+def test_cmh_homogeneous_strata_recovers_common_or(spark):
+    from pyspark.sql import Row as _Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        cmh_pooled_odds,
+    )
+
+    # both strata have the same 2x2 table: a=20 b=10 c=10 d=20 -> OR=4
+    rows = []
+    for st in ["A", "B"]:
+        rows += [_Row(s=st, t=1, y=1)] * 20 + [_Row(s=st, t=1, y=0)] * 10
+        rows += [_Row(s=st, t=0, y=1)] * 10 + [_Row(s=st, t=0, y=0)] * 20
+    df = spark.createDataFrame(rows)
+    r = cmh_pooled_odds(df, "s", F.col("t") == 1, F.col("y") == 1).collect()[0]
+    assert r.n_strata == 2
+    assert abs(r.or_mh - 4.0) < 1e-9
+    assert r.chi2 > 3.84  # significant at 5%
+
+
+def test_cmh_null_effect(spark):
+    from pyspark.sql import Row as _Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        cmh_pooled_odds,
+    )
+
+    rows = []
+    for st in ["A", "B"]:
+        for t in (0, 1):
+            rows += [_Row(s=st, t=t, y=1)] * 15 + [_Row(s=st, t=t, y=0)] * 15
+    r = cmh_pooled_odds(
+        spark.createDataFrame(rows), "s", F.col("t") == 1, F.col("y") == 1
+    ).collect()[0]
+    assert abs(r.or_mh - 1.0) < 1e-9
+    assert r.chi2 == 0.0
+
+
+def test_mcnemar_hand_counts(spark):
+    from pyspark.sql import Row as _Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        mcnemar_test,
+    )
+
+    # both=3, neither=2, b=4, c=1 -> (4-1)^2/5 = 1.8
+    rows = (
+        [_Row(a=1, b=1)] * 3 + [_Row(a=0, b=0)] * 2
+        + [_Row(a=1, b=0)] * 4 + [_Row(a=0, b=1)] * 1
+    )
+    r = mcnemar_test(spark.createDataFrame(rows), "a", "b").collect()[0]
+    assert (r.n, r.both, r.neither, r.b, r.c) == (10, 3, 2, 4, 1)
+    assert abs(r.mcnemar - 1.8) < 1e-9
+
+
+def test_mcnemar_no_discordance_is_zero(spark):
+    from pyspark.sql import Row as _Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        mcnemar_test,
+    )
+
+    rows = [_Row(a=1, b=1)] * 5 + [_Row(a=0, b=0)] * 5
+    r = mcnemar_test(spark.createDataFrame(rows), "a", "b").collect()[0]
+    assert r.mcnemar == 0.0 and r.b == 0 and r.c == 0
+
+
+def test_brier_decomposition_identity_and_perfect_forecast(spark):
+    from pyspark.sql import Row as _Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        brier_decomposition,
+    )
+
+    # perfect binary forecaster: s=1 exactly when y=1
+    rows = [_Row(s=1.0, y=1)] * 30 + [_Row(s=0.0, y=0)] * 70
+    r = brier_decomposition(spark.createDataFrame(rows), "s", "y").collect()[0]
+    assert r.brier == 0.0 and r.reliability == 0.0
+    assert abs(r.uncertainty - 0.21) < 1e-9   # 0.3 * 0.7
+    assert abs(r.resolution - 0.21) < 1e-9    # perfect: res == unc
+    # Murphy identity: brier = rel - res + unc
+    assert abs(r.brier - (r.reliability - r.resolution + r.uncertainty)) < 1e-6
+
+
+def test_brier_decomposition_constant_base_rate_forecast(spark):
+    from pyspark.sql import Row as _Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        brier_decomposition,
+    )
+
+    # constant forecast at the base rate: resolution 0, reliability 0,
+    # brier == uncertainty
+    rows = [_Row(s=0.4, y=1)] * 40 + [_Row(s=0.4, y=0)] * 60
+    r = brier_decomposition(spark.createDataFrame(rows), "s", "y").collect()[0]
+    assert r.resolution == 0.0 and r.reliability == 0.0
+    assert abs(r.brier - 0.24) < 1e-9 and abs(r.uncertainty - 0.24) < 1e-9
