@@ -11342,6 +11342,79 @@ FROM tot
 """
 
 
+def q_target_encode(spark, sf_dir):
+    """Leakage-safe K-fold target encoding (operators/mlfit.py
+    target_encode): per (event type, md5-fold) out-of-fold mean value,
+    shrunk to the global prior — the encoding table a trainer broadcast-
+    joins.  One (cat, fold) aggregate; totals ride a per-cat window, the
+    prior a size-1 broadcast.  The oracle replays the identical hash
+    folds in SQL."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        target_encode,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return target_encode(
+        e, "event_id", "event_type", "value", n_folds=5, seed="te"
+    ).transform(_by("cat", "fold"))
+
+
+Q_TARGET_ENCODE_SQL = """
+WITH base AS (
+  SELECT event_type AS cat, value AS y,
+         CAST(('0x' || substr(md5('te' || CAST(event_id AS VARCHAR)), 1, 15))
+              AS BIGINT) % 5 AS fold
+  FROM events WHERE value IS NOT NULL),
+per AS (
+  SELECT cat, fold, SUM(y) AS s, COUNT(*) AS c
+  FROM base GROUP BY cat, fold),
+tot AS (
+  SELECT *, SUM(s) OVER (PARTITION BY cat) AS ts,
+         SUM(c) OVER (PARTITION BY cat) AS tc
+  FROM per),
+prior AS (SELECT AVG(y) AS prior FROM base)
+SELECT cat, CAST(fold AS INT) AS fold, CAST(tc - c AS BIGINT) AS n_out,
+       ROUND((ts - s + 10.0 * prior) / (CAST(tc - c AS DOUBLE) + 10.0), 6)
+         AS enc
+FROM tot CROSS JOIN prior ORDER BY cat, fold
+"""
+
+
+def q_hash_collisions(spark, sf_dir):
+    """Feature-hashing collision audit (operators/mlfit.py
+    hashing_trick_audit): distinct corpus terms bucketed by the
+    engine-portable md5 hash into 4096 features; reports bucket
+    occupancy and the term collision rate — the go/no-go check before
+    shipping a hashed bag-of-words."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        hashing_trick_audit,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return hashing_trick_audit(d, "doc_id", "text", n_buckets=4096)
+
+
+Q_HASH_COLLISIONS_SQL = f"""
+WITH nm AS (SELECT doc_id AS id, {_NORM_SQL} AS nt FROM documents),
+toks AS (
+  SELECT DISTINCT t.term
+  FROM nm, UNNEST(list_filter(str_split(nt, ' '), x -> x <> '')) t(term)),
+b AS (
+  SELECT CAST(('0x' || substr(md5(term), 1, 15)) AS BIGINT) % 4096 AS bucket
+  FROM toks),
+per AS (SELECT bucket, COUNT(*) AS c FROM b GROUP BY bucket)
+SELECT CAST(SUM(c) AS BIGINT) AS n_terms,
+       4096 AS n_buckets,
+       CAST(COUNT(*) AS BIGINT) AS buckets_used,
+       CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS colliding_buckets,
+       CAST(MAX(c) AS BIGINT) AS max_bucket,
+       ROUND(SUM(CASE WHEN c > 1 THEN c ELSE 0 END)
+             / CAST(SUM(c) AS DOUBLE), 6) AS term_collision_rate
+FROM per
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -11614,6 +11687,8 @@ _QUERIES_PAST_WINDOW = [
     "q_cmh",
     "q_mcnemar",
     "q_brier",
+    "q_target_encode",
+    "q_hash_collisions",
 ]
 
 
@@ -11830,6 +11905,8 @@ def oracle_sql() -> dict[str, str]:
         "q_cmh": Q_CMH_SQL,
         "q_mcnemar": Q_MCNEMAR_SQL,
         "q_brier": Q_BRIER_SQL,
+        "q_target_encode": Q_TARGET_ENCODE_SQL,
+        "q_hash_collisions": Q_HASH_COLLISIONS_SQL,
         "q_scd2": Q_SCD2_SQL,
         "q_revenue_rollup": Q_REVENUE_ROLLUP_SQL,
         "q_kmv_distinct": Q_KMV_DISTINCT_SQL,

@@ -379,3 +379,127 @@ def pca_power_top1(
         "eig",
         *[f"v{i + 1}" for i in range(d)],
     )
+
+
+def target_encode(
+    df: DataFrame,
+    id_col: str,
+    cat_col: str,
+    label_col,
+    n_folds: int = 5,
+    smoothing: float = 10.0,
+    seed: str = "te",
+    round_to: int = 6,
+) -> DataFrame:
+    """Leakage-safe K-fold target encoding (the Kaggle/CatBoost recipe):
+    each category's encoding for fold ``f`` is the label mean computed
+    from the OTHER folds only, shrunk toward the global prior by
+    ``smoothing`` pseudo-counts -- a row never sees its own label, so
+    the encoded feature can't leak the target into training.
+
+    Folds are ``md5(seed || id) mod n_folds`` -- a pure function of the
+    input (stable across engines, reruns, resumes), the same discipline
+    as ``dedup.sample_hash``.
+
+    Returns the ENCODING TABLE ``(cat, fold, n_out, enc)`` -- categories
+    x folds rows, the artifact a trainer broadcast-joins onto the data
+    -- where ``n_out`` is the out-of-fold row count backing the mean.
+    Categories entirely absent outside a fold encode to the prior.
+
+    Plan: one (cat, fold) aggregate over the data; everything after
+    runs on that bounded frame (totals ride a window per cat, the
+    global prior a size-1 broadcast).
+    """
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    base = df.select(
+        F.col(cat_col).cast("string").alias("cat"),
+        y.cast("double").alias("_y"),
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(seed), F.col(id_col).cast("string")
+                        )
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(int(n_folds)),
+        ).alias("fold"),
+    ).filter(F.col("_y").isNotNull())
+    per = base.groupBy("cat", "fold").agg(
+        F.sum("_y").alias("s"), F.count(F.lit(1)).alias("c")
+    )
+    w = Window.partitionBy("cat")
+    tot = per.select(
+        "cat",
+        "fold",
+        "s",
+        "c",
+        F.sum("s").over(w).alias("ts"),
+        F.sum("c").over(w).alias("tc"),
+    )
+    prior = base.agg(F.avg("_y").alias("prior"))
+    m = float(smoothing)
+    return (
+        tot.join(F.broadcast(prior), F.lit(True))
+        .select(
+            "cat",
+            F.col("fold").cast("int").alias("fold"),
+            (F.col("tc") - F.col("c")).alias("n_out"),
+            F.round(
+                (F.col("ts") - F.col("s") + F.lit(m) * F.col("prior"))
+                / ((F.col("tc") - F.col("c")).cast("double") + F.lit(m)),
+                round_to,
+            ).alias("enc"),
+        )
+    )
+
+
+def hashing_trick_audit(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_buckets: int = 4096,
+    round_to: int = 6,
+) -> DataFrame:
+    """Collision audit for the feature-hashing trick (Weinberger et al.
+    2009): map every distinct corpus term into ``n_buckets`` via the
+    engine-portable md5 bucket hash and measure how much signal the
+    collisions smear -- the question to answer BEFORE shipping a hashed
+    bag-of-words at 10^9-term scale.
+
+    Returns one row: ``n_terms, n_buckets, buckets_used, colliding_
+    buckets, max_bucket, term_collision_rate`` (fraction of terms that
+    share their bucket with at least one other term).
+
+    Plan: token explode -> distinct terms (map-side combined) -> bucket
+    aggregate -> one aggregate over the bucket-bounded frame.
+    """
+    from .corpus import _token_rows
+
+    terms = (
+        _token_rows(df, id_col, text_col).select("term").distinct()
+    )
+    buckets = terms.select(
+        F.pmod(
+            F.conv(F.substring(F.md5("term"), 1, 15), 16, 10).cast("long"),
+            F.lit(int(n_buckets)),
+        ).alias("bucket")
+    ).groupBy("bucket").agg(F.count(F.lit(1)).alias("c"))
+    return buckets.agg(
+        F.sum("c").alias("n_terms"),
+        F.lit(int(n_buckets)).alias("n_buckets"),
+        F.count(F.lit(1)).alias("buckets_used"),
+        F.sum((F.col("c") > 1).cast("long")).alias("colliding_buckets"),
+        F.max("c").alias("max_bucket"),
+        F.round(
+            F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(F.lit(0)))
+            / F.sum("c").cast("double"),
+            round_to,
+        ).alias("term_collision_rate"),
+    )

@@ -153,3 +153,64 @@ def test_pca_power_unit_norm_and_sign(spark):
     got = pca_power_top1(df, ["a", "b"], iterations=10).collect()[0]
     assert abs(got.v1**2 + got.v2**2 - 1.0) < 1e-5
     assert got.v1 >= 0
+
+
+def test_target_encode_leaves_own_fold_out(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        target_encode,
+    )
+
+    # single category, labels 0..9; fold means differ, so each fold's
+    # encoding must equal the smoothed mean of the OTHER folds' labels
+    rows = [Row(id=i, cat="c", y=float(i)) for i in range(10)]
+    df = spark.createDataFrame(rows)
+    out = target_encode(df, "id", "cat", "y", n_folds=2, smoothing=0.0, seed="z")
+    got = {r.fold: r for r in out.collect()}
+    # recompute folds with the same hash to know the split
+    import hashlib
+
+    def fold(i):
+        h = int(hashlib.md5(f"z{i}".encode()).hexdigest()[:15], 16)
+        return h % 2
+
+    sums = {0: 0.0, 1: 0.0}
+    cnts = {0: 0, 1: 0}
+    for i in range(10):
+        sums[fold(i)] += i
+        cnts[fold(i)] += 1
+    for f in (0, 1):
+        other = 1 - f
+        assert got[f].n_out == cnts[other]
+        assert abs(got[f].enc - sums[other] / cnts[other]) < 1e-6
+
+
+def test_target_encode_smoothing_pulls_to_prior(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        target_encode,
+    )
+
+    rows = [Row(id=i, cat="a", y=1.0) for i in range(5)] + [
+        Row(id=100 + i, cat="b", y=0.0) for i in range(5)
+    ]
+    df = spark.createDataFrame(rows)
+    heavy = target_encode(df, "id", "cat", "y", n_folds=2, smoothing=1e6)
+    for r in heavy.collect():
+        assert abs(r.enc - 0.5) < 1e-3  # massive smoothing -> prior
+
+
+def test_hashing_trick_audit_small_domain(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        hashing_trick_audit,
+    )
+
+    # 3 distinct terms into 1 bucket: all collide
+    df = spark.createDataFrame(
+        [Row(doc_id=0, text="aa bb cc aa")]
+    )
+    r = hashing_trick_audit(df, "doc_id", "text", n_buckets=1).collect()[0]
+    assert r.n_terms == 3 and r.buckets_used == 1
+    assert r.colliding_buckets == 1 and r.max_bucket == 3
+    assert r.term_collision_rate == 1.0
+    # plenty of buckets: no collisions for 3 terms (md5 spread)
+    r2 = hashing_trick_audit(df, "doc_id", "text", n_buckets=1 << 20).collect()[0]
+    assert r2.term_collision_rate == 0.0 and r2.buckets_used == 3
