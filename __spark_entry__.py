@@ -11415,6 +11415,91 @@ FROM per
 """
 
 
+def q_streaks(spark, sf_dir):
+    """Longest consecutive-day activity streak per user (operators/
+    stats.py daily_streaks): the DATE flavor of gaps-and-islands —
+    day minus row_number is constant within a run — so streaks need one
+    window and no self-join.  Top-20 by streak, user tiebreak."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        daily_streaks,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return daily_streaks(e, "user_id", "ts", top_k=20)
+
+
+Q_STREAKS_SQL = """
+WITH days AS (
+  SELECT DISTINCT user_id AS u, CAST(date_trunc('day', ts) AS DATE) AS day
+  FROM events WHERE ts IS NOT NULL),
+runs AS (
+  SELECT u, day,
+         day - CAST(ROW_NUMBER() OVER (PARTITION BY u ORDER BY day) AS INT)
+           AS anchor
+  FROM days),
+st AS (SELECT u, anchor, COUNT(*) AS len FROM runs GROUP BY u, anchor),
+pu AS (
+  SELECT u, CAST(SUM(len) AS BIGINT) AS n_active_days,
+         CAST(MAX(len) AS BIGINT) AS max_streak
+  FROM st GROUP BY u)
+SELECT u AS "user", n_active_days, max_streak
+FROM pu ORDER BY max_streak DESC, "user" ASC LIMIT 20
+"""
+
+
+def q_wilcoxon(spark, sf_dir):
+    """Wilcoxon signed-rank over paired per-user means — click value vs
+    view value (operators/stats.py wilcoxon_signed_rank): the
+    nonparametric PAIRED test completing the battery next to
+    Mann-Whitney (unpaired).  Pairs aggregate first (user-bounded
+    frame); one rank window with average-rank tie handling; one
+    aggregate."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        wilcoxon_signed_rank,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    p = (
+        e.groupBy("user_id")
+        .agg(
+            F.avg(
+                F.when(F.col("event_type") == "click", F.col("value"))
+            ).alias("a"),
+            F.avg(
+                F.when(F.col("event_type") == "view", F.col("value"))
+            ).alias("b"),
+        )
+        .filter(F.col("a").isNotNull() & F.col("b").isNotNull())
+    )
+    return wilcoxon_signed_rank(p, "user_id", "a", "b")
+
+
+Q_WILCOXON_SQL = """
+WITH p AS (
+  SELECT user_id,
+         AVG(CASE WHEN event_type = 'click' THEN value END) AS a,
+         AVG(CASE WHEN event_type = 'view' THEN value END) AS b
+  FROM events GROUP BY user_id),
+d AS (
+  SELECT a - b AS d, ABS(a - b) AS ad
+  FROM p WHERE a IS NOT NULL AND b IS NOT NULL AND a - b <> 0),
+r AS (
+  SELECT d,
+         CAST(RANK() OVER (ORDER BY ad) AS DOUBLE)
+         + (COUNT(*) OVER (PARTITION BY ad) - 1) / 2.0 AS rk
+  FROM d),
+aggr AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         ROUND(SUM(CASE WHEN d > 0 THEN rk ELSE 0.0 END), 6) AS w_plus
+  FROM r)
+SELECT n_pairs, w_plus,
+       ROUND((w_plus - n_pairs * (n_pairs + 1) / 4.0)
+             / sqrt(n_pairs * (n_pairs + 1) * (2 * n_pairs + 1) / 24.0),
+             6) AS z
+FROM aggr
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -11689,6 +11774,8 @@ _QUERIES_PAST_WINDOW = [
     "q_brier",
     "q_target_encode",
     "q_hash_collisions",
+    "q_streaks",
+    "q_wilcoxon",
 ]
 
 
@@ -11907,6 +11994,8 @@ def oracle_sql() -> dict[str, str]:
         "q_brier": Q_BRIER_SQL,
         "q_target_encode": Q_TARGET_ENCODE_SQL,
         "q_hash_collisions": Q_HASH_COLLISIONS_SQL,
+        "q_streaks": Q_STREAKS_SQL,
+        "q_wilcoxon": Q_WILCOXON_SQL,
         "q_scd2": Q_SCD2_SQL,
         "q_revenue_rollup": Q_REVENUE_ROLLUP_SQL,
         "q_kmv_distinct": Q_KMV_DISTINCT_SQL,

@@ -2256,3 +2256,110 @@ def brier_decomposition(
             F.max(F.expr("_ybar * (1.0 - _ybar)")), round_to
         ).alias("uncertainty"),
     )
+
+
+def daily_streaks(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str = "ts",
+    top_k: int = 20,
+) -> DataFrame:
+    """Longest run of CONSECUTIVE active calendar days per user -- the
+    retention/engagement streak metric -- via the date flavor of
+    gaps-and-islands: distinct (user, day), then ``day - row_number``
+    is constant exactly within a consecutive run, so one window + one
+    aggregate finds every streak without any self-join.
+
+    Returns the ``top_k`` users by longest streak
+    (``user, n_active_days, max_streak``), ties broken by user id.
+    Plan: distinct -> one per-user window -> two aggregates; the raw
+    events reduce to user-day granularity in the first map-side combine.
+    """
+    days = (
+        df.select(
+            F.col(user_col).alias("user"),
+            F.to_date(F.col(ts_col)).alias("day"),
+        )
+        .filter(F.col("day").isNotNull())
+        .distinct()
+    )
+    w = Window.partitionBy("user").orderBy("day")
+    runs = days.select(
+        "user",
+        "day",
+        F.date_sub(F.col("day"), F.row_number().over(w)).alias("anchor"),
+    )
+    streaks = runs.groupBy("user", "anchor").agg(
+        F.count(F.lit(1)).alias("len")
+    )
+    per_user = streaks.groupBy("user").agg(
+        F.sum("len").alias("n_active_days"),
+        F.max("len").alias("max_streak"),
+    )
+    return per_user.orderBy(
+        F.desc("max_streak"), F.asc("user")
+    ).limit(int(top_k))
+
+
+def wilcoxon_signed_rank(
+    pairs: DataFrame,
+    id_col: str,
+    a_col,
+    b_col,
+    round_to: int = 6,
+) -> DataFrame:
+    """Wilcoxon signed-rank test (Wilcoxon 1945) for PAIRED samples --
+    the nonparametric twin of the paired t-test, completing the test
+    battery next to Mann-Whitney (unpaired): zero differences drop,
+    |differences| get average ranks under ties, ``w_plus`` sums the
+    ranks of positive differences, and ``z`` is the large-sample normal
+    approximation.
+
+    Returns one row: ``n_pairs, w_plus, z``.
+
+    Plan: one projection, one rank window over the pair frame (pairs
+    are one row per subject -- already aggregated far below event
+    scale), one final aggregate.
+    """
+    a = F.col(a_col) if isinstance(a_col, str) else a_col
+    b = F.col(b_col) if isinstance(b_col, str) else b_col
+    d = pairs.select(
+        F.col(id_col).alias("_id"), (a - b).cast("double").alias("_d")
+    ).filter(F.col("_d").isNotNull() & (F.col("_d") != 0))
+    scored = d.select(
+        "_d",
+        F.abs(F.col("_d")).alias("_ad"),
+    )
+    w_rank = Window.orderBy("_ad")
+    w_tie = Window.partitionBy("_ad")
+    ranked = scored.select(
+        "_d",
+        # average rank under ties: min_rank + (tie_count - 1) / 2
+        (
+            F.rank().over(w_rank).cast("double")
+            + (F.count(F.lit(1)).over(w_tie) - 1) / 2.0
+        ).alias("_r"),
+    )
+    return ranked.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(
+            F.sum(F.when(F.col("_d") > 0, F.col("_r")).otherwise(F.lit(0.0))),
+            round_to,
+        ).alias("w_plus"),
+    ).select(
+        "n_pairs",
+        "w_plus",
+        F.round(
+            (
+                F.col("w_plus")
+                - F.col("n_pairs") * (F.col("n_pairs") + 1) / 4.0
+            )
+            / F.sqrt(
+                F.col("n_pairs")
+                * (F.col("n_pairs") + 1)
+                * (2 * F.col("n_pairs") + 1)
+                / 24.0
+            ),
+            round_to,
+        ).alias("z"),
+    )

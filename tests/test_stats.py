@@ -745,3 +745,73 @@ def test_brier_decomposition_constant_base_rate_forecast(spark):
     r = brier_decomposition(spark.createDataFrame(rows), "s", "y").collect()[0]
     assert r.resolution == 0.0 and r.reliability == 0.0
     assert abs(r.brier - 0.24) < 1e-9 and abs(r.uncertainty - 0.24) < 1e-9
+
+
+def test_daily_streaks_hand_case(spark):
+    import datetime as _dt
+
+    from pyspark.sql import Row as _Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        daily_streaks,
+    )
+
+    d0 = _dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def at(day, h=0):
+        return d0 + _dt.timedelta(days=day, hours=h)
+
+    rows = (
+        # user 1: days 0,1,2 then 5,6 -> max streak 3, 5 active days
+        [_Row(u=1, ts=at(d)) for d in (0, 1, 2, 5, 6)]
+        # duplicate events same day must not inflate the streak
+        + [_Row(u=1, ts=at(1, h=3))]
+        # user 2: days 0, 2, 4 -> max streak 1
+        + [_Row(u=2, ts=at(d)) for d in (0, 2, 4)]
+    )
+    out = {r.user: r for r in daily_streaks(spark.createDataFrame(rows), "u", "ts").collect()}
+    assert out[1].max_streak == 3 and out[1].n_active_days == 5
+    assert out[2].max_streak == 1 and out[2].n_active_days == 3
+
+
+def test_wilcoxon_matches_scipy_convention(spark):
+    from pyspark.sql import Row as _Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        wilcoxon_signed_rank,
+    )
+
+    # diffs: +1, +2, -3, +4, 0 (dropped) -> |d| ranks 1,2,3,4
+    # w_plus = 1 + 2 + 4 = 7; n=4; E=5; Var=30/...
+    rows = [
+        _Row(id=1, a=2.0, b=1.0),
+        _Row(id=2, a=5.0, b=3.0),
+        _Row(id=3, a=1.0, b=4.0),
+        _Row(id=4, a=9.0, b=5.0),
+        _Row(id=5, a=7.0, b=7.0),
+    ]
+    r = wilcoxon_signed_rank(spark.createDataFrame(rows), "id", "a", "b").collect()[0]
+    assert r.n_pairs == 4
+    assert r.w_plus == 7.0
+    import math as _m
+
+    want_z = (7.0 - 4 * 5 / 4.0) / _m.sqrt(4 * 5 * 9 / 24.0)
+    assert abs(r.z - want_z) < 1e-6
+
+
+def test_wilcoxon_average_ranks_for_ties(spark):
+    from pyspark.sql import Row as _Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        wilcoxon_signed_rank,
+    )
+
+    # |d| = 1, 1, 2: tied pair gets average rank 1.5 each
+    rows = [
+        _Row(id=1, a=1.0, b=0.0),
+        _Row(id=2, a=0.0, b=1.0),
+        _Row(id=3, a=2.0, b=0.0),
+    ]
+    r = wilcoxon_signed_rank(spark.createDataFrame(rows), "id", "a", "b").collect()[0]
+    # positives: |1| (rank 1.5) and |2| (rank 3) -> w_plus = 4.5
+    assert r.w_plus == 4.5
