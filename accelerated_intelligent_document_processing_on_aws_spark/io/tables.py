@@ -342,3 +342,90 @@ def remove_orphan_files(
         if not dry_run:
             os.remove(fp)
     return removed
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate,
+    partition_col: str = "pt",
+    snapshot_meta: Optional[dict] = None,
+) -> dict:
+    """Targeted row deletion (Iceberg analog: ``DELETE FROM`` with
+    copy-on-write): rewrite ONLY the partition buckets that contain
+    matching rows, leave every other file byte-identical, and commit a
+    new snapshot manifest -- the right-to-be-forgotten primitive at
+    100 TB, where "rewrite the table" is not an option.
+
+    One scan finds the affected buckets and their match counts; each
+    affected bucket is rewritten without the matching rows and swapped
+    in via the ``compact_partitions`` two-rename discipline (write to a
+    reader-ignored temp dir, original -> backup, temp -> original,
+    backup deleted LAST), so committed data exists in a live or backup
+    dir at every instant and the recovery preamble heals a crash at any
+    point.  Untouched buckets are never opened for write -- the
+    partition-pruned cost profile a GDPR sweep needs.
+
+    Returns ``{"rows_deleted": n, "buckets_rewritten": [...],
+    "snapshot_id": new_id}`` (no matches: no rewrites, no snapshot).
+    """
+    import shutil
+
+    # recovery preamble shared with compaction crashes of delete_where
+    for entry in sorted(os.listdir(path)):
+        if entry.startswith("_delete_bak_"):
+            orig = os.path.join(path, entry[len("_delete_bak_"):])
+            bak = os.path.join(path, entry)
+            if os.path.isdir(orig):
+                shutil.rmtree(bak)
+            else:
+                os.rename(bak, orig)
+        elif entry.startswith("_delete_tmp_"):
+            shutil.rmtree(os.path.join(path, entry))
+
+    hits = (
+        spark.read.parquet(path)
+        .filter(predicate)
+        .groupBy(partition_col)
+        .count()
+        .collect()
+    )
+    if not hits:
+        return {
+            "rows_deleted": 0,
+            "buckets_rewritten": [],
+            "snapshot_id": None,
+        }
+    rows_deleted = sum(r["count"] for r in hits)
+    buckets = sorted(str(r[partition_col]) for r in hits)
+    for b in buckets:
+        entry = f"{partition_col}={b}"
+        bdir = os.path.join(path, entry)
+        tmp = os.path.join(path, f"_delete_tmp_{entry}")
+        bak = os.path.join(path, f"_delete_bak_{entry}")
+        # eager rewrite of survivors BEFORE touching the source dir
+        # (Spark cannot overwrite a path it is lazily reading)
+        (
+            spark.read.parquet(bdir)
+            .filter(~predicate)
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        os.rename(bdir, bak)
+        os.rename(tmp, bdir)
+        shutil.rmtree(bak)
+    new_snap = snapshot_id(path)
+    meta = dict(snapshot_meta or {})
+    meta.update(
+        {
+            "op": "delete_where",
+            "rows_deleted": int(rows_deleted),
+            "buckets_rewritten": buckets,
+        }
+    )
+    record_snapshot(path, new_snap, meta)
+    return {
+        "rows_deleted": int(rows_deleted),
+        "buckets_rewritten": buckets,
+        "snapshot_id": new_snap,
+    }
