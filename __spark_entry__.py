@@ -8578,7 +8578,7 @@ def q_link_prediction(spark, sf_dir):
     e = _t(spark, sf_dir, "events")
     edges = coactivity_edges(e)
     return (
-        link_prediction(edges)
+        link_prediction(edges, assume_distinct=True)
         .orderBy(
             F.desc("common"), F.desc("aa_score"), F.asc("a"), F.asc("b")
         )

@@ -477,6 +477,7 @@ def link_prediction(
     edges: DataFrame,
     max_middle_degree: int | None = None,
     round_to: int = 6,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Common-neighbor link prediction over an undirected edge list:
     for every NON-adjacent node pair (a < b) sharing at least one
@@ -504,7 +505,11 @@ def link_prediction(
     e = edges.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
-    ).distinct()
+    )
+    # coactivity_edges already emits distinct pairs; re-deduping costs a
+    # full extra exchange over the edge list, so trusted producers skip it
+    if not assume_distinct:
+        e = e.distinct()
     deg = e.groupBy(F.col("src").alias("z")).agg(
         F.count(F.lit(1)).alias("deg")
     )
