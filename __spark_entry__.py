@@ -11500,6 +11500,149 @@ FROM aggr
 """
 
 
+def q_huber(spark, sf_dir):
+    """Huber IRLS robust line fit (operators/mlfit.py huber_fit): event
+    value on the props payload, fixed threshold c=30 — the middle ground
+    between q_ols_trend and q_theil_sen.  OLS start + 4 reweighted
+    rounds, each ONE weighted-moment aggregate with (a, b) broadcast in,
+    rounded per round; the oracle chains the identical rounds as CTEs."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        huber_fit,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return huber_fit(
+        e,
+        "value",
+        F.get_json_object("props", "$.k").cast("long"),
+        c=30.0,
+        iterations=4,
+    )
+
+
+def _huber_oracle_sql(c: str = "30.0", iters: int = 4, rt: int = 7) -> str:
+    sql = """WITH base AS (
+  SELECT value AS y,
+         CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DOUBLE)
+           AS x
+  FROM events
+  WHERE value IS NOT NULL
+    AND json_extract_string(props, '$.k') IS NOT NULL),
+m0 AS (
+  SELECT SUM(1.0) AS sw, SUM(1.0 * x) AS sx, SUM(1.0 * y) AS sy,
+         SUM(1.0 * x * x) AS sxx, SUM(1.0 * x * y) AS sxy
+  FROM base),
+p0 AS (
+  SELECT ROUND((sy * sxx - sx * sxy) / (sw * sxx - sx * sx), {rt}) AS a,
+         ROUND((sw * sxy - sx * sy) / (sw * sxx - sx * sx), {rt}) AS b
+  FROM m0)""".format(rt=rt)
+    for i in range(1, iters + 1):
+        sql += f""",
+m{i} AS (
+  SELECT SUM(w) AS sw, SUM(w * x) AS sx, SUM(w * y) AS sy,
+         SUM(w * x * x) AS sxx, SUM(w * x * y) AS sxy
+  FROM (SELECT x, y,
+               CASE WHEN abs(y - a - b * x) <= {c} THEN 1.0
+                    ELSE {c} / abs(y - a - b * x) END AS w
+        FROM base CROSS JOIN p{i - 1})),
+p{i} AS (
+  SELECT ROUND((sy * sxx - sx * sxy) / (sw * sxx - sx * sx), {rt}) AS a,
+         ROUND((sw * sxy - sx * sy) / (sw * sxx - sx * sx), {rt}) AS b
+  FROM m{i})"""
+    sql += f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n, a, b
+FROM base CROSS JOIN p{iters} GROUP BY a, b"""
+    return sql
+
+
+Q_HUBER_SQL = _huber_oracle_sql()
+
+
+def q_lang_confusion(spark, sf_dir):
+    """Language-ID confusion matrix: the certified stopword-vote
+    heuristic (q_doc_lang_id) against each document's DECLARED lang
+    column — per (declared, predicted) counts and the within-declared
+    fraction; the audit that says where the cheap classifier is safe to
+    trust.  One aggregate after the pure-Catalyst prediction; the
+    per-declared total rides a window."""
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        lang_id,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    pred = d.select(
+        F.col("lang").alias("declared"),
+        lang_id(F.coalesce(F.col("text"), F.lit(""))).alias("predicted"),
+    )
+    per = pred.groupBy("declared", "predicted").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("declared")
+    out = per.select(
+        "declared",
+        "predicted",
+        "n",
+        F.round(F.col("n") / F.sum("n").over(w), 6).alias("frac"),
+    )
+    return out.transform(_by("declared", "predicted"))
+
+
+def _lang_confusion_sql() -> str:
+    inner = _lang_id_sql().replace(
+        "SELECT doc_id,", "SELECT lang AS declared,"
+    )
+    return f"""
+WITH pred AS ({inner}),
+per AS (
+  SELECT declared, lang_guess AS predicted, COUNT(*) AS n
+  FROM pred GROUP BY declared, lang_guess)
+SELECT declared, predicted, CAST(n AS BIGINT) AS n,
+       ROUND(n / CAST(SUM(n) OVER (PARTITION BY declared) AS DOUBLE), 6)
+         AS frac
+FROM per ORDER BY declared, predicted
+"""
+
+
+def q_rolling_distinct(spark, sf_dir):
+    """Trailing-7-day DISTINCT active users per day (operators/
+    timeseries.py rolling_distinct_users): distinct doesn't decompose
+    over a RANGE frame, so each user-day COVERS the next 7 report days
+    via a bounded explode and one distinct-aggregate per day finishes —
+    shuffle volume is 7x the user-day frame, never the raw events.  The
+    WAU metric next to q_rolling_events' decomposable counts."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        rolling_distinct_users,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    out = rolling_distinct_users(e, "user_id", "ts", window_days=7).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "n_users_1d",
+        "n_users_7d",
+    )
+    return out.transform(_by("day"))
+
+
+Q_ROLLING_DISTINCT_SQL = """
+WITH ud AS (
+  SELECT DISTINCT user_id AS u,
+         CAST(CAST(date_trunc('day', ts) AS DATE) - DATE '1970-01-01'
+              AS INT) AS d
+  FROM events WHERE ts IS NOT NULL),
+b AS (SELECT MAX(d) AS dmax FROM ud),
+cov AS (
+  SELECT u, d + t.off AS rd
+  FROM ud, UNNEST(range(7)) t(off), b
+  WHERE d + t.off <= b.dmax),
+nd AS (SELECT rd, COUNT(DISTINCT u) AS n7 FROM cov GROUP BY rd),
+one AS (SELECT d AS rd, COUNT(DISTINCT u) AS n1 FROM ud GROUP BY d)
+SELECT strftime(DATE '1970-01-01' + CAST(rd AS INT), '%Y-%m-%d') AS day,
+       CAST(COALESCE(n1, 0) AS BIGINT) AS n_users_1d,
+       CAST(n7 AS BIGINT) AS n_users_7d
+FROM nd LEFT JOIN one USING (rd) ORDER BY day
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -11776,6 +11919,9 @@ _QUERIES_PAST_WINDOW = [
     "q_hash_collisions",
     "q_streaks",
     "q_wilcoxon",
+    "q_huber",
+    "q_lang_confusion",
+    "q_rolling_distinct",
 ]
 
 
@@ -11996,6 +12142,9 @@ def oracle_sql() -> dict[str, str]:
         "q_hash_collisions": Q_HASH_COLLISIONS_SQL,
         "q_streaks": Q_STREAKS_SQL,
         "q_wilcoxon": Q_WILCOXON_SQL,
+        "q_huber": Q_HUBER_SQL,
+        "q_lang_confusion": _lang_confusion_sql(),
+        "q_rolling_distinct": Q_ROLLING_DISTINCT_SQL,
         "q_scd2": Q_SCD2_SQL,
         "q_revenue_rollup": Q_REVENUE_ROLLUP_SQL,
         "q_kmv_distinct": Q_KMV_DISTINCT_SQL,

@@ -503,3 +503,73 @@ def hashing_trick_audit(
             round_to,
         ).alias("term_collision_rate"),
     )
+
+
+def huber_fit(
+    df: DataFrame,
+    y_col,
+    x_col,
+    c: float = 1.345,
+    iterations: int = 4,
+    round_to: int = 7,
+) -> DataFrame:
+    """Huber-loss robust line fit ``y ~ a + b*x`` by IRLS (Huber 1964):
+    residuals beyond ``c`` get weight ``c/|r|`` instead of 1, so a few
+    corrupted labels bend the fit far less than OLS -- the middle ground
+    between q_ols_trend (efficient, fragile) and q_theil_sen (25%
+    breakdown, quadratic pairs).  The threshold ``c`` is FIXED (no
+    per-iteration scale re-estimation) to keep the trajectory a pure
+    closed-form function of the input; pick it on the label's scale.
+
+    Each of ``iterations`` rounds is ONE weighted-moment aggregate over
+    the data with the current ``(a, b)`` broadcast in, solved 2x2 in
+    closed form and rounded at ``round_to`` (the ``logistic_platt``
+    portability discipline).  Starts from OLS (iteration 0 = all weights
+    1).  Returns one row: ``n, a, b`` .
+    """
+    y = F.col(y_col) if isinstance(y_col, str) else y_col
+    x = F.col(x_col) if isinstance(x_col, str) else x_col
+    base = df.select(
+        y.cast("double").alias("_y"), x.cast("double").alias("_x")
+    ).filter(F.col("_y").isNotNull() & F.col("_x").isNotNull())
+    c_s = repr(float(c))
+    params = None
+    for it in range(int(iterations) + 1):
+        if params is None:
+            scored = base.select(
+                "_y", "_x", F.lit(1.0).alias("_w")
+            ).withColumn("a", F.lit(0.0)).withColumn("b", F.lit(0.0))
+        else:
+            scored = base.crossJoin(F.broadcast(params)).select(
+                "_y",
+                "_x",
+                F.expr(
+                    f"CASE WHEN abs(_y - a - b * _x) <= {c_s} THEN 1.0"
+                    f" ELSE {c_s} / abs(_y - a - b * _x) END"
+                ).alias("_w"),
+                "a",
+                "b",
+            )
+        m = scored.groupBy("a", "b").agg(
+            F.sum("_w").alias("sw"),
+            F.sum(F.expr("_w * _x")).alias("sx"),
+            F.sum(F.expr("_w * _y")).alias("sy"),
+            F.sum(F.expr("_w * _x * _x")).alias("sxx"),
+            F.sum(F.expr("_w * _x * _y")).alias("sxy"),
+        )
+        params = m.select(
+            F.round(
+                F.expr(
+                    "(sy * sxx - sx * sxy) / (sw * sxx - sx * sx)"
+                ),
+                round_to,
+            ).alias("a"),
+            F.round(
+                F.expr(
+                    "(sw * sxy - sx * sy) / (sw * sxx - sx * sx)"
+                ),
+                round_to,
+            ).alias("b"),
+        ).localCheckpoint(eager=False)
+    n = base.agg(F.count(F.lit(1)).alias("n"))
+    return n.join(F.broadcast(params), F.lit(True)).select("n", "a", "b")

@@ -883,3 +883,58 @@ def mase_daily(
             F.when(F.col("ss") > 0, F.col("s1") / F.col("ss")), round_to
         ).alias("mase_naive"),
     )
+
+
+def rolling_distinct_users(
+    df: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    window_days: int = 7,
+) -> DataFrame:
+    """Trailing N-day DISTINCT active users per calendar day -- the WAU/
+    MAU-style metric a plain rolling window cannot produce (distinct
+    does not decompose over a RANGE frame).  The scale-safe trick:
+    reduce to distinct (user, day) first, then each activity day COVERS
+    the next ``window_days`` report days via a bounded explode, and one
+    distinct-aggregate per report day finishes the job -- shuffle volume
+    is ``window_days x`` the user-day frame, never the raw events.
+
+    Report days span the days with any activity (a report day with no
+    direct activity still counts its trailing window).  Returns
+    ``(day, n_users_1d, n_users_7d)`` with ``day`` a DATE.
+    """
+    ud = (
+        df.select(
+            F.col(user_col).alias("u"),
+            F.datediff(
+                F.to_date(F.col(ts_col)), F.lit("1970-01-01").cast("date")
+            ).alias("d"),
+        )
+        .filter(F.col("d").isNotNull())
+        .distinct()
+    )
+    bounds = ud.agg(F.max("d").alias("dmax"))
+    covered = (
+        ud.withColumn(
+            "off", F.explode(F.array(*[F.lit(i) for i in range(int(window_days))]))
+        )
+        .select("u", (F.col("d") + F.col("off")).alias("rd"))
+        .join(F.broadcast(bounds), F.lit(True))
+        .filter(F.col("rd") <= F.col("dmax"))
+    )
+    nd = covered.groupBy("rd").agg(
+        F.countDistinct("u").alias("n_users_7d")
+    )
+    one = ud.groupBy(F.col("d").alias("rd")).agg(
+        F.countDistinct("u").alias("n_users_1d")
+    )
+    return (
+        nd.join(one, "rd", "left")
+        .select(
+            F.expr("date_add(DATE '1970-01-01', CAST(rd AS INT))").alias(
+                "day"
+            ),
+            F.coalesce("n_users_1d", F.lit(0)).alias("n_users_1d"),
+            "n_users_7d",
+        )
+    )

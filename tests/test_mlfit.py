@@ -214,3 +214,39 @@ def test_hashing_trick_audit_small_domain(spark):
     # plenty of buckets: no collisions for 3 terms (md5 spread)
     r2 = hashing_trick_audit(df, "doc_id", "text", n_buckets=1 << 20).collect()[0]
     assert r2.term_collision_rate == 0.0 and r2.buckets_used == 3
+
+
+def test_huber_resists_outliers_vs_ols(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        huber_fit,
+    )
+
+    # clean line y = 2x + 1 plus two gross outliers
+    rows = [Row(x=float(i), y=2.0 * i + 1.0) for i in range(20)] + [
+        Row(x=5.0, y=500.0),
+        Row(x=15.0, y=-500.0),
+    ]
+    df = spark.createDataFrame(rows)
+    r = huber_fit(df, "y", "x", c=5.0, iterations=6).collect()[0]
+    assert r.n == 22
+    # OLS slope would be dragged far off; Huber stays near 2
+    assert abs(r.b - 2.0) < 0.3
+    assert abs(r.a - 1.0) < 2.0
+
+
+def test_huber_zero_iterations_is_ols(spark):
+    import numpy as np
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        huber_fit,
+    )
+
+    rng = np.random.RandomState(5)
+    x = rng.rand(50)
+    y = 3.0 * x - 1.0 + 0.1 * rng.randn(50)
+    df = spark.createDataFrame(
+        [Row(x=float(a), y=float(b)) for a, b in zip(x, y)]
+    )
+    r = huber_fit(df, "y", "x", c=1e9, iterations=0).collect()[0]
+    b, a = np.polyfit(x, y, 1)
+    assert abs(r.a - a) < 1e-5 and abs(r.b - b) < 1e-5

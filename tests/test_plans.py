@@ -293,6 +293,9 @@ def test_no_query_plans_nested_loop_or_rowwise_python(spark):
         "q_hill_tail",
         # 1-row global prior attached to the (cat, fold) encoding table
         "q_target_encode",
+        # 1-row params / bounds attaches (the q_platt shape)
+        "q_huber",
+        "q_rolling_distinct",
         # PAV minimax runs j<=i<=k interval joins over the BINS frame
         # (n_bins³ = 1000 rows at the default — metadata algebra, the
         # Hungarian/BH-FDR class, corpus-size-independent)

@@ -286,3 +286,64 @@ def test_mase_hand(spark):
     assert r.n_eval == 2
     assert r.mae_naive == 1.5 and r.mae_snaive == 2.5
     assert r.mase_naive == 0.6
+
+
+def test_rolling_distinct_users_hand_case(spark):
+    import datetime as _dt
+
+    from pyspark.sql import Row as _Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        rolling_distinct_users,
+    )
+
+    d0 = _dt.datetime(2024, 1, 1, 6, 0, 0)
+
+    def at(day):
+        return d0 + _dt.timedelta(days=day)
+
+    # user 1 active day 0 and day 2; user 2 active day 2 only
+    rows = [
+        _Row(user_id=1, ts=at(0)),
+        _Row(user_id=1, ts=at(0)),  # same-day dup must not double count
+        _Row(user_id=1, ts=at(2)),
+        _Row(user_id=2, ts=at(2)),
+    ]
+    out = {
+        str(r.day): r
+        for r in rolling_distinct_users(
+            spark.createDataFrame(rows), "user_id", "ts", window_days=7
+        ).collect()
+    }
+    assert out["2024-01-01"].n_users_1d == 1
+    assert out["2024-01-01"].n_users_7d == 1
+    assert out["2024-01-02"].n_users_1d == 0     # no direct activity
+    assert out["2024-01-02"].n_users_7d == 1     # trailing window covers day 0
+    assert out["2024-01-03"].n_users_1d == 2
+    assert out["2024-01-03"].n_users_7d == 2
+    # report days stop at the max activity day
+    assert max(out) == "2024-01-03"
+
+
+def test_rolling_distinct_window_ages_out(spark):
+    import datetime as _dt
+
+    from pyspark.sql import Row as _Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        rolling_distinct_users,
+    )
+
+    d0 = _dt.datetime(2024, 1, 1)
+    rows = [
+        _Row(user_id=1, ts=d0),
+        _Row(user_id=2, ts=d0 + _dt.timedelta(days=10)),
+    ]
+    out = {
+        str(r.day): r.n_users_7d
+        for r in rolling_distinct_users(
+            spark.createDataFrame(rows), "user_id", "ts", window_days=7
+        ).collect()
+    }
+    # day 10: user 1's day-0 activity aged out of the 7-day window
+    assert out["2024-01-11"] == 1
