@@ -11643,6 +11643,115 @@ FROM nd LEFT JOIN one USING (rd) ORDER BY day
 """
 
 
+def q_partial_corr(spark, sf_dir):
+    """First-order partial correlation (operators/stats.py
+    partial_corr): event value ~ props payload controlling for hour of
+    day — the numeric confounder audit next to q_simpsons/q_cmh.  ONE
+    moment aggregate; scalar algebra after."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        partial_corr,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return partial_corr(
+        e,
+        F.col("value"),
+        F.get_json_object("props", "$.k").cast("long"),
+        F.hour("ts"),
+    )
+
+
+Q_PARTIAL_CORR_SQL = """
+WITH base AS (
+  SELECT value AS x,
+         CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DOUBLE)
+           AS y,
+         CAST(EXTRACT(HOUR FROM ts) AS DOUBLE) AS z
+  FROM events
+  WHERE value IS NOT NULL AND ts IS NOT NULL
+    AND json_extract_string(props, '$.k') IS NOT NULL),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+         SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(z * z) AS szz,
+         SUM(x * y) AS sxy, SUM(x * z) AS sxz, SUM(y * z) AS syz
+  FROM base),
+r AS (
+  SELECT n,
+         (n * sxy - sx * sy)
+           / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS rxy,
+         (n * sxz - sx * sz)
+           / (sqrt(n * sxx - sx * sx) * sqrt(n * szz - sz * sz)) AS rxz,
+         (n * syz - sy * sz)
+           / (sqrt(n * syy - sy * sy) * sqrt(n * szz - sz * sz)) AS ryz
+  FROM m)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(rxy, 6) AS r_xy, ROUND(rxz, 6) AS r_xz,
+       ROUND(ryz, 6) AS r_yz,
+       ROUND((rxy - rxz * ryz)
+             / sqrt((1.0 - rxz * rxz) * (1.0 - ryz * ryz)), 6) AS r_xy_z
+FROM r
+"""
+
+
+def q_vif(spark, sf_dir):
+    """Variance inflation factors of three lineitem measures
+    (operators/stats.py vif3): quantity / extendedprice / discount —
+    extendedprice is quantity-driven, so its VIF must exceed the
+    others.  The collinearity audit before q_ridge.  ONE moment
+    aggregate; closed-form 3-variable algebra."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        vif3,
+    )
+
+    li = _t(spark, sf_dir, "lineitem")
+    return vif3(
+        li,
+        F.col("l_quantity"),
+        F.col("l_extendedprice") / 1000,
+        F.col("l_discount"),
+    )
+
+
+Q_VIF_SQL = """
+WITH base AS (
+  SELECT l_quantity AS a, l_extendedprice / 1000 AS b, l_discount AS c
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    AND l_discount IS NOT NULL),
+m AS (
+  SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+         SUM(a) AS sa, SUM(b) AS sb, SUM(c) AS sc,
+         SUM(a * a) AS saa, SUM(b * b) AS sbb, SUM(c * c) AS scc,
+         SUM(a * b) AS sab, SUM(a * c) AS sac, SUM(b * c) AS sbc
+  FROM base),
+r AS (
+  SELECT n,
+         (n * sab - sa * sb)
+           / (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb)) AS r12,
+         (n * sac - sa * sc)
+           / (sqrt(n * saa - sa * sa) * sqrt(n * scc - sc * sc)) AS r13,
+         (n * sbc - sb * sc)
+           / (sqrt(n * sbb - sb * sb) * sqrt(n * scc - sc * sc)) AS r23
+  FROM m),
+rr AS (
+  SELECT n, r12, r13, r23,
+         (r12 * r12 + r13 * r13 - 2.0 * r12 * r13 * r23)
+           / (1.0 - r23 * r23) AS R1,
+         (r12 * r12 + r23 * r23 - 2.0 * r12 * r23 * r13)
+           / (1.0 - r13 * r13) AS R2,
+         (r13 * r13 + r23 * r23 - 2.0 * r13 * r23 * r12)
+           / (1.0 - r12 * r12) AS R3
+  FROM r)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(r12, 6) AS r12, ROUND(r13, 6) AS r13, ROUND(r23, 6) AS r23,
+       ROUND(1.0 / (1.0 - R1), 6) AS vif1,
+       ROUND(1.0 / (1.0 - R2), 6) AS vif2,
+       ROUND(1.0 / (1.0 - R3), 6) AS vif3
+FROM rr
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -11922,6 +12031,8 @@ _QUERIES_PAST_WINDOW = [
     "q_huber",
     "q_lang_confusion",
     "q_rolling_distinct",
+    "q_partial_corr",
+    "q_vif",
 ]
 
 
@@ -12145,6 +12256,8 @@ def oracle_sql() -> dict[str, str]:
         "q_huber": Q_HUBER_SQL,
         "q_lang_confusion": _lang_confusion_sql(),
         "q_rolling_distinct": Q_ROLLING_DISTINCT_SQL,
+        "q_partial_corr": Q_PARTIAL_CORR_SQL,
+        "q_vif": Q_VIF_SQL,
         "q_scd2": Q_SCD2_SQL,
         "q_revenue_rollup": Q_REVENUE_ROLLUP_SQL,
         "q_kmv_distinct": Q_KMV_DISTINCT_SQL,

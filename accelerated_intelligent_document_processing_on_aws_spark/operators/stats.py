@@ -2363,3 +2363,153 @@ def wilcoxon_signed_rank(
             round_to,
         ).alias("z"),
     )
+
+
+def partial_corr(
+    df: DataFrame,
+    x_col,
+    y_col,
+    z_col,
+    round_to: int = 6,
+) -> DataFrame:
+    """First-order partial correlation ``r_xy.z`` -- the x~y association
+    with the confounder z regressed out of both sides:
+    ``(r_xy - r_xz r_yz) / sqrt((1 - r_xz^2)(1 - r_yz^2))``.  The
+    numeric companion to the categorical q_simpsons/q_cmh pair: does
+    the headline correlation survive controlling for z?
+
+    Returns one row: ``n, r_xy, r_xz, r_yz, r_xy_z``.  ONE moment
+    aggregate over the data; everything after is scalar algebra.
+    """
+    cols = [
+        (F.col(c) if isinstance(c, str) else c).cast("double").alias(n)
+        for c, n in ((x_col, "_x"), (y_col, "_y"), (z_col, "_z"))
+    ]
+    base = df.select(*cols).filter(
+        F.col("_x").isNotNull()
+        & F.col("_y").isNotNull()
+        & F.col("_z").isNotNull()
+    )
+    m = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum("_z").alias("sz"),
+        F.sum(F.expr("_x * _x")).alias("sxx"),
+        F.sum(F.expr("_y * _y")).alias("syy"),
+        F.sum(F.expr("_z * _z")).alias("szz"),
+        F.sum(F.expr("_x * _y")).alias("sxy"),
+        F.sum(F.expr("_x * _z")).alias("sxz"),
+        F.sum(F.expr("_y * _z")).alias("syz"),
+    )
+    r = m.select(
+        "n",
+        F.expr(
+            "(n * sxy - sx * sy)"
+            " / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy))"
+        ).alias("_rxy"),
+        F.expr(
+            "(n * sxz - sx * sz)"
+            " / (sqrt(n * sxx - sx * sx) * sqrt(n * szz - sz * sz))"
+        ).alias("_rxz"),
+        F.expr(
+            "(n * syz - sy * sz)"
+            " / (sqrt(n * syy - sy * sy) * sqrt(n * szz - sz * sz))"
+        ).alias("_ryz"),
+    )
+    return r.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("_rxy", round_to).alias("r_xy"),
+        F.round("_rxz", round_to).alias("r_xz"),
+        F.round("_ryz", round_to).alias("r_yz"),
+        F.round(
+            F.expr(
+                "(_rxy - _rxz * _ryz)"
+                " / sqrt((1.0 - _rxz * _rxz) * (1.0 - _ryz * _ryz))"
+            ),
+            round_to,
+        ).alias("r_xy_z"),
+    )
+
+
+def vif3(
+    df: DataFrame,
+    x1_col,
+    x2_col,
+    x3_col,
+    round_to: int = 6,
+) -> DataFrame:
+    """Variance inflation factors of three regressors -- the
+    collinearity audit to run BEFORE trusting q_ridge's coefficients:
+    ``VIF_i = 1 / (1 - R_i^2)`` where ``R_i^2`` regresses feature i on
+    the other two, in closed form from the pairwise correlations
+    (``R_1^2 = (r12^2 + r13^2 - 2 r12 r13 r23) / (1 - r23^2)`` and
+    symmetric).  VIF near 1: independent; above ~10: the coefficient is
+    noise.
+
+    Returns one row: ``n, r12, r13, r23, vif1, vif2, vif3``.  ONE moment
+    aggregate; scalar algebra after.
+    """
+    cols = [
+        (F.col(c) if isinstance(c, str) else c).cast("double").alias(n)
+        for c, n in ((x1_col, "_a"), (x2_col, "_b"), (x3_col, "_c"))
+    ]
+    base = df.select(*cols).filter(
+        F.col("_a").isNotNull()
+        & F.col("_b").isNotNull()
+        & F.col("_c").isNotNull()
+    )
+    m = base.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("_a").alias("sa"),
+        F.sum("_b").alias("sb"),
+        F.sum("_c").alias("sc"),
+        F.sum(F.expr("_a * _a")).alias("saa"),
+        F.sum(F.expr("_b * _b")).alias("sbb"),
+        F.sum(F.expr("_c * _c")).alias("scc"),
+        F.sum(F.expr("_a * _b")).alias("sab"),
+        F.sum(F.expr("_a * _c")).alias("sac"),
+        F.sum(F.expr("_b * _c")).alias("sbc"),
+    )
+    r = m.select(
+        "n",
+        F.expr(
+            "(n * sab - sa * sb)"
+            " / (sqrt(n * saa - sa * sa) * sqrt(n * sbb - sb * sb))"
+        ).alias("_r12"),
+        F.expr(
+            "(n * sac - sa * sc)"
+            " / (sqrt(n * saa - sa * sa) * sqrt(n * scc - sc * sc))"
+        ).alias("_r13"),
+        F.expr(
+            "(n * sbc - sb * sc)"
+            " / (sqrt(n * sbb - sb * sb) * sqrt(n * scc - sc * sc))"
+        ).alias("_r23"),
+    )
+    out = r.select(
+        "n",
+        "_r12",
+        "_r13",
+        "_r23",
+        F.expr(
+            "(_r12 * _r12 + _r13 * _r13 - 2.0 * _r12 * _r13 * _r23)"
+            " / (1.0 - _r23 * _r23)"
+        ).alias("_R1"),
+        F.expr(
+            "(_r12 * _r12 + _r23 * _r23 - 2.0 * _r12 * _r23 * _r13)"
+            " / (1.0 - _r13 * _r13)"
+        ).alias("_R2"),
+        F.expr(
+            "(_r13 * _r13 + _r23 * _r23 - 2.0 * _r13 * _r23 * _r12)"
+            " / (1.0 - _r12 * _r12)"
+        ).alias("_R3"),
+    )
+    return out.select(
+        F.col("n").cast("long").alias("n"),
+        F.round("_r12", round_to).alias("r12"),
+        F.round("_r13", round_to).alias("r13"),
+        F.round("_r23", round_to).alias("r23"),
+        F.round(F.expr("1.0 / (1.0 - _R1)"), round_to).alias("vif1"),
+        F.round(F.expr("1.0 / (1.0 - _R2)"), round_to).alias("vif2"),
+        F.round(F.expr("1.0 / (1.0 - _R3)"), round_to).alias("vif3"),
+    )

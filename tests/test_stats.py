@@ -815,3 +815,45 @@ def test_wilcoxon_average_ranks_for_ties(spark):
     r = wilcoxon_signed_rank(spark.createDataFrame(rows), "id", "a", "b").collect()[0]
     # positives: |1| (rank 1.5) and |2| (rank 3) -> w_plus = 4.5
     assert r.w_plus == 4.5
+
+
+def test_partial_corr_removes_common_driver(spark):
+    import numpy as np
+    from pyspark.sql import Row as _Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        partial_corr,
+    )
+
+    rng = np.random.RandomState(9)
+    z = rng.randn(500)
+    x = z + 0.1 * rng.randn(500)
+    y = z + 0.1 * rng.randn(500)   # x,y correlated only through z
+    df = spark.createDataFrame(
+        [_Row(x=float(a), y=float(b), z=float(c)) for a, b, c in zip(x, y, z)]
+    )
+    r = partial_corr(df, "x", "y", "z").collect()[0]
+    assert r.r_xy > 0.9              # raw correlation is huge
+    assert abs(r.r_xy_z) < 0.2       # vanishes once z is controlled
+    # cross-check r_xy against numpy
+    assert abs(r.r_xy - np.corrcoef(x, y)[0, 1]) < 1e-6
+
+
+def test_vif3_flags_collinear_feature(spark):
+    import numpy as np
+    from pyspark.sql import Row as _Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        vif3,
+    )
+
+    rng = np.random.RandomState(4)
+    a = rng.randn(400)
+    b = a + 0.05 * rng.randn(400)    # nearly duplicates a
+    c = rng.randn(400)               # independent
+    df = spark.createDataFrame(
+        [_Row(a=float(x), b=float(y), c=float(z)) for x, y, z in zip(a, b, c)]
+    )
+    r = vif3(df, "a", "b", "c").collect()[0]
+    assert r.vif1 > 10 and r.vif2 > 10   # the collinear pair blows up
+    assert r.vif3 < 2                    # the independent one stays near 1
