@@ -532,3 +532,80 @@ def bloom_probe(
         )
         .drop("_ps", "bits")
     )
+
+
+def cms_join_size(
+    dfa: DataFrame,
+    key_a: str,
+    dfb: DataFrame,
+    key_b: str,
+    depth: int = 4,
+    width: int = 256,
+    round_to: int = 6,
+) -> DataFrame:
+    """Join-size estimation from Count-Min sketches (the AMS inner-
+    product estimator, Alon-Matias-Szegedy 1996 / Cormode-Muthukrishnan
+    2005): ``|A join B| = sum_k cntA(k) * cntB(k)`` is estimated by the
+    MIN over sketch rows of the row-wise counter dot product -- the
+    statistic a cost-based planner wants BEFORE running a 100 TB join,
+    computable from two ``depth x width`` sketches that never see each
+    other's data.  With A = B it estimates F2, the self-join size --
+    the canonical skew statistic.
+
+    Returns one row: ``n_keys_a, n_keys_b, exact, cms_est, rel_err``
+    (the exact inner product is the certification denominator; a
+    planner would ship only the sketches).  Always ``cms_est >= exact``
+    (hash collisions only add mass).
+
+    Plan: each side aggregates to per-key counts (map-side combined),
+    sketches are ``depth x width`` cells built by :func:`cms_table`;
+    the dot product joins the two sketch frames cell-wise (bounded), and
+    the exact twin equi-joins the two per-key count frames -- key-
+    cardinality-bounded, never raw-data-sized.
+    """
+    ca = (
+        dfa.select(F.col(key_a).cast("string").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    cb = (
+        dfb.select(F.col(key_b).cast("string").alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("wc"))
+    )
+    sa = cms_table(ca, "term", "wc", depth, width)
+    sb = cms_table(cb, "term", "wc", depth, width)
+    dots = (
+        sa.alias("a")
+        .join(
+            sb.alias("b"),
+            (F.col("a.row") == F.col("b.row"))
+            & (F.col("a.bucket") == F.col("b.bucket")),
+        )
+        .groupBy(F.col("a.row").alias("row"))
+        .agg(F.sum(F.expr("a.cnt * b.cnt")).alias("dot"))
+    )
+    est = dots.agg(F.min("dot").alias("cms_est"))
+    exact = (
+        ca.select("term", F.col("wc").alias("wa"))
+        .join(cb.select("term", F.col("wc").alias("wb")), "term")
+        .agg(F.sum(F.expr("wa * wb")).alias("exact"))
+    )
+    na = ca.agg(F.count(F.lit(1)).alias("n_keys_a"))
+    nb = cb.agg(F.count(F.lit(1)).alias("n_keys_b"))
+    return (
+        na.join(F.broadcast(nb), F.lit(True))
+        .join(F.broadcast(exact), F.lit(True))
+        .join(F.broadcast(est), F.lit(True))
+        .select(
+            "n_keys_a",
+            "n_keys_b",
+            "exact",
+            "cms_est",
+            F.round(
+                (F.col("cms_est") - F.col("exact"))
+                / F.col("exact").cast("double"),
+                round_to,
+            ).alias("rel_err"),
+        )
+    )

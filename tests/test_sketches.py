@@ -284,3 +284,40 @@ def test_bloom_filter_is_one_row_and_bounded(spark):
     bits = rows[0].bits
     assert len(bits) <= 1024
     assert bits == sorted(bits) and len(set(bits)) == len(bits)
+
+
+def test_cms_join_size_overestimates_and_tight_when_wide(spark):
+    from pyspark.sql import Row as _Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.sketches import (
+        cms_join_size,
+    )
+
+    # keys 0..9 with counts 1..10 on side A; B = A (self-join F2)
+    rows = [
+        _Row(k=key) for key in range(10) for _ in range(key + 1)
+    ]
+    df = spark.createDataFrame(rows)
+    exact_f2 = sum((i + 1) ** 2 for i in range(10))
+    r = cms_join_size(df, "k", df, "k", depth=4, width=1024).collect()[0]
+    assert r.n_keys_a == 10 and r.n_keys_b == 10
+    assert r.exact == exact_f2
+    # CMS never underestimates, and with width >> keys it is exact
+    assert r.cms_est >= r.exact
+    assert r.cms_est == exact_f2 and r.rel_err == 0.0
+
+
+def test_cms_join_size_collision_inflation(spark):
+    from pyspark.sql import Row as _Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.sketches import (
+        cms_join_size,
+    )
+
+    # 50 distinct singleton keys crammed into width=4: collisions must
+    # inflate the estimate above the exact self-join size (50)
+    df = spark.createDataFrame([_Row(k=key) for key in range(50)])
+    r = cms_join_size(df, "k", df, "k", depth=2, width=4).collect()[0]
+    assert r.exact == 50
+    assert r.cms_est > 50
+    assert r.rel_err > 0
