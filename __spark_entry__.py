@@ -11795,6 +11795,93 @@ FROM nk CROSS JOIN exact CROSS JOIN est
 """
 
 
+def q_did(spark, sf_dir):
+    """Difference-in-differences (operators/stats.py diff_in_diff):
+    treated users' H2-vs-H1 value change net of the control group's —
+    the baseline-robust effect next to q_cuped.  ONE map-side-combined
+    aggregate over the events."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        diff_in_diff,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return diff_in_diff(
+        e,
+        F.expr("user_id % 2 = 1"),
+        F.month("ts") >= 7,
+        F.col("value"),
+    )
+
+
+Q_DID_SQL = """
+WITH base AS (
+  SELECT CAST(user_id % 2 = 1 AS INT) AS t,
+         CAST(EXTRACT(MONTH FROM ts) >= 7 AS INT) AS p,
+         value AS y
+  FROM events WHERE value IS NOT NULL),
+agg AS (
+  SELECT CAST(SUM(CASE WHEN t = 0 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ctrl_pre,
+         CAST(SUM(CASE WHEN t = 0 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_ctrl_post,
+         CAST(SUM(CASE WHEN t = 1 AND p = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_treat_pre,
+         CAST(SUM(CASE WHEN t = 1 AND p = 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_treat_post,
+         ROUND(AVG(CASE WHEN t = 0 AND p = 0 THEN y END), 6) AS ctrl_pre,
+         ROUND(AVG(CASE WHEN t = 0 AND p = 1 THEN y END), 6) AS ctrl_post,
+         ROUND(AVG(CASE WHEN t = 1 AND p = 0 THEN y END), 6) AS treat_pre,
+         ROUND(AVG(CASE WHEN t = 1 AND p = 1 THEN y END), 6) AS treat_post
+  FROM base)
+SELECT *,
+       ROUND((treat_post - treat_pre) - (ctrl_post - ctrl_pre), 6) AS did
+FROM agg
+"""
+
+
+def q_lift_deciles(spark, sf_dir):
+    """Lift/gain deciles (operators/stats.py lift_deciles): events
+    ranked by value as a purchase score, NTILE(10) with event_id
+    tiebreak, per-decile response rate and cumulative lift — the
+    ranking-model scoreboard next to q_roc_auc/q_ndcg.  One ranking
+    window + one bin aggregate + one 10-row cumulative window."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        lift_deciles,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return lift_deciles(
+        e,
+        "event_id",
+        F.col("value"),
+        F.col("event_type") == "purchase",
+        n_bins=10,
+    ).transform(_by("decile"))
+
+
+Q_LIFT_DECILES_SQL = """
+WITH base AS (
+  SELECT event_id AS id, value AS s,
+         CAST(event_type = 'purchase' AS INT) AS r
+  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+binned AS (
+  SELECT NTILE(10) OVER (ORDER BY s DESC, id ASC) AS decile, r FROM base),
+per AS (
+  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(SUM(r) AS BIGINT) AS responders
+  FROM binned GROUP BY decile)
+SELECT decile, n, responders,
+       ROUND(responders / CAST(n AS DOUBLE), 6) AS rate,
+       ROUND((SUM(responders) OVER (ORDER BY decile
+                                    ROWS UNBOUNDED PRECEDING)
+              / CAST(SUM(n) OVER (ORDER BY decile
+                                  ROWS UNBOUNDED PRECEDING) AS DOUBLE))
+             / (SUM(responders) OVER () / CAST(SUM(n) OVER () AS DOUBLE)),
+             6) AS cum_lift
+FROM per ORDER BY decile
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -12077,6 +12164,8 @@ _QUERIES_PAST_WINDOW = [
     "q_partial_corr",
     "q_vif",
     "q_join_size",
+    "q_did",
+    "q_lift_deciles",
 ]
 
 
@@ -12303,6 +12392,8 @@ def oracle_sql() -> dict[str, str]:
         "q_partial_corr": Q_PARTIAL_CORR_SQL,
         "q_vif": Q_VIF_SQL,
         "q_join_size": Q_JOIN_SIZE_SQL,
+        "q_did": Q_DID_SQL,
+        "q_lift_deciles": Q_LIFT_DECILES_SQL,
         "q_scd2": Q_SCD2_SQL,
         "q_revenue_rollup": Q_REVENUE_ROLLUP_SQL,
         "q_kmv_distinct": Q_KMV_DISTINCT_SQL,

@@ -2513,3 +2513,116 @@ def vif3(
         F.round(F.expr("1.0 / (1.0 - _R2)"), round_to).alias("vif2"),
         F.round(F.expr("1.0 / (1.0 - _R3)"), round_to).alias("vif3"),
     )
+
+
+def diff_in_diff(
+    df: DataFrame,
+    treat_col,
+    post_col,
+    outcome_col,
+    round_to: int = 6,
+) -> DataFrame:
+    """Difference-in-differences estimator: the 2x2 of (treated x post)
+    group means, with ``did = (treat_post - treat_pre) - (ctrl_post -
+    ctrl_pre)`` -- the pre-trend-adjusted effect estimate that a naive
+    post-only comparison gets wrong whenever groups started at
+    different baselines.  The q_cuped sibling for natural experiments
+    (CUPED shrinks variance with a pre-period covariate; DiD removes
+    the baseline entirely).
+
+    Returns one row: the four cell means (``ctrl_pre, ctrl_post,
+    treat_pre, treat_post``), each cell's n, and ``did``.  ONE
+    map-side-combined aggregate.
+    """
+    t = F.col(treat_col) if isinstance(treat_col, str) else treat_col
+    p = F.col(post_col) if isinstance(post_col, str) else post_col
+    y = F.col(outcome_col) if isinstance(outcome_col, str) else outcome_col
+    base = df.select(
+        t.cast("int").alias("_t"),
+        p.cast("int").alias("_p"),
+        y.cast("double").alias("_y"),
+    ).filter(F.col("_y").isNotNull())
+
+    def cell(tv: int, pv: int, what: str):
+        cond = (F.col("_t") == tv) & (F.col("_p") == pv)
+        if what == "n":
+            return F.sum(cond.cast("long"))
+        return F.avg(F.when(cond, F.col("_y")))
+
+    agg = base.agg(
+        cell(0, 0, "n").alias("n_ctrl_pre"),
+        cell(0, 1, "n").alias("n_ctrl_post"),
+        cell(1, 0, "n").alias("n_treat_pre"),
+        cell(1, 1, "n").alias("n_treat_post"),
+        F.round(cell(0, 0, "m"), round_to).alias("ctrl_pre"),
+        F.round(cell(0, 1, "m"), round_to).alias("ctrl_post"),
+        F.round(cell(1, 0, "m"), round_to).alias("treat_pre"),
+        F.round(cell(1, 1, "m"), round_to).alias("treat_post"),
+    )
+    return agg.withColumn(
+        "did",
+        F.round(
+            (F.col("treat_post") - F.col("treat_pre"))
+            - (F.col("ctrl_post") - F.col("ctrl_pre")),
+            round_to,
+        ),
+    )
+
+
+def lift_deciles(
+    df: DataFrame,
+    id_col: str,
+    score_col,
+    response_col,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Lift/gain table: rank by model score descending, cut into
+    ``n_bins`` equal-count bins (NTILE semantics; ``id_col`` breaks
+    score ties so the cut is a total order), and report each bin's
+    response rate plus the CUMULATIVE lift over the base rate -- the
+    model-quality chart a ranking-based selection policy is judged by
+    ("top decile captures 3.2x its share of responders").
+
+    Returns ``(decile, n, responders, rate, cum_lift)``.
+    Plan: one ranking window, one bin aggregate, one cumulative window
+    over the n_bins frame with the base rate riding the same frame.
+    """
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    r = F.col(response_col) if isinstance(response_col, str) else response_col
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        s.cast("double").alias("_s"),
+        r.cast("int").alias("_r"),
+    ).filter(F.col("_s").isNotNull() & F.col("_r").isNotNull())
+    w = Window.orderBy(F.desc("_s"), F.asc("_id"))
+    binned = base.select(
+        F.ntile(int(n_bins)).over(w).alias("decile"), "_r"
+    )
+    per = binned.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_r").cast("long").alias("responders"),
+    )
+    cum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = Window.partitionBy()
+    return per.select(
+        "decile",
+        "n",
+        "responders",
+        F.round(
+            F.col("responders") / F.col("n").cast("double"), round_to
+        ).alias("rate"),
+        F.round(
+            (
+                F.sum("responders").over(cum)
+                / F.sum("n").over(cum).cast("double")
+            )
+            / (
+                F.sum("responders").over(tot)
+                / F.sum("n").over(tot).cast("double")
+            ),
+            round_to,
+        ).alias("cum_lift"),
+    )

@@ -857,3 +857,48 @@ def test_vif3_flags_collinear_feature(spark):
     r = vif3(df, "a", "b", "c").collect()[0]
     assert r.vif1 > 10 and r.vif2 > 10   # the collinear pair blows up
     assert r.vif3 < 2                    # the independent one stays near 1
+
+
+def test_diff_in_diff_hand_case(spark):
+    from pyspark.sql import Row as _Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        diff_in_diff,
+    )
+
+    # ctrl: 10 -> 12 (+2); treat: 20 -> 27 (+7) -> did = 5
+    rows = (
+        [_Row(t=0, p=0, y=10.0)] * 3 + [_Row(t=0, p=1, y=12.0)] * 2
+        + [_Row(t=1, p=0, y=20.0)] * 4 + [_Row(t=1, p=1, y=27.0)] * 5
+    )
+    r = diff_in_diff(
+        spark.createDataFrame(rows), F.col("t") == 1, F.col("p") == 1, "y"
+    ).collect()[0]
+    assert (r.n_ctrl_pre, r.n_ctrl_post, r.n_treat_pre, r.n_treat_post) == (
+        3, 2, 4, 5,
+    )
+    assert (r.ctrl_pre, r.ctrl_post, r.treat_pre, r.treat_post) == (
+        10.0, 12.0, 20.0, 27.0,
+    )
+    assert r.did == 5.0
+
+
+def test_lift_deciles_perfect_ranker(spark):
+    from pyspark.sql import Row as _Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        lift_deciles,
+    )
+
+    # 100 rows, top-10 scores are exactly the 10 responders
+    rows = [
+        _Row(id=i, s=float(100 - i), r=1 if i < 10 else 0) for i in range(100)
+    ]
+    out = {r.decile: r for r in lift_deciles(
+        spark.createDataFrame(rows), "id", "s", "r", n_bins=10
+    ).collect()}
+    assert out[1].n == 10 and out[1].responders == 10 and out[1].rate == 1.0
+    # top decile captures all responders at a 10% base rate -> lift 10
+    assert out[1].cum_lift == 10.0
+    assert out[10].cum_lift == 1.0     # full population: lift 1 by def
+    assert out[5].responders == 0
