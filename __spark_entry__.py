@@ -11882,6 +11882,123 @@ FROM per ORDER BY decile
 """
 
 
+def q_ipw_ate(spark, sf_dir):
+    """Inverse-propensity-weighted ATE (operators/mlfit.py ipw_ate):
+    propensity P(treat | value) fit by the shared Newton engine (4
+    rounded steps), clipped to [0.01, 0.99], then one weighted
+    aggregate — the observational causal estimate completing the suite
+    (q_cuped, q_did, q_cmh).  Naive diff reported for contrast."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        ipw_ate,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return ipw_ate(
+        e,
+        F.col("value") / 100,
+        F.expr("user_id % 2 = 1"),
+        F.get_json_object("props", "$.k").cast("long"),
+        iterations=4,
+        clip=0.01,
+    )
+
+
+def _ipw_oracle_sql(iters: int = 4, rt: int = 7) -> str:
+    sql = """WITH base AS (
+  SELECT value / 100 AS s, CAST(user_id % 2 = 1 AS INT) AS y,
+         CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DOUBLE)
+           AS yout
+  FROM events
+  WHERE value IS NOT NULL
+    AND json_extract_string(props, '$.k') IS NOT NULL),
+p0 AS (SELECT CAST(0.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+g{i} AS (
+  SELECT a, b,
+         SUM((p - y) * s) AS g1, SUM(p - y) AS g2,
+         SUM(p * (1.0 - p) * s * s) AS h11,
+         SUM(p * (1.0 - p) * s) AS h12,
+         SUM(p * (1.0 - p)) AS h22
+  FROM (SELECT s, y, 1.0 / (1.0 + exp(-(a * s + b))) AS p, a, b
+        FROM base CROSS JOIN p{i - 1})
+  GROUP BY a, b),
+p{i} AS (
+  SELECT ROUND(a - (h22 * g1 - h12 * g2) / (h11 * h22 - h12 * h12), {rt}) AS a,
+         ROUND(b - (h11 * g2 - h12 * g1) / (h11 * h22 - h12 * h12), {rt}) AS b
+  FROM g{i})"""
+    sql += f"""
+SELECT CAST(COUNT(*) AS BIGINT) AS n, a, b,
+       ROUND(AVG(y * yout / p) - AVG((1 - y) * yout / (1.0 - p)), 6)
+         AS ate_ipw,
+       ROUND(SUM(y * yout) / SUM(y)
+             - SUM((1 - y) * yout) / SUM(1 - y), 6) AS ate_naive
+FROM (SELECT y, yout, a, b,
+             least(greatest(1.0 / (1.0 + exp(-(a * s + b))), 0.01), 0.99)
+               AS p
+      FROM base CROSS JOIN p{iters})
+GROUP BY a, b"""
+    return sql
+
+
+Q_IPW_ATE_SQL = _ipw_oracle_sql()
+
+
+def q_rdd(spark, sf_dir):
+    """Sharp regression discontinuity (operators/mlfit.py rdd_effect):
+    event value around the props-payload cutoff 50, bandwidth 20 —
+    local linear on each side from ONE conditional-moment aggregate,
+    effect = the intercept jump at the cutoff."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        rdd_effect,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return rdd_effect(
+        e,
+        F.get_json_object("props", "$.k").cast("long"),
+        F.col("value"),
+        cutoff=50.0,
+        bandwidth=20.0,
+    )
+
+
+Q_RDD_SQL = """
+WITH base AS (
+  SELECT CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DOUBLE)
+           - 50.0 AS x,
+         value AS y
+  FROM events
+  WHERE value IS NOT NULL
+    AND json_extract_string(props, '$.k') IS NOT NULL),
+flt AS (SELECT * FROM base WHERE ABS(x) <= 20.0),
+m AS (
+  SELECT SUM(CASE WHEN x < 0 THEN 1.0 ELSE 0.0 END) AS n_l,
+         SUM(CASE WHEN x < 0 THEN x ELSE 0.0 END) AS sx_l,
+         SUM(CASE WHEN x < 0 THEN y ELSE 0.0 END) AS sy_l,
+         SUM(CASE WHEN x < 0 THEN x * x ELSE 0.0 END) AS sxx_l,
+         SUM(CASE WHEN x < 0 THEN x * y ELSE 0.0 END) AS sxy_l,
+         SUM(CASE WHEN x >= 0 THEN 1.0 ELSE 0.0 END) AS n_r,
+         SUM(CASE WHEN x >= 0 THEN x ELSE 0.0 END) AS sx_r,
+         SUM(CASE WHEN x >= 0 THEN y ELSE 0.0 END) AS sy_r,
+         SUM(CASE WHEN x >= 0 THEN x * x ELSE 0.0 END) AS sxx_r,
+         SUM(CASE WHEN x >= 0 THEN x * y ELSE 0.0 END) AS sxy_r
+  FROM flt),
+fit AS (
+  SELECT *,
+         (sy_l * sxx_l - sx_l * sxy_l) / (n_l * sxx_l - sx_l * sx_l) AS al,
+         (n_l * sxy_l - sx_l * sy_l) / (n_l * sxx_l - sx_l * sx_l) AS bl,
+         (sy_r * sxx_r - sx_r * sxy_r) / (n_r * sxx_r - sx_r * sx_r) AS ar,
+         (n_r * sxy_r - sx_r * sy_r) / (n_r * sxx_r - sx_r * sx_r) AS br
+  FROM m)
+SELECT CAST(n_l AS BIGINT) AS n_left, CAST(n_r AS BIGINT) AS n_right,
+       ROUND(al, 6) AS a_left, ROUND(ar, 6) AS a_right,
+       ROUND(bl, 6) AS slope_left, ROUND(br, 6) AS slope_right,
+       ROUND(ar - al, 6) AS effect
+FROM fit
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -12166,6 +12283,8 @@ _QUERIES_PAST_WINDOW = [
     "q_join_size",
     "q_did",
     "q_lift_deciles",
+    "q_ipw_ate",
+    "q_rdd",
 ]
 
 
@@ -12394,6 +12513,8 @@ def oracle_sql() -> dict[str, str]:
         "q_join_size": Q_JOIN_SIZE_SQL,
         "q_did": Q_DID_SQL,
         "q_lift_deciles": Q_LIFT_DECILES_SQL,
+        "q_ipw_ate": Q_IPW_ATE_SQL,
+        "q_rdd": Q_RDD_SQL,
         "q_scd2": Q_SCD2_SQL,
         "q_revenue_rollup": Q_REVENUE_ROLLUP_SQL,
         "q_kmv_distinct": Q_KMV_DISTINCT_SQL,

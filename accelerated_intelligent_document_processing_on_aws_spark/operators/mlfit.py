@@ -122,30 +122,17 @@ def ridge_fit(
     )
 
 
-def logistic_platt(
-    df: DataFrame,
-    score_col,
-    label_col,
-    iterations: int = 6,
-    round_to: int = 7,
+def fit_logistic_params(
+    base: DataFrame,
+    iterations: int,
+    round_to: int,
 ) -> DataFrame:
-    """Fit ``P(y=1|s) = 1/(1+exp(-(a*s+b)))`` by ``iterations`` Newton
-    steps from ``(a, b) = (0, 0)``, rounding the parameters at
-    ``round_to`` decimals after every step so the trajectory is
-    engine-portable (sub-rounding float noise from differing ``exp``
-    ULPs cannot accumulate).  Returns one row:
-    ``n, n_pos, a, b, log_loss`` (log-loss of the final model, natural
-    log, rounded at 6).
-
-    Each step is one aggregate over the data — gradient and 2x2 Hessian
-    entries — with the current parameters broadcast in; the solve is
-    closed-form.  Lineage is truncated per step.
-    """
-    s = F.col(score_col) if isinstance(score_col, str) else score_col
-    y = F.col(label_col) if isinstance(label_col, str) else label_col
-    base = df.select(
-        s.cast("double").alias("_s"), y.cast("int").alias("_y")
-    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    """Shared Newton-Raphson engine behind :func:`logistic_platt` and
+    :func:`ipw_ate`: ``base`` must carry ``_s`` (double score) and
+    ``_y`` (int 0/1 label); returns the 1-row ``(a, b)`` parameter
+    frame after ``iterations`` rounded steps from (0, 0).  Each step is
+    one aggregate with the current parameters broadcast in; lineage is
+    truncated per step."""
     params = base.sparkSession.createDataFrame(
         [(0.0, 0.0)], "a double, b double"
     )
@@ -179,6 +166,34 @@ def logistic_platt(
             )
             .localCheckpoint(eager=False)
         )
+    return params
+
+
+def logistic_platt(
+    df: DataFrame,
+    score_col,
+    label_col,
+    iterations: int = 6,
+    round_to: int = 7,
+) -> DataFrame:
+    """Fit ``P(y=1|s) = 1/(1+exp(-(a*s+b)))`` by ``iterations`` Newton
+    steps from ``(a, b) = (0, 0)``, rounding the parameters at
+    ``round_to`` decimals after every step so the trajectory is
+    engine-portable (sub-rounding float noise from differing ``exp``
+    ULPs cannot accumulate).  Returns one row:
+    ``n, n_pos, a, b, log_loss`` (log-loss of the final model, natural
+    log, rounded at 6).
+
+    Each step is one aggregate over the data — gradient and 2x2 Hessian
+    entries — with the current parameters broadcast in; the solve is
+    closed-form.  Lineage is truncated per step.
+    """
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    y = F.col(label_col) if isinstance(label_col, str) else label_col
+    base = df.select(
+        s.cast("double").alias("_s"), y.cast("int").alias("_y")
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    params = fit_logistic_params(base, iterations, round_to)
     return (
         base.crossJoin(F.broadcast(params))
         .select(
@@ -573,3 +588,148 @@ def huber_fit(
         ).localCheckpoint(eager=False)
     n = base.agg(F.count(F.lit(1)).alias("n"))
     return n.join(F.broadcast(params), F.lit(True)).select("n", "a", "b")
+
+
+def ipw_ate(
+    df: DataFrame,
+    score_col,
+    treat_col,
+    outcome_col,
+    iterations: int = 4,
+    clip: float = 0.01,
+    round_to: int = 6,
+) -> DataFrame:
+    """Inverse-propensity-weighted average treatment effect (Horvitz-
+    Thompson weighting): fit the propensity ``P(treat | score)`` with
+    the shared Newton logistic engine, clip it to ``[clip, 1 - clip]``
+    (the standard positivity guard), and estimate
+    ``ATE = mean(t*y/p) - mean((1-t)*y/(1-p))`` -- the observational
+    counterpart of a randomized diff, completing the causal suite next
+    to q_cuped (variance reduction), q_did (baseline removal) and
+    q_cmh (stratified pooling).
+
+    Returns one row: ``n, a, b, ate_ipw, ate_naive`` (the unadjusted
+    mean difference, for contrast).  Plan: ``iterations`` propensity
+    aggregates plus ONE weighted final aggregate, parameters broadcast.
+    """
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    t = F.col(treat_col) if isinstance(treat_col, str) else treat_col
+    y = F.col(outcome_col) if isinstance(outcome_col, str) else outcome_col
+    base = df.select(
+        s.cast("double").alias("_s"),
+        t.cast("int").alias("_y"),       # treat is the logistic LABEL
+        y.cast("double").alias("_out"),
+    ).filter(
+        F.col("_s").isNotNull()
+        & F.col("_y").isNotNull()
+        & F.col("_out").isNotNull()
+    )
+    params = fit_logistic_params(
+        base.select("_s", "_y"), iterations, 7
+    )
+    c_lo, c_hi = repr(float(clip)), repr(1.0 - float(clip))
+    scored = base.crossJoin(F.broadcast(params)).select(
+        "_y",
+        "_out",
+        "a",
+        "b",
+        F.expr(
+            f"least(greatest(1.0 / (1.0 + exp(-(a * _s + b))), {c_lo}),"
+            f" {c_hi})"
+        ).alias("_p"),
+    )
+    return (
+        scored.groupBy("a", "b")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(
+                F.avg(F.expr("_y * _out / _p"))
+                - F.avg(F.expr("(1 - _y) * _out / (1.0 - _p)")),
+                round_to,
+            ).alias("ate_ipw"),
+            F.round(
+                F.sum(F.expr("_y * _out")) / F.sum("_y")
+                - F.sum(F.expr("(1 - _y) * _out"))
+                / F.sum(F.expr("1 - _y")),
+                round_to,
+            ).alias("ate_naive"),
+        )
+        .select("n", "a", "b", "ate_ipw", "ate_naive")
+    )
+
+
+def rdd_effect(
+    df: DataFrame,
+    running_col,
+    outcome_col,
+    cutoff: float,
+    bandwidth: float,
+    round_to: int = 6,
+) -> DataFrame:
+    """Sharp regression-discontinuity estimate: local linear fits of
+    the outcome on the centered running variable on each side of
+    ``cutoff`` within ``bandwidth``, effect = the jump between the two
+    intercepts AT the cutoff -- the design for "treatment switches on
+    at a threshold" (score gates, eligibility cliffs).
+
+    Rows with ``running == cutoff`` belong to the RIGHT (treated) side,
+    the standard sharp-RDD convention.  Returns one row:
+    ``n_left, n_right, a_left, a_right, slope_left, slope_right,
+    effect``.  ONE aggregate collects both sides' OLS moments via
+    conditional sums; the solves are closed-form.
+    """
+    x = F.col(running_col) if isinstance(running_col, str) else running_col
+    y = F.col(outcome_col) if isinstance(outcome_col, str) else outcome_col
+    c, h = float(cutoff), float(bandwidth)
+    base = df.select(
+        (x.cast("double") - F.lit(c)).alias("_x"),
+        y.cast("double").alias("_y"),
+    ).filter(
+        F.col("_x").isNotNull()
+        & F.col("_y").isNotNull()
+        & (F.abs(F.col("_x")) <= h)
+    )
+    sides = []
+    for name, cond in (("l", "_x < 0"), ("r", "_x >= 0")):
+        sides += [
+            F.sum(F.expr(f"CASE WHEN {cond} THEN 1.0 ELSE 0.0 END")).alias(
+                f"n_{name}"
+            ),
+            F.sum(F.expr(f"CASE WHEN {cond} THEN _x ELSE 0.0 END")).alias(
+                f"sx_{name}"
+            ),
+            F.sum(F.expr(f"CASE WHEN {cond} THEN _y ELSE 0.0 END")).alias(
+                f"sy_{name}"
+            ),
+            F.sum(
+                F.expr(f"CASE WHEN {cond} THEN _x * _x ELSE 0.0 END")
+            ).alias(f"sxx_{name}"),
+            F.sum(
+                F.expr(f"CASE WHEN {cond} THEN _x * _y ELSE 0.0 END")
+            ).alias(f"sxy_{name}"),
+        ]
+    m = base.agg(*sides)
+    fit = m.select(
+        "*",
+        F.expr(
+            "(sy_l * sxx_l - sx_l * sxy_l) / (n_l * sxx_l - sx_l * sx_l)"
+        ).alias("_al"),
+        F.expr(
+            "(n_l * sxy_l - sx_l * sy_l) / (n_l * sxx_l - sx_l * sx_l)"
+        ).alias("_bl"),
+        F.expr(
+            "(sy_r * sxx_r - sx_r * sxy_r) / (n_r * sxx_r - sx_r * sx_r)"
+        ).alias("_ar"),
+        F.expr(
+            "(n_r * sxy_r - sx_r * sy_r) / (n_r * sxx_r - sx_r * sx_r)"
+        ).alias("_br"),
+    )
+    return fit.select(
+        F.col("n_l").cast("long").alias("n_left"),
+        F.col("n_r").cast("long").alias("n_right"),
+        F.round("_al", round_to).alias("a_left"),
+        F.round("_ar", round_to).alias("a_right"),
+        F.round("_bl", round_to).alias("slope_left"),
+        F.round("_br", round_to).alias("slope_right"),
+        F.round(F.expr("_ar - _al"), round_to).alias("effect"),
+    )

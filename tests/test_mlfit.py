@@ -250,3 +250,47 @@ def test_huber_zero_iterations_is_ols(spark):
     r = huber_fit(df, "y", "x", c=1e9, iterations=0).collect()[0]
     b, a = np.polyfit(x, y, 1)
     assert abs(r.a - a) < 1e-5 and abs(r.b - b) < 1e-5
+
+
+def test_ipw_corrects_confounded_naive(spark):
+    import numpy as np
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        ipw_ate,
+    )
+
+    # confounded design: high-s rows are mostly treated AND s drives the
+    # outcome; the true treatment effect is exactly +2
+    rng = np.random.RandomState(8)
+    rows = []
+    for i in range(2000):
+        s = rng.rand()
+        t = int(rng.rand() < (0.2 + 0.6 * s))   # propensity rises with s
+        y = 10 * s + 2 * t                       # outcome driven by s and t
+        rows.append(Row(s=float(s), t=t, y=float(y)))
+    df = spark.createDataFrame(rows)
+    r = ipw_ate(df, "s", F.col("t") == 1, "y", iterations=6).collect()[0]
+    # naive diff is inflated by confounding (treated have higher s)
+    assert r.ate_naive > 3.0
+    # IPW recovers something close to the true effect of 2
+    assert abs(r.ate_ipw - 2.0) < 0.7
+    assert r.a > 0  # propensity increases with s
+
+
+def test_rdd_recovers_known_jump(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        rdd_effect,
+    )
+
+    # y = 0.5*x below 50, 0.5*x + 7 at/above 50: clean jump of 7
+    rows = [
+        Row(x=float(v), y=0.5 * v + (7.0 if v >= 50 else 0.0))
+        for v in range(20, 81)
+    ]
+    r = rdd_effect(
+        spark.createDataFrame(rows), "x", "y", cutoff=50.0, bandwidth=20.0
+    ).collect()[0]
+    assert r.n_left == 20 and r.n_right == 21    # [30,49] and [50,70]
+    assert abs(r.effect - 7.0) < 1e-6
+    assert abs(r.slope_left - 0.5) < 1e-6
+    assert abs(r.slope_right - 0.5) < 1e-6
