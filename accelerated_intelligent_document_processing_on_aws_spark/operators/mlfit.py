@@ -733,3 +733,72 @@ def rdd_effect(
         F.round("_br", round_to).alias("slope_right"),
         F.round(F.expr("_ar - _al"), round_to).alias("effect"),
     )
+
+
+def subgroup_wracc(
+    df: DataFrame,
+    target_col,
+    features: dict,
+    top_k: int = 5,
+    round_to: int = 9,
+) -> DataFrame:
+    """One-level subgroup discovery by weighted relative accuracy
+    (Lavrač et al. 2004): for every candidate subgroup
+    ``feature = value``, ``WRAcc = (n_g / N) * (p_g - p_0)`` -- the
+    coverage-weighted lift that finds WHERE a binary target
+    concentrates ("purchases cluster in payload decile 7") without a
+    model.  The interpretable sibling of :func:`gini_stump` for
+    categorical descriptors.
+
+    ``features`` maps descriptor name -> Column (values are cast to
+    string).  Returns the global ``top_k`` subgroups:
+    ``(feature, value, n, pos, rate, wracc)``, ties broken by
+    (feature, value).
+
+    Plan: the descriptors stack into rows IN the first projection (one
+    pass over the data, rows x n_features), one map-side-combined
+    aggregate to the descriptor-value dimension, global totals riding a
+    window over that bounded frame, then a top-k.
+    """
+    t = F.col(target_col) if isinstance(target_col, str) else target_col
+    names = sorted(features)
+    stack_args = []
+    for name in names:
+        c = features[name]
+        c = F.col(c) if isinstance(c, str) else c
+        stack_args += [F.lit(name), c.cast("string")]
+    base = df.select(
+        t.cast("int").alias("_y"),
+        F.stack(F.lit(len(names)), *stack_args).alias("feature", "value"),
+    ).filter(F.col("value").isNotNull() & F.col("_y").isNotNull())
+    per = base.groupBy("feature", "value").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("_y").alias("pos")
+    )
+    w = Window.partitionBy("feature")
+    scored = per.select(
+        "feature",
+        "value",
+        "n",
+        F.col("pos").cast("long").alias("pos"),
+        F.sum("n").over(w).alias("_N"),
+        F.sum("pos").over(w).alias("_P"),
+    ).select(
+        "feature",
+        "value",
+        "n",
+        "pos",
+        F.round(F.col("pos") / F.col("n").cast("double"), round_to).alias(
+            "rate"
+        ),
+        F.round(
+            (F.col("n") / F.col("_N").cast("double"))
+            * (
+                F.col("pos") / F.col("n").cast("double")
+                - F.col("_P") / F.col("_N").cast("double")
+            ),
+            round_to,
+        ).alias("wracc"),
+    )
+    return scored.orderBy(
+        F.desc("wracc"), F.asc("feature"), F.asc("value")
+    ).limit(int(top_k))

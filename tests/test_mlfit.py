@@ -294,3 +294,38 @@ def test_rdd_recovers_known_jump(spark):
     assert abs(r.effect - 7.0) < 1e-6
     assert abs(r.slope_left - 0.5) < 1e-6
     assert abs(r.slope_right - 0.5) < 1e-6
+
+
+def test_subgroup_wracc_finds_planted_pocket(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        subgroup_wracc,
+    )
+
+    # base rate 10%, but cat='hot' is 60% positive
+    rows = (
+        [Row(y=1, c="hot") for _ in range(30)]
+        + [Row(y=0, c="hot") for _ in range(20)]
+        + [Row(y=1, c="cold") for _ in range(10)]
+        + [Row(y=0, c="cold") for _ in range(340)]
+    )
+    df = spark.createDataFrame(rows)
+    top = subgroup_wracc(
+        df, F.col("y") == 1, {"cat": F.col("c")}, top_k=1
+    ).collect()[0]
+    assert (top.feature, top.value) == ("cat", "hot")
+    # WRAcc = (50/400) * (0.6 - 0.1) = 0.0625
+    assert abs(top.wracc - 0.0625) < 1e-9
+    assert top.n == 50 and top.pos == 30
+
+
+def test_subgroup_wracc_null_values_excluded(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        subgroup_wracc,
+    )
+
+    rows = [Row(y=1, c="a"), Row(y=0, c=None), Row(y=0, c="a")]
+    out = subgroup_wracc(
+        spark.createDataFrame(rows), F.col("y") == 1, {"cat": "c"}, top_k=5
+    ).collect()
+    assert all(r.value is not None for r in out)
+    assert sum(r.n for r in out) == 2
