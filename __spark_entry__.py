@@ -12055,6 +12055,148 @@ FROM tot ORDER BY wracc DESC, feature ASC, value ASC LIMIT 5
 """
 
 
+def q_pacf(spark, sf_dir):
+    """Partial autocorrelation at lags 1-3 (timeseries.pacf_daily):
+    closed-form Durbin-Levinson over q_acf's exact-sum
+    autocorrelations — the AR-order diagnostic ACF alone cannot give.
+    After the 3-row ACF frame everything is scalar algebra."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        pacf_daily,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return pacf_daily(e, "ts")
+
+
+Q_PACF_SQL = """
+WITH daily AS (SELECT CAST(CAST(date_trunc('day', ts) AS DATE)
+                           - DATE '1970-01-01' AS BIGINT) AS d,
+                      COUNT(*) AS n
+               FROM events GROUP BY 1),
+l AS (SELECT d, n AS x, lag
+      FROM daily CROSS JOIN
+           (SELECT UNNEST(generate_series(1, 3)) AS lag)),
+pairs AS (SELECT l.lag, l.x, y.n AS y
+          FROM l JOIN daily y ON l.d - l.lag = y.d),
+agg AS (SELECT lag, COUNT(*) AS m,
+          CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+          CAST(SUM(x * y) AS BIGINT) AS sxy,
+          CAST(SUM(x * x) AS BIGINT) AS sxx,
+          CAST(SUM(y * y) AS BIGINT) AS syy
+        FROM pairs GROUP BY 1),
+acf AS (
+  SELECT lag,
+         ROUND((CAST(m AS DOUBLE) * CAST(sxy AS DOUBLE)
+                - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+               / SQRT((CAST(m AS DOUBLE) * CAST(sxx AS DOUBLE)
+                       - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                      * (CAST(m AS DOUBLE) * CAST(syy AS DOUBLE)
+                         - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+               6) AS r
+  FROM agg),
+piv AS (SELECT MAX(CASE WHEN lag = 1 THEN r END) AS r1,
+               MAX(CASE WHEN lag = 2 THEN r END) AS r2,
+               MAX(CASE WHEN lag = 3 THEN r END) AS r3
+        FROM acf),
+lvl AS (SELECT *, (r2 - r1 * r1) / (1.0 - r1 * r1) AS p22 FROM piv),
+lvl2 AS (SELECT *, r1 * (1.0 - p22) AS p21 FROM lvl)
+SELECT r1, r2, r3, ROUND(r1, 6) AS pacf1, ROUND(p22, 6) AS pacf2,
+       ROUND((r3 - (p21 * r2 + p22 * r1))
+             / (1.0 - (p21 * r1 + p22 * r2)), 6) AS pacf3
+FROM lvl2
+"""
+
+
+def q_smd_balance(spark, sf_dir):
+    """Covariate-balance audit for the IPW estimate (operators/mlfit.py
+    smd_balance): standardized mean differences of the props payload
+    and hour-of-day between arms, raw vs inverse-propensity-weighted —
+    the Austin-style check that q_ipw_ate's weighting actually balanced
+    the arms.  Shared Newton propensity + ONE stacked-covariate moment
+    aggregate."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        smd_balance,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return smd_balance(
+        e,
+        F.col("value") / 100,
+        F.expr("user_id % 2 = 1"),
+        {
+            "k": F.get_json_object("props", "$.k").cast("long"),
+            "hour": F.hour("ts"),
+        },
+        iterations=4,
+        clip=0.01,
+    ).transform(_by("covariate"))
+
+
+def _smd_oracle_sql(iters: int = 4, rt: int = 7) -> str:
+    sql = """WITH fbase AS (
+  SELECT value / 100 AS s, CAST(user_id % 2 = 1 AS INT) AS y
+  FROM events WHERE value IS NOT NULL),
+p0 AS (SELECT CAST(0.0 AS DOUBLE) AS a, CAST(0.0 AS DOUBLE) AS b)"""
+    for i in range(1, iters + 1):
+        sql += f""",
+g{i} AS (
+  SELECT a, b,
+         SUM((p - y) * s) AS g1, SUM(p - y) AS g2,
+         SUM(p * (1.0 - p) * s * s) AS h11,
+         SUM(p * (1.0 - p) * s) AS h12,
+         SUM(p * (1.0 - p)) AS h22
+  FROM (SELECT s, y, 1.0 / (1.0 + exp(-(a * s + b))) AS p, a, b
+        FROM fbase CROSS JOIN p{i - 1})
+  GROUP BY a, b),
+p{i} AS (
+  SELECT ROUND(a - (h22 * g1 - h12 * g2) / (h11 * h22 - h12 * h12), {rt}) AS a,
+         ROUND(b - (h11 * g2 - h12 * g1) / (h11 * h22 - h12 * h12), {rt}) AS b
+  FROM g{i})"""
+    sql += f""",
+cbase AS (
+  SELECT value / 100 AS s, CAST(user_id % 2 = 1 AS INT) AS y,
+         f.cov, f.x
+  FROM events,
+  LATERAL (
+    SELECT 'hour' AS cov, CAST(EXTRACT(HOUR FROM ts) AS DOUBLE) AS x
+    UNION ALL
+    SELECT 'k',
+           CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DOUBLE)
+  ) f
+  WHERE value IS NOT NULL AND f.x IS NOT NULL),
+scored AS (
+  SELECT cov, x, y,
+         CASE WHEN y = 1
+              THEN 1.0 / least(greatest(1.0 / (1.0 + exp(-(a * s + b))),
+                               0.01), 0.99)
+              ELSE 1.0 / (1.0 - least(greatest(
+                   1.0 / (1.0 + exp(-(a * s + b))), 0.01), 0.99)) END AS w
+  FROM cbase CROSS JOIN p{iters}),
+per AS (
+  SELECT cov,
+         SUM(CAST(y AS DOUBLE)) AS nt, SUM(CAST(1 - y AS DOUBLE)) AS nc,
+         SUM(y * x) AS sxt, SUM((1 - y) * x) AS sxc,
+         SUM(y * x * x) AS sxxt, SUM((1 - y) * x * x) AS sxxc,
+         SUM(y * w) AS wt, SUM((1 - y) * w) AS wc,
+         SUM(y * w * x) AS wxt, SUM((1 - y) * w * x) AS wxc,
+         SUM(y * w * x * x) AS wxxt, SUM((1 - y) * w * x * x) AS wxxc
+  FROM scored GROUP BY cov)
+SELECT cov AS covariate,
+       ROUND((sxt / nt - sxc / nc)
+             / sqrt(((sxxt / nt - (sxt / nt) * (sxt / nt))
+                    + (sxxc / nc - (sxc / nc) * (sxc / nc))) / 2.0),
+             6) AS smd_raw,
+       ROUND((wxt / wt - wxc / wc)
+             / sqrt(((wxxt / wt - (wxt / wt) * (wxt / wt))
+                    + (wxxc / wc - (wxc / wc) * (wxc / wc))) / 2.0),
+             6) AS smd_ipw
+FROM per ORDER BY covariate"""
+    return sql
+
+
+Q_SMD_BALANCE_SQL = _smd_oracle_sql()
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -12342,6 +12484,8 @@ _QUERIES_PAST_WINDOW = [
     "q_ipw_ate",
     "q_rdd",
     "q_subgroup",
+    "q_pacf",
+    "q_smd_balance",
 ]
 
 
@@ -12573,6 +12717,8 @@ def oracle_sql() -> dict[str, str]:
         "q_ipw_ate": Q_IPW_ATE_SQL,
         "q_rdd": Q_RDD_SQL,
         "q_subgroup": Q_SUBGROUP_SQL,
+        "q_pacf": Q_PACF_SQL,
+        "q_smd_balance": Q_SMD_BALANCE_SQL,
         "q_scd2": Q_SCD2_SQL,
         "q_revenue_rollup": Q_REVENUE_ROLLUP_SQL,
         "q_kmv_distinct": Q_KMV_DISTINCT_SQL,

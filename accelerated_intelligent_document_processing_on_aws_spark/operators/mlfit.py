@@ -802,3 +802,99 @@ def subgroup_wracc(
     return scored.orderBy(
         F.desc("wracc"), F.asc("feature"), F.asc("value")
     ).limit(int(top_k))
+
+
+def smd_balance(
+    df: DataFrame,
+    score_col,
+    treat_col,
+    covariates: dict,
+    iterations: int = 4,
+    clip: float = 0.01,
+    round_to: int = 6,
+) -> DataFrame:
+    """Covariate-balance audit for :func:`ipw_ate` (standardized mean
+    differences, the Austin 2009 diagnostic): per covariate, the SMD
+    ``(mean_t - mean_c) / sqrt((var_t + var_c) / 2)`` BEFORE weighting
+    and AFTER inverse-propensity weighting -- the check that the
+    propensity model actually balanced the arms (|SMD| < 0.1 is the
+    usual bar).  An ATE whose balance audit fails is not an estimate,
+    it is a prayer.
+
+    ``covariates`` maps name -> Column.  Returns one row per covariate:
+    ``(covariate, smd_raw, smd_ipw)``.  Population variances; weighted
+    moments use ``w = t/p + (1-t)/(1-p)`` with the clipped propensity.
+
+    Plan: the shared Newton propensity fit (one aggregate per step),
+    then the covariates stack in a single projection and ONE aggregate
+    collects all per-arm raw and weighted moments.
+    """
+    s = F.col(score_col) if isinstance(score_col, str) else score_col
+    t = F.col(treat_col) if isinstance(treat_col, str) else treat_col
+    names = sorted(covariates)
+    stack_args = []
+    for name in names:
+        c = covariates[name]
+        c = F.col(c) if isinstance(c, str) else c
+        stack_args += [F.lit(name), c.cast("double")]
+    base = df.select(
+        s.cast("double").alias("_s"),
+        t.cast("int").alias("_y"),
+        F.stack(F.lit(len(names)), *stack_args).alias("cov", "x"),
+    ).filter(
+        F.col("_s").isNotNull()
+        & F.col("_y").isNotNull()
+        & F.col("x").isNotNull()
+    )
+    fit_base = df.select(
+        s.cast("double").alias("_s"), t.cast("int").alias("_y")
+    ).filter(F.col("_s").isNotNull() & F.col("_y").isNotNull())
+    params = fit_logistic_params(fit_base, iterations, 7)
+    c_lo, c_hi = repr(float(clip)), repr(1.0 - float(clip))
+    scored = base.crossJoin(F.broadcast(params)).select(
+        "cov",
+        "x",
+        "_y",
+        F.expr(
+            f"CASE WHEN _y = 1"
+            f" THEN 1.0 / least(greatest(1.0 / (1.0 + exp(-(a * _s + b))),"
+            f" {c_lo}), {c_hi})"
+            f" ELSE 1.0 / (1.0 - least(greatest("
+            f"1.0 / (1.0 + exp(-(a * _s + b))), {c_lo}), {c_hi})) END"
+        ).alias("_w"),
+    )
+    per = scored.groupBy("cov").agg(
+        # raw per-arm moments
+        F.sum(F.expr("CAST(_y AS DOUBLE)")).alias("nt"),
+        F.sum(F.expr("CAST(1 - _y AS DOUBLE)")).alias("nc"),
+        F.sum(F.expr("_y * x")).alias("sxt"),
+        F.sum(F.expr("(1 - _y) * x")).alias("sxc"),
+        F.sum(F.expr("_y * x * x")).alias("sxxt"),
+        F.sum(F.expr("(1 - _y) * x * x")).alias("sxxc"),
+        # weighted per-arm moments
+        F.sum(F.expr("_y * _w")).alias("wt"),
+        F.sum(F.expr("(1 - _y) * _w")).alias("wc"),
+        F.sum(F.expr("_y * _w * x")).alias("wxt"),
+        F.sum(F.expr("(1 - _y) * _w * x")).alias("wxc"),
+        F.sum(F.expr("_y * _w * x * x")).alias("wxxt"),
+        F.sum(F.expr("(1 - _y) * _w * x * x")).alias("wxxc"),
+    )
+    return per.select(
+        F.col("cov").alias("covariate"),
+        F.round(
+            F.expr(
+                "(sxt / nt - sxc / nc)"
+                " / sqrt(((sxxt / nt - (sxt / nt) * (sxt / nt))"
+                "        + (sxxc / nc - (sxc / nc) * (sxc / nc))) / 2.0)"
+            ),
+            round_to,
+        ).alias("smd_raw"),
+        F.round(
+            F.expr(
+                "(wxt / wt - wxc / wc)"
+                " / sqrt(((wxxt / wt - (wxt / wt) * (wxt / wt))"
+                "        + (wxxc / wc - (wxc / wc) * (wxc / wc))) / 2.0)"
+            ),
+            round_to,
+        ).alias("smd_ipw"),
+    )

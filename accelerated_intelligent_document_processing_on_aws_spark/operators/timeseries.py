@@ -938,3 +938,52 @@ def rolling_distinct_users(
             "n_users_7d",
         )
     )
+
+
+def pacf_daily(
+    df: DataFrame,
+    ts_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Partial autocorrelation of the daily count series at lags 1-3 by
+    the closed-form Durbin-Levinson recursion over :func:`acf_daily`'s
+    exact-sum autocorrelations -- the AR-order diagnostic ACF alone
+    cannot give (a pure AR(1) has geometric ACF at every lag but PACF
+    zero beyond lag 1).
+
+    ``pacf1 = r1``; ``pacf2 = (r2 - r1^2)/(1 - r1^2)``; ``pacf3`` from
+    the unrolled level-3 recursion.  ACF values are rounded at
+    ``round_to`` BEFORE the recursion so both engines walk the identical
+    grid.  Returns one row: ``r1, r2, r3, pacf1, pacf2, pacf3``.
+
+    Plan: everything after acf_daily's (max_lag)-row frame is a pivot
+    to one row plus scalar algebra -- no further data passes.
+    """
+    acf = acf_daily(df, ts_col, max_lag=3, round_to=round_to)
+    piv = acf.agg(
+        *[
+            F.max(F.when(F.col("lag") == k, F.col("r"))).alias(f"r{k}")
+            for k in (1, 2, 3)
+        ]
+    )
+    lvl2 = piv.select(
+        "*",
+        F.expr("(r2 - r1 * r1) / (1.0 - r1 * r1)").alias("_p22"),
+    ).select(
+        "*",
+        F.expr("r1 * (1.0 - _p22)").alias("_p21"),
+    )
+    return lvl2.select(
+        "r1",
+        "r2",
+        "r3",
+        F.round(F.col("r1"), round_to).alias("pacf1"),
+        F.round(F.col("_p22"), round_to).alias("pacf2"),
+        F.round(
+            F.expr(
+                "(r3 - (_p21 * r2 + _p22 * r1))"
+                " / (1.0 - (_p21 * r1 + _p22 * r2))"
+            ),
+            round_to,
+        ).alias("pacf3"),
+    )

@@ -329,3 +329,30 @@ def test_subgroup_wracc_null_values_excluded(spark):
     ).collect()
     assert all(r.value is not None for r in out)
     assert sum(r.n for r in out) == 2
+
+
+def test_smd_balance_ipw_improves_confounded_covariate(spark):
+    import numpy as np
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        smd_balance,
+    )
+
+    # s drives treatment, so s is imbalanced between arms; IPW with the
+    # true-model propensity must shrink |SMD| substantially
+    rng = np.random.RandomState(12)
+    rows = []
+    for i in range(3000):
+        s = rng.rand()
+        t = int(rng.rand() < (0.2 + 0.6 * s))
+        rows.append(Row(s=float(s), t=t))
+    df = spark.createDataFrame(rows)
+    out = {
+        r.covariate: r
+        for r in smd_balance(
+            df, "s", F.col("t") == 1, {"svar": F.col("s")}, iterations=6
+        ).collect()
+    }
+    r = out["svar"]
+    assert abs(r.smd_raw) > 0.3            # visibly imbalanced
+    assert abs(r.smd_ipw) < abs(r.smd_raw) / 2   # weighting balances

@@ -300,6 +300,7 @@ def test_no_query_plans_nested_loop_or_rowwise_python(spark):
         "q_join_size",
         # Newton-param 1-row broadcast each step (the q_platt shape)
         "q_ipw_ate",
+        "q_smd_balance",
         # PAV minimax runs j<=i<=k interval joins over the BINS frame
         # (n_bins³ = 1000 rows at the default — metadata algebra, the
         # Hungarian/BH-FDR class, corpus-size-independent)

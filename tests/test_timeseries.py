@@ -347,3 +347,37 @@ def test_rolling_distinct_window_ages_out(spark):
     }
     # day 10: user 1's day-0 activity aged out of the 7-day window
     assert out["2024-01-11"] == 1
+
+
+def test_pacf_ar1_cuts_off_after_lag1(spark):
+    import datetime as _dt
+
+    from pyspark.sql import Row as _Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        pacf_daily,
+    )
+
+    # deterministic AR(1)-ish daily counts: n_t = 50 + 0.8*(n_{t-1}-50)
+    # + small alternating kick so variance stays positive
+    d0 = _dt.datetime(2024, 1, 1)
+    counts = []
+    level = 80.0
+    for t in range(120):
+        level = 50 + 0.8 * (level - 50) + (6 if t % 2 == 0 else -6)
+        counts.append(max(1, int(round(level))))
+    rows = [
+        _Row(ts=d0 + _dt.timedelta(days=t, seconds=i))
+        for t, c in enumerate(counts)
+        for i in range(c)
+    ]
+    r = pacf_daily(spark.createDataFrame(rows), "ts").collect()[0]
+    assert r.pacf1 == r.r1
+    # Durbin-Levinson identity checks against the rounded ACF grid
+    want2 = (r.r2 - r.r1**2) / (1 - r.r1**2)
+    assert abs(r.pacf2 - want2) < 1e-6
+    p21 = r.r1 * (1 - want2)
+    want3 = (r.r3 - (p21 * r.r2 + want2 * r.r1)) / (
+        1 - (p21 * r.r1 + want2 * r.r2)
+    )
+    assert abs(r.pacf3 - want3) < 1e-6
