@@ -12197,6 +12197,79 @@ FROM per ORDER BY covariate"""
 Q_SMD_BALANCE_SQL = _smd_oracle_sql()
 
 
+def q_ess(spark, sf_dir):
+    """Kish effective sample size of the SoftDeDup-reweighted corpus
+    (curation.effective_sample_size over soft_dedup_weights' output):
+    how many equally-weighted docs the 1/n_dups mix is worth — the
+    mandatory audit after ANY reweighting.  One window (the SoftDeDup
+    pass) + ONE aggregate."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        effective_sample_size,
+        soft_dedup_weights,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    t = F.concat(
+        F.lit("sample body "),
+        (F.col("doc_id") % 97).cast("string"),
+        F.lit(" end"),
+    )
+    w = soft_dedup_weights(d.select("doc_id", t.alias("t")), "doc_id", "t")
+    return effective_sample_size(w, "weight")
+
+
+Q_ESS_SQL = """
+WITH cls AS (
+  SELECT doc_id, doc_id % 97 AS cls
+  FROM documents),
+per AS (SELECT cls, COUNT(*) AS nd FROM cls GROUP BY cls),
+w AS (
+  SELECT ROUND(1.0 / nd, 6) AS w
+  FROM cls JOIN per USING (cls))
+SELECT CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(SUM(w), 6) AS sum_w,
+       ROUND((SUM(w) * SUM(w)) / SUM(w * w), 6) AS ess,
+       ROUND((SUM(w) * SUM(w)) / SUM(w * w) / COUNT(*), 6) AS ess_ratio
+FROM w
+"""
+
+
+def q_hourweek(spark, sf_dir):
+    """Hour-of-week seasonality profile (timeseries.hour_week_profile):
+    counts over the 168 ISO (weekday, hour) cells with an exact-sum
+    z-score and peak flag — the load-shaping heatmap.  One aggregate to
+    the bounded cell frame; moments ride a window over it."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        hour_week_profile,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return hour_week_profile(e, "ts").transform(_by("dow", "hour"))
+
+
+Q_HOURWEEK_SQL = """
+WITH cells AS (
+  SELECT isodow(ts) AS dow, EXTRACT(HOUR FROM ts) AS hour,
+         CAST(COUNT(*) AS BIGINT) AS n
+  FROM events WHERE ts IS NOT NULL GROUP BY 1, 2),
+scored AS (
+  SELECT dow, hour, n,
+         COUNT(*) OVER () AS k, SUM(n) OVER () AS s,
+         SUM(n * n) OVER () AS ss
+  FROM cells)
+SELECT CAST(dow AS INT) AS dow, CAST(hour AS INT) AS hour, n,
+       ROUND((n - s / CAST(k AS DOUBLE))
+             / sqrt(ss / CAST(k AS DOUBLE)
+                    - (s / CAST(k AS DOUBLE)) * (s / CAST(k AS DOUBLE))),
+             6) AS z,
+       ROUND((n - s / CAST(k AS DOUBLE))
+             / sqrt(ss / CAST(k AS DOUBLE)
+                    - (s / CAST(k AS DOUBLE)) * (s / CAST(k AS DOUBLE))),
+             6) > 2.0 AS peak
+FROM scored ORDER BY dow, hour
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -12486,6 +12559,8 @@ _QUERIES_PAST_WINDOW = [
     "q_subgroup",
     "q_pacf",
     "q_smd_balance",
+    "q_ess",
+    "q_hourweek",
 ]
 
 
@@ -12719,6 +12794,8 @@ def oracle_sql() -> dict[str, str]:
         "q_subgroup": Q_SUBGROUP_SQL,
         "q_pacf": Q_PACF_SQL,
         "q_smd_balance": Q_SMD_BALANCE_SQL,
+        "q_ess": Q_ESS_SQL,
+        "q_hourweek": Q_HOURWEEK_SQL,
         "q_scd2": Q_SCD2_SQL,
         "q_revenue_rollup": Q_REVENUE_ROLLUP_SQL,
         "q_kmv_distinct": Q_KMV_DISTINCT_SQL,

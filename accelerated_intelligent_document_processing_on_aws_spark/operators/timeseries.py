@@ -987,3 +987,44 @@ def pacf_daily(
             round_to,
         ).alias("pacf3"),
     )
+
+
+def hour_week_profile(
+    df: DataFrame,
+    ts_col: str = "ts",
+    z_thresh: float = 2.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Hour-of-week activity profile: counts over the 168 (ISO weekday,
+    hour) cells with a z-score against the profile's own mean/sd and a
+    peak flag -- the seasonality heatmap behind load shaping and
+    "why is Tuesday 9am always hot" questions.  ISO weekday (1=Monday)
+    so both engines agree on the week's origin.
+
+    Returns ``(dow, hour, n, z, peak)``, one row per populated cell.
+    Plan: one aggregate to the <=168-cell frame; mean/sd ride a window
+    over that frame (exact integer sums -> identical IEEE z).
+    """
+    cells = df.filter(F.col(ts_col).isNotNull()).groupBy(
+        F.expr(f"weekday({ts_col}) + 1").alias("dow"),
+        F.hour(ts_col).alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy()
+    scored = cells.select(
+        "dow",
+        "hour",
+        "n",
+        F.count(F.lit(1)).over(w).alias("_k"),
+        F.sum("n").over(w).alias("_s"),
+        F.sum(F.expr("n * n")).over(w).alias("_ss"),
+    )
+    mean = F.col("_s") / F.col("_k").cast("double")
+    var = F.col("_ss") / F.col("_k").cast("double") - mean * mean
+    z = (F.col("n") - mean) / F.sqrt(var)
+    return scored.select(
+        "dow",
+        "hour",
+        "n",
+        F.round(z, round_to).alias("z"),
+        (F.round(z, round_to) > float(z_thresh)).alias("peak"),
+    )

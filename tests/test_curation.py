@@ -956,3 +956,23 @@ def test_naive_bayes_tie_breaks_ascending_label(spark):
     )
     out = {r.id: r for r in naive_bayes_classify(df, "doc_id", "text", "lang").collect()}
     assert out[1].predicted == "a" and out[2].predicted == "a"
+
+
+def test_effective_sample_size_extremes(spark):
+    from pyspark.sql import Row as _Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        effective_sample_size,
+    )
+
+    # equal weights: ESS == n
+    eq = spark.createDataFrame([_Row(w=0.5) for _ in range(8)])
+    r = effective_sample_size(eq, "w").collect()[0]
+    assert r.n == 8 and r.ess == 8.0 and r.ess_ratio == 1.0
+    # one dominant weight: ESS collapses toward 1
+    dom = spark.createDataFrame(
+        [_Row(w=1000.0)] + [_Row(w=0.001) for _ in range(99)]
+    )
+    r2 = effective_sample_size(dom, "w").collect()[0]
+    assert r2.n == 100 and r2.ess < 1.01
+    assert r2.ess_ratio < 0.02

@@ -381,3 +381,31 @@ def test_pacf_ar1_cuts_off_after_lag1(spark):
         1 - (p21 * r.r1 + want2 * r.r2)
     )
     assert abs(r.pacf3 - want3) < 1e-6
+
+
+def test_hour_week_profile_peak_cell(spark):
+    import datetime as _dt
+
+    from pyspark.sql import Row as _Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        hour_week_profile,
+    )
+
+    # Monday 2024-01-01: flood hour 9, trickle elsewhere
+    d0 = _dt.datetime(2024, 1, 1)  # a Monday
+    rows = [_Row(ts=d0 + _dt.timedelta(hours=9, seconds=i)) for i in range(50)]
+    rows += [
+        _Row(ts=d0 + _dt.timedelta(days=dd, hours=h))
+        for dd in range(3)
+        for h in range(4)
+    ]
+    out = hour_week_profile(spark.createDataFrame(rows), "ts").collect()
+    cells = {(r.dow, r.hour): r for r in out}
+    hot = cells[(1, 9)]
+    assert hot.n == 50 and hot.peak
+    assert all(
+        not r.peak for (k, r) in cells.items() if k != (1, 9)
+    )
+    # ISO weekday: Monday == 1, Wednesday == 3
+    assert (3, 0) in cells
