@@ -12270,6 +12270,80 @@ FROM scored ORDER BY dow, hour
 """
 
 
+def q_seasonal_strength(spark, sf_dir):
+    """Hyndman seasonality strength per event type
+    (timeseries.seasonal_strength over seasonal_decompose_daily): one
+    scalar in [0,1] saying whether the anomaly baseline needs the weekly
+    correction q_stl_decompose computes.  One aggregate over the
+    days-sized decompose frame."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        seasonal_decompose_daily,
+        seasonal_strength,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    dec = seasonal_decompose_daily(e, "event_type", "ts")
+    return seasonal_strength(dec).transform(_by("group"))
+
+
+Q_SEASONAL_STRENGTH_SQL = f"""
+WITH stl AS ({Q_STL_DECOMPOSE_SQL}),
+flt AS (SELECT * FROM stl
+        WHERE remainder IS NOT NULL AND seasonal IS NOT NULL),
+agg AS (
+  SELECT "group", CAST(COUNT(*) AS BIGINT) AS n_days,
+         SUM(remainder) AS sr,
+         SUM(remainder * remainder) AS srr,
+         SUM(seasonal + remainder) AS ss,
+         SUM((seasonal + remainder) * (seasonal + remainder)) AS sss
+  FROM flt GROUP BY "group")
+SELECT "group", n_days,
+       ROUND(CASE WHEN sss / n_days - (ss / n_days) * (ss / n_days) > 0
+             THEN GREATEST(0.0,
+                  1.0 - (srr / n_days - (sr / n_days) * (sr / n_days))
+                        / (sss / n_days - (ss / n_days) * (ss / n_days)))
+             END, 6) AS strength
+FROM agg ORDER BY "group"
+"""
+
+
+def q_power_mde(spark, sf_dir):
+    """Two-proportion experiment sizing (operators/stats.py
+    required_sample_size): n per arm to detect a +2pp lift on the
+    observed purchase rate at alpha=.05 / power=.80 — the "how long
+    must this A/B run" planner fed by the live base rate.  ONE
+    aggregate + closed-form algebra with fixed z literals."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        required_sample_size,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return required_sample_size(
+        e, F.col("event_type") == "purchase", mde_abs=0.02
+    )
+
+
+Q_POWER_MDE_SQL = """
+WITH base AS (
+  SELECT CAST(event_type = 'purchase' AS INT) AS y
+  FROM events WHERE event_type IS NOT NULL),
+agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         AVG(CAST(y AS DOUBLE)) AS p1raw
+  FROM base),
+sized AS (
+  SELECT n, ROUND(p1raw, 6) AS p1, ROUND(p1raw + 0.02, 6) AS p2,
+         (p1raw + (p1raw + 0.02)) / 2.0 AS pbar, p1raw
+  FROM agg)
+SELECT n, p1, p2,
+       CAST(CEIL(POW(1.959963985 * SQRT(2.0 * pbar * (1.0 - pbar))
+                     + 0.8416212336 * SQRT(p1raw * (1.0 - p1raw)
+                       + (p1raw + 0.02) * (1.0 - (p1raw + 0.02))), 2.0)
+                 / (0.02 * 0.02)) AS BIGINT) AS n_per_arm
+FROM sized
+"""
+
+
 # ORDER MATTERS for certification: the driver records CORRECTNESS rows
 # for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
 # registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
@@ -12561,6 +12635,8 @@ _QUERIES_PAST_WINDOW = [
     "q_smd_balance",
     "q_ess",
     "q_hourweek",
+    "q_seasonal_strength",
+    "q_power_mde",
 ]
 
 
@@ -12796,6 +12872,8 @@ def oracle_sql() -> dict[str, str]:
         "q_smd_balance": Q_SMD_BALANCE_SQL,
         "q_ess": Q_ESS_SQL,
         "q_hourweek": Q_HOURWEEK_SQL,
+        "q_seasonal_strength": Q_SEASONAL_STRENGTH_SQL,
+        "q_power_mde": Q_POWER_MDE_SQL,
         "q_scd2": Q_SCD2_SQL,
         "q_revenue_rollup": Q_REVENUE_ROLLUP_SQL,
         "q_kmv_distinct": Q_KMV_DISTINCT_SQL,

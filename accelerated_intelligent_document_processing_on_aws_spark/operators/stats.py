@@ -2626,3 +2626,56 @@ def lift_deciles(
             round_to,
         ).alias("cum_lift"),
     )
+
+
+#: two-sided alpha=0.05 and power=0.80 normal quantiles, fixed literals
+#: shared with the SQL oracle (engine-portable by construction)
+Z_975 = "1.959963985"
+Z_80 = "0.8416212336"
+
+
+def required_sample_size(
+    df: DataFrame,
+    outcome_col,
+    mde_abs: float,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-proportion experiment sizing from the OBSERVED baseline
+    rate: the classic normal-approximation n per arm for detecting an
+    absolute lift of ``mde_abs`` at alpha=0.05 (two-sided), power=0.80:
+    ``n = (z_{.975} sqrt(2 p̄ q̄) + z_{.80} sqrt(p1 q1 + p2 q2))² /
+    (p2 - p1)²`` -- the "how long must this A/B run" planner fed by the
+    live base rate instead of a guess.
+
+    Returns one row: ``n, p1, p2, n_per_arm`` (ceiling).  ONE aggregate
+    for the base rate; scalar algebra after.
+    """
+    y = F.col(outcome_col) if isinstance(outcome_col, str) else outcome_col
+    base = df.select(y.cast("int").alias("_y")).filter(
+        F.col("_y").isNotNull()
+    )
+    m = float(mde_abs)
+    agg = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(F.col("_y").cast("double")).alias("_p1"),
+    )
+    sized = agg.select(
+        "n",
+        F.round("_p1", round_to).alias("p1"),
+        F.round(F.col("_p1") + m, round_to).alias("p2"),
+        F.expr(
+            f"(_p1 + (_p1 + {m!r})) / 2.0"
+        ).alias("_pbar"),
+        F.col("_p1").alias("_p1raw"),
+    )
+    return sized.select(
+        "n",
+        "p1",
+        "p2",
+        F.expr(
+            f"CAST(CEIL(POW({Z_975} * SQRT(2.0 * _pbar * (1.0 - _pbar))"
+            f" + {Z_80} * SQRT(_p1raw * (1.0 - _p1raw)"
+            f" + (_p1raw + {m!r}) * (1.0 - (_p1raw + {m!r}))), 2.0)"
+            f" / ({m!r} * {m!r})) AS BIGINT)"
+        ).alias("n_per_arm"),
+    )

@@ -1028,3 +1028,45 @@ def hour_week_profile(
         F.round(z, round_to).alias("z"),
         (F.round(z, round_to) > float(z_thresh)).alias("peak"),
     )
+
+
+def seasonal_strength(decomposed: DataFrame, round_to: int = 6) -> DataFrame:
+    """Seasonality strength per group from a
+    :func:`seasonal_decompose_daily` frame (Hyndman's F_s):
+    ``max(0, 1 - var(remainder) / var(seasonal + remainder))`` -- one
+    scalar in [0, 1] saying how much of the detrended variance the
+    weekly cycle explains, i.e. whether the anomaly baseline NEEDS the
+    seasonal correction q_stl_decompose computes.  Edge days without a
+    centered trend (null remainder) are excluded.
+
+    Returns ``(group, n_days, strength)``.  ONE aggregate over the
+    days-sized decompose frame; explicit moment algebra so both engines
+    evaluate the identical expression.
+    """
+    d = decomposed.filter(
+        F.col("remainder").isNotNull() & F.col("seasonal").isNotNull()
+    )
+    agg = d.groupBy("group").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("remainder").alias("_sr"),
+        F.sum(F.expr("remainder * remainder")).alias("_srr"),
+        F.sum(F.expr("seasonal + remainder")).alias("_ss"),
+        F.sum(
+            F.expr("(seasonal + remainder) * (seasonal + remainder)")
+        ).alias("_sss"),
+    )
+    var_r = F.expr("_srr / n_days - (_sr / n_days) * (_sr / n_days)")
+    var_sr = F.expr("_sss / n_days - (_ss / n_days) * (_ss / n_days)")
+    # a constant detrended series has nothing to explain: strength NULL
+    # (guarded identically in the SQL oracle; ANSI mode would throw)
+    return agg.select(
+        "group",
+        "n_days",
+        F.round(
+            F.when(
+                var_sr > 0,
+                F.greatest(F.lit(0.0), F.lit(1.0) - var_r / var_sr),
+            ),
+            round_to,
+        ).alias("strength"),
+    )

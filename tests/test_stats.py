@@ -902,3 +902,36 @@ def test_lift_deciles_perfect_ranker(spark):
     assert out[1].cum_lift == 10.0
     assert out[10].cum_lift == 1.0     # full population: lift 1 by def
     assert out[5].responders == 0
+
+
+def test_required_sample_size_matches_closed_form(spark):
+    import math as _m
+
+    from pyspark.sql import Row as _Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        required_sample_size,
+    )
+
+    # base rate exactly 0.2
+    rows = [_Row(y=1)] * 20 + [_Row(y=0)] * 80
+    r = required_sample_size(
+        spark.createDataFrame(rows), F.col("y") == 1, mde_abs=0.05
+    ).collect()[0]
+    p1, p2 = 0.2, 0.25
+    pbar = (p1 + p2) / 2
+    want = _m.ceil(
+        (
+            1.959963985 * _m.sqrt(2 * pbar * (1 - pbar))
+            + 0.8416212336 * _m.sqrt(p1 * (1 - p1) + p2 * (1 - p2))
+        )
+        ** 2
+        / 0.05**2
+    )
+    assert r.n == 100 and r.p1 == 0.2 and r.p2 == 0.25
+    assert r.n_per_arm == want
+    # smaller effect -> much larger n
+    r2 = required_sample_size(
+        spark.createDataFrame(rows), F.col("y") == 1, mde_abs=0.01
+    ).collect()[0]
+    assert r2.n_per_arm > 20 * r.n_per_arm

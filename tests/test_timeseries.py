@@ -409,3 +409,38 @@ def test_hour_week_profile_peak_cell(spark):
     )
     # ISO weekday: Monday == 1, Wednesday == 3
     assert (3, 0) in cells
+
+
+def test_seasonal_strength_pure_cycle_vs_noise(spark):
+    import datetime as _dt
+
+    from pyspark.sql import Row as _Row
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        seasonal_decompose_daily,
+        seasonal_strength,
+    )
+
+    d0 = _dt.datetime(2024, 1, 1)
+    rows = []
+    # group "cyc": a clean weekly cycle (counts 5..11 by weekday)
+    for t in range(56):
+        c = 5 + (t % 7)
+        rows += [
+            _Row(g="cyc", ts=d0 + _dt.timedelta(days=t, seconds=i))
+            for i in range(c)
+        ]
+    # group "flat": constant 8/day -> detrended variance ~ 0; strength
+    # degenerates but must stay in [0, 1] without error
+    for t in range(56):
+        rows += [
+            _Row(g="flat", ts=d0 + _dt.timedelta(days=t, seconds=i))
+            for i in range(8)
+        ]
+    dec = seasonal_decompose_daily(
+        spark.createDataFrame(rows), "g", "ts"
+    )
+    out = {r.group: r for r in seasonal_strength(dec).collect()}
+    assert out["cyc"].strength > 0.95   # the cycle explains ~everything
+    for r in out.values():
+        assert r.strength is None or 0.0 <= r.strength <= 1.0
