@@ -8326,6 +8326,166 @@ FROM km ORDER BY t
 """
 
 
+def q_logrank(spark, sf_dir):
+    """Two-cohort log-rank test on time-to-conversion
+    (operators/stats.py logrank_test): even- vs odd-id users, hours
+    from first view to first subsequent purchase, censored at the last
+    observed event — the censoring-correct cohort comparison companion
+    to q_survival.  Subjects collapse to per-event-time counts
+    (map-side combine); risk sets ride one reverse cumulative window
+    over the distinct-times frame; one final aggregate."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        logrank_test,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    t1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        e.join(t1, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    le = e.groupBy("user_id").agg(F.max("ts").alias("tl"))
+    hours = lambda a, b: F.floor(  # noqa: E731
+        (us(a) - us(b)) / F.lit(3600000000.0)
+    ).cast("double")
+    subj = (
+        t1.join(p, "user_id", "left")
+        .join(le, "user_id")
+        .select(
+            F.when(F.col("tp").isNotNull(), hours(F.col("tp"), F.col("t1")))
+            .otherwise(hours(F.col("tl"), F.col("t1")))
+            .alias("dur"),
+            F.col("tp").isNotNull().cast("int").alias("ev"),
+            (F.col("user_id") % 2).cast("int").alias("g"),
+        )
+    )
+    return logrank_test(subj, "dur", "ev", "g")
+
+
+Q_LOGRANK_SQL = """
+WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+p AS (SELECT e.user_id, MIN(e.ts) AS tp FROM events e JOIN t1 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > t1.t1 GROUP BY 1),
+le AS (SELECT user_id, MAX(ts) AS tl FROM events GROUP BY 1),
+subj AS (
+  SELECT CASE WHEN p.tp IS NOT NULL
+              THEN floor((epoch_us(p.tp) - epoch_us(t1.t1)) / 3600000000.0)
+              ELSE floor((epoch_us(le.tl) - epoch_us(t1.t1)) / 3600000000.0)
+         END AS t,
+         CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS e,
+         CAST(t1.user_id % 2 AS INT) AS g
+  FROM t1 LEFT JOIN p USING (user_id) JOIN le USING (user_id)),
+pt AS (SELECT t, COUNT(*) AS n_at, SUM(e) AS d,
+              SUM(g) AS n1_at, SUM(e * g) AS d1
+       FROM subj GROUP BY t),
+ar AS (SELECT t, d, d1,
+              SUM(n_at) OVER (ORDER BY t DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk,
+              SUM(n1_at) OVER (ORDER BY t DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n1_risk
+       FROM pt),
+ev AS (SELECT t, d, d1,
+              CAST(n_risk AS DOUBLE) AS n_risk,
+              CAST(n1_risk AS DOUBLE) AS n1_risk
+       FROM ar WHERE d > 0),
+terms AS (
+  SELECT t, d, d1,
+         d * n1_risk / n_risk AS e1,
+         CASE WHEN n_risk > 1
+              THEN d * (n1_risk / n_risk) * (1.0 - n1_risk / n_risk)
+                   * (n_risk - d) / (n_risk - 1.0)
+              ELSE 0.0 END AS v
+  FROM ev)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_times,
+       CAST(SUM(d1) AS BIGINT) AS obs1,
+       ROUND(SUM(e1), 6) AS exp1,
+       ROUND(SUM(d1 - e1), 6) AS o_minus_e,
+       ROUND(CASE WHEN SUM(v) > 0
+                  THEN SUM(d1 - e1) * SUM(d1 - e1) / SUM(v)
+                  ELSE 0.0 END, 6) AS logrank
+FROM terms
+"""
+
+
+def q_nelson_aalen(spark, sf_dir):
+    """Nelson-Aalen cumulative conversion hazard
+    (operators/stats.py nelson_aalen) over the same censored
+    time-to-purchase subjects as q_survival: the additive hazard twin
+    of the Kaplan-Meier curve, one row per observed-event hour with
+    H(t) and its variance estimate.  Same metadata-sized window shape
+    as KM."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        nelson_aalen,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    us = lambda c: F.unix_micros(c.cast("timestamp"))  # noqa: E731
+    t1 = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        e.join(t1, "user_id")
+        .filter((F.col("event_type") == "purchase") & (F.col("ts") > F.col("t1")))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("tp"))
+    )
+    le = e.groupBy("user_id").agg(F.max("ts").alias("tl"))
+    hours = lambda a, b: F.floor(  # noqa: E731
+        (us(a) - us(b)) / F.lit(3600000000.0)
+    ).cast("double")
+    subj = (
+        t1.join(p, "user_id", "left")
+        .join(le, "user_id")
+        .select(
+            F.when(F.col("tp").isNotNull(), hours(F.col("tp"), F.col("t1")))
+            .otherwise(hours(F.col("tl"), F.col("t1")))
+            .alias("dur"),
+            F.col("tp").isNotNull().cast("int").alias("ev"),
+        )
+    )
+    return nelson_aalen(subj, "dur", "ev").transform(_by("t"))
+
+
+Q_NELSON_AALEN_SQL = """
+WITH t1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+            WHERE event_type = 'view' GROUP BY 1),
+p AS (SELECT e.user_id, MIN(e.ts) AS tp FROM events e JOIN t1 USING (user_id)
+      WHERE e.event_type = 'purchase' AND e.ts > t1.t1 GROUP BY 1),
+le AS (SELECT user_id, MAX(ts) AS tl FROM events GROUP BY 1),
+subj AS (
+  SELECT CASE WHEN p.tp IS NOT NULL
+              THEN floor((epoch_us(p.tp) - epoch_us(t1.t1)) / 3600000000.0)
+              ELSE floor((epoch_us(le.tl) - epoch_us(t1.t1)) / 3600000000.0)
+         END AS t,
+         CASE WHEN p.tp IS NOT NULL THEN 1 ELSE 0 END AS e
+  FROM t1 LEFT JOIN p USING (user_id) JOIN le USING (user_id)),
+pt AS (SELECT t, COUNT(*) AS n_at, SUM(e) AS d FROM subj GROUP BY t),
+ar AS (SELECT t, n_at, d,
+              SUM(n_at) OVER (ORDER BY t DESC
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n_risk
+       FROM pt),
+ev AS (SELECT * FROM ar WHERE d > 0)
+SELECT t, CAST(n_risk AS BIGINT) AS n_risk, CAST(d AS BIGINT) AS d,
+       ROUND(SUM(d / CAST(n_risk AS DOUBLE))
+         OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         6) AS cumhaz,
+       ROUND(SUM(d / (CAST(n_risk AS DOUBLE) * CAST(n_risk AS DOUBLE)))
+         OVER (ORDER BY t ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+         6) AS cumhaz_var
+FROM ev ORDER BY t
+"""
+
+
 def q_wilson_rates(spark, sf_dir):
     """Wilson 95% score intervals for each source's English rate
     (stats.wilson_interval): the small-sample-safe rate CI dashboards
@@ -12637,6 +12797,8 @@ _QUERIES_PAST_WINDOW = [
     "q_hourweek",
     "q_seasonal_strength",
     "q_power_mde",
+    "q_logrank",
+    "q_nelson_aalen",
 ]
 
 
@@ -12770,6 +12932,8 @@ def oracle_sql() -> dict[str, str]:
         "q_theil_sen": Q_THEIL_SEN_SQL,
         "q_zonemap_audit": Q_ZONEMAP_AUDIT_SQL,
         "q_survival": Q_SURVIVAL_SQL,
+        "q_logrank": Q_LOGRANK_SQL,
+        "q_nelson_aalen": Q_NELSON_AALEN_SQL,
         "q_wilson_rates": Q_WILSON_RATES_SQL,
         "q_fdr_correction": Q_FDR_CORRECTION_SQL,
         "q_mann_kendall": Q_MANN_KENDALL_SQL,

@@ -2679,3 +2679,135 @@ def required_sample_size(
             f" / ({m!r} * {m!r})) AS BIGINT)"
         ).alias("n_per_arm"),
     )
+
+
+def logrank_test(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    group_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-group log-rank test (Mantel 1966; Peto & Peto 1972) over
+    right-censored durations: does cohort 1 convert on a different
+    time-to-event curve than cohort 0?  The censoring-correct companion
+    to :func:`survival_km` — comparing raw conversion-latency means
+    ignores users who never converted; the log-rank statistic compares
+    the whole hazard history.
+
+    Input: one row per subject — duration, event flag (1 = event at
+    that time, 0 = censored), and a 0/1 group indicator.  At each
+    distinct pooled EVENT time the observed group-1 events ``d1`` are
+    compared with the hypergeometric expectation ``d·n1/n`` given the
+    at-risk sets; the statistic ``(Σ(d1-E1))²/ΣV`` is χ²(1) under the
+    null of equal hazards.
+
+    Returns one row: ``n_times, obs1, exp1, o_minus_e, logrank``
+    (statistic 0 when the variance sum is 0 — e.g. one cohort empty).
+
+    Scale shape: subjects collapse to per-time counts first (map-side
+    combine, distinct-times-sized); both risk sets ride ONE reverse
+    cumulative window over that metadata-sized frame, then one final
+    aggregate.  The corpus never feeds a driver-side stats library.
+    """
+    g = F.col(group_col) if isinstance(group_col, str) else group_col
+    per_t = df.select(
+        F.col(duration_col).cast("double").alias("t"),
+        F.col(event_col).cast("int").alias("e"),
+        g.cast("int").alias("g"),
+    ).groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_at"),
+        F.sum("e").alias("d"),
+        F.sum("g").alias("n1_at"),
+        F.sum(F.expr("e * g")).alias("d1"),
+    )
+    w_rev = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ev = (
+        per_t.withColumn("n_risk", F.sum("n_at").over(w_rev))
+        .withColumn("n1_risk", F.sum("n1_at").over(w_rev))
+        .filter(F.col("d") > 0)
+    )
+    e1 = F.col("d") * F.col("n1_risk") / F.col("n_risk")
+    # hypergeometric variance of d1 given (n, n1, d); 0 when n == 1
+    v = F.when(
+        F.col("n_risk") > 1,
+        F.col("d")
+        * (F.col("n1_risk") / F.col("n_risk"))
+        * (F.lit(1.0) - F.col("n1_risk") / F.col("n_risk"))
+        * (F.col("n_risk") - F.col("d"))
+        / (F.col("n_risk") - F.lit(1.0)),
+    ).otherwise(F.lit(0.0))
+    agg = ev.agg(
+        F.count(F.lit(1)).cast("long").alias("n_times"),
+        F.sum("d1").cast("long").alias("obs1"),
+        F.sum(e1).alias("_e1"),
+        F.sum(F.col("d1") - e1).alias("_ome"),
+        F.sum(v).alias("_v"),
+    )
+    return agg.select(
+        "n_times",
+        "obs1",
+        F.round("_e1", round_to).alias("exp1"),
+        F.round("_ome", round_to).alias("o_minus_e"),
+        F.round(
+            F.when(
+                F.col("_v") > 0, F.col("_ome") * F.col("_ome") / F.col("_v")
+            ).otherwise(F.lit(0.0)),
+            round_to,
+        ).alias("logrank"),
+    )
+
+
+def nelson_aalen(
+    df: DataFrame,
+    duration_col: str,
+    event_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Nelson-Aalen cumulative-hazard estimator (Nelson 1972; Aalen
+    1978) over right-censored durations: ``H(t) = Σ_{t_i≤t} d_i/n_i``
+    with the variance estimate ``Σ d_i/n_i²`` — the additive twin of
+    the Kaplan-Meier product curve (:func:`survival_km`), preferred
+    when hazard increments themselves are the quantity of interest
+    (e.g. conversion intensity per hour bucket).
+
+    Input: one row per subject — duration + event flag.  Returns one
+    row per distinct observed-event time: ``t, n_risk, d, cumhaz,
+    cumhaz_var``.
+
+    Scale shape: identical to KM — subjects collapse to per-time counts
+    (map-side combine), one reverse cumulative window builds risk sets
+    on the distinct-times frame, one forward window accumulates.
+    """
+    per_t = df.select(
+        F.col(duration_col).cast("double").alias("t"),
+        F.col(event_col).cast("int").alias("e"),
+    ).groupBy("t").agg(
+        F.count(F.lit(1)).alias("n_at"),
+        F.sum("e").alias("d"),
+    )
+    w_rev = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ev = per_t.withColumn("n_risk", F.sum("n_at").over(w_rev)).filter(
+        F.col("d") > 0
+    )
+    w_cum = Window.orderBy("t").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return ev.select(
+        "t",
+        F.col("n_risk").cast("long").alias("n_risk"),
+        F.col("d").cast("long").alias("d"),
+        F.round(
+            F.sum(F.col("d") / F.col("n_risk")).over(w_cum), round_to
+        ).alias("cumhaz"),
+        F.round(
+            F.sum(F.col("d") / (F.col("n_risk") * F.col("n_risk"))).over(
+                w_cum
+            ),
+            round_to,
+        ).alias("cumhaz_var"),
+    )

@@ -935,3 +935,92 @@ def test_required_sample_size_matches_closed_form(spark):
         spark.createDataFrame(rows), F.col("y") == 1, mde_abs=0.01
     ).collect()[0]
     assert r2.n_per_arm > 20 * r.n_per_arm
+
+
+def test_nelson_aalen_textbook(spark):
+    """Same hand case as the KM test: cumulative hazard 1/3, 2/3, 5/3."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        nelson_aalen,
+    )
+
+    rows = [(6.0, 1), (6.0, 1), (6.0, 0), (7.0, 1), (10.0, 0), (13.0, 1)]
+    df = spark.createDataFrame(rows, ["dur", "ev"])
+    got = {r.t: r for r in nelson_aalen(df, "dur", "ev").collect()}
+    assert set(got) == {6.0, 7.0, 13.0}
+    assert (got[6.0].n_risk, got[6.0].d) == (6, 2)
+    assert got[6.0].cumhaz == round(2 / 6, 6)
+    assert got[6.0].cumhaz_var == round(2 / 36, 6)
+    assert got[7.0].cumhaz == round(2 / 6 + 1 / 3, 6)
+    assert got[13.0].cumhaz == round(2 / 6 + 1 / 3 + 1.0, 6)
+    assert got[13.0].cumhaz_var == round(2 / 36 + 1 / 9 + 1.0, 6)
+
+
+def _logrank_reference(rows):
+    """Pure-Python log-rank over (dur, ev, g) subject rows."""
+    times = sorted({t for t, e, _ in rows if e == 1})
+    ome = var = exp1 = 0.0
+    obs1 = 0
+    for t in times:
+        n = sum(1 for d, _, _ in rows if d >= t)
+        n1 = sum(1 for d, _, g in rows if d >= t and g == 1)
+        d = sum(1 for dd, e, _ in rows if dd == t and e == 1)
+        d1 = sum(1 for dd, e, g in rows if dd == t and e == 1 and g == 1)
+        e1 = d * n1 / n
+        obs1 += d1
+        exp1 += e1
+        ome += d1 - e1
+        if n > 1:
+            var += d * (n1 / n) * (1 - n1 / n) * (n - d) / (n - 1)
+    stat = ome * ome / var if var > 0 else 0.0
+    return len(times), obs1, round(exp1, 6), round(ome, 6), round(stat, 6)
+
+
+def test_logrank_matches_reference(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        logrank_test,
+    )
+
+    rows = [
+        (6.0, 1, 0), (6.0, 1, 0), (6.0, 0, 0), (7.0, 1, 0), (10.0, 0, 0),
+        (13.0, 1, 0), (16.0, 1, 0), (22.0, 1, 0), (3.0, 1, 1), (6.0, 1, 1),
+        (9.0, 0, 1), (10.0, 1, 1), (11.0, 0, 1), (12.0, 1, 1), (19.0, 0, 1),
+        (32.0, 1, 1),
+    ]
+    df = spark.createDataFrame(rows, ["dur", "ev", "g"])
+    r = logrank_test(df, "dur", "ev", "g").collect()[0]
+    n_times, obs1, exp1, ome, stat = _logrank_reference(rows)
+    assert r.n_times == n_times
+    assert r.obs1 == obs1
+    assert r.exp1 == exp1
+    assert r.o_minus_e == ome
+    assert r.logrank == stat
+    assert stat > 0
+
+
+def test_logrank_identical_groups_near_zero(spark):
+    """Duplicating every subject into both cohorts: O-E is exactly 0."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        logrank_test,
+    )
+
+    base = [(3.0, 1), (5.0, 0), (7.0, 1), (9.0, 1), (12.0, 0)]
+    rows = [(t, e, g) for t, e in base for g in (0, 1)]
+    r = logrank_test(
+        spark.createDataFrame(rows, ["dur", "ev", "g"]), "dur", "ev", "g"
+    ).collect()[0]
+    assert r.o_minus_e == 0.0
+    assert r.logrank == 0.0
+
+
+def test_logrank_one_cohort_degenerate(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        logrank_test,
+    )
+
+    rows = [(3.0, 1, 1), (5.0, 1, 1), (7.0, 0, 1)]
+    r = logrank_test(
+        spark.createDataFrame(rows, ["dur", "ev", "g"]), "dur", "ev", "g"
+    ).collect()[0]
+    # all subjects in cohort 1: variance 0 -> statistic defined as 0
+    assert r.logrank == 0.0
+    assert r.obs1 == 2
