@@ -8486,6 +8486,120 @@ FROM ev ORDER BY t
 """
 
 
+def q_kruskal(spark, sf_dir):
+    """Kruskal-Wallis H across event types on value
+    (operators/stats.py kruskal_wallis): the k-group nonparametric
+    location test completing the battery next to Mann-Whitney (2-group)
+    and ANOVA (parametric).  Corpus collapses to per-(value, group)
+    then per-distinct-value counts; the rank window runs over distinct
+    values only; tie-corrected H from one k-row aggregate."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        kruskal_wallis,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return kruskal_wallis(e, "event_type", "value")
+
+
+Q_KRUSKAL_SQL = """
+WITH d AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL),
+vg AS (SELECT v, g, COUNT(*) AS c FROM d GROUP BY 1, 2),
+vc AS (SELECT v, SUM(c) AS t FROM vg GROUP BY 1),
+rk AS (SELECT v,
+              CAST(SUM(t) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) - t + 1 AS DOUBLE)
+              + (CAST(t AS DOUBLE) - 1.0) / 2.0 AS ar
+       FROM vc),
+pg AS (SELECT g, SUM(c) AS ng, SUM(CAST(c AS DOUBLE) * ar) AS rg
+       FROM vg JOIN rk USING (v) GROUP BY g),
+ts AS (SELECT SUM(CAST(t AS DOUBLE) * t * t - t) AS tsum FROM vc),
+a AS (SELECT COUNT(*) AS k, SUM(ng) AS n,
+             SUM(rg * rg / CAST(ng AS DOUBLE)) AS rsum
+      FROM pg)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       ROUND(12.0 / (n * (n + 1.0)) * rsum - 3.0 * (n + 1.0), 6) AS h,
+       ROUND(CASE WHEN 1.0 - tsum / (CAST(n AS DOUBLE) * n * n - n) > 0
+                  THEN (12.0 / (n * (n + 1.0)) * rsum - 3.0 * (n + 1.0))
+                       / (1.0 - tsum / (CAST(n AS DOUBLE) * n * n - n))
+             END, 6) AS h_adj
+FROM a, ts
+"""
+
+
+def q_levene(spark, sf_dir):
+    """Brown-Forsythe (median-based Levene) variance-homogeneity test
+    across event types (operators/stats.py brown_forsythe): are value
+    SPREADS comparable across groups?  One exact-median aggregate
+    broadcast back, then the two-stage ANOVA moment shape on absolute
+    deviations."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        brown_forsythe,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return brown_forsythe(e, "event_type", "value")
+
+
+Q_LEVENE_SQL = """
+WITH d AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS x
+           FROM events WHERE value IS NOT NULL),
+med AS (SELECT g, quantile_cont(x, 0.5) AS m FROM d GROUP BY g),
+z AS (SELECT d.g, ABS(x - m) AS z FROM d JOIN med USING (g)),
+pg AS (SELECT g, COUNT(*) AS ng, SUM(z) AS sg, SUM(z * z) AS qg
+       FROM z GROUP BY g),
+a AS (SELECT COUNT(*) AS k, SUM(ng) AS n, SUM(sg) AS s, SUM(qg) AS q,
+             SUM(sg * sg / CAST(ng AS DOUBLE)) AS sb
+      FROM pg)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       ROUND(CASE WHEN k > 1 AND (q - sb) > 0
+                  THEN ((sb - s * s / CAST(n AS DOUBLE)) / (k - 1.0))
+                       / ((q - sb) / (CAST(n AS DOUBLE) - k))
+             END, 6) AS f_bf
+FROM a
+"""
+
+
+def q_jarque_bera(spark, sf_dir):
+    """Per-event-type Jarque-Bera normality screen on value
+    (operators/stats.py jarque_bera): is a normal-theory control band
+    even admissible for this metric?  ONE raw-moment aggregate per
+    group; closed-form central moments on the k-row frame."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        jarque_bera,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return jarque_bera(e, "value", "event_type").transform(_by("g"))
+
+
+Q_JARQUE_BERA_SQL = """
+WITH d AS (SELECT event_type AS g, CAST(value AS DOUBLE) AS v
+           FROM events WHERE value IS NOT NULL),
+a AS (SELECT g, COUNT(*) AS n, SUM(v) AS s1, SUM(v * v) AS s2,
+             SUM(v * v * v) AS s3, SUM(v * v * v * v) AS s4
+      FROM d GROUP BY g),
+m AS (SELECT g, n,
+             s1 / n AS mu,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3.0 * (s1 / n) * s2 / n
+               + 2.0 * (s1 / n) * (s1 / n) * (s1 / n) AS m3,
+             s4 / n - 4.0 * (s1 / n) * s3 / n
+               + 6.0 * (s1 / n) * (s1 / n) * s2 / n
+               - 3.0 * (s1 / n) * (s1 / n) * (s1 / n) * (s1 / n) AS m4
+      FROM a)
+SELECT g, n,
+       ROUND(CASE WHEN m2 > 0 THEN m3 / POW(m2, 1.5) END, 6) AS skew,
+       ROUND(CASE WHEN m2 > 0 THEN m4 / (m2 * m2) END, 6) AS kurt,
+       ROUND(CASE WHEN m2 > 0 THEN
+         n / 6.0 * ((m3 / POW(m2, 1.5)) * (m3 / POW(m2, 1.5))
+                    + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0)
+                      / 4.0)
+       END, 6) AS jb
+FROM m ORDER BY g
+"""
+
+
 def q_wilson_rates(spark, sf_dir):
     """Wilson 95% score intervals for each source's English rate
     (stats.wilson_interval): the small-sample-safe rate CI dashboards
@@ -12798,7 +12912,10 @@ _QUERIES_PAST_WINDOW = [
     "q_seasonal_strength",
     "q_power_mde",
     "q_logrank",
-    "q_nelson_aalen",
+    "q_nelson_aalen",    "q_kruskal",
+    "q_levene",
+    "q_jarque_bera",
+
 ]
 
 
@@ -12934,6 +13051,9 @@ def oracle_sql() -> dict[str, str]:
         "q_survival": Q_SURVIVAL_SQL,
         "q_logrank": Q_LOGRANK_SQL,
         "q_nelson_aalen": Q_NELSON_AALEN_SQL,
+        "q_kruskal": Q_KRUSKAL_SQL,
+        "q_levene": Q_LEVENE_SQL,
+        "q_jarque_bera": Q_JARQUE_BERA_SQL,
         "q_wilson_rates": Q_WILSON_RATES_SQL,
         "q_fdr_correction": Q_FDR_CORRECTION_SQL,
         "q_mann_kendall": Q_MANN_KENDALL_SQL,

@@ -2811,3 +2811,198 @@ def nelson_aalen(
             round_to,
         ).alias("cumhaz_var"),
     )
+
+
+def kruskal_wallis(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Kruskal-Wallis H test (Kruskal & Wallis 1952): the k-group
+    generalization of Mann-Whitney — do ANY of the groups draw from a
+    shifted distribution of ``value_col``?  Nonparametric, so the
+    heavy-tailed metrics (latencies, doc lengths) that wreck ANOVA's
+    normality assumption are safe.
+
+    ``H = 12/(N(N+1))·Σ_g R_g²/n_g − 3(N+1)`` with average ranks for
+    ties (exact ``rank + (t-1)/2`` rational arithmetic) and the tie
+    correction ``H' = H / (1 − Σ(t³−t)/(N³−N))``.
+
+    Returns ONE row: ``k, n, h, h_adj`` (h_adj NULL when every value is
+    tied — the correction divides by zero).
+
+    Plan: corpus collapses to per-(value, group) counts, then to
+    per-DISTINCT-VALUE tie counts (map-side combine both times); the
+    global rank window runs over distinct values only; rank sums come
+    from one value-cardinality equi-join and one k-row aggregate.  The
+    corpus never crosses the single-partition window.
+    """
+    d = df.select(
+        F.col(group_col).alias("g"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    vg = d.groupBy("_v", "g").agg(F.count(F.lit(1)).alias("_c"))
+    vc = vg.groupBy("_v").agg(F.sum("_c").alias("_t"))
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    t = F.col("_t").cast("double")
+    ranked = vc.select(
+        "_v",
+        "_t",
+        (
+            (F.sum("_t").over(w) - F.col("_t") + F.lit(1)).cast("double")
+            + (t - F.lit(1.0)) / F.lit(2.0)
+        ).alias("_ar"),
+    )
+    per_g = (
+        vg.join(ranked, "_v")
+        .groupBy("g")
+        .agg(
+            F.sum("_c").alias("ng"),
+            F.sum(F.col("_c").cast("double") * F.col("_ar")).alias("rg"),
+        )
+    )
+    ties = vc.agg(
+        F.sum(t * t * t - t).alias("_tsum"), F.sum("_t").alias("_n")
+    )
+    a = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum(
+            F.col("rg") * F.col("rg") / F.col("ng").cast("double")
+        ).alias("_rsum"),
+    ).crossJoin(F.broadcast(ties.select("_tsum")))
+    n = F.col("n").cast("double")
+    h = (
+        F.lit(12.0) / (n * (n + F.lit(1.0))) * F.col("_rsum")
+        - F.lit(3.0) * (n + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("_tsum") / (n * n * n - n)
+    return a.select(
+        "k",
+        "n",
+        F.round(h, round_to).alias("h"),
+        F.round(F.when(corr > 0, h / corr), round_to).alias("h_adj"),
+    )
+
+
+def brown_forsythe(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Brown-Forsythe test (Brown & Forsythe 1974) for equality of
+    VARIANCES across groups: the median-centered Levene test — robust
+    to non-normality where the classical Bartlett test is not.  The
+    dispersion-drift gate a pipeline runs before trusting a pooled
+    variance (e.g. are latency spreads comparable across sources?).
+
+    Each value is replaced by its absolute deviation from the GROUP
+    MEDIAN (``z = |x − med_g|``, linear-interpolated median); the
+    statistic is the one-way ANOVA F on z.
+
+    Returns ONE row: ``k, n, f_bf`` (NULL when k < 2 or the within-group
+    deviation sum is 0).
+
+    Plan: ONE per-group exact-median aggregate (k rows, broadcast back),
+    then the same two-stage moment shape as :func:`anova_oneway` —
+    map-side combined per-group moments, one k-row aggregate.
+    """
+    v = F.col(value_col).cast("double")
+    d = df.filter(v.isNotNull()).select(
+        F.col(group_col).alias("g"), v.alias("_x")
+    )
+    med = d.groupBy("g").agg(F.percentile("_x", F.lit(0.5)).alias("_m"))
+    z = d.join(F.broadcast(med), "g").select(
+        "g", F.abs(F.col("_x") - F.col("_m")).alias("_z")
+    )
+    per_g = z.groupBy("g").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("_z").alias("sg"),
+        F.sum(F.col("_z") * F.col("_z")).alias("qg"),
+    )
+    a = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("sg").alias("s"),
+        F.sum("qg").alias("q"),
+        F.sum(
+            F.col("sg") * F.col("sg") / F.col("ng").cast("double")
+        ).alias("sb"),
+    )
+    n = F.col("n").cast("double")
+    k = F.col("k").cast("double")
+    ssb = F.col("sb") - F.col("s") * F.col("s") / n
+    ssw = F.col("q") - F.col("sb")
+    f = (ssb / (k - F.lit(1.0))) / (ssw / (n - k))
+    return a.select(
+        "k",
+        "n",
+        F.round(
+            F.when((F.col("k") > 1) & (ssw > 0), f), round_to
+        ).alias("f_bf"),
+    )
+
+
+def jarque_bera(
+    df: DataFrame,
+    value_col: str,
+    group_col: str | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Jarque-Bera normality test (Jarque & Bera 1980) from the first
+    four moments: ``JB = n/6·(S² + (K−3)²/4)`` where S is sample
+    skewness and K kurtosis — the cheap screen deciding whether
+    normal-theory statistics (t, F, control bands) are even admissible
+    for a metric, per group.
+
+    Returns one row per group (or ONE row when ``group_col`` is None):
+    ``[g,] n, skew, kurt, jb`` — all NULL when the variance is 0.
+
+    Plan: ONE corpus aggregate to per-group raw moment sums (map-side
+    combine); central moments by closed form on the k-row frame.  The
+    expression shape is identical in the DuckDB twin, so cross-engine
+    agreement holds to rounding.
+    """
+    v = F.col(value_col).cast("double")
+    d = df.filter(v.isNotNull())
+    keys = [F.col(group_col).alias("g")] if group_col else []
+    agg = (d.groupBy(*keys) if keys else d.groupBy()).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("s1"),
+        F.sum(v * v).alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("s1") / n
+    m2 = F.col("s2") / n - mu * mu
+    m3 = (
+        F.col("s3") / n
+        - F.lit(3.0) * mu * F.col("s2") / n
+        + F.lit(2.0) * mu * mu * mu
+    )
+    m4 = (
+        F.col("s4") / n
+        - F.lit(4.0) * mu * F.col("s3") / n
+        + F.lit(6.0) * mu * mu * F.col("s2") / n
+        - F.lit(3.0) * mu * mu * mu * mu
+    )
+    skew = m3 / F.pow(m2, F.lit(1.5))
+    kurt = m4 / (m2 * m2)
+    jb = (
+        n
+        / F.lit(6.0)
+        * (
+            skew * skew
+            + (kurt - F.lit(3.0)) * (kurt - F.lit(3.0)) / F.lit(4.0)
+        )
+    )
+    cols = (["g"] if keys else []) + [
+        "n",
+        F.round(F.when(m2 > 0, skew), round_to).alias("skew"),
+        F.round(F.when(m2 > 0, kurt), round_to).alias("kurt"),
+        F.round(F.when(m2 > 0, jb), round_to).alias("jb"),
+    ]
+    return agg.select(*cols)

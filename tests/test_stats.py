@@ -1024,3 +1024,121 @@ def test_logrank_one_cohort_degenerate(spark):
     # all subjects in cohort 1: variance 0 -> statistic defined as 0
     assert r.logrank == 0.0
     assert r.obs1 == 2
+
+
+def _kw_reference(pairs):
+    """Pure-Python tie-corrected Kruskal-Wallis over (group, value)."""
+    vals = sorted(v for _, v in pairs)
+    n = len(vals)
+    # average rank per distinct value
+    ranks, i = {}, 0
+    while i < len(vals):
+        j = i
+        while j < len(vals) and vals[j] == vals[i]:
+            j += 1
+        ranks[vals[i]] = (i + 1 + j) / 2.0
+        i = j
+    groups = {}
+    for g, v in pairs:
+        groups.setdefault(g, []).append(ranks[v])
+    h = 12.0 / (n * (n + 1)) * sum(
+        sum(rs) ** 2 / len(rs) for rs in groups.values()
+    ) - 3 * (n + 1)
+    from collections import Counter
+
+    ties = sum(t**3 - t for t in Counter(vals).values())
+    corr = 1 - ties / (n**3 - n)
+    return round(h, 6), round(h / corr, 6) if corr > 0 else None
+
+
+def test_kruskal_wallis_matches_reference(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        kruskal_wallis,
+    )
+
+    pairs = [
+        ("a", 1.0), ("a", 2.0), ("a", 2.0), ("a", 5.0),
+        ("b", 2.0), ("b", 4.0), ("b", 6.0), ("b", 6.0), ("b", 9.0),
+        ("c", 3.0), ("c", 6.0), ("c", 8.0),
+    ]
+    r = kruskal_wallis(
+        spark.createDataFrame(pairs, ["g", "v"]), "g", "v"
+    ).collect()[0]
+    h, h_adj = _kw_reference(pairs)
+    assert (r.k, r.n) == (3, 12)
+    assert r.h == h
+    assert r.h_adj == h_adj
+    assert r.h_adj >= r.h  # tie correction can only inflate
+
+
+def test_kruskal_wallis_all_tied(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        kruskal_wallis,
+    )
+
+    pairs = [("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0)]
+    r = kruskal_wallis(
+        spark.createDataFrame(pairs, ["g", "v"]), "g", "v"
+    ).collect()[0]
+    assert r.h == 0.0 and r.h_adj is None
+
+
+def test_brown_forsythe_matches_reference(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        brown_forsythe,
+    )
+
+    pairs = [
+        ("a", 1.0), ("a", 3.0), ("a", 5.0), ("a", 11.0),
+        ("b", 4.0), ("b", 5.0), ("b", 6.0), ("b", 7.0), ("b", 8.0),
+    ]
+    # group medians: a -> (3+5)/2 = 4, b -> 6
+    za = [abs(x - 4.0) for x in (1, 3, 5, 11)]   # 3,1,1,7
+    zb = [abs(x - 6.0) for x in (4, 5, 6, 7, 8)]  # 2,1,0,1,2
+    n, k = 9, 2
+    zbar_a, zbar_b = sum(za) / 4, sum(zb) / 5
+    zbar = (sum(za) + sum(zb)) / n
+    ssb = 4 * (zbar_a - zbar) ** 2 + 5 * (zbar_b - zbar) ** 2
+    ssw = sum((z - zbar_a) ** 2 for z in za) + sum(
+        (z - zbar_b) ** 2 for z in zb
+    )
+    f_ref = (ssb / (k - 1)) / (ssw / (n - k))
+    r = brown_forsythe(
+        spark.createDataFrame(pairs, ["g", "v"]), "g", "v"
+    ).collect()[0]
+    assert (r.k, r.n) == (2, 9)
+    assert r.f_bf == round(f_ref, 6)
+
+
+def test_jarque_bera_reference_and_degenerate(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        jarque_bera,
+    )
+
+    xs = [2.0, 4.0, 4.0, 4.0, 5.0, 5.0, 7.0, 9.0]
+    n = len(xs)
+    mu = sum(xs) / n
+    m2 = sum((x - mu) ** 2 for x in xs) / n
+    m3 = sum((x - mu) ** 3 for x in xs) / n
+    m4 = sum((x - mu) ** 4 for x in xs) / n
+    skew, kurt = m3 / m2**1.5, m4 / m2**2
+    jb = n / 6 * (skew**2 + (kurt - 3) ** 2 / 4)
+    df = spark.createDataFrame([(x,) for x in xs], ["v"])
+    r = jarque_bera(df, "v").collect()[0]
+    assert r.n == n
+    assert r.skew == round(skew, 6)
+    assert r.kurt == round(kurt, 6)
+    assert r.jb == round(jb, 6)
+    # constant column: moments degenerate -> NULLs, not NaN/error
+    c = spark.createDataFrame([(3.0,), (3.0,)], ["v"])
+    rc = jarque_bera(c, "v").collect()[0]
+    assert rc.skew is None and rc.jb is None
+
+    # grouped form returns one row per group
+    g = spark.createDataFrame(
+        [("a", x) for x in xs] + [("b", x + 1) for x in xs], ["g", "v"]
+    )
+    rows = {r.g: r for r in jarque_bera(g, "v", "g").collect()}
+    assert set(rows) == {"a", "b"}
+    # shift invariance of skew/kurt
+    assert rows["a"].jb == rows["b"].jb
