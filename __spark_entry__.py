@@ -8600,6 +8600,98 @@ FROM m ORDER BY g
 """
 
 
+def q_cochran_q(spark, sf_dir):
+    """Cochran's Q across three versions of a document quality gate
+    (operators/stats.py cochran_q): strict-length, lenient-length, and
+    English-language — do the gates pass at equal rates given that
+    they judge the SAME documents?  The k-judge McNemar for filter
+    cascades.  ONE corpus aggregate, map-side combined."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        cochran_q,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return cochran_q(
+        d,
+        [
+            F.coalesce(F.col("n_chars") >= 800, F.lit(False)),
+            F.coalesce(F.col("n_chars") >= 500, F.lit(False)),
+            F.coalesce(F.col("lang") == "en", F.lit(False)),
+        ],
+    )
+
+
+Q_COCHRAN_Q_SQL = """
+WITH j AS (SELECT CAST(COALESCE(n_chars >= 800, FALSE) AS INT) AS a,
+                  CAST(COALESCE(n_chars >= 500, FALSE) AS INT) AS b,
+                  CAST(COALESCE(lang = 'en', FALSE) AS INT) AS c
+           FROM documents),
+agg AS (SELECT COUNT(*) AS n, SUM(a) AS c1, SUM(b) AS c2, SUM(c) AS c3,
+               SUM((a + b + c) * (a + b + c)) AS r2
+        FROM j)
+SELECT CAST(n AS BIGINT) AS n, 3 AS k,
+       CAST(c1 AS BIGINT) AS c_1, CAST(c2 AS BIGINT) AS c_2,
+       CAST(c3 AS BIGINT) AS c_3,
+       ROUND(CASE WHEN 3.0 * (c1 + c2 + c3) - r2 > 0 THEN
+         2.0 * (3.0 * (CAST(c1 AS DOUBLE) * c1 + CAST(c2 AS DOUBLE) * c2
+                       + CAST(c3 AS DOUBLE) * c3)
+                - CAST(c1 + c2 + c3 AS DOUBLE)
+                  * CAST(c1 + c2 + c3 AS DOUBLE))
+         / (3.0 * (c1 + c2 + c3) - CAST(r2 AS DOUBLE))
+       END, 6) AS q_cochran
+FROM agg
+"""
+
+
+def q_friedman(spark, sf_dir):
+    """Friedman repeated-measures test over per-user event-type value
+    profiles (operators/stats.py friedman_test): each user is a block,
+    the five event types are treatments, the per-(user, type) mean
+    value is the measurement — are values systematically ordered across
+    event types within users?  Blocks missing a type are dropped
+    (complete-block design); ranks ride tiny per-block windows, never a
+    global one."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        friedman_test,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    p = (
+        e.filter(F.col("value").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.avg("value").alias("v"))
+    )
+    return friedman_test(p, "user_id", "event_type", "v")
+
+
+Q_FRIEDMAN_SQL = """
+WITH d AS (SELECT user_id AS b, event_type AS trt, AVG(value) AS v
+           FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+kd AS (SELECT COUNT(DISTINCT trt) AS kk FROM d),
+cb AS (SELECT b FROM d GROUP BY b
+       HAVING COUNT(*) = (SELECT kk FROM kd)),
+c AS (SELECT d.* FROM d JOIN cb USING (b)),
+rk AS (SELECT b, trt,
+              CAST(RANK() OVER (PARTITION BY b ORDER BY v) AS DOUBLE)
+              + (COUNT(*) OVER (PARTITION BY b, v) - 1) / 2.0 AS r,
+              CAST(COUNT(*) OVER (PARTITION BY b, v) AS DOUBLE) AS t
+       FROM c),
+pt AS (SELECT trt, SUM(r) AS rj, COUNT(*) AS nb FROM rk GROUP BY trt),
+ties AS (SELECT SUM((t * t * t - t) / t) AS tsum FROM rk),
+a AS (SELECT COUNT(*) AS k2, MAX(nb) AS n_blocks, SUM(rj * rj) AS r2
+      FROM pt)
+SELECT CAST(n_blocks AS BIGINT) AS n_blocks, CAST(k2 AS BIGINT) AS k,
+       ROUND(CASE WHEN 1.0 - tsum / (n_blocks * (CAST(k2 AS DOUBLE)
+                    * k2 * k2 - k2)) > 0
+                  THEN (12.0 * r2 / (n_blocks * k2 * (k2 + 1.0))
+                        - 3.0 * n_blocks * (k2 + 1.0))
+                       / (1.0 - tsum / (n_blocks * (CAST(k2 AS DOUBLE)
+                          * k2 * k2 - k2)))
+             END, 6) AS chi2_f
+FROM a, ties
+"""
+
+
 def q_wilson_rates(spark, sf_dir):
     """Wilson 95% score intervals for each source's English rate
     (stats.wilson_interval): the small-sample-safe rate CI dashboards
@@ -12915,6 +13007,8 @@ _QUERIES_PAST_WINDOW = [
     "q_nelson_aalen",    "q_kruskal",
     "q_levene",
     "q_jarque_bera",
+    "q_cochran_q",
+    "q_friedman",
 
 ]
 
@@ -13054,6 +13148,8 @@ def oracle_sql() -> dict[str, str]:
         "q_kruskal": Q_KRUSKAL_SQL,
         "q_levene": Q_LEVENE_SQL,
         "q_jarque_bera": Q_JARQUE_BERA_SQL,
+        "q_cochran_q": Q_COCHRAN_Q_SQL,
+        "q_friedman": Q_FRIEDMAN_SQL,
         "q_wilson_rates": Q_WILSON_RATES_SQL,
         "q_fdr_correction": Q_FDR_CORRECTION_SQL,
         "q_mann_kendall": Q_MANN_KENDALL_SQL,

@@ -3006,3 +3006,137 @@ def jarque_bera(
         F.round(F.when(m2 > 0, jb), round_to).alias("jb"),
     ]
     return agg.select(*cols)
+
+
+def cochran_q(
+    df: DataFrame,
+    judges: list,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cochran's Q test (Cochran 1950) for k binary judges on the SAME
+    rows: do k versions of a pass/fail gate have equal pass rates once
+    per-row correlation is accounted for?  The k-judge generalization
+    of McNemar (:func:`mcnemar_test`) — the migration gate for a
+    quality-filter CASCADE rather than a single swap.
+
+    ``Q = (k−1)·(k·ΣC_j² − N²) / (k·N − ΣR_i²)`` with column totals
+    C_j, row totals R_i, grand total N; χ²(k−1) under marginal
+    homogeneity.  Returns ONE row: ``n, k, c_1..c_k, q_cochran``
+    (NULL when the denominator is 0 — every row all-pass or all-fail).
+
+    Plan: ONE corpus aggregate (k conditional sums + one row-total
+    square sum), map-side combined; no groupBy, nothing row-sized
+    survives.
+    """
+    k = len(judges)
+    cols = [
+        (F.col(j) if isinstance(j, str) else j).cast("int").alias(f"_j{i}")
+        for i, j in enumerate(judges)
+    ]
+    base = df.select(*cols)
+    r = sum(F.col(f"_j{i}") for i in range(k))
+    agg = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        *[
+            F.sum(F.col(f"_j{i}")).cast("long").alias(f"c_{i + 1}")
+            for i in range(k)
+        ],
+        F.sum((r * r).cast("long")).cast("long").alias("_r2"),
+    )
+    csum = sum(F.col(f"c_{i + 1}") for i in range(k))
+    c2sum = sum(
+        F.col(f"c_{i + 1}").cast("double") * F.col(f"c_{i + 1}")
+        for i in range(k)
+    )
+    kk = F.lit(float(k))
+    num = (kk - F.lit(1.0)) * (
+        kk * c2sum - csum.cast("double") * csum.cast("double")
+    )
+    den = kk * csum.cast("double") - F.col("_r2").cast("double")
+    return agg.select(
+        "n",
+        F.lit(k).alias("k"),
+        *[f"c_{i + 1}" for i in range(k)],
+        F.round(F.when(den > 0, num / den), round_to).alias("q_cochran"),
+    )
+
+
+def friedman_test(
+    df: DataFrame,
+    block_col: str,
+    treatment_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Friedman test (Friedman 1937) over complete blocks: k treatments
+    measured once per block, ranked WITHIN each block — the
+    nonparametric repeated-measures ANOVA (e.g. are per-user engagement
+    values systematically ordered across event types?).
+
+    Average ranks for ties; tie-corrected statistic
+    ``χ²_F = (12·ΣR_j²/(n·k·(k+1)) − 3n(k+1)) / (1 − Σ(t³−t)/(n(k³−k)))``
+    with R_j the per-treatment rank-sum over n complete blocks.
+
+    Incomplete blocks (fewer than k treatments) are dropped — the test
+    is defined over complete blocks only.  Returns ONE row:
+    ``n_blocks, k, chi2_f`` (NULL when every block is fully tied).
+
+    Plan: one distinct-treatment count (k, metadata-sized, broadcast
+    into the filter), one block-partitioned rank window (blocks are
+    k-row groups — thousands of tiny partitions, never a global
+    window), then one k-row aggregate + one scalar tie census.
+    """
+    d = df.select(
+        F.col(block_col).alias("b"),
+        F.col(treatment_col).alias("trt"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).filter(F.col("_v").isNotNull())
+    k_df = d.select(F.countDistinct("trt").alias("_k"))
+    wb = Window.partitionBy("b")
+    complete = (
+        d.withColumn("_bn", F.count(F.lit(1)).over(wb))
+        .crossJoin(F.broadcast(k_df))
+        .filter(F.col("_bn") == F.col("_k"))
+    )
+    w_rank = Window.partitionBy("b").orderBy("_v")
+    w_tie = Window.partitionBy("b", "_v")
+    ranked = complete.select(
+        "b",
+        "trt",
+        F.col("_k"),
+        (
+            F.rank().over(w_rank).cast("double")
+            + (F.count(F.lit(1)).over(w_tie) - F.lit(1)).cast("double")
+            / F.lit(2.0)
+        ).alias("_r"),
+        F.count(F.lit(1)).over(w_tie).cast("double").alias("_t"),
+    )
+    per_trt = ranked.groupBy("trt").agg(
+        F.sum("_r").alias("rj"), F.count(F.lit(1)).alias("nb")
+    )
+    # tie census: each (block, value) group of size t contributes t³−t,
+    # counted once per group (divide the per-row term by t)
+    ties = ranked.agg(
+        F.sum(
+            (F.col("_t") * F.col("_t") * F.col("_t") - F.col("_t"))
+            / F.col("_t")
+        ).alias("_tsum"),
+        F.max("_k").alias("_kk"),
+    )
+    a = per_trt.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.max("nb").cast("long").alias("n_blocks"),
+        F.sum(F.col("rj") * F.col("rj")).alias("_r2"),
+    ).crossJoin(F.broadcast(ties.select("_tsum")))
+    n = F.col("n_blocks").cast("double")
+    kk = F.col("k").cast("double")
+    chi2 = (
+        F.lit(12.0) * F.col("_r2") / (n * kk * (kk + F.lit(1.0)))
+        - F.lit(3.0) * n * (kk + F.lit(1.0))
+    )
+    corr = F.lit(1.0) - F.col("_tsum") / (n * (kk * kk * kk - kk))
+    return a.select(
+        "n_blocks",
+        "k",
+        F.round(F.when(corr > 0, chi2 / corr), round_to).alias("chi2_f"),
+    )

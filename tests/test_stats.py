@@ -1142,3 +1142,88 @@ def test_jarque_bera_reference_and_degenerate(spark):
     assert set(rows) == {"a", "b"}
     # shift invariance of skew/kurt
     assert rows["a"].jb == rows["b"].jb
+
+
+def test_cochran_q_matches_reference(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        cochran_q,
+    )
+
+    rows = [
+        (1, 1, 1), (1, 1, 0), (1, 0, 0), (1, 1, 0), (0, 0, 0),
+        (1, 1, 1), (1, 0, 0), (1, 1, 0), (0, 0, 0), (1, 1, 0),
+    ]
+    df = spark.createDataFrame(rows, ["a", "b", "c"])
+    r = cochran_q(df, ["a", "b", "c"]).collect()[0]
+    k = 3
+    cj = [sum(x[i] for x in rows) for i in range(k)]
+    n_tot = sum(cj)
+    r2 = sum(sum(x) ** 2 for x in rows)
+    q_ref = (k - 1) * (k * sum(c * c for c in cj) - n_tot**2) / (
+        k * n_tot - r2
+    )
+    assert (r.n, r.k) == (10, 3)
+    assert (r.c_1, r.c_2, r.c_3) == tuple(cj)
+    assert r.q_cochran == round(q_ref, 6)
+
+
+def test_cochran_q_degenerate_all_pass(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        cochran_q,
+    )
+
+    df = spark.createDataFrame([(1, 1), (1, 1)], ["a", "b"])
+    r = cochran_q(df, ["a", "b"]).collect()[0]
+    assert r.q_cochran is None  # denominator 0
+
+
+def _friedman_reference(blocks):
+    """blocks: list of dict treatment -> value (complete blocks)."""
+    from collections import Counter, defaultdict
+
+    k = len(blocks[0])
+    n = len(blocks)
+    rsum = defaultdict(float)
+    tsum = 0.0
+    for b in blocks:
+        vals = sorted(b.values())
+        ranks = {}
+        i = 0
+        while i < k:
+            j = i
+            while j < k and vals[j] == vals[i]:
+                j += 1
+            ranks[vals[i]] = (i + 1 + j) / 2.0
+            i = j
+        for trt, v in b.items():
+            rsum[trt] += ranks[v]
+        tsum += sum(t**3 - t for t in Counter(vals).values())
+    chi2 = 12.0 * sum(r * r for r in rsum.values()) / (n * k * (k + 1)) - 3 * n * (k + 1)
+    c = 1 - tsum / (n * (k**3 - k))
+    return round(chi2 / c, 6) if c > 0 else None
+
+
+def test_friedman_matches_reference_with_ties(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        friedman_test,
+    )
+
+    blocks = [
+        {"x": 1.0, "y": 2.0, "z": 3.0},
+        {"x": 2.0, "y": 2.0, "z": 4.0},   # tie inside a block
+        {"x": 1.0, "y": 3.0, "z": 2.0},
+        {"x": 2.0, "y": 5.0, "z": 5.0},   # tie
+        {"x": 1.0, "y": 2.0, "z": 5.0},
+        {"x": 3.0, "y": 4.0, "z": 6.0},
+    ]
+    rows = [
+        (i, trt, v) for i, b in enumerate(blocks) for trt, v in b.items()
+    ]
+    # plus one INCOMPLETE block that must be dropped
+    rows.append((99, "x", 7.0))
+    rows.append((99, "y", 1.0))
+    df = spark.createDataFrame(rows, ["b", "trt", "v"])
+    r = friedman_test(df, "b", "trt", "v").collect()[0]
+    assert (r.n_blocks, r.k) == (6, 3)
+    assert r.chi2_f == _friedman_reference(blocks)
+    assert r.chi2_f > 0
