@@ -7996,6 +7996,117 @@ FROM b GROUP BY bin ORDER BY bin
 """
 
 
+def q_ece(spark, sf_dir):
+    """Expected/maximum calibration error of the quality_score heuristic
+    against the lang=='en' label (operators/stats.py ece_mce): the
+    scalar alarm-gate summary of the q_score_calibration reliability
+    table.  One n_bins-sized aggregate, then a 10-row reduction."""
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        quality_score,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        ece_mce,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        quality_score(F.col("text")).alias("s"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    return ece_mce(d, "s", "y", n_bins=10)
+
+
+def _ece_sql() -> str:
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        STOPWORDS,
+    )
+
+    stop = _stop_sql(STOPWORDS["en"])
+    q = (
+        f"ROUND(0.4 * least(CAST({_TOK_SQL} AS DOUBLE) / 100.0, 1.0)"
+        f" + 0.3 * (1.0 - least(CAST({_PUNCT_SQL} AS DOUBLE) * 4.0, 1.0))"
+        f" + 0.3 * least(CAST({stop} AS DOUBLE)"
+        f" / greatest({_TOK_SQL}, 1) * 5.0, 1.0), 4)"
+    )
+    return f"""
+WITH d AS (
+  SELECT greatest(least({q}, 1.0), 0.0) AS s,
+         CAST(lang = 'en' AS INT) AS y FROM documents),
+g AS (SELECT least(CAST(floor(s * 10) AS INT), 9) AS bin,
+             COUNT(*) AS nb, AVG(CAST(y AS DOUBLE)) AS acc, AVG(s) AS conf
+      FROM d GROUP BY 1),
+a AS (SELECT SUM(nb) AS n, COUNT(*) AS nbu,
+             SUM(nb * ABS(acc - conf)) AS wgap,
+             MAX(ABS(acc - conf)) AS mce
+      FROM g)
+SELECT CAST(n AS BIGINT) AS n, CAST(nbu AS BIGINT) AS n_bins_used,
+       ROUND(wgap / n, 6) AS ece, ROUND(mce, 6) AS mce
+FROM a
+"""
+
+
+def q_iv(spark, sf_dir):
+    """Instrumental-variable spend-vs-engagement slope
+    (operators/mlfit.py iv_2sls): per-user click count (treatment)
+    instrumented by a deterministic encouragement arm (user_id%3==0)
+    against per-user purchase spend (outcome), with the naive OLS
+    slope and the Staiger-Stock first-stage F alongside.  ONE moment
+    aggregate; closed-form algebra on the 1-row frame."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        iv_2sls,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    per_u = (
+        e.groupBy("user_id")
+        .agg(
+            F.sum(
+                (F.col("event_type") == "click").cast("int")
+            ).cast("double").alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.col("event_type") == "purchase", F.col("value")
+                    )
+                ),
+                F.lit(0.0),
+            ).alias("y"),
+        )
+        .withColumn("z", (F.col("user_id") % 3 == 0).cast("double"))
+    )
+    return iv_2sls(per_u, "y", "x", "z")
+
+
+Q_IV_SQL = """
+WITH per_u AS (
+  SELECT CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+              AS DOUBLE) AS x,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN value END),
+                  0.0) AS y,
+         CAST(user_id % 3 = 0 AS INT) AS z
+  FROM events GROUP BY user_id),
+m AS (SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy, SUM(z) AS sz,
+             SUM(x * x) AS sxx, SUM(CAST(z AS DOUBLE) * z) AS szz,
+             SUM(x * y) AS sxy, SUM(z * y) AS szy, SUM(z * x) AS szx
+      FROM per_u),
+c AS (SELECT CAST(n AS BIGINT) AS n,
+             sxx - sx * sx / n AS cxx,
+             szz - CAST(sz AS DOUBLE) * sz / n AS czz,
+             sxy - sx * sy / n AS cxy,
+             szy - sz * sy / n AS czy,
+             szx - sz * sx / n AS czx
+      FROM m)
+SELECT n,
+       ROUND(CASE WHEN cxx > 0 THEN cxy / cxx END, 6) AS beta_ols,
+       ROUND(CASE WHEN ABS(czx) > 0 THEN czy / czx END, 6) AS beta_iv,
+       ROUND(CASE WHEN n > 2 AND czz > 0
+                   AND cxx - (czx / czz) * czx > 0
+                  THEN (czx / czz) * (czx / czz) * czz
+                       / ((cxx - (czx / czz) * czx) / (n - 2.0))
+             END, 6) AS first_stage_f
+FROM c
+"""
+
+
 def q_context_window(spark, sf_dir):
     """Rolling SFT-context assembly (packing.context_windows): each event
     paired with the ordered concat of its last 3 event types — the
@@ -13009,6 +13120,8 @@ _QUERIES_PAST_WINDOW = [
     "q_jarque_bera",
     "q_cochran_q",
     "q_friedman",
+    "q_ece",
+    "q_iv",
 
 ]
 
@@ -13150,6 +13263,8 @@ def oracle_sql() -> dict[str, str]:
         "q_jarque_bera": Q_JARQUE_BERA_SQL,
         "q_cochran_q": Q_COCHRAN_Q_SQL,
         "q_friedman": Q_FRIEDMAN_SQL,
+        "q_ece": _ece_sql(),
+        "q_iv": Q_IV_SQL,
         "q_wilson_rates": Q_WILSON_RATES_SQL,
         "q_fdr_correction": Q_FDR_CORRECTION_SQL,
         "q_mann_kendall": Q_MANN_KENDALL_SQL,

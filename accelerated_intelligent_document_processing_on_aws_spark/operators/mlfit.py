@@ -898,3 +898,69 @@ def smd_balance(
             round_to,
         ).alias("smd_ipw"),
     )
+
+
+def iv_2sls(
+    df: DataFrame,
+    outcome_col: str,
+    treatment_col: str,
+    instrument_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Instrumental-variable estimate (two-stage least squares /
+    Wald, one endogenous regressor, one instrument): when treatment x
+    is self-selected (engagement drives spend AND spend-prone users
+    engage more), the OLS slope is biased; a variable z that moves x
+    but touches y only THROUGH x identifies the causal slope
+    ``β_IV = Cov(z,y)/Cov(z,x)`` (Wright 1928).
+
+    Also reports the naive OLS slope (the bias readout is the gap) and
+    the first-stage F statistic — the weak-instrument diagnostic
+    (F < 10 by the Staiger-Stock rule of thumb means β_IV is not
+    trustworthy; consumers must check it).
+
+    Returns ONE row: ``n, beta_ols, beta_iv, first_stage_f`` (β_IV
+    NULL when Cov(z,x) = 0 — instrument irrelevant; F NULL when n < 3
+    or the first-stage residual variance is 0).
+
+    Plan: ONE corpus moment aggregate (no per-row Python, map-side
+    combined); every estimate is closed-form algebra on the 1-row
+    moment frame — the same shape as ridge_fit / ols_trend.
+    """
+    y = F.col(outcome_col).cast("double")
+    x = F.col(treatment_col).cast("double")
+    z = F.col(instrument_col).cast("double")
+    d = df.filter(y.isNotNull() & x.isNotNull() & z.isNotNull())
+    a = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(z).alias("sz"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(z * z).alias("szz"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(z * y).alias("szy"),
+        F.sum(z * x).alias("szx"),
+    )
+    n = F.col("n").cast("double")
+    cxx = F.col("sxx") - F.col("sx") * F.col("sx") / n
+    czz = F.col("szz") - F.col("sz") * F.col("sz") / n
+    cxy = F.col("sxy") - F.col("sx") * F.col("sy") / n
+    czy = F.col("szy") - F.col("sz") * F.col("sy") / n
+    czx = F.col("szx") - F.col("sz") * F.col("sx") / n
+    beta_ols = F.when(cxx > 0, cxy / cxx)
+    beta_iv = F.when(F.abs(czx) > 0, czy / czx)
+    # first stage x = a + b·z: slope b, residual SS = Cxx − b·Czx,
+    # F = b²·Czz / (SSR/(n−2))
+    b1 = czx / czz
+    ssr = cxx - b1 * czx
+    fstat = F.when(
+        (F.col("n") > 2) & (czz > 0) & (ssr > 0),
+        b1 * b1 * czz / (ssr / (n - F.lit(2.0))),
+    )
+    return a.select(
+        "n",
+        F.round(beta_ols, round_to).alias("beta_ols"),
+        F.round(beta_iv, round_to).alias("beta_iv"),
+        F.round(fstat, round_to).alias("first_stage_f"),
+    )

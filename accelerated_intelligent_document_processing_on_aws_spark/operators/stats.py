@@ -3140,3 +3140,60 @@ def friedman_test(
         "k",
         F.round(F.when(corr > 0, chi2 / corr), round_to).alias("chi2_f"),
     )
+
+
+def ece_mce(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Expected / maximum calibration error (Naeini et al. 2015) —
+    the scalar summary of the reliability table
+    (:func:`score_calibration`): equal-width bins over the score,
+    ``ECE = Σ_b (n_b/N)·|acc_b − conf_b|`` and ``MCE = max_b |…|``.
+    The single-number gate a pipeline alarms on before trusting a
+    classifier's probabilities as sampling weights.
+
+    Scores are clamped to [0, 1]; a score of exactly 1.0 falls in the
+    top bin.  Returns ONE row: ``n, n_bins_used, ece, mce``.
+
+    Plan: ONE corpus aggregate to n_bins rows (map-side combine), one
+    n_bins-row aggregate.
+    """
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    b = F.least(
+        F.floor(
+            F.greatest(F.least(s, F.lit(1.0)), F.lit(0.0))
+            * F.lit(float(n_bins))
+        ),
+        F.lit(n_bins - 1),
+    )
+    binned = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(b.alias("_b"))
+        .agg(
+            F.count(F.lit(1)).alias("nb"),
+            F.avg(y.cast("double")).alias("acc"),
+            F.avg(F.greatest(F.least(s, F.lit(1.0)), F.lit(0.0))).alias(
+                "conf"
+            ),
+        )
+    )
+    gap = F.abs(F.col("acc") - F.col("conf"))
+    a = binned.agg(
+        F.sum("nb").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_bins_used"),
+        F.sum(F.col("nb").cast("double") * gap).alias("_wgap"),
+        F.max(gap).alias("_mce"),
+    )
+    return a.select(
+        "n",
+        "n_bins_used",
+        F.round(F.col("_wgap") / F.col("n").cast("double"), round_to).alias(
+            "ece"
+        ),
+        F.round("_mce", round_to).alias("mce"),
+    )

@@ -356,3 +356,41 @@ def test_smd_balance_ipw_improves_confounded_covariate(spark):
     r = out["svar"]
     assert abs(r.smd_raw) > 0.3            # visibly imbalanced
     assert abs(r.smd_ipw) < abs(r.smd_raw) / 2   # weighting balances
+
+
+def test_iv_2sls_recovers_planted_effect(spark):
+    """Deterministic encouragement design: z shifts x; y depends on x
+    causally with slope 2 plus a confounder that ALSO enters x, biasing
+    OLS upward.  IV recovers 2 exactly because the construction is
+    linear and z is independent of the confounder."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        iv_2sls,
+    )
+
+    rows = []
+    for i in range(200):
+        z = i % 2
+        u = (i // 2) % 5  # confounder, balanced across z
+        x = 1.0 + 3.0 * z + 1.0 * u
+        y = 2.0 * x + 4.0 * u
+        rows.append((float(y), float(x), float(z)))
+    df = spark.createDataFrame(rows, ["y", "x", "z"])
+    r = iv_2sls(df, "y", "x", "z").collect()[0]
+    assert r.n == 200
+    assert r.beta_iv == 2.0
+    assert r.beta_ols > 2.5  # confounding biases OLS up
+    assert r.first_stage_f > 10  # strong instrument
+
+
+def test_iv_2sls_irrelevant_instrument_null(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        iv_2sls,
+    )
+
+    rows = [(1.0, 2.0, 1.0), (2.0, 3.0, 1.0), (3.0, 5.0, 1.0),
+            (2.5, 4.0, 1.0)]
+    r = iv_2sls(
+        spark.createDataFrame(rows, ["y", "x", "z"]), "y", "x", "z"
+    ).collect()[0]
+    assert r.beta_iv is None  # constant instrument: Cov(z,x) = 0
+    assert r.beta_ols is not None

@@ -1227,3 +1227,36 @@ def test_friedman_matches_reference_with_ties(spark):
     assert (r.n_blocks, r.k) == (6, 3)
     assert r.chi2_f == _friedman_reference(blocks)
     assert r.chi2_f > 0
+
+
+def test_ece_mce_hand_case(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        ece_mce,
+    )
+
+    # two bins used with n_bins=2: [0,0.5) and [0.5,1]
+    rows = [
+        (0.2, 0), (0.3, 1), (0.4, 0),          # bin0: conf 0.3, acc 1/3
+        (0.8, 1), (0.9, 1), (0.6, 0), (1.0, 1)  # bin1: conf 0.825, acc 3/4
+    ]
+    df = spark.createDataFrame(rows, ["s", "y"])
+    r = ece_mce(df, "s", "y", n_bins=2).collect()[0]
+    gap0 = abs(1 / 3 - 0.3)
+    gap1 = abs(3 / 4 - (0.8 + 0.9 + 0.6 + 1.0) / 4)
+    ece = (3 * gap0 + 4 * gap1) / 7
+    assert (r.n, r.n_bins_used) == (7, 2)
+    assert r.ece == round(ece, 6)
+    assert r.mce == round(max(gap0, gap1), 6)
+
+
+def test_ece_perfectly_calibrated(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        ece_mce,
+    )
+
+    # each bin's accuracy equals its mean score exactly
+    rows = [(0.25, 1), (0.25, 0), (0.25, 0), (0.25, 0),
+            (0.75, 1), (0.75, 1), (0.75, 1), (0.75, 0)]
+    r = ece_mce(spark.createDataFrame(rows, ["s", "y"]), "s", "y",
+                n_bins=2).collect()[0]
+    assert r.ece == 0.0 and r.mce == 0.0
