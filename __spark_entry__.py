@@ -8107,6 +8107,141 @@ FROM c
 """
 
 
+def q_rbo(spark, sf_dir):
+    """Rank-biased overlap between two document rankers
+    (operators/stats.py rbo_overlap): top-50 by raw character count vs
+    top-50 by whitespace token count (doc_id tiebreaks keep both
+    rankings engine-portable).  The top-weighted ranker-swap audit
+    Kendall's tau can't do on non-conjoint top-k lists.  Each ranking
+    is a TakeOrderedAndProject (no global window over the corpus);
+    RBO itself is one 50x50 equi-join + ONE aggregate against a
+    literal closed-form weight array."""
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        token_count,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        rbo_overlap,
+    )
+    from pyspark.sql import Window as W
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
+    top_a = d.orderBy(F.col("n_chars").desc(), "doc_id").limit(50)
+    top_b = d.select(
+        "doc_id", token_count(F.col("text")).alias("tc")
+    ).orderBy(F.col("tc").desc(), "doc_id").limit(50)
+    ra = top_a.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("n_chars").desc(), "doc_id"))
+        .alias("r"),
+    )
+    rb = top_b.select(
+        "doc_id",
+        F.row_number()
+        .over(W.orderBy(F.col("tc").desc(), "doc_id"))
+        .alias("r"),
+    )
+    return rbo_overlap(ra, rb, "doc_id", "r", depth=50, p=0.9)
+
+
+def _rbo_sql() -> str:
+    d, p = 50, 0.9
+    weights = [
+        (1.0 - p) * sum(p ** (k - 1) / k for k in range(m, d + 1))
+        for m in range(1, d + 1)
+    ]
+    arr = ", ".join(repr(w) for w in weights)
+    return f"""
+WITH a AS (
+  SELECT doc_id, ROW_NUMBER() OVER (ORDER BY n_chars DESC, doc_id) AS ra
+  FROM documents QUALIFY ra <= {d}),
+b AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY {_TOK_SQL} DESC, doc_id) AS rb
+  FROM (SELECT doc_id, COALESCE(text, '') AS text FROM documents)
+  QUALIFY rb <= {d}),
+j AS (SELECT GREATEST(ra, rb) AS m FROM a JOIN b USING (doc_id))
+SELECT {d} AS depth,
+       CAST(COUNT(*) AS BIGINT) AS overlap_at_depth,
+       ROUND(COALESCE(SUM(list_extract([{arr}], CAST(m AS INT))), 0.0), 6)
+         AS rbo_min
+FROM j
+"""
+
+
+def q_pinball(spark, sf_dir):
+    """Pinball-loss scoreboard for per-source n_chars quantile
+    predictions (operators/stats.py quantile_pinball): train docs
+    (doc_id%5!=0) fit exact interpolated p10/p50/p90 per source; test
+    docs (doc_id%5==0) are scored with the quantile loss.  One
+    group-cardinality train aggregate broadcast onto the test side,
+    ONE aggregate — the proper scoring rule for capacity-style
+    quantile forecasts."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        quantile_pinball,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    train = d.filter(F.col("doc_id") % 5 != 0)
+    test = d.filter(F.col("doc_id") % 5 == 0)
+    return quantile_pinball(
+        train, test, "source", "n_chars", quantiles=(0.1, 0.5, 0.9)
+    ).transform(_by("q"))
+
+
+Q_PINBALL_SQL = """
+WITH tr AS (SELECT source, quantile_cont(CAST(n_chars AS DOUBLE), 0.1) AS p0,
+                   quantile_cont(CAST(n_chars AS DOUBLE), 0.5) AS p1,
+                   quantile_cont(CAST(n_chars AS DOUBLE), 0.9) AS p2
+            FROM documents WHERE doc_id % 5 <> 0 AND n_chars IS NOT NULL
+            GROUP BY source),
+te AS (SELECT d.source, CAST(n_chars AS DOUBLE) AS y
+       FROM documents d WHERE doc_id % 5 = 0 AND n_chars IS NOT NULL),
+j AS (SELECT y, p0, p1, p2 FROM te JOIN tr USING (source)),
+a AS (SELECT COUNT(*) AS n,
+             AVG(GREATEST(0.1 * (y - p0), -0.9 * (y - p0))) AS l0,
+             AVG(GREATEST(0.5 * (y - p1), -0.5 * (y - p1))) AS l1,
+             AVG(GREATEST(0.9 * (y - p2), -0.1 * (y - p2))) AS l2
+      FROM j)
+SELECT 0.1 AS q, CAST(n AS BIGINT) AS n, ROUND(l0, 6) AS pinball FROM a
+UNION ALL
+SELECT 0.5, CAST(n AS BIGINT), ROUND(l1, 6) FROM a
+UNION ALL
+SELECT 0.9, CAST(n AS BIGINT), ROUND(l2, 6) FROM a
+ORDER BY q
+"""
+
+
+def q_fd(spark, sf_dir):
+    """Approximate functional-dependency audit source → lang
+    (operators/audit.py fd_audit): the g3 "rows to delete" measure of
+    how far the feed is from source determining language — the
+    schema-contract check on denormalized feeds.  Two nested
+    aggregates, no joins or windows."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.audit import (
+        fd_audit,
+    )
+
+    return fd_audit(_t(spark, sf_dir, "documents"), "source", "lang")
+
+
+Q_FD_SQL = """
+WITH ab AS (SELECT source AS a, lang AS b, COUNT(*) AS c
+            FROM documents GROUP BY 1, 2),
+pa AS (SELECT a, SUM(c) AS na, MAX(c) AS ma FROM ab GROUP BY a),
+ag AS (SELECT SUM(na) AS n, COUNT(*) AS n_groups,
+              SUM(na - ma) AS violations
+       FROM pa)
+SELECT CAST(n AS BIGINT) AS n, CAST(n_groups AS BIGINT) AS n_groups,
+       CAST(violations AS BIGINT) AS violations,
+       ROUND(CAST(violations AS DOUBLE) / CAST(n AS DOUBLE), 6) AS g3,
+       violations = 0 AS holds
+FROM ag
+"""
+
+
 def q_context_window(spark, sf_dir):
     """Rolling SFT-context assembly (packing.context_windows): each event
     paired with the ordered concat of its last 3 event types — the
@@ -13122,6 +13257,9 @@ _QUERIES_PAST_WINDOW = [
     "q_friedman",
     "q_ece",
     "q_iv",
+    "q_rbo",
+    "q_pinball",
+    "q_fd",
 
 ]
 
@@ -13265,6 +13403,9 @@ def oracle_sql() -> dict[str, str]:
         "q_friedman": Q_FRIEDMAN_SQL,
         "q_ece": _ece_sql(),
         "q_iv": Q_IV_SQL,
+        "q_rbo": _rbo_sql(),
+        "q_pinball": Q_PINBALL_SQL,
+        "q_fd": Q_FD_SQL,
         "q_wilson_rates": Q_WILSON_RATES_SQL,
         "q_fdr_correction": Q_FDR_CORRECTION_SQL,
         "q_mann_kendall": Q_MANN_KENDALL_SQL,

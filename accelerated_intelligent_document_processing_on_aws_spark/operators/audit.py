@@ -661,3 +661,50 @@ def l_diversity_tcloseness(
             "tvd",
         )
     )
+
+
+def fd_audit(
+    df: DataFrame,
+    lhs_col: str,
+    rhs_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Approximate functional-dependency audit (g3 error, Kivinen &
+    Mannila 1995): does ``lhs → rhs`` hold, and if not, how many rows
+    must be removed to make it hold?  The schema-contract check a
+    pipeline runs on denormalized feeds (does source determine lang?
+    does doc_id determine its partition?) — an exact-FD assert is
+    useless on dirty data; g3 quantifies the dirt.
+
+    ``violations = Σ_groups (n_g − max_b count(b))``, ``g3 =
+    violations / n``; FD holds exactly iff violations = 0.
+
+    Returns ONE row: ``n, n_groups, violations, g3, holds``.
+
+    Plan: two nested aggregates — (lhs, rhs) counts, then per-lhs
+    max/sum (both map-side combined, second is group-cardinality) —
+    and a final scalar reduction.  No joins, no windows.
+    """
+    ab = (
+        df.groupBy(
+            F.col(lhs_col).alias("_a"), F.col(rhs_col).alias("_b")
+        ).agg(F.count(F.lit(1)).alias("_c"))
+    )
+    per_a = ab.groupBy("_a").agg(
+        F.sum("_c").alias("_na"), F.max("_c").alias("_ma")
+    )
+    a = per_a.agg(
+        F.sum("_na").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.col("_na") - F.col("_ma")).cast("long").alias("violations"),
+    )
+    return a.select(
+        "n",
+        "n_groups",
+        "violations",
+        F.round(
+            F.col("violations").cast("double") / F.col("n").cast("double"),
+            round_to,
+        ).alias("g3"),
+        (F.col("violations") == 0).alias("holds"),
+    )

@@ -3197,3 +3197,117 @@ def ece_mce(
         ),
         F.round("_mce", round_to).alias("mce"),
     )
+
+
+def rbo_overlap(
+    ranking_a: DataFrame,
+    ranking_b: DataFrame,
+    item_col: str,
+    rank_col: str,
+    depth: int = 50,
+    p: float = 0.9,
+    round_to: int = 6,
+) -> DataFrame:
+    """Rank-biased overlap (Webber, Moffat & Zobel 2010) between two
+    top-``depth`` rankings: top-weighted agreement in [0, 1] — the
+    ranker-swap audit (did replacing the BM25 scorer reorder what the
+    selection stage actually consumes?) that Kendall's tau gets wrong
+    for top-k lists (tau weights all positions equally and needs
+    conjoint lists).
+
+    Truncated base RBO: ``(1−p)·Σ_{k≤d} p^{k−1}·|S_k ∩ T_k|/k``, the
+    guaranteed-lower-bound ("min") form; also reports overlap@depth.
+    An item ranked ≤ k in BOTH lists enters every prefix from
+    ``m = max(r_a, r_b)`` on, so each joined item contributes the
+    CLOSED-FORM weight ``(1−p)·Σ_{k=m..d} p^{k−1}/k`` — the weights are
+    a depth-sized literal array (driver constant), and the whole
+    statistic is one equi-join of two depth-sized frames plus ONE
+    aggregate.  Nothing corpus-sized is touched: callers pass already-
+    truncated rankings (a top-k window upstream).
+
+    Returns ONE row: ``depth, overlap_at_depth, rbo_min``.
+    """
+    d = int(depth)
+    weights = []
+    for m in range(1, d + 1):
+        weights.append(sum(p ** (k - 1) / k for k in range(m, d + 1)))
+    a = ranking_a.select(
+        F.col(item_col).alias("_i"), F.col(rank_col).alias("_ra")
+    ).filter(F.col("_ra") <= d)
+    b = ranking_b.select(
+        F.col(item_col).alias("_i"), F.col(rank_col).alias("_rb")
+    ).filter(F.col("_rb") <= d)
+    joined = a.join(b, "_i").select(
+        F.greatest("_ra", "_rb").cast("int").alias("_m")
+    )
+    w_arr = F.array(*[F.lit(float(w)) for w in weights])
+    agg = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("overlap_at_depth"),
+        F.sum(F.try_element_at(w_arr, F.col("_m"))).alias("_ws"),
+    )
+    return agg.select(
+        F.lit(d).alias("depth"),
+        "overlap_at_depth",
+        F.round(
+            F.lit(1.0 - p) * F.coalesce(F.col("_ws"), F.lit(0.0)), round_to
+        ).alias("rbo_min"),
+    )
+
+
+def quantile_pinball(
+    train: DataFrame,
+    test: DataFrame,
+    group_col: str,
+    value_col: str,
+    quantiles: tuple = (0.1, 0.5, 0.9),
+    round_to: int = 6,
+) -> DataFrame:
+    """Pinball (quantile) loss scoreboard for per-group quantile
+    predictions: each test row is predicted by its group's TRAIN
+    quantile, scored with ``L_q = mean(max(q·e, (q−1)·e))``,
+    ``e = y − ŷ`` — the proper scoring rule for quantile forecasts
+    (MASE/sMAPE judge point forecasts; a p90 capacity estimate needs
+    its own loss).
+
+    Returns one row per quantile: ``q, n, pinball`` — lower is better;
+    a good p90 has most errors negative but small.
+
+    Plan: ONE train aggregate to (group × quantiles) exact
+    interpolated quantiles (group-cardinality frame, broadcast), one
+    equi-join onto test, ONE aggregate.  Train rows never shuffle
+    beyond the group aggregate; test rows never shuffle at all.
+    """
+    v = F.col(value_col).cast("double")
+    qs = [float(q) for q in quantiles]
+    per_g = (
+        train.filter(v.isNotNull())
+        .groupBy(F.col(group_col).alias("_g"))
+        .agg(
+            *[
+                F.percentile(v, F.lit(q)).alias(f"_p{i}")
+                for i, q in enumerate(qs)
+            ]
+        )
+    )
+    t = test.filter(v.isNotNull()).select(
+        F.col(group_col).alias("_g"), v.alias("_y")
+    )
+    j = t.join(F.broadcast(per_g), "_g")
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i, q in enumerate(qs):
+        e = F.col("_y") - F.col(f"_p{i}")
+        aggs.append(
+            F.avg(
+                F.greatest(F.lit(q) * e, F.lit(q - 1.0) * e)
+            ).alias(f"_l{i}")
+        )
+    a = j.agg(*aggs)
+    rows = None
+    for i, q in enumerate(qs):
+        r = a.select(
+            F.lit(q).alias("q"),
+            "n",
+            F.round(F.col(f"_l{i}"), round_to).alias("pinball"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows

@@ -265,3 +265,25 @@ def test_l_diversity_tcloseness_hand_case(spark):
     assert b.entropy_l == 1.0
     # class b misses y entirely: TVD = 0.5(|1-Px| + Py)
     assert b.tvd == round(0.5 * (abs(1 - px) + py), 6)
+
+
+def test_fd_audit_exact_and_violations(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.audit import (
+        fd_audit,
+    )
+
+    clean = spark.createDataFrame(
+        [("s1", "en"), ("s1", "en"), ("s2", "fr")], ["a", "b"]
+    )
+    r = fd_audit(clean, "a", "b").collect()[0]
+    assert (r.n, r.n_groups, r.violations, r.holds) == (3, 2, 0, True)
+
+    dirty = spark.createDataFrame(
+        [("s1", "en"), ("s1", "en"), ("s1", "fr"),
+         ("s2", "fr"), ("s2", "de")],
+        ["a", "b"],
+    )
+    r2 = fd_audit(dirty, "a", "b").collect()[0]
+    # s1: 3 rows, majority en (2) -> 1 violation; s2: 2 rows -> 1
+    assert (r2.violations, r2.holds) == (2, False)
+    assert r2.g3 == round(2 / 5, 6)

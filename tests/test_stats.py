@@ -1260,3 +1260,59 @@ def test_ece_perfectly_calibrated(spark):
     r = ece_mce(spark.createDataFrame(rows, ["s", "y"]), "s", "y",
                 n_bins=2).collect()[0]
     assert r.ece == 0.0 and r.mce == 0.0
+
+
+def test_rbo_identical_and_disjoint(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        rbo_overlap,
+    )
+
+    a = spark.createDataFrame([(i, i) for i in range(1, 6)], ["item", "r"])
+    r = rbo_overlap(a, a, "item", "r", depth=5, p=0.9).collect()[0]
+    # identical rankings: rbo = (1-p) * sum p^(k-1) (truncated; < 1)
+    expect = 0.1 * sum(0.9 ** (k - 1) for k in range(1, 6))
+    assert r.overlap_at_depth == 5
+    assert r.rbo_min == round(expect, 6)
+
+    b = spark.createDataFrame(
+        [(i + 100, i) for i in range(1, 6)], ["item", "r"]
+    )
+    r2 = rbo_overlap(a, b, "item", "r", depth=5).collect()[0]
+    assert r2.overlap_at_depth == 0 and r2.rbo_min == 0.0
+
+
+def test_rbo_hand_case(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        rbo_overlap,
+    )
+
+    # A: 1,2,3  B: 2,1,4 (depth 3, p=0.5)
+    # prefixes: k=1 {1}/{2} ov 0; k=2 {1,2}/{2,1} ov 2; k=3 ov 2
+    a = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["item", "r"])
+    b = spark.createDataFrame([(2, 1), (1, 2), (4, 3)], ["item", "r"])
+    r = rbo_overlap(a, b, "item", "r", depth=3, p=0.5).collect()[0]
+    expect = 0.5 * (0.5 ** 0 * 0 / 1 + 0.5 ** 1 * 2 / 2 + 0.5 ** 2 * 2 / 3)
+    assert r.overlap_at_depth == 2
+    assert r.rbo_min == round(expect, 6)
+
+
+def test_quantile_pinball_hand_case(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        quantile_pinball,
+    )
+
+    train = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", 4.0), ("a", 5.0)],
+        ["g", "v"],
+    )
+    test = spark.createDataFrame([("a", 2.0), ("a", 6.0)], ["g", "v"])
+    # train quantiles (linear interp): p50 = 3
+    rows = {
+        r.q: r
+        for r in quantile_pinball(
+            train, test, "g", "v", quantiles=(0.5,)
+        ).collect()
+    }
+    # errors vs 3: -1, +3 -> pinball_0.5 = mean(max(.5*e, -.5*e)) = (0.5 + 1.5)/2
+    assert rows[0.5].n == 2
+    assert rows[0.5].pinball == 1.0
