@@ -8242,6 +8242,154 @@ FROM ag
 """
 
 
+def q_theil(spark, sf_dir):
+    """Theil T inequality of document lengths with between/within-source
+    decomposition (operators/stats.py theil_decomposition): is corpus
+    mass concentrated in a few mega-documents, and is that a between-
+    source or within-source phenomenon?  The additively-decomposable
+    complement to q_gini.  ONE corpus aggregate + k-row algebra."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        theil_decomposition,
+    )
+
+    return theil_decomposition(
+        _t(spark, sf_dir, "documents"), "source", "n_chars"
+    )
+
+
+Q_THEIL_SQL = """
+WITH d AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS x
+           FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+pg AS (SELECT g, COUNT(*) AS ng, SUM(x) AS sg, SUM(x * LN(x)) AS xlg
+       FROM d GROUP BY g),
+a AS (SELECT COUNT(*) AS k, SUM(ng) AS n, SUM(sg) AS s, SUM(xlg) AS xl,
+             SUM(sg * LN(sg / ng)) AS slmu
+      FROM pg)
+SELECT CAST(n AS BIGINT) AS n, CAST(k AS BIGINT) AS k,
+       ROUND(xl / s - LN(s / n), 6) AS theil_total,
+       ROUND(slmu / s - LN(s / n), 6) AS theil_between,
+       ROUND((xl - slmu) / s, 6) AS theil_within
+FROM a
+"""
+
+
+def q_raking(spark, sf_dir):
+    """IPF raking weights over the (source × lang) cell table
+    (operators/stats.py raking_weights, 2 unrolled passes): the survey-
+    calibration weights that equalize BOTH marginals of a resampled
+    corpus mix at once.  One corpus aggregate to the R×C cell frame;
+    each pass is two window sums over metadata."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        raking_weights,
+    )
+
+    return raking_weights(
+        _t(spark, sf_dir, "documents"), "source", "lang", iterations=2
+    ).transform(_by("r", "c"))
+
+
+Q_RAKING_SQL = """
+WITH cells AS (SELECT source AS r, c, n FROM (
+       SELECT source, lang AS c, COUNT(*) AS n FROM documents
+       GROUP BY 1, 2)),
+t AS (SELECT SUM(n) AS nn, COUNT(DISTINCT r) AS nr,
+             COUNT(DISTINCT c) AS nc
+      FROM cells),
+w1 AS (SELECT r, c, n,
+              1.0 * ((SELECT nn FROM t) / (SELECT nr FROM t))
+              / SUM(n * 1.0) OVER (PARTITION BY r) AS w
+       FROM cells),
+w2 AS (SELECT r, c, n,
+              w * ((SELECT nn FROM t) / (SELECT nc FROM t))
+              / SUM(n * w) OVER (PARTITION BY c) AS w
+       FROM w1),
+w3 AS (SELECT r, c, n,
+              w * ((SELECT nn FROM t) / (SELECT nr FROM t))
+              / SUM(n * w) OVER (PARTITION BY r) AS w
+       FROM w2),
+w4 AS (SELECT r, c, n,
+              w * ((SELECT nn FROM t) / (SELECT nc FROM t))
+              / SUM(n * w) OVER (PARTITION BY c) AS w
+       FROM w3)
+SELECT r, c, CAST(n AS BIGINT) AS n, ROUND(w, 6) AS weight
+FROM w4 ORDER BY r, c
+"""
+
+
+def q_modularity(spark, sf_dir):
+    """Newman modularity of the label-propagation communities over the
+    user co-activity graph (operators/graph.py modularity): the quality
+    score certifying that q_label_prop's labels actually explain the
+    graph (Q ≈ 0 = no better than random).  Edge-sized equi-joins onto
+    the node-sized label frame; k-row algebra with the scalar edge
+    count broadcast."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        coactivity_edges,
+        label_propagation,
+        modularity,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    edges = coactivity_edges(e, "user_id", "ts", "minute", 64)
+    labels = label_propagation(edges, iterations=5)
+    return modularity(edges, labels)
+
+
+def _modularity_sql(iterations: int = 5) -> str:
+    """DuckDB twin: the exact _label_prop_sql CTE chain (same edges,
+    same unrolled LPA rounds), then the closed-form community sums."""
+    its = []
+    prev = "l0"
+    for i in range(1, iterations + 1):
+        its.append(f"""
+l{i} AS (
+  SELECT n.node, COALESCE(b.label, n.node) AS label
+  FROM nodes n LEFT JOIN (
+    SELECT dst AS node, label FROM (
+      SELECT e.dst, l.label,
+             ROW_NUMBER() OVER (PARTITION BY e.dst
+                                ORDER BY COUNT(*) DESC, l.label ASC) AS r
+      FROM edges e JOIN {prev} l ON e.src = l.node
+      GROUP BY e.dst, l.label) WHERE r = 1) b
+  ON n.node = b.node
+)""")
+        prev = f"l{i}"
+    return f"""
+WITH b AS (SELECT DISTINCT date_trunc('minute', ts) AS _b, user_id AS _u
+           FROM events),
+sized AS (SELECT _b, _u FROM (
+            SELECT _b, _u, COUNT(*) OVER (PARTITION BY _b) AS _n FROM b)
+          WHERE _n <= 64),
+edges AS (SELECT DISTINCT l._u AS src, r._u AS dst
+          FROM sized l JOIN sized r USING (_b) WHERE l._u <> r._u),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+l0 AS (SELECT node, node AS label FROM nodes),
+{",".join(its)},
+lab AS (SELECT node, label FROM {prev}),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b2
+        FROM edges WHERE src <> dst),
+mm AS (SELECT COUNT(*) AS m FROM und),
+deg AS (SELECT node, COUNT(*) AS d FROM (
+          SELECT a AS node FROM und UNION ALL SELECT b2 FROM und)
+        GROUP BY node),
+dc AS (SELECT l.label, SUM(d) AS dsum
+       FROM deg JOIN lab l ON deg.node = l.node GROUP BY l.label),
+ec AS (SELECT la.label, COUNT(*) AS e
+       FROM und JOIN lab la ON und.a = la.node
+                JOIN lab lb ON und.b2 = lb.node
+       WHERE la.label = lb.label GROUP BY la.label),
+terms AS (SELECT dc.label, COALESCE(ec.e, 0) AS e, dc.dsum
+          FROM dc LEFT JOIN ec ON dc.label = ec.label)
+SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       CAST((SELECT COUNT(*) FROM dc) AS BIGINT) AS n_communities,
+       CAST((SELECT m FROM mm) AS BIGINT) AS m_edges,
+       ROUND(SUM(e / CAST(m AS DOUBLE)
+                 - (dsum / (2.0 * m)) * (dsum / (2.0 * m))), 6)
+         AS modularity
+FROM terms, mm
+"""
+
+
 def q_context_window(spark, sf_dir):
     """Rolling SFT-context assembly (packing.context_windows): each event
     paired with the ordered concat of its last 3 event types — the
@@ -13260,6 +13408,9 @@ _QUERIES_PAST_WINDOW = [
     "q_rbo",
     "q_pinball",
     "q_fd",
+    "q_theil",
+    "q_raking",
+    "q_modularity",
 
 ]
 
@@ -13406,6 +13557,9 @@ def oracle_sql() -> dict[str, str]:
         "q_rbo": _rbo_sql(),
         "q_pinball": Q_PINBALL_SQL,
         "q_fd": Q_FD_SQL,
+        "q_theil": Q_THEIL_SQL,
+        "q_raking": Q_RAKING_SQL,
+        "q_modularity": _modularity_sql(),
         "q_wilson_rates": Q_WILSON_RATES_SQL,
         "q_fdr_correction": Q_FDR_CORRECTION_SQL,
         "q_mann_kendall": Q_MANN_KENDALL_SQL,

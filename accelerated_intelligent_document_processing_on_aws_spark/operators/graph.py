@@ -754,3 +754,83 @@ def bfs_distances(
     out = dist.localCheckpoint(eager=True)
     e.unpersist()
     return out
+
+
+def modularity(
+    edges: DataFrame,
+    labels: DataFrame,
+    node_col: str = "node",
+    label_col: str = "label",
+    round_to: int = 6,
+) -> DataFrame:
+    """Newman modularity (Newman & Girvan 2004) of a community
+    assignment over an undirected graph:
+    ``Q = Σ_c (e_c/m − (d_c/2m)²)`` with e_c intra-community edges,
+    d_c the community degree sum, m total edges — the quality score
+    that turns "label propagation produced SOME labels" into "the
+    labels explain the graph" (Q ≈ 0 means no better than random).
+
+    ``edges`` may carry both directions; they are canonicalized
+    (a < b, distinct) first.  Nodes missing from ``labels`` fall back
+    to their own id (LPA's isolated-node convention).
+
+    Returns ONE row: ``n_nodes, n_communities, m_edges, modularity``.
+
+    Plan: edge-sized equi-joins onto the node-sized label frame (twice,
+    once per endpoint), one degree aggregate, then k-row algebra with
+    the scalar m broadcast.  No windows, nothing quadratic.
+    """
+    und = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).alias("a"),
+            F.greatest(F.col("src"), F.col("dst")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    lab = labels.select(
+        F.col(node_col).alias("_n"), F.col(label_col).alias("_l")
+    )
+    deg = (
+        und.select(F.col("a").alias("_n"))
+        .unionAll(und.select(F.col("b").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    deg_lab = deg.join(lab, "_n", "left").select(
+        F.coalesce("_l", "_n").alias("_l"), "_d"
+    )
+    dc = deg_lab.groupBy("_l").agg(F.sum("_d").alias("_dsum"))
+    la = lab.select(F.col("_n").alias("a"), F.col("_l").alias("_la"))
+    lb = lab.select(F.col("_n").alias("b"), F.col("_l").alias("_lb"))
+    ec = (
+        und.join(la, "a", "left")
+        .join(lb, "b", "left")
+        .select(
+            F.coalesce("_la", F.col("a")).alias("_la"),
+            F.coalesce("_lb", F.col("b")).alias("_lb"),
+        )
+        .filter(F.col("_la") == F.col("_lb"))
+        .groupBy(F.col("_la").alias("_l"))
+        .agg(F.count(F.lit(1)).alias("_e"))
+    )
+    m_row = und.agg(
+        F.count(F.lit(1)).cast("long").alias("_m")
+    )
+    n_nodes_row = deg.agg(F.count(F.lit(1)).cast("long").alias("_nn"))
+    terms = (
+        dc.join(ec, "_l", "left")
+        .na.fill({"_e": 0})
+        .crossJoin(F.broadcast(m_row))
+        .crossJoin(F.broadcast(n_nodes_row))
+    )
+    m = F.col("_m").cast("double")
+    q_term = F.col("_e").cast("double") / m - (
+        F.col("_dsum").cast("double") / (F.lit(2.0) * m)
+    ) * (F.col("_dsum").cast("double") / (F.lit(2.0) * m))
+    return terms.agg(
+        F.max("_nn").alias("n_nodes"),
+        F.count(F.lit(1)).cast("long").alias("n_communities"),
+        F.max("_m").alias("m_edges"),
+        F.round(F.sum(q_term), round_to).alias("modularity"),
+    )

@@ -3311,3 +3311,111 @@ def quantile_pinball(
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows
+
+
+def theil_decomposition(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Theil T inequality index with exact between/within-group
+    decomposition (Theil 1967): how unequal is ``value_col`` (e.g.
+    token counts — is the corpus a few mega-documents plus dust?), and
+    how much of the inequality is BETWEEN sources vs WITHIN them?  The
+    additive-decomposable complement to the Gini coefficient (Gini does
+    not decompose; Theil does, exactly:
+    ``T = Σ_g s_g·T_g + Σ_g s_g·ln(μ_g/μ)`` with value shares s_g).
+
+    Only strictly positive values enter (ln discipline).  Returns ONE
+    row: ``n, k, theil_total, theil_between, theil_within`` — total =
+    between + within to rounding by construction.
+
+    Plan: ONE corpus aggregate to per-group (n, Σx, Σx·ln x) — map-side
+    combined — then closed-form algebra on the k-row frame.
+    """
+    x = F.col(value_col).cast("double")
+    d = df.filter(x.isNotNull() & (x > 0)).select(
+        F.col(group_col).alias("g"), x.alias("_x")
+    )
+    per_g = d.groupBy("g").agg(
+        F.count(F.lit(1)).alias("ng"),
+        F.sum("_x").alias("sg"),
+        F.sum(F.col("_x") * F.log("_x")).alias("xlg"),
+    )
+    a = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("sg").alias("_s"),
+        F.sum("xlg").alias("_xl"),
+        # Σ_g s_g·T_g = Σ_g (sg/s)·(xlg/sg − ln(sg/ng)) — the s-division
+        # distributes, so the within term needs only Σ xlg and
+        # Σ sg·ln(sg/ng)
+        F.sum(F.col("sg") * F.log(F.col("sg") / F.col("ng"))).alias(
+            "_slmu"
+        ),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("_s") / n
+    t_total = F.col("_xl") / F.col("_s") - F.log(mu)
+    t_within = (F.col("_xl") - F.col("_slmu")) / F.col("_s")
+    t_between = F.col("_slmu") / F.col("_s") - F.log(mu)
+    return a.select(
+        "n",
+        "k",
+        F.round(t_total, round_to).alias("theil_total"),
+        F.round(t_between, round_to).alias("theil_between"),
+        F.round(t_within, round_to).alias("theil_within"),
+    )
+
+
+def raking_weights(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    iterations: int = 2,
+    round_to: int = 6,
+) -> DataFrame:
+    """Iterative proportional fitting / raking (Deming & Stephan 1940)
+    to UNIFORM marginal targets: per-cell calibration weights that make
+    every ``row_col`` level and every ``col_col`` level carry an equal
+    weighted share — the survey-calibration step a corpus sampler runs
+    so a rebalanced (source × language) mix doesn't silently re-weight
+    one axis while fixing the other.
+
+    Unrolled for a FIXED ``iterations`` count (deterministic, engine-
+    portable; IPF converges geometrically, 2 passes are standard for
+    2-way tables).  Returns one row per observed cell: ``r, c, n,
+    weight`` — weight multiplies each of the cell's rows so weighted
+    marginals approach N/R per row level and N/C per column level.
+
+    Plan: ONE corpus aggregate to the R×C cell frame; every IPF pass is
+    two window sums over that metadata-sized frame.  Nothing row-sized
+    iterates.
+    """
+    cells = df.groupBy(
+        F.col(row_col).alias("r"), F.col(col_col).alias("c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    w_r = Window.partitionBy("r")
+    w_c = Window.partitionBy("c")
+    w_all = Window.partitionBy()
+    cells = cells.withColumn("_w", F.lit(1.0))
+    nn = F.sum(F.col("n")).over(w_all).cast("double")
+    n_rows = F.size(F.collect_set("r").over(w_all)).cast("double")
+    n_cols = F.size(F.collect_set("c").over(w_all)).cast("double")
+    for _ in range(int(iterations)):
+        cells = cells.withColumn(
+            "_w",
+            F.col("_w")
+            * (nn / n_rows)
+            / F.sum(F.col("n").cast("double") * F.col("_w")).over(w_r),
+        )
+        cells = cells.withColumn(
+            "_w",
+            F.col("_w")
+            * (nn / n_cols)
+            / F.sum(F.col("n").cast("double") * F.col("_w")).over(w_c),
+        )
+    return cells.select(
+        "r", "c", "n", F.round("_w", round_to).alias("weight")
+    )

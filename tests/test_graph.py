@@ -377,3 +377,41 @@ def test_bfs_distances_default_landmarks_multi_source(spark):
     d = {(r.landmark, r.node): r.dist for r in out}
     assert d[(1, 1)] == 0 and d[(1, 2)] == 1 and d[(1, 3)] == 1
     assert d[(2, 2)] == 0 and d[(2, 1)] == 1 and d[(2, 3)] == 1
+
+
+def test_modularity_two_cliques(spark):
+    """Two disjoint triangles labeled as two communities: the textbook
+    Q = 1 - 1/k for k equal disconnected cliques -> 0.5."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        modularity,
+    )
+
+    tri1 = [(1, 2), (2, 3), (1, 3)]
+    tri2 = [(4, 5), (5, 6), (4, 6)]
+    edges = spark.createDataFrame(tri1 + tri2, ["src", "dst"])
+    labels = spark.createDataFrame(
+        [(i, 100) for i in (1, 2, 3)] + [(i, 200) for i in (4, 5, 6)],
+        ["node", "label"],
+    )
+    r = modularity(edges, labels).collect()[0]
+    assert (r.n_nodes, r.n_communities, r.m_edges) == (6, 2, 6)
+    assert r.modularity == 0.5
+
+    # everything in ONE community: Q = 0 exactly
+    one = spark.createDataFrame([(i, 7) for i in range(1, 7)],
+                                ["node", "label"])
+    r1 = modularity(edges, one).collect()[0]
+    assert r1.modularity == 0.0
+
+
+def test_modularity_missing_labels_fall_back_to_id(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        modularity,
+    )
+
+    edges = spark.createDataFrame([(1, 2), (2, 1), (2, 3)], ["src", "dst"])
+    labels = spark.createDataFrame([(1, 9), (2, 9)], ["node", "label"])
+    r = modularity(edges, labels).collect()[0]
+    # node 3 forms its own singleton community
+    assert r.n_communities == 2
+    assert r.m_edges == 2

@@ -1316,3 +1316,74 @@ def test_quantile_pinball_hand_case(spark):
     # errors vs 3: -1, +3 -> pinball_0.5 = mean(max(.5*e, -.5*e)) = (0.5 + 1.5)/2
     assert rows[0.5].n == 2
     assert rows[0.5].pinball == 1.0
+
+
+def test_theil_decomposition_reference(spark):
+    import math
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        theil_decomposition,
+    )
+
+    pairs = [("a", 1.0), ("a", 3.0), ("b", 2.0), ("b", 6.0), ("b", 8.0)]
+    xs = [v for _, v in pairs]
+    n, mu = len(xs), sum(xs) / len(xs)
+    t_total = sum(x / (n * mu) * math.log(x / mu) for x in xs)
+    groups = {"a": [1.0, 3.0], "b": [2.0, 6.0, 8.0]}
+    s = sum(xs)
+    t_between = sum(
+        (sum(g) / s) * math.log((sum(g) / len(g)) / mu)
+        for g in groups.values()
+    )
+    t_within = sum(
+        (sum(g) / s)
+        * sum(
+            x / (len(g) * (sum(g) / len(g)))
+            * math.log(x / (sum(g) / len(g)))
+            for x in g
+        )
+        for g in groups.values()
+    )
+    r = theil_decomposition(
+        spark.createDataFrame(pairs, ["g", "v"]), "g", "v"
+    ).collect()[0]
+    assert (r.n, r.k) == (5, 2)
+    assert r.theil_total == round(t_total, 6)
+    assert r.theil_between == round(t_between, 6)
+    assert r.theil_within == round(t_within, 6)
+    assert abs(r.theil_total - (r.theil_between + r.theil_within)) < 2e-6
+    # perfectly equal values: zero inequality
+    eq = spark.createDataFrame([("a", 4.0), ("b", 4.0)], ["g", "v"])
+    re = theil_decomposition(eq, "g", "v").collect()[0]
+    assert re.theil_total == 0.0
+
+
+def test_raking_weights_hits_uniform_marginals(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        raking_weights,
+    )
+
+    rows = (
+        [("r1", "c1")] * 4 + [("r1", "c2")] * 1
+        + [("r2", "c1")] * 1 + [("r2", "c2")] * 2
+    )
+    df = spark.createDataFrame(rows, ["a", "b"])
+    out = {
+        (r.r, r.c): r
+        for r in raking_weights(df, "a", "b", iterations=8).collect()
+    }
+    n = 8.0
+    # after enough iterations weighted marginals converge to N/R and N/C
+    for rr in ("r1", "r2"):
+        tot = sum(
+            v.n * v.weight for (a, _), v in out.items() if a == rr
+        )
+        assert abs(tot - n / 2) < 1e-3
+    for cc in ("c1", "c2"):
+        tot = sum(
+            v.n * v.weight for (_, b), v in out.items() if b == cc
+        )
+        assert abs(tot - n / 2) < 1e-3
+    # 2-iteration output is deterministic and positive
+    out2 = raking_weights(df, "a", "b", iterations=2).collect()
+    assert all(r.weight > 0 for r in out2)
