@@ -8390,6 +8390,103 @@ FROM terms, mm
 """
 
 
+def q_mattr(spark, sf_dir):
+    """Moving-average type-token ratio per document
+    (operators/corpus.py mattr, window=25): the length-invariant
+    lexical-diversity screen — computed by per-occurrence closed form
+    (no window materialization), one (doc, token) lag window + one
+    per-doc aggregate."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        mattr,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return mattr(d, "doc_id", "text", window=25).transform(_by("doc_id"))
+
+
+Q_MATTR_SQL = f"""
+WITH nm AS (SELECT doc_id, str_split({_NORM_SQL}, ' ') AS toks
+            FROM documents),
+tk AS (SELECT doc_id, unnest(toks) AS tok,
+              generate_subscripts(toks, 1) AS pos
+       FROM nm),
+st AS (SELECT doc_id, pos,
+              COALESCE(LAG(pos) OVER (PARTITION BY doc_id, tok
+                                      ORDER BY pos), 0) AS prev,
+              COUNT(*) OVER (PARTITION BY doc_id) AS len
+       FROM tk),
+agg AS (SELECT doc_id, MAX(len) AS len,
+               SUM(GREATEST(0, LEAST(pos + 24, len)
+                   - GREATEST(pos, prev + 25, 25) + 1)) AS contrib
+        FROM st WHERE len >= 25 GROUP BY doc_id)
+SELECT doc_id, CAST(len AS BIGINT) AS n_tokens,
+       ROUND(CAST(contrib AS DOUBLE) / ((len - 25 + 1) * 25.0), 6)
+         AS mattr
+FROM agg ORDER BY doc_id
+"""
+
+
+def q_grubbs(spark, sf_dir):
+    """Grubbs' max-studentized-deviation outlier test on document
+    lengths (operators/stats.py grubbs_test): formally tests the single
+    most extreme n_chars before excluding it — ONE aggregate with
+    min/max/moments in the same pass."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        grubbs_test,
+    )
+
+    return grubbs_test(_t(spark, sf_dir, "documents"), "n_chars")
+
+
+Q_GRUBBS_SQL = """
+WITH a AS (SELECT COUNT(*) AS n,
+                  SUM(CAST(n_chars AS DOUBLE)) AS s,
+                  SUM(CAST(n_chars AS DOUBLE) * n_chars) AS q2,
+                  MIN(CAST(n_chars AS DOUBLE)) AS mn,
+                  MAX(CAST(n_chars AS DOUBLE)) AS mx
+           FROM documents WHERE n_chars IS NOT NULL)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(CASE WHEN n >= 3 AND (q2 - s * s / n) / (n - 1.0) > 0
+                  THEN GREATEST(mx - s / n, s / n - mn)
+                       / SQRT((q2 - s * s / n) / (n - 1.0))
+             END, 6) AS g_stat,
+       CASE WHEN mx - s / n >= s / n - mn THEN 'high' ELSE 'low' END
+         AS side,
+       CASE WHEN mx - s / n >= s / n - mn THEN mx ELSE mn END AS extreme
+FROM a
+"""
+
+
+def q_dp_counts(spark, sf_dir):
+    """ε-DP per-source document counts via the deterministic Laplace
+    mechanism (operators/audit.py dp_noisy_counts, ε=1): reproducible
+    inverse-CDF noise keyed on md5(salt||group) — the release-audit
+    companion to the k-anonymity/l-diversity family.  One count
+    aggregate; noise is group-cardinality arithmetic."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.audit import (
+        dp_noisy_counts,
+    )
+
+    return dp_noisy_counts(
+        _t(spark, sf_dir, "documents"), "source", epsilon=1.0
+    ).transform(_by("source"))
+
+
+Q_DP_COUNTS_SQL = """
+WITH cnt AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+h AS (SELECT source, n,
+             CAST(('0x' || substr(md5('dp' || CAST(source AS VARCHAR)),
+                                  1, 8)) AS BIGINT) AS hv
+      FROM cnt),
+u AS (SELECT source, n, (hv + 0.5) / 4294967296.0 AS u FROM h)
+SELECT source, CAST(n AS BIGINT) AS n,
+       ROUND(n + (-1.0) * SIGN(u - 0.5) * LN(1.0 - 2.0 * ABS(u - 0.5)),
+             6) AS noisy_n,
+       1.0 AS epsilon
+FROM u ORDER BY source
+"""
+
+
 def q_context_window(spark, sf_dir):
     """Rolling SFT-context assembly (packing.context_windows): each event
     paired with the ordered concat of its last 3 event types — the
@@ -13411,6 +13508,9 @@ _QUERIES_PAST_WINDOW = [
     "q_theil",
     "q_raking",
     "q_modularity",
+    "q_mattr",
+    "q_grubbs",
+    "q_dp_counts",
 
 ]
 
@@ -13560,6 +13660,9 @@ def oracle_sql() -> dict[str, str]:
         "q_theil": Q_THEIL_SQL,
         "q_raking": Q_RAKING_SQL,
         "q_modularity": _modularity_sql(),
+        "q_mattr": Q_MATTR_SQL,
+        "q_grubbs": Q_GRUBBS_SQL,
+        "q_dp_counts": Q_DP_COUNTS_SQL,
         "q_wilson_rates": Q_WILSON_RATES_SQL,
         "q_fdr_correction": Q_FDR_CORRECTION_SQL,
         "q_mann_kendall": Q_MANN_KENDALL_SQL,

@@ -708,3 +708,55 @@ def fd_audit(
         ).alias("g3"),
         (F.col("violations") == 0).alias("holds"),
     )
+
+
+def dp_noisy_counts(
+    df: DataFrame,
+    group_col: str,
+    epsilon: float = 1.0,
+    salt: str = "dp",
+    round_to: int = 6,
+) -> DataFrame:
+    """ε-differentially-private group counts via the Laplace mechanism
+    (Dwork et al. 2006) with DETERMINISTIC noise: the per-group count
+    (sensitivity 1) plus Laplace(1/ε) noise drawn by inverse-CDF from a
+    uniform derived from ``md5(salt || group)`` — a pure function of
+    the group key, so the release is reproducible across runs and
+    engines (the hash_sample discipline applied to noise; a true
+    release would rotate ``salt`` per publication).
+
+    Returns one row per group: ``<group_col>, n, noisy_n, epsilon`` —
+    ``n`` (the true count) is included for release-error AUDITING and
+    must be dropped from an actual publication.
+
+    Plan: one map-side-combined count aggregate; noise is per-GROUP
+    arithmetic on the group-cardinality frame.  No joins, no windows.
+    """
+    g = F.col(group_col)
+    cnt = df.groupBy(g.alias(group_col)).agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(F.concat(F.lit(salt), F.col(group_col).cast("string"))),
+            1,
+            8,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (h.cast("double") + F.lit(0.5)) / F.lit(4294967296.0)
+    c = u - F.lit(0.5)
+    noise = (
+        F.lit(-1.0 / float(epsilon))
+        * F.signum(c)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(c))
+    )
+    return cnt.select(
+        group_col,
+        "n",
+        F.round(F.col("n").cast("double") + noise, round_to).alias(
+            "noisy_n"
+        ),
+        F.lit(float(epsilon)).alias("epsilon"),
+    )

@@ -1140,3 +1140,69 @@ def hill_tail_index(
         )
         .select("k", "x_kth", "alpha")
     )
+
+
+def mattr(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 50,
+    round_to: int = 6,
+) -> DataFrame:
+    """Moving-average type-token ratio (Covington & McFall 2010): mean
+    TTR over every length-``window`` sliding token window — the
+    lexical-diversity measure that, unlike raw TTR or Heaps'-law fits,
+    does NOT shrink mechanically with document length (so it can rank
+    long and short documents on one scale; the repetitive-generation
+    screen next to the Gopher repetition gates).
+
+    Computed WITHOUT materializing windows: a token occurrence at
+    position j with previous occurrence at p is distinct-in-window for
+    exactly the window ends ``i ∈ [max(j, p+w, w), min(j+w−1, L)]``, so
+    ``MATTR = Σ_occ max(0, hi−lo+1) / ((L−w+1)·w)`` — per-occurrence
+    closed form.  Documents shorter than ``window`` tokens are dropped
+    (MATTR undefined).
+
+    Columns: ``<id_col>, n_tokens, mattr``.
+
+    Plan: one posexplode, ONE lag window partitioned by (doc, token) —
+    thousands of tiny partitions, never global — one per-doc count
+    window sharing the same doc-keyed exchange, one aggregate.
+    """
+    from ..functions.text import normalized_for_compare
+
+    toks = df.select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(
+            F.split(normalized_for_compare(F.col(text_col)), " ")
+        ).alias("_p0", "_tok"),
+    ).select("_id", (F.col("_p0") + 1).alias("_pos"), "_tok")
+    w_prev = Window.partitionBy("_id", "_tok").orderBy("_pos")
+    w_doc = Window.partitionBy("_id")
+    w = int(window)
+    staged = toks.select(
+        "_id",
+        "_pos",
+        F.coalesce(F.lag("_pos").over(w_prev), F.lit(0)).alias("_prev"),
+        F.count(F.lit(1)).over(w_doc).alias("_len"),
+    )
+    lo = F.greatest(
+        F.col("_pos"), F.col("_prev") + F.lit(w), F.lit(w)
+    )
+    hi = F.least(F.col("_pos") + F.lit(w - 1), F.col("_len"))
+    contrib = F.greatest(F.lit(0), hi - lo + F.lit(1))
+    return (
+        staged.filter(F.col("_len") >= w)
+        .groupBy(F.col("_id").alias(id_col))
+        .agg(
+            F.max("_len").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum(contrib).cast("double")
+                / (
+                    (F.max("_len") - F.lit(w) + F.lit(1)).cast("double")
+                    * F.lit(float(w))
+                ),
+                round_to,
+            ).alias("mattr"),
+        )
+    )

@@ -3419,3 +3419,50 @@ def raking_weights(
     return cells.select(
         "r", "c", "n", F.round("_w", round_to).alias("weight")
     )
+
+
+def grubbs_test(
+    df: DataFrame,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Grubbs' maximum-studentized-deviation test (Grubbs 1950): is the
+    single most extreme value an outlier relative to a normal bulk?
+    ``G = max(x̄−min, max−x̄)/s`` — the one-shot companion to the MAD
+    fence (q_mad_outliers flags many; Grubbs formally tests the worst
+    one, e.g. a suspect daily volume before excluding it from a trend
+    fit).
+
+    Returns ONE row: ``n, g_stat, side, extreme`` (side = which tail
+    supplied the maximum; NULL stat when s = 0 or n < 3).
+
+    Plan: ONE aggregate — min/max/moments in the same pass, closed-form
+    algebra after.  No second scan, no sort.
+    """
+    x = F.col(value_col).cast("double")
+    a = df.filter(x.isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("_s"),
+        F.sum(x * x).alias("_q"),
+        F.min(x).alias("_mn"),
+        F.max(x).alias("_mx"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("_s") / n
+    var = (F.col("_q") - F.col("_s") * F.col("_s") / n) / (n - F.lit(1.0))
+    s = F.sqrt(var)
+    hi_dev = F.col("_mx") - mu
+    lo_dev = mu - F.col("_mn")
+    g = F.greatest(hi_dev, lo_dev) / s
+    return a.select(
+        "n",
+        F.round(
+            F.when((F.col("n") >= 3) & (var > 0), g), round_to
+        ).alias("g_stat"),
+        F.when(hi_dev >= lo_dev, F.lit("high"))
+        .otherwise(F.lit("low"))
+        .alias("side"),
+        F.when(hi_dev >= lo_dev, F.col("_mx"))
+        .otherwise(F.col("_mn"))
+        .alias("extreme"),
+    )

@@ -287,3 +287,29 @@ def test_fd_audit_exact_and_violations(spark):
     # s1: 3 rows, majority en (2) -> 1 violation; s2: 2 rows -> 1
     assert (r2.violations, r2.holds) == (2, False)
     assert r2.g3 == round(2 / 5, 6)
+
+
+def test_dp_noisy_counts_deterministic_and_calibrated(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.audit import (
+        dp_noisy_counts,
+    )
+
+    rows = [("a",)] * 50 + [("b",)] * 30 + [("c",)] * 20
+    df = spark.createDataFrame(rows, ["g"])
+    r1 = {r.g: r for r in dp_noisy_counts(df, "g", epsilon=1.0).collect()}
+    r2 = {r.g: r for r in dp_noisy_counts(df, "g", epsilon=1.0).collect()}
+    assert r1.keys() == {"a", "b", "c"}
+    for g in r1:
+        assert r1[g].noisy_n == r2[g].noisy_n  # deterministic
+        assert r1[g].n in (50, 30, 20)
+        # Laplace(1) noise: |noise| < 23 with prob 1-1e-10; sanity bound
+        assert abs(r1[g].noisy_n - r1[g].n) < 25
+    # a different salt moves the noise
+    r3 = {r.g: r for r in dp_noisy_counts(df, "g", salt="other").collect()}
+    assert any(r3[g].noisy_n != r1[g].noisy_n for g in r1)
+    # tighter epsilon -> strictly larger noise magnitude (same u)
+    r4 = {r.g: r for r in dp_noisy_counts(df, "g", epsilon=0.1).collect()}
+    for g in r1:
+        n = r1[g].n
+        if r1[g].noisy_n != n:
+            assert abs(r4[g].noisy_n - n) > abs(r1[g].noisy_n - n)

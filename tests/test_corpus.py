@@ -696,3 +696,30 @@ def test_hill_tail_boundary_ties_excluded(spark):
     r = hill_tail_index(spark.createDataFrame(rows), "id", "v", k=3).collect()[0]
     assert r.x_kth == 5.0
     assert r.k == 2
+
+
+def test_mattr_closed_form_matches_naive(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        mattr,
+    )
+
+    def naive(tokens, w):
+        wins = [tokens[i:i + w] for i in range(len(tokens) - w + 1)]
+        return sum(len(set(x)) / w for x in wins) / len(wins)
+
+    docs = [
+        (1, "a b a b a b a b"),           # alternating
+        (2, "a a a a a a"),               # constant
+        (3, "a b c d e f g h"),           # all distinct
+        (4, "x y z x x y q r s t u v"),
+        (5, "too short"),                 # < w tokens -> dropped
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    got = {r.doc_id: r for r in mattr(df, "doc_id", "text", window=4).collect()}
+    assert set(got) == {1, 2, 3, 4}
+    for did, text in docs[:4]:
+        toks = text.split()
+        assert got[did].n_tokens == len(toks)
+        assert got[did].mattr == round(naive(toks, 4), 6), did
+    assert got[2].mattr == 0.25  # 1 distinct / w
+    assert got[3].mattr == 1.0

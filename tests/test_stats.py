@@ -1387,3 +1387,33 @@ def test_raking_weights_hits_uniform_marginals(spark):
     # 2-iteration output is deterministic and positive
     out2 = raking_weights(df, "a", "b", iterations=2).collect()
     assert all(r.weight > 0 for r in out2)
+
+
+def test_grubbs_hand_case(spark):
+    import math
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        grubbs_test,
+    )
+
+    xs = [8.0, 9.0, 10.0, 11.0, 12.0, 50.0]
+    n = len(xs)
+    mu = sum(xs) / n
+    s = math.sqrt(sum((x - mu) ** 2 for x in xs) / (n - 1))
+    r = grubbs_test(
+        spark.createDataFrame([(x,) for x in xs], ["v"]), "v"
+    ).collect()[0]
+    assert r.n == n
+    assert r.g_stat == round((50.0 - mu) / s, 6)
+    assert r.side == "high" and r.extreme == 50.0
+
+    lo = grubbs_test(
+        spark.createDataFrame([(-40.0,), (1.0,), (2.0,), (3.0,)], ["v"]),
+        "v",
+    ).collect()[0]
+    assert lo.side == "low" and lo.extreme == -40.0
+
+    const = grubbs_test(
+        spark.createDataFrame([(5.0,), (5.0,), (5.0,)], ["v"]), "v"
+    ).collect()[0]
+    assert const.g_stat is None
