@@ -8487,6 +8487,108 @@ FROM u ORDER BY source
 """
 
 
+def q_cronbach(spark, sf_dir):
+    """Cronbach's alpha over three length-family document signals —
+    character count, whitespace tokens, stopword hits
+    (operators/stats.py cronbach_alpha): do the signals cohere as one
+    "length" construct?  ONE aggregate with per-item and row-sum
+    moments in the same pass."""
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        stopword_count,
+        token_count,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        cronbach_alpha,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
+    return cronbach_alpha(
+        d,
+        [
+            F.col("n_chars").cast("double"),
+            token_count(F.col("text")).cast("double"),
+            stopword_count(F.col("text")).cast("double"),
+        ],
+    )
+
+
+def _cronbach_sql() -> str:
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        STOPWORDS,
+    )
+
+    stop = _stop_sql(STOPWORDS["en"])
+    return f"""
+WITH it AS (SELECT CAST(n_chars AS DOUBLE) AS x0,
+                   CAST({_TOK_SQL} AS DOUBLE) AS x1,
+                   CAST({stop} AS DOUBLE) AS x2
+            FROM (SELECT doc_id, COALESCE(text, '') AS text, n_chars
+                  FROM documents)
+            WHERE n_chars IS NOT NULL),
+a AS (SELECT COUNT(*) AS n,
+             SUM(x0) AS s0, SUM(x0 * x0) AS q0,
+             SUM(x1) AS s1, SUM(x1 * x1) AS q1,
+             SUM(x2) AS s2, SUM(x2 * x2) AS q2,
+             SUM(x0 + x1 + x2) AS st,
+             SUM((x0 + x1 + x2) * (x0 + x1 + x2)) AS qt
+      FROM it)
+SELECT CAST(n AS BIGINT) AS n, 3 AS k,
+       ROUND(CASE WHEN qt / n - (st / n) * (st / n) > 0 THEN
+         1.5 * (1.0 - ((q0 / n - (s0 / n) * (s0 / n))
+                       + (q1 / n - (s1 / n) * (s1 / n))
+                       + (q2 / n - (s2 / n) * (s2 / n)))
+                      / (qt / n - (st / n) * (st / n)))
+       END, 6) AS alpha
+FROM a
+"""
+
+
+def q_icc(spark, sf_dir):
+    """One-way intraclass correlation of per-(user, event-type) mean
+    values with users as blocks (operators/stats.py icc_oneway): what
+    share of metric variance is BETWEEN users?  Balanced design by
+    modal measurement count; per-block moments → one block-cardinality
+    aggregate."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        icc_oneway,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    p = (
+        e.filter(F.col("value").isNotNull())
+        .groupBy("user_id", "event_type")
+        .agg(F.avg("value").alias("v"))
+    )
+    return icc_oneway(p, "user_id", "v")
+
+
+Q_ICC_SQL = """
+WITH d AS (SELECT user_id AS b, AVG(value) AS v FROM events
+           WHERE value IS NOT NULL GROUP BY user_id, event_type),
+pb AS (SELECT b, COUNT(*) AS kb, SUM(v) AS sb, SUM(v * v) AS qb
+       FROM d GROUP BY b),
+km AS (SELECT kb AS k FROM (
+         SELECT kb, COUNT(*) AS c FROM pb GROUP BY kb
+         ORDER BY c DESC, kb DESC LIMIT 1)),
+kept AS (SELECT pb.* FROM pb, km WHERE pb.kb = km.k),
+a AS (SELECT COUNT(*) AS nb, MAX(kb) AS k, SUM(sb) AS s, SUM(qb) AS q,
+             SUM(sb * sb / CAST(kb AS DOUBLE)) AS sb2
+      FROM kept)
+SELECT CAST(nb AS BIGINT) AS n_blocks, CAST(k AS BIGINT) AS k,
+       ROUND(CASE WHEN k > 1 AND nb > 1 AND
+               ((sb2 - s * s / (nb * CAST(k AS DOUBLE))) / (nb - 1.0)
+                + (k - 1.0) * ((q - sb2) / (nb * (k - 1.0)))) > 0
+             THEN ((sb2 - s * s / (nb * CAST(k AS DOUBLE))) / (nb - 1.0)
+                   - (q - sb2) / (nb * (k - 1.0)))
+                  / ((sb2 - s * s / (nb * CAST(k AS DOUBLE))) / (nb - 1.0)
+                     + (k - 1.0) * ((q - sb2) / (nb * (k - 1.0))))
+             END, 6) AS icc
+FROM a
+"""
+
+
 def q_context_window(spark, sf_dir):
     """Rolling SFT-context assembly (packing.context_windows): each event
     paired with the ordered concat of its last 3 event types — the
@@ -13511,6 +13613,8 @@ _QUERIES_PAST_WINDOW = [
     "q_mattr",
     "q_grubbs",
     "q_dp_counts",
+    "q_cronbach",
+    "q_icc",
 
 ]
 
@@ -13663,6 +13767,8 @@ def oracle_sql() -> dict[str, str]:
         "q_mattr": Q_MATTR_SQL,
         "q_grubbs": Q_GRUBBS_SQL,
         "q_dp_counts": Q_DP_COUNTS_SQL,
+        "q_cronbach": _cronbach_sql(),
+        "q_icc": Q_ICC_SQL,
         "q_wilson_rates": Q_WILSON_RATES_SQL,
         "q_fdr_correction": Q_FDR_CORRECTION_SQL,
         "q_mann_kendall": Q_MANN_KENDALL_SQL,

@@ -3466,3 +3466,126 @@ def grubbs_test(
         .otherwise(F.col("_mn"))
         .alias("extreme"),
     )
+
+
+def cronbach_alpha(
+    df: DataFrame,
+    item_cols: list,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cronbach's alpha (Cronbach 1951) over k numeric item columns
+    scored on the same rows: do the items measure ONE underlying
+    construct?  The internal-consistency audit for a composite score
+    (e.g. is a "quality" score built from k signals coherent, or is one
+    signal pulling against the others?).
+
+    ``α = k/(k−1)·(1 − Σᵢvar(itemᵢ)/var(Σᵢitemᵢ))`` with population
+    variances (the n/(n−1) factor cancels in the ratio, so the
+    convention does not matter).
+
+    Returns ONE row: ``n, k, alpha`` (NULL when the total variance is
+    0).  Plan: ONE aggregate — per-item first/second moments plus the
+    row-sum moments in the same pass, map-side combined.
+    """
+    k = len(item_cols)
+    items = [
+        (F.col(c) if isinstance(c, str) else c).cast("double").alias(
+            f"_x{i}"
+        )
+        for i, c in enumerate(item_cols)
+    ]
+    base = df.select(*items)
+    cond = F.lit(True)
+    for i in range(k):
+        cond = cond & F.col(f"_x{i}").isNotNull()
+    base = base.filter(cond)
+    tot = sum(F.col(f"_x{i}") for i in range(k))
+    aggs = [F.count(F.lit(1)).cast("long").alias("n")]
+    for i in range(k):
+        x = F.col(f"_x{i}")
+        aggs += [F.sum(x).alias(f"_s{i}"), F.sum(x * x).alias(f"_q{i}")]
+    aggs += [F.sum(tot).alias("_st"), F.sum(tot * tot).alias("_qt")]
+    a = base.agg(*aggs)
+    n = F.col("n").cast("double")
+    var = lambda s, q: F.col(q) / n - (F.col(s) / n) * (F.col(s) / n)  # noqa: E731
+    item_var = sum(var(f"_s{i}", f"_q{i}") for i in range(k))
+    tot_var = var("_st", "_qt")
+    alpha = (
+        F.lit(k / (k - 1.0)) * (F.lit(1.0) - item_var / tot_var)
+    )
+    return a.select(
+        "n",
+        F.lit(k).alias("k"),
+        F.round(F.when(tot_var > 0, alpha), round_to).alias("alpha"),
+    )
+
+
+def icc_oneway(
+    df: DataFrame,
+    block_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """One-way random-effects intraclass correlation ICC(1,1)
+    (Shrout & Fleiss 1979): what share of measurement variance is
+    BETWEEN blocks rather than within them?  The agreement measure for
+    k repeated measurements per block (balanced design — blocks with a
+    deviating measurement count are dropped so MS degrees of freedom
+    stay exact).
+
+    ``ICC = (MSB − MSW) / (MSB + (k−1)·MSW)`` from the one-way ANOVA
+    mean squares.  Returns ONE row: ``n_blocks, k, icc`` (NULL when
+    the denominator is 0 or k < 2).
+
+    Plan: per-block moment aggregate → modal-k filter on the block
+    frame → one block-cardinality aggregate; the corpus is read once.
+    """
+    v = F.col(value_col).cast("double")
+    per_b = (
+        df.filter(v.isNotNull())
+        .groupBy(F.col(block_col).alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("kb"),
+            F.sum(v).alias("sb"),
+            F.sum(v * v).alias("qb"),
+        )
+    )
+    # balanced design: keep blocks with the MODAL measurement count
+    kmode = (
+        per_b.groupBy("kb")
+        .agg(F.count(F.lit(1)).alias("_c"))
+        .orderBy(F.col("_c").desc(), F.col("kb").desc())
+        .limit(1)
+        .select(F.col("kb").alias("_k"))
+    )
+    kept = per_b.join(F.broadcast(kmode), per_b.kb == F.col("_k"))
+    a = kept.agg(
+        F.count(F.lit(1)).cast("long").alias("n_blocks"),
+        F.max("_k").cast("long").alias("k"),
+        F.sum("sb").alias("_s"),
+        F.sum("qb").alias("_q"),
+        F.sum(F.col("sb") * F.col("sb") / F.col("kb").cast("double")).alias(
+            "_sb2"
+        ),
+    )
+    nb = F.col("n_blocks").cast("double")
+    kk = F.col("k").cast("double")
+    n = nb * kk
+    ssb = F.col("_sb2") - F.col("_s") * F.col("_s") / n
+    ssw = F.col("_q") - F.col("_sb2")
+    msb = ssb / (nb - F.lit(1.0))
+    msw = ssw / (nb * (kk - F.lit(1.0)))
+    icc = (msb - msw) / (msb + (kk - F.lit(1.0)) * msw)
+    return a.select(
+        "n_blocks",
+        "k",
+        F.round(
+            F.when(
+                (F.col("k") > 1)
+                & (F.col("n_blocks") > 1)
+                & (msb + (kk - F.lit(1.0)) * msw > 0),
+                icc,
+            ),
+            round_to,
+        ).alias("icc"),
+    )

@@ -1417,3 +1417,72 @@ def test_grubbs_hand_case(spark):
         spark.createDataFrame([(5.0,), (5.0,), (5.0,)], ["v"]), "v"
     ).collect()[0]
     assert const.g_stat is None
+
+
+def test_cronbach_alpha_reference(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        cronbach_alpha,
+    )
+
+    rows = [
+        (2.0, 3.0, 2.5), (4.0, 4.0, 4.5), (3.0, 3.5, 3.0),
+        (5.0, 4.5, 5.0), (1.0, 2.0, 1.5), (4.5, 5.0, 4.0),
+    ]
+    df = spark.createDataFrame(rows, ["a", "b", "c"])
+    r = cronbach_alpha(df, ["a", "b", "c"]).collect()[0]
+    n, k = len(rows), 3
+
+    def pvar(xs):
+        m = sum(xs) / len(xs)
+        return sum((x - m) ** 2 for x in xs) / len(xs)
+
+    iv = sum(pvar([row[i] for row in rows]) for i in range(k))
+    tv = pvar([sum(row) for row in rows])
+    alpha = k / (k - 1) * (1 - iv / tv)
+    assert (r.n, r.k) == (n, k)
+    assert r.alpha == round(alpha, 6)
+    assert 0.8 < r.alpha <= 1.0  # strongly correlated items
+
+
+def test_cronbach_alpha_uncorrelated_low(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        cronbach_alpha,
+    )
+
+    # anti-correlated items drive alpha negative
+    rows = [(1.0, 5.0), (2.0, 4.0), (3.0, 3.0), (4.0, 2.0), (5.0, 1.0)]
+    r = cronbach_alpha(
+        spark.createDataFrame(rows, ["a", "b"]), ["a", "b"]
+    ).collect()[0]
+    assert r.alpha is None  # sum is constant -> zero total variance
+
+
+def test_icc_oneway_reference(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        icc_oneway,
+    )
+
+    blocks = {
+        1: [9.0, 10.0, 11.0],
+        2: [1.0, 2.0, 3.0],
+        3: [5.0, 5.5, 6.5],
+        4: [14.0, 15.0, 16.0],
+    }
+    rows = [(b, v) for b, vs in blocks.items() for v in vs]
+    # plus one unbalanced block (2 measurements) that must be dropped
+    rows += [(99, 7.0), (99, 8.0)]
+    df = spark.createDataFrame(rows, ["b", "v"])
+    r = icc_oneway(df, "b", "v").collect()[0]
+    nb, k = 4, 3
+    grand = sum(sum(v) for v in blocks.values()) / (nb * k)
+    ssb = sum(
+        k * (sum(v) / k - grand) ** 2 for v in blocks.values()
+    )
+    ssw = sum(
+        (x - sum(v) / k) ** 2 for v in blocks.values() for x in v
+    )
+    msb, msw = ssb / (nb - 1), ssw / (nb * (k - 1))
+    icc = (msb - msw) / (msb + (k - 1) * msw)
+    assert (r.n_blocks, r.k) == (nb, k)
+    assert r.icc == round(icc, 6)
+    assert r.icc > 0.9  # blocks dominate variance
