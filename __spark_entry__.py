@@ -8589,6 +8589,88 @@ FROM a
 """
 
 
+def q_page_hinkley(spark, sf_dir):
+    """Page-Hinkley upward-drift alarm on the daily event-volume series
+    (operators/timeseries.py page_hinkley, δ=0, λ=500): the streaming
+    CUSUM complement to the retrospective q_changepoint fit.  The
+    corpus collapses to a per-day frame first; the three cumulative
+    windows ride metadata."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        page_hinkley,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    s = e.groupBy(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("t")
+    ).agg(F.count(F.lit(1)).cast("double").alias("x"))
+    return page_hinkley(s, "t", "x", delta=0.0, lam=500.0)
+
+
+Q_PAGE_HINKLEY_SQL = """
+WITH s AS (SELECT strftime(ts, '%Y-%m-%d') AS t,
+                  CAST(COUNT(*) AS DOUBLE) AS x
+           FROM events GROUP BY 1),
+w1 AS (SELECT t, x, AVG(x) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+         PRECEDING AND CURRENT ROW) AS mu FROM s),
+w2 AS (SELECT t, SUM(x - mu) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+         PRECEDING AND CURRENT ROW) AS m FROM w1),
+w3 AS (SELECT t, m - MIN(m) OVER (ORDER BY t ROWS BETWEEN UNBOUNDED
+         PRECEDING AND CURRENT ROW) AS ph FROM w2)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+       ROUND(MAX(ph), 6) AS ph_max,
+       MIN(CASE WHEN ph > 500.0 THEN t END) AS alarm_at
+FROM w3
+"""
+
+
+def q_ad_uniform(spark, sf_dir):
+    """Anderson-Darling uniformity audit of the md5 hash-sampler values
+    on a bounded doc sample (operators/audit.py ad_uniformity): the
+    tail-sensitive certification that hash_sample/dataset_split u's
+    are actually uniform.  One row_number window over the audit sample
+    + ONE aggregate."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.audit import (
+        ad_uniformity,
+    )
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") % 17 == 0)
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("ad"), F.col("doc_id").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long").cast("double")
+        + F.lit(0.5)
+    ) / F.lit(4294967296.0)
+    return ad_uniformity(d.select("doc_id", u.alias("u")), "u", "doc_id")
+
+
+Q_AD_UNIFORM_SQL = """
+WITH d AS (SELECT doc_id,
+                  (CAST(('0x' || substr(md5('ad' ||
+                     CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) + 0.5)
+                  / 4294967296.0 AS u
+           FROM documents WHERE doc_id % 17 = 0),
+f AS (SELECT u, doc_id FROM d WHERE u > 0 AND u < 1),
+rk AS (SELECT u, CAST(ROW_NUMBER() OVER (ORDER BY u, doc_id) AS DOUBLE)
+                 AS j,
+              COUNT(*) OVER () AS n
+       FROM f),
+a AS (SELECT MAX(n) AS n,
+             SUM((2.0 * j - 1.0) * LN(u)
+                 + (2.0 * (n - j) + 1.0) * LN(1.0 - u)) AS s
+      FROM rk)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(-CAST(n AS DOUBLE) - s / n, 6) AS a2,
+       (-CAST(n AS DOUBLE) - s / n) < 2.492 AS uniform_ok
+FROM a
+"""
+
+
 def q_context_window(spark, sf_dir):
     """Rolling SFT-context assembly (packing.context_windows): each event
     paired with the ordered concat of its last 3 event types — the
@@ -13615,6 +13697,8 @@ _QUERIES_PAST_WINDOW = [
     "q_dp_counts",
     "q_cronbach",
     "q_icc",
+    "q_page_hinkley",
+    "q_ad_uniform",
 
 ]
 
@@ -13769,6 +13853,8 @@ def oracle_sql() -> dict[str, str]:
         "q_dp_counts": Q_DP_COUNTS_SQL,
         "q_cronbach": _cronbach_sql(),
         "q_icc": Q_ICC_SQL,
+        "q_page_hinkley": Q_PAGE_HINKLEY_SQL,
+        "q_ad_uniform": Q_AD_UNIFORM_SQL,
         "q_wilson_rates": Q_WILSON_RATES_SQL,
         "q_fdr_correction": Q_FDR_CORRECTION_SQL,
         "q_mann_kendall": Q_MANN_KENDALL_SQL,

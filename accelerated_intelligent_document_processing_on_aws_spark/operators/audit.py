@@ -760,3 +760,52 @@ def dp_noisy_counts(
         ),
         F.lit(float(epsilon)).alias("epsilon"),
     )
+
+
+def ad_uniformity(
+    df: DataFrame,
+    value_col: str,
+    id_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Anderson-Darling test of uniformity on (0, 1) (Anderson &
+    Darling 1954, fully-specified case): tail-sensitive
+    goodness-of-fit — the audit that certifies a HASH SAMPLER's
+    uniform values actually behave uniformly (a biased u would skew
+    every downstream hash_sample / dataset_split rate), catching tail
+    defects the chi-square bucket test misses.
+
+    ``A² = −n − (1/n)·Σ_j [(2j−1)·ln u_(j) + (2(n−j)+1)·ln(1−u_(j))]``
+    over the sorted values; 5% asymptotic critical value 2.492.
+
+    Returns ONE row: ``n, a2, uniform_ok``.
+
+    Plan: one global row_number window over the AUDIT SAMPLE (callers
+    bound the input — the test's power saturates long before corpus
+    scale) + ONE aggregate.  ``id_col`` makes the sort total, so the
+    rank assignment is engine-portable even under value ties.
+    """
+    u = F.col(value_col).cast("double")
+    d = df.select(u.alias("_u"), F.col(id_col).alias("_id")).filter(
+        u.isNotNull() & (u > 0) & (u < 1)
+    )
+    w = Window.orderBy("_u", "_id")
+    ranked = d.select(
+        "_u", F.row_number().over(w).cast("double").alias("_j")
+    )
+    nn = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    term = (F.lit(2.0) * F.col("_j") - F.lit(1.0)) * F.log("_u") + (
+        F.lit(2.0) * (F.col("_n").cast("double") - F.col("_j"))
+        + F.lit(1.0)
+    ) * F.log(F.lit(1.0) - F.col("_u"))
+    a = ranked.crossJoin(F.broadcast(nn)).agg(
+        F.max("_n").cast("long").alias("n"),
+        F.sum(term).alias("_s"),
+    )
+    n = F.col("n").cast("double")
+    a2 = -n - F.col("_s") / n
+    return a.select(
+        "n",
+        F.round(a2, round_to).alias("a2"),
+        (a2 < F.lit(2.492)).alias("uniform_ok"),
+    )

@@ -1070,3 +1070,49 @@ def seasonal_strength(decomposed: DataFrame, round_to: int = 6) -> DataFrame:
             round_to,
         ).alias("strength"),
     )
+
+
+def page_hinkley(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    delta: float = 0.0,
+    lam: float = 50.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Page-Hinkley upward-drift detector (Page 1954; the sequential
+    CUSUM variant standard in stream-drift monitoring): over a
+    time-ordered series, ``m_t = Σ_{s≤t}(x_s − μ_s − δ)`` with μ_s the
+    RUNNING mean, and the alarm statistic ``PH_t = m_t − min_{s≤t}
+    m_s``; the first t with PH_t > λ flags a sustained upward shift —
+    drift that a global mean test dilutes away.  The stream-shaped
+    complement to the retrospective q_changepoint least-squares fit.
+
+    Returns ONE row: ``n_points, ph_max, alarm_at`` (alarm_at NULL when
+    the statistic never crosses λ).
+
+    Plan: callers pass an already-aggregated series (e.g. daily
+    counts), so the three cumulative windows (running mean, running
+    sum, running min) ride a metadata-sized frame; the corpus never
+    crosses a global window.
+    """
+    d = df.select(
+        F.col(time_col).alias("_t"),
+        F.col(value_col).cast("double").alias("_x"),
+    ).filter(F.col("_x").isNotNull())
+    w = Window.orderBy("_t").rowsBetween(Window.unboundedPreceding, 0)
+    staged = d.withColumn("_mu", F.avg("_x").over(w))
+    staged = staged.withColumn(
+        "_m", F.sum(F.col("_x") - F.col("_mu") - F.lit(float(delta))).over(w)
+    )
+    staged = staged.withColumn(
+        "_ph", F.col("_m") - F.min("_m").over(w)
+    )
+    a = staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_points"),
+        F.round(F.max("_ph"), round_to).alias("ph_max"),
+        F.min(
+            F.when(F.col("_ph") > F.lit(float(lam)), F.col("_t"))
+        ).alias("alarm_at"),
+    )
+    return a

@@ -313,3 +313,33 @@ def test_dp_noisy_counts_deterministic_and_calibrated(spark):
         n = r1[g].n
         if r1[g].noisy_n != n:
             assert abs(r4[g].noisy_n - n) > abs(r1[g].noisy_n - n)
+
+
+def test_ad_uniformity_reference_and_power(spark):
+    import math
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.audit import (
+        ad_uniformity,
+    )
+
+    # evenly spread values: A2 small, flagged uniform
+    us = [(i + 0.5) / 40 for i in range(40)]
+    rows = [(u, i) for i, u in enumerate(us)]
+    df = spark.createDataFrame(rows, ["u", "id"])
+    n = len(us)
+    s = sum(
+        (2 * j - 1) * math.log(u) + (2 * (n - j) + 1) * math.log(1 - u)
+        for j, u in enumerate(sorted(us), 1)
+    )
+    a2_ref = -n - s / n
+    r = ad_uniformity(df, "u", "id").collect()[0]
+    assert r.n == n
+    assert r.a2 == round(a2_ref, 6)
+    assert r.uniform_ok
+
+    # values piled into (0, 0.1): decisively non-uniform
+    bad = [(0.001 + i * 0.002, i) for i in range(40)]
+    rb = ad_uniformity(
+        spark.createDataFrame(bad, ["u", "id"]), "u", "id"
+    ).collect()[0]
+    assert not rb.uniform_ok and rb.a2 > 10

@@ -444,3 +444,49 @@ def test_seasonal_strength_pure_cycle_vs_noise(spark):
     assert out["cyc"].strength > 0.95   # the cycle explains ~everything
     for r in out.values():
         assert r.strength is None or 0.0 <= r.strength <= 1.0
+
+
+def _ph_reference(xs, delta=0.0):
+    m = 0.0
+    mn = 0.0
+    ph_max = 0.0
+    alarms = []
+    mu_sum = 0.0
+    for t, x in enumerate(xs, 1):
+        mu_sum += x
+        mu = mu_sum / t
+        m += x - mu - delta
+        mn = min(mn, m)
+        ph = m - mn
+        ph_max = max(ph_max, ph)
+        alarms.append(ph)
+    return ph_max, alarms
+
+
+def test_page_hinkley_detects_shift(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        page_hinkley,
+    )
+
+    xs = [10.0, 11.0, 9.0, 10.0, 10.0, 30.0, 31.0, 29.0, 30.0, 31.0]
+    rows = [(t, x) for t, x in enumerate(xs, 1)]
+    df = spark.createDataFrame(rows, ["t", "x"])
+    ph_max, alarms = _ph_reference(xs)
+    r = page_hinkley(df, "t", "x", delta=0.0, lam=20.0).collect()[0]
+    assert r.n_points == 10
+    assert r.ph_max == round(ph_max, 6)
+    want_alarm = next(t for t, p in enumerate(alarms, 1) if p > 20.0)
+    assert r.alarm_at == want_alarm
+
+
+def test_page_hinkley_stable_series_no_alarm(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        page_hinkley,
+    )
+
+    rows = [(t, 10.0 + (t % 2)) for t in range(1, 21)]
+    r = page_hinkley(
+        spark.createDataFrame(rows, ["t", "x"]), "t", "x", lam=5.0
+    ).collect()[0]
+    assert r.alarm_at is None
+    assert r.ph_max < 5.0
