@@ -429,3 +429,169 @@ def delete_where(
         "buckets_rewritten": buckets,
         "snapshot_id": new_snap,
     }
+
+
+# ---------------------------------------------------------------------------
+# Snapshot refs (tags/branches) — Iceberg analog: named refs in table
+# metadata (`ALTER TABLE ... CREATE TAG`).  A ref is one atomic JSON file
+# under _manifest/refs/, so retargeting is an os.replace and readers never
+# observe a torn ref.
+# ---------------------------------------------------------------------------
+
+
+def tag_snapshot(table_path: str, ref: str, snap_id: str) -> None:
+    """Create or retarget a named ref (tag) to a committed snapshot —
+    the "prod points at the validated snapshot" workflow: consumers
+    read by STABLE NAME while new snapshots land, and promotion is one
+    atomic ref move, never a data copy.  Raises on unknown snapshots so
+    a typo can't publish an unreadable ref."""
+    if not any(
+        r["snapshot_id"] == snap_id for r in list_snapshots(table_path)
+    ):
+        raise KeyError(
+            f"cannot tag unknown snapshot {snap_id!r} under {table_path}"
+        )
+    rdir = os.path.join(table_path, "_manifest", "refs")
+    os.makedirs(rdir, exist_ok=True)
+    p = os.path.join(rdir, f"{ref}.json")
+    with open(p + ".tmp", "w") as fh:
+        json.dump({"ref": ref, "snapshot_id": snap_id, "ts": time.time()}, fh)
+    os.replace(p + ".tmp", p)
+
+
+def list_refs(table_path: str) -> dict:
+    """ref name → snapshot id (Iceberg analog: the ``refs`` metadata
+    table)."""
+    rdir = os.path.join(table_path, "_manifest", "refs")
+    if not os.path.isdir(rdir):
+        return {}
+    out = {}
+    for f in sorted(os.listdir(rdir)):
+        if f.endswith(".json"):
+            with open(os.path.join(rdir, f)) as fh:
+                rec = json.load(fh)
+            out[rec["ref"]] = rec["snapshot_id"]
+    return out
+
+
+def drop_ref(table_path: str, ref: str) -> bool:
+    p = os.path.join(table_path, "_manifest", "refs", f"{ref}.json")
+    if os.path.isfile(p):
+        os.remove(p)
+        return True
+    return False
+
+
+def read_by_ref(spark: SparkSession, path: str, ref: str) -> DataFrame:
+    """Read the table as of the snapshot a named ref points at
+    (Iceberg analog: ``VERSION AS OF 'tag'``)."""
+    refs = list_refs(path)
+    if ref not in refs:
+        raise KeyError(f"no ref {ref!r} under {path}")
+    return read_as_of(spark, path, refs[ref])
+
+
+# ---------------------------------------------------------------------------
+# Schema evolution — Iceberg analog: ADD COLUMN with an initial default /
+# DROP COLUMN, recorded as ordered metadata records; data files are NEVER
+# rewritten.  Reads resolve per-FILE: a file whose parquet footer lacks an
+# added column was written before the evolution, so its rows read as the
+# column's initial default — exactly Iceberg's initial-default semantics
+# (an explicit NULL written AFTER the add stays NULL; naive
+# coalesce-after-mergeSchema would conflate the two).  RENAME is out of
+# scope: it needs Iceberg's field-id indirection, which plain parquet
+# lacks — documented, not emulated.
+# ---------------------------------------------------------------------------
+
+
+def _schema_records(table_path: str) -> list:
+    sdir = os.path.join(table_path, "_manifest")
+    if not os.path.isdir(sdir):
+        return []
+    recs = []
+    for f in os.listdir(sdir):
+        if f.startswith("schema-") and f.endswith(".json"):
+            with open(os.path.join(sdir, f)) as fh:
+                recs.append(json.load(fh))
+    return sorted(recs, key=lambda r: r["version"])
+
+
+def _write_schema_record(table_path: str, rec: dict) -> None:
+    sdir = os.path.join(table_path, "_manifest")
+    os.makedirs(sdir, exist_ok=True)
+    version = len(_schema_records(table_path)) + 1
+    rec = {"version": version, "ts": time.time(), **rec}
+    p = os.path.join(sdir, f"schema-{version:05d}.json")
+    with open(p + ".tmp", "w") as fh:
+        json.dump(rec, fh)
+    os.replace(p + ".tmp", p)
+
+
+def evolve_add_column(
+    table_path: str, name: str, dtype: str, default=None
+) -> None:
+    """Record an ADD COLUMN evolution (Iceberg: ``ALTER TABLE ... ADD
+    COLUMN``): no data file is touched; files that predate the record
+    read the column as ``default`` (cast to ``dtype``)."""
+    _write_schema_record(
+        table_path,
+        {"op": "add", "name": name, "dtype": dtype, "default": default},
+    )
+
+
+def evolve_drop_column(table_path: str, name: str) -> None:
+    """Record a DROP COLUMN evolution: the column disappears from reads
+    (old files keep the bytes — drop is metadata-only, like Iceberg)."""
+    _write_schema_record(table_path, {"op": "drop", "name": name})
+
+
+def read_table_evolved(spark: SparkSession, path: str) -> DataFrame:
+    """Read a table applying its recorded schema evolution.
+
+    Per-file resolution: data files are grouped by WHICH added columns
+    their parquet footer already carries (a driver-side footer scan —
+    metadata-sized, one pyarrow ``read_schema`` per file, no data read);
+    each group scans with ``basePath`` so hive partition columns
+    resolve, missing added columns are filled with their recorded
+    initial default, and the groups union by name.  Drops apply last.
+    With no evolution records this is a plain parquet read.
+    """
+    recs = _schema_records(path)
+    if not recs:
+        return spark.read.parquet(path)
+    adds = [r for r in recs if r["op"] == "add"]
+    drops = [r["name"] for r in recs if r["op"] == "drop"]
+    import pyarrow.parquet as pq
+
+    groups: dict = {}
+    for rel, _size in _data_files(path):
+        fp = os.path.join(path, rel)
+        cols = set(pq.read_schema(fp).names)
+        missing = tuple(
+            sorted(a["name"] for a in adds if a["name"] not in cols)
+        )
+        groups.setdefault(missing, []).append(fp)
+    add_by_name = {a["name"]: a for a in adds}
+    parts = []
+    for missing, files in sorted(groups.items()):
+        df = spark.read.option("basePath", path).parquet(*files)
+        for name in missing:
+            a = add_by_name[name]
+            df = df.withColumn(
+                name, F.lit(a["default"]).cast(a["dtype"])
+            )
+        # added columns present in the footer still cast to the
+        # recorded type so the union is type-stable across groups
+        for a in adds:
+            if a["name"] not in missing:
+                df = df.withColumn(
+                    a["name"], F.col(a["name"]).cast(a["dtype"])
+                )
+        parts.append(df)
+    out = parts[0]
+    for p_df in parts[1:]:
+        out = out.unionByName(p_df, allowMissingColumns=True)
+    for name in drops:
+        if name in out.columns:
+            out = out.drop(name)
+    return out
