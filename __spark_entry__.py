@@ -8671,6 +8671,147 @@ FROM a
 """
 
 
+def q_lda(spark, sf_dir):
+    """Fisher linear discriminant separating English documents from the
+    rest on (token count, stopword hits) (operators/mlfit.py
+    lda_fisher2): the closed-form moment-algebra classifier baseline
+    next to the Newton-fit q_platt — per-class moments in ONE
+    aggregate, 2×2 inverse on the 1-row frame, one literal-folded
+    scoring pass for training accuracy."""
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        stopword_count,
+        token_count,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        lda_fisher2,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
+    return lda_fisher2(
+        d,
+        (F.col("lang") == "en"),
+        token_count(F.col("text")),
+        stopword_count(F.col("text")),
+    )
+
+
+def _lda_sql() -> str:
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        STOPWORDS,
+    )
+
+    stop = _stop_sql(STOPWORDS["en"])
+    return f"""
+WITH d AS (SELECT CAST(lang = 'en' AS INT) AS y,
+                  CAST({_TOK_SQL} AS DOUBLE) AS x1,
+                  CAST({stop} AS DOUBLE) AS x2
+           FROM (SELECT COALESCE(text, '') AS text, lang
+                 FROM documents)),
+pc AS (SELECT y, COUNT(*) AS n, SUM(x1) AS s1, SUM(x2) AS s2,
+              SUM(x1 * x1) AS q11, SUM(x1 * x2) AS q12,
+              SUM(x2 * x2) AS q22
+       FROM d GROUP BY y),
+w AS (SELECT
+        MAX(CASE WHEN y = 0 THEN CAST(n AS DOUBLE) END) AS n0,
+        MAX(CASE WHEN y = 1 THEN CAST(n AS DOUBLE) END) AS n1,
+        MAX(CASE WHEN y = 0 THEN s1 END) AS s10,
+        MAX(CASE WHEN y = 0 THEN s2 END) AS s20,
+        MAX(CASE WHEN y = 1 THEN s1 END) AS s11_,
+        MAX(CASE WHEN y = 1 THEN s2 END) AS s21_,
+        MAX(CASE WHEN y = 0 THEN q11 END) AS q110,
+        MAX(CASE WHEN y = 0 THEN q12 END) AS q120,
+        MAX(CASE WHEN y = 0 THEN q22 END) AS q220,
+        MAX(CASE WHEN y = 1 THEN q11 END) AS q111,
+        MAX(CASE WHEN y = 1 THEN q12 END) AS q121,
+        MAX(CASE WHEN y = 1 THEN q22 END) AS q221
+      FROM pc),
+m AS (SELECT n0, n1,
+             s10 / n0 AS a1, s20 / n0 AS a2,
+             s11_ / n1 AS b1, s21_ / n1 AS b2,
+             (q110 - n0 * (s10 / n0) * (s10 / n0))
+               + (q111 - n1 * (s11_ / n1) * (s11_ / n1)) AS sw11,
+             (q120 - n0 * (s10 / n0) * (s20 / n0))
+               + (q121 - n1 * (s11_ / n1) * (s21_ / n1)) AS sw12,
+             (q220 - n0 * (s20 / n0) * (s20 / n0))
+               + (q221 - n1 * (s21_ / n1) * (s21_ / n1)) AS sw22
+      FROM w),
+p AS (SELECT n0, n1, a1, a2, b1, b2,
+             (sw22 * (b1 - a1) - sw12 * (b2 - a2))
+               / (sw11 * sw22 - sw12 * sw12) AS w1,
+             (-sw12 * (b1 - a1) + sw11 * (b2 - a2))
+               / (sw11 * sw22 - sw12 * sw12) AS w2
+      FROM m),
+pp AS (SELECT n0, n1, w1, w2,
+              w1 * (a1 + b1) / 2.0 + w2 * (a2 + b2) / 2.0 AS c
+       FROM p),
+acc AS (SELECT AVG(CASE WHEN (w1 * x1 + w2 * x2 > c) = (y = 1)
+                        THEN 1.0 ELSE 0.0 END) AS a
+        FROM d, pp)
+SELECT CAST(n0 + n1 AS BIGINT) AS n, CAST(n1 AS BIGINT) AS n1,
+       ROUND(w1, 6) AS w1, ROUND(w2, 6) AS w2, ROUND(c, 6) AS c,
+       ROUND(a, 6) AS accuracy
+FROM pp, acc
+"""
+
+
+def q_mahalanobis(spark, sf_dir):
+    """Mahalanobis D² outlier screen over (n_chars, token count)
+    (operators/mlfit.py mahalanobis_outliers, χ²(2) 1% fence): the
+    correlation-aware joint fence that catches points inside both
+    marginal MAD fences but off the length ridge.  ONE moment
+    aggregate, closed-form 2×2 inverse, one literal-folded scoring
+    aggregate."""
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        token_count,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        mahalanobis_outliers,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
+    return mahalanobis_outliers(
+        d, F.col("n_chars"), token_count(F.col("text"))
+    )
+
+
+Q_MAHALANOBIS_SQL = f"""
+WITH d AS (SELECT CAST(n_chars AS DOUBLE) AS x1,
+                  CAST({_TOK_SQL} AS DOUBLE) AS x2
+           FROM (SELECT COALESCE(text, '') AS text, n_chars
+                 FROM documents)
+           WHERE n_chars IS NOT NULL),
+m AS (SELECT COUNT(*) AS n, AVG(x1) AS m1, AVG(x2) AS m2,
+             SUM(x1 * x1) AS q11, SUM(x1 * x2) AS q12,
+             SUM(x2 * x2) AS q22
+      FROM d),
+c AS (SELECT n, m1, m2,
+             (q11 - n * m1 * m1) / (n - 1.0) AS c11,
+             (q12 - n * m1 * m2) / (n - 1.0) AS c12,
+             (q22 - n * m2 * m2) / (n - 1.0) AS c22
+      FROM m),
+i AS (SELECT n, m1, m2,
+             c22 / (c11 * c22 - c12 * c12) AS i11,
+             -c12 / (c11 * c22 - c12 * c12) AS i12,
+             c11 / (c11 * c22 - c12 * c12) AS i22
+      FROM c),
+sc AS (SELECT i.n, i11 * (x1 - m1) * (x1 - m1)
+              + 2.0 * i12 * (x1 - m1) * (x2 - m2)
+              + i22 * (x2 - m2) * (x2 - m2) AS d2
+       FROM d, i)
+SELECT CAST(MAX(n) AS BIGINT) AS n,
+       CAST(SUM(CASE WHEN d2 > 9.21034 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_outliers,
+       ROUND(SUM(CASE WHEN d2 > 9.21034 THEN 1 ELSE 0 END)
+             / CAST(MAX(n) AS DOUBLE), 6) AS outlier_rate,
+       ROUND(MAX(d2), 6) AS d2_max
+FROM sc
+"""
+
+
 def q_context_window(spark, sf_dir):
     """Rolling SFT-context assembly (packing.context_windows): each event
     paired with the ordered concat of its last 3 event types — the
@@ -13699,6 +13840,8 @@ _QUERIES_PAST_WINDOW = [
     "q_icc",
     "q_page_hinkley",
     "q_ad_uniform",
+    "q_lda",
+    "q_mahalanobis",
 
 ]
 
@@ -13855,6 +13998,8 @@ def oracle_sql() -> dict[str, str]:
         "q_icc": Q_ICC_SQL,
         "q_page_hinkley": Q_PAGE_HINKLEY_SQL,
         "q_ad_uniform": Q_AD_UNIFORM_SQL,
+        "q_lda": _lda_sql(),
+        "q_mahalanobis": Q_MAHALANOBIS_SQL,
         "q_wilson_rates": Q_WILSON_RATES_SQL,
         "q_fdr_correction": Q_FDR_CORRECTION_SQL,
         "q_mann_kendall": Q_MANN_KENDALL_SQL,

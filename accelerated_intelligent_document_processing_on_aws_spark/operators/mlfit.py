@@ -964,3 +964,166 @@ def iv_2sls(
         F.round(beta_iv, round_to).alias("beta_iv"),
         F.round(fstat, round_to).alias("first_stage_f"),
     )
+
+
+def lda_fisher2(
+    df: DataFrame,
+    label_col,
+    f1_col,
+    f2_col,
+    round_to: int = 6,
+) -> DataFrame:
+    """Fisher linear discriminant for two classes over two features
+    (Fisher 1936): the closed-form linear classifier
+    ``w = S_w⁻¹(μ₁ − μ₀)`` with the pooled within-class scatter S_w —
+    the moment-algebra baseline that needs no iterations at all (the
+    sanity anchor next to the Newton-fit logistic_platt: if LDA
+    separates, the expensive fit should too).
+
+    Also reports the threshold ``c = w·(μ₀+μ₁)/2`` (classify 1 when
+    ``w·x > c``) and the training accuracy of that rule.
+
+    Returns ONE row: ``n, n1, w1, w2, c, accuracy`` (weights NULL when
+    S_w is singular).
+
+    Plan: ONE corpus aggregate to per-class first/second moments
+    (map-side combined), closed-form 2×2 inverse on the 1-row frame,
+    then ONE scoring pass with the weights as literals folded into the
+    plan (no second shuffle, no Python).
+    """
+    y = (F.col(label_col) if isinstance(label_col, str) else label_col).cast(
+        "int"
+    )
+    x1 = (F.col(f1_col) if isinstance(f1_col, str) else f1_col).cast("double")
+    x2 = (F.col(f2_col) if isinstance(f2_col, str) else f2_col).cast("double")
+    base = df.select(
+        y.alias("_y"), x1.alias("_x1"), x2.alias("_x2")
+    ).filter(
+        F.col("_y").isNotNull()
+        & F.col("_x1").isNotNull()
+        & F.col("_x2").isNotNull()
+    )
+    per_c = base.groupBy("_y").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x1").alias("s1"),
+        F.sum("_x2").alias("s2"),
+        F.sum(F.col("_x1") * F.col("_x1")).alias("q11"),
+        F.sum(F.col("_x1") * F.col("_x2")).alias("q12"),
+        F.sum(F.col("_x2") * F.col("_x2")).alias("q22"),
+    )
+    rows = {int(r["_y"]): r for r in per_c.collect()}
+    if sorted(rows) != [0, 1]:
+        raise ValueError("lda_fisher2 needs exactly the labels {0, 1}")
+
+    def stats(r):
+        n = float(r["n"])
+        m1, m2 = r["s1"] / n, r["s2"] / n
+        # within-class scatter (sum of squares about the class mean)
+        s11 = r["q11"] - n * m1 * m1
+        s12 = r["q12"] - n * m1 * m2
+        s22 = r["q22"] - n * m2 * m2
+        return n, m1, m2, s11, s12, s22
+
+    n0, a1, a2, s11a, s12a, s22a = stats(rows[0])
+    n1, b1, b2, s11b, s12b, s22b = stats(rows[1])
+    sw11, sw12, sw22 = s11a + s11b, s12a + s12b, s22a + s22b
+    det = sw11 * sw22 - sw12 * sw12
+    spark = df.sparkSession
+    if det == 0:
+        return spark.createDataFrame(
+            [(int(n0 + n1), int(n1), None, None, None, None)],
+            "n long, n1 long, w1 double, w2 double, c double, "
+            "accuracy double",
+        )
+    d1, d2 = b1 - a1, b2 - a2
+    w1 = (sw22 * d1 - sw12 * d2) / det
+    w2 = (-sw12 * d1 + sw11 * d2) / det
+    c = w1 * (a1 + b1) / 2.0 + w2 * (a2 + b2) / 2.0
+    score = F.lit(w1) * F.col("_x1") + F.lit(w2) * F.col("_x2")
+    acc = base.agg(
+        F.avg(
+            ((score > F.lit(c)).cast("int") == F.col("_y")).cast("double")
+        ).alias("acc")
+    ).collect()[0]["acc"]
+    out = [(
+        int(n0 + n1),
+        int(n1),
+        round(w1, round_to),
+        round(w2, round_to),
+        round(c, round_to),
+        round(float(acc), round_to),
+    )]
+    return spark.createDataFrame(
+        out,
+        "n long, n1 long, w1 double, w2 double, c double, accuracy double",
+    )
+
+
+def mahalanobis_outliers(
+    df: DataFrame,
+    f1_col,
+    f2_col,
+    threshold: float = 9.21034,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mahalanobis-distance outlier screen over two features: D²(x) =
+    (x−μ)ᵀ Σ⁻¹ (x−μ) with the sample covariance — the CORRELATION-aware
+    multivariate fence (a point can be inside both marginal MAD fences
+    yet wildly off the joint ridge; D² catches it).  Default threshold
+    9.21 = χ²(2) at 1%.
+
+    Returns ONE row: ``n, n_outliers, outlier_rate, d2_max`` (NULL
+    stats when the covariance is singular).
+
+    Plan: ONE moment aggregate → closed-form 2×2 inverse driver-side
+    (6 scalars) → ONE scoring aggregate with the inverse folded in as
+    literals.  Two corpus scans, zero shuffles beyond the aggregates,
+    zero Python in the scoring path.
+    """
+    x1 = (F.col(f1_col) if isinstance(f1_col, str) else f1_col).cast("double")
+    x2 = (F.col(f2_col) if isinstance(f2_col, str) else f2_col).cast("double")
+    base = df.select(x1.alias("_x1"), x2.alias("_x2")).filter(
+        F.col("_x1").isNotNull() & F.col("_x2").isNotNull()
+    )
+    m = base.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg("_x1").alias("m1"),
+        F.avg("_x2").alias("m2"),
+        F.sum(F.col("_x1") * F.col("_x1")).alias("q11"),
+        F.sum(F.col("_x1") * F.col("_x2")).alias("q12"),
+        F.sum(F.col("_x2") * F.col("_x2")).alias("q22"),
+    ).collect()[0]
+    n = float(m["n"])
+    spark = df.sparkSession
+    schema = (
+        "n long, n_outliers long, outlier_rate double, d2_max double"
+    )
+    if n < 3:
+        return spark.createDataFrame([(int(n), None, None, None)], schema)
+    c11 = (m["q11"] - n * m["m1"] * m["m1"]) / (n - 1.0)
+    c12 = (m["q12"] - n * m["m1"] * m["m2"]) / (n - 1.0)
+    c22 = (m["q22"] - n * m["m2"] * m["m2"]) / (n - 1.0)
+    det = c11 * c22 - c12 * c12
+    if det <= 0:
+        return spark.createDataFrame([(int(n), None, None, None)], schema)
+    i11, i12, i22 = c22 / det, -c12 / det, c11 / det
+    d1 = F.col("_x1") - F.lit(m["m1"])
+    d2c = F.col("_x2") - F.lit(m["m2"])
+    d2 = (
+        F.lit(i11) * d1 * d1
+        + F.lit(2.0 * i12) * d1 * d2c
+        + F.lit(i22) * d2c * d2c
+    )
+    a = base.agg(
+        F.sum((d2 > F.lit(float(threshold))).cast("long")).alias("k"),
+        F.max(d2).alias("mx"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(
+            int(n),
+            int(a["k"]),
+            round(a["k"] / n, round_to),
+            round(float(a["mx"]), round_to),
+        )],
+        schema,
+    )

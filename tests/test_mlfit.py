@@ -394,3 +394,73 @@ def test_iv_2sls_irrelevant_instrument_null(spark):
     ).collect()[0]
     assert r.beta_iv is None  # constant instrument: Cov(z,x) = 0
     assert r.beta_ols is not None
+
+
+def test_lda_fisher2_separable_hand_case(spark):
+    import numpy as np
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        lda_fisher2,
+    )
+
+    cls0 = [
+        (0, 1.0 + 0.1 * i, 2.0 + 0.07 * ((i * 3) % 5)) for i in range(10)
+    ]
+    cls1 = [
+        (1, 5.0 + 0.1 * i, 6.0 + 0.07 * ((i * 7) % 5)) for i in range(10)
+    ]
+    rows = cls0 + cls1
+    r = lda_fisher2(
+        spark.createDataFrame(rows, ["y", "x1", "x2"]), "y", "x1", "x2"
+    ).collect()[0]
+    assert (r.n, r.n1) == (20, 10)
+    assert r.accuracy == 1.0  # linearly separable
+
+    # numpy reference for the weights
+    X0 = np.array([(a, b) for _, a, b in cls0])
+    X1 = np.array([(a, b) for _, a, b in cls1])
+    sw = np.zeros((2, 2))
+    for X in (X0, X1):
+        d = X - X.mean(0)
+        sw += d.T @ d
+    w = np.linalg.solve(sw, X1.mean(0) - X0.mean(0))
+    assert r.w1 == round(float(w[0]), 6)
+    assert r.w2 == round(float(w[1]), 6)
+
+
+def test_lda_fisher2_singular_scatter_null(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        lda_fisher2,
+    )
+
+    # x2 = 2*x1 within each class -> scatter singular
+    rows = [(0, 1.0, 2.0), (0, 2.0, 4.0), (1, 5.0, 10.0), (1, 6.0, 12.0)]
+    r = lda_fisher2(
+        spark.createDataFrame(rows, ["y", "x1", "x2"]), "y", "x1", "x2"
+    ).collect()[0]
+    assert r.w1 is None and r.accuracy is None
+
+
+def test_mahalanobis_outliers_catches_joint_outlier(spark):
+    import numpy as np
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        mahalanobis_outliers,
+    )
+
+    # tight correlated cloud on x2 = x1 + small jitter...
+    pts = [(float(i), float(i) + 0.1 * ((i % 3) - 1)) for i in range(20)]
+    # ...plus one point inside both marginals but OFF the ridge
+    pts.append((5.0, 15.0))
+    df = spark.createDataFrame(pts, ["x1", "x2"])
+    r = mahalanobis_outliers(df, "x1", "x2").collect()[0]
+    assert r.n == 21
+    assert r.n_outliers >= 1
+
+    X = np.array(pts)
+    mu = X.mean(0)
+    cov = np.cov(X.T)
+    inv = np.linalg.inv(cov)
+    d2 = [(p - mu) @ inv @ (p - mu) for p in X]
+    assert r.d2_max == round(float(max(d2)), 6)
+    assert r.n_outliers == sum(1 for d in d2 if d > 9.21034)
