@@ -8812,6 +8812,132 @@ FROM sc
 """
 
 
+def q_holm(spark, sf_dir):
+    """Holm step-down family-wise correction over the 45 per-source-
+    pair English-rate z-tests (operators/stats.py holm_bonferroni,
+    α=0.05): the FWER companion to q_fdr_correction's BH-FDR on the
+    SAME hypothesis family — p-values from the certified rounded z via
+    the A&S 7.1.26 tail both engines evaluate identically."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        holm_bonferroni,
+        normal_sf,
+        prop_ztest_pairs,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    zt = prop_ztest_pairs(d, "source", F.col("lang") == "en").filter(
+        F.col("z").isNotNull()
+    )
+    withp = zt.select(
+        "group_a",
+        "group_b",
+        F.round(F.lit(2.0) * normal_sf(F.abs(F.col("z"))), 6).alias("p"),
+    )
+    return (
+        holm_bonferroni(withp, "p", ["group_a", "group_b"], alpha=0.05)
+        .select("group_a", "group_b", "p", "p_rank", "m", "p_adj", "reject")
+        .transform(_by("group_a", "group_b"))
+    )
+
+
+Q_HOLM_SQL = """
+WITH g AS (
+  SELECT source AS g, COUNT(*) AS n,
+         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS s
+  FROM documents GROUP BY 1),
+pr AS (
+  SELECT a.g AS group_a, b.g AS group_b,
+         CAST(a.s AS DOUBLE) / a.n AS p1, CAST(b.s AS DOUBLE) / b.n AS p2,
+         CAST(a.s + b.s AS DOUBLE) / (a.n + b.n) AS pp,
+         a.n AS n_a, b.n AS n_b
+  FROM g a JOIN g b ON a.g < b.g),
+zt AS (
+  SELECT group_a, group_b,
+         ROUND(CASE WHEN pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b) > 0
+                    THEN (p1 - p2)
+                         / sqrt(pp * (1.0 - pp) * (1.0 / n_a + 1.0 / n_b))
+               END, 6) AS z
+  FROM pr),
+pv AS (
+  SELECT group_a, group_b,
+         ROUND(2 * (exp(-0.5 * abs(z) * abs(z)) / 2.5066282746310002)
+                 * ((1.0 / (1.0 + 0.2316419 * abs(z)))
+                    * (0.319381530 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                       * (-0.356563782 + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                          * (1.781477937
+                             + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                               * (-1.821255978
+                                  + (1.0 / (1.0 + 0.2316419 * abs(z)))
+                                    * 1.330274429))))), 6) AS p
+  FROM zt WHERE z IS NOT NULL),
+rk AS (
+  SELECT group_a, group_b, p,
+         CAST(ROW_NUMBER() OVER (ORDER BY p, group_a, group_b) AS INT)
+           AS p_rank,
+         COUNT(*) OVER () AS m
+  FROM pv),
+adj AS (
+  SELECT *, ROUND(MAX(LEAST(1.0, (m - p_rank + 1) * p))
+                    OVER (ORDER BY p_rank ROWS BETWEEN UNBOUNDED
+                          PRECEDING AND CURRENT ROW), 6) AS p_adj
+  FROM rk)
+SELECT group_a, group_b, p, p_rank, m, p_adj,
+       p_adj <= 0.05 AS reject
+FROM adj ORDER BY group_a, group_b
+"""
+
+
+def q_exp_fit(spark, sf_dir):
+    """Exponential inter-arrival fit + one-sample KS on a bounded
+    audit sample of per-user event gaps (operators/stats.py
+    exp_interarrival_fit): are arrivals memoryless, formally — the
+    test behind every queueing/capacity assumption and the q_burstiness
+    narrative.  One lead() window builds gaps; the KS rank window rides
+    only the audit sample."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        exp_interarrival_fit,
+    )
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events").filter(F.col("user_id") % 13 == 0)
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = e.select(
+        "event_id",
+        (
+            (
+                F.lead(F.unix_micros(F.col("ts").cast("timestamp"))).over(w)
+                - F.unix_micros(F.col("ts").cast("timestamp"))
+            ).cast("double")
+            / F.lit(1000000.0)
+        ).alias("g"),
+    ).filter(F.col("g").isNotNull())
+    return exp_interarrival_fit(gaps, "g", "event_id")
+
+
+Q_EXP_FIT_SQL = """
+WITH gp AS (SELECT event_id,
+                   (LEAD(epoch_us(ts)) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) - epoch_us(ts))
+                   / 1000000.0 AS g
+            FROM events WHERE user_id % 13 = 0),
+f AS (SELECT g, event_id FROM gp WHERE g IS NOT NULL AND g > 0),
+m AS (SELECT AVG(g) AS mu, COUNT(*) AS n FROM f),
+rk AS (SELECT g, mu, n,
+              CAST(ROW_NUMBER() OVER (ORDER BY g, event_id) AS DOUBLE)
+                AS j
+       FROM f, m),
+a AS (SELECT MAX(n) AS n, MAX(mu) AS mu,
+             MAX(GREATEST(j / n - (1.0 - EXP(-g / mu)),
+                          (1.0 - EXP(-g / mu)) - (j - 1.0) / n)) AS d
+      FROM rk)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(1.0 / mu, 6) AS lambda_hat,
+       ROUND(d, 6) AS ks_d,
+       ROUND(SQRT(CAST(n AS DOUBLE)) * d, 6) AS sqrt_n_d
+FROM a
+"""
+
+
 def q_context_window(spark, sf_dir):
     """Rolling SFT-context assembly (packing.context_windows): each event
     paired with the ordered concat of its last 3 event types — the
@@ -13842,6 +13968,8 @@ _QUERIES_PAST_WINDOW = [
     "q_ad_uniform",
     "q_lda",
     "q_mahalanobis",
+    "q_holm",
+    "q_exp_fit",
 
 ]
 
@@ -14000,6 +14128,8 @@ def oracle_sql() -> dict[str, str]:
         "q_ad_uniform": Q_AD_UNIFORM_SQL,
         "q_lda": _lda_sql(),
         "q_mahalanobis": Q_MAHALANOBIS_SQL,
+        "q_holm": Q_HOLM_SQL,
+        "q_exp_fit": Q_EXP_FIT_SQL,
         "q_wilson_rates": Q_WILSON_RATES_SQL,
         "q_fdr_correction": Q_FDR_CORRECTION_SQL,
         "q_mann_kendall": Q_MANN_KENDALL_SQL,

@@ -3589,3 +3589,101 @@ def icc_oneway(
             round_to,
         ).alias("icc"),
     )
+
+
+def holm_bonferroni(
+    df: DataFrame,
+    p_col: str,
+    tiebreak_cols: list[str],
+    alpha: float = 0.05,
+    round_to: int = 6,
+) -> DataFrame:
+    """Holm step-down correction (Holm 1979) over a family of m
+    hypotheses: the FAMILY-WISE error guard (any false positive at all)
+    complementing :func:`bh_fdr`'s false-discovery RATE — the right
+    control when one wrong "significant" pair triggers an expensive
+    action.  Uniformly more powerful than plain Bonferroni, no
+    independence assumption.
+
+    Adjusted p: rank ascending, ``p̃_(i) = max_{j≤i} min(1,
+    (m−j+1)·p_(j))`` (the running max enforces step-down
+    monotonicity); reject while p̃ ≤ α.
+
+    Columns: input + ``p_rank, m, p_adj, reject``.
+
+    Scale shape: the family is groups-sized; one unpartitioned rank
+    window + one running max over that metadata frame (bh_fdr's
+    discipline; callers pass already-rounded p-values).
+    """
+    w = Window.orderBy(F.col(p_col).asc(), *[F.col(c) for c in tiebreak_cols])
+    wall = Window.partitionBy()
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = (
+        df.withColumn("p_rank", F.row_number().over(w))
+        .withColumn("m", F.count(F.lit(1)).over(wall))
+    )
+    step = F.least(
+        F.lit(1.0),
+        (F.col("m") - F.col("p_rank") + F.lit(1)).cast("double")
+        * F.col(p_col),
+    )
+    adj = F.max(step).over(wcum)
+    return ranked.withColumn("p_adj", F.round(adj, round_to)).withColumn(
+        "reject", F.col("p_adj") <= F.lit(float(alpha))
+    )
+
+
+def exp_interarrival_fit(
+    df: DataFrame,
+    gap_col: str,
+    id_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Exponential fit + one-sample Kolmogorov-Smirnov GoF for
+    inter-arrival gaps: ``λ̂ = 1/mean`` (the MLE), then
+    ``D = max_j max(j/n − F(x_(j)), F(x_(j)) − (j−1)/n)`` against
+    ``F(x) = 1 − e^(−λ̂x)`` — the Poisson-process sanity check behind
+    every queueing/capacity assumption ("arrivals are memoryless") and
+    the burstiness story q_burstiness tells, now as a formal test.
+
+    Returns ONE row: ``n, lambda_hat, ks_d, sqrt_n_d`` (√n·D ≳ 1.36
+    rejects exponentiality at 5%, Lilliefors-conservative since λ̂ is
+    estimated).
+
+    Plan: callers pass a BOUNDED audit sample of gaps (the test's
+    power saturates long before corpus scale); one mean aggregate
+    broadcast back, one rank window over the sample, ONE aggregate.
+    ``id_col`` totalizes the sort for engine-portable ranks.
+    """
+    g = F.col(gap_col).cast("double")
+    d = df.select(g.alias("_g"), F.col(id_col).alias("_id")).filter(
+        g.isNotNull() & (g > 0)
+    )
+    mean_row = d.agg(
+        F.avg("_g").alias("_mu"), F.count(F.lit(1)).alias("_n")
+    )
+    w = Window.orderBy("_g", "_id")
+    ranked = d.crossJoin(F.broadcast(mean_row)).select(
+        "_g",
+        "_mu",
+        "_n",
+        F.row_number().over(w).cast("double").alias("_j"),
+    )
+    fx = F.lit(1.0) - F.exp(-F.col("_g") / F.col("_mu"))
+    n = F.col("_n").cast("double")
+    dev = F.greatest(
+        F.col("_j") / n - fx, fx - (F.col("_j") - F.lit(1.0)) / n
+    )
+    a = ranked.agg(
+        F.max("_n").cast("long").alias("n"),
+        F.round(F.lit(1.0) / F.max("_mu"), round_to).alias("lambda_hat"),
+        F.max(dev).alias("_d"),
+    )
+    return a.select(
+        "n",
+        "lambda_hat",
+        F.round("_d", round_to).alias("ks_d"),
+        F.round(
+            F.sqrt(F.col("n").cast("double")) * F.col("_d"), round_to
+        ).alias("sqrt_n_d"),
+    )

@@ -1486,3 +1486,48 @@ def test_icc_oneway_reference(spark):
     assert (r.n_blocks, r.k) == (nb, k)
     assert r.icc == round(icc, 6)
     assert r.icc > 0.9  # blocks dominate variance
+
+
+def test_holm_bonferroni_reference(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        holm_bonferroni,
+    )
+
+    ps = [("h1", 0.01), ("h2", 0.04), ("h3", 0.03), ("h4", 0.005)]
+    df = spark.createDataFrame(ps, ["h", "p"])
+    out = {r.h: r for r in holm_bonferroni(df, "p", ["h"]).collect()}
+    # sorted: 0.005, 0.01, 0.03, 0.04 with m=4
+    # steps:  0.02, 0.03, 0.06, 0.04 -> running max: 0.02, 0.03, 0.06, 0.06
+    assert out["h4"].p_adj == 0.02
+    assert out["h1"].p_adj == 0.03
+    assert out["h3"].p_adj == 0.06
+    assert out["h2"].p_adj == 0.06  # monotonicity enforced
+    assert out["h4"].reject and out["h1"].reject
+    assert not out["h3"].reject and not out["h2"].reject
+
+
+def test_exp_interarrival_fit_exact_exponential_sample(spark):
+    import math
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        exp_interarrival_fit,
+    )
+
+    # inverse-CDF quantile sample of Exp(2): near-perfect fit
+    n = 50
+    gaps = [-math.log(1 - (i + 0.5) / n) / 2.0 for i in range(n)]
+    rows = [(g, i) for i, g in enumerate(gaps)]
+    r = exp_interarrival_fit(
+        spark.createDataFrame(rows, ["g", "id"]), "g", "id"
+    ).collect()[0]
+    assert r.n == n
+    mu = sum(gaps) / n
+    assert r.lambda_hat == round(1 / mu, 6)
+    assert r.sqrt_n_d < 1.0  # comfortably exponential
+
+    # constant gaps: decisively NOT exponential
+    const = [(1.0, i) for i in range(50)]
+    rc = exp_interarrival_fit(
+        spark.createDataFrame(const, ["g", "id"]), "g", "id"
+    ).collect()[0]
+    assert rc.sqrt_n_d > 1.36
