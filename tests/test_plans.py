@@ -320,6 +320,22 @@ def test_no_query_plans_nested_loop_or_rowwise_python(spark):
         # group-pair class — both sides per-day aggregates, days² pairs
         # regardless of corpus size)
         "q_kendall_tau",
+        # 1-row scalar attaches (the q_fleiss_kappa shape): the tie
+        # census / grand-total frames join the k-row group frame
+        "q_kruskal",
+        # 1-row k-count broadcast onto the per-(block, treatment) frame
+        # (the q_platt params-onto-data shape) + 1-row tie census
+        "q_friedman",
+        # 1-row edge-count and node-count frames attached to the
+        # community-sized terms frame
+        "q_modularity",
+        # 1-row n attached to the bounded audit sample (KS/AD rank math
+        # needs the total alongside each rank)
+        "q_ad_uniform",
+        "q_exp_fit",
+        # inherits q_prop_ztest's group-pair join (the q_fdr_correction
+        # class — both sides per-group aggregates)
+        "q_holm",
     }
     for name, f in em.queries().items():
         p = plan_of(f(spark, "/root/testdata/sf0.001"))
