@@ -8938,6 +8938,151 @@ FROM a
 """
 
 
+def q_overdispersion(spark, sf_dir):
+    """Binomial overdispersion of per-source English rates
+    (operators/stats.py binomial_overdispersion): is a pooled rate even
+    meaningful, or do sources carry genuinely different rates (φ ≫ 1)?
+    The one-number heterogeneity screen before q_prop_ztest dashboards.
+    ONE corpus aggregate + k-row algebra."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        binomial_overdispersion,
+    )
+
+    return binomial_overdispersion(
+        _t(spark, sf_dir, "documents"), "source", F.col("lang") == "en"
+    )
+
+
+Q_OVERDISPERSION_SQL = """
+WITH g AS (SELECT source, COUNT(*) AS ng,
+                  SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS sg
+           FROM documents GROUP BY source),
+t AS (SELECT COUNT(*) AS k, SUM(ng) AS n, SUM(sg) AS s FROM g),
+x AS (SELECT SUM((sg - ng * (CAST(s AS DOUBLE) / n))
+                 * (sg - ng * (CAST(s AS DOUBLE) / n))
+                 / (ng * (CAST(s AS DOUBLE) / n)
+                    * (1.0 - CAST(s AS DOUBLE) / n))) AS x2
+      FROM g, t)
+SELECT CAST(k AS BIGINT) AS k, CAST(n AS BIGINT) AS n,
+       ROUND(CAST(s AS DOUBLE) / n, 6) AS p_bar,
+       ROUND(CASE WHEN k > 1 AND s > 0 AND s < n THEN x2 END, 6) AS x2,
+       ROUND(CASE WHEN k > 1 AND s > 0 AND s < n
+                  THEN x2 / (k - 1.0) END, 6) AS phi
+FROM t, x
+"""
+
+
+def q_info_gain(spark, sf_dir):
+    """Information-gain ranking of three cheap document signals against
+    the lang=='en' label (operators/mlfit.py info_gain_ranking): which
+    signal most reduces label uncertainty — the feature-triage
+    generalization of q_mutual_info.  Features melt through ONE inline
+    array explode; two nested aggregates."""
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        stopword_count,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        info_gain_ranking,
+    )
+
+    d = _t(spark, sf_dir, "documents").withColumn(
+        "text", F.coalesce(F.col("text"), F.lit(""))
+    )
+    feats = {
+        "len_bucket": F.least(
+            F.floor(F.col("n_chars") / 700), F.lit(3)
+        ),
+        "source": F.col("source"),
+        "stop_bucket": F.least(
+            F.floor(stopword_count(F.col("text")) / 10), F.lit(3)
+        ),
+    }
+    return info_gain_ranking(
+        d, F.col("lang") == "en", feats
+    ).transform(_by("feature"))
+
+
+def _info_gain_sql() -> str:
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        STOPWORDS,
+    )
+
+    stop = _stop_sql(STOPWORDS["en"])
+    return f"""
+WITH base AS (
+  SELECT CAST(lang = 'en' AS VARCHAR) AS y,
+         CAST(LEAST(CAST(FLOOR(n_chars / 700.0) AS BIGINT), 3)
+              AS VARCHAR) AS len_bucket,
+         source,
+         CAST(LEAST(CAST(FLOOR({stop} / 10.0) AS BIGINT), 3)
+              AS VARCHAR) AS stop_bucket
+  FROM (SELECT COALESCE(text, '') AS text, lang, source, n_chars
+        FROM documents)),
+m AS (SELECT 'len_bucket' AS f, len_bucket AS v, y FROM base
+      UNION ALL SELECT 'source', source, y FROM base
+      UNION ALL SELECT 'stop_bucket', stop_bucket, y FROM base),
+fvl AS (SELECT f, v, y, COUNT(*) AS c FROM m GROUP BY 1, 2, 3),
+st AS (SELECT f, c,
+              SUM(c) OVER (PARTITION BY f, v) AS nv,
+              SUM(c) OVER (PARTITION BY f) AS nf
+       FROM fvl),
+pf AS (SELECT f AS feature,
+              SUM(-(CAST(c AS DOUBLE) / nf)
+                  * LN(CAST(c AS DOUBLE) / nv)) AS hc
+       FROM st GROUP BY f),
+hl AS (SELECT SUM(-(CAST(cy AS DOUBLE) / tot)
+                  * LN(CAST(cy AS DOUBLE) / tot)) AS h
+       FROM (SELECT y, COUNT(*) AS cy, SUM(COUNT(*)) OVER () AS tot
+             FROM base GROUP BY y))
+SELECT feature, ROUND(h - hc, 6) AS ig,
+       CAST(ROW_NUMBER() OVER (ORDER BY ROUND(h - hc, 6) DESC, feature)
+            AS INT) AS rank
+FROM pf, hl ORDER BY feature
+"""
+
+
+def q_extreme_value(spark, sf_dir):
+    """Gumbel extreme-value fit over daily PEAK hourly event volumes
+    (operators/timeseries.py gumbel_fit): the once-per-30-days return
+    level a capacity planner provisions for — method-of-moments on the
+    block-maxima series, which is metadata-sized after two aggregates."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        gumbel_fit,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("d"),
+        F.hour(F.col("ts")).alias("h"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    daily_max = hourly.groupBy("d").agg(
+        F.max("c").cast("double").alias("x")
+    )
+    return gumbel_fit(daily_max, "x", return_period=30.0)
+
+
+Q_EXTREME_VALUE_SQL = """
+WITH hourly AS (SELECT strftime(ts, '%Y-%m-%d') AS d,
+                       EXTRACT(hour FROM ts) AS h, COUNT(*) AS c
+                FROM events GROUP BY 1, 2),
+dm AS (SELECT d, CAST(MAX(c) AS DOUBLE) AS x FROM hourly GROUP BY d),
+a AS (SELECT COUNT(*) AS n, SUM(x) AS s, SUM(x * x) AS q FROM dm),
+f AS (SELECT n, s / n AS mean,
+             SQRT((q - s * s / n) / (n - 1.0))
+               * 0.7796968012336793 AS beta
+      FROM a)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(CASE WHEN n > 1 AND beta > 0
+                  THEN mean - 0.5772156649015329 * beta END, 6) AS mu,
+       ROUND(CASE WHEN n > 1 AND beta > 0 THEN beta END, 6) AS beta,
+       ROUND(CASE WHEN n > 1 AND beta > 0
+                  THEN (mean - 0.5772156649015329 * beta)
+                       - beta * LN(-LN(1.0 - 1.0 / 30.0)) END, 6)
+         AS return_level
+FROM f
+"""
+
+
 def q_context_window(spark, sf_dir):
     """Rolling SFT-context assembly (packing.context_windows): each event
     paired with the ordered concat of its last 3 event types — the
@@ -13970,6 +14115,9 @@ _QUERIES_PAST_WINDOW = [
     "q_mahalanobis",
     "q_holm",
     "q_exp_fit",
+    "q_overdispersion",
+    "q_info_gain",
+    "q_extreme_value",
 
 ]
 
@@ -14130,6 +14278,9 @@ def oracle_sql() -> dict[str, str]:
         "q_mahalanobis": Q_MAHALANOBIS_SQL,
         "q_holm": Q_HOLM_SQL,
         "q_exp_fit": Q_EXP_FIT_SQL,
+        "q_overdispersion": Q_OVERDISPERSION_SQL,
+        "q_info_gain": _info_gain_sql(),
+        "q_extreme_value": Q_EXTREME_VALUE_SQL,
         "q_wilson_rates": Q_WILSON_RATES_SQL,
         "q_fdr_correction": Q_FDR_CORRECTION_SQL,
         "q_mann_kendall": Q_MANN_KENDALL_SQL,

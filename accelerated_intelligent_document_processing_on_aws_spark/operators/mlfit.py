@@ -1127,3 +1127,83 @@ def mahalanobis_outliers(
         )],
         schema,
     )
+
+
+def info_gain_ranking(
+    df: DataFrame,
+    label_col,
+    features: dict,
+    round_to: int = 6,
+) -> DataFrame:
+    """Information-gain feature ranking: for each DISCRETE feature,
+    ``IG = H(label) − H(label | feature)`` in nats — which cheap signal
+    most reduces label uncertainty (the feature-triage pass before
+    fitting anything; the multi-feature generalization of
+    q_mutual_info's single pair).
+
+    ``features`` maps name → discrete Column (bucket/categorical).
+    Returns one row per feature: ``feature, ig, rank`` (rank 1 = most
+    informative; ties broken by name).
+
+    Plan: features MELT into (feature, value, label) rows via ONE
+    inline array explode (k× row multiplier, k = feature count — no
+    per-feature scans, no joins); two nested aggregates produce
+    (feature, value)-cardinality then feature-cardinality frames; the
+    label entropy rides the same pass through the feature-independent
+    totals.
+    """
+    y = (F.col(label_col) if isinstance(label_col, str) else label_col)
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("f"),
+                col.cast("string").alias("v"),
+            )
+            for name, col in features.items()
+        ]
+    )
+    melted = df.select(
+        y.cast("string").alias("_y"), F.explode(pairs).alias("_p")
+    ).select("_y", F.col("_p.f").alias("_f"), F.col("_p.v").alias("_v"))
+    fvl = melted.groupBy("_f", "_v", "_y").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    wv = Window.partitionBy("_f", "_v")
+    wf = Window.partitionBy("_f")
+    staged = fvl.withColumn("nv", F.sum("c").over(wv)).withColumn(
+        "nf", F.sum("c").over(wf)
+    )
+    # H(label|feature) = Σ_v p(v) H(label|v) — per-row contribution
+    # −(c/nf)·ln(c/nv) summed per feature
+    pc = F.col("c").cast("double")
+    hcond = F.sum(
+        -(pc / F.col("nf").cast("double"))
+        * F.log(pc / F.col("nv").cast("double"))
+    )
+    per_f = staged.groupBy(F.col("_f").alias("feature")).agg(
+        hcond.alias("_hc")
+    )
+    # H(label): from any single feature's label marginals — use the
+    # first feature's slice (identical label distribution in every
+    # slice by construction of the melt)
+    first = sorted(features)[0]
+    lab = (
+        staged.filter(F.col("_f") == first)
+        .groupBy("_y")
+        .agg(F.sum("c").alias("cy"))
+    )
+    lab = lab.withColumn(
+        "_tot", F.sum("cy").over(Window.partitionBy()).cast("double")
+    )
+    h_row = lab.agg(
+        F.sum(
+            -(F.col("cy").cast("double") / F.col("_tot"))
+            * F.log(F.col("cy").cast("double") / F.col("_tot"))
+        ).alias("_h")
+    )
+    out = per_f.crossJoin(F.broadcast(h_row)).select(
+        "feature",
+        F.round(F.col("_h") - F.col("_hc"), round_to).alias("ig"),
+    )
+    w_rank = Window.orderBy(F.col("ig").desc(), "feature")
+    return out.withColumn("rank", F.row_number().over(w_rank))

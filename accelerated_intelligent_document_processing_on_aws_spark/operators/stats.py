@@ -3687,3 +3687,62 @@ def exp_interarrival_fit(
             F.sqrt(F.col("n").cast("double")) * F.col("_d"), round_to
         ).alias("sqrt_n_d"),
     )
+
+
+def binomial_overdispersion(
+    df: DataFrame,
+    group_col: str,
+    success_col,
+    round_to: int = 6,
+) -> DataFrame:
+    """Binomial overdispersion check across groups: under a shared rate,
+    the per-group success counts should scatter like Binomial(n_g, p̄);
+    the dispersion ``φ = X²/(k−1)`` with ``X² = Σ_g (s_g − n_g·p̄)² /
+    (n_g·p̄(1−p̄))`` is ≈ 1 when they do and ≫ 1 when group rates are
+    genuinely heterogeneous — the one-number screen that says whether a
+    pooled rate (or a pooled z-test) is even meaningful for this corpus
+    before anyone reads per-source dashboards.
+
+    Returns ONE row: ``k, n, p_bar, x2, phi`` (NULL when p̄ is 0 or 1,
+    or k < 2).
+
+    Plan: ONE corpus aggregate to (group, n, s) — map-side combined —
+    then one k-row aggregate.  The q_prop_ztest input shape without the
+    pair join.
+    """
+    s = (
+        F.col(success_col) if isinstance(success_col, str) else success_col
+    ).cast("int")
+    per_g = df.groupBy(F.col(group_col).alias("g")).agg(
+        F.count(F.lit(1)).alias("ng"), F.sum(s).alias("sg")
+    )
+    tot = per_g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("ng").cast("long").alias("n"),
+        F.sum("sg").alias("_s"),
+        F.collect_list(F.struct("ng", "sg")).alias("_cells"),
+    )
+    # X² needs p̄ alongside every cell: the cells frame is
+    # group-cardinality-sized, so carrying it through collect_list on
+    # the 1-row total frame costs k structs of metadata, no second scan
+    # and no join
+    p = F.col("_s").cast("double") / F.col("n").cast("double")
+    x2 = F.aggregate(
+        F.col("_cells"),
+        F.lit(0.0),
+        lambda acc, c: acc
+        + (c["sg"].cast("double") - c["ng"].cast("double") * p)
+        * (c["sg"].cast("double") - c["ng"].cast("double") * p)
+        / (c["ng"].cast("double") * p * (F.lit(1.0) - p)),
+    )
+    guard = (F.col("k") > 1) & (p > 0) & (p < 1)
+    return tot.select(
+        "k",
+        "n",
+        F.round(p, round_to).alias("p_bar"),
+        F.round(F.when(guard, x2), round_to).alias("x2"),
+        F.round(
+            F.when(guard, x2 / (F.col("k") - F.lit(1)).cast("double")),
+            round_to,
+        ).alias("phi"),
+    )

@@ -1116,3 +1116,47 @@ def page_hinkley(
         ).alias("alarm_at"),
     )
     return a
+
+
+def gumbel_fit(
+    df: DataFrame,
+    value_col: str,
+    return_period: float = 30.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Gumbel (EV-I) extreme-value fit by method of moments over block
+    maxima: ``β = s·√6/π``, ``μ = x̄ − γ·β`` (Euler γ), and the
+    T-period return level ``μ − β·ln(−ln(1 − 1/T))`` — the capacity
+    question ("what daily peak should we provision for once per
+    month?") answered from the distribution of observed maxima rather
+    than a raw historical max.
+
+    Callers pass the block-maxima series (e.g. daily peaks — already
+    metadata-sized).  Returns ONE row: ``n, mu, beta, return_level``
+    (NULL when n < 2 or s = 0).
+
+    Plan: ONE aggregate, closed form after.
+    """
+    import math
+
+    x = F.col(value_col).cast("double")
+    a = df.filter(x.isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("_s"),
+        F.sum(x * x).alias("_q"),
+    )
+    n = F.col("n").cast("double")
+    mean = F.col("_s") / n
+    var = (F.col("_q") - F.col("_s") * F.col("_s") / n) / (n - F.lit(1.0))
+    beta = F.sqrt(var) * F.lit(math.sqrt(6.0) / math.pi)
+    gamma = 0.5772156649015329
+    mu = mean - F.lit(gamma) * beta
+    t = float(return_period)
+    level = mu - beta * F.lit(math.log(-math.log(1.0 - 1.0 / t)))
+    guard = (F.col("n") > 1) & (var > 0)
+    return a.select(
+        "n",
+        F.round(F.when(guard, mu), round_to).alias("mu"),
+        F.round(F.when(guard, beta), round_to).alias("beta"),
+        F.round(F.when(guard, level), round_to).alias("return_level"),
+    )

@@ -464,3 +464,33 @@ def test_mahalanobis_outliers_catches_joint_outlier(spark):
     d2 = [(p - mu) @ inv @ (p - mu) for p in X]
     assert r.d2_max == round(float(max(d2)), 6)
     assert r.n_outliers == sum(1 for d in d2 if d > 9.21034)
+
+
+def test_info_gain_ranking_perfect_vs_noise(spark):
+    import math
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        info_gain_ranking,
+    )
+
+    # y determined by f_good; f_noise constant; f_half splits one side
+    rows = []
+    for i in range(40):
+        y = i % 2
+        rows.append((y, str(y), "k", str(i % 4 < 2)))
+    df = spark.createDataFrame(rows, ["y", "good", "noise", "half"])
+    out = {
+        r.feature: r
+        for r in info_gain_ranking(
+            df,
+            "y",
+            {"good": F.col("good"), "noise": F.col("noise"),
+             "half": F.col("half")},
+        ).collect()
+    }
+    assert out["good"].rank == 1
+    assert out["good"].ig == round(math.log(2), 6)  # full H(y) recovered
+    assert out["noise"].ig == 0.0
+    # 'half': y alternates within each half -> no information either
+    assert out["half"].ig == 0.0
+    assert {out["noise"].rank, out["half"].rank} == {2, 3}

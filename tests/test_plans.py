@@ -336,6 +336,9 @@ def test_no_query_plans_nested_loop_or_rowwise_python(spark):
         # inherits q_prop_ztest's group-pair join (the q_fdr_correction
         # class — both sides per-group aggregates)
         "q_holm",
+        # 1-row H(label) frame attached to the feature-cardinality IG
+        # frame (the q_fleiss_kappa scalar-attach shape)
+        "q_info_gain",
     }
     for name, f in em.queries().items():
         p = plan_of(f(spark, "/root/testdata/sf0.001"))

@@ -1531,3 +1531,43 @@ def test_exp_interarrival_fit_exact_exponential_sample(spark):
         spark.createDataFrame(const, ["g", "id"]), "g", "id"
     ).collect()[0]
     assert rc.sqrt_n_d > 1.36
+
+
+def test_binomial_overdispersion_reference(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        binomial_overdispersion,
+    )
+
+    groups = {"a": (10, 2), "b": (20, 10), "c": (15, 12)}
+    rows = [
+        (g, 1 if i < s else 0)
+        for g, (n, s) in groups.items()
+        for i in range(n)
+    ]
+    df = spark.createDataFrame(rows, ["g", "y"])
+    r = binomial_overdispersion(df, "g", "y").collect()[0]
+    n_tot = sum(n for n, _ in groups.values())
+    s_tot = sum(s for _, s in groups.values())
+    p = s_tot / n_tot
+    x2 = sum(
+        (s - n * p) ** 2 / (n * p * (1 - p))
+        for n, s in groups.values()
+    )
+    assert (r.k, r.n) == (3, n_tot)
+    assert r.p_bar == round(p, 6)
+    assert r.x2 == round(x2, 6)
+    assert r.phi == round(x2 / 2, 6)
+    assert r.phi > 1  # heterogeneous rates
+
+
+def test_binomial_overdispersion_homogeneous_near_one(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        binomial_overdispersion,
+    )
+
+    # identical composition in every group -> X² = 0
+    rows = [(g, y) for g in "abcd" for y in (1, 1, 0, 0, 0)]
+    r = binomial_overdispersion(
+        spark.createDataFrame(rows, ["g", "y"]), "g", "y"
+    ).collect()[0]
+    assert r.x2 == 0.0 and r.phi == 0.0

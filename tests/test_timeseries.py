@@ -490,3 +490,32 @@ def test_page_hinkley_stable_series_no_alarm(spark):
     ).collect()[0]
     assert r.alarm_at is None
     assert r.ph_max < 5.0
+
+
+def test_gumbel_fit_reference(spark):
+    import math
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        gumbel_fit,
+    )
+
+    xs = [30.0, 35.0, 28.0, 40.0, 33.0, 38.0, 31.0, 45.0]
+    n = len(xs)
+    mean = sum(xs) / n
+    s = math.sqrt(sum((x - mean) ** 2 for x in xs) / (n - 1))
+    beta = s * math.sqrt(6.0) / math.pi
+    mu = mean - 0.5772156649015329 * beta
+    level = mu - beta * math.log(-math.log(1 - 1 / 30.0))
+    r = gumbel_fit(
+        spark.createDataFrame([(x,) for x in xs], ["v"]), "v", 30.0
+    ).collect()[0]
+    assert r.n == n
+    assert r.mu == round(mu, 6)
+    assert r.beta == round(beta, 6)
+    assert r.return_level == round(level, 6)
+    assert r.return_level > max(xs)  # 30-period level beyond this sample
+
+    const = gumbel_fit(
+        spark.createDataFrame([(5.0,), (5.0,)], ["v"]), "v"
+    ).collect()[0]
+    assert const.mu is None
