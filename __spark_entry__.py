@@ -9083,6 +9083,101 @@ FROM f
 """
 
 
+def q_avg_precision(spark, sf_dir):
+    """Average precision of the quality_score heuristic ranking against
+    the lang=='en' label (operators/stats.py average_precision): the
+    PR-curve summary that q_roc_auc's AUC inflates on rare positives.
+    Per-distinct-score counts + one cumulative window (the mann_whitney
+    value-cardinality discipline)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        quality_score,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        average_precision,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        quality_score(F.col("text")).alias("s"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    return average_precision(d, "s", "y")
+
+
+def q_threshold_select(spark, sf_dir):
+    """Cost-optimal and Youden-J operating points for the quality_score
+    filter (operators/stats.py threshold_select, FN cost 2× FP): the
+    deploy-the-filter step after q_score_calibration says the scores
+    are trustworthy.  Same distinct-threshold frame as
+    q_avg_precision; two argmin/argmax structs in ONE aggregate."""
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        quality_score,
+    )
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        threshold_select,
+    )
+
+    d = _t(spark, sf_dir, "documents").select(
+        quality_score(F.col("text")).alias("s"),
+        (F.col("lang") == "en").alias("y"),
+    )
+    return threshold_select(d, "s", "y", c_fp=1.0, c_fn=2.0)
+
+
+def _pr_threshold_cte() -> str:
+    from accelerated_intelligent_document_processing_on_aws_spark.functions.text import (
+        STOPWORDS,
+    )
+
+    stop = _stop_sql(STOPWORDS["en"])
+    q = (
+        f"ROUND(0.4 * least(CAST({_TOK_SQL} AS DOUBLE) / 100.0, 1.0)"
+        f" + 0.3 * (1.0 - least(CAST({_PUNCT_SQL} AS DOUBLE) * 4.0, 1.0))"
+        f" + 0.3 * least(CAST({stop} AS DOUBLE)"
+        f" / greatest({_TOK_SQL}, 1) * 5.0, 1.0), 4)"
+    )
+    return f"""
+WITH d AS (SELECT {q} AS s, CAST(lang = 'en' AS INT) AS y
+           FROM documents),
+ps AS (SELECT s AS t, SUM(y) AS pos, SUM(1 - y) AS neg FROM d
+       GROUP BY s),
+cu AS (SELECT t, pos, neg,
+              SUM(pos) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS tp,
+              SUM(neg) OVER (ORDER BY t DESC ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS fp,
+              SUM(pos) OVER () AS p_tot,
+              SUM(pos + neg) OVER () AS n_tot
+       FROM ps)"""
+
+
+def _avg_precision_sql() -> str:
+    return _pr_threshold_cte() + """
+SELECT CAST(MAX(n_tot) AS BIGINT) AS n,
+       CAST(MAX(p_tot) AS BIGINT) AS n_pos,
+       ROUND(SUM((CAST(pos AS DOUBLE) / p_tot)
+                 * (CAST(tp AS DOUBLE) / (tp + fp))), 6) AS ap
+FROM cu
+"""
+
+
+def _threshold_select_sql() -> str:
+    return _pr_threshold_cte() + """,
+bc AS (SELECT t AS thr_cost,
+              1.0 * fp + 2.0 * (p_tot - tp) AS cost
+       FROM cu ORDER BY cost, t LIMIT 1),
+bj AS (SELECT t AS thr_j,
+              CAST(tp AS DOUBLE) / p_tot
+                - CAST(fp AS DOUBLE) / (n_tot - p_tot) AS j
+       FROM cu ORDER BY j DESC, t LIMIT 1),
+tot AS (SELECT CAST(MAX(n_tot) AS BIGINT) AS n,
+               CAST(MAX(p_tot) AS BIGINT) AS n_pos
+        FROM cu)
+SELECT n, n_pos, thr_cost, ROUND(cost, 6) AS cost, thr_j,
+       ROUND(j, 6) AS j
+FROM tot, bc, bj
+"""
+
+
 def q_context_window(spark, sf_dir):
     """Rolling SFT-context assembly (packing.context_windows): each event
     paired with the ordered concat of its last 3 event types — the
@@ -14118,6 +14213,8 @@ _QUERIES_PAST_WINDOW = [
     "q_overdispersion",
     "q_info_gain",
     "q_extreme_value",
+    "q_avg_precision",
+    "q_threshold_select",
 
 ]
 
@@ -14281,6 +14378,8 @@ def oracle_sql() -> dict[str, str]:
         "q_overdispersion": Q_OVERDISPERSION_SQL,
         "q_info_gain": _info_gain_sql(),
         "q_extreme_value": Q_EXTREME_VALUE_SQL,
+        "q_avg_precision": _avg_precision_sql(),
+        "q_threshold_select": _threshold_select_sql(),
         "q_wilson_rates": Q_WILSON_RATES_SQL,
         "q_fdr_correction": Q_FDR_CORRECTION_SQL,
         "q_mann_kendall": Q_MANN_KENDALL_SQL,

@@ -3746,3 +3746,128 @@ def binomial_overdispersion(
             round_to,
         ).alias("phi"),
     )
+
+
+def _threshold_frame(df: DataFrame, score_col: str, label_col: str):
+    """Shared machinery: per-DISTINCT-SCORE positive/negative counts with
+    descending cumulative TP/FP — the (value-cardinality, never
+    corpus-cardinality) frame behind average precision and threshold
+    selection, the mann_whitney rank-algebra discipline."""
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("int")
+    per_s = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(s.alias("t"))
+        .agg(
+            F.sum(y).alias("pos"),
+            F.sum(F.lit(1) - y).alias("neg"),
+        )
+    )
+    w = Window.orderBy(F.col("t").desc()).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    wall = Window.partitionBy()
+    return (
+        per_s.withColumn("tp", F.sum("pos").over(w))
+        .withColumn("fp", F.sum("neg").over(w))
+        .withColumn("p_tot", F.sum("pos").over(wall))
+        .withColumn("n_tot", F.sum(F.col("pos") + F.col("neg")).over(wall))
+    )
+
+
+def average_precision(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Average precision (the area under the precision-recall curve,
+    step-interpolated at each distinct score — the sklearn convention
+    ``AP = Σ_k (R_k − R_{k−1})·P_k``): the ranking-quality summary that,
+    unlike q_roc_auc, does NOT reward a classifier for ranking easy
+    negatives low when positives are rare — the right scoreboard for
+    rare-class corpus filters.
+
+    Returns ONE row: ``n, n_pos, ap`` (NULL when there are no
+    positives).
+
+    Plan: the corpus collapses to per-distinct-score counts (map-side
+    combine); ``ΔR_k = pos_k/P`` makes AP one cumulative window + ONE
+    aggregate over that value-cardinality frame.
+    """
+    fr = _threshold_frame(df, score_col, label_col)
+    prec = F.try_divide(
+        F.col("tp").cast("double"), (F.col("tp") + F.col("fp")).cast("double")
+    )
+    dr = F.try_divide(
+        F.col("pos").cast("double"), F.col("p_tot").cast("double")
+    )
+    a = fr.agg(
+        F.max("n_tot").cast("long").alias("n"),
+        F.max("p_tot").cast("long").alias("n_pos"),
+        F.sum(dr * prec).alias("_ap"),
+    )
+    return a.select(
+        "n",
+        "n_pos",
+        F.round(
+            F.when(F.col("n_pos") > 0, F.col("_ap")), round_to
+        ).alias("ap"),
+    )
+
+
+def threshold_select(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    c_fp: float = 1.0,
+    c_fn: float = 1.0,
+    round_to: int = 6,
+) -> DataFrame:
+    """Operating-point selection over every distinct score threshold:
+    the cost-optimal cut (minimizing ``c_fp·FP + c_fn·FN``) and the
+    Youden-J-optimal cut (maximizing ``TPR − FPR``) — the step that
+    turns a scored corpus filter into a DEPLOYED one, with the
+    asymmetric-cost knob dashboards never expose.
+
+    Ties break toward the SMALLEST threshold (keep less when equally
+    good).  Returns ONE row: ``n, n_pos, thr_cost, cost, thr_j, j``.
+
+    Plan: same per-distinct-score frame as :func:`average_precision`
+    (one aggregate + one cumulative window), then two argmin/argmax
+    structs in ONE final aggregate — no sort of the corpus, no joins.
+    """
+    fr = _threshold_frame(df, score_col, label_col)
+    fn = F.col("p_tot") - F.col("tp")
+    cost = (
+        F.lit(float(c_fp)) * F.col("fp").cast("double")
+        + F.lit(float(c_fn)) * fn.cast("double")
+    )
+    tpr = F.try_divide(
+        F.col("tp").cast("double"), F.col("p_tot").cast("double")
+    )
+    fpr = F.try_divide(
+        F.col("fp").cast("double"),
+        (F.col("n_tot") - F.col("p_tot")).cast("double"),
+    )
+    j = tpr - fpr
+    a = fr.agg(
+        F.max("n_tot").cast("long").alias("n"),
+        F.max("p_tot").cast("long").alias("n_pos"),
+        F.min(F.struct(cost.alias("c"), F.col("t").alias("t"))).alias(
+            "_bc"
+        ),
+        F.max(
+            F.struct(
+                j.alias("j"), (-F.col("t")).alias("negt")
+            )
+        ).alias("_bj"),
+    )
+    return a.select(
+        "n",
+        "n_pos",
+        F.col("_bc.t").alias("thr_cost"),
+        F.round(F.col("_bc.c"), round_to).alias("cost"),
+        (-F.col("_bj.negt")).alias("thr_j"),
+        F.round(F.col("_bj.j"), round_to).alias("j"),
+    )

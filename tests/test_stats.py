@@ -1571,3 +1571,70 @@ def test_binomial_overdispersion_homogeneous_near_one(spark):
         spark.createDataFrame(rows, ["g", "y"]), "g", "y"
     ).collect()[0]
     assert r.x2 == 0.0 and r.phi == 0.0
+
+
+def test_average_precision_matches_sklearn_convention(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        average_precision,
+    )
+
+    # scores desc: 0.9(+), 0.8(-), 0.7(+), 0.6(+), 0.5(-)
+    rows = [(0.9, 1), (0.8, 0), (0.7, 1), (0.6, 1), (0.5, 0)]
+    r = average_precision(
+        spark.createDataFrame(rows, ["s", "y"]), "s", "y"
+    ).collect()[0]
+    # AP = (1/3)*1 + (1/3)*(2/3) + (1/3)*(3/4)
+    expect = (1 / 3) * 1.0 + (1 / 3) * (2 / 3) + (1 / 3) * (3 / 4)
+    assert (r.n, r.n_pos) == (5, 3)
+    assert r.ap == round(expect, 6)
+
+    # perfect ranking: AP = 1
+    perf = [(0.9, 1), (0.8, 1), (0.2, 0), (0.1, 0)]
+    rp = average_precision(
+        spark.createDataFrame(perf, ["s", "y"]), "s", "y"
+    ).collect()[0]
+    assert rp.ap == 1.0
+
+    # no positives -> NULL
+    rn = average_precision(
+        spark.createDataFrame([(0.5, 0), (0.4, 0)], ["s", "y"]), "s", "y"
+    ).collect()[0]
+    assert rn.ap is None
+
+
+def test_average_precision_ties_grouped(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        average_precision,
+    )
+
+    # tied scores collapse into one threshold step
+    rows = [(0.9, 1), (0.9, 0), (0.1, 1), (0.1, 0)]
+    r = average_precision(
+        spark.createDataFrame(rows, ["s", "y"]), "s", "y"
+    ).collect()[0]
+    # thresholds: 0.9 -> tp1 fp1 P=.5 dR=.5 ; 0.1 -> tp2 fp2 P=.5 dR=.5
+    assert r.ap == 0.5
+
+
+def test_threshold_select_cost_and_youden(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        threshold_select,
+    )
+
+    rows = [(0.9, 1), (0.8, 1), (0.7, 0), (0.6, 1), (0.5, 0), (0.4, 0)]
+    r = threshold_select(
+        spark.createDataFrame(rows, ["s", "y"]), "s", "y"
+    ).collect()[0]
+    # enumerate: thresholds desc 0.9..0.4
+    # t=0.9: fp0 fn2 cost2 | t=0.8: fp0 fn1 cost1 | t=0.7: fp1 fn1 cost2
+    # t=0.6: fp1 fn0 cost1 | t=0.5: fp2 fn0 | t=0.4: fp3 fn0
+    # min cost=1 at t in {0.8, 0.6} -> smallest threshold 0.6
+    assert r.thr_cost == 0.6 and r.cost == 1.0
+    # J: t=0.8: 2/3-0=2/3 ; t=0.6: 1-1/3=2/3 -> tie, smallest t wins
+    assert r.thr_j == 0.6 and r.j == round(2 / 3, 6)
+
+    # heavy FP cost pushes the cut up
+    r2 = threshold_select(
+        spark.createDataFrame(rows, ["s", "y"]), "s", "y", c_fp=10.0
+    ).collect()[0]
+    assert r2.thr_cost == 0.8
