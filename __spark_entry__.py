@@ -9178,6 +9178,125 @@ FROM tot, bc, bj
 """
 
 
+def q_negbin(spark, sf_dir):
+    """Negative-binomial fit of per-user purchase counts
+    (operators/stats.py negbin_fit): the overdispersion-correct count
+    model for user activity (VMR ≫ 1 breaks Poisson capacity math).
+    One per-user aggregate then ONE moment aggregate."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        negbin_fit,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    per_u = e.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("c")
+    )
+    return negbin_fit(per_u, "c")
+
+
+Q_NEGBIN_SQL = """
+WITH per_u AS (SELECT CAST(SUM(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) AS DOUBLE) AS c
+               FROM events GROUP BY user_id),
+a AS (SELECT COUNT(*) AS n, SUM(c) AS s, SUM(c * c) AS q FROM per_u),
+f AS (SELECT n, s / n AS mu,
+             (q - s * s / n) / (n - 1.0) AS var
+      FROM a)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(mu, 6) AS mean,
+       ROUND(CASE WHEN n > 1 AND mu > 0 THEN var / mu END, 6) AS vmr,
+       ROUND(CASE WHEN n > 1 AND var > mu AND mu > 0
+                  THEN mu * mu / (var - mu) END, 6) AS r,
+       ROUND(CASE WHEN n > 1 AND var > mu AND mu > 0
+                  THEN mu / var END, 6) AS p
+FROM f
+"""
+
+
+def q_zero_inflation(spark, sf_dir):
+    """Zero-inflation screen on per-user purchase counts
+    (operators/stats.py zero_inflation_check): are never-converting
+    users a separate regime (observed zeros ≫ Poisson-expected)?
+    ONE aggregate after the per-user count frame."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        zero_inflation_check,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    per_u = e.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("c")
+    )
+    return zero_inflation_check(per_u, "c")
+
+
+Q_ZERO_INFLATION_SQL = """
+WITH per_u AS (SELECT CAST(SUM(CASE WHEN event_type = 'purchase'
+                                    THEN 1 ELSE 0 END) AS DOUBLE) AS c
+               FROM events GROUP BY user_id),
+a AS (SELECT COUNT(*) AS n, AVG(c) AS mu,
+             SUM(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS z
+      FROM per_u)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(mu, 6) AS lambda_hat,
+       CAST(z AS BIGINT) AS zeros_obs,
+       ROUND(n * EXP(-mu), 6) AS zeros_exp,
+       ROUND(CASE WHEN n * EXP(-mu) > 0
+                  THEN CAST(z AS DOUBLE) / (n * EXP(-mu)) END, 6)
+         AS inflation
+FROM a
+"""
+
+
+def q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test on the up-day/down-day indicator of
+    daily event volume (operators/stats.py runs_test): are daily moves
+    serially independent, formally — the i.i.d. sanity check behind
+    any daily-rate control band.  The corpus collapses to per-day
+    counts; both windows ride metadata."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        runs_test,
+    )
+    from pyspark.sql import Window as W
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("d")
+    ).agg(F.count(F.lit(1)).alias("c"))
+    w = W.orderBy("d")
+    flagged = daily.select(
+        "d", (F.col("c") > F.lag("c").over(w)).cast("int").alias("up")
+    ).filter(F.col("up").isNotNull())
+    return runs_test(flagged, "d", "up")
+
+
+Q_RUNS_TEST_SQL = """
+WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS d, COUNT(*) AS c
+               FROM events GROUP BY 1),
+fl AS (SELECT d, CAST(c > LAG(c) OVER (ORDER BY d) AS INT) AS up
+       FROM daily),
+f AS (SELECT d, up FROM fl WHERE up IS NOT NULL),
+st AS (SELECT up,
+              COALESCE(CAST(up <> LAG(up) OVER (ORDER BY d) AS INT), 1)
+                AS nw
+       FROM f),
+a AS (SELECT COUNT(*) AS n, SUM(up) AS n1, SUM(nw) AS r FROM st),
+g AS (SELECT n, n1, r,
+             CAST(n AS DOUBLE) AS nd, CAST(n1 AS DOUBLE) AS n1d
+      FROM a)
+SELECT CAST(n AS BIGINT) AS n, CAST(n1 AS BIGINT) AS n1,
+       CAST(r AS BIGINT) AS runs,
+       ROUND(CASE WHEN n1 > 0 AND n1 < n AND
+               2.0 * n1d * (nd - n1d) * (2.0 * n1d * (nd - n1d) - nd)
+               / (nd * nd * (nd - 1.0)) > 0
+             THEN (r - (2.0 * n1d * (nd - n1d) / nd + 1.0))
+                  / SQRT(2.0 * n1d * (nd - n1d)
+                         * (2.0 * n1d * (nd - n1d) - nd)
+                         / (nd * nd * (nd - 1.0)))
+             END, 6) AS z
+FROM g
+"""
+
+
 def q_context_window(spark, sf_dir):
     """Rolling SFT-context assembly (packing.context_windows): each event
     paired with the ordered concat of its last 3 event types — the
@@ -14215,6 +14334,9 @@ _QUERIES_PAST_WINDOW = [
     "q_extreme_value",
     "q_avg_precision",
     "q_threshold_select",
+    "q_negbin",
+    "q_zero_inflation",
+    "q_runs_test",
 
 ]
 
@@ -14380,6 +14502,9 @@ def oracle_sql() -> dict[str, str]:
         "q_extreme_value": Q_EXTREME_VALUE_SQL,
         "q_avg_precision": _avg_precision_sql(),
         "q_threshold_select": _threshold_select_sql(),
+        "q_negbin": Q_NEGBIN_SQL,
+        "q_zero_inflation": Q_ZERO_INFLATION_SQL,
+        "q_runs_test": Q_RUNS_TEST_SQL,
         "q_wilson_rates": Q_WILSON_RATES_SQL,
         "q_fdr_correction": Q_FDR_CORRECTION_SQL,
         "q_mann_kendall": Q_MANN_KENDALL_SQL,

@@ -3871,3 +3871,143 @@ def threshold_select(
         (-F.col("_bj.negt")).alias("thr_j"),
         F.round(F.col("_bj.j"), round_to).alias("j"),
     )
+
+
+def negbin_fit(
+    df: DataFrame,
+    count_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Negative-binomial method-of-moments fit for overdispersed counts
+    (Greenwood & Yule 1920): ``r = μ²/(σ²−μ)``, ``p = μ/σ²`` — the
+    count model that actually fits per-user activity when Poisson
+    doesn't (σ² ≫ μ is the rule for user event counts, and a Poisson
+    capacity model silently under-provisions the tail).  Reports the
+    variance-to-mean ratio (VMR = 1 ⇒ Poisson) alongside.
+
+    Returns ONE row: ``n, mean, vmr, r, p`` (r/p NULL when σ² ≤ μ —
+    under-dispersed data has no NB fit; use the plain Poisson).
+
+    Plan: ONE aggregate (callers usually pass an already-aggregated
+    per-entity count frame), closed form after.
+    """
+    x = F.col(count_col).cast("double")
+    a = df.filter(x.isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(x).alias("_s"),
+        F.sum(x * x).alias("_q"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.col("_s") / n
+    var = (F.col("_q") - F.col("_s") * F.col("_s") / n) / (n - F.lit(1.0))
+    good = (F.col("n") > 1) & (var > mu) & (mu > 0)
+    return a.select(
+        "n",
+        F.round(mu, round_to).alias("mean"),
+        F.round(
+            F.when((F.col("n") > 1) & (mu > 0), var / mu), round_to
+        ).alias("vmr"),
+        F.round(F.when(good, mu * mu / (var - mu)), round_to).alias("r"),
+        F.round(F.when(good, mu / var), round_to).alias("p"),
+    )
+
+
+def zero_inflation_check(
+    df: DataFrame,
+    count_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Zero-inflation screen for a count column (the van den Broek 1995
+    score-test quantity, reported descriptively): observed zeros vs the
+    ``n·e^(−λ̂)`` a Poisson with the same mean predicts — ratio ≫ 1
+    says the zeros are a separate regime (users who never convert at
+    all) and a hurdle/ZIP model is needed, not a rate tweak.
+
+    Returns ONE row: ``n, lambda_hat, zeros_obs, zeros_exp,
+    inflation`` (NULL inflation when the expectation underflows to 0).
+
+    Plan: ONE aggregate — zeros counted in the same pass as the mean.
+    """
+    x = F.col(count_col).cast("double")
+    a = df.filter(x.isNotNull()).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg(x).alias("_mu"),
+        F.sum((x == 0).cast("long")).cast("long").alias("zeros_obs"),
+    )
+    n = F.col("n").cast("double")
+    exp0 = n * F.exp(-F.col("_mu"))
+    return a.select(
+        "n",
+        F.round("_mu", round_to).alias("lambda_hat"),
+        "zeros_obs",
+        F.round(exp0, round_to).alias("zeros_exp"),
+        F.round(
+            F.when(exp0 > 0, F.col("zeros_obs").cast("double") / exp0),
+            round_to,
+        ).alias("inflation"),
+    )
+
+
+def runs_test(
+    df: DataFrame,
+    order_col: str,
+    flag_col,
+    round_to: int = 6,
+) -> DataFrame:
+    """Wald-Wolfowitz runs test (Wald & Wolfowitz 1940) on an ordered
+    binary sequence: too FEW runs means positive serial dependence
+    (streaky — e.g. up/down days cluster), too MANY means oscillation;
+    under randomness ``E[R] = 2·n₁·n₀/n + 1`` with the classical
+    variance, and ``z = (R − E[R])/σ`` is standard normal.  The
+    randomness audit for any daily-indicator series before treating its
+    rate as i.i.d.
+
+    Returns ONE row: ``n, n1, runs, z`` (z NULL when either class is
+    empty or σ = 0).
+
+    Plan: callers pass the (already metadata-sized) ordered series; one
+    lag window counts run boundaries, ONE aggregate closes the form.
+    """
+    f = (F.col(flag_col) if isinstance(flag_col, str) else flag_col).cast(
+        "int"
+    )
+    d = df.select(F.col(order_col).alias("_t"), f.alias("_f")).filter(
+        F.col("_f").isNotNull()
+    )
+    w = Window.orderBy("_t")
+    staged = d.withColumn(
+        "_new",
+        (
+            F.coalesce(
+                (F.col("_f") != F.lag("_f").over(w)).cast("int"), F.lit(1)
+            )
+        ),
+    )
+    a = staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_f").cast("long").alias("n1"),
+        F.sum("_new").cast("long").alias("runs"),
+    )
+    n = F.col("n").cast("double")
+    n1 = F.col("n1").cast("double")
+    n0 = n - n1
+    er = F.lit(2.0) * n1 * n0 / n + F.lit(1.0)
+    var = (
+        F.lit(2.0)
+        * n1
+        * n0
+        * (F.lit(2.0) * n1 * n0 - n)
+        / (n * n * (n - F.lit(1.0)))
+    )
+    return a.select(
+        "n",
+        "n1",
+        "runs",
+        F.round(
+            F.when(
+                (F.col("n1") > 0) & (F.col("n1") < F.col("n")) & (var > 0),
+                (F.col("runs").cast("double") - er) / F.sqrt(var),
+            ),
+            round_to,
+        ).alias("z"),
+    )

@@ -1638,3 +1638,77 @@ def test_threshold_select_cost_and_youden(spark):
         spark.createDataFrame(rows, ["s", "y"]), "s", "y", c_fp=10.0
     ).collect()[0]
     assert r2.thr_cost == 0.8
+
+
+def test_negbin_fit_reference(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        negbin_fit,
+    )
+
+    xs = [0.0, 1.0, 1.0, 2.0, 3.0, 5.0, 8.0, 12.0]
+    n = len(xs)
+    mu = sum(xs) / n
+    var = sum((x - mu) ** 2 for x in xs) / (n - 1)
+    r = negbin_fit(
+        spark.createDataFrame([(x,) for x in xs], ["c"]), "c"
+    ).collect()[0]
+    assert r.n == n
+    assert r.mean == round(mu, 6)
+    assert r.vmr == round(var / mu, 6)
+    assert r.r == round(mu * mu / (var - mu), 6)
+    assert r.p == round(mu / var, 6)
+    assert r.vmr > 1  # overdispersed
+
+    # underdispersed: no NB fit
+    under = negbin_fit(
+        spark.createDataFrame([(4.0,), (5.0,), (4.0,), (5.0,)], ["c"]), "c"
+    ).collect()[0]
+    assert under.r is None and under.vmr < 1
+
+
+def test_zero_inflation_check_reference(spark):
+    import math
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        zero_inflation_check,
+    )
+
+    xs = [0.0] * 6 + [1.0, 2.0, 3.0, 4.0]
+    n = len(xs)
+    mu = sum(xs) / n
+    r = zero_inflation_check(
+        spark.createDataFrame([(x,) for x in xs], ["c"]), "c"
+    ).collect()[0]
+    assert (r.n, r.zeros_obs) == (n, 6)
+    assert r.zeros_exp == round(n * math.exp(-mu), 6)
+    assert r.inflation == round(6 / (n * math.exp(-mu)), 6)
+    assert r.inflation > 1
+
+
+def test_runs_test_reference_and_extremes(spark):
+    import math
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        runs_test,
+    )
+
+    seq = [1, 1, 0, 1, 0, 0, 0, 1, 1, 0]
+    rows = [(t, f) for t, f in enumerate(seq)]
+    r = runs_test(spark.createDataFrame(rows, ["t", "f"]), "t", "f").collect()[0]
+    runs = 1 + sum(1 for a, b in zip(seq, seq[1:]) if a != b)
+    n, n1 = len(seq), sum(seq)
+    n0 = n - n1
+    er = 2 * n1 * n0 / n + 1
+    var = 2 * n1 * n0 * (2 * n1 * n0 - n) / (n * n * (n - 1))
+    assert (r.n, r.n1, r.runs) == (n, n1, runs)
+    assert r.z == round((runs - er) / math.sqrt(var), 6)
+
+    # perfectly alternating: maximal runs, strongly positive z
+    alt = [(t, t % 2) for t in range(20)]
+    ra = runs_test(spark.createDataFrame(alt, ["t", "f"]), "t", "f").collect()[0]
+    assert ra.runs == 20 and ra.z > 3
+
+    # one-class sequence: no test
+    ones = [(t, 1) for t in range(5)]
+    ro = runs_test(spark.createDataFrame(ones, ["t", "f"]), "t", "f").collect()[0]
+    assert ro.z is None
