@@ -9297,6 +9297,122 @@ FROM g
 """
 
 
+def q_rich_club(spark, sf_dir):
+    """Rich-club coefficient of the user co-activity graph
+    (operators/graph.py rich_club): do heavy users form a connected
+    core (bot-ring signature) or independent hubs?  Thresholds explode
+    from a literal array onto the metadata-sized degree/edge frames —
+    no per-threshold scans."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        coactivity_edges,
+        rich_club,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    edges = coactivity_edges(e, "user_id", "ts", "minute", 64)
+    return rich_club(edges, thresholds=(2, 4, 8, 16)).transform(_by("k"))
+
+
+Q_RICH_CLUB_SQL = """
+WITH b AS (SELECT DISTINCT date_trunc('minute', ts) AS _b, user_id AS _u
+           FROM events),
+sized AS (SELECT _b, _u FROM (
+            SELECT _b, _u, COUNT(*) OVER (PARTITION BY _b) AS _n FROM b)
+          WHERE _n <= 64),
+edges AS (SELECT DISTINCT l._u AS src, r._u AS dst
+          FROM sized l JOIN sized r USING (_b) WHERE l._u <> r._u),
+und AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b2
+        FROM edges WHERE src <> dst),
+deg AS (SELECT node, COUNT(*) AS d FROM (
+          SELECT a AS node FROM und UNION ALL SELECT b2 FROM und)
+        GROUP BY node),
+ks AS (SELECT UNNEST([2, 4, 8, 16]) AS k),
+nk AS (SELECT k, COUNT(*) AS n_nodes FROM deg, ks WHERE d > k
+       GROUP BY k),
+ej AS (SELECT u.a, u.b2, da.d AS dda, db.d AS ddb
+       FROM und u JOIN deg da ON u.a = da.node
+                  JOIN deg db ON u.b2 = db.node),
+ek AS (SELECT k, COUNT(*) AS n_edges FROM ej, ks
+       WHERE dda > k AND ddb > k GROUP BY k)
+SELECT nk.k, CAST(n_nodes AS BIGINT) AS n_nodes,
+       CAST(COALESCE(n_edges, 0) AS BIGINT) AS n_edges,
+       ROUND(CASE WHEN n_nodes > 1
+                  THEN 2.0 * COALESCE(n_edges, 0)
+                       / (CAST(n_nodes AS DOUBLE) * (n_nodes - 1.0))
+             END, 6) AS phi
+FROM nk LEFT JOIN ek ON nk.k = ek.k ORDER BY nk.k
+"""
+
+
+def q_yules_k(spark, sf_dir):
+    """Yule's characteristic K per source (operators/corpus.py
+    yules_k): the length-invariant repetitiveness constant — high K
+    flags templated/spammy sources.  (source, token) counts then ONE
+    per-source aggregate; Σm²V_m collapses to a plain square sum."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        yules_k,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return yules_k(d, "source", "text").transform(_by("source"))
+
+
+Q_YULES_K_SQL = f"""
+WITH toks AS (SELECT source AS g,
+                     unnest(list_filter(str_split({_NORM_SQL}, ' '),
+                                        x -> x <> '')) AS w
+              FROM documents),
+wf AS (SELECT g, w, COUNT(*) AS f FROM toks GROUP BY 1, 2),
+a AS (SELECT g AS source, SUM(f) AS n_tokens, COUNT(*) AS vocab,
+             SUM(CAST(f AS DOUBLE) * f) AS f2
+      FROM wf GROUP BY g)
+SELECT source, CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(vocab AS BIGINT) AS vocab,
+       ROUND(CASE WHEN n_tokens > 0
+                  THEN 10000.0 * (f2 - n_tokens)
+                       / (CAST(n_tokens AS DOUBLE) * n_tokens)
+             END, 6) AS k
+FROM a ORDER BY source
+"""
+
+
+def q_rfm(spark, sf_dir):
+    """RFM engagement segmentation of users (operators/funnel.py
+    rfm_segments, 5 quantile tiles per axis): the recency/frequency/
+    monetary grid with deterministic total-order NTILE assignment.
+    One corpus aggregate to the user frame; windows ride users, not
+    events."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.funnel import (
+        rfm_segments,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return rfm_segments(e, "user_id", "ts", "value", n_tiles=5).transform(
+        _by("segment")
+    )
+
+
+Q_RFM_SQL = """
+WITH per_u AS (SELECT user_id AS u, MAX(epoch_us(ts)) AS last_us,
+                      COUNT(*) AS f, COALESCE(SUM(value), 0.0) AS m
+               FROM events GROUP BY user_id),
+rfm AS (SELECT u, f, m,
+               (MAX(last_us) OVER () - last_us) / 1000000.0 AS r
+        FROM per_u),
+tiled AS (SELECT u, f, m,
+                 NTILE(5) OVER (ORDER BY r ASC, u) AS tr,
+                 NTILE(5) OVER (ORDER BY f DESC, u) AS tf,
+                 NTILE(5) OVER (ORDER BY m DESC, u) AS tm
+          FROM rfm)
+SELECT CAST(tr AS VARCHAR) || '-' || CAST(tf AS VARCHAR) || '-'
+         || CAST(tm AS VARCHAR) AS segment,
+       CAST(COUNT(*) AS BIGINT) AS n_users,
+       ROUND(AVG(CAST(f AS DOUBLE)), 6) AS avg_frequency,
+       ROUND(AVG(m), 6) AS avg_monetary
+FROM tiled GROUP BY 1 ORDER BY segment
+"""
+
+
 def q_context_window(spark, sf_dir):
     """Rolling SFT-context assembly (packing.context_windows): each event
     paired with the ordered concat of its last 3 event types — the
@@ -14337,6 +14453,9 @@ _QUERIES_PAST_WINDOW = [
     "q_negbin",
     "q_zero_inflation",
     "q_runs_test",
+    "q_rich_club",
+    "q_yules_k",
+    "q_rfm",
 
 ]
 
@@ -14505,6 +14624,9 @@ def oracle_sql() -> dict[str, str]:
         "q_negbin": Q_NEGBIN_SQL,
         "q_zero_inflation": Q_ZERO_INFLATION_SQL,
         "q_runs_test": Q_RUNS_TEST_SQL,
+        "q_rich_club": Q_RICH_CLUB_SQL,
+        "q_yules_k": Q_YULES_K_SQL,
+        "q_rfm": Q_RFM_SQL,
         "q_wilson_rates": Q_WILSON_RATES_SQL,
         "q_fdr_correction": Q_FDR_CORRECTION_SQL,
         "q_mann_kendall": Q_MANN_KENDALL_SQL,

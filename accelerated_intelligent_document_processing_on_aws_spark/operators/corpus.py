@@ -1206,3 +1206,48 @@ def mattr(
             ).alias("mattr"),
         )
     )
+
+
+def yules_k(
+    df: DataFrame,
+    group_col: str,
+    text_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Yule's characteristic K (Yule 1944) per group:
+    ``K = 10⁴·(Σ_w f_w² − N)/N²`` over token frequencies — the
+    repetitiveness constant that, unlike raw TTR, is essentially
+    length-invariant (Yule built it to compare authors across works of
+    different sizes; here it compares sources across corpora of
+    different sizes).  High K = a few words dominate (templated or
+    spammy text); the source-level companion to the per-document
+    q_mattr.
+
+    Returns one row per group: ``<group_col>, n_tokens, vocab, k``
+    (NULL when the group has no tokens).
+
+    Plan: (group, token) counts — map-side combined, vocabulary-
+    bounded — then ONE per-group aggregate; ``Σ_m m²·V_m = Σ_w f_w²``
+    makes the frequency-spectrum sum a plain square sum, no second
+    grouping.
+    """
+    toks = df.select(
+        F.col(group_col).alias("_g"),
+        F.explode(
+            F.split(normalized_for_compare(F.col(text_col)), " ")
+        ).alias("_w"),
+    ).filter(F.length("_w") > 0)
+    wf = toks.groupBy("_g", "_w").agg(F.count(F.lit(1)).alias("_f"))
+    a = wf.groupBy(F.col("_g").alias(group_col)).agg(
+        F.sum("_f").cast("long").alias("n_tokens"),
+        F.count(F.lit(1)).cast("long").alias("vocab"),
+        F.sum(F.col("_f").cast("double") * F.col("_f")).alias("_f2"),
+    )
+    n = F.col("n_tokens").cast("double")
+    k = F.lit(10000.0) * (F.col("_f2") - n) / (n * n)
+    return a.select(
+        group_col,
+        "n_tokens",
+        "vocab",
+        F.round(F.when(F.col("n_tokens") > 0, k), round_to).alias("k"),
+    )

@@ -309,3 +309,70 @@ def next_conversion(
         ).alias("conv_rate"),
         F.round(F.avg("_lat"), round_to).alias("avg_latency_sec"),
     )
+
+
+def rfm_segments(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    n_tiles: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """RFM segmentation (Hughes 1994): per user, Recency (seconds since
+    their last event, against the corpus max), Frequency (event count)
+    and Monetary (value sum), each cut into ``n_tiles`` quantile tiles
+    — the classic engagement grid ("555" = recent, frequent, heavy)
+    that marketing stacks compute nightly and a curation stack reuses
+    to weight user cohorts.
+
+    Tile assignment is NTILE over a TOTAL order (metric, then user id),
+    so ties split deterministically and the result is engine-portable.
+    Recency tiles order ASCENDING (most recent = tile n_tiles...
+    actually tile 1 = most recent); frequency/monetary DESCENDING
+    (tile 1 = heaviest) — tile 1 is always "best".
+
+    Returns one row per occupied segment: ``segment, n_users,
+    avg_frequency, avg_monetary`` (segment = 'r-f-m' tile string).
+
+    Plan: ONE corpus aggregate to the user frame; three NTILE windows
+    over that user-cardinality frame (single-partition windows over
+    users, not events); one segment aggregate.
+    """
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    per_u = df.groupBy(F.col(user_col).alias("u")).agg(
+        F.max(us).alias("_last"),
+        F.count(F.lit(1)).alias("f"),
+        F.coalesce(F.sum(F.col(value_col)), F.lit(0.0)).alias("m"),
+    )
+    wall = Window.partitionBy()
+    per_u = per_u.withColumn(
+        "r",
+        (F.max("_last").over(wall) - F.col("_last")).cast("double")
+        / F.lit(1000000.0),
+    )
+    wr = Window.orderBy(F.col("r").asc(), F.col("u"))
+    wf = Window.orderBy(F.col("f").desc(), F.col("u"))
+    wm = Window.orderBy(F.col("m").desc(), F.col("u"))
+    t = int(n_tiles)
+    tiled = per_u.select(
+        "u",
+        "f",
+        "m",
+        F.ntile(t).over(wr).alias("_tr"),
+        F.ntile(t).over(wf).alias("_tf"),
+        F.ntile(t).over(wm).alias("_tm"),
+    )
+    seg = F.concat_ws(
+        "-",
+        F.col("_tr").cast("string"),
+        F.col("_tf").cast("string"),
+        F.col("_tm").cast("string"),
+    )
+    return tiled.groupBy(seg.alias("segment")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.round(F.avg(F.col("f").cast("double")), round_to).alias(
+            "avg_frequency"
+        ),
+        F.round(F.avg("m"), round_to).alias("avg_monetary"),
+    )

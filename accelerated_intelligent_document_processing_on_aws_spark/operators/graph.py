@@ -834,3 +834,73 @@ def modularity(
         F.max("_m").alias("m_edges"),
         F.round(F.sum(q_term), round_to).alias("modularity"),
     )
+
+
+def rich_club(
+    edges: DataFrame,
+    thresholds: tuple = (2, 4, 8, 16),
+    round_to: int = 6,
+) -> DataFrame:
+    """Rich-club coefficient (Zhou & Mondragón 2004): for each degree
+    threshold k, ``φ(k) = 2·E_k / (N_k·(N_k−1))`` — how densely the
+    hubs (degree > k) connect to EACH OTHER.  A rising φ(k) means the
+    heavy users form a core (one bot ring can dominate co-activity
+    structure); flat φ means hubs are independent.
+
+    ``edges`` may carry both directions; canonicalized first.  Returns
+    one row per threshold: ``k, n_nodes, n_edges, phi`` (NULL when
+    fewer than 2 club members).
+
+    Plan: one degree aggregate; thresholds EXPLODE from a literal array
+    onto the node-sized and edge-sized frames (|thresholds|× metadata
+    multiplier, no per-threshold scans); two grouped counts + one
+    equi-join on k.  No windows, nothing quadratic.
+    """
+    und = (
+        edges.select(
+            F.least(F.col("src"), F.col("dst")).alias("a"),
+            F.greatest(F.col("src"), F.col("dst")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("_n"))
+        .unionAll(und.select(F.col("b").alias("_n")))
+        .groupBy("_n")
+        .agg(F.count(F.lit(1)).alias("_d"))
+    )
+    ks = F.array(*[F.lit(int(k)) for k in thresholds])
+    nk = (
+        deg.select("_d", F.explode(ks).alias("k"))
+        .filter(F.col("_d") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    )
+    da = deg.select(F.col("_n").alias("a"), F.col("_d").alias("_da"))
+    db = deg.select(F.col("_n").alias("b"), F.col("_d").alias("_db"))
+    ek = (
+        und.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.explode(ks).alias("k"),
+            F.col("_da"),
+            F.col("_db"),
+        )
+        .filter((F.col("_da") > F.col("k")) & (F.col("_db") > F.col("k")))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    )
+    out = nk.join(ek, "k", "left").na.fill({"n_edges": 0})
+    nn = F.col("n_nodes").cast("double")
+    phi = (
+        F.lit(2.0)
+        * F.col("n_edges").cast("double")
+        / (nn * (nn - F.lit(1.0)))
+    )
+    return out.select(
+        "k",
+        "n_nodes",
+        "n_edges",
+        F.round(F.when(F.col("n_nodes") > 1, phi), round_to).alias("phi"),
+    )

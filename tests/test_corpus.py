@@ -723,3 +723,24 @@ def test_mattr_closed_form_matches_naive(spark):
         assert got[did].mattr == round(naive(toks, 4), 6), did
     assert got[2].mattr == 0.25  # 1 distinct / w
     assert got[3].mattr == 1.0
+
+
+def test_yules_k_reference(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.corpus import (
+        yules_k,
+    )
+
+    docs = [("s1", "a a a b b c"), ("s2", "x y z w")]
+    out = {
+        r.source: r
+        for r in yules_k(
+            spark.createDataFrame(docs, ["source", "text"]), "source", "text"
+        ).collect()
+    }
+    # s1: freqs 3,2,1 -> N=6, sum f^2 = 14 -> K = 1e4*(14-6)/36
+    assert (out["s1"].n_tokens, out["s1"].vocab) == (6, 3)
+    assert out["s1"].k == round(1e4 * 8 / 36, 6)
+    # s2: all hapax -> K = 0
+    assert out["s2"].k == 0.0
+    # repetitive text scores higher than diverse text
+    assert out["s1"].k > out["s2"].k

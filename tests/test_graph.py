@@ -415,3 +415,23 @@ def test_modularity_missing_labels_fall_back_to_id(spark):
     # node 3 forms its own singleton community
     assert r.n_communities == 2
     assert r.m_edges == 2
+
+
+def test_rich_club_hand_case(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        rich_club,
+    )
+
+    # K4 core {1,2,3,4} (deg >= 3 each) plus pendant nodes 5..8 hanging
+    # off node 1 (node 1 deg 7; pendants deg 1)
+    k4 = [(a, b) for a in range(1, 5) for b in range(a + 1, 5)]
+    pendants = [(1, n) for n in range(5, 9)]
+    edges = spark.createDataFrame(k4 + pendants, ["src", "dst"])
+    out = {r.k: r for r in rich_club(edges, thresholds=(1, 2, 6)).collect()}
+    # deg: node1=7, nodes2-4=3, pendants=1
+    # k=1: club {1,2,3,4} (deg>1), E=6 -> phi = 12/12 = 1
+    assert (out[1].n_nodes, out[1].n_edges, out[1].phi) == (4, 6, 1.0)
+    # k=2: same club
+    assert out[2].phi == 1.0
+    # k=6: club {1} only -> phi NULL
+    assert out[6].n_nodes == 1 and out[6].phi is None

@@ -163,3 +163,32 @@ def test_sequence_ngrams_counts_and_prune(spark):
     assert got[("view", "click", "buy")] == (4, 4)
     assert got[("click", "buy", "view")] == (4, 4)
     assert ("x", "y", "z") not in got  # support 1 pruned
+
+
+def test_rfm_segments_deterministic_tiles(spark):
+    import datetime as dt
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.funnel import (
+        rfm_segments,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    # user 1: recent, frequent, heavy; user 2: old, light; user 3 mid
+    for i in range(10):
+        rows.append((1, t0 + dt.timedelta(days=9, minutes=i), 10.0))
+    rows.append((2, t0, 1.0))
+    for i in range(3):
+        rows.append((3, t0 + dt.timedelta(days=5, minutes=i), 3.0))
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {r.segment: r for r in
+           rfm_segments(df, "user_id", "ts", "value", n_tiles=3).collect()}
+    # user1 must be tile 1 on all axes
+    assert "1-1-1" in out
+    assert out["1-1-1"].n_users == 1
+    assert out["1-1-1"].avg_frequency == 10.0
+    assert out["1-1-1"].avg_monetary == 100.0
+    # user2 is worst on all axes -> the 3-3-3 cell
+    assert "3-3-3" in out
+    # total users preserved
+    assert sum(r.n_users for r in out.values()) == 3
