@@ -9413,6 +9413,138 @@ FROM tiled GROUP BY 1 ORDER BY segment
 """
 
 
+def q_cem(spark, sf_dir):
+    """Coarsened-exact-matching ATT of the encouragement cohort on
+    per-user spend (operators/mlfit.py cem_att): activity-bucket ×
+    has-clicked strata, controls reweighted per stratum — the
+    deterministic matching counterpoint to q_ipw_ate.  One aggregate
+    to the user frame, one to strata, closed form after."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        cem_att,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    per_u = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("f"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
+            F.lit(0.0),
+        ).alias("y"),
+        F.max((F.col("event_type") == "click").cast("int")).alias("hc"),
+    )
+    per_u = per_u.withColumn(
+        "fb", F.least(F.floor(F.col("f") / 20), F.lit(5))
+    ).withColumn("t", (F.col("user_id") % 3 == 0).cast("int"))
+    return cem_att(per_u, "t", "y", ["fb", "hc"])
+
+
+Q_CEM_SQL = """
+WITH per_u AS (SELECT user_id, COUNT(*) AS f,
+                      COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                        THEN value END), 0.0) AS y,
+                      MAX(CASE WHEN event_type = 'click' THEN 1 ELSE 0
+                          END) AS hc
+               FROM events GROUP BY user_id),
+st AS (SELECT LEAST(CAST(FLOOR(f / 20.0) AS BIGINT), 5) AS fb, hc,
+              CAST(user_id % 3 = 0 AS INT) AS t, y
+       FROM per_u),
+cell AS (SELECT fb, hc, SUM(t) AS mt, SUM(1 - t) AS mc,
+                SUM(y * t) AS syt, SUM(y * (1 - t)) AS syc
+         FROM st GROUP BY fb, hc),
+m AS (SELECT * FROM cell WHERE mt > 0 AND mc > 0),
+a AS (SELECT COUNT(*) AS ns, SUM(mt) AS nt, SUM(mc) AS nc,
+             SUM(syt) AS syt,
+             SUM(CAST(mt AS DOUBLE) / mc * syc) AS wyc
+      FROM m)
+SELECT CAST(ns AS BIGINT) AS n_strata_matched,
+       CAST(nt AS BIGINT) AS n_treated,
+       CAST(nc AS BIGINT) AS n_control,
+       ROUND(CASE WHEN nt > 0
+                  THEN syt / CAST(nt AS DOUBLE) - wyc / CAST(nt AS DOUBLE)
+             END, 6) AS att
+FROM a
+"""
+
+
+def q_evalue(spark, sf_dir):
+    """E-value robustness caption for the encouragement-cohort
+    conversion risk ratio (operators/stats.py evalue_rr): how strong
+    would an unmeasured confounder have to be to explain the observed
+    RR away?  One user-frame aggregate, closed form."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        evalue_rr,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    per_u = e.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("y")
+    ).withColumn("t", (F.col("user_id") % 3 == 0).cast("int"))
+    return evalue_rr(per_u, "t", "y")
+
+
+Q_EVALUE_SQL = """
+WITH per_u AS (SELECT user_id,
+                      MAX(CASE WHEN event_type = 'purchase' THEN 1
+                          ELSE 0 END) AS y
+               FROM events GROUP BY user_id),
+st AS (SELECT CAST(user_id % 3 = 0 AS INT) AS t, y FROM per_u),
+a AS (SELECT COUNT(*) AS n, SUM(t) AS nt, SUM(1 - t) AS nc,
+             SUM(t * y) AS s1, SUM((1 - t) * y) AS s0
+      FROM st),
+r AS (SELECT n, CAST(s1 AS DOUBLE) / nt AS p1,
+             CAST(s0 AS DOUBLE) / nc AS p0
+      FROM a),
+rr AS (SELECT n, p1, p0,
+              CASE WHEN p1 > 0 AND p0 > 0 THEN p1 / p0 END AS rr
+       FROM r),
+ev AS (SELECT n, p1, p0, rr,
+              CASE WHEN rr >= 1 THEN rr ELSE 1.0 / rr END AS rs
+       FROM rr)
+SELECT CAST(n AS BIGINT) AS n, ROUND(p1, 6) AS p1, ROUND(p0, 6) AS p0,
+       ROUND(rr, 6) AS rr,
+       ROUND(CASE WHEN rr IS NOT NULL
+                  THEN rs + SQRT(rs * (rs - 1.0)) END, 6) AS evalue
+FROM ev
+"""
+
+
+def q_james_stein(spark, sf_dir):
+    """James-Stein/Efron-Morris shrinkage of per-source mean document
+    lengths (operators/stats.py james_stein_means): the winner's-curse
+    correction for k-group dashboards — every mean moves toward the
+    grand mean by the closed-form factor.  One corpus aggregate +
+    k-row algebra."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        james_stein_means,
+    )
+
+    return james_stein_means(
+        _t(spark, sf_dir, "documents"), "source", "n_chars"
+    ).transform(_by("source"))
+
+
+Q_JAMES_STEIN_SQL = """
+WITH g AS (SELECT source, COUNT(*) AS n,
+                  AVG(CAST(n_chars AS DOUBLE)) AS raw_mean,
+                  VAR_SAMP(CAST(n_chars AS DOUBLE)) AS s2
+           FROM documents WHERE n_chars IS NOT NULL GROUP BY source),
+st AS (SELECT *, AVG(raw_mean) OVER () AS grand,
+              COUNT(*) OVER () AS k
+       FROM g),
+ss AS (SELECT SUM((raw_mean - grand) * (raw_mean - grand)) AS ss,
+              AVG(s2 / n) AS vbar
+       FROM st)
+SELECT source, CAST(n AS BIGINT) AS n,
+       ROUND(raw_mean, 6) AS raw_mean,
+       ROUND(CASE WHEN k >= 4 AND ss > 0
+                  THEN grand + GREATEST(0.0, LEAST(1.0,
+                         1.0 - (k - 3) * vbar / ss))
+                       * (raw_mean - grand)
+                  ELSE raw_mean END, 6) AS shrunk_mean
+FROM st, ss ORDER BY source
+"""
+
+
 def q_context_window(spark, sf_dir):
     """Rolling SFT-context assembly (packing.context_windows): each event
     paired with the ordered concat of its last 3 event types — the
@@ -14456,6 +14588,9 @@ _QUERIES_PAST_WINDOW = [
     "q_rich_club",
     "q_yules_k",
     "q_rfm",
+    "q_cem",
+    "q_evalue",
+    "q_james_stein",
 
 ]
 
@@ -14627,6 +14762,9 @@ def oracle_sql() -> dict[str, str]:
         "q_rich_club": Q_RICH_CLUB_SQL,
         "q_yules_k": Q_YULES_K_SQL,
         "q_rfm": Q_RFM_SQL,
+        "q_cem": Q_CEM_SQL,
+        "q_evalue": Q_EVALUE_SQL,
+        "q_james_stein": Q_JAMES_STEIN_SQL,
         "q_wilson_rates": Q_WILSON_RATES_SQL,
         "q_fdr_correction": Q_FDR_CORRECTION_SQL,
         "q_mann_kendall": Q_MANN_KENDALL_SQL,

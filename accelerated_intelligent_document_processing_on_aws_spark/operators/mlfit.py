@@ -1207,3 +1207,79 @@ def info_gain_ranking(
     )
     w_rank = Window.orderBy(F.col("ig").desc(), "feature")
     return out.withColumn("rank", F.row_number().over(w_rank))
+
+
+def cem_att(
+    df: DataFrame,
+    treatment_col,
+    outcome_col,
+    strata_cols: list,
+    round_to: int = 6,
+) -> DataFrame:
+    """Coarsened exact matching ATT (Iacus, King & Porro 2012): coarsen
+    covariates into the caller's strata columns, keep only strata
+    containing BOTH treated and control units, weight controls so each
+    stratum's controls count as much as its treated, and difference the
+    weighted outcome means — the transparent, deterministic matching
+    estimator (no nearest-neighbor ordering ambiguity, no propensity
+    model to mis-fit; the methodological counterpoint to q_ipw_ate on
+    the same data).
+
+    Control weight in stratum s: ``w = (m_T^s/m_C^s)·(M_C/M_T)`` with
+    M the matched totals; ATT = ȳ_T − Σw·y_C/Σw over matched strata.
+
+    Returns ONE row: ``n_strata_matched, n_treated, n_control, att``
+    (NULL when nothing matches).
+
+    Plan: ONE corpus aggregate to per-(stratum, arm) moments; matching,
+    weighting and the ATT are closed-form algebra on that
+    strata-cardinality frame.  Nothing row-wise survives the first
+    aggregate.
+    """
+    t = (
+        F.col(treatment_col)
+        if isinstance(treatment_col, str)
+        else treatment_col
+    ).cast("int")
+    y = (
+        F.col(outcome_col) if isinstance(outcome_col, str) else outcome_col
+    ).cast("double")
+    keys = [
+        (F.col(c) if isinstance(c, str) else c).alias(f"_s{i}")
+        for i, c in enumerate(strata_cols)
+    ]
+    per = df.select(t.alias("_t"), y.alias("_y"), *keys).filter(
+        F.col("_t").isNotNull() & F.col("_y").isNotNull()
+    )
+    knames = [f"_s{i}" for i in range(len(strata_cols))]
+    cell = per.groupBy(*knames).agg(
+        F.sum("_t").alias("mt"),
+        F.sum(F.lit(1) - F.col("_t")).alias("mc"),
+        F.sum(F.col("_y") * F.col("_t")).alias("syt"),
+        F.sum(F.col("_y") * (F.lit(1) - F.col("_t"))).alias("syc"),
+    )
+    matched = cell.filter((F.col("mt") > 0) & (F.col("mc") > 0))
+    # w·Σy_C within a stratum = (mt/mc)·Σy_C; the (M_C/M_T) factor is
+    # stratum-independent and cancels between numerator and denominator
+    # of the weighted control mean
+    a = matched.agg(
+        F.count(F.lit(1)).cast("long").alias("n_strata_matched"),
+        F.sum("mt").cast("long").alias("n_treated"),
+        F.sum("mc").cast("long").alias("n_control"),
+        F.sum("syt").alias("_syt"),
+        F.sum(
+            F.col("mt").cast("double") / F.col("mc").cast("double")
+            * F.col("syc")
+        ).alias("_wyc"),
+    )
+    att = F.col("_syt") / F.col("n_treated").cast("double") - F.col(
+        "_wyc"
+    ) / F.col("n_treated").cast("double")
+    return a.select(
+        "n_strata_matched",
+        "n_treated",
+        "n_control",
+        F.round(F.when(F.col("n_treated") > 0, att), round_to).alias(
+            "att"
+        ),
+    )

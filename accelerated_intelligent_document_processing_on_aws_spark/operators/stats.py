@@ -4011,3 +4011,123 @@ def runs_test(
             round_to,
         ).alias("z"),
     )
+
+
+def evalue_rr(
+    df: DataFrame,
+    treatment_col,
+    outcome_col,
+    round_to: int = 6,
+) -> DataFrame:
+    """E-value for unmeasured confounding (VanderWeele & Ding 2017):
+    given the observed risk ratio between two cohorts, the MINIMUM
+    strength of association an unmeasured confounder would need with
+    BOTH treatment and outcome to explain the effect away —
+    ``E = RR* + √(RR*·(RR*−1))`` with RR* = RR or 1/RR, whichever
+    exceeds 1.  The one-number robustness caption every observational
+    q_ipw_ate / q_did readout should carry.
+
+    Returns ONE row: ``n, p1, p0, rr, evalue`` (NULL when either rate
+    is 0 — RR undefined).
+
+    Plan: ONE aggregate, closed form after.
+    """
+    t = (
+        F.col(treatment_col)
+        if isinstance(treatment_col, str)
+        else treatment_col
+    ).cast("int")
+    y = (
+        F.col(outcome_col) if isinstance(outcome_col, str) else outcome_col
+    ).cast("int")
+    a = df.select(t.alias("_t"), y.alias("_y")).filter(
+        F.col("_t").isNotNull() & F.col("_y").isNotNull()
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_t").alias("_nt"),
+        F.sum(F.lit(1) - F.col("_t")).alias("_nc"),
+        F.sum(F.expr("_t * _y")).alias("_st"),
+        F.sum(F.expr("(1 - _t) * _y")).alias("_sc"),
+    )
+    p1 = F.try_divide(F.col("_st").cast("double"), F.col("_nt").cast("double"))
+    p0 = F.try_divide(F.col("_sc").cast("double"), F.col("_nc").cast("double"))
+    rr = F.try_divide(p1, p0)
+    rr_star = F.when(rr >= 1, rr).otherwise(F.try_divide(F.lit(1.0), rr))
+    ev = rr_star + F.sqrt(rr_star * (rr_star - F.lit(1.0)))
+    good = p1.isNotNull() & p0.isNotNull() & (p1 > 0) & (p0 > 0)
+    return a.select(
+        "n",
+        F.round(p1, round_to).alias("p1"),
+        F.round(p0, round_to).alias("p0"),
+        F.round(F.when(good, rr), round_to).alias("rr"),
+        F.round(F.when(good, ev), round_to).alias("evalue"),
+    )
+
+
+def james_stein_means(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """James-Stein / Efron-Morris shrinkage of per-group means (Efron &
+    Morris 1975): every group mean moves toward the grand mean by the
+    factor ``B = 1 − (k−3)·V̄ / Σ(x_g − x̄)²`` (clamped to [0, 1]), with
+    V̄ the average sampling variance s_g²/n_g — the winner's-curse
+    correction that dominates the raw per-group means in total error
+    whenever k ≥ 4 (a small noisy source topping a dashboard is mostly
+    noise; shrinkage says by how much).
+
+    Returns one row per group: ``<group_col>, n, raw_mean,
+    shrunk_mean`` (shrunk = raw when k < 4 or the spread is 0).
+
+    Plan: ONE corpus aggregate to per-group moments, one k-row
+    aggregate for the shrink factor, broadcast back onto the k-row
+    frame.  Corpus read once.
+    """
+    v = F.col(value_col).cast("double")
+    g = df.filter(v.isNotNull()).groupBy(
+        F.col(group_col).alias(group_col)
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.avg(v).alias("raw_mean"),
+        F.var_samp(v).alias("_s2"),
+    )
+    # the grand mean cannot ride inside agg: stage it via a window
+    staged = g.withColumn(
+        "_grand", F.avg("raw_mean").over(Window.partitionBy())
+    ).withColumn("_k", F.count(F.lit(1)).over(Window.partitionBy()))
+    ss = g.withColumn(
+        "_grand", F.avg("raw_mean").over(Window.partitionBy())
+    ).agg(
+        F.sum(
+            (F.col("raw_mean") - F.col("_grand"))
+            * (F.col("raw_mean") - F.col("_grand"))
+        ).alias("_ss"),
+        F.avg(
+            F.try_divide(F.col("_s2"), F.col("n").cast("double"))
+        ).alias("_vbar"),
+    )
+    out = staged.crossJoin(F.broadcast(ss))
+    b = F.greatest(
+        F.lit(0.0),
+        F.least(
+            F.lit(1.0),
+            F.lit(1.0)
+            - (F.col("_k") - F.lit(3)).cast("double")
+            * F.col("_vbar")
+            / F.col("_ss"),
+        ),
+    )
+    shrunk = F.col("_grand") + b * (F.col("raw_mean") - F.col("_grand"))
+    return out.select(
+        group_col,
+        F.col("n").cast("long").alias("n"),
+        F.round("raw_mean", round_to).alias("raw_mean"),
+        F.round(
+            F.when(
+                (F.col("_k") >= 4) & (F.col("_ss") > 0), shrunk
+            ).otherwise(F.col("raw_mean")),
+            round_to,
+        ).alias("shrunk_mean"),
+    )

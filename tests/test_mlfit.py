@@ -494,3 +494,36 @@ def test_info_gain_ranking_perfect_vs_noise(spark):
     # 'half': y alternates within each half -> no information either
     assert out["half"].ig == 0.0
     assert {out["noise"].rank, out["half"].rank} == {2, 3}
+
+
+def test_cem_att_hand_case(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        cem_att,
+    )
+
+    # stratum A: 2 treated (y 10, 12), 1 control (y 5)
+    # stratum B: 1 treated (y 20), 2 controls (y 8, 10)
+    # stratum C: controls only -> dropped
+    rows = [
+        ("A", 1, 10.0), ("A", 1, 12.0), ("A", 0, 5.0),
+        ("B", 1, 20.0), ("B", 0, 8.0), ("B", 0, 10.0),
+        ("C", 0, 99.0), ("C", 0, 99.0),
+    ]
+    df = spark.createDataFrame(rows, ["s", "t", "y"])
+    r = cem_att(df, "t", "y", ["s"]).collect()[0]
+    assert (r.n_strata_matched, r.n_treated, r.n_control) == (2, 3, 3)
+    # weighted control sum: A: (2/1)*5 = 10 ; B: (1/2)*18 = 9
+    att = (10 + 12 + 20) / 3 - (10 + 9) / 3
+    assert r.att == round(att, 6)
+
+
+def test_cem_att_no_overlap_null(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        cem_att,
+    )
+
+    rows = [("A", 1, 5.0), ("B", 0, 3.0)]
+    r = cem_att(
+        spark.createDataFrame(rows, ["s", "t", "y"]), "t", "y", ["s"]
+    ).collect()[0]
+    assert r.n_strata_matched == 0 and r.att is None

@@ -339,6 +339,9 @@ def test_no_query_plans_nested_loop_or_rowwise_python(spark):
         # 1-row H(label) frame attached to the feature-cardinality IG
         # frame (the q_fleiss_kappa scalar-attach shape)
         "q_info_gain",
+        # 1-row shrink-factor frame attached to the k-row source-means
+        # frame (the q_fleiss_kappa scalar-attach shape)
+        "q_james_stein",
     }
     for name, f in em.queries().items():
         p = plan_of(f(spark, "/root/testdata/sf0.001"))

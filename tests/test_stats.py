@@ -1712,3 +1712,66 @@ def test_runs_test_reference_and_extremes(spark):
     ones = [(t, 1) for t in range(5)]
     ro = runs_test(spark.createDataFrame(ones, ["t", "f"]), "t", "f").collect()[0]
     assert ro.z is None
+
+
+def test_evalue_rr_reference(spark):
+    import math
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        evalue_rr,
+    )
+
+    rows = [(1, 1)] * 30 + [(1, 0)] * 70 + [(0, 1)] * 10 + [(0, 0)] * 90
+    r = evalue_rr(
+        spark.createDataFrame(rows, ["t", "y"]), "t", "y"
+    ).collect()[0]
+    rr = 0.3 / 0.1
+    assert r.rr == 3.0
+    assert r.evalue == round(rr + math.sqrt(rr * (rr - 1)), 6)
+
+    # protective effect (RR < 1): E-value computed on 1/RR
+    inv = [(1, 1)] * 10 + [(1, 0)] * 90 + [(0, 1)] * 30 + [(0, 0)] * 70
+    r2 = evalue_rr(
+        spark.createDataFrame(inv, ["t", "y"]), "t", "y"
+    ).collect()[0]
+    assert r2.evalue == r.evalue  # symmetric
+
+
+def test_james_stein_shrinks_toward_grand_mean(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        james_stein_means,
+    )
+
+    import random
+
+    random.seed(5)
+    rows = []
+    true = {"a": 10.0, "b": 12.0, "c": 11.0, "d": 9.0, "e": 13.0}
+    for g, mu in true.items():
+        for _ in range(20):
+            rows.append((g, mu + random.uniform(-3, 3)))
+    df = spark.createDataFrame(rows, ["g", "v"])
+    out = {r.g: r for r in james_stein_means(df, "g", "v").collect()}
+    grand = sum(r.raw_mean for r in out.values()) / 5
+    for g, r in out.items():
+        # strictly between raw and grand (or equal when raw == grand)
+        lo, hi = sorted((r.raw_mean, grand))
+        assert lo - 1e-9 <= r.shrunk_mean <= hi + 1e-9
+    # extreme groups move the most in absolute terms
+    moves = {g: abs(r.raw_mean - r.shrunk_mean) for g, r in out.items()}
+    far = max(out, key=lambda g: abs(out[g].raw_mean - grand))
+    near = min(out, key=lambda g: abs(out[g].raw_mean - grand))
+    assert moves[far] >= moves[near]
+
+
+def test_james_stein_small_k_identity(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        james_stein_means,
+    )
+
+    rows = [("a", 1.0), ("a", 2.0), ("b", 5.0), ("b", 6.0)]
+    out = {r.g: r for r in james_stein_means(
+        spark.createDataFrame(rows, ["g", "v"]), "g", "v"
+    ).collect()}
+    for r in out.values():
+        assert r.shrunk_mean == r.raw_mean  # k < 4: no shrinkage
