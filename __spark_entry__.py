@@ -9545,6 +9545,87 @@ FROM st, ss ORDER BY source
 """
 
 
+def q_trustrank(spark, sf_dir):
+    """TrustRank over the user co-activity graph with verified-account
+    seeds (user_id%10==0) (operators/graph.py trustrank): trust flows
+    outward from seeds, so disconnected bot rings score exactly 0 —
+    the seeded complement to q_pagerank, same per-round rounding
+    contract and one-join-per-iteration plan."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        coactivity_edges,
+        trustrank,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    edges = coactivity_edges(e, "user_id", "ts", "minute", 64)
+    seeds = (
+        e.select(F.col("user_id").alias("node"))
+        .distinct()
+        .filter(F.col("node") % 10 == 0)
+    )
+    return trustrank(edges, seeds, iterations=5).transform(_by("node"))
+
+
+def _trustrank_sql(iterations: int = 5, damping: float = 0.85) -> str:
+    """DuckDB twin of q_trustrank: the _pagerank_sql CTE chain with
+    teleport/dangling mass restricted to the seed distribution."""
+    d = repr(damping)
+    t = repr(1.0 - damping)
+    its = []
+    prev = "r0"
+    for i in range(1, iterations + 1):
+        its.append(f"""
+r{i} AS (
+  SELECT b.node, b.deg, b.sv,
+         ROUND({t} * b.sv + {d} * (COALESCE(c.s, 0.0) + dg.m * b.sv), 9)
+           AS rnk
+  FROM bs b
+  CROSS JOIN (SELECT COALESCE(SUM(CASE WHEN deg = 0 THEN rnk END), 0.0)
+                AS m FROM {prev}) dg
+  LEFT JOIN (SELECT e.dst AS node, SUM(r.rnk / r.deg) AS s
+             FROM edges e JOIN {prev} r ON e.src = r.node AND r.deg > 0
+             GROUP BY e.dst) c ON b.node = c.node
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH b AS (SELECT DISTINCT date_trunc('minute', ts) AS _b, user_id AS _u
+           FROM events),
+sized AS (SELECT _b, _u FROM (
+            SELECT _b, _u, COUNT(*) OVER (PARTITION BY _b) AS _n FROM b)
+          WHERE _n <= 64),
+edges AS (SELECT DISTINCT l._u AS src, r._u AS dst
+          FROM sized l JOIN sized r USING (_b) WHERE l._u <> r._u),
+nodes AS (SELECT src AS node FROM edges UNION SELECT dst FROM edges),
+deg AS (SELECT src, COUNT(*) AS deg FROM edges GROUP BY src),
+base AS (SELECT node, COALESCE(deg, 0) AS deg
+         FROM nodes LEFT JOIN deg ON node = src),
+sn AS (SELECT COUNT(*) AS ns FROM nodes WHERE node % 10 = 0),
+bs AS (SELECT node, deg,
+              CASE WHEN node % 10 = 0 THEN 1.0 / sn.ns ELSE 0.0 END AS sv
+       FROM base CROSS JOIN sn),
+r0 AS (SELECT node, deg, sv, sv AS rnk FROM bs),
+{",".join(its)}
+SELECT node, ROUND(rnk, 6) AS trust FROM {prev} ORDER BY node
+"""
+
+
+def q_compress_ratio(spark, sf_dir):
+    """Per-document zlib compression ratio
+    (operators/curation.py compression_ratio): the whole-document
+    redundancy signal of the Gopher/FineWeb quality stack — catches
+    long-range duplication the windowed repetition gates miss.
+    Rows-only BY DESIGN: zlib has no SQL twin (DuckDB has no
+    compression scalar); correctness is pinned by the differential
+    pytest against the same zlib on literal texts
+    (tests/test_curation.py).  ONE Arrow-batched stage, no shuffle."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        compression_ratio,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return compression_ratio(d, "doc_id", "text").transform(_by("doc_id"))
+
+
 def q_context_window(spark, sf_dir):
     """Rolling SFT-context assembly (packing.context_windows): each event
     paired with the ordered concat of its last 3 event types — the
@@ -14591,6 +14672,8 @@ _QUERIES_PAST_WINDOW = [
     "q_cem",
     "q_evalue",
     "q_james_stein",
+    "q_trustrank",
+    "q_compress_ratio",
 
 ]
 
@@ -14765,6 +14848,7 @@ def oracle_sql() -> dict[str, str]:
         "q_cem": Q_CEM_SQL,
         "q_evalue": Q_EVALUE_SQL,
         "q_james_stein": Q_JAMES_STEIN_SQL,
+        "q_trustrank": _trustrank_sql(),
         "q_wilson_rates": Q_WILSON_RATES_SQL,
         "q_fdr_correction": Q_FDR_CORRECTION_SQL,
         "q_mann_kendall": Q_MANN_KENDALL_SQL,

@@ -28,6 +28,8 @@ Scale notes (100 TB):
 
 from __future__ import annotations
 
+import pandas as pd
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1498,4 +1500,53 @@ def effective_sample_size(weighted: DataFrame, weight_col: str) -> DataFrame:
             (F.sum(w) * F.sum(w)) / F.sum(w * w) / F.count(F.lit(1)),
             6,
         ).alias("ess_ratio"),
+    )
+
+
+def compression_ratio(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    level: int = 6,
+    round_to: int = 6,
+) -> DataFrame:
+    """zlib compression ratio per document (compressed bytes / raw
+    bytes): the cheap redundancy oracle the Gopher/FineWeb lineage uses
+    as a quality signal — boilerplate and templated spam compress far
+    below prose (ratio ≪ human text), random noise compresses above 1.
+    The whole-document complement to the n-gram repetition gates
+    (``gopher_repetition``), catching long-range duplication those
+    windows miss.
+
+    Returns ``<id_col>, n_bytes, ratio`` (ratio NULL for empty text).
+
+    Plan: ONE Arrow-batched pandas UDF (zlib is C-speed; the batch
+    transfer dominates) — no shuffle at all; the operator is
+    embarrassingly parallel and composes with any upstream scan.
+    NOT SQL-expressible (no zlib in DuckDB), so its registry entry is
+    rows-only by design; correctness is pinned by the differential
+    pytest against the same zlib on literal texts.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    lvl = int(level)
+
+    @pandas_udf("double")
+    def _ratio(s: pd.Series) -> pd.Series:
+        import zlib
+
+        def one(t):
+            b = (t or "").encode("utf-8")
+            if not b:
+                return None
+            return len(zlib.compress(b, lvl)) / len(b)
+
+        return s.map(one)
+
+    return df.select(
+        F.col(id_col),
+        F.octet_length(F.coalesce(F.col(text_col), F.lit(""))).alias(
+            "n_bytes"
+        ),
+        F.round(_ratio(F.col(text_col)), round_to).alias("ratio"),
     )

@@ -976,3 +976,27 @@ def test_effective_sample_size_extremes(spark):
     r2 = effective_sample_size(dom, "w").collect()[0]
     assert r2.n == 100 and r2.ess < 1.01
     assert r2.ess_ratio < 0.02
+
+
+def test_compression_ratio_differential_and_ordering(spark):
+    import zlib
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.curation import (
+        compression_ratio,
+    )
+
+    texts = {
+        1: "spam spam spam spam spam spam spam spam spam spam",
+        2: "The quick brown fox jumps over the lazy dog near a riverbank.",
+        3: "",
+    }
+    df = spark.createDataFrame(list(texts.items()), ["doc_id", "text"])
+    out = {r.doc_id: r for r in compression_ratio(df, "doc_id", "text").collect()}
+    for did, t in texts.items():
+        b = t.encode("utf-8")
+        assert out[did].n_bytes == len(b)
+        if b:
+            assert out[did].ratio == round(len(zlib.compress(b, 6)) / len(b), 6)
+    assert out[3].ratio is None
+    # repetitive text compresses harder than prose
+    assert out[1].ratio < out[2].ratio

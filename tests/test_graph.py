@@ -435,3 +435,45 @@ def test_rich_club_hand_case(spark):
     assert out[2].phi == 1.0
     # k=6: club {1} only -> phi NULL
     assert out[6].n_nodes == 1 and out[6].phi is None
+
+
+def test_trustrank_flows_from_seeds_only(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        trustrank,
+    )
+
+    # chain 1 -> 2 -> 3 plus a disconnected spam clique {10, 11}
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 10)], ["src", "dst"]
+    )
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    # enough iterations to damp the 3-cycle transient: the fixed point
+    # is r1 ≈ 0.389 > r2 ≈ 0.330 > r3 ≈ 0.281
+    out = {r.node: r.trust for r in trustrank(edges, seeds, 25).collect()}
+    assert out[1] > 0 and out[2] > 0 and out[3] > 0
+    assert out[1] > out[2] > out[3]
+    # the disconnected clique gets exactly zero, however well-linked
+    assert out[10] == 0.0 and out[11] == 0.0
+    # total trust stays a (sub-)distribution
+    assert sum(out.values()) <= 1.0 + 1e-6
+
+
+def test_trustrank_reference_one_iteration(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        trustrank,
+    )
+
+    # 1 -> 2 with seed {1}; d = 0.85
+    # r0 = (1, 0); node 2 dangling (deg 0), node 1 deg 1
+    # iter1: r(1) = 0.15*1 + 0.85*(0 + m*1) with m = r0(2)=0 -> 0.15
+    #        r(2) = 0.15*0 + 0.85*(r0(1)/1) = 0.85
+    edges = spark.createDataFrame([(1, 2)], ["src", "dst"])
+    seeds = spark.createDataFrame([(1,)], ["node"])
+    out = {r.node: r.trust for r in trustrank(edges, seeds, 1).collect()}
+    assert out[1] == 0.15
+    assert out[2] == 0.85
+
+    # no seeds in graph -> all zero
+    far = spark.createDataFrame([(99,)], ["node"])
+    out0 = {r.node: r.trust for r in trustrank(edges, far, 3).collect()}
+    assert set(out0.values()) == {0.0}
