@@ -9626,6 +9626,127 @@ def q_compress_ratio(spark, sf_dir):
     return compression_ratio(d, "doc_id", "text").transform(_by("doc_id"))
 
 
+def q_abc(spark, sf_dir):
+    """ABC/Pareto classification of users by total event value
+    (operators/olap.py abc_classification): which slice of users
+    carries 80% of the value.  One user aggregate + one ranked
+    cumulative window over the user frame + a 3-row rollup."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.olap import (
+        abc_classification,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return abc_classification(e, "user_id", "value").transform(
+        _by("abc_class")
+    )
+
+
+Q_ABC_SQL = """
+WITH per_k AS (SELECT user_id AS k, COALESCE(SUM(value), 0.0) AS v
+               FROM events GROUP BY user_id),
+st AS (SELECT k, v,
+              SUM(v) OVER (ORDER BY v DESC, k ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS cum,
+              SUM(v) OVER () AS tot
+       FROM per_k),
+cls AS (SELECT v, tot,
+               CASE WHEN (cum - v) / tot < 0.8 THEN 'A'
+                    WHEN (cum - v) / tot < 0.95 THEN 'B'
+                    ELSE 'C' END AS abc_class
+        FROM st)
+SELECT abc_class, CAST(COUNT(*) AS BIGINT) AS n_keys,
+       ROUND(SUM(v), 6) AS total_value,
+       ROUND(SUM(v / tot), 6) AS value_share
+FROM cls GROUP BY abc_class ORDER BY abc_class
+"""
+
+
+def q_cohort_ltv(spark, sf_dir):
+    """Weekly-cohort cumulative LTV from purchase values
+    (operators/funnel.py cohort_ltv): the money-side twin of
+    q_retention_cohorts — one (user, week) aggregate, one cohort
+    rollup, one cumulative window over the calendar-bounded triangle."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.funnel import (
+        cohort_ltv,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    out = cohort_ltv(
+        e,
+        "user_id",
+        "ts",
+        "value",
+        value_when=(F.col("event_type") == "purchase"),
+    )
+    return out.withColumn("cohort", F.col("cohort").cast("string")).transform(
+        _by("cohort", "week_offset")
+    )
+
+
+Q_COHORT_LTV_SQL = """
+WITH uw AS (SELECT user_id AS u, CAST(date_trunc('week', ts) AS DATE) AS w,
+                   COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                     THEN value ELSE 0.0 END), 0.0) AS rev
+            FROM events GROUP BY 1, 2),
+per_u AS (SELECT u, MIN(w) AS cohort FROM uw GROUP BY u),
+cs AS (SELECT cohort, COUNT(*) AS cohort_users FROM per_u GROUP BY cohort),
+ex AS (SELECT p.cohort,
+              CAST(FLOOR(datediff('day', p.cohort, uw.w) / 7.0) AS INT)
+                AS week_offset,
+              uw.rev
+       FROM uw JOIN per_u p USING (u)),
+co AS (SELECT cohort, week_offset, SUM(rev) AS week_revenue
+       FROM ex GROUP BY 1, 2)
+SELECT CAST(co.cohort AS VARCHAR) AS cohort, week_offset,
+       CAST(cohort_users AS BIGINT) AS cohort_users,
+       ROUND(week_revenue, 6) AS week_revenue,
+       ROUND(SUM(week_revenue) OVER (PARTITION BY co.cohort
+               ORDER BY week_offset ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) / cohort_users, 6) AS cum_ltv_per_user
+FROM co JOIN cs ON co.cohort = cs.cohort
+ORDER BY cohort, week_offset
+"""
+
+
+def q_sim_pairs(spark, sf_dir):
+    """Embedding anisotropy audit over deterministic unrelated pairs
+    (operators/similarity.py anisotropy_audit): mean cosine between
+    hash-sampled 1:1 pairs — the check that cosine thresholds are even
+    meaningful in this embedding space before q_embed_neardup's τ is
+    trusted.  Sample filter pushes to the scan; one rank window over
+    the audit sample, one rank equi-join, JVM dot products."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        anisotropy_audit,
+    )
+
+    em = _t(spark, sf_dir, "embeddings")
+    return anisotropy_audit(em, "vec_id", "embedding", sample_mod=7)
+
+
+Q_SIM_PAIRS_SQL = """
+WITH d AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings WHERE vec_id % 7 = 0 AND embedding IS NOT NULL),
+rk AS (SELECT v, ROW_NUMBER() OVER (ORDER BY id) - 1 AS r,
+              COUNT(*) OVER () AS n
+       FROM d),
+h AS (SELECT v, r, CAST(n / 2 AS INT) AS hh FROM rk),
+l AS (SELECT r, v AS a FROM h WHERE r < hh),
+rr AS (SELECT r - hh AS r, v AS b FROM h WHERE r >= hh),
+pairs AS (SELECT list_inner_product(a, b)
+                 / (sqrt(list_inner_product(a, a))
+                    * sqrt(list_inner_product(b, b))) AS c
+          FROM l JOIN rr USING (r)),
+ag AS (SELECT COUNT(*) AS n_pairs, AVG(c) AS m, STDDEV_SAMP(c) AS s,
+              AVG(CASE WHEN c > 0.5 THEN 1.0 ELSE 0.0 END) AS f,
+              MIN(c) AS mn, MAX(c) AS mx
+       FROM pairs)
+SELECT CAST(n_pairs AS BIGINT) AS n_pairs, ROUND(m, 6) AS mean_cos,
+       ROUND(s, 6) AS sd_cos, ROUND(f, 6) AS frac_above_05,
+       ROUND(mn, 6) AS min_cos, ROUND(mx, 6) AS max_cos
+FROM ag
+"""
+
+
 def q_context_window(spark, sf_dir):
     """Rolling SFT-context assembly (packing.context_windows): each event
     paired with the ordered concat of its last 3 event types — the
@@ -14674,6 +14795,9 @@ _QUERIES_PAST_WINDOW = [
     "q_james_stein",
     "q_trustrank",
     "q_compress_ratio",
+    "q_abc",
+    "q_cohort_ltv",
+    "q_sim_pairs",
 
 ]
 
@@ -14849,6 +14973,9 @@ def oracle_sql() -> dict[str, str]:
         "q_evalue": Q_EVALUE_SQL,
         "q_james_stein": Q_JAMES_STEIN_SQL,
         "q_trustrank": _trustrank_sql(),
+        "q_abc": Q_ABC_SQL,
+        "q_cohort_ltv": Q_COHORT_LTV_SQL,
+        "q_sim_pairs": Q_SIM_PAIRS_SQL,
         "q_wilson_rates": Q_WILSON_RATES_SQL,
         "q_fdr_correction": Q_FDR_CORRECTION_SQL,
         "q_mann_kendall": Q_MANN_KENDALL_SQL,

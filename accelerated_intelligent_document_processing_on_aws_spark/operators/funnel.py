@@ -376,3 +376,74 @@ def rfm_segments(
         ),
         F.round(F.avg("m"), round_to).alias("avg_monetary"),
     )
+
+
+def cohort_ltv(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    value_col: str,
+    value_when=None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Weekly-cohort cumulative lifetime value: cohort = Monday-
+    truncated week of a user's FIRST event; one row per (cohort_week,
+    week_offset) with that week's revenue and the cumulative
+    per-cohort-user LTV — the money-side twin of the retention-cohort
+    triangle (retention counts who comes back; LTV accumulates what
+    they're worth).
+
+    ``value_when``: optional boolean Column gating which rows carry
+    value (e.g. only purchases).
+
+    Plan: ONE user-keyed aggregate derives (cohort, per-week revenue
+    map is avoided — a second (user-week)-grain aggregate feeds the
+    cohort rollup), then a (cohort, offset) aggregate + one cumulative
+    window over that calendar-bounded frame.  Two data shuffles total,
+    the q_retention_cohorts discipline.
+    """
+    wk = F.date_trunc("week", F.col(ts_col)).cast("date")
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "double"
+    )
+    if value_when is not None:
+        v = F.when(value_when, v).otherwise(F.lit(0.0))
+    uw = df.groupBy(F.col(user_col).alias("u"), wk.alias("w")).agg(
+        F.coalesce(F.sum(v), F.lit(0.0)).alias("rev")
+    )
+    per_u = uw.groupBy("u").agg(
+        F.min("w").alias("cohort"),
+        F.collect_list(F.struct("w", "rev")).alias("_weeks"),
+    )
+    cohort_sizes = per_u.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    exploded = per_u.select(
+        "cohort", F.explode("_weeks").alias("_e")
+    ).select(
+        "cohort",
+        F.floor(
+            F.datediff(F.col("_e.w"), F.col("cohort")) / F.lit(7)
+        ).cast("int").alias("week_offset"),
+        F.col("_e.rev").alias("rev"),
+    )
+    co = exploded.groupBy("cohort", "week_offset").agg(
+        F.sum("rev").alias("week_revenue")
+    )
+    wcum = Window.partitionBy("cohort").orderBy("week_offset").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return (
+        co.join(F.broadcast(cohort_sizes), "cohort")
+        .select(
+            "cohort",
+            "week_offset",
+            F.col("cohort_users").cast("long").alias("cohort_users"),
+            F.round("week_revenue", round_to).alias("week_revenue"),
+            F.round(
+                F.sum("week_revenue").over(wcum)
+                / F.col("cohort_users").cast("double"),
+                round_to,
+            ).alias("cum_ltv_per_user"),
+        )
+    )

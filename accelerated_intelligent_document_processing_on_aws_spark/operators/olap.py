@@ -116,3 +116,54 @@ def simpson_reversals(
         & (F.col("overall_diff") != 0)
         & (F.signum("diff") != F.signum("overall_diff")),
     )
+
+
+def abc_classification(
+    df: DataFrame,
+    key_col: str,
+    value_col,
+    a_cut: float = 0.8,
+    b_cut: float = 0.95,
+    round_to: int = 6,
+) -> DataFrame:
+    """ABC / Pareto contribution classification: rank keys by value
+    descending, classify by the cumulative share BEFORE each key
+    (< ``a_cut`` → A, < ``b_cut`` → B, else C) — the "which 20% of
+    sources carry 80% of the tokens" analysis that decides where
+    curation attention goes.  Share-BEFORE (not through) keeps the
+    first key in A however large it is.
+
+    Returns one row per class: ``abc_class, n_keys, total_value,
+    value_share``.
+
+    Plan: ONE corpus aggregate to the key frame, one ranked cumulative
+    window over that key-cardinality frame (deterministic total order:
+    value desc, key), one 3-row aggregate.
+    """
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "double"
+    )
+    per_k = df.groupBy(F.col(key_col).alias("k")).agg(
+        F.coalesce(F.sum(v), F.lit(0.0)).alias("v")
+    )
+    w = Window.orderBy(F.col("v").desc(), F.col("k"))
+    wall = Window.partitionBy()
+    staged = per_k.withColumn(
+        "_cum", F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    ).withColumn("_tot", F.sum("v").over(wall))
+    before = (F.col("_cum") - F.col("v")) / F.col("_tot")
+    cls = (
+        F.when(before < F.lit(float(a_cut)), F.lit("A"))
+        .when(before < F.lit(float(b_cut)), F.lit("B"))
+        .otherwise(F.lit("C"))
+    )
+    return (
+        staged.groupBy(cls.alias("abc_class"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.round(F.sum("v"), round_to).alias("total_value"),
+            F.round(
+                F.sum(F.col("v") / F.col("_tot")), round_to
+            ).alias("value_share"),
+        )
+    )

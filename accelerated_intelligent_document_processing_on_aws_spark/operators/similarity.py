@@ -1311,3 +1311,78 @@ def scalar_quantize_audit(
             round_to,
         ).alias("mse_ppm"),
     )
+
+
+def anisotropy_audit(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    sample_mod: int = 7,
+    round_to: int = 6,
+) -> DataFrame:
+    """Embedding-space anisotropy audit (Ethayarajh 2019): the mean
+    cosine between UNRELATED vector pairs — in a healthy isotropic
+    space it hovers near 0; contextual-encoder spaces often average
+    0.5+, which silently breaks every "cosine > τ" dedup/ANN threshold
+    calibrated on the unit sphere.  The check to run BEFORE trusting
+    q_embed_neardup's τ on a new embedding model.
+
+    Pairing is deterministic: the hash-sampled vectors (id % mod == 0)
+    are ranked by id and row i pairs with row i + n/2 — disjoint 1:1
+    pairs, no O(n²) cross join.
+
+    Returns ONE row: ``n_pairs, mean_cos, sd_cos, frac_above_05,
+    min_cos, max_cos``.
+
+    Plan: the sample filter pushes to the scan; one rank window over
+    the SAMPLE (audit-sized by construction), one self equi-join on
+    rank, JVM-side zip_with/aggregate dot products, ONE aggregate.
+    """
+    d = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).filter((F.col("_id") % sample_mod == 0) & F.col("_v").isNotNull())
+    w = Window.orderBy("_id")
+    ranked = d.select(
+        "_v", (F.row_number().over(w) - 1).alias("_r")
+    )
+    nrow = ranked.agg(F.count(F.lit(1)).alias("_n"))
+    half = ranked.crossJoin(F.broadcast(nrow)).withColumn(
+        "_h", (F.col("_n") / 2).cast("int")
+    )
+    left = half.filter(F.col("_r") < F.col("_h")).select(
+        "_r", F.col("_v").alias("_a")
+    )
+    right = half.filter(F.col("_r") >= F.col("_h")).select(
+        (F.col("_r") - F.col("_h")).alias("_r"), F.col("_v").alias("_b")
+    )
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    pairs = left.join(right, "_r").select(
+        (
+            dot(F.col("_a"), F.col("_b"))
+            / (
+                F.sqrt(dot(F.col("_a"), F.col("_a")))
+                * F.sqrt(dot(F.col("_b"), F.col("_b")))
+            )
+        ).alias("_c")
+    )
+    a = pairs.agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.avg("_c").alias("_m"),
+        F.stddev_samp("_c").alias("_s"),
+        F.avg((F.col("_c") > 0.5).cast("double")).alias("_f"),
+        F.min("_c").alias("_mn"),
+        F.max("_c").alias("_mx"),
+    )
+    return a.select(
+        "n_pairs",
+        F.round("_m", round_to).alias("mean_cos"),
+        F.round("_s", round_to).alias("sd_cos"),
+        F.round("_f", round_to).alias("frac_above_05"),
+        F.round("_mn", round_to).alias("min_cos"),
+        F.round("_mx", round_to).alias("max_cos"),
+    )

@@ -192,3 +192,36 @@ def test_rfm_segments_deterministic_tiles(spark):
     assert "3-3-3" in out
     # total users preserved
     assert sum(r.n_users for r in out.values()) == 3
+
+
+def test_cohort_ltv_hand_case(spark):
+    import datetime as dt
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.funnel import (
+        cohort_ltv,
+    )
+
+    mon = dt.datetime(2024, 1, 1)  # a Monday
+    rows = [
+        # user 1: cohort week0, revenue 10 in w0, 5 in w1
+        (1, mon + dt.timedelta(days=1), 10.0),
+        (1, mon + dt.timedelta(days=8), 5.0),
+        # user 2: same cohort, revenue 2 in w0 only
+        (2, mon + dt.timedelta(days=2), 2.0),
+        # user 3: cohort week1, revenue 7
+        (3, mon + dt.timedelta(days=9), 7.0),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "value"])
+    out = {
+        (str(r.cohort), r.week_offset): r
+        for r in cohort_ltv(df, "user_id", "ts", "value").collect()
+    }
+    w0 = str(mon.date())
+    w1 = str((mon + dt.timedelta(days=7)).date())
+    assert out[(w0, 0)].cohort_users == 2
+    assert out[(w0, 0)].week_revenue == 12.0
+    assert out[(w0, 0)].cum_ltv_per_user == 6.0
+    assert out[(w0, 1)].week_revenue == 5.0
+    assert out[(w0, 1)].cum_ltv_per_user == 8.5  # (12+5)/2
+    assert out[(w1, 0)].cohort_users == 1
+    assert out[(w1, 0)].cum_ltv_per_user == 7.0

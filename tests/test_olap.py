@@ -100,3 +100,23 @@ def test_simpson_no_reversal_when_aligned(spark):
     ).collect()[0]
     assert r.diff == r.overall_diff == 0.3
     assert not r.reversed
+
+
+def test_abc_classification_hand_case(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.olap import (
+        abc_classification,
+    )
+
+    # values: k1=70, k2=20, k3=6, k4=4 (total 100)
+    rows = (
+        [("k1", 70.0)] + [("k2", 20.0)] + [("k3", 6.0)] + [("k4", 4.0)]
+    )
+    df = spark.createDataFrame(rows, ["k", "v"])
+    out = {r.abc_class: r for r in
+           abc_classification(df, "k", "v", 0.8, 0.95).collect()}
+    # before-shares: k1=0 (A), k2=0.7 (A), k3=0.9 (B), k4=0.96 (C)
+    assert out["A"].n_keys == 2 and out["A"].total_value == 90.0
+    assert out["B"].n_keys == 1 and out["B"].total_value == 6.0
+    assert out["C"].n_keys == 1
+    assert abs(out["A"].value_share - 0.9) < 1e-9
+    assert sum(r.value_share for r in out.values()) == 1.0

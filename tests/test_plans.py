@@ -342,6 +342,9 @@ def test_no_query_plans_nested_loop_or_rowwise_python(spark):
         # 1-row shrink-factor frame attached to the k-row source-means
         # frame (the q_fleiss_kappa scalar-attach shape)
         "q_james_stein",
+        # 1-row sample-size frame attached to the audit-sized ranked
+        # sample (the pairing split needs n/2 alongside every rank)
+        "q_sim_pairs",
     }
     for name, f in em.queries().items():
         p = plan_of(f(spark, "/root/testdata/sf0.001"))

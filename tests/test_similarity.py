@@ -505,3 +505,36 @@ def test_scalar_quantize_audit_hand(spark):
     step = (r.qmax - r.qmin) / 255.0
     assert 0 < r.sse_scaled <= 64 * (step * 255.0 + 255.0) ** 2
     assert r.code_checksum > 0
+
+
+def test_anisotropy_audit_isotropic_vs_shifted(spark):
+    import math
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        anisotropy_audit,
+    )
+
+    # orthogonal-ish pairs: id i gets basis vector e_{i mod 4}
+    iso = [
+        (i * 7, [1.0 if j == (i % 4) else 0.0 for j in range(8)])
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(iso, ["vec_id", "embedding"])
+    r = anisotropy_audit(df, "vec_id", "embedding", sample_mod=7).collect()[0]
+    assert r.n_pairs == 10
+    # pair i (basis i%4) with i+10 (basis (i+10)%4 = (i+2)%4): orthogonal
+    assert r.mean_cos == 0.0 and r.max_cos == 0.0
+
+    # anisotropic: every vector = common direction + small distinct part
+    aniso = [
+        (i * 7, [5.0] + [1.0 if j == (i % 4) else 0.0 for j in range(7)])
+        for i in range(20)
+    ]
+    ra = anisotropy_audit(
+        spark.createDataFrame(aniso, ["vec_id", "embedding"]),
+        "vec_id", "embedding", sample_mod=7,
+    ).collect()[0]
+    expect = 25.0 / 26.0  # cos of two such vectors with disjoint parts
+    assert ra.mean_cos == round(expect, 6)
+    assert ra.frac_above_05 == 1.0
+    assert math.isclose(ra.sd_cos, 0.0, abs_tol=1e-9)
