@@ -9747,6 +9747,76 @@ FROM ag
 """
 
 
+def q_pot_gpd(spark, sf_dir):
+    """Peaks-over-threshold GPD tail fit of event values above 40
+    (operators/timeseries.py pot_gpd_fit): the every-exceedance tail
+    estimator complementing q_extreme_value's block maxima — ξ > 0
+    flags a heavy tail.  Threshold filter pushes to the scan; ONE
+    moment aggregate."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        pot_gpd_fit,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    return pot_gpd_fit(e, "value", threshold=40.0)
+
+
+Q_POT_GPD_SQL = """
+WITH exc AS (SELECT CAST(value AS DOUBLE) - 40.0 AS e FROM events
+             WHERE value IS NOT NULL AND value > 40.0),
+a AS (SELECT COUNT(*) AS n, SUM(e) AS s, SUM(e * e) AS q FROM exc),
+f AS (SELECT n, s / n AS m,
+             (q - s * s / n) / (n - 1.0) AS var
+      FROM a)
+SELECT CAST(n AS BIGINT) AS n_exceed, 40.0 AS threshold,
+       ROUND(CASE WHEN n > 0 THEN m END, 6) AS mean_excess,
+       ROUND(CASE WHEN n > 1 AND var > 0
+                  THEN (1.0 - m * m / var) / 2.0 END, 6) AS xi,
+       ROUND(CASE WHEN n > 1 AND var > 0
+                  THEN m * (m * m / var + 1.0) / 2.0 END, 6) AS beta
+FROM f
+"""
+
+
+def q_records(spark, sf_dir):
+    """Foster-Stuart record-counting trend test on daily event volumes
+    (operators/timeseries.py records_test): record-breaking days vs the
+    harmonic-number expectation — assumption-free trend evidence next
+    to q_mann_kendall.  The corpus collapses to the per-day frame; the
+    running-max window rides metadata."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        records_test,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    return records_test(daily, "d", "c")
+
+
+Q_RECORDS_SQL = """
+WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS d,
+                      CAST(COUNT(*) AS DOUBLE) AS c
+               FROM events GROUP BY 1),
+st AS (SELECT CAST(ROW_NUMBER() OVER (ORDER BY d) AS DOUBLE) AS i,
+              CASE WHEN MAX(c) OVER (ORDER BY d ROWS BETWEEN UNBOUNDED
+                     PRECEDING AND 1 PRECEDING) IS NULL
+                     OR c > MAX(c) OVER (ORDER BY d ROWS BETWEEN
+                          UNBOUNDED PRECEDING AND 1 PRECEDING)
+                   THEN 1 ELSE 0 END AS rec
+       FROM daily),
+a AS (SELECT COUNT(*) AS n, SUM(rec) AS records,
+             SUM(1.0 / i) AS h1, SUM(1.0 / (i * i)) AS h2
+      FROM st)
+SELECT CAST(n AS BIGINT) AS n, CAST(records AS BIGINT) AS records,
+       ROUND(h1, 6) AS expected,
+       ROUND(CASE WHEN h1 - h2 > 0
+                  THEN (records - h1) / SQRT(h1 - h2) END, 6) AS z
+FROM a
+"""
+
+
 def q_context_window(spark, sf_dir):
     """Rolling SFT-context assembly (packing.context_windows): each event
     paired with the ordered concat of its last 3 event types — the
@@ -14798,6 +14868,8 @@ _QUERIES_PAST_WINDOW = [
     "q_abc",
     "q_cohort_ltv",
     "q_sim_pairs",
+    "q_pot_gpd",
+    "q_records",
 
 ]
 
@@ -14976,6 +15048,8 @@ def oracle_sql() -> dict[str, str]:
         "q_abc": Q_ABC_SQL,
         "q_cohort_ltv": Q_COHORT_LTV_SQL,
         "q_sim_pairs": Q_SIM_PAIRS_SQL,
+        "q_pot_gpd": Q_POT_GPD_SQL,
+        "q_records": Q_RECORDS_SQL,
         "q_wilson_rates": Q_WILSON_RATES_SQL,
         "q_fdr_correction": Q_FDR_CORRECTION_SQL,
         "q_mann_kendall": Q_MANN_KENDALL_SQL,

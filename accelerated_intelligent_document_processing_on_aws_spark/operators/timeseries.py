@@ -1160,3 +1160,109 @@ def gumbel_fit(
         F.round(F.when(guard, beta), round_to).alias("beta"),
         F.round(F.when(guard, level), round_to).alias("return_level"),
     )
+
+
+def pot_gpd_fit(
+    df: DataFrame,
+    value_col: str,
+    threshold: float,
+    round_to: int = 6,
+) -> DataFrame:
+    """Peaks-over-threshold generalized-Pareto fit by method of moments
+    (Hosking & Wallis 1987): excesses ``x − u`` over a high threshold u
+    follow GPD(ξ, β) with ``ξ = (1 − m̄²/s²)/2``, ``β = m̄·(m̄²/s² + 1)/2``
+    — the tail-shape complement to the block-maxima Gumbel fit
+    (:func:`gumbel_fit`): POT uses EVERY exceedance, not one peak per
+    block, so it sees the tail with far fewer years of data.  ξ > 0 is
+    a heavy (Pareto-like) tail; ξ < 0 a bounded one.
+
+    Returns ONE row: ``n_exceed, threshold, mean_excess, xi, beta``
+    (NULL when fewer than 2 exceedances or zero variance).
+
+    Plan: the threshold filter pushes to the scan; ONE moment
+    aggregate, closed form after.
+    """
+    u = float(threshold)
+    x = F.col(value_col).cast("double")
+    exc = df.filter(x.isNotNull() & (x > u)).select(
+        (x - F.lit(u)).alias("_e")
+    )
+    a = exc.agg(
+        F.count(F.lit(1)).cast("long").alias("n_exceed"),
+        F.sum("_e").alias("_s"),
+        F.sum(F.col("_e") * F.col("_e")).alias("_q"),
+    )
+    n = F.col("n_exceed").cast("double")
+    m = F.col("_s") / n
+    var = (F.col("_q") - F.col("_s") * F.col("_s") / n) / (n - F.lit(1.0))
+    good = (F.col("n_exceed") > 1) & (var > 0)
+    ratio = m * m / var
+    xi = (F.lit(1.0) - ratio) / F.lit(2.0)
+    beta = m * (ratio + F.lit(1.0)) / F.lit(2.0)
+    return a.select(
+        "n_exceed",
+        F.lit(u).alias("threshold"),
+        F.round(F.when(F.col("n_exceed") > 0, m), round_to).alias(
+            "mean_excess"
+        ),
+        F.round(F.when(good, xi), round_to).alias("xi"),
+        F.round(F.when(good, beta), round_to).alias("beta"),
+    )
+
+
+def records_test(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Record-counting trend test (Foster & Stuart 1954): in an
+    exchangeable series the t-th observation is a new maximum with
+    probability 1/t, so the expected record count is the harmonic
+    number ``H_n`` with variance ``H_n − H_n^(2)`` — observing far more
+    records than H_n is trend evidence that needs NO distributional
+    assumptions at all (the minimalist companion to Mann-Kendall).
+
+    Returns ONE row: ``n, records, expected, z`` (z NULL when the
+    variance is 0, i.e. n < 2).
+
+    Plan: callers pass the (metadata-sized) ordered series; one
+    running-max lag window marks records, the harmonic sums ride the
+    same row index, ONE aggregate.
+    """
+    d = df.select(
+        F.col(order_col).alias("_t"),
+        F.col(value_col).cast("double").alias("_x"),
+    ).filter(F.col("_x").isNotNull())
+    w = Window.orderBy("_t")
+    wprev = w.rowsBetween(Window.unboundedPreceding, -1)
+    staged = d.select(
+        F.row_number().over(w).cast("double").alias("_i"),
+        F.when(
+            F.max("_x").over(wprev).isNull()
+            | (F.col("_x") > F.max("_x").over(wprev)),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("_rec"),
+    )
+    a = staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_rec").cast("long").alias("records"),
+        F.sum(F.lit(1.0) / F.col("_i")).alias("_h1"),
+        F.sum(F.lit(1.0) / (F.col("_i") * F.col("_i"))).alias("_h2"),
+    )
+    var = F.col("_h1") - F.col("_h2")
+    return a.select(
+        "n",
+        "records",
+        F.round("_h1", round_to).alias("expected"),
+        F.round(
+            F.when(
+                var > 0,
+                (F.col("records").cast("double") - F.col("_h1"))
+                / F.sqrt(var),
+            ),
+            round_to,
+        ).alias("z"),
+    )

@@ -519,3 +519,56 @@ def test_gumbel_fit_reference(spark):
         spark.createDataFrame([(5.0,), (5.0,)], ["v"]), "v"
     ).collect()[0]
     assert const.mu is None
+
+
+def test_pot_gpd_fit_reference(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        pot_gpd_fit,
+    )
+
+    vals = [5.0, 12.0, 15.0, 9.0, 20.0, 11.0, 30.0, 7.0]
+    u = 10.0
+    exc = [v - u for v in vals if v > u]  # 2, 5, 10, 1, 20
+    n = len(exc)
+    m = sum(exc) / n
+    var = sum((e - m) ** 2 for e in exc) / (n - 1)
+    ratio = m * m / var
+    r = pot_gpd_fit(
+        spark.createDataFrame([(v,) for v in vals], ["v"]), "v", u
+    ).collect()[0]
+    assert (r.n_exceed, r.threshold) == (n, u)
+    assert r.mean_excess == round(m, 6)
+    assert r.xi == round((1 - ratio) / 2, 6)
+    assert r.beta == round(m * (ratio + 1) / 2, 6)
+
+    none = pot_gpd_fit(
+        spark.createDataFrame([(1.0,), (2.0,)], ["v"]), "v", 10.0
+    ).collect()[0]
+    assert none.n_exceed == 0 and none.xi is None
+
+
+def test_records_test_reference(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        records_test,
+    )
+
+    # strictly increasing: every point is a record -> big positive z
+    inc = [(t, float(t)) for t in range(1, 21)]
+    r = records_test(
+        spark.createDataFrame(inc, ["t", "x"]), "t", "x"
+    ).collect()[0]
+    n = 20
+    h1 = sum(1 / i for i in range(1, n + 1))
+    h2 = sum(1 / i**2 for i in range(1, n + 1))
+    assert (r.n, r.records) == (n, n)
+    assert r.expected == round(h1, 6)
+    assert r.z == round((n - h1) / (h1 - h2) ** 0.5, 6)
+    assert r.z > 5
+
+    # alternating low/high around a constant: exactly the hand count
+    seq = [3.0, 1.0, 2.0, 4.0, 0.5, 2.5]
+    rows = [(t, x) for t, x in enumerate(seq, 1)]
+    r2 = records_test(
+        spark.createDataFrame(rows, ["t", "x"]), "t", "x"
+    ).collect()[0]
+    assert r2.records == 2  # 3.0 (first) and 4.0
