@@ -9817,6 +9817,70 @@ FROM a
 """
 
 
+def q_ivf_silhouette(spark, sf_dir):
+    """Simplified silhouette of the fixed 16-cell IVF codebook over the
+    embeddings table (operators/similarity.py ivf_silhouette): is the
+    coarse quantizer real structure or arbitrary partitions — the
+    clustering-quality audit behind q_ivf_topk's recall.  Literal
+    centroid table explodes the corpus k×; per-vector top-2 window
+    over 16 rows; one cell aggregate."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        ivf_centroids,
+        ivf_silhouette,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    return ivf_silhouette(
+        e, "vec_id", "embedding", ivf_centroids(64, 16, 7)
+    ).transform(_by("cell"))
+
+
+def _ivf_silhouette_sql() -> str:
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        ivf_centroids,
+    )
+
+    cents = ivf_centroids(64, 16, 7)
+    vals = ",\n  ".join(
+        "({}, CAST([{}] AS DOUBLE[]))".format(
+            i, ",".join(str(int(x)) for x in c)
+        )
+        for i, c in enumerate(cents)
+    )
+    return f"""
+WITH cents(cell, cv) AS (VALUES
+  {vals}),
+e AS (SELECT vec_id,
+             list_transform(CAST(embedding AS DOUBLE[]),
+                            x -> floor(x * 1048576.0)) AS q
+      FROM embeddings WHERE embedding IS NOT NULL),
+pc AS (SELECT vec_id, cell,
+              list_inner_product(q, cv)
+              / (sqrt(list_inner_product(q, q))
+                 * sqrt(list_inner_product(cv, cv))) AS c
+       FROM e CROSS JOIN cents),
+rk AS (SELECT vec_id, cell, c,
+              ROW_NUMBER() OVER (PARTITION BY vec_id
+                                 ORDER BY c DESC, cell) AS rn
+       FROM pc),
+pv AS (SELECT vec_id,
+              MAX(CASE WHEN rn = 1 THEN cell END) AS cell,
+              MAX(CASE WHEN rn = 1 THEN c END) AS c1,
+              MAX(CASE WHEN rn = 2 THEN c END) AS c2
+       FROM rk WHERE rn <= 2 GROUP BY vec_id),
+sil AS (SELECT cell, c1,
+               CASE WHEN GREATEST(1.0 - c1, 1.0 - c2) > 0
+                    THEN ((1.0 - c2) - (1.0 - c1))
+                         / GREATEST(1.0 - c1, 1.0 - c2)
+                    ELSE 0.0 END AS s
+        FROM pv)
+SELECT cell, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(AVG(c1), 6) AS mean_cos_own,
+       ROUND(AVG(s), 6) AS mean_sil
+FROM sil GROUP BY cell ORDER BY cell
+"""
+
+
 def q_context_window(spark, sf_dir):
     """Rolling SFT-context assembly (packing.context_windows): each event
     paired with the ordered concat of its last 3 event types — the
@@ -14870,6 +14934,7 @@ _QUERIES_PAST_WINDOW = [
     "q_sim_pairs",
     "q_pot_gpd",
     "q_records",
+    "q_ivf_silhouette",
 
 ]
 
@@ -15050,6 +15115,7 @@ def oracle_sql() -> dict[str, str]:
         "q_sim_pairs": Q_SIM_PAIRS_SQL,
         "q_pot_gpd": Q_POT_GPD_SQL,
         "q_records": Q_RECORDS_SQL,
+        "q_ivf_silhouette": _ivf_silhouette_sql(),
         "q_wilson_rates": Q_WILSON_RATES_SQL,
         "q_fdr_correction": Q_FDR_CORRECTION_SQL,
         "q_mann_kendall": Q_MANN_KENDALL_SQL,

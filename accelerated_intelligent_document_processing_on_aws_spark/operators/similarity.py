@@ -1386,3 +1386,94 @@ def anisotropy_audit(
         F.round("_mn", round_to).alias("min_cos"),
         F.round("_mx", round_to).alias("max_cos"),
     )
+
+
+def ivf_silhouette(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    centroids,
+    quantize_bits: int = 20,
+    round_to: int = 6,
+) -> DataFrame:
+    """Simplified (centroid-based) silhouette of an IVF codebook
+    (Hruschka et al. 2004 variant of Rousseeuw 1987): per vector,
+    cosine distance ``a`` to its OWN cell centroid and ``b`` to the
+    best OTHER cell; ``s = (b − a)/max(a, b)`` — the clustering-quality
+    audit that says whether the codebook's cells are real structure
+    (s → 1) or arbitrary partitions (s → 0) before anyone trusts
+    IVF recall numbers.  Centroid-based, so it costs O(n·k), never the
+    O(n²) of the exact silhouette.
+
+    Cell assignment uses the same floor-quantized integer dots as
+    ``ivf_topk`` (exact in f64 ⇒ engine-portable argmax, cell-id tie
+    break).
+
+    Returns one row per cell: ``cell, n, mean_cos_own, mean_sil``.
+
+    Plan: the centroid table is a LITERAL inline array (metadata) — the
+    corpus explodes k× into (vector, cell) rows, dots are JVM-side
+    zip_with/aggregate, the top-2 pick is a per-vector window over k
+    rows (thousands of tiny partitions), then one cell aggregate.  No
+    joins, no Python.
+    """
+    import numpy as np
+
+    cents = np.asarray(centroids, dtype=np.float64)
+    k = len(cents)
+    s = float(1 << quantize_bits)
+    cent_arr = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("cell"),
+                F.array(*[F.lit(float(x)) for x in c]).alias("cv"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    dot = lambda x, y: F.aggregate(  # noqa: E731
+        F.zip_with(x, y, lambda p, q: p * q),
+        F.lit(0.0),
+        lambda acc, z: acc + z,
+    )
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.transform(
+            F.col(vec_col).cast("array<double>"),
+            lambda x: F.floor(x * F.lit(s)),
+        ).alias("_q"),
+    ).filter(F.size("_q") > 0)
+    per_cell = base.select(
+        "_id", "_q", F.explode(cent_arr).alias("_c")
+    ).select(
+        "_id",
+        F.col("_c.cell").alias("cell"),
+        (
+            dot(F.col("_q"), F.col("_c.cv"))
+            / (
+                F.sqrt(dot(F.col("_q"), F.col("_q")))
+                * F.sqrt(dot(F.col("_c.cv"), F.col("_c.cv")))
+            )
+        ).alias("_cos"),
+    )
+    w = Window.partitionBy("_id").orderBy(
+        F.col("_cos").desc(), F.col("cell")
+    )
+    top2 = per_cell.withColumn("_rn", F.row_number().over(w)).filter(
+        F.col("_rn") <= 2
+    )
+    per_vec = top2.groupBy("_id").agg(
+        F.max(F.when(F.col("_rn") == 1, F.col("cell"))).alias("cell"),
+        F.max(F.when(F.col("_rn") == 1, F.col("_cos"))).alias("_c1"),
+        F.max(F.when(F.col("_rn") == 2, F.col("_cos"))).alias("_c2"),
+    )
+    a = F.lit(1.0) - F.col("_c1")
+    b = F.lit(1.0) - F.col("_c2")
+    sil = F.when(
+        F.greatest(a, b) > 0, (b - a) / F.greatest(a, b)
+    ).otherwise(F.lit(0.0))
+    return per_vec.groupBy("cell").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.round(F.avg("_c1"), round_to).alias("mean_cos_own"),
+        F.round(F.avg(sil), round_to).alias("mean_sil"),
+    )

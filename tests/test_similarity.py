@@ -538,3 +538,31 @@ def test_anisotropy_audit_isotropic_vs_shifted(spark):
     assert ra.mean_cos == round(expect, 6)
     assert ra.frac_above_05 == 1.0
     assert math.isclose(ra.sd_cos, 0.0, abs_tol=1e-9)
+
+
+def test_ivf_silhouette_separated_vs_mixed(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        ivf_silhouette,
+    )
+
+    # two orthogonal centroids; points tightly around each -> sil near 1
+    cents = [[1000.0, 0.0, 0.0, 0.0], [0.0, 1000.0, 0.0, 0.0]]
+    rows = []
+    for i in range(10):
+        eps = 0.01 * (i % 3)
+        rows.append((i, [1.0, eps, 0.0, 0.0]))
+        rows.append((100 + i, [eps, 1.0, 0.0, 0.0]))
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = {r.cell: r for r in
+           ivf_silhouette(df, "vec_id", "embedding", cents).collect()}
+    assert set(out) == {0, 1}
+    assert out[0].n == 10 and out[1].n == 10
+    for r in out.values():
+        assert r.mean_cos_own > 0.99
+        assert r.mean_sil > 0.9
+
+    # points at 45 degrees between the centroids: sil collapses to ~0
+    mid = [(i, [1.0, 1.0, 0.0, 0.0]) for i in range(8)]
+    dfm = spark.createDataFrame(mid, ["vec_id", "embedding"])
+    outm = ivf_silhouette(dfm, "vec_id", "embedding", cents).collect()
+    assert all(abs(r.mean_sil) < 1e-6 for r in outm)
