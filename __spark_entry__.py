@@ -9881,6 +9881,127 @@ FROM sil GROUP BY cell ORDER BY cell
 """
 
 
+def q_mmd(spark, sf_dir):
+    """Kernel two-sample test (MMD with deterministic random Fourier
+    features) between src0 and src1 document-length distributions
+    (operators/stats.py mmd_rff, σ=500): sees shape/tail differences a
+    location test misses, in one O(n·D) aggregate — 32 conditional
+    means, map-side combined, nothing pairwise."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        mmd_rff,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return mmd_rff(
+        d, "source", "n_chars", "src0", "src1",
+        n_features=16, bandwidth=500.0, seed=11,
+    )
+
+
+def _mmd_sql() -> str:
+    import math as _m
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        mmd_rff_params,
+    )
+
+    params = mmd_rff_params(16, 500.0, 11)
+    scale = repr(_m.sqrt(2.0 / 16))
+    fa, fb, diffs = [], [], []
+    for j, (w, b) in enumerate(params):
+        feat = f"{scale} * COS({w!r} * x + {b!r})"
+        fa.append(
+            f"AVG(CASE WHEN g = 'src0' THEN {feat} END) AS fa{j}"
+        )
+        fb.append(
+            f"AVG(CASE WHEN g = 'src1' THEN {feat} END) AS fb{j}"
+        )
+        diffs.append(f"(fa{j} - fb{j}) * (fa{j} - fb{j})")
+    sep = ",\n             "
+    fa_sql = sep.join(fa)
+    fb_sql = sep.join(fb)
+    diff_sql = " + ".join(diffs)
+    return f"""
+WITH d AS (SELECT source AS g, CAST(n_chars AS DOUBLE) AS x
+           FROM documents
+           WHERE n_chars IS NOT NULL AND source IN ('src0', 'src1')),
+a AS (SELECT SUM(CASE WHEN g = 'src0' THEN 1 ELSE 0 END) AS na,
+             SUM(CASE WHEN g = 'src1' THEN 1 ELSE 0 END) AS nb,
+             {fa_sql},
+             {fb_sql}
+      FROM d)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND(CASE WHEN na > 0 AND nb > 0 THEN
+         {diff_sql}
+       END, 6) AS mmd2
+FROM a
+"""
+
+
+def q_pocock(spark, sf_dir):
+    """Pocock group-sequential monitor over five day-sextile looks of
+    the encouragement cohort's purchase rate (operators/stats.py
+    pocock_sequential, boundary 2.413): the peek-K-times-without-
+    inflating-α discipline, cumulative two-proportion z per look.
+    One corpus aggregate to per-(look, arm) counts; windows ride the
+    5-row frame."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        pocock_sequential,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    staged = e.select(
+        F.least(
+            ((F.dayofmonth(F.col("ts")) - 1) / F.lit(6)).cast("int")
+            + F.lit(1),
+            F.lit(5),
+        ).alias("look"),
+        (F.col("user_id") % 3 == 0).cast("int").alias("t"),
+        (F.col("event_type") == "purchase").cast("int").alias("y"),
+    )
+    return pocock_sequential(staged, "look", "t", "y").transform(
+        _by("look")
+    )
+
+
+Q_POCOCK_SQL = """
+WITH st AS (SELECT LEAST(CAST(FLOOR((day(ts) - 1) / 6.0) AS INT) + 1, 5) AS look,
+                   CAST(user_id % 3 = 0 AS INT) AS t,
+                   CAST(event_type = 'purchase' AS INT) AS y
+            FROM events),
+pl AS (SELECT look, SUM(t) AS nt, SUM(1 - t) AS nc,
+              SUM(t * y) AS s1, SUM((1 - t) * y) AS s0
+       FROM st GROUP BY look),
+cum AS (SELECT look,
+               SUM(nt) OVER (ORDER BY look ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS cnt,
+               SUM(nc) OVER (ORDER BY look ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS cnc,
+               SUM(s1) OVER (ORDER BY look ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS cst,
+               SUM(s0) OVER (ORDER BY look ROWS BETWEEN UNBOUNDED
+                 PRECEDING AND CURRENT ROW) AS csc
+        FROM pl),
+zed AS (SELECT look, cnt, cnc,
+               CAST(cst AS DOUBLE) / cnt AS pt,
+               CAST(csc AS DOUBLE) / cnc AS pc,
+               CAST(cst + csc AS DOUBLE) / (cnt + cnc) AS pp
+        FROM cum),
+fin AS (SELECT look, cnt, cnc, pt, pc,
+               CASE WHEN pp * (1.0 - pp) * (1.0 / cnt + 1.0 / cnc) > 0
+                    THEN ROUND((pt - pc) / SQRT(pp * (1.0 - pp)
+                           * (1.0 / cnt + 1.0 / cnc)), 6)
+               END AS z
+        FROM zed)
+SELECT look, CAST(cnt AS BIGINT) AS n_t, CAST(cnc AS BIGINT) AS n_c,
+       ROUND(pt, 6) AS p_t, ROUND(pc, 6) AS p_c, z,
+       MAX(CASE WHEN ABS(z) > 2.413 THEN 1 ELSE 0 END)
+         OVER (ORDER BY look ROWS BETWEEN UNBOUNDED PRECEDING AND
+               CURRENT ROW) = 1 AS crossed
+FROM fin ORDER BY look
+"""
+
+
 def q_context_window(spark, sf_dir):
     """Rolling SFT-context assembly (packing.context_windows): each event
     paired with the ordered concat of its last 3 event types — the
@@ -14935,6 +15056,8 @@ _QUERIES_PAST_WINDOW = [
     "q_pot_gpd",
     "q_records",
     "q_ivf_silhouette",
+    "q_mmd",
+    "q_pocock",
 
 ]
 
@@ -15116,6 +15239,8 @@ def oracle_sql() -> dict[str, str]:
         "q_pot_gpd": Q_POT_GPD_SQL,
         "q_records": Q_RECORDS_SQL,
         "q_ivf_silhouette": _ivf_silhouette_sql(),
+        "q_mmd": _mmd_sql(),
+        "q_pocock": Q_POCOCK_SQL,
         "q_wilson_rates": Q_WILSON_RATES_SQL,
         "q_fdr_correction": Q_FDR_CORRECTION_SQL,
         "q_mann_kendall": Q_MANN_KENDALL_SQL,

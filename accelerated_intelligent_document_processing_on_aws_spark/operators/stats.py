@@ -4131,3 +4131,179 @@ def james_stein_means(
             round_to,
         ).alias("shrunk_mean"),
     )
+
+
+def mmd_rff(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    n_features: int = 16,
+    bandwidth: float = 1.0,
+    seed: int = 11,
+    round_to: int = 6,
+) -> DataFrame:
+    """Maximum mean discrepancy between two groups' value distributions
+    via random Fourier features (Gretton et al. 2012; Rahimi & Recht
+    2007): ``MMD² = ||Ê_A φ(x) − Ê_B φ(x)||²`` with
+    ``φ_j(x) = √(2/D)·cos(w_j·x/σ + b_j)`` — the kernel two-sample test
+    that sees SHAPE differences (multi-modality, variance, tails) a
+    KS/location test can miss, in O(n·D) instead of the kernel matrix's
+    O(n²).  Frequencies are deterministic (seeded Box-Muller on fixed
+    literals), so both engines evaluate the identical feature map.
+
+    ``bandwidth`` is the Gaussian kernel σ in VALUE units — pick it
+    near the scale of interesting structure (the median heuristic run
+    once offline; it must be a constant for portability).
+
+    Returns ONE row: ``n_a, n_b, mmd2`` (NULL when a group is empty).
+
+    Plan: ONE corpus aggregate with 2·D conditional means (map-side
+    combined) — no pairwise anything, nothing leaves the aggregate but
+    a 1-row frame.
+    """
+    import math
+    import random as _random
+
+    rng = _random.Random(seed)
+    ws, bs = [], []
+    for _ in range(int(n_features)):
+        # Box-Muller on the seeded stream: deterministic doubles
+        u1, u2 = rng.random(), rng.random()
+        ws.append(
+            math.sqrt(-2.0 * math.log(max(u1, 1e-12)))
+            * math.cos(2.0 * math.pi * u2)
+        )
+        bs.append(rng.random() * 2.0 * math.pi)
+    x = F.col(value_col).cast("double")
+    g = F.col(group_col)
+    d = df.filter(x.isNotNull() & g.isin([group_a, group_b])).select(
+        (g == group_a).cast("int").alias("_a"), x.alias("_x")
+    )
+    scale = math.sqrt(2.0 / n_features)
+    aggs = [
+        F.sum("_a").cast("long").alias("n_a"),
+        F.sum(F.lit(1) - F.col("_a")).cast("long").alias("n_b"),
+    ]
+    for j in range(int(n_features)):
+        feat = F.lit(scale) * F.cos(
+            F.lit(ws[j] / float(bandwidth)) * F.col("_x") + F.lit(bs[j])
+        )
+        aggs.append(
+            F.avg(F.when(F.col("_a") == 1, feat)).alias(f"_fa{j}")
+        )
+        aggs.append(
+            F.avg(F.when(F.col("_a") == 0, feat)).alias(f"_fb{j}")
+        )
+    a = d.agg(*aggs)
+    mmd2 = sum(
+        (F.col(f"_fa{j}") - F.col(f"_fb{j}"))
+        * (F.col(f"_fa{j}") - F.col(f"_fb{j}"))
+        for j in range(int(n_features))
+    )
+    return a.select(
+        "n_a",
+        "n_b",
+        F.round(
+            F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), mmd2),
+            round_to,
+        ).alias("mmd2"),
+    )
+
+
+def mmd_rff_params(
+    n_features: int = 16, bandwidth: float = 1.0, seed: int = 11
+) -> list:
+    """The (w/σ, b) literal pairs :func:`mmd_rff` uses — exposed so an
+    external oracle can inline the identical feature map."""
+    import math
+    import random as _random
+
+    rng = _random.Random(seed)
+    out = []
+    for _ in range(int(n_features)):
+        u1, u2 = rng.random(), rng.random()
+        w = math.sqrt(-2.0 * math.log(max(u1, 1e-12))) * math.cos(
+            2.0 * math.pi * u2
+        )
+        out.append((w / float(bandwidth), rng.random() * 2.0 * math.pi))
+    return out
+
+
+def pocock_sequential(
+    df: DataFrame,
+    look_col: str,
+    treat_col,
+    success_col,
+    boundary: float = 2.413,
+    round_to: int = 6,
+) -> DataFrame:
+    """Group-sequential monitoring with the Pocock boundary (Pocock
+    1977; 2.413 = the K=5, α=0.05 two-sided constant): at each
+    interim look the CUMULATIVE two-proportion z between treatment and
+    control is compared against the flat boundary — the "peek K times
+    without inflating α" discipline every always-on dashboard silently
+    violates.
+
+    Input rows carry a look index (1..K), a 0/1 treatment flag and a
+    0/1 success flag; looks accumulate.  Returns one row per look:
+    ``look, n_t, n_c, p_t, p_c, z, crossed`` (crossed = |z| exceeds
+    the boundary AT OR BEFORE this look).
+
+    Plan: ONE corpus aggregate to per-(look, arm) counts, cumulative
+    windows over the K-row frame, closed-form z per look.
+    """
+    t = (
+        F.col(treat_col) if isinstance(treat_col, str) else treat_col
+    ).cast("int")
+    y = (
+        F.col(success_col) if isinstance(success_col, str) else success_col
+    ).cast("int")
+    per_look = df.select(
+        F.col(look_col).alias("look"), t.alias("_t"), y.alias("_y")
+    ).groupBy("look").agg(
+        F.sum("_t").alias("nt"),
+        F.sum(F.lit(1) - F.col("_t")).alias("nc"),
+        F.sum(F.expr("_t * _y")).alias("st"),
+        F.sum(F.expr("(1 - _t) * _y")).alias("sc"),
+    )
+    w = Window.orderBy("look").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_look.select(
+        "look",
+        F.sum("nt").over(w).alias("cnt"),
+        F.sum("nc").over(w).alias("cnc"),
+        F.sum("st").over(w).alias("cst"),
+        F.sum("sc").over(w).alias("csc"),
+    )
+    pt = F.try_divide(F.col("cst").cast("double"), F.col("cnt").cast("double"))
+    pc = F.try_divide(F.col("csc").cast("double"), F.col("cnc").cast("double"))
+    pp = F.try_divide(
+        (F.col("cst") + F.col("csc")).cast("double"),
+        (F.col("cnt") + F.col("cnc")).cast("double"),
+    )
+    se = F.sqrt(
+        pp
+        * (F.lit(1.0) - pp)
+        * (
+            F.try_divide(F.lit(1.0), F.col("cnt").cast("double"))
+            + F.try_divide(F.lit(1.0), F.col("cnc").cast("double"))
+        )
+    )
+    z = F.when(se > 0, (pt - pc) / se)
+    staged = cum.select(
+        "look",
+        F.col("cnt").cast("long").alias("n_t"),
+        F.col("cnc").cast("long").alias("n_c"),
+        F.round(pt, round_to).alias("p_t"),
+        F.round(pc, round_to).alias("p_c"),
+        F.round(z, round_to).alias("z"),
+    )
+    w2 = Window.orderBy("look").rowsBetween(Window.unboundedPreceding, 0)
+    return staged.withColumn(
+        "crossed",
+        F.max(
+            (F.abs(F.col("z")) > F.lit(float(boundary))).cast("int")
+        ).over(w2)
+        == 1,
+    )

@@ -1775,3 +1775,80 @@ def test_james_stein_small_k_identity(spark):
     ).collect()}
     for r in out.values():
         assert r.shrunk_mean == r.raw_mean  # k < 4: no shrinkage
+
+
+def test_mmd_rff_identical_vs_shifted(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        mmd_rff,
+    )
+
+    same = [("a", float(i % 10)) for i in range(100)] + [
+        ("b", float(i % 10)) for i in range(100)
+    ]
+    r = mmd_rff(
+        spark.createDataFrame(same, ["g", "v"]), "g", "v", "a", "b",
+        bandwidth=2.0,
+    ).collect()[0]
+    assert (r.n_a, r.n_b) == (100, 100)
+    assert r.mmd2 == 0.0  # identical samples -> identical feature means
+
+    shifted = [("a", float(i % 10)) for i in range(100)] + [
+        ("b", float(i % 10) + 5.0) for i in range(100)
+    ]
+    r2 = mmd_rff(
+        spark.createDataFrame(shifted, ["g", "v"]), "g", "v", "a", "b",
+        bandwidth=2.0,
+    ).collect()[0]
+    assert r2.mmd2 > 0.01  # clearly separated distributions
+
+
+def test_mmd_rff_reference_value(spark):
+    import math
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        mmd_rff,
+        mmd_rff_params,
+    )
+
+    a_vals = [1.0, 2.0, 3.0]
+    b_vals = [2.0, 4.0]
+    rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+    params = mmd_rff_params(16, 1.5, 11)
+    scale = math.sqrt(2.0 / 16)
+    mmd2 = sum(
+        (
+            sum(scale * math.cos(w * x + b) for x in a_vals) / len(a_vals)
+            - sum(scale * math.cos(w * x + b) for x in b_vals) / len(b_vals)
+        )
+        ** 2
+        for w, b in params
+    )
+    r = mmd_rff(
+        spark.createDataFrame(rows, ["g", "v"]), "g", "v", "a", "b",
+        n_features=16, bandwidth=1.5, seed=11,
+    ).collect()[0]
+    assert r.mmd2 == round(mmd2, 6)
+
+
+def test_pocock_sequential_crossing(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        pocock_sequential,
+    )
+
+    rows = []
+    # looks 1-2: no effect; looks 3-5: strong treatment effect
+    for look in range(1, 6):
+        for i in range(200):
+            t = i % 2
+            if look <= 2:
+                y = 1 if (i // 2) % 10 < 3 else 0
+            else:
+                y = 1 if ((i // 2) % 10 < (7 if t else 3)) else 0
+            rows.append((look, t, y))
+    df = spark.createDataFrame(rows, ["look", "t", "y"])
+    out = {r.look: r for r in pocock_sequential(df, "look", "t", "y").collect()}
+    assert not out[1].crossed and not out[2].crossed
+    assert out[5].crossed  # effect accumulates past 2.413
+    # crossing is sticky: once crossed, stays crossed
+    first = min(k for k in out if out[k].crossed)
+    assert all(out[k].crossed for k in range(first, 6))
