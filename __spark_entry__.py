@@ -10002,6 +10002,95 @@ FROM fin ORDER BY look
 """
 
 
+def q_xicor(spark, sf_dir):
+    """Chatterjee's ξ between hour-of-day and event volume
+    (operators/stats.py xi_correlation): the daily cycle is strongly
+    NONMONOTONE, so Spearman reads ≈ 0 while ξ reads the dependence —
+    the modern any-shape dependence screen.  The corpus collapses to
+    the 24-row hour frame first; every window rides metadata."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        xi_correlation,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(F.hour(F.col("ts")).alias("h")).agg(
+        F.count(F.lit(1)).cast("double").alias("c")
+    )
+    return xi_correlation(hourly, "h", "c")
+
+
+Q_XICOR_SQL = """
+WITH hourly AS (SELECT EXTRACT(hour FROM ts) AS x,
+                       CAST(COUNT(*) AS DOUBLE) AS y
+                FROM events GROUP BY 1),
+rk AS (SELECT x, y,
+              CAST(RANK() OVER (ORDER BY y) +
+                   COUNT(*) OVER (PARTITION BY y) - 1 AS DOUBLE) AS r
+       FROM hourly),
+sq AS (SELECT r, ROW_NUMBER() OVER (ORDER BY x, y, r) AS i FROM rk),
+st AS (SELECT ABS(r - LAG(r) OVER (ORDER BY i)) AS d FROM sq),
+a AS (SELECT COUNT(*) AS n, SUM(d) AS s FROM st)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(CASE WHEN n > 1
+                  THEN 1.0 - 3.0 * s / (CAST(n AS DOUBLE) * n - 1.0)
+             END, 6) AS xi
+FROM a
+"""
+
+
+def q_qte(spark, sf_dir):
+    """Quantile treatment effects of the encouragement cohort on
+    per-user spend (operators/stats.py quantile_treatment_effects):
+    WHERE in the distribution the effect lives — the distributional
+    companion to the mean-only q_ipw_ate/q_cem.  ONE two-arm
+    aggregate computes all exact percentiles in a single pass."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        quantile_treatment_effects,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    per_u = e.groupBy("user_id").agg(
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
+            F.lit(0.0),
+        ).alias("y")
+    ).withColumn("t", (F.col("user_id") % 3 == 0).cast("int"))
+    return quantile_treatment_effects(
+        per_u, "t", "y", quantiles=(0.1, 0.25, 0.5, 0.75, 0.9)
+    ).transform(_by("q"))
+
+
+Q_QTE_SQL = """
+WITH per_u AS (SELECT COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                        THEN value END), 0.0) AS y,
+                      CAST(user_id % 3 = 0 AS INT) AS t
+               FROM events GROUP BY user_id),
+a AS (SELECT
+        quantile_cont(y, 0.1) FILTER (t = 1) AS qt0,
+        quantile_cont(y, 0.1) FILTER (t = 0) AS qc0,
+        quantile_cont(y, 0.25) FILTER (t = 1) AS qt1,
+        quantile_cont(y, 0.25) FILTER (t = 0) AS qc1,
+        quantile_cont(y, 0.5) FILTER (t = 1) AS qt2,
+        quantile_cont(y, 0.5) FILTER (t = 0) AS qc2,
+        quantile_cont(y, 0.75) FILTER (t = 1) AS qt3,
+        quantile_cont(y, 0.75) FILTER (t = 0) AS qc3,
+        quantile_cont(y, 0.9) FILTER (t = 1) AS qt4,
+        quantile_cont(y, 0.9) FILTER (t = 0) AS qc4
+      FROM per_u)
+SELECT 0.1 AS q, ROUND(qt0, 6) AS treated, ROUND(qc0, 6) AS control,
+       ROUND(qt0 - qc0, 6) AS qte FROM a
+UNION ALL SELECT 0.25, ROUND(qt1, 6), ROUND(qc1, 6),
+       ROUND(qt1 - qc1, 6) FROM a
+UNION ALL SELECT 0.5, ROUND(qt2, 6), ROUND(qc2, 6),
+       ROUND(qt2 - qc2, 6) FROM a
+UNION ALL SELECT 0.75, ROUND(qt3, 6), ROUND(qc3, 6),
+       ROUND(qt3 - qc3, 6) FROM a
+UNION ALL SELECT 0.9, ROUND(qt4, 6), ROUND(qc4, 6),
+       ROUND(qt4 - qc4, 6) FROM a
+ORDER BY q
+"""
+
+
 def q_context_window(spark, sf_dir):
     """Rolling SFT-context assembly (packing.context_windows): each event
     paired with the ordered concat of its last 3 event types — the
@@ -15058,6 +15147,8 @@ _QUERIES_PAST_WINDOW = [
     "q_ivf_silhouette",
     "q_mmd",
     "q_pocock",
+    "q_xicor",
+    "q_qte",
 
 ]
 
@@ -15241,6 +15332,8 @@ def oracle_sql() -> dict[str, str]:
         "q_ivf_silhouette": _ivf_silhouette_sql(),
         "q_mmd": _mmd_sql(),
         "q_pocock": Q_POCOCK_SQL,
+        "q_xicor": Q_XICOR_SQL,
+        "q_qte": Q_QTE_SQL,
         "q_wilson_rates": Q_WILSON_RATES_SQL,
         "q_fdr_correction": Q_FDR_CORRECTION_SQL,
         "q_mann_kendall": Q_MANN_KENDALL_SQL,

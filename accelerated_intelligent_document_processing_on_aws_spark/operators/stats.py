@@ -4307,3 +4307,114 @@ def pocock_sequential(
         ).over(w2)
         == 1,
     )
+
+
+def xi_correlation(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Chatterjee's ξ rank correlation (Chatterjee 2020): sort by x and
+    measure how wildly the y-ranks jump — ``ξ = 1 − 3·Σ|r_{i+1} −
+    r_i|/(n² − 1)`` — the coefficient that detects ARBITRARY functional
+    dependence (a parabola scores ≈ 1 where Pearson and Spearman both
+    read 0) and is exactly 0-ish under independence.  The modern
+    dependence screen next to q_spearman / q_mutual_info.
+
+    Ties in x break by y then by row order of the rank window (the
+    paper's random tie-break made deterministic); y-ranks use the
+    max-rank convention the statistic is defined with.
+
+    Returns ONE row: ``n, xi`` (NULL when n < 2).
+
+    Plan: two rank windows over the (already bounded or corpus-
+    collapsed) input + one lag window + ONE aggregate.  Callers pass
+    an aggregated frame when the raw table is corpus-sized (the
+    AD/KS audit-sample discipline).
+    """
+    x = F.col(x_col).cast("double")
+    y = F.col(y_col).cast("double")
+    d = df.select(x.alias("_x"), y.alias("_y")).filter(
+        x.isNotNull() & y.isNotNull()
+    )
+    # r_i = #{j: y_j <= y_i} — the max-rank convention: rank ordered by
+    # y ascending plus (ties in y - 1)
+    w_y = Window.orderBy("_y")
+    w_ytie = Window.partitionBy("_y")
+    ranked = d.withColumn(
+        "_r",
+        (F.rank().over(w_y) + F.count(F.lit(1)).over(w_ytie) - F.lit(1))
+        .cast("double"),
+    )
+    w_x = Window.orderBy("_x", "_y", "_r")
+    seq = ranked.withColumn("_i", F.row_number().over(w_x))
+    w_lag = Window.orderBy("_i")
+    staged = seq.withColumn(
+        "_d", F.abs(F.col("_r") - F.lag("_r").over(w_lag))
+    )
+    a = staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_d").alias("_s"),
+    )
+    n = F.col("n").cast("double")
+    xi = F.lit(1.0) - F.lit(3.0) * F.col("_s") / (n * n - F.lit(1.0))
+    return a.select(
+        "n",
+        F.round(F.when(F.col("n") > 1, xi), round_to).alias("xi"),
+    )
+
+
+def quantile_treatment_effects(
+    df: DataFrame,
+    treat_col,
+    value_col: str,
+    quantiles: tuple = (0.1, 0.25, 0.5, 0.75, 0.9),
+    round_to: int = 6,
+) -> DataFrame:
+    """Quantile treatment effects: the treated-minus-control difference
+    at each marginal quantile (Doksum 1974's QTE under rank
+    invariance) — where in the DISTRIBUTION the effect lives (a mean
+    lift hiding "only the p90 moved" misleads every capacity and
+    fairness readout the mean-only q_ipw_ate / q_did family produces).
+
+    Exact linear-interpolated quantiles per arm.  Returns one row per
+    quantile: ``q, treated, control, qte``.
+
+    Plan: ONE two-arm aggregate computing all 2·|quantiles| exact
+    percentiles in a single pass (sort-based within the aggregate),
+    then literal unpivot of the 1-row frame.
+    """
+    t = (
+        F.col(treat_col) if isinstance(treat_col, str) else treat_col
+    ).cast("int")
+    v = F.col(value_col).cast("double")
+    d = df.select(t.alias("_t"), v.alias("_v")).filter(
+        F.col("_t").isNotNull() & F.col("_v").isNotNull()
+    )
+    qs = [float(q) for q in quantiles]
+    aggs = []
+    for i, q in enumerate(qs):
+        aggs.append(
+            F.percentile(
+                F.when(F.col("_t") == 1, F.col("_v")), F.lit(q)
+            ).alias(f"_qt{i}")
+        )
+        aggs.append(
+            F.percentile(
+                F.when(F.col("_t") == 0, F.col("_v")), F.lit(q)
+            ).alias(f"_qc{i}")
+        )
+    a = d.agg(*aggs)
+    rows = None
+    for i, q in enumerate(qs):
+        r = a.select(
+            F.lit(q).alias("q"),
+            F.round(F.col(f"_qt{i}"), round_to).alias("treated"),
+            F.round(F.col(f"_qc{i}"), round_to).alias("control"),
+            F.round(
+                F.col(f"_qt{i}") - F.col(f"_qc{i}"), round_to
+            ).alias("qte"),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows

@@ -1852,3 +1852,65 @@ def test_pocock_sequential_crossing(spark):
     # crossing is sticky: once crossed, stays crossed
     first = min(k for k in out if out[k].crossed)
     assert all(out[k].crossed for k in range(first, 6))
+
+
+def _xi_reference(pairs):
+    n = len(pairs)
+    ys = [y for _, y in pairs]
+    ranks = {}
+    for _, y in pairs:
+        ranks[y] = sum(1 for yy in ys if yy <= y)
+    ordered = sorted(pairs, key=lambda p: (p[0], p[1], ranks[p[1]]))
+    s = sum(
+        abs(ranks[ordered[i + 1][1]] - ranks[ordered[i][1]])
+        for i in range(n - 1)
+    )
+    return round(1 - 3 * s / (n * n - 1), 6)
+
+
+def test_xi_correlation_detects_nonmonotone_dependence(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        xi_correlation,
+    )
+
+    # perfect parabola: Pearson ~ 0, xi must be high
+    par = [(float(x), float((x - 10) ** 2)) for x in range(21)]
+    r = xi_correlation(
+        spark.createDataFrame(par, ["x", "y"]), "x", "y"
+    ).collect()[0]
+    assert r.n == 21
+    assert r.xi == _xi_reference(par)
+    assert r.xi > 0.7
+
+    # independent-ish scramble scores near 0
+    import random
+
+    random.seed(9)
+    ys = list(range(40))
+    random.shuffle(ys)
+    ind = [(float(i), float(y)) for i, y in enumerate(ys)]
+    r2 = xi_correlation(
+        spark.createDataFrame(ind, ["x", "y"]), "x", "y"
+    ).collect()[0]
+    assert r2.xi == _xi_reference(ind)
+    assert abs(r2.xi) < 0.35
+
+
+def test_quantile_treatment_effects_hand_case(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        quantile_treatment_effects,
+    )
+
+    # treated = control + 10 shift exactly
+    control = [float(v) for v in (1, 2, 3, 4, 5, 6, 7, 8, 9, 10)]
+    rows = [(0, v) for v in control] + [(1, v + 10.0) for v in control]
+    out = {
+        r.q: r
+        for r in quantile_treatment_effects(
+            spark.createDataFrame(rows, ["t", "v"]), "t", "v",
+            quantiles=(0.25, 0.5, 0.75),
+        ).collect()
+    }
+    for q, r in out.items():
+        assert r.qte == 10.0  # pure location shift at every quantile
+    assert out[0.5].control == 5.5
