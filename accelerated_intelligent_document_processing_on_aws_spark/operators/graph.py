@@ -780,6 +780,9 @@ def modularity(
     once per endpoint), one degree aggregate, then k-row algebra with
     the scalar m broadcast.  No windows, nothing quadratic.
     """
+    # und feeds degrees AND the intra-edge count; labels feed three
+    # joins: materialize both once so the upstream edge/label pipelines
+    # (LPA is itself iterative) are not re-planned per consumer
     und = (
         edges.select(
             F.least(F.col("src"), F.col("dst")).alias("a"),
@@ -787,10 +790,11 @@ def modularity(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     lab = labels.select(
         F.col(node_col).alias("_n"), F.col(label_col).alias("_l")
-    )
+    ).localCheckpoint(eager=False)
     deg = (
         und.select(F.col("a").alias("_n"))
         .unionAll(und.select(F.col("b").alias("_n")))
@@ -856,6 +860,11 @@ def rich_club(
     multiplier, no per-threshold scans); two grouped counts + one
     equi-join on k.  No windows, nothing quadratic.
     """
+    # the canonical edge list and the degree table are each consumed by
+    # BOTH the node-count and the edge-count sides below: materialize
+    # them once (localCheckpoint) so the expensive co-activity
+    # derivation upstream is not re-planned 3x (PLANS.md audit: 57 -> ~a
+    # third of the exchanges, all of them metadata-sized afterwards)
     und = (
         edges.select(
             F.least(F.col("src"), F.col("dst")).alias("a"),
@@ -863,12 +872,14 @@ def rich_club(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
+        .localCheckpoint(eager=False)
     )
     deg = (
         und.select(F.col("a").alias("_n"))
         .unionAll(und.select(F.col("b").alias("_n")))
         .groupBy("_n")
         .agg(F.count(F.lit(1)).alias("_d"))
+        .localCheckpoint(eager=False)
     )
     ks = F.array(*[F.lit(int(k)) for k in thresholds])
     nk = (
