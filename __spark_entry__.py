@@ -10091,6 +10091,80 @@ ORDER BY q
 """
 
 
+def q_chi2_residuals(spark, sf_dir):
+    """Standardized Pearson residuals of the source × lang table
+    (operators/stats.py chi2_residuals): which cells drive the
+    dependence q_chi2 detects — |r| ≥ 2 flags a cell.  One cell
+    aggregate; margins ride windows over the R×C frame."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        chi2_residuals,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return chi2_residuals(d, "source", "lang").transform(
+        _by("source", "lang")
+    )
+
+
+Q_CHI2_RESIDUALS_SQL = """
+WITH cell AS (SELECT source AS r, lang AS c, COUNT(*) AS o
+              FROM documents GROUP BY 1, 2),
+st AS (SELECT r, c, o,
+              SUM(o) OVER (PARTITION BY r) AS nr,
+              SUM(o) OVER (PARTITION BY c) AS nc,
+              SUM(o) OVER () AS n
+       FROM cell),
+ex AS (SELECT r, c, o,
+              CAST(nr AS DOUBLE) * nc / n AS e,
+              CAST(nr AS DOUBLE) / n AS pr,
+              CAST(nc AS DOUBLE) / n AS pc
+       FROM st)
+SELECT r AS source, c AS lang, CAST(o AS BIGINT) AS observed,
+       ROUND(e, 6) AS expected,
+       ROUND(CASE WHEN SQRT(e * (1.0 - pr) * (1.0 - pc)) > 0
+                  THEN (o - e) / SQRT(e * (1.0 - pr) * (1.0 - pc))
+             END, 6) AS residual,
+       ABS(CASE WHEN SQRT(e * (1.0 - pr) * (1.0 - pc)) > 0
+                THEN (o - e) / SQRT(e * (1.0 - pr) * (1.0 - pc))
+           END) >= 2.0 AS flagged
+FROM ex ORDER BY source, lang
+"""
+
+
+def q_lorenz(spark, sf_dir):
+    """Lorenz-curve deciles of per-user total event value
+    (operators/stats.py lorenz_deciles): the chartable concentration
+    table behind q_gini's single number.  One user aggregate, one
+    total-order NTILE window over users, decile rollup."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        lorenz_deciles,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    per_u = e.groupBy("user_id").agg(
+        F.coalesce(F.sum("value"), F.lit(0.0)).alias("v")
+    )
+    return lorenz_deciles(per_u, "v", "user_id", n_tiles=10).transform(
+        _by("tile")
+    )
+
+
+Q_LORENZ_SQL = """
+WITH per_u AS (SELECT user_id AS id, COALESCE(SUM(value), 0.0) AS v
+               FROM events GROUP BY user_id),
+tiled AS (SELECT v, NTILE(10) OVER (ORDER BY v, id) AS tile FROM per_u),
+pt AS (SELECT tile, COUNT(*) AS n, SUM(v) AS s FROM tiled GROUP BY tile),
+st AS (SELECT tile, n, s, SUM(s) OVER () AS tot,
+              SUM(s) OVER (ORDER BY tile ROWS BETWEEN UNBOUNDED
+                PRECEDING AND CURRENT ROW) AS cum
+       FROM pt)
+SELECT tile, CAST(n AS BIGINT) AS n,
+       ROUND(s / tot, 6) AS tile_share,
+       ROUND(cum / tot, 6) AS cum_share
+FROM st ORDER BY tile
+"""
+
+
 def q_context_window(spark, sf_dir):
     """Rolling SFT-context assembly (packing.context_windows): each event
     paired with the ordered concat of its last 3 event types — the
@@ -15149,6 +15223,8 @@ _QUERIES_PAST_WINDOW = [
     "q_pocock",
     "q_xicor",
     "q_qte",
+    "q_chi2_residuals",
+    "q_lorenz",
 
 ]
 
@@ -15334,6 +15410,8 @@ def oracle_sql() -> dict[str, str]:
         "q_pocock": Q_POCOCK_SQL,
         "q_xicor": Q_XICOR_SQL,
         "q_qte": Q_QTE_SQL,
+        "q_chi2_residuals": Q_CHI2_RESIDUALS_SQL,
+        "q_lorenz": Q_LORENZ_SQL,
         "q_wilson_rates": Q_WILSON_RATES_SQL,
         "q_fdr_correction": Q_FDR_CORRECTION_SQL,
         "q_mann_kendall": Q_MANN_KENDALL_SQL,

@@ -4418,3 +4418,102 @@ def quantile_treatment_effects(
         )
         rows = r if rows is None else rows.unionByName(r)
     return rows
+
+
+def chi2_residuals(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Standardized (adjusted) Pearson residuals of the row×col
+    contingency table (Haberman 1973): ``r = (o − e)/√(e·(1−p_r)·
+    (1−p_c))`` — the per-cell diagnostic that says WHICH cells drive a
+    significant chi-square (q_chi2 reports that dependence exists;
+    this says where), |r| ≳ 2 flagging a cell.  Only OBSERVED cells
+    are emitted (an absent combination has o = 0 and a residual of
+    ``−√(e·…)``-form — consumers needing the full grid re-join the
+    margins, which stay metadata-sized).
+
+    Columns: ``<row_col>, <col_col>, observed, expected, residual,
+    flagged``.
+
+    Plan: one (row, col) count aggregate; margins ride two windows
+    over that R×C-bounded frame — no margin joins, no corpus re-scan.
+    """
+    cell = df.groupBy(
+        F.col(row_col).alias("r"), F.col(col_col).alias("c")
+    ).agg(F.count(F.lit(1)).cast("long").alias("observed"))
+    wr = Window.partitionBy("r")
+    wc = Window.partitionBy("c")
+    wall = Window.partitionBy()
+    staged = (
+        cell.withColumn("_nr", F.sum("observed").over(wr))
+        .withColumn("_nc", F.sum("observed").over(wc))
+        .withColumn("_n", F.sum("observed").over(wall))
+    )
+    n = F.col("_n").cast("double")
+    e = F.col("_nr").cast("double") * F.col("_nc").cast("double") / n
+    pr = F.col("_nr").cast("double") / n
+    pc = F.col("_nc").cast("double") / n
+    denom = F.sqrt(e * (F.lit(1.0) - pr) * (F.lit(1.0) - pc))
+    res = F.when(
+        denom > 0, (F.col("observed").cast("double") - e) / denom
+    )
+    return staged.select(
+        F.col("r").alias(row_col),
+        F.col("c").alias(col_col),
+        "observed",
+        F.round(e, round_to).alias("expected"),
+        F.round(res, round_to).alias("residual"),
+        (F.abs(res) >= 2.0).alias("flagged"),
+    )
+
+
+def lorenz_deciles(
+    df: DataFrame,
+    value_col,
+    id_col: str,
+    n_tiles: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Lorenz-curve deciles: rank units by value ascending, cut into
+    ``n_tiles`` equal-count tiles, report each tile's value share and
+    the cumulative share — the chartable form behind q_gini/q_theil's
+    single numbers ("the bottom half of documents carries 9% of the
+    tokens" is a decile-table sentence, not a coefficient).
+
+    NTILE over a TOTAL order (value, then ``id_col``) — integer-valued
+    metrics tie constantly, and a tie straddling a tile boundary would
+    otherwise split engine-dependently; the id tiebreak makes every
+    tile's membership (hence its share) a pure function of the input.
+
+    Columns: ``tile, n, tile_share, cum_share``.
+
+    Plan: callers pass a per-unit frame (corpus collapses first); one
+    NTILE window + one tile aggregate + one cumulative window over
+    the n_tiles rows.
+    """
+    v = (F.col(value_col) if isinstance(value_col, str) else value_col).cast(
+        "double"
+    )
+    d = df.select(v.alias("_v"), F.col(id_col).alias("_id")).filter(
+        F.col("_v").isNotNull()
+    )
+    w = Window.orderBy("_v", "_id")
+    tiled = d.withColumn("tile", F.ntile(int(n_tiles)).over(w))
+    wall = Window.partitionBy()
+    per_t = tiled.groupBy("tile").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_v").alias("_s"),
+    )
+    staged = per_t.withColumn("_tot", F.sum("_s").over(wall))
+    wcum = Window.orderBy("tile").rowsBetween(Window.unboundedPreceding, 0)
+    return staged.select(
+        "tile",
+        "n",
+        F.round(F.col("_s") / F.col("_tot"), round_to).alias("tile_share"),
+        F.round(
+            F.sum(F.col("_s")).over(wcum) / F.col("_tot"), round_to
+        ).alias("cum_share"),
+    )

@@ -1914,3 +1914,49 @@ def test_quantile_treatment_effects_hand_case(spark):
     for q, r in out.items():
         assert r.qte == 10.0  # pure location shift at every quantile
     assert out[0.5].control == 5.5
+
+
+def test_chi2_residuals_hand_case(spark):
+    import math
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        chi2_residuals,
+    )
+
+    # 2x2 with strong association: (a,x)=30 (a,y)=10 (b,x)=10 (b,y)=30
+    rows = (
+        [("a", "x")] * 30 + [("a", "y")] * 10
+        + [("b", "x")] * 10 + [("b", "y")] * 30
+    )
+    df = spark.createDataFrame(rows, ["r", "c"])
+    out = {(o.r, o.c): o for o in chi2_residuals(df, "r", "c").collect()}
+    n = 80
+    e_ax = 40 * 40 / n  # 20
+    denom = math.sqrt(e_ax * (1 - 0.5) * (1 - 0.5))
+    want = (30 - e_ax) / denom
+    assert out[("a", "x")].expected == 20.0
+    assert out[("a", "x")].residual == round(want, 6)
+    assert out[("a", "x")].flagged
+    # symmetry: all four |residuals| equal in a 2x2
+    vals = {abs(o.residual) for o in out.values()}
+    assert len(vals) == 1
+
+
+def test_lorenz_deciles_concentration(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        lorenz_deciles,
+    )
+
+    # 9 small units + 1 huge: top tile carries ~92% of the mass
+    rows = [(i, 1.0) for i in range(9)] + [(9, 100.0)]
+    df = spark.createDataFrame(rows, ["id", "v"])
+    out = {r.tile: r for r in
+           lorenz_deciles(df, "v", "id", n_tiles=5).collect()}
+    assert len(out) == 5
+    assert out[5].tile_share == round(101.0 / 109.0, 6)
+    assert out[5].cum_share == 1.0
+    # shares are non-decreasing along tiles (sorted ascending)
+    shares = [out[t].tile_share for t in sorted(out)]
+    assert shares == sorted(shares)
+    # cumulative hits 1 exactly at the top
+    assert out[1].cum_share == round(2.0 / 109.0, 6)
