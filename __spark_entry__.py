@@ -10165,6 +10165,122 @@ FROM st ORDER BY tile
 """
 
 
+def q_cv_r2(spark, sf_dir):
+    """Leakage-safe 5-fold out-of-fold R² for spend ~ clicks
+    (operators/mlfit.py cv_r2_simple): the whole k-fold procedure is
+    ONE corpus aggregate to fold-moment rows — train moments are
+    (total − fold), the OLS solve and the held-out SSE are closed-form
+    moment algebra, no refit pass, no second scan."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        cv_r2_simple,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    per_u = e.groupBy("user_id").agg(
+        F.sum(
+            (F.col("event_type") == "click").cast("int")
+        ).cast("double").alias("x"),
+        F.coalesce(
+            F.sum(F.when(F.col("event_type") == "purchase", F.col("value"))),
+            F.lit(0.0),
+        ).alias("y"),
+    ).withColumn("f", (F.col("user_id") % 5).cast("int"))
+    return cv_r2_simple(per_u, "y", "x", F.col("f"), n_folds=5)
+
+
+Q_CV_R2_SQL = """
+WITH d AS (SELECT CAST(user_id % 5 AS INT) AS f,
+                  CAST(SUM(CASE WHEN event_type = 'click' THEN 1
+                           ELSE 0 END) AS DOUBLE) AS x,
+                  COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                    THEN value END), 0.0) AS y
+           FROM events GROUP BY user_id),
+pf AS (SELECT f, CAST(COUNT(*) AS DOUBLE) AS n, SUM(x) AS sx,
+              SUM(y) AS sy, SUM(x * x) AS sxx, SUM(x * y) AS sxy,
+              SUM(y * y) AS syy
+       FROM d GROUP BY f),
+t AS (SELECT SUM(n) AS n, SUM(sx) AS sx, SUM(sy) AS sy,
+             SUM(sxx) AS sxx, SUM(sxy) AS sxy, SUM(syy) AS syy
+      FROM pf),
+fullfit AS (SELECT n,
+                   (sxy - sx * sy / n) / (sxx - sx * sx / n) AS b,
+                   sy, sx, sxx, sxy, syy,
+                   syy - sy * sy / n AS sst
+            FROM t),
+fullsse AS (SELECT n, sst,
+                   syy - 2 * ((sy - b * sx) / n) * sy
+                   - 2 * b * sxy
+                   + ((sy - b * sx) / n) * ((sy - b * sx) / n) * n
+                   + 2 * ((sy - b * sx) / n) * b * sx
+                   + b * b * sxx AS sse_in
+            FROM fullfit),
+tf AS (SELECT pf.f,
+              pf.n AS fn, pf.sx AS fsx, pf.sy AS fsy, pf.sxx AS fsxx,
+              pf.sxy AS fsxy, pf.syy AS fsyy,
+              t.n - pf.n AS tn, t.sx - pf.sx AS tsx,
+              t.sy - pf.sy AS tsy, t.sxx - pf.sxx AS tsxx,
+              t.sxy - pf.sxy AS tsxy
+       FROM pf, t),
+fits AS (SELECT f, fn, fsx, fsy, fsxx, fsxy, fsyy,
+                (tsxy - tsx * tsy / tn) / (tsxx - tsx * tsx / tn) AS b,
+                tsy, tsx, tn
+         FROM tf),
+ab AS (SELECT f, fn, fsx, fsy, fsxx, fsxy, fsyy, b,
+              (tsy - b * tsx) / tn AS a
+       FROM fits),
+sses AS (SELECT SUM(fsyy - 2 * a * fsy - 2 * b * fsxy
+                    + a * a * fn + 2 * a * b * fsx
+                    + b * b * fsxx) AS sse_oof
+         FROM ab)
+SELECT CAST(fs.n AS BIGINT) AS n, 5 AS k_folds,
+       ROUND(1.0 - fs.sse_in / fs.sst, 6) AS r2_in,
+       ROUND(1.0 - s.sse_oof / fs.sst, 6) AS r2_oof
+FROM fullsse fs, sses s
+"""
+
+
+def q_durbin_watson(spark, sf_dir):
+    """Durbin-Watson residual autocorrelation of the daily-volume OLS
+    trend (operators/timeseries.py durbin_watson_trend): whether the
+    q_ols_trend error bars are believable — DW ≈ 2 independent, → 0
+    positively autocorrelated.  The corpus collapses to the per-day
+    frame; betas round to a fixed grid before residuals (the
+    trajectory-portability discipline)."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        durbin_watson_trend,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        F.date_format(F.col("ts"), "yyyy-MM-dd").alias("d")
+    ).agg(F.count(F.lit(1)).cast("double").alias("y"))
+    return durbin_watson_trend(daily, "d", "y")
+
+
+Q_DURBIN_WATSON_SQL = """
+WITH daily AS (SELECT strftime(ts, '%Y-%m-%d') AS d,
+                      CAST(COUNT(*) AS DOUBLE) AS y
+               FROM events GROUP BY 1),
+ix AS (SELECT y, CAST(ROW_NUMBER() OVER (ORDER BY d) AS DOUBLE) AS i
+       FROM daily),
+m AS (SELECT COUNT(*) AS n, SUM(i) AS sx, SUM(y) AS sy,
+             SUM(i * i) AS sxx, SUM(i * y) AS sxy
+      FROM ix),
+bb AS (SELECT n, (sxy - sx * sy / n) / (sxx - sx * sx / n) AS braw,
+             sx, sy
+      FROM m),
+p AS (SELECT n, ROUND((sy - braw * sx) / n, 9) AS a,
+             ROUND(braw, 9) AS b
+      FROM bb),
+ef AS (SELECT ix.i AS i, y - p.a - p.b * ix.i AS e FROM ix, p),
+fin AS (SELECT e, e - LAG(e) OVER (ORDER BY i) AS de FROM ef)
+SELECT CAST(p.n AS BIGINT) AS n, ROUND(p.b, 6) AS slope,
+       ROUND(CASE WHEN p.n > 2 AND SUM(e * e) > 0
+                  THEN SUM(de * de) / SUM(e * e) END, 6) AS dw
+FROM fin, p GROUP BY p.n, p.b
+"""
+
+
 def q_context_window(spark, sf_dir):
     """Rolling SFT-context assembly (packing.context_windows): each event
     paired with the ordered concat of its last 3 event types — the
@@ -15225,6 +15341,8 @@ _QUERIES_PAST_WINDOW = [
     "q_qte",
     "q_chi2_residuals",
     "q_lorenz",
+    "q_cv_r2",
+    "q_durbin_watson",
 
 ]
 
@@ -15412,6 +15530,8 @@ def oracle_sql() -> dict[str, str]:
         "q_qte": Q_QTE_SQL,
         "q_chi2_residuals": Q_CHI2_RESIDUALS_SQL,
         "q_lorenz": Q_LORENZ_SQL,
+        "q_cv_r2": Q_CV_R2_SQL,
+        "q_durbin_watson": Q_DURBIN_WATSON_SQL,
         "q_wilson_rates": Q_WILSON_RATES_SQL,
         "q_fdr_correction": Q_FDR_CORRECTION_SQL,
         "q_mann_kendall": Q_MANN_KENDALL_SQL,

@@ -1283,3 +1283,109 @@ def cem_att(
             "att"
         ),
     )
+
+
+def cv_r2_simple(
+    df: DataFrame,
+    y_col,
+    x_col,
+    fold_expr,
+    n_folds: int = 5,
+    round_to: int = 6,
+) -> DataFrame:
+    """K-fold out-of-fold R² for the simple regression ``y ~ a + b·x``
+    — the leakage-safe model assessment (in-sample R² always flatters;
+    the out-of-fold number is what a deployed predictor actually
+    delivers), computed WITHOUT any per-fold refit pass: every fold's
+    train moments are (total − fold) moments, the OLS solve is closed
+    form, and the held-out SSE is itself moment algebra
+    (``Σ(y−a−bx)² = Syy − 2aSy − 2bSxy + a²n + 2abSx + b²Sxx``), so
+    the ENTIRE k-fold procedure is ONE corpus aggregate to k fold-
+    moment rows plus arithmetic.
+
+    ``fold_expr``: a deterministic integer Column in [0, n_folds)
+    (hash-derived — the dataset_split discipline).
+
+    Returns ONE row: ``n, k_folds, r2_in, r2_oof`` (out-of-fold R²
+    vs the GLOBAL mean baseline; NULL when any fold's train variance
+    is 0).
+
+    Plan: one map-side-combined aggregate; nothing row-sized survives.
+    """
+    y = (F.col(y_col) if isinstance(y_col, str) else y_col).cast("double")
+    x = (F.col(x_col) if isinstance(x_col, str) else x_col).cast("double")
+    d = df.select(
+        y.alias("_y"), x.alias("_x"), fold_expr.cast("int").alias("_f")
+    ).filter(F.col("_y").isNotNull() & F.col("_x").isNotNull())
+    per_f = d.groupBy("_f").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("_x").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("sxy"),
+        F.sum(F.col("_y") * F.col("_y")).alias("syy"),
+    )
+    rows = per_f.collect()
+    tot = {
+        k: sum(float(r[k]) for r in rows)
+        for k in ("n", "sx", "sy", "sxx", "sxy", "syy")
+    }
+    n_all = tot["n"]
+    spark = df.sparkSession
+    schema = "n long, k_folds int, r2_in double, r2_oof double"
+    if n_all < 2:
+        return spark.createDataFrame(
+            [(int(n_all), int(n_folds), None, None)], schema
+        )
+    sst = tot["syy"] - tot["sy"] ** 2 / n_all
+
+    def fit(m):
+        den = m["sxx"] - m["sx"] ** 2 / m["n"]
+        if den <= 0:
+            return None
+        b = (m["sxy"] - m["sx"] * m["sy"] / m["n"]) / den
+        a = (m["sy"] - b * m["sx"]) / m["n"]
+        return a, b
+
+    def sse(m, a, b):
+        return (
+            m["syy"]
+            - 2 * a * m["sy"]
+            - 2 * b * m["sxy"]
+            + a * a * m["n"]
+            + 2 * a * b * m["sx"]
+            + b * b * m["sxx"]
+        )
+
+    full = fit(tot)
+    if full is None or sst <= 0:
+        return spark.createDataFrame(
+            [(int(n_all), int(n_folds), None, None)], schema
+        )
+    r2_in = 1.0 - sse(tot, *full) / sst
+    sse_oof = 0.0
+    for r in rows:
+        fold = {k: float(r[k]) for k in ("n", "sx", "sy", "sxx", "sxy", "syy")}
+        train = {k: tot[k] - fold[k] for k in tot}
+        if train["n"] < 2:
+            return spark.createDataFrame(
+                [(int(n_all), int(n_folds), round(r2_in, round_to), None)],
+                schema,
+            )
+        ft = fit(train)
+        if ft is None:
+            return spark.createDataFrame(
+                [(int(n_all), int(n_folds), round(r2_in, round_to), None)],
+                schema,
+            )
+        sse_oof += sse(fold, *ft)
+    r2_oof = 1.0 - sse_oof / sst
+    return spark.createDataFrame(
+        [(
+            int(n_all),
+            int(n_folds),
+            round(r2_in, round_to),
+            round(r2_oof, round_to),
+        )],
+        schema,
+    )

@@ -1266,3 +1266,74 @@ def records_test(
             round_to,
         ).alias("z"),
     )
+
+
+def durbin_watson_trend(
+    df: DataFrame,
+    time_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Durbin-Watson statistic of the residuals from the OLS linear
+    trend (Durbin & Watson 1950): ``DW = Σ(e_t − e_{t−1})²/Σe_t²`` —
+    ≈ 2 for independent residuals, → 0 under positive autocorrelation.
+    The diagnostic that says whether the trend fit's error bars
+    (q_ols_trend) can be believed at all: autocorrelated residuals
+    make naive OLS standard errors fictional.
+
+    The trend regresses value on the ROW INDEX of the time order (so
+    calendar gaps don't bend the fit; same convention as the
+    rows-frame q_anomaly_days).  Returns ONE row: ``n, slope, dw``
+    (NULL when n < 3 or zero variance).
+
+    Plan: callers pass the (metadata-sized) series; one rank window,
+    ONE moment aggregate + closed-form betas folded back as literals
+    via a 1-row broadcast, one lag window, one final aggregate.
+    """
+    d = df.select(
+        F.col(time_col).alias("_t"),
+        F.col(value_col).cast("double").alias("_y"),
+    ).filter(F.col("_y").isNotNull())
+    w = Window.orderBy("_t")
+    idx = d.withColumn("_i", F.row_number().over(w).cast("double"))
+    m = idx.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_i").alias("sx"),
+        F.sum("_y").alias("sy"),
+        F.sum(F.col("_i") * F.col("_i")).alias("sxx"),
+        F.sum(F.col("_i") * F.col("_y")).alias("sxy"),
+    )
+    nn = F.col("n").cast("double")
+    den = F.col("sxx") - F.col("sx") * F.col("sx") / nn
+    b = F.when(den > 0, (F.col("sxy") - F.col("sx") * F.col("sy") / nn) / den)
+    a = (F.col("sy") - b * F.col("sx")) / nn
+    params = m.select(
+        F.col("n").cast("long").alias("_n"),
+        F.round(a, 9).alias("_a"),
+        F.round(b, 9).alias("_b"),
+    )
+    # betas rounded to a fixed grid BEFORE residuals (the logistic_platt
+    # trajectory discipline) so both engines score the identical line
+    staged = idx.crossJoin(F.broadcast(params)).withColumn(
+        "_e", F.col("_y") - F.col("_a") - F.col("_b") * F.col("_i")
+    )
+    w_lag = Window.orderBy("_i")
+    fin = staged.withColumn(
+        "_de", F.col("_e") - F.lag("_e").over(w_lag)
+    ).agg(
+        F.max("_n").alias("n"),
+        F.max("_b").alias("_slope"),
+        F.sum(F.col("_de") * F.col("_de")).alias("_num"),
+        F.sum(F.col("_e") * F.col("_e")).alias("_den"),
+    )
+    return fin.select(
+        "n",
+        F.round("_slope", round_to).alias("slope"),
+        F.round(
+            F.when(
+                (F.col("n") > 2) & (F.col("_den") > 0),
+                F.col("_num") / F.col("_den"),
+            ),
+            round_to,
+        ).alias("dw"),
+    )

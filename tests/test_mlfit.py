@@ -527,3 +527,47 @@ def test_cem_att_no_overlap_null(spark):
         spark.createDataFrame(rows, ["s", "t", "y"]), "t", "y", ["s"]
     ).collect()[0]
     assert r.n_strata_matched == 0 and r.att is None
+
+
+def test_cv_r2_simple_matches_explicit_folds(spark):
+    import numpy as np
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        cv_r2_simple,
+    )
+
+    rng = np.random.RandomState(4)
+    x = rng.rand(100) * 10
+    y = 2.0 + 1.5 * x + rng.randn(100)
+    rows = [(int(i), float(a), float(b)) for i, (a, b) in enumerate(zip(x, y))]
+    df = spark.createDataFrame(rows, ["id", "x", "y"])
+    r = cv_r2_simple(
+        df, "y", "x", F.col("id") % 3, n_folds=3
+    ).collect()[0]
+
+    # explicit reference: refit per fold with numpy
+    ids = np.arange(100)
+    sst = ((y - y.mean()) ** 2).sum()
+    sse = 0.0
+    for f in range(3):
+        te = ids % 3 == f
+        tr = ~te
+        b1, b0 = np.polyfit(x[tr], y[tr], 1)
+        sse += ((y[te] - (b0 + b1 * x[te])) ** 2).sum()
+    assert r.n == 100 and r.k_folds == 3
+    assert abs(r.r2_oof - (1 - sse / sst)) < 1e-6  # output rounded at 6
+    assert r.r2_in > r.r2_oof  # in-sample always flatters
+    assert r.r2_oof > 0.9
+
+
+def test_cv_r2_degenerate_constant_x(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.mlfit import (
+        cv_r2_simple,
+    )
+
+    rows = [(i, 1.0, float(i)) for i in range(10)]
+    r = cv_r2_simple(
+        spark.createDataFrame(rows, ["id", "x", "y"]), "y", "x",
+        F.col("id") % 2, n_folds=2,
+    ).collect()[0]
+    assert r.r2_in is None and r.r2_oof is None

@@ -572,3 +572,37 @@ def test_records_test_reference(spark):
         spark.createDataFrame(rows, ["t", "x"]), "t", "x"
     ).collect()[0]
     assert r2.records == 2  # 3.0 (first) and 4.0
+
+
+def test_durbin_watson_trend_reference(spark):
+    import numpy as np
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        durbin_watson_trend,
+    )
+
+    # independent noise around a trend: DW near 2
+    rng = np.random.RandomState(6)
+    n = 60
+    y = 5.0 + 0.3 * np.arange(1, n + 1) + rng.randn(n)
+    rows = [(t, float(v)) for t, v in enumerate(y, 1)]
+    r = durbin_watson_trend(
+        spark.createDataFrame(rows, ["t", "y"]), "t", "y"
+    ).collect()[0]
+    i = np.arange(1, n + 1)
+    b1, b0 = np.polyfit(i, y, 1)
+    b0r, b1r = round(b0, 9), round(b1, 9)
+    e = y - b0r - b1r * i
+    dw = np.sum(np.diff(e) ** 2) / np.sum(e**2)
+    assert r.n == n
+    assert r.slope == round(b1r, 6)
+    assert r.dw == round(float(dw), 6)
+    assert 1.4 < r.dw < 2.6
+
+    # heavily autocorrelated residuals (smooth sine): DW << 2
+    ys = 10.0 + np.sin(np.arange(1, 81) / 6.0) * 5
+    rows2 = [(t, float(v)) for t, v in enumerate(ys, 1)]
+    r2 = durbin_watson_trend(
+        spark.createDataFrame(rows2, ["t", "y"]), "t", "y"
+    ).collect()[0]
+    assert r2.dw < 0.5
