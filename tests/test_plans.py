@@ -345,6 +345,9 @@ def test_no_query_plans_nested_loop_or_rowwise_python(spark):
         # 1-row sample-size frame attached to the audit-sized ranked
         # sample (the pairing split needs n/2 alongside every rank)
         "q_sim_pairs",
+        # 1-row rounded-beta params broadcast onto the per-day residual
+        # frame (the q_platt params-onto-data shape)
+        "q_durbin_watson",
     }
     for name, f in em.queries().items():
         p = plan_of(f(spark, "/root/testdata/sf0.001"))
