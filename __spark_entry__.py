@@ -10281,6 +10281,86 @@ FROM fin, p GROUP BY p.n, p.b
 """
 
 
+def q_sbg_churn(spark, sf_dir):
+    """Shifted-beta-geometric churn projection over customers' yearly
+    order activity (operators/funnel.py sbg_churn_projection, TPC-H
+    years compressed to the operator's weekly grain by an identical
+    formula on both engines): observed survival declines 0.995 -> 0.90,
+    but the curve does NOT flatten (rho2 <= S1 — uniform synthetic
+    ordering has no heterogeneous-churn signature), so the fit guard
+    correctly refuses and projection columns are NULL — the honest
+    behavior an sBG implementation must have.  The positive fit path
+    is pinned by the planted Beta-mix pytest.  ONE user aggregate +
+    offset histogram; the alpha/beta solve runs on literals."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.funnel import (
+        sbg_churn_projection,
+    )
+
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"),
+        F.timestamp_seconds(
+            F.unix_timestamp(F.lit("2024-01-01 00:00:00"))
+            + F.floor(
+                F.datediff(
+                    F.col("o_orderdate").cast("date"),
+                    F.lit("1992-01-01").cast("date"),
+                )
+                / F.lit(365)
+            )
+            * F.lit(7 * 86400)
+        ).alias("ts"),
+    )
+    return sbg_churn_projection(o, "user_id", "ts", horizon=6).transform(
+        _by("week")
+    )
+
+
+def _sbg_sql(horizon: int = 6) -> str:
+    """DuckDB twin: same year->pseudo-week compression (floor(days/365)
+    whole-week steps from the 2024-01-01 Monday anchor, so the weekly
+    truncation in both engines lands on identical week starts), same
+    offset histogram, same closed-form guard + unrolled projection
+    product."""
+    ks = []
+    for k in range(1, horizon + 1):
+        prod = " * ".join(
+            f"((beta + {j} - 1) / (s + {j} - 1))" for j in range(1, k + 1)
+        )
+        ks.append(
+            f"SELECT {k} AS week, ROUND(so{k}, 6) AS s_observed, "
+            f"ROUND(CASE WHEN ok THEN {prod} END, 6) AS s_projected, "
+            f"ROUND(CASE WHEN ok THEN s - beta END, 6) AS alpha, "
+            f"ROUND(CASE WHEN ok THEN beta END, 6) AS beta FROM p"
+        )
+    sel_obs = ", ".join(
+        f"CASE WHEN {k} <= maxo THEN SUM(CASE WHEN o >= {k} THEN 1 "
+        f"ELSE 0 END) / CAST(n2 AS DOUBLE) END AS so{k}"
+        for k in range(1, horizon + 1)
+    )
+    union = " UNION ALL ".join(ks)
+    return f"""
+WITH pu AS (SELECT o_custkey,
+                   MIN(FLOOR(datediff('day', DATE '1992-01-01',
+                             CAST(o_orderdate AS DATE)) / 365.0)) AS y0,
+                   MAX(FLOOR(datediff('day', DATE '1992-01-01',
+                             CAST(o_orderdate AS DATE)) / 365.0)) AS yl
+            FROM orders GROUP BY o_custkey),
+off AS (SELECT CAST(yl - y0 AS INT) AS o FROM pu),
+cnt AS (SELECT COUNT(*) AS n2, MAX(o) AS maxo FROM off),
+agg AS (SELECT n2, maxo, {sel_obs} FROM off, cnt
+        GROUP BY n2, maxo),
+p AS (SELECT *,
+             CASE WHEN so1 IS NOT NULL AND so2 IS NOT NULL AND so1 > 0
+                   AND so2 / so1 > so1 AND so2 / so1 < 1.0
+                  THEN TRUE ELSE FALSE END AS ok,
+             (1.0 - so2 / so1) / (so2 / so1 - so1) AS s,
+             so1 * ((1.0 - so2 / so1) / (so2 / so1 - so1)) AS beta
+      FROM agg)
+{union}
+ORDER BY week
+"""
+
+
 def q_context_window(spark, sf_dir):
     """Rolling SFT-context assembly (packing.context_windows): each event
     paired with the ordered concat of its last 3 event types — the
@@ -15343,6 +15423,7 @@ _QUERIES_PAST_WINDOW = [
     "q_lorenz",
     "q_cv_r2",
     "q_durbin_watson",
+    "q_sbg_churn",
 
 ]
 
@@ -15532,6 +15613,7 @@ def oracle_sql() -> dict[str, str]:
         "q_lorenz": Q_LORENZ_SQL,
         "q_cv_r2": Q_CV_R2_SQL,
         "q_durbin_watson": Q_DURBIN_WATSON_SQL,
+        "q_sbg_churn": _sbg_sql(),
         "q_wilson_rates": Q_WILSON_RATES_SQL,
         "q_fdr_correction": Q_FDR_CORRECTION_SQL,
         "q_mann_kendall": Q_MANN_KENDALL_SQL,

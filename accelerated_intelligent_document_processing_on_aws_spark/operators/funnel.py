@@ -447,3 +447,92 @@ def cohort_ltv(
             ).alias("cum_ltv_per_user"),
         )
     )
+
+
+def sbg_churn_projection(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    horizon: int = 8,
+    round_to: int = 6,
+) -> DataFrame:
+    """Shifted-beta-geometric retention projection (Fader & Hardie
+    2007): each user's weekly churn probability is a Beta(α, β) draw,
+    which produces the flattening retention curves real cohorts show
+    (a constant-rate geometric model systematically UNDER-projects
+    long-horizon survival).  α and β come in CLOSED FORM from the
+    first two pooled survival points — ``s = α+β = (1−ρ₂)/(ρ₂−S₁)``
+    with ρ₂ = S₂/S₁, ``β = S₁·s`` — then the projection recursion
+    ``Ŝ_k = Ŝ_{k−1}·(β+k−1)/(α+β+k−1)`` extrapolates to ``horizon``.
+
+    Survival here: a user "survives" week k if they are active in ANY
+    week ≥ k after their first week (the standard unbounded-recency
+    convention, monotone by construction).
+
+    Returns one row per week 1..horizon: ``week, s_observed (NULL past
+    the data), s_projected, alpha, beta`` (projections NULL when the
+    curve doesn't flatten — ρ₂ ≤ S₁ — or inputs degenerate).
+
+    Plan: ONE user aggregate (first week + last-activity offset), one
+    offset-histogram aggregate, survival via one reverse cumulative
+    window over the ≤-weeks-sized frame; the α/β solve and recursion
+    run on literals driver-side (the trained-params discipline of
+    logistic_platt).
+    """
+    wk = F.date_trunc("week", F.col(ts_col)).cast("date")
+    per_u = df.groupBy(F.col(user_col).alias("u")).agg(
+        F.min(wk).alias("w0"), F.max(wk).alias("wl")
+    )
+    off = per_u.select(
+        F.floor(
+            F.datediff(F.col("wl"), F.col("w0")) / F.lit(7)
+        ).cast("int").alias("last_off")
+    )
+    hist = off.groupBy("last_off").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    rows = {int(r["last_off"]): int(r["c"]) for r in hist.collect()}
+    n = sum(rows.values())
+    spark = df.sparkSession
+    schema = (
+        "week int, s_observed double, s_projected double, "
+        "alpha double, beta double"
+    )
+    if n == 0:
+        return spark.createDataFrame([], schema)
+    max_off = max(rows)
+    # S_k = fraction of users whose last activity is at offset >= k
+    surv = {}
+    acc = 0
+    for k in range(max_off, 0, -1):
+        acc += rows.get(k, 0)
+        surv[k] = acc / n
+    s1 = surv.get(1)
+    s2 = surv.get(2)
+    alpha = beta = None
+    proj = {}
+    if s1 and s2 and s1 > 0:
+        rho2 = s2 / s1
+        if rho2 > s1 and rho2 < 1.0:
+            s = (1.0 - rho2) / (rho2 - s1)
+            beta = s1 * s
+            alpha = s - beta
+            if alpha > 0 and beta > 0:
+                sk = 1.0
+                for k in range(1, int(horizon) + 1):
+                    sk = sk * (beta + k - 1) / (alpha + beta + k - 1)
+                    proj[k] = sk
+            else:
+                alpha = beta = None
+    out = []
+    for k in range(1, int(horizon) + 1):
+        out.append(
+            (
+                k,
+                round(surv[k], round_to) if k in surv else None,
+                round(proj[k], round_to) if k in proj else None,
+                round(alpha, round_to) if alpha is not None else None,
+                round(beta, round_to) if beta is not None else None,
+            )
+        )
+    return spark.createDataFrame(out, schema)

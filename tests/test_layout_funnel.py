@@ -225,3 +225,65 @@ def test_cohort_ltv_hand_case(spark):
     assert out[(w0, 1)].cum_ltv_per_user == 8.5  # (12+5)/2
     assert out[(w1, 0)].cohort_users == 1
     assert out[(w1, 0)].cum_ltv_per_user == 7.0
+
+
+def test_sbg_churn_projection_recovers_planted_beta_mix(spark):
+    import datetime as dt
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.funnel import (
+        sbg_churn_projection,
+    )
+
+    # construct a flattening cohort: 100 users, last-activity offsets
+    # chosen so S1=0.6, S2=0.42 (rho2=0.7 > S1 -> sBG solvable)
+    mon = dt.datetime(2024, 1, 1)
+    offsets = [0] * 40 + [1] * 18 + [2] * 12 + [3] * 30
+    rows = []
+    for uid, off in enumerate(offsets):
+        rows.append((uid, mon))
+        if off > 0:
+            rows.append((uid, mon + dt.timedelta(days=7 * off)))
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    out = {r.week: r for r in
+           sbg_churn_projection(df, "user_id", "ts", horizon=6).collect()}
+    assert out[1].s_observed == 0.6
+    assert out[2].s_observed == 0.42
+    s1, rho2 = 0.6, 0.42 / 0.6
+    s = (1 - rho2) / (rho2 - s1)
+    beta = s1 * s
+    alpha = s - beta
+    assert out[1].alpha == round(alpha, 6)
+    assert out[1].beta == round(beta, 6)
+    # projection reproduces the two fitted points exactly
+    assert out[1].s_projected == 0.6
+    assert out[2].s_projected == 0.42
+    # flattening: projected retention RATIO improves week over week
+    r4 = out[4].s_projected / out[3].s_projected
+    r6 = out[6].s_projected / out[5].s_projected
+    assert r6 > r4
+    # horizon rows past the data have observed NULL but projections
+    assert out[5].s_observed is None or out[5].s_observed >= 0
+    assert out[6].s_projected is not None
+
+
+def test_sbg_churn_no_flattening_nulls(spark):
+    import datetime as dt
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.funnel import (
+        sbg_churn_projection,
+    )
+
+    mon = dt.datetime(2024, 1, 1)
+    # constant-ratio (geometric) curve: S1=0.5, S2=0.25 -> rho2 = S1
+    offsets = [0] * 50 + [1] * 25 + [2] * 25
+    rows = []
+    for uid, off in enumerate(offsets):
+        rows.append((uid, mon))
+        if off > 0:
+            rows.append((uid, mon + dt.timedelta(days=7 * off)))
+    out = {r.week: r for r in sbg_churn_projection(
+        spark.createDataFrame(rows, ["user_id", "ts"]), "user_id", "ts",
+        horizon=4,
+    ).collect()}
+    assert out[1].s_observed == 0.5
+    assert out[1].alpha is None and out[1].s_projected is None
