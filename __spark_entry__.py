@@ -10361,6 +10361,110 @@ ORDER BY week
 """
 
 
+def q_hurst(spark, sf_dir):
+    """Hurst exponent of the hourly event-volume series
+    (operators/timeseries.py hurst_rs, R/S over block sizes 8-64):
+    is load long-range persistent (H > 0.5 — bursts cluster across
+    hours, so capacity must be planned on the envelope, not the mean)?
+    The corpus collapses to the 720-row hourly frame; per-size block
+    windows ride metadata; the log-log fit is closed form."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        hurst_rs,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_format(F.col("ts"), "yyyy-MM-dd HH").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    return hurst_rs(hourly, "hr", "c", block_sizes=(8, 16, 32, 64))
+
+
+def _hurst_sql(sizes: tuple = (8, 16, 32, 64)) -> str:
+    """DuckDB twin: identical per-size block algebra + the same
+    closed-form log-log slope over the sizes that yield an R/S."""
+    ctes = []
+    for m in sizes:
+        ctes.append(f"""
+st{m} AS (SELECT CAST(FLOOR(i / {m}) AS INT) AS b, i, x,
+                 COUNT(*) OVER (PARTITION BY CAST(FLOOR(i / {m}) AS INT))
+                   AS nb,
+                 AVG(x) OVER (PARTITION BY CAST(FLOOR(i / {m}) AS INT))
+                   AS mu
+          FROM ix),
+z{m} AS (SELECT b, i, x, mu,
+                SUM(x - mu) OVER (PARTITION BY b ORDER BY i ROWS BETWEEN
+                  UNBOUNDED PRECEDING AND CURRENT ROW) AS z,
+                AVG((x - mu) * (x - mu)) OVER (PARTITION BY b) AS s2
+         FROM st{m} WHERE nb = {m}),
+pb{m} AS (SELECT b, (MAX(z) - MIN(z)) / SQRT(MAX(s2)) AS rs
+          FROM z{m} WHERE s2 > 0 GROUP BY b),
+rs{m} AS (SELECT AVG(rs) AS v FROM pb{m})""")
+    vals = ", ".join(
+        f"(LN({m}.0), (SELECT LN(v) FROM rs{m}))" for m in sizes
+    )
+    rs_cols = ", ".join(
+        f"ROUND((SELECT v FROM rs{m}), 6) AS rs_{m}" for m in sizes
+    )
+    joined = ",".join(ctes)
+    return f"""
+WITH hourly AS (SELECT strftime(ts, '%Y-%m-%d %H') AS hr,
+                       CAST(COUNT(*) AS DOUBLE) AS x
+                FROM events GROUP BY 1),
+ix AS (SELECT x, ROW_NUMBER() OVER (ORDER BY hr) - 1 AS i FROM hourly),
+{joined},
+pts AS (SELECT lx, ly FROM (VALUES {vals}) t(lx, ly)
+        WHERE ly IS NOT NULL),
+fit AS (SELECT COUNT(*) AS k, SUM(lx) AS sx, SUM(ly) AS sy,
+               SUM(lx * lx) AS sxx, SUM(lx * ly) AS sxy
+        FROM pts)
+SELECT CAST((SELECT COUNT(*) FROM ix) AS BIGINT) AS n,
+       ROUND(CASE WHEN k >= 2 AND sxx - sx * sx / k > 0
+                  THEN (sxy - sx * sy / k) / (sxx - sx * sx / k)
+             END, 6) AS h,
+       {rs_cols}
+FROM fit
+"""
+
+
+def q_perm_entropy(spark, sf_dir):
+    """Order-3 permutation entropy of the hourly event-volume series
+    (operators/timeseries.py permutation_entropy): ordinal-pattern
+    complexity robust to any monotone rescaling — 1 = white noise,
+    → 0 = deterministic dynamics.  One lead window over the hourly
+    frame, a 6-bounded pattern count."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        permutation_entropy,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_format(F.col("ts"), "yyyy-MM-dd HH").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    return permutation_entropy(hourly, "hr", "c")
+
+
+Q_PERM_ENTROPY_SQL = """
+WITH hourly AS (SELECT strftime(ts, '%Y-%m-%d %H') AS hr,
+                       CAST(COUNT(*) AS DOUBLE) AS a
+                FROM events GROUP BY 1),
+tri AS (SELECT a, LEAD(a, 1) OVER (ORDER BY hr) AS b,
+               LEAD(a, 2) OVER (ORDER BY hr) AS c
+        FROM hourly),
+pat AS (SELECT CAST(a <= b AS INT) * 4 + CAST(b <= c AS INT) * 2
+                 + CAST(a <= c AS INT) AS p
+        FROM tri WHERE b IS NOT NULL AND c IS NOT NULL),
+cnt AS (SELECT p, COUNT(*) AS c FROM pat GROUP BY p),
+st AS (SELECT c, SUM(c) OVER () AS n FROM cnt),
+a AS (SELECT MAX(n) AS n, COUNT(*) AS np,
+             SUM(-(CAST(c AS DOUBLE) / n) * LN(CAST(c AS DOUBLE) / n))
+               AS h
+      FROM st)
+SELECT CAST(n AS BIGINT) AS n_triples, CAST(np AS BIGINT) AS n_patterns,
+       ROUND(h / LN(6.0), 6) AS pe
+FROM a
+"""
+
+
 def q_context_window(spark, sf_dir):
     """Rolling SFT-context assembly (packing.context_windows): each event
     paired with the ordered concat of its last 3 event types — the
@@ -15424,6 +15528,8 @@ _QUERIES_PAST_WINDOW = [
     "q_cv_r2",
     "q_durbin_watson",
     "q_sbg_churn",
+    "q_hurst",
+    "q_perm_entropy",
 
 ]
 
@@ -15614,6 +15720,8 @@ def oracle_sql() -> dict[str, str]:
         "q_cv_r2": Q_CV_R2_SQL,
         "q_durbin_watson": Q_DURBIN_WATSON_SQL,
         "q_sbg_churn": _sbg_sql(),
+        "q_hurst": _hurst_sql(),
+        "q_perm_entropy": Q_PERM_ENTROPY_SQL,
         "q_wilson_rates": Q_WILSON_RATES_SQL,
         "q_fdr_correction": Q_FDR_CORRECTION_SQL,
         "q_mann_kendall": Q_MANN_KENDALL_SQL,

@@ -1337,3 +1337,154 @@ def durbin_watson_trend(
             round_to,
         ).alias("dw"),
     )
+
+
+def hurst_rs(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    block_sizes: tuple = (8, 16, 32, 64),
+    round_to: int = 6,
+) -> DataFrame:
+    """Hurst exponent by rescaled-range analysis (Hurst 1951; Mandelbrot
+    & Wallis 1969): for each block size m, split the series into
+    complete blocks, compute each block's ``R/S`` (range of cumulative
+    mean-deviations over the block std), and fit the log-log slope of
+    ``⟨R/S⟩`` against m — H ≈ 0.5 is memoryless, H > 0.5 long-range
+    persistent (bursty load that clusters across hours), H < 0.5
+    anti-persistent.  The long-memory companion to the lag-local ACF.
+
+    Returns ONE row: ``n, h`` plus one ``rs_<m>`` column per block
+    size (NULL H when fewer than 2 sizes yield an R/S).
+
+    Plan: callers pass the (metadata-sized) series; per-size block
+    windows ride that frame (sizes × series rows of metadata), the
+    4-point log-log fit is closed form.
+    """
+    d = df.select(
+        F.col(order_col).alias("_t"),
+        F.col(value_col).cast("double").alias("_x"),
+    ).filter(F.col("_x").isNotNull())
+    w = Window.orderBy("_t")
+    idx = d.select(
+        "_x", (F.row_number().over(w) - 1).alias("_i")
+    ).localCheckpoint(eager=False)
+    import math
+
+    rs_means = {}
+    for m in block_sizes:
+        blk = idx.withColumn("_b", F.floor(F.col("_i") / F.lit(int(m))))
+        wb = Window.partitionBy("_b")
+        wcum = Window.partitionBy("_b").orderBy("_i")
+        staged = (
+            blk.withColumn("_n", F.count(F.lit(1)).over(wb))
+            .filter(F.col("_n") == m)
+            .withColumn("_mu", F.avg("_x").over(wb))
+            .withColumn(
+                "_z",
+                F.sum(F.col("_x") - F.col("_mu")).over(
+                    wcum.rowsBetween(Window.unboundedPreceding, 0)
+                ),
+            )
+            .withColumn(
+                "_s2", F.avg((F.col("_x") - F.col("_mu")) * (F.col("_x") - F.col("_mu"))).over(wb)
+            )
+        )
+        per_b = staged.groupBy("_b").agg(
+            ((F.max("_z") - F.min("_z")) / F.sqrt(F.max("_s2"))).alias(
+                "_rs"
+            ),
+            F.max("_s2").alias("_v"),
+        ).filter(F.col("_v") > 0)
+        row = per_b.agg(
+            F.avg("_rs").alias("m"), F.count(F.lit(1)).alias("k")
+        ).collect()[0]
+        if row["k"] and row["k"] > 0:
+            rs_means[int(m)] = float(row["m"])
+    n_total = idx.count()
+    pts = [
+        (math.log(m), math.log(v))
+        for m, v in rs_means.items()
+        if v > 0
+    ]
+    h = None
+    if len(pts) >= 2:
+        k = len(pts)
+        sx = sum(p[0] for p in pts)
+        sy = sum(p[1] for p in pts)
+        sxx = sum(p[0] * p[0] for p in pts)
+        sxy = sum(p[0] * p[1] for p in pts)
+        den = sxx - sx * sx / k
+        if den > 0:
+            h = (sxy - sx * sy / k) / den
+    out = [
+        (
+            int(n_total),
+            round(h, round_to) if h is not None else None,
+            *[
+                round(rs_means[m], round_to) if m in rs_means else None
+                for m in block_sizes
+            ],
+        )
+    ]
+    schema = "n long, h double, " + ", ".join(
+        f"rs_{m} double" for m in block_sizes
+    )
+    return df.sparkSession.createDataFrame(out, schema)
+
+
+def permutation_entropy(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Order-3 permutation entropy (Bandt & Pompe 2002): the Shannon
+    entropy of the distribution of ORDINAL PATTERNS among consecutive
+    value triples, normalized by ln 6 — a complexity measure robust to
+    any monotone transform of the values (1 = white noise, → 0 =
+    deterministic monotone dynamics).  Ties rank by position (the
+    standard ≤ convention), so integer-valued series are well-defined.
+
+    Returns ONE row: ``n_triples, n_patterns, pe`` (NULL when no
+    complete triple exists).
+
+    Plan: one lead() window over the (metadata-sized) series, one
+    6-bounded pattern count, one aggregate.
+    """
+    d = df.select(
+        F.col(order_col).alias("_t"),
+        F.col(value_col).cast("double").alias("_a"),
+    ).filter(F.col("_a").isNotNull())
+    w = Window.orderBy("_t")
+    tri = d.select(
+        "_a",
+        F.lead("_a", 1).over(w).alias("_b"),
+        F.lead("_a", 2).over(w).alias("_c"),
+    ).filter(F.col("_b").isNotNull() & F.col("_c").isNotNull())
+    ab = (F.col("_a") <= F.col("_b")).cast("int")
+    bc = (F.col("_b") <= F.col("_c")).cast("int")
+    ac = (F.col("_a") <= F.col("_c")).cast("int")
+    pat = ab * F.lit(4) + bc * F.lit(2) + ac
+    counts = tri.groupBy(pat.alias("_p")).agg(
+        F.count(F.lit(1)).alias("_c")
+    )
+    wall = Window.partitionBy()
+    staged = counts.withColumn(
+        "_n", F.sum("_c").over(wall).cast("double")
+    )
+    import math
+
+    a = staged.agg(
+        F.max("_n").cast("long").alias("n_triples"),
+        F.count(F.lit(1)).cast("long").alias("n_patterns"),
+        F.sum(
+            -(F.col("_c").cast("double") / F.col("_n"))
+            * F.log(F.col("_c").cast("double") / F.col("_n"))
+        ).alias("_h"),
+    )
+    return a.select(
+        "n_triples",
+        "n_patterns",
+        F.round(F.col("_h") / F.lit(math.log(6.0)), round_to).alias("pe"),
+    )

@@ -606,3 +606,89 @@ def test_durbin_watson_trend_reference(spark):
         spark.createDataFrame(rows2, ["t", "y"]), "t", "y"
     ).collect()[0]
     assert r2.dw < 0.5
+
+
+def _hurst_reference(xs, sizes):
+    import math
+
+    rs_means = {}
+    for m in sizes:
+        rss = []
+        for b in range(len(xs) // m):
+            blk = xs[b * m:(b + 1) * m]
+            mu = sum(blk) / m
+            z, mn, mx, cum = 0.0, 0.0, 0.0, 0.0
+            zs = []
+            for v in blk:
+                cum += v - mu
+                zs.append(cum)
+            r = max(zs) - min(zs)
+            s2 = sum((v - mu) ** 2 for v in blk) / m
+            if s2 > 0:
+                rss.append(r / math.sqrt(s2))
+        if rss:
+            rs_means[m] = sum(rss) / len(rss)
+    pts = [(math.log(m), math.log(v)) for m, v in rs_means.items() if v > 0]
+    k = len(pts)
+    sx = sum(p[0] for p in pts); sy = sum(p[1] for p in pts)
+    sxx = sum(p[0] ** 2 for p in pts); sxy = sum(p[0] * p[1] for p in pts)
+    h = (sxy - sx * sy / k) / (sxx - sx * sx / k)
+    return rs_means, h
+
+
+def test_hurst_rs_persistent_vs_antipersistent(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        hurst_rs,
+    )
+
+    # smooth ramp + tiny wiggle: strongly persistent (H near 1)
+    ramp = [float(i) + 0.1 * ((i * 7) % 3) for i in range(256)]
+    rows = [(t, v) for t, v in enumerate(ramp)]
+    r = hurst_rs(
+        spark.createDataFrame(rows, ["t", "x"]), "t", "x",
+        block_sizes=(8, 16, 32, 64),
+    ).collect()[0]
+    ref_rs, ref_h = _hurst_reference(ramp, (8, 16, 32, 64))
+    assert r.n == 256
+    assert r.h == round(ref_h, 6)
+    assert r.rs_8 == round(ref_rs[8], 6)
+    assert r.h > 0.9
+
+    # strict alternation: anti-persistent, H well below 0.5
+    alt = [float((-1) ** i) for i in range(256)]
+    ra = hurst_rs(
+        spark.createDataFrame(list(enumerate(alt)), ["t", "x"]), "t", "x",
+        block_sizes=(8, 16, 32, 64),
+    ).collect()[0]
+    _, ref_ha = _hurst_reference(alt, (8, 16, 32, 64))
+    assert ra.h == round(ref_ha, 6)
+    assert ra.h < 0.3
+
+
+def test_permutation_entropy_extremes(spark):
+    import math
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        permutation_entropy,
+    )
+
+    # monotone: one ordinal pattern -> pe = 0
+    mono = [(t, float(t)) for t in range(50)]
+    r = permutation_entropy(
+        spark.createDataFrame(mono, ["t", "x"]), "t", "x"
+    ).collect()[0]
+    assert (r.n_triples, r.n_patterns) == (48, 1)
+    assert r.pe == 0.0
+
+    # period-3 cycle 0,2,1: hits 3 distinct patterns equally
+    cyc = [(t, float([0, 2, 1][t % 3])) for t in range(48)]
+    rc = permutation_entropy(
+        spark.createDataFrame(cyc, ["t", "x"]), "t", "x"
+    ).collect()[0]
+    assert rc.n_patterns == 3
+    # 46 triples split 16/15/15 across the three patterns
+    n = 46
+    counts = [16, 15, 15]
+    h = -sum(c / n * math.log(c / n) for c in counts)
+    assert rc.pe == round(h / math.log(6), 6)
+    assert 0.6 < rc.pe < 0.62
