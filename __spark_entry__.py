@@ -10465,6 +10465,119 @@ FROM a
 """
 
 
+def q_ljung_box(spark, sf_dir):
+    """Ljung-Box portmanteau whiteness test on the hourly volume series
+    (operators/timeseries.py ljung_box, h=10): the joint test behind
+    q_acf's per-lag picture — the daily cycle makes Q astronomically
+    significant, which is exactly why naive i.i.d. control bands on
+    hourly volume are fiction.  One ordered window materializes all 10
+    lags in a single pass over the metadata-sized series."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        ljung_box,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_format(F.col("ts"), "yyyy-MM-dd HH").alias("hr")
+    ).agg(F.count(F.lit(1)).cast("double").alias("c"))
+    return ljung_box(hourly, "hr", "c", max_lag=10)
+
+
+def _ljung_box_sql(max_lag: int = 10) -> str:
+    lag_cols = ", ".join(
+        f"LAG(x, {k}) OVER (ORDER BY hr) AS l{k}"
+        for k in range(1, max_lag + 1)
+    )
+    csums = ", ".join(
+        f"SUM((x - mu) * (l{k} - mu)) AS c{k}"
+        for k in range(1, max_lag + 1)
+    )
+    qterms = " + ".join(
+        f"(c{k} / ss) * (c{k} / ss) / (CAST(n AS DOUBLE) - {k})"
+        for k in range(1, max_lag + 1)
+    )
+    return f"""
+WITH hourly AS (SELECT strftime(ts, '%Y-%m-%d %H') AS hr,
+                       CAST(COUNT(*) AS DOUBLE) AS x
+                FROM events GROUP BY 1),
+mu AS (SELECT AVG(x) AS mu FROM hourly),
+lg AS (SELECT x, mu, {lag_cols} FROM hourly, mu),
+a AS (SELECT COUNT(*) AS n, SUM((x - mu) * (x - mu)) AS ss, {csums}
+      FROM lg)
+SELECT CAST(n AS BIGINT) AS n, {max_lag} AS h,
+       ROUND(CASE WHEN n > {max_lag + 1} AND ss > 0
+                  THEN CAST(n AS DOUBLE) * (n + 2.0) * ({qterms})
+             END, 6) AS q_stat,
+       ROUND(CASE WHEN n > {max_lag + 1} AND ss > 0
+                  THEN c1 / ss END, 6) AS rho_1
+FROM a
+"""
+
+
+def q_granger(spark, sf_dir):
+    """Lag-1 Granger precedence: does hourly click volume lead hourly
+    purchase volume (operators/timeseries.py granger_lag1)?  One lag
+    window + ONE moment aggregate; both nested fits are closed-form
+    Cramer algebra mirrored verbatim in the oracle."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        granger_lag1,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        F.date_format(F.col("ts"), "yyyy-MM-dd HH").alias("hr")
+    ).agg(
+        F.sum(
+            (F.col("event_type") == "purchase").cast("int")
+        ).cast("double").alias("y"),
+        F.sum(
+            (F.col("event_type") == "click").cast("int")
+        ).cast("double").alias("x"),
+    )
+    return granger_lag1(hourly, "hr", "y", "x")
+
+
+Q_GRANGER_SQL = """
+WITH hourly AS (SELECT strftime(ts, '%Y-%m-%d %H') AS hr,
+                       CAST(SUM(CASE WHEN event_type = 'purchase'
+                                THEN 1 ELSE 0 END) AS DOUBLE) AS y,
+                       CAST(SUM(CASE WHEN event_type = 'click'
+                                THEN 1 ELSE 0 END) AS DOUBLE) AS x
+                FROM events GROUP BY 1),
+st AS (SELECT y, LAG(y) OVER (ORDER BY hr) AS p,
+              LAG(x) OVER (ORDER BY hr) AS q
+       FROM hourly),
+f AS (SELECT * FROM st WHERE p IS NOT NULL AND q IS NOT NULL),
+m AS (SELECT COUNT(*) AS n, SUM(y) AS sy, SUM(p) AS sp, SUM(q) AS sq,
+             SUM(y * y) AS syy, SUM(p * p) AS spp, SUM(q * q) AS sqq,
+             SUM(y * p) AS syp, SUM(y * q) AS syq, SUM(p * q) AS spq
+      FROM f),
+c AS (SELECT n,
+             spp - sp * sp / n AS cpp, sqq - sq * sq / n AS cqq,
+             spq - sp * sq / n AS cpq, syp - sy * sp / n AS cyp,
+             syq - sy * sq / n AS cyq, syy - sy * sy / n AS cyy
+      FROM m),
+fit AS (SELECT n, cpp, cyy, cyp,
+               cpp * cqq - cpq * cpq AS det,
+               (cqq * cyp - cpq * cyq) AS bn,
+               (-cpq * cyp + cpp * cyq) AS cn,
+               cyq
+        FROM c),
+fin AS (SELECT n, cpp, det,
+               cyy - cyp * cyp / cpp AS rss_r,
+               cyy - (bn / det) * cyp - (cn / det) * cyq AS rss_f,
+               cn / det AS coef
+        FROM fit WHERE det <> 0 AND cpp <> 0)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(CASE WHEN n >= 5 AND cpp > 0 AND det > 0 AND rss_f > 0
+                  THEN coef END, 6) AS coef_x,
+       ROUND(CASE WHEN n >= 5 AND cpp > 0 AND det > 0 AND rss_f > 0
+                  THEN (rss_r - rss_f) / (rss_f / (n - 3.0))
+             END, 6) AS f_stat
+FROM fin
+"""
+
+
 def q_context_window(spark, sf_dir):
     """Rolling SFT-context assembly (packing.context_windows): each event
     paired with the ordered concat of its last 3 event types — the
@@ -15530,6 +15643,8 @@ _QUERIES_PAST_WINDOW = [
     "q_sbg_churn",
     "q_hurst",
     "q_perm_entropy",
+    "q_ljung_box",
+    "q_granger",
 
 ]
 
@@ -15722,6 +15837,8 @@ def oracle_sql() -> dict[str, str]:
         "q_sbg_churn": _sbg_sql(),
         "q_hurst": _hurst_sql(),
         "q_perm_entropy": Q_PERM_ENTROPY_SQL,
+        "q_ljung_box": _ljung_box_sql(),
+        "q_granger": Q_GRANGER_SQL,
         "q_wilson_rates": Q_WILSON_RATES_SQL,
         "q_fdr_correction": Q_FDR_CORRECTION_SQL,
         "q_mann_kendall": Q_MANN_KENDALL_SQL,

@@ -1488,3 +1488,142 @@ def permutation_entropy(
         "n_patterns",
         F.round(F.col("_h") / F.lit(math.log(6.0)), round_to).alias("pe"),
     )
+
+
+def ljung_box(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    max_lag: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Ljung-Box portmanteau test (Ljung & Box 1978): ``Q = n(n+2)·
+    Σ_{k≤h} ρ̂_k²/(n−k)`` over the first h autocorrelations — the ONE
+    number answering "is this series white noise at all?" before any
+    per-lag ACF reading (q_acf shows the lags; Q tests them jointly
+    against χ²(h)).
+
+    Returns ONE row: ``n, h, q_stat, rho_1`` (NULL when n ≤ h + 1 or
+    zero variance).
+
+    Plan: callers pass the (metadata-sized) series; ONE ordered window
+    materializes all h lag columns in a single pass, one aggregate
+    closes the form.  Autocovariances use the standard biased-
+    denominator convention (÷ the full-sample SS), identically in the
+    oracle.
+    """
+    d = df.select(
+        F.col(order_col).alias("_t"),
+        F.col(value_col).cast("double").alias("_x"),
+    ).filter(F.col("_x").isNotNull())
+    w = Window.orderBy("_t")
+    wall = Window.partitionBy()
+    staged = d.withColumn("_mu", F.avg("_x").over(wall))
+    for k in range(1, int(max_lag) + 1):
+        staged = staged.withColumn(f"_l{k}", F.lag("_x", k).over(w))
+    aggs = [
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            (F.col("_x") - F.col("_mu")) * (F.col("_x") - F.col("_mu"))
+        ).alias("_ss"),
+    ]
+    for k in range(1, int(max_lag) + 1):
+        aggs.append(
+            F.sum(
+                (F.col("_x") - F.col("_mu"))
+                * (F.col(f"_l{k}") - F.col("_mu"))
+            ).alias(f"_c{k}")
+        )
+    a = staged.agg(*aggs)
+    n = F.col("n").cast("double")
+    q = None
+    for k in range(1, int(max_lag) + 1):
+        rho = F.col(f"_c{k}") / F.col("_ss")
+        term = rho * rho / (n - F.lit(float(k)))
+        q = term if q is None else q + term
+    q = n * (n + F.lit(2.0)) * q
+    good = (F.col("n") > max_lag + 1) & (F.col("_ss") > 0)
+    return a.select(
+        "n",
+        F.lit(int(max_lag)).alias("h"),
+        F.round(F.when(good, q), round_to).alias("q_stat"),
+        F.round(
+            F.when(good, F.col("_c1") / F.col("_ss")), round_to
+        ).alias("rho_1"),
+    )
+
+
+def granger_lag1(
+    df: DataFrame,
+    order_col: str,
+    y_col: str,
+    x_col: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Lag-1 Granger causality (Granger 1969): does the HISTORY of x
+    improve the prediction of y beyond y's own history?  Restricted
+    model ``y_t ~ a + b·y_{t−1}`` vs full ``y_t ~ a + b·y_{t−1} +
+    c·x_{t−1}``; ``F = (RSS_r − RSS_f)/(RSS_f/(n−3))`` is F(1, n−3)
+    under no-causality.  Predictive precedence, not mechanism — but
+    the right first question for "does click volume LEAD purchase
+    volume?".
+
+    Returns ONE row: ``n, coef_x, f_stat`` (NULL when n < 5 or a
+    normal-equation determinant is 0).
+
+    Plan: one ordered lag window over the (metadata-sized) series,
+    ONE moment aggregate; both fits are closed-form (Cramer 2×2/3×3)
+    on the 1-row moment frame, mirrored verbatim in the oracle.
+    """
+    d = df.select(
+        F.col(order_col).alias("_t"),
+        F.col(y_col).cast("double").alias("_y"),
+        F.col(x_col).cast("double").alias("_x"),
+    )
+    w = Window.orderBy("_t")
+    staged = d.select(
+        F.col("_y").alias("y"),
+        F.lag("_y").over(w).alias("p"),
+        F.lag("_x").over(w).alias("q"),
+    ).filter(F.col("p").isNotNull() & F.col("q").isNotNull())
+    m = staged.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("y").alias("sy"),
+        F.sum("p").alias("sp"),
+        F.sum("q").alias("sq"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("p") * F.col("p")).alias("spp"),
+        F.sum(F.col("q") * F.col("q")).alias("sqq"),
+        F.sum(F.col("y") * F.col("p")).alias("syp"),
+        F.sum(F.col("y") * F.col("q")).alias("syq"),
+        F.sum(F.col("p") * F.col("q")).alias("spq"),
+    ).collect()[0]
+    n = float(m["n"])
+    spark = df.sparkSession
+    schema = "n long, coef_x double, f_stat double"
+    if n < 5:
+        return spark.createDataFrame([(int(n), None, None)], schema)
+    # centered moments
+    cpp = m["spp"] - m["sp"] ** 2 / n
+    cqq = m["sqq"] - m["sq"] ** 2 / n
+    cpq = m["spq"] - m["sp"] * m["sq"] / n
+    cyp = m["syp"] - m["sy"] * m["sp"] / n
+    cyq = m["syq"] - m["sy"] * m["sq"] / n
+    cyy = m["syy"] - m["sy"] ** 2 / n
+    if cpp <= 0:
+        return spark.createDataFrame([(int(n), None, None)], schema)
+    # restricted: slope b = Cyp/Cpp; RSS_r = Cyy − b·Cyp
+    rss_r = cyy - cyp * cyp / cpp
+    det = cpp * cqq - cpq * cpq
+    if det <= 0:
+        return spark.createDataFrame([(int(n), None, None)], schema)
+    # full: [b, c] = inv([[Cpp, Cpq], [Cpq, Cqq]]) · [Cyp, Cyq]
+    b = (cqq * cyp - cpq * cyq) / det
+    c = (-cpq * cyp + cpp * cyq) / det
+    rss_f = cyy - b * cyp - c * cyq
+    if rss_f <= 0:
+        return spark.createDataFrame([(int(n), None, None)], schema)
+    f = (rss_r - rss_f) / (rss_f / (n - 3.0))
+    return spark.createDataFrame(
+        [(int(n), round(c, round_to), round(f, round_to))], schema
+    )

@@ -692,3 +692,69 @@ def test_permutation_entropy_extremes(spark):
     h = -sum(c / n * math.log(c / n) for c in counts)
     assert rc.pe == round(h / math.log(6), 6)
     assert 0.6 < rc.pe < 0.62
+
+
+def test_ljung_box_white_vs_persistent(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        ljung_box,
+    )
+
+    # deterministic pseudo-noise (md5-ish scramble): Q modest
+    vals = [float((i * 7919) % 101) for i in range(120)]
+    rows = [(t, v) for t, v in enumerate(vals)]
+    r = ljung_box(
+        spark.createDataFrame(rows, ["t", "x"]), "t", "x", max_lag=5
+    ).collect()[0]
+    # pure-python reference with the same conventions
+    n = len(vals)
+    mu = sum(vals) / n
+    ss = sum((v - mu) ** 2 for v in vals)
+    q = 0.0
+    for k in range(1, 6):
+        ck = sum(
+            (vals[t] - mu) * (vals[t - k] - mu) for t in range(k, n)
+        )
+        q += (ck / ss) ** 2 / (n - k)
+    q *= n * (n + 2)
+    assert r.n == n and r.h == 5
+    assert r.q_stat == round(q, 6)
+
+    # smooth sine: strongly autocorrelated -> enormous Q
+    import math
+
+    sm = [(t, math.sin(t / 8.0)) for t in range(120)]
+    r2 = ljung_box(
+        spark.createDataFrame(sm, ["t", "x"]), "t", "x", max_lag=5
+    ).collect()[0]
+    assert r2.q_stat > 100
+    assert r2.rho_1 > 0.9
+
+
+def test_granger_lag1_planted_lead(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.timeseries import (
+        granger_lag1,
+    )
+
+    # x leads y by one step exactly: y_t = 0.5*y_{t-1} + 2*x_{t-1}
+    xs = [float((i * 13) % 7) for i in range(80)]
+    ys = [0.0]
+    for t in range(1, 80):
+        ys.append(0.5 * ys[t - 1] + 2.0 * xs[t - 1])
+    rows = [(t, ys[t], xs[t]) for t in range(80)]
+    df = spark.createDataFrame(rows, ["t", "y", "x"])
+    r = granger_lag1(df, "t", "y", "x").collect()[0]
+    assert r.n == 79
+    assert abs(r.coef_x - 2.0) < 1e-6  # recovers the planted lead
+    assert r.f_stat > 1000
+
+    # independent x: F small
+    import random
+
+    random.seed(12)
+    xs2 = [random.random() for _ in range(80)]
+    ys2 = [random.random() for _ in range(80)]
+    rows2 = [(t, ys2[t], xs2[t]) for t in range(80)]
+    r2 = granger_lag1(
+        spark.createDataFrame(rows2, ["t", "y", "x"]), "t", "y", "x"
+    ).collect()[0]
+    assert r2.f_stat < 8
