@@ -10578,6 +10578,49 @@ FROM fin
 """
 
 
+def q_cvm(spark, sf_dir):
+    """Cramér-von Mises two-sample test between src0 and src1
+    document-length distributions (operators/stats.py cvm_two_sample):
+    the integrated-ECDF-gap companion to q_ks_test's max gap and
+    q_mmd's kernel view, all three on the same frame family.
+    Value-cardinality windows, ONE aggregate."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        cvm_two_sample,
+    )
+
+    d = _t(spark, sf_dir, "documents")
+    return cvm_two_sample(d, "source", "n_chars", "src0", "src1")
+
+
+Q_CVM_SQL = """
+WITH d AS (SELECT CAST(source = 'src0' AS INT) AS a,
+                  CAST(n_chars AS DOUBLE) AS v
+           FROM documents
+           WHERE n_chars IS NOT NULL AND source IN ('src0', 'src1')),
+vc AS (SELECT v, SUM(a) AS ca, SUM(1 - a) AS cb FROM d GROUP BY v),
+st AS (SELECT v, ca, cb,
+              SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS fa,
+              SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS fb,
+              SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+       FROM vc),
+a AS (SELECT MAX(na) AS na, MAX(nb) AS nb,
+             SUM(CAST(ca + cb AS DOUBLE)
+                 * (CAST(fa AS DOUBLE) / na - CAST(fb AS DOUBLE) / nb)
+                 * (CAST(fa AS DOUBLE) / na - CAST(fb AS DOUBLE) / nb))
+               AS s
+      FROM st)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND(CASE WHEN na > 0 AND nb > 0
+                  THEN CAST(na AS DOUBLE) * nb
+                       / (CAST(na + nb AS DOUBLE)
+                          * CAST(na + nb AS DOUBLE)) * s
+             END, 6) AS t_stat
+FROM a
+"""
+
+
 def q_context_window(spark, sf_dir):
     """Rolling SFT-context assembly (packing.context_windows): each event
     paired with the ordered concat of its last 3 event types — the
@@ -15645,6 +15688,7 @@ _QUERIES_PAST_WINDOW = [
     "q_perm_entropy",
     "q_ljung_box",
     "q_granger",
+    "q_cvm",
 
 ]
 
@@ -15839,6 +15883,7 @@ def oracle_sql() -> dict[str, str]:
         "q_perm_entropy": Q_PERM_ENTROPY_SQL,
         "q_ljung_box": _ljung_box_sql(),
         "q_granger": Q_GRANGER_SQL,
+        "q_cvm": Q_CVM_SQL,
         "q_wilson_rates": Q_WILSON_RATES_SQL,
         "q_fdr_correction": Q_FDR_CORRECTION_SQL,
         "q_mann_kendall": Q_MANN_KENDALL_SQL,

@@ -4517,3 +4517,69 @@ def lorenz_deciles(
             F.sum(F.col("_s")).over(wcum) / F.col("_tot"), round_to
         ).alias("cum_share"),
     )
+
+
+def cvm_two_sample(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Cramér-von Mises two-sample test (Anderson 1962):
+    ``T = (nm/N²)·Σ_pooled (F_n(x) − G_m(x))²`` — integrates the
+    squared ECDF gap over EVERY pooled observation, so it sees
+    distribution differences the KS max-gap statistic dilutes
+    (several small separated gaps) without MMD's bandwidth knob.
+    T ≳ 0.46 rejects equality at 5% (asymptotic).
+
+    Returns ONE row: ``n_a, n_b, t_stat`` (NULL when a group is
+    empty).
+
+    Plan: the corpus collapses to per-DISTINCT-VALUE per-group counts
+    (map-side combine, the mann_whitney discipline); ECDFs ride one
+    cumulative window over the value-cardinality frame; ONE aggregate.
+    """
+    g = F.col(group_col)
+    x = F.col(value_col).cast("double")
+    d = df.filter(x.isNotNull() & g.isin([group_a, group_b])).select(
+        (g == group_a).cast("int").alias("_a"), x.alias("_v")
+    )
+    vc = d.groupBy("_v").agg(
+        F.sum("_a").alias("_ca"),
+        F.sum(F.lit(1) - F.col("_a")).alias("_cb"),
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    staged = (
+        vc.withColumn("_fa", F.sum("_ca").over(w))
+        .withColumn("_fb", F.sum("_cb").over(w))
+        .withColumn("_na", F.sum("_ca").over(wall))
+        .withColumn("_nb", F.sum("_cb").over(wall))
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    gap = F.col("_fa").cast("double") / na - F.col("_fb").cast(
+        "double"
+    ) / nb
+    weight = (F.col("_ca") + F.col("_cb")).cast("double")
+    a = staged.agg(
+        F.max("_na").cast("long").alias("n_a"),
+        F.max("_nb").cast("long").alias("n_b"),
+        F.sum(weight * gap * gap).alias("_s"),
+    )
+    nn = (F.col("n_a") + F.col("n_b")).cast("double")
+    t = (
+        F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        / (nn * nn)
+        * F.col("_s")
+    )
+    return a.select(
+        "n_a",
+        "n_b",
+        F.round(
+            F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), t), round_to
+        ).alias("t_stat"),
+    )

@@ -1960,3 +1960,35 @@ def test_lorenz_deciles_concentration(spark):
     assert shares == sorted(shares)
     # cumulative hits 1 exactly at the top
     assert out[1].cum_share == round(2.0 / 109.0, 6)
+
+
+def test_cvm_two_sample_reference(spark):
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        cvm_two_sample,
+    )
+
+    a_vals = [1.0, 2.0, 3.0, 4.0]
+    b_vals = [2.0, 3.0, 5.0]
+    rows = [("a", v) for v in a_vals] + [("b", v) for v in b_vals]
+    r = cvm_two_sample(
+        spark.createDataFrame(rows, ["g", "v"]), "g", "v", "a", "b"
+    ).collect()[0]
+    n, m = len(a_vals), len(b_vals)
+    pooled = sorted(a_vals + b_vals)
+    s = 0.0
+    for v in pooled:
+        fa = sum(1 for x in a_vals if x <= v) / n
+        fb = sum(1 for x in b_vals if x <= v) / m
+        s += (fa - fb) ** 2
+    t = n * m / (n + m) ** 2 * s
+    assert (r.n_a, r.n_b) == (n, m)
+    assert r.t_stat == round(t, 6)
+
+    # identical samples: T = 0
+    same = [("a", float(v)) for v in range(5)] + [
+        ("b", float(v)) for v in range(5)
+    ]
+    r0 = cvm_two_sample(
+        spark.createDataFrame(same, ["g", "v"]), "g", "v", "a", "b"
+    ).collect()[0]
+    assert r0.t_stat == 0.0
