@@ -10621,6 +10621,100 @@ FROM a
 """
 
 
+def q_rayleigh(spark, sf_dir):
+    """Rayleigh circular-uniformity test of event time-of-day
+    (operators/stats.py rayleigh_test): is activity uniform around the
+    clock, or is there a preferred direction — the wrap-safe test a
+    linear hour histogram can't give.  Angles quantized to the
+    second-of-day grid (exact integer seconds → identical doubles in
+    both engines); ONE cos/sin aggregate."""
+    import math
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        rayleigh_test,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    sec = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000)
+    ) % F.lit(86400)
+    theta = sec.cast("double") * F.lit(2.0 * math.pi / 86400.0)
+    return rayleigh_test(e.select(theta.alias("th")), "th")
+
+
+Q_RAYLEIGH_SQL = """
+WITH d AS (SELECT (CAST(FLOOR(epoch_us(ts) / 1000000) AS BIGINT) % 86400)
+                    * (2.0 * PI() / 86400.0) AS t
+           FROM events),
+a AS (SELECT COUNT(*) AS n, SUM(COS(t)) AS c, SUM(SIN(t)) AS s FROM d)
+SELECT CAST(n AS BIGINT) AS n,
+       ROUND(SQRT(c * c + s * s) / n, 6) AS r_bar,
+       ROUND(n * (SQRT(c * c + s * s) / n)
+               * (SQRT(c * c + s * s) / n), 6) AS z,
+       ROUND(CASE WHEN SQRT(c * c + s * s) / n > 0
+                  THEN ((ATAN2(s, c) * (24.0 / (2.0 * PI()))) % 24.0
+                        + 24.0) % 24.0
+             END, 6) AS mean_hour
+FROM a
+"""
+
+
+def q_watson_u2(spark, sf_dir):
+    """Watson U² circular two-sample test: do the encouragement and
+    control cohorts keep the same DAILY RHYTHM (operators/stats.py
+    watson_u2_two_sample)?  Rotation-invariant, so a pure phase shift
+    is discounted; second-of-day quantization bounds the distinct-value
+    frame at 86400 rows regardless of corpus size."""
+    import math
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        watson_u2_two_sample,
+    )
+
+    e = _t(spark, sf_dir, "events")
+    sec = F.floor(
+        F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1000000)
+    ) % F.lit(86400)
+    d = e.select(
+        (F.col("user_id") % 3 == 0).alias("enc"),
+        (sec.cast("double") * F.lit(2.0 * math.pi / 86400.0)).alias("th"),
+    )
+    return watson_u2_two_sample(d, "enc", "th", True, False)
+
+
+Q_WATSON_U2_SQL = """
+WITH d AS (SELECT CAST(user_id % 3 = 0 AS INT) AS a,
+                  (CAST(FLOOR(epoch_us(ts) / 1000000) AS BIGINT) % 86400)
+                    * (2.0 * PI() / 86400.0) AS v
+           FROM events),
+vc AS (SELECT v, SUM(a) AS ca, SUM(1 - a) AS cb FROM d GROUP BY v),
+st AS (SELECT v, ca, cb,
+              SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS fa,
+              SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+                AND CURRENT ROW) AS fb,
+              SUM(ca) OVER () AS na, SUM(cb) OVER () AS nb
+       FROM vc),
+a AS (SELECT MAX(na) AS na, MAX(nb) AS nb,
+             SUM(CAST(ca + cb AS DOUBLE)
+                 * (CAST(fa AS DOUBLE) / na - CAST(fb AS DOUBLE) / nb)
+                 * (CAST(fa AS DOUBLE) / na - CAST(fb AS DOUBLE) / nb))
+               AS s2,
+             SUM(CAST(ca + cb AS DOUBLE)
+                 * (CAST(fa AS DOUBLE) / na - CAST(fb AS DOUBLE) / nb))
+               AS s1
+      FROM st)
+SELECT CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+       ROUND(CASE WHEN na > 0 AND nb > 0
+                  THEN CAST(na AS DOUBLE) * nb
+                       / (CAST(na + nb AS DOUBLE)
+                          * CAST(na + nb AS DOUBLE))
+                       * (s2 - s1 * s1 / CAST(na + nb AS DOUBLE))
+             END, 6) AS u2
+FROM a
+"""
+
+
 def q_context_window(spark, sf_dir):
     """Rolling SFT-context assembly (packing.context_windows): each event
     paired with the ordered concat of its last 3 event types — the
@@ -15689,6 +15783,8 @@ _QUERIES_PAST_WINDOW = [
     "q_ljung_box",
     "q_granger",
     "q_cvm",
+    "q_rayleigh",
+    "q_watson_u2",
 
 ]
 
@@ -15884,6 +15980,8 @@ def oracle_sql() -> dict[str, str]:
         "q_ljung_box": _ljung_box_sql(),
         "q_granger": Q_GRANGER_SQL,
         "q_cvm": Q_CVM_SQL,
+        "q_rayleigh": Q_RAYLEIGH_SQL,
+        "q_watson_u2": Q_WATSON_U2_SQL,
         "q_wilson_rates": Q_WILSON_RATES_SQL,
         "q_fdr_correction": Q_FDR_CORRECTION_SQL,
         "q_mann_kendall": Q_MANN_KENDALL_SQL,

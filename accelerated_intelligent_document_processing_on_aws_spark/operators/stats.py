@@ -4583,3 +4583,118 @@ def cvm_two_sample(
             F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), t), round_to
         ).alias("t_stat"),
     )
+
+
+def rayleigh_test(
+    df: DataFrame,
+    angle_col,
+    round_to: int = 6,
+) -> DataFrame:
+    """Rayleigh test of circular uniformity (Rayleigh 1880; Mardia &
+    Jupp 2000): is a distribution of ANGLES (time-of-day as a point on
+    the clock circle) uniform, or is there a preferred direction?
+    ``z = n·R̄²`` with R̄ the mean resultant length — the correct test
+    for "is activity spread around the clock?", where a linear test on
+    the hour number breaks at the midnight wrap.
+
+    ``angle_col``: radians in [0, 2π).  Returns ONE row: ``n, r_bar,
+    z, mean_hour`` (mean direction mapped to [0, 24) hours; NULL when
+    R̄ = 0 exactly).
+
+    Plan: ONE aggregate (cos/sin sums, map-side combined).
+    """
+    import math
+
+    th = (F.col(angle_col) if isinstance(angle_col, str) else angle_col).cast(
+        "double"
+    )
+    d = df.select(th.alias("_t")).filter(F.col("_t").isNotNull())
+    a = d.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.cos("_t")).alias("_c"),
+        F.sum(F.sin("_t")).alias("_s"),
+    )
+    n = F.col("n").cast("double")
+    rbar = F.sqrt(F.col("_c") * F.col("_c") + F.col("_s") * F.col("_s")) / n
+    z = n * rbar * rbar
+    mean_dir = F.atan2(F.col("_s"), F.col("_c"))
+    mean_hour = F.pmod(
+        mean_dir * F.lit(24.0 / (2.0 * math.pi)), F.lit(24.0)
+    )
+    return a.select(
+        "n",
+        F.round(rbar, round_to).alias("r_bar"),
+        F.round(z, round_to).alias("z"),
+        F.round(
+            F.when(rbar > 0, mean_hour), round_to
+        ).alias("mean_hour"),
+    )
+
+
+def watson_u2_two_sample(
+    df: DataFrame,
+    group_col: str,
+    angle_col,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Watson's U² two-sample test for CIRCULAR data (Watson 1962):
+    the rotation-invariant Cramér-von Mises — subtracting the weighted
+    mean ECDF gap makes the statistic independent of where the circle
+    is cut, so midnight is not a special point:
+    ``U² = (nm/N²)·[Σ t_v·d_v² − (Σ t_v·d_v)²/N]`` with d_v the
+    pooled-ECDF gaps.  U² ≳ 0.187 rejects at 5%.  The right "do two
+    cohorts keep the same daily rhythm?" test; the linear q_cvm would
+    flag a pure phase rotation that this correctly discounts.
+
+    Returns ONE row: ``n_a, n_b, u2``.
+
+    Plan: identical frame discipline to cvm_two_sample — per-distinct-
+    angle counts, one cumulative window, ONE aggregate.
+    """
+    g = F.col(group_col)
+    th = (F.col(angle_col) if isinstance(angle_col, str) else angle_col).cast(
+        "double"
+    )
+    d = df.filter(th.isNotNull() & g.isin([group_a, group_b])).select(
+        (g == group_a).cast("int").alias("_a"), th.alias("_v")
+    )
+    vc = d.groupBy("_v").agg(
+        F.sum("_a").alias("_ca"),
+        F.sum(F.lit(1) - F.col("_a")).alias("_cb"),
+    )
+    w = Window.orderBy("_v").rowsBetween(Window.unboundedPreceding, 0)
+    wall = Window.partitionBy()
+    staged = (
+        vc.withColumn("_fa", F.sum("_ca").over(w))
+        .withColumn("_fb", F.sum("_cb").over(w))
+        .withColumn("_na", F.sum("_ca").over(wall))
+        .withColumn("_nb", F.sum("_cb").over(wall))
+    )
+    na = F.col("_na").cast("double")
+    nb = F.col("_nb").cast("double")
+    gap = F.col("_fa").cast("double") / na - F.col("_fb").cast(
+        "double"
+    ) / nb
+    t = (F.col("_ca") + F.col("_cb")).cast("double")
+    a = staged.agg(
+        F.max("_na").cast("long").alias("n_a"),
+        F.max("_nb").cast("long").alias("n_b"),
+        F.sum(t * gap * gap).alias("_s2"),
+        F.sum(t * gap).alias("_s1"),
+    )
+    nn = (F.col("n_a") + F.col("n_b")).cast("double")
+    u2 = (
+        F.col("n_a").cast("double")
+        * F.col("n_b").cast("double")
+        / (nn * nn)
+        * (F.col("_s2") - F.col("_s1") * F.col("_s1") / nn)
+    )
+    return a.select(
+        "n_a",
+        "n_b",
+        F.round(
+            F.when((F.col("n_a") > 0) & (F.col("n_b") > 0), u2), round_to
+        ).alias("u2"),
+    )

@@ -1992,3 +1992,60 @@ def test_cvm_two_sample_reference(spark):
         spark.createDataFrame(same, ["g", "v"]), "g", "v", "a", "b"
     ).collect()[0]
     assert r0.t_stat == 0.0
+
+
+def test_rayleigh_uniform_vs_concentrated(spark):
+    import math
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        rayleigh_test,
+    )
+
+    # perfectly uniform angles: R exactly 0 (symmetric cancellation)
+    n = 24
+    uni = [(2 * math.pi * i / n,) for i in range(n)]
+    r = rayleigh_test(spark.createDataFrame(uni, ["th"]), "th").collect()[0]
+    assert r.n == n
+    assert abs(r.z) < 1e-9
+
+    # concentrated near 6h (pi/2): huge z, mean_hour ~ 6
+    conc = [(math.pi / 2 + 0.01 * ((i % 5) - 2),) for i in range(50)]
+    rc = rayleigh_test(
+        spark.createDataFrame(conc, ["th"]), "th"
+    ).collect()[0]
+    assert rc.z > 45
+    assert abs(rc.mean_hour - 6.0) < 0.05
+
+
+def test_watson_u2_rotation_invariance(spark):
+    import math
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.stats import (
+        cvm_two_sample,
+        watson_u2_two_sample,
+    )
+
+    # group b = group a rotated by 2 hours around the clock; the
+    # rotation is applied to the INDEX so both groups share the exact
+    # same floating-point grid values (a float (th+d) % 2pi would land
+    # off-grid and leave finite-sample gap noise)
+    base_idx = [(i * 37) % 24 for i in range(48)]
+    base = [2 * math.pi * k / 24 for k in base_idx]
+    rot = [2 * math.pi * ((k + 2) % 24) / 24 for k in base_idx]
+    rows = [("a", th) for th in base] + [("b", th) for th in rot]
+    df = spark.createDataFrame(rows, ["g", "th"])
+    u = watson_u2_two_sample(df, "g", "th", "a", "b").collect()[0]
+    # same circular distribution (base covers all 24 positions
+    # uniformly; rotation permutes them) -> U2 == 0
+    assert u.u2 == 0.0
+
+    # a genuinely different concentration IS detected
+    conc = [("a", 0.1 * (i % 7)) for i in range(48)] + [
+        ("b", math.pi + 0.1 * (i % 7)) for i in range(48)
+    ]
+    dfc = spark.createDataFrame(conc, ["g", "th"])
+    uc = watson_u2_two_sample(dfc, "g", "th", "a", "b").collect()[0]
+    # opposite-side concentrations: linear CvM and U2 both large here,
+    # but U2 stays large because the SHAPES (after best rotation) match
+    # only at zero overlap... the point: U2 > critical 0.187
+    assert uc.u2 > 0.187
