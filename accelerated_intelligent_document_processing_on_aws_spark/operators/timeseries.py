@@ -1357,51 +1357,63 @@ def hurst_rs(
     Returns ONE row: ``n, h`` plus one ``rs_<m>`` column per block
     size (NULL H when fewer than 2 sizes yield an R/S).
 
-    Plan: callers pass the (metadata-sized) series; per-size block
-    windows ride that frame (sizes × series rows of metadata), the
-    4-point log-log fit is closed form.
+    Plan: ONE Spark job.  The series is cross-tagged with a block-size
+    dimension (``explode`` of the literal sizes array), so every
+    per-(m, block) R/S statistic comes out of a single
+    ``groupBy(_m, _b)`` → ``groupBy(_m)`` aggregate — |sizes| metadata
+    rows collected once — instead of one job per block size (round-4
+    VERDICT nit #1: the old per-size loop ran ~len(sizes)+1 sequential
+    jobs over the same input).  ``n`` rides the same aggregate as
+    ``sum(block sizes)`` per m, so no separate count job.  The 4-point
+    log-log fit stays closed-form driver-side.
     """
     d = df.select(
         F.col(order_col).alias("_t"),
         F.col(value_col).cast("double").alias("_x"),
     ).filter(F.col("_x").isNotNull())
     w = Window.orderBy("_t")
-    idx = d.select(
-        "_x", (F.row_number().over(w) - 1).alias("_i")
-    ).localCheckpoint(eager=False)
+    idx = d.select("_x", (F.row_number().over(w) - 1).alias("_i"))
     import math
 
-    rs_means = {}
-    for m in block_sizes:
-        blk = idx.withColumn("_b", F.floor(F.col("_i") / F.lit(int(m))))
-        wb = Window.partitionBy("_b")
-        wcum = Window.partitionBy("_b").orderBy("_i")
-        staged = (
-            blk.withColumn("_n", F.count(F.lit(1)).over(wb))
-            .filter(F.col("_n") == m)
-            .withColumn("_mu", F.avg("_x").over(wb))
-            .withColumn(
-                "_z",
-                F.sum(F.col("_x") - F.col("_mu")).over(
-                    wcum.rowsBetween(Window.unboundedPreceding, 0)
-                ),
-            )
-            .withColumn(
-                "_s2", F.avg((F.col("_x") - F.col("_mu")) * (F.col("_x") - F.col("_mu"))).over(wb)
-            )
-        )
-        per_b = staged.groupBy("_b").agg(
-            ((F.max("_z") - F.min("_z")) / F.sqrt(F.max("_s2"))).alias(
-                "_rs"
+    sizes_arr = F.array(*[F.lit(int(m)) for m in block_sizes])
+    tagged = idx.select("_x", "_i", F.explode(sizes_arr).alias("_m"))
+    blk = tagged.withColumn("_b", F.floor(F.col("_i") / F.col("_m")))
+    wb = Window.partitionBy("_m", "_b")
+    wcum = Window.partitionBy("_m", "_b").orderBy("_i")
+    staged = (
+        blk.withColumn("_n", F.count(F.lit(1)).over(wb))
+        .withColumn("_mu", F.avg("_x").over(wb))
+        .withColumn(
+            "_z",
+            F.sum(F.col("_x") - F.col("_mu")).over(
+                wcum.rowsBetween(Window.unboundedPreceding, 0)
             ),
-            F.max("_s2").alias("_v"),
-        ).filter(F.col("_v") > 0)
-        row = per_b.agg(
-            F.avg("_rs").alias("m"), F.count(F.lit(1)).alias("k")
-        ).collect()[0]
-        if row["k"] and row["k"] > 0:
-            rs_means[int(m)] = float(row["m"])
-    n_total = idx.count()
+        )
+        .withColumn(
+            "_s2",
+            F.avg(
+                (F.col("_x") - F.col("_mu")) * (F.col("_x") - F.col("_mu"))
+            ).over(wb),
+        )
+    )
+    per_b = staged.groupBy("_m", "_b").agg(
+        F.max("_n").alias("_nb"),
+        ((F.max("_z") - F.min("_z")) / F.sqrt(F.max("_s2"))).alias("_rs"),
+        F.max("_s2").alias("_v"),
+    )
+    ok = (F.col("_nb") == F.col("_m")) & (F.col("_v") > 0)
+    per_m = per_b.groupBy("_m").agg(
+        F.avg(F.when(ok, F.col("_rs"))).alias("_mean_rs"),
+        F.sum(F.when(ok, F.lit(1)).otherwise(F.lit(0))).alias("_k"),
+        F.sum("_nb").alias("_n_total"),
+    )
+    rows = per_m.collect()
+    rs_means = {
+        int(r["_m"]): float(r["_mean_rs"])
+        for r in rows
+        if r["_k"] and r["_k"] > 0
+    }
+    n_total = int(rows[0]["_n_total"]) if rows else 0
     pts = [
         (math.log(m), math.log(v))
         for m, v in rs_means.items()
