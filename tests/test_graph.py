@@ -477,3 +477,38 @@ def test_trustrank_reference_one_iteration(spark):
     far = spark.createDataFrame([(99,)], ["node"])
     out0 = {r.node: r.trust for r in trustrank(edges, far, 3).collect()}
     assert set(out0.values()) == {0.0}
+
+
+def test_link_prediction_scale_guard(spark):
+    """Round-4 VERDICT #4: the exact-mode default (max_middle_degree=None)
+    must warn loudly; scale_profile='capped' applies the default df-cap
+    silently and, when the cap exceeds every middle degree, returns the
+    identical result."""
+    import warnings as _w
+
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        CAPPED_MIDDLE_DEGREE,
+        link_prediction,
+    )
+
+    # path a-b-c: (a,c) share middle b
+    pairs = [(1, 2), (2, 1), (2, 3), (3, 2)]
+    edges = _edges(spark, pairs)
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        exact = link_prediction(edges).collect()
+    assert any(
+        issubclass(r.category, RuntimeWarning)
+        and "max_middle_degree" in str(r.message)
+        for r in rec
+    ), "exact mode must emit the scale-hazard RuntimeWarning"
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        capped = link_prediction(edges, scale_profile="capped").collect()
+    assert not any(issubclass(r.category, RuntimeWarning) for r in rec)
+    assert CAPPED_MIDDLE_DEGREE >= 2
+    assert sorted(map(tuple, exact)) == sorted(map(tuple, capped))
+
+    with pytest.raises(ValueError):
+        link_prediction(edges, scale_profile="bogus")
