@@ -1398,7 +1398,13 @@ def hurst_rs(
     )
     per_b = staged.groupBy("_m", "_b").agg(
         F.max("_n").alias("_nb"),
-        ((F.max("_z") - F.min("_z")) / F.sqrt(F.max("_s2"))).alias("_rs"),
+        # zero-variance blocks carry no R/S (and would divide by zero
+        # under ANSI mode on short series); the `ok` filter below drops
+        # them, so NULL here is never aggregated
+        F.when(
+            F.max("_s2") > 0,
+            (F.max("_z") - F.min("_z")) / F.sqrt(F.max("_s2")),
+        ).alias("_rs"),
         F.max("_s2").alias("_v"),
     )
     ok = (F.col("_nb") == F.col("_m")) & (F.col("_v") > 0)
