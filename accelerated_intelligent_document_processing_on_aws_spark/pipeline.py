@@ -103,10 +103,11 @@ class PipelineConfig:
     # gets sub-splits proportional to its share — hot buckets fan out to
     # up to max_files_per_bucket tasks, cold buckets stay at ONE file.
     # files_per_bucket remains the flat fallback (and the target mean).
-    # Caveats: the pre-pass is column-pruned only for parquet input
-    # (jsonl/csv feeds pay a re-parse — land them as parquet first), and
-    # the flag does not compose with bucketed_table (raises: the bucketed
-    # publish fans in by the table's own conv-bucket spec).
+    # Caveat: the pre-pass is column-pruned only for parquet input
+    # (jsonl/csv feeds pay a re-parse — land them as parquet first).
+    # Composes with bucketed_table (round-4 VERDICT #6): hot
+    # (pt, conv-bucket) slices sub-split into multiple files of the SAME
+    # bucket id, which a Spark bucketed table represents natively.
     adaptive_write_split: bool = False
     max_files_per_bucket: int = 64
     # bucketed publish (VERDICT #8): when set, the output is written as a
@@ -376,15 +377,6 @@ def run_pipeline(
     # pt dir, and each task holds ~one (pt, sub) slice).
     k = max(int(cfg.files_per_bucket), 1)
     split_map = None
-    if cfg.adaptive_write_split and cfg.bucketed_table is not None:
-        # fail loudly instead of silently ignoring the flag: the bucketed
-        # publish aligns its fan-in with the table's conv-bucket spec, so
-        # per-bucket adaptive sub-splitting does not compose with it
-        raise ValueError(
-            "adaptive_write_split is not supported with bucketed_table: "
-            "the bucketed publish fans in by (pt, conv-bucket) to match "
-            "the table spec; unset one of the two"
-        )
     if cfg.adaptive_write_split:
         # skew-aware sub-splitting: rows per pt counted on the RAW scan
         # (pt is a pure function of conv_id — for parquet input the scan
@@ -418,16 +410,7 @@ def run_pipeline(
                 )
                 for r in cnt_rows
             }
-    if cfg.bucketed_table is not None:
-        # align the fan-in with the TABLE buckets (same Murmur3 as the
-        # bucket spec) so the bucketed write emits one file per
-        # (pt, conv-bucket) instead of tasks x buckets
-        out = out.repartition(
-            cfg.n_buckets * max(int(cfg.conv_buckets), 1),
-            F.col("pt"),
-            F.pmod(F.hash(F.col("conv_id")), F.lit(cfg.conv_buckets)),
-        )
-    elif split_map is not None:
+    def _adaptive_k_col():
         # O(1) per-row lookup: pt is dense 0..n_buckets-1, so the split
         # counts go into a literal ARRAY indexed by pt+1 (a literal MAP
         # would be GetMapValue — a linear key scan per row, O(n_buckets)
@@ -435,18 +418,49 @@ def run_pipeline(
         # try_element_at: ANSI-safe null (not throw) out of range;
         # coalesce to one sub-split for any pt the count pass never saw.
         k_arr = [split_map.get(i, 1) for i in range(cfg.n_buckets)]
-        k_col = F.coalesce(
+        return F.coalesce(
             F.try_element_at(
                 F.array(*[F.lit(v) for v in k_arr]),
                 F.col("pt").cast("int") + F.lit(1),
             ),
             F.lit(1),
         )
+
+    if cfg.bucketed_table is not None:
+        # align the fan-in with the TABLE buckets (same Murmur3 as the
+        # bucket spec) so the bucketed write emits one file per
+        # (pt, conv-bucket) instead of tasks x buckets.  With
+        # adaptive_write_split the hot (pt, conv-bucket) slices sub-split
+        # further (round-4 VERDICT #6: the two defenses now COMPOSE): a
+        # Spark bucketed table stores the bucket id in each FILE name and
+        # tolerates many files per bucket, and the sub-split key only
+        # divides rows WITHIN one (pt, conv-bucket) slice, so every file
+        # still holds rows of exactly one bucket id and the downstream
+        # zero-exchange join property is untouched (test_bucketing.py
+        # pins both).  Hot buckets get up to max_files_per_bucket write
+        # tasks/files; cold buckets stay at one file per conv-bucket.
+        cb = max(int(cfg.conv_buckets), 1)
+        cols = [
+            F.col("pt"),
+            F.pmod(F.hash(F.col("conv_id")), F.lit(cfg.conv_buckets)),
+        ]
+        n_parts = cfg.n_buckets * cb
+        if split_map is not None:
+            cols.append(
+                F.pmod(
+                    F.xxhash64(F.col("conv_id"), F.col("turn_idx")),
+                    _adaptive_k_col(),
+                )
+            )
+            n_parts = max(sum(split_map.values()), cfg.n_buckets) * cb
+        out = out.repartition(n_parts, *cols)
+    elif split_map is not None:
         out = out.repartition(
             max(sum(split_map.values()), cfg.n_buckets),
             F.col("pt"),
             F.pmod(
-                F.xxhash64(F.col("conv_id"), F.col("turn_idx")), k_col
+                F.xxhash64(F.col("conv_id"), F.col("turn_idx")),
+                _adaptive_k_col(),
             ),
         )
     elif k == 1:
