@@ -21,6 +21,10 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from accelerated_intelligent_document_processing_on_aws_spark import (
+    certify as _certify,
+)
+
 SF_DEFAULT = "/root/testdata/sf0.001"
 
 # ---------------------------------------------------------------- helpers
@@ -7271,6 +7275,177 @@ FROM bf5 b LEFT JOIN lsh5 l
 GROUP BY b.query_id
 ORDER BY b.query_id
 """
+
+
+_IVFPQ_RECALL_GRID = [(1, 2), (1, 4), (2, 2), (2, 4), (4, 2), (4, 4)]
+
+
+def q_ivfpq_recall(spark, sf_dir):
+    """IVF-PQ recall/compression sweep (round-4 VERDICT #7): recall@5 of
+    the PQ-compressed ADC ranking against the exact brute-force top-5,
+    swept over n_probe x m_sub = {1,2,4} x {2,4} — the accuracy/cost
+    trade of the compressed ANN path pinned as a certified query, the way
+    q_ann_recall pins the LSH path.  One row per config: code_bits
+    (= 4*m_sub: 16 codes = 4 bits/subspace), compression_x vs a float32
+    vector (256 bytes / (m_sub/2) bytes = 512/m_sub), total hits over the
+    10-query sample, pooled mean recall (integer hits / integer exact
+    count — one deterministic division, no FP-order-sensitive mean), and
+    the worst per-query recall.  The exact side is shared across all six
+    configs; each config's corpus-side cost is m_sub lookups per
+    candidate, so the sweep itself is the cheap part — which is the point
+    it certifies."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        ann_recall,
+        brute_force_topk,
+        ivfpq_topk,
+    )
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    exact = brute_force_topk(e, q, "vec_id", "embedding", k=5)
+    parts = []
+    for n_probe, m_sub in _IVFPQ_RECALL_GRID:
+        approx = ivfpq_topk(
+            e, q, k=5, n_probe=n_probe, m_sub=m_sub
+        )
+        r = ann_recall(approx, exact, k=5)
+        parts.append(
+            r.agg(
+                F.count(F.lit(1)).alias("_nq"),
+                F.sum("hits").alias("_hits"),
+                F.min("recall").alias("_minr"),
+            ).select(
+                F.lit(n_probe).alias("n_probe"),
+                F.lit(m_sub).alias("m_sub"),
+                F.lit(4 * m_sub).alias("code_bits"),
+                F.round(F.lit(512.0 / m_sub), 6).alias("compression_x"),
+                F.col("_hits").cast("int").alias("hits"),
+                F.round(
+                    F.col("_hits") / (F.lit(5.0) * F.col("_nq")), 6
+                ).alias("mean_recall"),
+                F.col("_minr").alias("min_recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out.orderBy("n_probe", "m_sub")
+
+
+def _ivfpq_recall_sql() -> str:
+    """DuckDB twin of q_ivfpq_recall: shared e/dots/cell1 + brute-force
+    CTEs, then per (n_probe, m_sub) config the same parameterized PQ
+    algebra as _ivfpq_sql (per-subspace exact-integer distance arrays,
+    first-min code assignment, ADC sum via the query's own arrays),
+    recall joined per query and pooled with one integer division."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.similarity import (
+        ivf_centroids,
+        pq_codebooks,
+    )
+
+    cents = ivf_centroids(64, 16, 7)
+    dot_exprs = []
+    for c in cents:
+        lit = "[" + ",".join(str(int(x)) for x in c) + "]"
+        dot_exprs.append(f"list_inner_product(q, CAST({lit} AS DOUBLE[]))")
+    ctes = ["""e AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         list_transform(CAST(embedding AS DOUBLE[]),
+                        x -> floor(x * 1048576.0)) AS q
+  FROM embeddings
+)""", """dots AS (
+  SELECT vec_id, v,
+         [""" + ",\n          ".join(dot_exprs) + """] AS d
+  FROM e
+)""", """cell1 AS (
+  SELECT vec_id, CAST(list_position(d, list_max(d)) - 1 AS INT) AS cell
+  FROM dots
+)""", """bf5 AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT a.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+             ROUND(list_inner_product(a.v, c.v)
+                   / (sqrt(list_inner_product(a.v, a.v))
+                      * sqrt(list_inner_product(c.v, c.v))), 6) DESC,
+             c.vec_id) AS rn
+    FROM e a JOIN e c ON a.vec_id < 10 AND a.vec_id <> c.vec_id
+  ) WHERE rn <= 5
+)"""]
+    finals = []
+    seen_m = set()
+    for i, (n_probe, m_sub) in enumerate(_IVFPQ_RECALL_GRID):
+        sub = 64 // m_sub
+        if m_sub not in seen_m:
+            seen_m.add(m_sub)
+            books = pq_codebooks(64, m_sub, 16, 11)
+            darr = []
+            for s in range(m_sub):
+                lo, hi = s * sub + 1, (s + 1) * sub
+                exprs = []
+                for j in range(16):
+                    cb = books[s, j]
+                    lit = "[" + ",".join(str(int(x)) for x in cb) + "]"
+                    c2 = int((cb * cb).sum())
+                    exprs.append(
+                        f"{c2} - 2 * list_inner_product(q[{lo}:{hi}],"
+                        f" CAST({lit} AS DOUBLE[]))"
+                    )
+                darr.append("[" + ",\n        ".join(exprs) + f"] AS d{s}")
+            ctes.append(
+                f"pqd_m{m_sub} AS (\n  SELECT vec_id,\n    "
+                + ",\n    ".join(darr)
+                + "\n  FROM e\n)"
+            )
+            codecols = ",\n    ".join(
+                f"CAST(list_position(d{s}, list_min(d{s})) - 1 AS INT) AS c{s}"
+                for s in range(m_sub)
+            )
+            ctes.append(
+                f"pcodes_m{m_sub} AS (\n  SELECT vec_id,\n    {codecols}"
+                f"\n  FROM pqd_m{m_sub}\n)"
+            )
+        ctes.append(f"""probes_{i} AS (
+  SELECT vec_id, cell FROM (
+    SELECT dt.vec_id, CAST(r.range AS INT) AS cell,
+           ROW_NUMBER() OVER (PARTITION BY dt.vec_id
+                              ORDER BY dt.d[CAST(r.range AS INT) + 1] DESC,
+                                       r.range ASC) AS pr
+    FROM dots dt CROSS JOIN range(16) r
+    WHERE dt.vec_id < 10
+  ) WHERE pr <= {n_probe}
+)""")
+        adc = " + ".join(
+            f"qd.d{s}[k.c{s} + 1]" for s in range(m_sub)
+        )
+        ctes.append(f"""ranked_{i} AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT p.vec_id AS query_id, c.vec_id AS neighbor_id,
+           ROW_NUMBER() OVER (PARTITION BY p.vec_id
+             ORDER BY CAST({adc} AS BIGINT) ASC, c.vec_id ASC) AS rank
+    FROM probes_{i} p
+    JOIN cell1 c ON p.cell = c.cell AND c.vec_id <> p.vec_id
+    JOIN pcodes_m{m_sub} k ON k.vec_id = c.vec_id
+    JOIN pqd_m{m_sub} qd ON qd.vec_id = p.vec_id
+  ) WHERE rank <= 5
+)""")
+        ctes.append(f"""perq_{i} AS (
+  SELECT b.query_id, COUNT(a.query_id) AS hits, COUNT(*) AS exact_k
+  FROM bf5 b LEFT JOIN ranked_{i} a
+    ON b.query_id = a.query_id AND b.neighbor_id = a.neighbor_id
+  GROUP BY b.query_id
+)""")
+        finals.append(f"""SELECT {n_probe} AS n_probe, {m_sub} AS m_sub,
+       {4 * m_sub} AS code_bits,
+       ROUND({512.0 / m_sub}, 6) AS compression_x,
+       CAST(SUM(hits) AS INT) AS hits,
+       ROUND(SUM(hits) / (5.0 * COUNT(*)), 6) AS mean_recall,
+       MIN(ROUND(hits * 1.0 / exact_k, 6)) AS min_recall
+FROM perq_{i}""")
+    return (
+        "WITH " + ",\n".join(ctes) + "\n"
+        "SELECT * FROM (\n" + "\nUNION ALL\n".join(finals)
+        + "\n)\nORDER BY n_probe, m_sub"
+    )
 
 
 def q_textrank(spark, sf_dir):
@@ -15429,383 +15604,823 @@ FROM sized
 """
 
 
-# ORDER MATTERS for certification: the driver records CORRECTNESS rows
-# for exactly the FIRST `CERT_WINDOW` registry entries (r3 sampled
-# registry positions 1-50 verbatim).  Ordering rule (VERDICT r3 #1):
-# queries whose only driver row predates the round-3 terminal-sort
-# refactor run first, then every query whose plan changed or is new this
-# round, then r3-certified fillers up to the window; everything past the
-# window must be green in a prior round AND untouched since.  queries()
-# asserts the section arithmetic so a new entry appended to the wrong
-# section fails loudly instead of silently falling outside the window.
-# The whole registry is additionally swept green against DuckDB at
-# sf0.01 + sf0.1 by scripts/check_oracle.py each round.
+# ======================================================================
+# ROUND-5 CERTIFICATION RESTRUCTURE (round-4 VERDICT #1): the driver
+# certifies the FIRST CERT_WINDOW registry entries per round, so 221 of
+# 320 r4 entries could never earn a driver row.  The backlog queries are
+# now certified through FAMILY SUITES (certify.suite_spark /
+# certify.suite_sql): each suite runs its member queries, melts every
+# output to (query, metric, value_num, value_str) with engine-identical
+# rules, unions the melts, and pairs that with a DuckDB oracle built by
+# melting each member's own oracle SQL — ONE driver hash row certifies
+# the full output multiset of every member.  Member FUNCTIONS (and their
+# pytest coverage, goldens, and oracle SQL) are unchanged; only their
+# individual registry slots are consolidated, taking the registry from
+# 320 entries to 99 with zero never-certified entries left after r5.
+# _MELT_SCHEMAS freezes each member's certified Spark schema + melt lane
+# (num = double/float/decimal, str = everything else), so schema drift
+# fails loudly on both engines instead of silently comparing shapes.
+
+_MELT_SCHEMAS = {
+    "q_abc": "abc_class=str n_keys=str total_value=num value_share=num",
+    "q_acf": "lag=str n_pairs=str r=num",
+    "q_ad_uniform": "n=str a2=num uniform_ok=str",
+    "q_ann_recall": "query_id=str hits=str recall=num",
+    "q_anomaly_days": "event_type=str day=str n=str zscore=num is_anomaly=str",
+    "q_anova": "k=str n=str f=num eta2=num",
+    "q_assoc_rules": "item_a=str item_b=str n_a=str n_b=str n_ab=str support=num conf_a_b=num conf_b_a=num lift=num",
+    "q_assortativity": "n_edges=str r=num",
+    "q_attribution": "channel=str touches=str conversions_touched=str linear_credit=num last_touch_credit=num",
+    "q_avg_precision": "n=str n_pos=str ap=num",
+    "q_benford": "event_type=str n=str chi2=num",
+    "q_bfs_landmarks": "node=str landmark=str dist=str",
+    "q_bloom_filter": "doc_id=str bloom_hit=str true_member=str",
+    "q_bool_normalize": "doc_id=str raw=str b=str",
+    "q_bootstrap_ci": "n=str est=num lo=num hi=num b=str",
+    "q_bpe_pairs": "c1=str c2=str pair_count=str",
+    "q_bradley_terry": "item=str wins=str matches=str strength=num",
+    "q_brier": "n=str brier=num reliability=num resolution=num uncertainty=num",
+    "q_budget_select": "id=str group=str score=str cost=str cum_cost=str",
+    "q_burrows_delta": "g1=str g2=str n_terms=str delta=num",
+    "q_burstiness": "event_type=str n_days=str total=str mean_daily=num fano=num burstiness=num peak_to_mean=num",
+    "q_ccf": "lag=str n_pairs=str r=num",
+    "q_cem": "n_strata_matched=str n_treated=str n_control=str att=num",
+    "q_changepoint": "event_type=str n_days=str split_day=str mean_left=num mean_right=num gain=num",
+    "q_chao1": "d=str f1=str f2=str chao1=num",
+    "q_chi2": "n=str n_rows=str n_cols=str dof=str chi2=num cramers_v=num",
+    "q_chi2_residuals": "source=str lang=str observed=str expected=num residual=num flagged=str",
+    "q_chunk_dedup": "doc_id=str total_chunks=str kept_chunks=str dedup_text=str",
+    "q_cmh": "n_strata=str or_mh=num chi2=num",
+    "q_cms_heavy": "term=str exact_cnt=str cms_est=str overcount=str",
+    "q_cochran_q": "n=str k=str c_1=str c_2=str c_3=str q_cochran=num",
+    "q_cohort_ltv": "cohort=str week_offset=str cohort_users=str week_revenue=num cum_ltv_per_user=num",
+    "q_config_extract": "doc_id=str doc_class=str attr=str value=str",
+    "q_conformal": "group=str n_cal=str n_test=str k=str threshold=num coverage=num",
+    "q_context_budget": "user_id=str event_id=str n_ctx=str ctx_cost=str",
+    "q_context_window": "key=str item_id=str ctx_len=str context=str",
+    "q_corpus_divergence": "source_a=str source_b=str n_shared_terms=str jsd=num",
+    "q_cronbach": "n=str k=str alpha=num",
+    "q_cube": "etype=str dow=str lvl=str n_events=str sum_value=num",
+    "q_cuped": "group=str n=str mean_pre=num mean_y=num mean_y_adj=num var_y=num var_y_adj=num var_reduction=num",
+    "q_curriculum": "doc_id=str n_tok=str bucket=str",
+    "q_customer_revenue": "c_custkey=str c_name=str revenue=num n_orders=str",
+    "q_cusum": "day=str n=str z=num cusum_pos=num is_change=str",
+    "q_cv_r2": "n=str k_folds=str r2_in=num r2_oof=num",
+    "q_cvm": "n_a=str n_b=str t_stat=num",
+    "q_dataset_split": "doc_id=str split=str",
+    "q_dedup_exact": "fp=str n_docs=str keeper_id=str",
+    "q_dedup_incremental": "doc_id=str lang=str source=str",
+    "q_dict_tags": "id=str term=str hits=str",
+    "q_did": "n_ctrl_pre=str n_ctrl_post=str n_treat_pre=str n_treat_post=str ctrl_pre=num ctrl_post=num treat_pre=num treat_post=num did=num",
+    "q_diversity": "group=str n_tokens=str richness=str shannon=num simpson=num evenness=num",
+    "q_doc_bpe_tokens": "doc_id=str ws_tokens=str bpe_tokens=str",
+    "q_doc_classify": "doc_id=str doc_class=str",
+    "q_doc_fingerprint": "doc_id=str fp=str",
+    "q_doc_lang_id": "doc_id=str lang_guess=str",
+    "q_doc_line_join": "doc_id=str joined=str",
+    "q_doc_normalize": "doc_id=str norm_text=str",
+    "q_doc_quality": "doc_id=str quality=num",
+    "q_doc_readability": "doc_id=str n_words=str n_sentences=str n_syllables=str flesch=num",
+    "q_doc_rolling_hash": "doc_id=str rhash=str",
+    "q_doc_token_stats": "doc_id=str n_tokens=str punct_ratio=num",
+    "q_domain_stats": "domain=str n_urls=str n_docs=str",
+    "q_dp_counts": "source=str n=str noisy_n=num epsilon=num",
+    "q_durbin_watson": "n=str slope=num dw=num",
+    "q_ece": "n=str n_bins_used=str ece=num mce=num",
+    "q_effect_size": "n_a=str n_b=str mean_a=num mean_b=num cohens_d=num hedges_g=num cliffs_delta=num",
+    "q_embed_neardup": "id_a=str id_b=str sim=num",
+    "q_embedding_drift": "group_a=str group_b=str dim=str cos_sim=num",
+    "q_ess": "n=str sum_w=num ess=num ess_ratio=num",
+    "q_eval_report": "doc_id=str n_attrs=str n_matched=str report_md=str",
+    "q_evaluate_alignment": "id=str n_actual=str n_golden=str nw_score=str sim=num",
+    "q_evaluate_config": "doc_id=str attr=str method=str matched=str score=num",
+    "q_evaluate_exact": "n=str tp=str fp=str fn=str precision=num recall=num f1=num",
+    "q_evaluate_semantic": "doc_id=str matched=str score=num",
+    "q_evalue": "n=str p1=num p0=num rr=num evalue=num",
+    "q_event_transitions": "prev_type=str next_type=str transitions=str prob=num",
+    "q_event_trigrams": "step_1=str step_2=str step_3=str support=str n_keys=str",
+    "q_events_islands": "user_id=str n_islands=str n_events=str",
+    "q_events_metering": "event_type=str total_k=str n=str",
+    "q_events_pivot": "user_id=str n_click=str n_error=str n_purchase=str n_signup=str n_view=str",
+    "q_events_rollup": "etype=str day=str n_events=str sum_value=num",
+    "q_events_sessionize": "user_id=str n_sessions=str n_events=str",
+    "q_ewma_days": "key=str day=str n=str ewma=num",
+    "q_exp_fit": "n=str lambda_hat=num ks_d=num sqrt_n_d=num",
+    "q_expectations": "check=str column=str metric=num threshold=num passed=str",
+    "q_extreme_value": "n=str mu=num beta=num return_level=num",
+    "q_fd": "n=str n_groups=str violations=str g3=num holds=str",
+    "q_fdr_correction": "group_a=str group_b=str p=num p_rank=str m=str crit=num reject=str",
+    "q_filter_agreement": "n=str p_observed=num p_expected=num kappa=num",
+    "q_fleiss_kappa": "n_items=str n_raters=str p_bar=num p_e=num kappa=num",
+    "q_friedman": "n_blocks=str k=str chi2_f=num",
+    "q_funnel": "step_idx=str step_name=str users=str conversion_pct=num",
+    "q_gini": "source=str n=str total=num gini=num top_share=num",
+    "q_good_turing": "r=str n_r=str r_star=num p_gt=num",
+    "q_granger": "n=str coef_x=num f_stat=num",
+    "q_grubbs": "n=str g_stat=num side=str extreme=num",
+    "q_hard_negatives": "id_a=str id_b=str sim=num",
+    "q_hash_collisions": "n_terms=str n_buckets=str buckets_used=str colliding_buckets=str max_bucket=str term_collision_rate=num",
+    "q_heaps_law": "n_docs=str total_tokens=str vocab=str beta=num k=num r2=num",
+    "q_hill_tail": "k=str x_kth=num alpha=num",
+    "q_hits": "node=str hub=num auth=num",
+    "q_hll_users": "event_type=str n_registers=str est_distinct=num",
+    "q_holm": "group_a=str group_b=str p=num p_rank=str m=str p_adj=num reject=str",
+    "q_holt_forecast": "key=str day=str n=str level=num trend=num forecast_next=num",
+    "q_hourweek": "dow=str hour=str n=str z=num peak=str",
+    "q_huber": "n=str a=num b=num",
+    "q_hurst": "n=str h=num rs_8=num rs_16=num rs_32=num rs_64=num",
+    "q_icc": "n_blocks=str k=str icc=num",
+    "q_incremental_agg": "event_type=str n_rows=str sum_value=num",
+    "q_info_gain": "feature=str ig=num rank=str",
+    "q_interval_overlap": "user_id=str pid_a=str pid_b=str",
+    "q_ipw_ate": "n=str a=num b=num ate_ipw=num ate_naive=num",
+    "q_isotonic_fit": "bin=str n=str pos_rate=num iso_rate=num",
+    "q_iv": "n=str beta_ols=num beta_iv=num first_stage_f=num",
+    "q_ivf_silhouette": "cell=str n=str mean_cos_own=num mean_sil=num",
+    "q_ivf_topk": "query_id=str neighbor_id=str rank=str sim=num",
+    "q_ivfpq_topk": "query_id=str neighbor_id=str rank=str adc=str",
+    "q_jackknife": "unit=str n=str successes=str rate_without=num influence=num jk_se=num",
+    "q_james_stein": "source=str n=str raw_mean=num shrunk_mean=num",
+    "q_jarque_bera": "g=str n=str skew=num kurt=num jb=num",
+    "q_join_size": "n_keys_a=str n_keys_b=str exact=str cms_est=str rel_err=num",
+    "q_k_anonymity": "class_size=str n_classes=str rows=str at_risk=str min_ldiv=str avg_ldiv=num",
+    "q_katz": "node=str katz=num",
+    "q_kcore": "node=str core_deg=str",
+    "q_kendall_tau": "n=str concordant=str discordant=str ties_x=str ties_y=str tau_b=num",
+    "q_kmv_distinct": "event_type=str n_sketch=str est_distinct=num",
+    "q_kmv_overlap": "n_retained=str union_est=num jaccard_est=num inter_est=num",
+    "q_kn_bigrams": "v=str w=str c_vw=str c_v=str n1_fwd=str n1_bwd=str pcont=num pkn=num",
+    "q_knn_cosine": "query_id=str neighbor_id=str rank=str sim=num",
+    "q_krippendorff": "n_units=str n_ratings=str d_o=num d_e=num alpha=num",
+    "q_kruskal": "k=str n=str h=num h_adj=num",
+    "q_ks_test": "n_a=str n_b=str d=num ks_z=num",
+    "q_l_diversity": "source=str len_bucket=str size=str l_distinct=str entropy_l=num tvd=num",
+    "q_label_prop": "node=str label=str",
+    "q_lang_confusion": "declared=str predicted=str n=str frac=num",
+    "q_lda": "n=str n1=str w1=num w2=num c=num accuracy=num",
+    "q_levene": "k=str n=str f_bf=num",
+    "q_lift_deciles": "decile=str n=str responders=str rate=num cum_lift=num",
+    "q_link_prediction": "a=str b=str common=str aa_score=num ra_score=num",
+    "q_ljung_box": "n=str h=str q_stat=num rho_1=num",
+    "q_local_clustering": "node=str deg=str n_tri=str lcc=num",
+    "q_logrank": "n_times=str obs1=str exp1=num o_minus_e=num logrank=num",
+    "q_lorenz": "tile=str n=str tile_share=num cum_share=num",
+    "q_lsh_topk": "query_id=str neighbor_id=str rank=str sim=num",
+    "q_mad_outliers": "event_type=str n=str median=num mad=num n_outliers=str outlier_frac=num",
+    "q_mahalanobis": "n=str n_outliers=str outlier_rate=num d2_max=num",
+    "q_mann_kendall": "key=str n_days=str s_stat=str var_s=num z=num p=num trend=str",
+    "q_mann_whitney": "n_a=str n_b=str u_a=num u_b=num z=num",
+    "q_markov_entropy": "n_states=str n_transitions=str entropy_rate=num max_entropy=num",
+    "q_mase_forecast": "key=str n_eval=str mae_naive=num mae_snaive=num mase_naive=num",
+    "q_mattr": "doc_id=str n_tokens=str mattr=num",
+    "q_mcnemar": "n=str both=str neither=str b=str c=str mcnemar=num",
+    "q_merge_upsert": "doc_id=str text_head=str lang=str source=str n_chars=str",
+    "q_minhash_lsh": "id_a=str id_b=str est_jaccard=num",
+    "q_mmd": "n_a=str n_b=str mmd2=num",
+    "q_mmr_select": "query_id=str neighbor_id=str mmr_rank=str mmr_score=num",
+    "q_modularity": "n_nodes=str n_communities=str m_edges=str modularity=num",
+    "q_mutual_info": "n=str r_levels=str c_levels=str mi=num nmi=num chi2=num dof=str cramers_v=num",
+    "q_naive_bayes": "id=str label=str predicted=str score=num",
+    "q_ndcg": "group=str n=str n_rel=str p_at_k=num r_at_k=num mrr=num ndcg=num",
+    "q_neardup_clusters": "doc_id=str cluster_id=str",
+    "q_negbin": "n=str mean=num vmr=num r=num p=num",
+    "q_nelson_aalen": "t=num n_risk=str d=str cumhaz=num cumhaz_var=num",
+    "q_next_conversion": "n_from=str n_converted=str conv_rate=num avg_latency_sec=num",
+    "q_ngram_novelty": "doc_id=str n_grams=str n_novel=str novelty=num",
+    "q_office_extract": "user_id=str xlsx_md=str docx_md=str",
+    "q_ols_trend": "group=str n=str slope=num intercept=num r2=num",
+    "q_overdispersion": "k=str n=str p_bar=num x2=num phi=num",
+    "q_pacf": "r1=num r2=num r3=num pacf1=num pacf2=num pacf3=num",
+    "q_page_hinkley": "n_points=str ph_max=num alarm_at=str",
+    "q_pagerank": "node=str pr=num",
+    "q_partial_corr": "n=str r_xy=num r_xz=num r_yz=num r_xy_z=num",
+    "q_payload_kind": "doc_id=str payload_kind=str",
+    "q_pca_power": "n=str eig=num v1=num v2=num v3=num v4=num",
+    "q_perm_entropy": "n_triples=str n_patterns=str pe=num",
+    "q_pii_redact": "doc_id=str n_emails=str n_phones=str redacted_fp=str",
+    "q_pinball": "q=num n=str pinball=num",
+    "q_platt": "n=str n_pos=str a=num b=num log_loss=num",
+    "q_pocock": "look=str n_t=str n_c=str p_t=num p_c=num z=num crossed=str",
+    "q_pot_gpd": "n_exceed=str threshold=num mean_excess=num xi=num beta=num",
+    "q_power_mde": "n=str p1=num p2=num n_per_arm=str",
+    "q_ppjoin": "id_a=str id_b=str jaccard=num",
+    "q_prefix_dedup": "depth=str prefix=str n_convs=str",
+    "q_profile_docs": "column=str n=str n_null=str n_distinct=str min_str=str max_str=str",
+    "q_prop_ztest": "group_a=str group_b=str n_a=str n_b=str rate_a=num rate_b=num z=num",
+    "q_psi_drift": "bin=str p_ref=num p_cur=num psi_term=num",
+    "q_ql_retrieval": "doc_id=str n_hits=str ql=num",
+    "q_qte": "q=num treated=num control=num qte=num",
+    "q_quality_percentile": "doc_id=str source=str quality=num q_pct=num",
+    "q_quantile_norm": "id=str group=str value=num k=str normalized=num",
+    "q_rake_keywords": "id=str phrase=str n_words=str score=num rank=str",
+    "q_raking": "r=str c=str n=str weight=num",
+    "q_random_projection": "id_a=str id_b=str d2_orig=num d2_proj=num jl_ratio=num",
+    "q_range_join": "user_id=str purchase_id=str click_id=str",
+    "q_rayleigh": "n=str r_bar=num z=num mean_hour=num",
+    "q_rbo": "depth=str overlap_at_depth=str rbo_min=num",
+    "q_rdd": "n_left=str n_right=str a_left=num a_right=num slope_left=num slope_right=num effect=num",
+    "q_record_linkage": "name_a=str name_b=str jw=num",
+    "q_records": "n=str records=str expected=num z=num",
+    "q_region_revenue": "r_name=str revenue=num",
+    "q_retention_cohorts": "cohort_week=str week_offset=str users=str retention_pct=num",
+    "q_revenue_rollup": "r_name=str n_name=str lvl=str revenue=num n_orders=str",
+    "q_rfm": "segment=str n_users=str avg_frequency=num avg_monetary=num",
+    "q_rich_club": "k=str n_nodes=str n_edges=str phi=num",
+    "q_ridge": "n=str b0=num b1=num b2=num r2=num",
+    "q_roc_auc": "group=str n=str n_pos=str n_neg=str auc=num",
+    "q_role_runs": "key=str n_runs=str max_run=str mean_run=num",
+    "q_rolling_distinct": "day=str n_users_1d=str n_users_7d=str",
+    "q_rolling_events": "event_type=str day=str n=str rolling_sum=str rolling_days=str rolling_avg=num prev_week_n=str wow_delta=str",
+    "q_rrf_fusion": "query_id=str neighbor_id=str rank=str rrf_score=num n_rankers=str",
+    "q_runs_test": "n=str n1=str runs=str z=num",
+    "q_sample_exact_k": "doc_id=str source=str smp_rank=str",
+    "q_sample_hash": "doc_id=str",
+    "q_sample_stratified": "event_type=str n_kept=str first_id=str last_id=str id_sum=str",
+    "q_sbg_churn": "week=str s_observed=num s_projected=num alpha=num beta=num",
+    "q_scalar_quant": "id=str qmin=num qmax=num code_checksum=num sse_scaled=num mse_ppm=num",
+    "q_scd2": "user_id=str event_type=str valid_from=str valid_to=str is_current=str",
+    "q_score_calibration": "bin=str n=str mean_score=num pos_rate=num gap=num",
+    "q_seasonal_strength": "group=str n_days=str strength=num",
+    "q_section_attributes": "conv_id=str section_id=str attr=str value=str",
+    "q_session_window": "user_id=str session_start=str session_end=str n_events=str sum_value=num",
+    "q_sim_pairs": "n_pairs=str mean_cos=num sd_cos=num frac_above_05=num min_cos=num max_cos=num",
+    "q_simhash": "id_a=str id_b=str hamming=str",
+    "q_simpsons": "stratum=str n_treat=str n_ctrl=str rate_treat=num rate_ctrl=num diff=num overall_diff=num reversed=str",
+    "q_skipgrams": "w1=str w2=str pair_count=str pmi=num",
+    "q_skyline": "id=str price=num size=str",
+    "q_smd_balance": "covariate=str smd_raw=num smd_ipw=num",
+    "q_smith_waterman": "id=str n_actual=str n_golden=str sw_score=str sim=num",
+    "q_snm_pairs": "id_a=str id_b=str dist=str",
+    "q_spearman": "group=str n=str rho=num",
+    "q_sprt": "arm=str n_total=str llr_final=num decision=str n_at_decision=str",
+    "q_stl_decompose": "group=str day=str y=str trend=num seasonal=num remainder=num",
+    "q_streaks": "user=str n_active_days=str max_streak=str",
+    "q_stump": "threshold=str n_left=str n_right=str gini_left=num gini_right=num wgini=num",
+    "q_subgroup": "feature=str value=str n=str pos=str rate=num wracc=num",
+    "q_survival": "t=num n_risk=str d=str surv=num",
+    "q_table_diff": "doc_id=str status=str changed_cols=str",
+    "q_target_encode": "cat=str fold=str n_out=str enc=num",
+    "q_text_chunks": "doc_id=str chunk_id=str start_word=str n_chunk_words=str chunk_fp=str",
+    "q_textrank": "doc_id=str sent_idx=str tr_rank=str score=num",
+    "q_tfidf_terms": "doc_id=str rank=str term=str score=num",
+    "q_theil": "n=str k=str theil_total=num theil_between=num theil_within=num",
+    "q_theil_sen": "key=str n_days=str n_pairs=str slope=num",
+    "q_threshold_select": "n=str n_pos=str thr_cost=num cost=num thr_j=num j=num",
+    "q_time_weighted": "key=str n_intervals=str total_us=str tw_mean=num",
+    "q_token_packing": "doc_id=str shard=str batch_id=str",
+    "q_triangles": "n_triangles=str n_wedges=str clustering=num",
+    "q_trimmed_mean": "group=str n=str n_used=str tmean=num",
+    "q_trustrank": "node=str trust=num",
+    "q_turn_taking": "conv_id=str n_turns=str role_changes=str alternation_rate=num mean_gap_s=num max_gap_s=num lead_share=num",
+    "q_value_histogram": "event_type=str n=str p50=num p90=num p99=num",
+    "q_value_quantiles": "event_type=str p25=num p50=num p90=num n=str",
+    "q_vif": "n=str r12=num r13=num r23=num vif1=num vif2=num vif3=num",
+    "q_vocab_coverage": "group=str tokens=str oov_tokens=str oov_rate=num types=str oov_types=str type_oov_rate=num",
+    "q_watson_u2": "n_a=str n_b=str u2=num",
+    "q_weighted_quantiles": "group=str q=num wq=num",
+    "q_weighted_sample": "id=str weight=num es_key=num",
+    "q_welch_ttest": "group_a=str group_b=str n_a=str n_b=str mean_a=num mean_b=num t=num dof=num",
+    "q_wilcoxon": "n_pairs=str w_plus=num z=num",
+    "q_wilson_rates": "group=str n=str successes=str rate=num lo=num hi=num",
+    "q_xicor": "n=str xi=num",
+    "q_yaml_sniff": "event_id=str yjson=str",
+    "q_yules_k": "source=str n_tokens=str vocab=str k=num",
+    "q_zero_inflation": "n=str lambda_hat=num zeros_obs=str zeros_exp=num inflation=num",
+    "q_zipf": "source=str n_terms=str zipf_slope=num r2=num",
+    "q_zonemap_audit": "fk=str n=str vmin=str vmax=str pruned=str layout=str",
+    "q_zorder": "zprefix=str n=str u_min=str u_max=str s_min=str s_max=str",
+}
+
+_SUITES = {
+    "q_suite_tpch_bi_1": [
+        "q_abc",
+        "q_assoc_rules",
+        "q_cohort_ltv",
+        "q_cube",
+        "q_customer_revenue",
+        "q_domain_stats",
+    ],
+    "q_suite_tpch_bi_2": [
+        "q_events_rollup",
+        "q_records",
+        "q_region_revenue",
+        "q_retention_cohorts",
+        "q_revenue_rollup",
+    ],
+    "q_suite_tpch_bi_3": [
+        "q_rfm",
+        "q_simpsons",
+        "q_skyline",
+        "q_target_encode",
+        "q_zonemap_audit",
+    ],
+    "q_suite_timeseries_1": [
+        "q_acf",
+        "q_anomaly_days",
+        "q_burstiness",
+        "q_ccf",
+        "q_changepoint",
+        "q_cusum",
+        "q_durbin_watson",
+    ],
+    "q_suite_timeseries_2": [
+        "q_ewma_days",
+        "q_exp_fit",
+        "q_granger",
+        "q_holt_forecast",
+        "q_hourweek",
+        "q_hurst",
+        "q_ljung_box",
+    ],
+    "q_suite_timeseries_3": [
+        "q_mann_kendall",
+        "q_mase_forecast",
+        "q_ols_trend",
+        "q_pacf",
+        "q_page_hinkley",
+        "q_perm_entropy",
+        "q_rolling_distinct",
+    ],
+    "q_suite_timeseries_4": [
+        "q_rolling_events",
+        "q_seasonal_strength",
+        "q_stl_decompose",
+        "q_streaks",
+        "q_theil_sen",
+        "q_time_weighted",
+    ],
+    "q_suite_hypothesis_1": [
+        "q_ad_uniform",
+        "q_anova",
+        "q_bradley_terry",
+        "q_chi2",
+        "q_chi2_residuals",
+        "q_cmh",
+        "q_cochran_q",
+    ],
+    "q_suite_hypothesis_2": [
+        "q_cronbach",
+        "q_cvm",
+        "q_effect_size",
+        "q_fd",
+        "q_fleiss_kappa",
+        "q_friedman",
+    ],
+    "q_suite_hypothesis_3": [
+        "q_grubbs",
+        "q_icc",
+        "q_iv",
+        "q_jarque_bera",
+        "q_kendall_tau",
+        "q_krippendorff",
+    ],
+    "q_suite_hypothesis_4": [
+        "q_kruskal",
+        "q_ks_test",
+        "q_levene",
+        "q_mahalanobis",
+        "q_mann_whitney",
+        "q_mcnemar",
+    ],
+    "q_suite_hypothesis_5": [
+        "q_mmd",
+        "q_mutual_info",
+        "q_partial_corr",
+        "q_prop_ztest",
+        "q_rayleigh",
+        "q_runs_test",
+    ],
+    "q_suite_hypothesis_6": [
+        "q_spearman",
+        "q_watson_u2",
+        "q_welch_ttest",
+        "q_wilcoxon",
+        "q_wilson_rates",
+        "q_xicor",
+    ],
+    "q_suite_ann_1": [
+        "q_ann_recall",
+        "q_embedding_drift",
+        "q_hard_negatives",
+        "q_ivf_silhouette",
+        "q_ivf_topk",
+    ],
+    "q_suite_ann_2": [
+        "q_ivfpq_topk",
+        "q_knn_cosine",
+        "q_lsh_topk",
+        "q_mmr_select",
+        "q_rrf_fusion",
+    ],
+    "q_suite_graph_1": [
+        "q_assortativity",
+        "q_bfs_landmarks",
+        "q_hits",
+        "q_katz",
+        "q_kcore",
+        "q_label_prop",
+        "q_link_prediction",
+    ],
+    "q_suite_graph_2": [
+        "q_local_clustering",
+        "q_modularity",
+        "q_pagerank",
+        "q_rich_club",
+        "q_triangles",
+        "q_trustrank",
+    ],
+    "q_suite_events_1": [
+        "q_attribution",
+        "q_event_transitions",
+        "q_event_trigrams",
+        "q_events_islands",
+        "q_events_metering",
+        "q_events_pivot",
+        "q_events_sessionize",
+    ],
+    "q_suite_events_2": [
+        "q_funnel",
+        "q_interval_overlap",
+        "q_markov_entropy",
+        "q_range_join",
+        "q_role_runs",
+        "q_session_window",
+        "q_turn_taking",
+    ],
+    "q_suite_evalmetrics_1": [
+        "q_avg_precision",
+        "q_brier",
+        "q_ece",
+        "q_eval_report",
+        "q_evaluate_alignment",
+        "q_evaluate_config",
+        "q_evaluate_exact",
+    ],
+    "q_suite_evalmetrics_2": [
+        "q_evaluate_semantic",
+        "q_ndcg",
+        "q_pinball",
+        "q_rbo",
+        "q_roc_auc",
+        "q_score_calibration",
+        "q_smith_waterman",
+    ],
+    "q_suite_distrib_1": [
+        "q_benford",
+        "q_chao1",
+        "q_diversity",
+        "q_extreme_value",
+        "q_gini",
+        "q_hill_tail",
+    ],
+    "q_suite_distrib_2": [
+        "q_lorenz",
+        "q_mad_outliers",
+        "q_pot_gpd",
+        "q_psi_drift",
+        "q_quantile_norm",
+    ],
+    "q_suite_distrib_3": [
+        "q_theil",
+        "q_trimmed_mean",
+        "q_value_histogram",
+        "q_value_quantiles",
+        "q_weighted_quantiles",
+    ],
+    "q_suite_sketches": [
+        "q_bloom_filter",
+        "q_cms_heavy",
+        "q_dp_counts",
+        "q_hll_users",
+        "q_join_size",
+        "q_kmv_distinct",
+        "q_kmv_overlap",
+    ],
+    "q_suite_doctext_1": [
+        "q_bool_normalize",
+        "q_doc_bpe_tokens",
+        "q_doc_classify",
+        "q_doc_fingerprint",
+        "q_doc_lang_id",
+        "q_doc_line_join",
+        "q_doc_normalize",
+    ],
+    "q_suite_doctext_2": [
+        "q_doc_quality",
+        "q_doc_readability",
+        "q_doc_rolling_hash",
+        "q_doc_token_stats",
+        "q_mattr",
+        "q_office_extract",
+    ],
+    "q_suite_doctext_3": [
+        "q_payload_kind",
+        "q_sample_hash",
+        "q_section_attributes",
+        "q_yaml_sniff",
+        "q_yules_k",
+        "q_zipf",
+    ],
+    "q_suite_seqtest_1": [
+        "q_bootstrap_ci",
+        "q_conformal",
+        "q_fdr_correction",
+        "q_holm",
+        "q_jackknife",
+    ],
+    "q_suite_seqtest_2": [
+        "q_pocock",
+        "q_power_mde",
+        "q_sprt",
+        "q_threshold_select",
+    ],
+    "q_suite_corpuslm_1": [
+        "q_bpe_pairs",
+        "q_burrows_delta",
+        "q_corpus_divergence",
+        "q_dict_tags",
+        "q_good_turing",
+        "q_heaps_law",
+        "q_kn_bigrams",
+    ],
+    "q_suite_corpuslm_2": [
+        "q_ngram_novelty",
+        "q_ql_retrieval",
+        "q_rake_keywords",
+        "q_skipgrams",
+        "q_textrank",
+        "q_tfidf_terms",
+        "q_vocab_coverage",
+    ],
+    "q_suite_sampling_1": [
+        "q_budget_select",
+        "q_context_budget",
+        "q_context_window",
+        "q_curriculum",
+        "q_dataset_split",
+    ],
+    "q_suite_sampling_2": [
+        "q_sample_exact_k",
+        "q_sample_stratified",
+        "q_text_chunks",
+        "q_token_packing",
+        "q_weighted_sample",
+    ],
+    "q_suite_causal_1": [
+        "q_cem",
+        "q_cuped",
+        "q_did",
+        "q_ess",
+        "q_evalue",
+        "q_ipw_ate",
+        "q_james_stein",
+    ],
+    "q_suite_causal_2": [
+        "q_lift_deciles",
+        "q_qte",
+        "q_raking",
+        "q_rdd",
+        "q_smd_balance",
+        "q_subgroup",
+    ],
+    "q_suite_dedup_1": [
+        "q_chunk_dedup",
+        "q_dedup_exact",
+        "q_embed_neardup",
+        "q_hash_collisions",
+        "q_minhash_lsh",
+        "q_neardup_clusters",
+    ],
+    "q_suite_dedup_2": [
+        "q_ppjoin",
+        "q_prefix_dedup",
+        "q_record_linkage",
+        "q_sim_pairs",
+        "q_simhash",
+        "q_snm_pairs",
+    ],
+    "q_suite_quality_1": [
+        "q_config_extract",
+        "q_expectations",
+        "q_filter_agreement",
+        "q_k_anonymity",
+    ],
+    "q_suite_quality_2": [
+        "q_l_diversity",
+        "q_pii_redact",
+        "q_profile_docs",
+        "q_quality_percentile",
+    ],
+    "q_suite_mlfit_1": [
+        "q_cv_r2",
+        "q_huber",
+        "q_info_gain",
+        "q_isotonic_fit",
+        "q_lang_confusion",
+        "q_lda",
+    ],
+    "q_suite_mlfit_2": [
+        "q_naive_bayes",
+        "q_negbin",
+        "q_overdispersion",
+        "q_pca_power",
+        "q_platt",
+        "q_random_projection",
+    ],
+    "q_suite_mlfit_3": [
+        "q_ridge",
+        "q_scalar_quant",
+        "q_stump",
+        "q_vif",
+        "q_zero_inflation",
+    ],
+    "q_suite_cdc": [
+        "q_dedup_incremental",
+        "q_incremental_agg",
+        "q_merge_upsert",
+        "q_scd2",
+        "q_table_diff",
+        "q_zorder",
+    ],
+    "q_suite_survival": [
+        "q_logrank",
+        "q_nelson_aalen",
+        "q_next_conversion",
+        "q_sbg_churn",
+        "q_survival",
+    ],
+}
+
+
+
 CERT_WINDOW = 50
 
-_QUERIES_STALE_DRIVER_ROW = [
-    # newest driver row is r2 (pre-refactor)
+# r5 window: every slot is either a family suite covering 5-7 backlog
+# members, a backlog standalone (q1 marquee, q_validate_feed's timestamp
+# schema, rows-only q_compress_ratio), the new q_ivfpq_recall audit, or
+# the flagship re-certification pad (q_transcript_extract golden).
+# Everything past the window carries a green r4 driver hash row and is
+# unchanged since.
+_QUERIES_WINDOW_R5 = [
     "q_transcript_extract",
-    "q_ocr_conf_table",
-    "q_events_concat",
-    "q_first_event_label",
-    "q_metering_cost",
-    "q_ngram_jaccard",
-    "q_evaluate_fuzzy",
-    "q_sections_rollup",
-    "q_json_sniff",
-    "q_csv_markdown",
-    "q_text_paginate",
-    "q_ocr_alerts",
-    "q_props_flatten",
-    "q_conv_summaries",
-    "q_assess_confidence",
-    "q_sections_report",
-    "q_dedup_corpus",
-    "q_sectionize_chunked",
-    "q_asof_join",
-    "q_top_events_per_user",
-    "q_template_fill",
-]
-
-_QUERIES_CHANGED_THIS_ROUND = [
-    # changed or new this round (need a fresh driver row)
-    "q_ingest_envelope",
-    "q_evaluate_hungarian",
-    "q_image_binarize",
-    "q_curate_corpus",
-    "q_quality_repetition",
-    "q_decontaminate",
-    "q_dup_spans",
-    "q_multimodal_features",
-    "q_semantic_dedup",
-    "q_lm_score",
-    "q_span_dedup",
-    "q_dsir_weights",
-    "q_line_filter",
-    "q_url_dedup",
-    "q_soft_dedup",
-    "q_quality_classifier",
-    "q_evaluate_rouge",
-    "q_winnow",
-    "q_cdc_chunks",
-    "q_bleu",
-    "q_line_repetition",
-    "q_mixture_weights",
-    "q_chrf",
-    "q_char_entropy",
-    "q_doc_scalar_suite",
-    "q_bm25",
-]
-
-_QUERIES_FILLERS = [
-    # new this session (operators/corpus.py + dedup.containment_pairs);
-    # they take the window slots previously padded by r3-certified
-    # fillers (q_yaml_sniff / q_evaluate_config / q_eval_report moved
-    # past the window — green in r3, untouched since)
-    "q_inverted_index",
-    "q_collocations",
-    "q_containment",
+    "q1_pricing_summary",
+    "q_ivfpq_recall",
+    "q_validate_feed",
+    "q_compress_ratio",
+    "q_suite_ann_1",
+    "q_suite_ann_2",
+    "q_suite_causal_1",
+    "q_suite_causal_2",
+    "q_suite_cdc",
+    "q_suite_corpuslm_1",
+    "q_suite_corpuslm_2",
+    "q_suite_dedup_1",
+    "q_suite_dedup_2",
+    "q_suite_distrib_1",
+    "q_suite_distrib_2",
+    "q_suite_distrib_3",
+    "q_suite_doctext_1",
+    "q_suite_doctext_2",
+    "q_suite_doctext_3",
+    "q_suite_evalmetrics_1",
+    "q_suite_evalmetrics_2",
+    "q_suite_events_1",
+    "q_suite_events_2",
+    "q_suite_graph_1",
+    "q_suite_graph_2",
+    "q_suite_hypothesis_1",
+    "q_suite_hypothesis_2",
+    "q_suite_hypothesis_3",
+    "q_suite_hypothesis_4",
+    "q_suite_hypothesis_5",
+    "q_suite_hypothesis_6",
+    "q_suite_mlfit_1",
+    "q_suite_mlfit_2",
+    "q_suite_mlfit_3",
+    "q_suite_quality_1",
+    "q_suite_quality_2",
+    "q_suite_sampling_1",
+    "q_suite_sampling_2",
+    "q_suite_seqtest_1",
+    "q_suite_seqtest_2",
+    "q_suite_sketches",
+    "q_suite_survival",
+    "q_suite_timeseries_1",
+    "q_suite_timeseries_2",
+    "q_suite_timeseries_3",
+    "q_suite_timeseries_4",
+    "q_suite_tpch_bi_1",
+    "q_suite_tpch_bi_2",
+    "q_suite_tpch_bi_3",
 ]
 
 _QUERIES_PAST_WINDOW = [
-    # new this session but past the (full) r4 window: repo-sweep-certified
-    # at sf0.01 + sf0.1 now, first in line for the r5 driver window
-    "q_zorder",
-    "q_funnel",
-    "q_pagerank",
-    "q_retention_cohorts",
-    "q_anomaly_days",
-    "q_event_transitions",
-    "q_merge_upsert",
-    "q_scd2",
-    "q_revenue_rollup",
-    "q_kmv_distinct",
-    "q_kmv_overlap",
-    "q_weighted_sample",
-    "q_triangles",
-    "q_snm_pairs",
-    "q_bpe_pairs",
-    "q_cms_heavy",
-    "q_hll_users",
-    "q_prefix_dedup",
-    "q_context_budget",
-    "q_ppjoin",
-    "q_doc_readability",
-    "q_skipgrams",
-    "q_ngram_novelty",
-    "q_corpus_divergence",
-    "q_local_clustering",
-    "q_value_histogram",
-    "q_quality_percentile",
-    "q_benford",
-    "q_filter_agreement",
-    "q_zipf",
-    "q_mad_outliers",
-    "q_gini",
-    "q_rolling_events",
-    "q_rrf_fusion",
-    "q_prop_ztest",
-    "q_mann_whitney",
-    "q_profile_docs",
-    "q_yaml_sniff",
-    "q_evaluate_config",
-    "q_eval_report",
-    "q_office_extract",
-    # single-expression micro-queries: driver-certified via the
-    # q_doc_scalar_suite composite; individually green in the repo's
-    # full-registry sweeps at both scales
-    "q_payload_kind",
-    "q_bool_normalize",
-    "q_doc_bpe_tokens",
-    "q_doc_rolling_hash",
-    "q_sample_hash",
-    "q_section_attributes",
-    "q_token_packing",
-    # past the window: green in a prior round, untouched since
-    "q_config_extract",
-    "q_validate_feed",
-    "q_ivf_topk",
-    "q_range_join",
-    "q_interval_overlap",
-    "q_session_window",
-    "q_value_quantiles",
-    "q_events_pivot",
-    "q_events_rollup",
-    "q_dedup_incremental",
-    "q_sample_stratified",
-    "q1_pricing_summary",
-    "q_tfidf_terms",
-    "q_chunk_dedup",
-    "q_pii_redact",
-    "q_text_chunks",
-    "q_domain_stats",
-    "q_embed_neardup",
-    "q_lsh_topk",
-    "q_minhash_lsh",
-    "q_simhash",
-    "q_doc_classify",
-    "q_evaluate_semantic",
-    "q_neardup_clusters",
-    "q_customer_revenue",
-    "q_region_revenue",
-    "q_events_sessionize",
-    "q_events_islands",
-    "q_events_metering",
-    "q_doc_normalize",
-    "q_doc_line_join",
-    "q_doc_token_stats",
-    "q_doc_lang_id",
-    "q_doc_quality",
-    "q_doc_fingerprint",
-    "q_dedup_exact",
-    "q_knn_cosine",
-    "q_evaluate_exact",
-    # new this session, past the (full) window: repo-sweep-certified at
-    # sf0.01 + sf0.1, first in line for the next driver window
-    "q_kcore",
-    "q_ks_test",
-    "q_chi2",
-    "q_welch_ttest",
-    "q_cusum",
-    "q_acf",
-    "q_assortativity",
-    "q_assoc_rules",
-    "q_ols_trend",
-    "q_anova",
-    "q_spearman",
-    "q_expectations",
-    "q_stl_decompose",
-    "q_cube",
-    "q_bloom_filter",
-    "q_ivfpq_topk",
-    "q_ann_recall",
-    "q_textrank",
-    "q_mmr_select",
-    "q_hard_negatives",
-    "q_kn_bigrams",
-    "q_dataset_split",
-    "q_curriculum",
-    "q_budget_select",
-    "q_record_linkage",
-    "q_psi_drift",
-    "q_label_prop",
-    "q_time_weighted",
-    "q_event_trigrams",
-    "q_sample_exact_k",
-    "q_role_runs",
-    "q_markov_entropy",
-    "q_score_calibration",
-    "q_context_window",
-    "q_evaluate_alignment",
-    "q_dict_tags",
-    "q_ewma_days",
-    "q_theil_sen",
-    "q_zonemap_audit",
-    "q_survival",
-    "q_wilson_rates",
-    "q_fdr_correction",
-    "q_mann_kendall",
-    "q_roc_auc",
-    "q_link_prediction",
-    "q_ccf",
-    "q_fleiss_kappa",
-    "q_bradley_terry",
-    "q_isotonic_fit",
-    "q_effect_size",
-    "q_embedding_drift",
-    "q_conformal",
-    "q_jackknife",
-    "q_quantile_norm",
-    "q_ndcg",
-    "q_k_anonymity",
-    "q_attribution",
-    "q_changepoint",
-    "q_burstiness",
-    "q_turn_taking",
-    "q_vocab_coverage",
-    "q_krippendorff",
-    "q_hits",
-    "q_smith_waterman",
-    "q_ql_retrieval",
-    "q_good_turing",
-    "q_heaps_law",
-    "q_katz",
-    "q_bfs_landmarks",
-    "q_burrows_delta",
-    "q_l_diversity",
-    "q_cuped",
-    "q_naive_bayes",
-    "q_incremental_agg",
-    "q_table_diff",
-    "q_mutual_info",
-    "q_kendall_tau",
-    "q_sprt",
-    "q_holt_forecast",
-    "q_mase_forecast",
-    "q_random_projection",
-    "q_scalar_quant",
-    "q_rake_keywords",
-    "q_skyline",
-    "q_simpsons",
-    "q_ridge",
-    "q_platt",
-    "q_stump",
-    "q_bootstrap_ci",
-    "q_pca_power",
-    "q_next_conversion",
-    "q_weighted_quantiles",
-    "q_trimmed_mean",
-    "q_chao1",
-    "q_diversity",
-    "q_hill_tail",
-    "q_cmh",
-    "q_mcnemar",
-    "q_brier",
-    "q_target_encode",
-    "q_hash_collisions",
-    "q_streaks",
-    "q_wilcoxon",
-    "q_huber",
-    "q_lang_confusion",
-    "q_rolling_distinct",
-    "q_partial_corr",
-    "q_vif",
-    "q_join_size",
-    "q_did",
-    "q_lift_deciles",
-    "q_ipw_ate",
-    "q_rdd",
-    "q_subgroup",
-    "q_pacf",
-    "q_smd_balance",
-    "q_ess",
-    "q_hourweek",
-    "q_seasonal_strength",
-    "q_power_mde",
-    "q_logrank",
-    "q_nelson_aalen",    "q_kruskal",
-    "q_levene",
-    "q_jarque_bera",
-    "q_cochran_q",
-    "q_friedman",
-    "q_ece",
-    "q_iv",
-    "q_rbo",
-    "q_pinball",
-    "q_fd",
-    "q_theil",
-    "q_raking",
-    "q_modularity",
-    "q_mattr",
-    "q_grubbs",
-    "q_dp_counts",
-    "q_cronbach",
-    "q_icc",
-    "q_page_hinkley",
-    "q_ad_uniform",
-    "q_lda",
-    "q_mahalanobis",
-    "q_holm",
-    "q_exp_fit",
-    "q_overdispersion",
-    "q_info_gain",
-    "q_extreme_value",
-    "q_avg_precision",
-    "q_threshold_select",
-    "q_negbin",
-    "q_zero_inflation",
-    "q_runs_test",
-    "q_rich_club",
-    "q_yules_k",
-    "q_rfm",
-    "q_cem",
-    "q_evalue",
-    "q_james_stein",
-    "q_trustrank",
-    "q_compress_ratio",
-    "q_abc",
-    "q_cohort_ltv",
-    "q_sim_pairs",
-    "q_pot_gpd",
-    "q_records",
-    "q_ivf_silhouette",
-    "q_mmd",
-    "q_pocock",
-    "q_xicor",
-    "q_qte",
-    "q_chi2_residuals",
-    "q_lorenz",
-    "q_cv_r2",
-    "q_durbin_watson",
-    "q_sbg_churn",
-    "q_hurst",
-    "q_perm_entropy",
-    "q_ljung_box",
-    "q_granger",
-    "q_cvm",
-    "q_rayleigh",
-    "q_watson_u2",
-
+    # green driver hash row in CORRECTNESS_r04, untouched since
+    "q_asof_join",
+    "q_assess_confidence",
+    "q_bleu",
+    "q_bm25",
+    "q_cdc_chunks",
+    "q_char_entropy",
+    "q_chrf",
+    "q_collocations",
+    "q_containment",
+    "q_conv_summaries",
+    "q_csv_markdown",
+    "q_curate_corpus",
+    "q_decontaminate",
+    "q_dedup_corpus",
+    "q_doc_scalar_suite",
+    "q_dsir_weights",
+    "q_dup_spans",
+    "q_evaluate_fuzzy",
+    "q_evaluate_hungarian",
+    "q_evaluate_rouge",
+    "q_events_concat",
+    "q_first_event_label",
+    "q_image_binarize",
+    "q_ingest_envelope",
+    "q_inverted_index",
+    "q_json_sniff",
+    "q_line_filter",
+    "q_line_repetition",
+    "q_lm_score",
+    "q_metering_cost",
+    "q_mixture_weights",
+    "q_multimodal_features",
+    "q_ngram_jaccard",
+    "q_ocr_alerts",
+    "q_ocr_conf_table",
+    "q_props_flatten",
+    "q_quality_classifier",
+    "q_quality_repetition",
+    "q_sectionize_chunked",
+    "q_sections_report",
+    "q_sections_rollup",
+    "q_semantic_dedup",
+    "q_soft_dedup",
+    "q_span_dedup",
+    "q_template_fill",
+    "q_text_paginate",
+    "q_top_events_per_user",
+    "q_url_dedup",
+    "q_winnow",
 ]
 
 
-def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    in_window = (
-        _QUERIES_STALE_DRIVER_ROW + _QUERIES_CHANGED_THIS_ROUND + _QUERIES_FILLERS
-    )
-    if len(in_window) != CERT_WINDOW:
-        raise AssertionError(
-            f"certification window holds {len(in_window)} entries, expected "
-            f"{CERT_WINDOW}: rebalance _QUERIES_FILLERS vs _QUERIES_PAST_WINDOW"
+def _suite_fn(suite: str) -> Callable[[SparkSession, str], DataFrame]:
+    """Build the callable for one certification suite (see certify.py)."""
+    members = _SUITES[suite]
+
+    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
+        g = globals()
+        return _certify.suite_spark(
+            spark, sf_dir, members, {m: g[m] for m in members}, _MELT_SCHEMAS
         )
-    names = in_window + _QUERIES_PAST_WINDOW
+
+    fn.__name__ = suite
+    fn.__doc__ = (
+        "Certification suite: one driver hash row covering the full "
+        "output multiset of "
+        + ", ".join(members)
+        + " via the engine-identical melt in "
+        "accelerated_intelligent_document_processing_on_aws_spark/certify.py."
+    )
+    return fn
+
+
+def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    names = _QUERIES_WINDOW_R5 + _QUERIES_PAST_WINDOW
+    if len(_QUERIES_WINDOW_R5) != CERT_WINDOW:
+        raise AssertionError(
+            f"certification window holds {len(_QUERIES_WINDOW_R5)} entries, "
+            f"expected {CERT_WINDOW}"
+        )
     if len(set(names)) != len(names):
         raise AssertionError("duplicate query name across registry sections")
     g = globals()
-    return {name: g[name] for name in names}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in names:
+        out[name] = _suite_fn(name) if name in _SUITES else g[name]
+    return out
+
 
 
 def oracle_sql() -> dict[str, str]:
+    """Registry oracles: per-member SQL for standalone entries, melted
+    UNION-ALL suite SQL (certify.suite_sql) for each family suite."""
+    sqls = _member_sql()
+    out: dict[str, str] = {}
+    for name in _QUERIES_WINDOW_R5 + _QUERIES_PAST_WINDOW:
+        if name in _SUITES:
+            out[name] = _certify.suite_sql(_SUITES[name], sqls, _MELT_SCHEMAS)
+        elif name in sqls:
+            out[name] = sqls[name]
+    return out
+
+
+def _member_sql() -> dict[str, str]:
+
     return {
         "q1_pricing_summary": Q1_SQL,
         "q_customer_revenue": Q_CUSTOMER_REVENUE_SQL,
@@ -15896,6 +16511,7 @@ def oracle_sql() -> dict[str, str]:
         "q_bloom_filter": Q_BLOOM_FILTER_SQL,
         "q_ivfpq_topk": _ivfpq_sql(),
         "q_ann_recall": Q_ANN_RECALL_SQL,
+        "q_ivfpq_recall": _ivfpq_recall_sql(),
         "q_textrank": _textrank_sql(),
         "q_mmr_select": _mmr_sql(),
         "q_hard_negatives": Q_HARD_NEGATIVES_SQL,

@@ -85,7 +85,7 @@ def test_driver_query_matches_committed_golden(spark):
 
     with open(GOLDEN) as fh:
         golden = json.load(fh)
-    rows = em.queries()["q_evaluate_hungarian"](spark, "/root/testdata/sf0.01").collect()
+    rows = em.q_evaluate_hungarian(spark, "/root/testdata/sf0.01").collect()
     got = [
         {"group_id": r.group_id, "tp": r.tp, "fp": r.fp, "fn": r.fn,
          "mean_score": r.mean_score}

@@ -130,12 +130,12 @@ def test_embed_neardup_is_equi_join(spark):
     O(n^2) and fatal at scale (round-2 judge finding)."""
     import __spark_entry__ as em
 
-    df = em.queries()["q_embed_neardup"](spark, "/root/testdata/sf0.001")
+    df = getattr(em, "q_embed_neardup")(spark, "/root/testdata/sf0.001")
     p = plan_of(df)
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
     # and the LSH top-k path likewise
-    p2 = plan_of(em.queries()["q_lsh_topk"](spark, "/root/testdata/sf0.001"))
+    p2 = plan_of(getattr(em, "q_lsh_topk")(spark, "/root/testdata/sf0.001"))
     assert "BroadcastNestedLoopJoin" not in p2
     assert "CartesianProduct" not in p2
 
@@ -146,7 +146,7 @@ def test_ivf_topk_is_broadcast_equi_join(spark):
     all-pairs nested-loop fallback."""
     import __spark_entry__ as em
 
-    df = em.queries()["q_ivf_topk"](spark, "/root/testdata/sf0.001")
+    df = getattr(em, "q_ivf_topk")(spark, "/root/testdata/sf0.001")
     p = plan_of(df)
     assert "BroadcastNestedLoopJoin" not in p
     assert "CartesianProduct" not in p
@@ -159,7 +159,7 @@ def test_range_joins_are_equi_joins(spark):
     import __spark_entry__ as em
 
     for q in ("q_range_join", "q_interval_overlap"):
-        p = plan_of(em.queries()[q](spark, "/root/testdata/sf0.001"))
+        p = plan_of(getattr(em, q)(spark, "/root/testdata/sf0.001"))
         assert "BroadcastNestedLoopJoin" not in p, q
         assert "CartesianProduct" not in p, q
 
@@ -179,7 +179,7 @@ def test_new_catalyst_queries_have_no_python(spark):
         "q_dedup_incremental",
         "q_tfidf_terms",
     ):
-        p = plan_of(em.queries()[q](spark, "/root/testdata/sf0.001"))
+        p = plan_of(getattr(em, q)(spark, "/root/testdata/sf0.001"))
         assert "ArrowEvalPython" not in p, q
         assert "BatchEvalPython" not in p, q
 
@@ -200,7 +200,7 @@ def test_curation_queries_pure_catalyst_no_nested_loop(spark):
         "q_domain_stats",
         "q_curate_corpus",
     ):
-        p = plan_of(em.queries()[q](spark, "/root/testdata/sf0.001"))
+        p = plan_of(getattr(em, q)(spark, "/root/testdata/sf0.001"))
         assert "ArrowEvalPython" not in p, q
         assert "BatchEvalPython" not in p, q
         assert "BroadcastNestedLoopJoin" not in p, q
@@ -212,7 +212,7 @@ def test_decontaminate_broadcasts_eval_shingles(spark):
     so the train side never shuffles for the check."""
     import __spark_entry__ as em
 
-    p = plan_of(em.queries()["q_decontaminate"](spark, "/root/testdata/sf0.001"))
+    p = plan_of(getattr(em, "q_decontaminate")(spark, "/root/testdata/sf0.001"))
     assert "BroadcastHashJoin" in p
 
 
@@ -222,7 +222,7 @@ def test_incremental_dedup_is_anti_join_on_fingerprints(spark):
     below the join."""
     import __spark_entry__ as em
 
-    p = plan_of(em.queries()["q_dedup_incremental"](spark, "/root/testdata/sf0.001"))
+    p = plan_of(getattr(em, "q_dedup_incremental")(spark, "/root/testdata/sf0.001"))
     assert "LeftAnti" in p
     assert "BroadcastNestedLoopJoin" not in p
 
@@ -348,12 +348,20 @@ def test_no_query_plans_nested_loop_or_rowwise_python(spark):
         # 1-row rounded-beta params broadcast onto the per-day residual
         # frame (the q_platt params-onto-data shape)
         "q_durbin_watson",
+        # contains the brute-force exact denominator (the q_ann_recall
+        # shape) for the six-config IVF-PQ recall sweep
+        "q_ivfpq_recall",
     }
     for name, f in em.queries().items():
         p = plan_of(f(spark, "/root/testdata/sf0.001"))
         assert "CartesianProduct" not in p, name
         assert "BatchEvalPython" not in p, name
-        if name not in bnlj_allowed:
+        # a certification suite unions its members' plans, so it inherits
+        # BNLJ permission iff one of its members carries it
+        allowed = name in bnlj_allowed or any(
+            m in bnlj_allowed for m in em._SUITES.get(name, ())
+        )
+        if not allowed:
             assert "BroadcastNestedLoopJoin" not in p, name
 
 
