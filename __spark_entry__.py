@@ -62,6 +62,36 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return _T_CACHE[key]
 
 
+_EDGE_CACHE: dict = {}
+
+
+def _coact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized co-activity edge list (graph.coactivity_edges over the
+    events table with the registry-standard minute/64 settings).  Twelve
+    graph-family member queries derive the IDENTICAL edge frame; inside a
+    certification suite they union into ONE action, so without sharing
+    the distinct+window derivation runs 6-7x per action (round-4 VERDICT
+    #2: memoize the heavy shared frames).  The frame is localCheckpointed
+    lazily — the first action materializes it once per session and every
+    later member reads the persisted RDD (same discipline as the
+    pagerank iteration frames; local mode, so the non-fault-tolerant
+    checkpoint trade is free).  Keyed like _T_CACHE on applicationId."""
+    from accelerated_intelligent_document_processing_on_aws_spark.operators.graph import (
+        coactivity_edges,
+    )
+
+    app_id = spark.sparkContext.applicationId
+    key = (app_id, sf_dir)
+    if key not in _EDGE_CACHE:
+        for k in [k for k in _EDGE_CACHE if k[0] != app_id]:
+            del _EDGE_CACHE[k]
+        e = _t(spark, sf_dir, "events")
+        _EDGE_CACHE[key] = coactivity_edges(
+            e, "user_id", "ts", "minute", 64
+        ).localCheckpoint(eager=False)
+    return _EDGE_CACHE[key]
+
+
 def _ordered(df: DataFrame, *cols) -> DataFrame:
     """Deterministic output order WITHOUT a global orderBy: the
     rangepartitioning sort's boundary-sampling job re-executes the whole
@@ -4851,8 +4881,7 @@ def q_pagerank(spark, sf_dir):
         pagerank,
     )
 
-    e = _t(spark, sf_dir, "events")
-    edges = coactivity_edges(e, "user_id", "ts", "minute", 64)
+    edges = _coact(spark, sf_dir)
     pr = pagerank(edges, iterations=5, damping=0.85, round_to=9)
     return pr.select(
         F.col("node"), F.round(F.col("rank"), 6).alias("pr")
@@ -5362,8 +5391,7 @@ def q_triangles(spark, sf_dir):
         triangle_stats,
     )
 
-    e = _t(spark, sf_dir, "events")
-    edges = coactivity_edges(e, "user_id", "ts", "minute", 64)
+    edges = _coact(spark, sf_dir)
     return triangle_stats(edges)
 
 
@@ -5858,8 +5886,7 @@ def q_local_clustering(spark, sf_dir):
         local_clustering,
     )
 
-    e = _t(spark, sf_dir, "events")
-    edges = coactivity_edges(e, "user_id", "ts", "minute", 64)
+    edges = _coact(spark, sf_dir)
     return local_clustering(edges).transform(_by("node"))
 
 
@@ -5910,8 +5937,7 @@ def q_kcore(spark, sf_dir):
         k_core,
     )
 
-    e = _t(spark, sf_dir, "events")
-    edges = coactivity_edges(e, "user_id", "ts", "minute", 64)
+    edges = _coact(spark, sf_dir)
     return k_core(edges, k=10, max_iters=8).transform(_by("node"))
 
 
@@ -6691,8 +6717,7 @@ def q_assortativity(spark, sf_dir):
         coactivity_edges,
     )
 
-    e = _t(spark, sf_dir, "events")
-    edges = coactivity_edges(e, "user_id", "ts", "minute", 64)
+    edges = _coact(spark, sf_dir)
     return assortativity(edges)
 
 
@@ -7920,8 +7945,7 @@ def q_label_prop(spark, sf_dir):
         label_propagation,
     )
 
-    e = _t(spark, sf_dir, "events")
-    edges = coactivity_edges(e, "user_id", "ts", "minute", 64)
+    edges = _coact(spark, sf_dir)
     return label_propagation(edges, iterations=5).transform(_by("node"))
 
 
@@ -8504,8 +8528,7 @@ def q_modularity(spark, sf_dir):
         modularity,
     )
 
-    e = _t(spark, sf_dir, "events")
-    edges = coactivity_edges(e, "user_id", "ts", "minute", 64)
+    edges = _coact(spark, sf_dir)
     labels = label_propagation(edges, iterations=5)
     return modularity(edges, labels)
 
@@ -9483,8 +9506,7 @@ def q_rich_club(spark, sf_dir):
         rich_club,
     )
 
-    e = _t(spark, sf_dir, "events")
-    edges = coactivity_edges(e, "user_id", "ts", "minute", 64)
+    edges = _coact(spark, sf_dir)
     return rich_club(edges, thresholds=(2, 4, 8, 16)).transform(_by("k"))
 
 
@@ -9731,8 +9753,8 @@ def q_trustrank(spark, sf_dir):
         trustrank,
     )
 
+    edges = _coact(spark, sf_dir)
     e = _t(spark, sf_dir, "events")
-    edges = coactivity_edges(e, "user_id", "ts", "minute", 64)
     seeds = (
         e.select(F.col("user_id").alias("node"))
         .distinct()
@@ -11835,8 +11857,7 @@ def q_link_prediction(spark, sf_dir):
         link_prediction,
     )
 
-    e = _t(spark, sf_dir, "events")
-    edges = coactivity_edges(e)
+    edges = _coact(spark, sf_dir)
     return (
         link_prediction(edges, assume_distinct=True)
         .orderBy(
@@ -13050,8 +13071,7 @@ def q_katz(spark, sf_dir):
         katz_centrality,
     )
 
-    e = _t(spark, sf_dir, "events")
-    edges = coactivity_edges(e, "user_id", "ts", "minute", 64)
+    edges = _coact(spark, sf_dir)
     kz = katz_centrality(edges, iterations=4, alpha=0.1, beta=1.0, round_to=9)
     return kz.select(
         "node", F.round(F.col("katz"), 6).alias("katz")
@@ -13104,8 +13124,7 @@ def q_bfs_landmarks(spark, sf_dir):
         coactivity_edges,
     )
 
-    e = _t(spark, sf_dir, "events")
-    edges = coactivity_edges(e, "user_id", "ts", "minute", 64)
+    edges = _coact(spark, sf_dir)
     return bfs_distances(edges, n_landmarks=3, max_hops=3).transform(
         _by("landmark", "node")
     )
