@@ -56,6 +56,11 @@ def kind_of(spark_dtype: str) -> str:
     return "num" if base.startswith(_NUM_PREFIXES) else "str"
 
 
+def melt_kinds(dtypes: list[tuple[str, str]]) -> list[tuple[str, str]]:
+    """Lane assignment for a whole ``df.dtypes`` list."""
+    return [(name, kind_of(dt)) for name, dt in dtypes]
+
+
 def parse_schema(compact: str) -> list[tuple[str, str]]:
     """Decode the registry's compact ``"col=kind col=kind"`` schema."""
     out = []
