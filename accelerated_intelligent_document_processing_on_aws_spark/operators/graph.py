@@ -338,10 +338,15 @@ def k_core(edges: DataFrame, k: int = 3, max_iters: int = 32) -> DataFrame:
     monotonically, so late rounds are nearly free; nothing larger than
     the surviving edge list ever shuffles.
     """
+    # lazy checkpoint + count: the count materializes (and persists) the
+    # truncated frame in the SAME job, instead of an eager-checkpoint job
+    # followed by a count job — halves the per-iteration job count of the
+    # peel loop (round-5 suite profiling: plan-build-time mini-jobs are
+    # the graph suites' main cost)
     cur = edges.select(
         F.col("src").cast("long").alias("src"),
         F.col("dst").cast("long").alias("dst"),
-    ).localCheckpoint()
+    ).localCheckpoint(eager=False)
     prev_n = cur.count()
     for _ in range(max_iters):
         if prev_n == 0:
@@ -352,7 +357,7 @@ def k_core(edges: DataFrame, k: int = 3, max_iters: int = 32) -> DataFrame:
             cur.join(keep, "src")
             .join(keep.select(F.col("src").alias("dst")), "dst")
             .select("src", "dst")
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         n = nxt.count()
         cur = nxt
