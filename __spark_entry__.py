@@ -7327,7 +7327,11 @@ def q_ivfpq_recall(spark, sf_dir):
 
     e = _t(spark, sf_dir, "embeddings")
     q = e.filter(F.col("vec_id") < 10)
-    exact = brute_force_topk(e, q, "vec_id", "embedding", k=5)
+    # the exact denominator is shared by all six union branches; without
+    # the lazy checkpoint the brute-force plan is recomputed per config
+    exact = brute_force_topk(e, q, "vec_id", "embedding", k=5).localCheckpoint(
+        eager=False
+    )
     parts = []
     for n_probe, m_sub in _IVFPQ_RECALL_GRID:
         approx = ivfpq_topk(
