@@ -32,6 +32,16 @@ Column kinds are FROZEN per member in the registry's schema map
 at runtime on one side only: if a member's schema drifts, the suite
 fails loudly instead of silently comparing different shapes.
 
+Numeric-lane contract domain: member double outputs follow the repo's
+``round_to=6`` convention and stay below ~1e9 in magnitude, where
+Spark's BigDecimal-based ``round`` and DuckDB's multiply/``std::round``
+agree bit-for-bit (an already-6dp value re-rounds to itself on both).
+Arbitrary unrounded doubles at decimal half-way points, or magnitudes
+past ~2^53/1e6, could round differently per engine — counts and hashes
+that large are integers and ride the string lane instead.  The fuzz
+test (tests/test_certify.py) exercises exactly this domain, and the
+full-registry sweeps validate every real member empirically.
+
 Scale shape: a suite is a single ``unionAll`` of member plans ending in
 one action — cheaper than N separate driver actions (the members are
 mostly metadata-sized aggregates whose standalone cost is per-job

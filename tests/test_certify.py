@@ -93,3 +93,87 @@ def test_registry_suites_cover_every_member_exactly_once():
     # and no suite member also holds its own registry slot
     reg = set(em._QUERIES_WINDOW_R5) | set(em._QUERIES_PAST_WINDOW)
     assert not (set(seen) & reg), sorted(set(seen) & reg)
+
+
+# ---------------------------------------------------------------- fuzzing
+
+from hypothesis import given, settings  # noqa: E402
+from hypothesis import strategies as st  # noqa: E402
+
+# contract-domain doubles: 6dp-rounded, |x| < 1e9 (certify.py docstring);
+# constructed as exact integer multiples of 1e-6 the way member queries
+# produce them (round(v, 6))
+_num = st.one_of(
+    st.none(),
+    st.integers(min_value=-10**15, max_value=10**15).map(
+        lambda n: round(n / 1_000_000, 6)
+    ),
+    st.sampled_from([0.0, -0.0, 0.5, -0.5, 1e-6, -1e-6, 123456.789012]),
+)
+_int = st.one_of(
+    st.none(), st.integers(min_value=-(2**62), max_value=2**62)
+)
+_str = st.one_of(
+    st.none(),
+    st.text(alphabet="ab '\"\\,%_øπ\n\tnull", min_size=0, max_size=12),
+)
+_bool = st.one_of(st.none(), st.booleans())
+
+_row = st.tuples(_int, _num, _str, _bool)
+
+
+def _sql_lit(v, kind):
+    if v is None:
+        return f"CAST(NULL AS {kind})"
+    if kind == "BOOLEAN":
+        return "TRUE" if v else "FALSE"
+    if kind == "DOUBLE":
+        return f"CAST({v!r} AS DOUBLE)"
+    if kind == "VARCHAR":
+        return "'" + str(v).replace("'", "''") + "'"
+    return f"CAST({v} AS BIGINT)"
+
+
+@settings(max_examples=20, deadline=None)
+@given(st.lists(_row, min_size=0, max_size=6))
+def test_melt_fuzz_differential(spark_session_for_fuzz, rows):
+    """Differential fuzz over the melt contract domain: for random
+    member tables mixing ints, 6dp doubles, adversarial strings (quotes,
+    backslashes, newlines, the literal word null, unicode), booleans and
+    NULLs, the Spark melt and the DuckDB suite_sql melt must agree as
+    multisets."""
+    spark = spark_session_for_fuzz
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("ic", T.LongType()),
+            T.StructField("dc", T.DoubleType()),
+            T.StructField("sc", T.StringType()),
+            T.StructField("bc", T.BooleanType()),
+        ]
+    )
+    df = spark.createDataFrame([tuple(r) for r in rows], schema)
+    melt_schema = "ic=str dc=num sc=str bc=str"
+    got = sorted(
+        tuple(r)
+        for r in certify.melt_spark(
+            df, "q_fuzz", certify.parse_schema(melt_schema)
+        ).collect()
+    )
+    kinds = ("BIGINT", "DOUBLE", "VARCHAR", "BOOLEAN")
+    if rows:
+        vals = ", ".join(
+            "(" + ", ".join(_sql_lit(v, k) for v, k in zip(r, kinds)) + ")"
+            for r in rows
+        )
+        member = f"SELECT * FROM (VALUES {vals}) t(ic, dc, sc, bc)"
+    else:
+        member = (
+            "SELECT CAST(NULL AS BIGINT) AS ic, CAST(NULL AS DOUBLE) AS dc,"
+            " CAST(NULL AS VARCHAR) AS sc, CAST(NULL AS BOOLEAN) AS bc"
+            " WHERE 1 = 0"
+        )
+    sql = certify.suite_sql(["q_fuzz"], {"q_fuzz": member}, {"q_fuzz": melt_schema})
+    want = sorted(tuple(r) for r in duckdb.connect().execute(sql).fetchall())
+    assert got == want
