@@ -11,11 +11,9 @@ def spark():
 
 
 @pytest.fixture(scope="session")
-def spark_session_for_fuzz(request):
-    """Session-scoped Spark for hypothesis fuzz tests (a per-example
-    session would dominate the fuzz wall time)."""
-    s = get_spark(
-        app_name="idp-fuzz", master="local[2]", shuffle_partitions=2
-    )
-    request.addfinalizer(s.stop)
-    return s
+def spark_session_for_fuzz(spark):
+    """Alias of the shared session for hypothesis fuzz tests (get_spark
+    is getOrCreate-backed, so a second 'session' would just return —
+    or worse, pre-empt — the shared one; a per-example session would
+    dominate the fuzz wall time)."""
+    return spark
