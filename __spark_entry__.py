@@ -11,6 +11,13 @@ Cross-engine parity rules used throughout:
 - Money aggregates summed as DECIMAL(18,4) (exact) then rounded and cast
   to DOUBLE, so FP summation order cannot flip the hash.
 - Every computed column aliased identically on both sides.
+
+Round 5: most backlog queries are certified through ``q_suite_*`` family
+suites — each suite melts 5-7 member queries to one long-format union
+with an identically-melted DuckDB oracle (see
+``accelerated_intelligent_document_processing_on_aws_spark/certify.py``
+and the ``_SUITES`` / ``_MELT_SCHEMAS`` registry below); member
+functions and their individual oracle SQL remain in this module.
 """
 
 from __future__ import annotations
